@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Layer-B aggregation surface (SURVEY.md §2.2 B-AGG1..8).
+  *
+  * All groupBys compile to `HashAggregateExec` with automatic partial
+  * (map-side) + final (reduce-side) phases, so at 100 TB each query is one
+  * shuffle of the (small) group-key space, never of the raw rows.
+  *
+  * Double-typed aggregates are rounded IN the query (both here and in the
+  * oracle SQL) because summation order differs between engines; row-level
+  * arithmetic needs no rounding.
+  */
+object Aggregates extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- B-AGG1: hash aggregate — flagship TPC-H Q1 shape ----
+    QueryDef(
+      "b_agg1_hash_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  round(avg(l_extendedprice), 6) AS avg_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- B-AGG2: exact distinct aggregation ----
+    QueryDef(
+      "b_agg2_count_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS nd_part,
+             |  count(DISTINCT l_suppkey) AS nd_supp,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- B-AGG3: approximate distinct (HLL++, ClickHouse `uniq`) ----
+    // Approximate → no SQL oracle; bounds asserted in AggregatesSpec.
+    QueryDef(
+      "b_agg3_approx_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd_part")),
+      None),
+
+    // ---- B-AGG4: quantiles (exact interpolated percentile) ----
+    QueryDef(
+      "b_agg4_quantiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+             |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+             |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- B-AGG5: ROLLUP ----
+    QueryDef(
+      "b_agg5_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- B-AGG5: CUBE ----
+    QueryDef(
+      "b_agg5_cube",
+      (s, d) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- B-AGG5: GROUPING SETS ----
+    QueryDef(
+      "b_agg5_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)),
+
+    // ---- B-AGG6: argMin / argMax (min_by / max_by) ----
+    // Ordering columns are unique keys → deterministic across engines.
+    QueryDef(
+      "b_agg6_argminmax",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+            min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+            max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order")),
+      Some("""SELECT o_orderpriority,
+             |  arg_max(o_custkey, o_orderkey) AS last_cust,
+             |  arg_min(o_custkey, o_orderkey) AS first_cust,
+             |  arg_max(o_orderkey, o_totalprice) AS biggest_order
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- B-AGG7: groupArray / groupUniqArray (collect_list / collect_set) ----
+    // Emitted as sorted joined strings: list order is engine-dependent, the
+    // multiset is not.
+    QueryDef(
+      "b_agg7_collect",
+      (s, d) =>
+        t(s, d, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+            array_join(array_sort(collect_set(col("n_regionkey") % 2)), ",").as("parities")),
+      Some("""SELECT n_regionkey,
+             |  array_to_string(list_sort(list(n_name)), ',') AS names,
+             |  array_to_string(list_sort(list(DISTINCT n_regionkey % 2)), ',') AS parities
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    // ---- B-AGG8: mergeable aggregate state (-State/-Merge equivalent) ----
+    QueryDef(
+      "b_agg8_custom_state",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(graft.functions.StateAggregates.varSampState(col("l_quantity")), 6).as("var_qty")),
+      Some("""SELECT l_returnflag, round(var_samp(l_quantity), 6) AS var_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- statistical aggregates (stddev/var/corr/covar) ----
+    QueryDef(
+      "b_agg9_stats",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |  round(var_samp(l_quantity), 6) AS var_qty,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+             |  round(min(l_extendedprice), 2) AS min_price,
+             |  round(max(l_extendedprice), 2) AS max_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layer-B relational surface: scans, projection, filtering, joins, set
+  * operations, sort/limit/top-k (SURVEY.md §2.2 B-SRC / B-PRJ / B-FLT /
+  * B-JN / B-SET / B-SRT / B-LIM / B-TOPK).
+  *
+  * The reference delegates all of these to ClickHouse as opaque SQL
+  * (`clickhouse-arrow/src/query.rs:186-196`, `src/client.rs:643`); here
+  * each is a declarative DataFrame program so Catalyst does pushdown,
+  * pruning, join selection and AQE for free (SURVEY.md §4.1).
+  *
+  * Scale notes are attached per query: dimension joins are broadcast,
+  * fact-fact joins shuffle on their keys, top-k never collects.
+  */
+object Relational extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- B-SRC1: table scan (parquet → DataFrame, full schema) ----
+    QueryDef(
+      "b_src1_scan",
+      (s, d) => t(s, d, "nation"),
+      Some("SELECT * FROM nation")),
+
+    // ---- B-SRC2: virtual source (system.numbers equivalent) ----
+    QueryDef(
+      "b_src2_range",
+      (s, _) => s.range(1000).toDF("id"),
+      Some("SELECT CAST(range AS BIGINT) AS id FROM range(1000)")),
+
+    // ---- B-PRJ1: projection, aliasing, row-level arithmetic ----
+    // Per-row FP arithmetic is order-independent → bit-exact vs oracle.
+    QueryDef(
+      "b_prj1_project",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+          (col("l_quantity") + lit(10.0)).as("qty10")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1.0 - l_discount) AS net,
+             |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+             |  l_quantity + 10.0 AS qty10
+             |FROM lineitem""".stripMargin)),
+
+    // ---- B-FLT1: comparison / boolean / IN / BETWEEN / LIKE ----
+    QueryDef(
+      "b_flt1_predicates",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(
+            col("l_returnflag").isin("A", "N") &&
+              col("l_quantity").between(5, 45) &&
+              col("l_discount") >= 0.02 &&
+              col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_linestatus").like("F%"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','N') AND l_quantity BETWEEN 5 AND 45
+             |  AND l_discount >= 0.02 AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_linestatus LIKE 'F%'""".stripMargin)),
+
+    // ---- B-FLT2: CASE WHEN / if / coalesce / nullIf ----
+    QueryDef(
+      "b_flt2_conditional",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qty_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag2"),
+          when(col("l_discount") > 0.05, "disc").otherwise("nodisc").as("disc_band"),
+          (nullif(col("l_discount"), lit(0.0)).isNull).cast("int").cast("long").as("zero_disc")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+             |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag2,
+             |  CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'nodisc' END AS disc_band,
+             |  CAST(CAST(nullif(l_discount, 0.0) IS NULL AS INTEGER) AS BIGINT) AS zero_disc
+             |FROM lineitem""".stripMargin)),
+
+    // ---- B-JN1 + B-JN6: star join, dims broadcast (TPC-H Q5 shape) ----
+    // lineitem⋈orders shuffles on the fact key; customer/nation/region are
+    // broadcast so the 100 TB plan has exactly one big shuffle.
+    QueryDef(
+      "b_jn1_inner",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" || col("r_name") === "R2")
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' OR r_name = 'R2'
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- B-JN2: left outer ----
+    QueryDef(
+      "b_jn2_left",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select("c_custkey", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+             |ON c_custkey = o_custkey""".stripMargin)),
+
+    // ---- B-JN2: right outer ----
+    QueryDef(
+      "b_jn2_right",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        o.join(c, col("c_custkey") === col("o_custkey"), "right_outer")
+          .select("c_custkey", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+             |RIGHT JOIN customer ON c_custkey = o_custkey""".stripMargin)),
+
+    // ---- B-JN2: full outer ----
+    QueryDef(
+      "b_jn2_full",
+      (s, d) => {
+        val a = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_price"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_price"))
+        a.join(b, col("a_key") === col("b_key"), "full_outer")
+      },
+      Some("""SELECT a.a_key, a.a_price, b.b_key, b.b_price
+             |FROM (SELECT o_orderkey AS a_key, o_totalprice AS a_price FROM orders WHERE o_orderpriority = '1-URGENT') a
+             |FULL OUTER JOIN (SELECT o_orderkey AS b_key, o_totalprice AS b_price FROM orders WHERE o_totalprice > 300000.0) b
+             |ON a.a_key = b.b_key""".stripMargin)),
+
+    // ---- B-JN3: left semi (EXISTS) ----
+    QueryDef(
+      "b_jn3_semi",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin)),
+
+    // ---- B-JN3: left anti (NOT EXISTS) ----
+    QueryDef(
+      "b_jn3_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin)),
+
+    // ---- B-JN4: cross join (tiny × tiny only; never fact × fact) ----
+    QueryDef(
+      "b_jn4_cross",
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation")).select("r_name", "n_name"),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    // ---- B-JN5: theta (non-equi) join — BroadcastNestedLoop on a dim ----
+    QueryDef(
+      "b_jn5_theta",
+      (s, d) => {
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("k1"), col("n_name").as("name1"))
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("k2"), col("n_name").as("name2"))
+        n1.join(n2, col("k1") < col("k2"))
+      },
+      Some("""SELECT n1.n_nationkey AS k1, n1.n_name AS name1, n2.n_nationkey AS k2, n2.n_name AS name2
+             |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""".stripMargin)),
+
+    // ---- B-JN6: explicit broadcast hint ----
+    QueryDef(
+      "b_jn6_broadcast",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name")
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // ---- B-JN7: AS-OF join (union-window form, see AsOfJoin) ----
+    // For each event: the latest purchase by the same user at ts <= event ts.
+    QueryDef(
+      "b_jn7_asof",
+      (s, d) => {
+        val e = t(s, d, "events").select("event_id", "user_id", "ts")
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("prior_purchase"))
+        AsOfJoin
+          .leftAsOf(e, p, Seq("user_id"), "ts", "ts", Seq("prior_purchase"))
+          .select("event_id", "user_id", "prior_purchase")
+      },
+      Some("""SELECT e.event_id, e.user_id, p.event_id AS prior_purchase
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
+    // ---- B-SET1: UNION ALL / UNION DISTINCT ----
+    QueryDef(
+      "b_set1_union_all",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 350000.0)
+        val b = o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 350000.0)
+        a.select("o_orderkey", "o_totalprice").unionAll(b.select("o_orderkey", "o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 350000.0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 350000.0""".stripMargin)),
+
+    QueryDef(
+      "b_set1_union_distinct",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_totalprice") > 400000.0).select("o_custkey")
+        val b = o.filter(col("o_totalprice") > 420000.0).select("o_custkey")
+        a.union(b).distinct()
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 420000.0""".stripMargin)),
+
+    // ---- B-SET2: INTERSECT [ALL] ----
+    QueryDef(
+      "b_set2_intersect",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+          .intersect(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    QueryDef(
+      "b_set2_intersect_all",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+          .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |INTERSECT ALL
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // ---- B-SET3: EXCEPT [ALL] ----
+    QueryDef(
+      "b_set3_except",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+          .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    QueryDef(
+      "b_set3_except_all",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+          .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+             |EXCEPT ALL
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // ---- B-SRT1: multi-key ORDER BY + LIMIT (TakeOrderedAndProject) ----
+    QueryDef(
+      "b_srt1_sort_limit",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+          .limit(100)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ---- B-LIM1: LIMIT / OFFSET over a total order ----
+    QueryDef(
+      "b_lim1_limit_offset",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_orderkey"))
+          .offset(50)
+          .limit(100)
+          .select("o_orderkey", "o_custkey"),
+      Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50")),
+
+    // ---- B-LIM2: client-side truncation with stats (A11 equivalent) ----
+    QueryDef(
+      "b_lim2_truncate",
+      (s, d) => {
+        val ordered = t(s, d, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val (limited, _) = graft.limits.Limited(ordered, graft.limits.QueryLimits(maxRows = Some(1000)))
+        limited
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin)),
+
+    // ---- B-TOPK1: LIMIT BY (per-group top-k without collect) ----
+    QueryDef(
+      "b_topk1_limit_by",
+      (s, d) =>
+        LimitBy.limitBy(
+          t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          3),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin))
+  )
+}
