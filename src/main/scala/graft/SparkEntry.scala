@@ -14,7 +14,9 @@ object SparkEntry {
   def registries: Seq[QueryRegistry] = Seq(
     operators.Relational,
     operators.Aggregates,
-    operators.Windows)
+    operators.Windows,
+    functions.Functions,
+    streaming.StreamingBatch)
 
   def allDefs: Seq[QueryDef] = {
     val defs = registries.flatMap(_.defs)

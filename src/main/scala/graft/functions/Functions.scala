@@ -1,0 +1,266 @@
+package graft.functions
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Layer-B scalar-function families (SURVEY.md §2.2 B-FNS1 / B-FND1 /
+  * B-FNM1 / B-FNA1 / B-FNP1 / B-FNJ1 / B-FNH1 / B-FNC1).
+  *
+  * The reference only implements the *type serde* for these families
+  * (`clickhouse-arrow/src/native/values/` modules); the functions themselves are
+  * ClickHouse SQL reached through passthrough. Here they are the codegen'd
+  * builtins from `org.apache.spark.sql.functions` — no UDFs in the hot path.
+  *
+  * Cross-engine parity notes baked into the queries:
+  *  - derived ints are cast to BIGINT on both sides (DuckDB year()/length()
+  *    return int64, Spark int; DuckDB sum(int) returns HUGEINT)
+  *  - Spark CAST(double AS INT) truncates, DuckDB rounds → oracle uses
+  *    trunc() explicitly
+  *  - DuckDB date_trunc returns DATE for day+ units, Spark returns
+  *    timestamp → both sides normalize to DATE
+  *  - arrays are emitted as joined strings (list VALUES are compared, not
+  *    engine-specific list ordering/typing)
+  */
+object Functions extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- B-FNS1: string functions ----
+    QueryDef(
+      "b_fns1_string",
+      (s, d) =>
+        t(s, d, "part").select(
+          col("p_partkey"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 2, 3).as("sub"),
+          lower(col("p_brand")).as("lo"),
+          upper(col("p_type")).as("up"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devowel"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"),
+          col("p_name").startsWith("s").as("starts_s"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(col("p_brand"), 2).as("twice")),
+      Some("""SELECT p_partkey,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  substring(p_name, 2, 3) AS sub,
+             |  lower(p_brand) AS lo,
+             |  upper(p_type) AS up,
+             |  concat(p_brand, '-', p_type) AS cat,
+             |  trim(concat('  ', p_name, '  ')) AS trimmed,
+             |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+             |  CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+             |  starts_with(p_name, 's') AS starts_s,
+             |  split_part(p_name, ' ', 1) AS first_word,
+             |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             |  reverse(p_brand) AS rev,
+             |  repeat(p_brand, 2) AS twice
+             |FROM part""".stripMargin)),
+
+    // ---- B-FND1: date/time functions ----
+    QueryDef(
+      "b_fnd1_datetime",
+      (s, d) =>
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long").as("days_since"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+             |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+             |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  strftime(o_orderdate, '%Y-%m') AS ym
+             |FROM orders""".stripMargin)),
+
+    // ---- B-FNM1: math functions ----
+    QueryDef(
+      "b_fnm1_math",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          round(col("l_extendedprice") / 7.0, 3).as("div7"),
+          floor(col("l_extendedprice")).cast("long").as("flr"),
+          ceil(col("l_extendedprice")).cast("long").as("cl"),
+          exp(col("l_discount")).as("e_disc"),
+          log(col("l_extendedprice")).as("ln_price"),
+          log10(col("l_extendedprice")).as("log10_price"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          pow(lit(1.0) + col("l_discount"), 3).as("pow3"),
+          sin(col("l_tax")).as("sin_tax"),
+          cos(col("l_tax")).as("cos_tax")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS absd,
+             |  round(l_extendedprice / 7.0, 3) AS div7,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+             |  CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+             |  exp(l_discount) AS e_disc,
+             |  ln(l_extendedprice) AS ln_price,
+             |  log10(l_extendedprice) AS log10_price,
+             |  sqrt(l_quantity) AS sqrt_qty,
+             |  pow(1.0 + l_discount, 3) AS pow3,
+             |  sin(l_tax) AS sin_tax,
+             |  cos(l_tax) AS cos_tax
+             |FROM lineitem""".stripMargin)),
+
+    // ---- B-FNA1: array functions + higher-order lambdas ----
+    // Integer arrays built per-row → exact cross-engine values; arrays are
+    // emitted as joined strings so only the VALUES are compared.
+    QueryDef(
+      "b_fna1_array",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .withColumn("arr", array(
+            col("l_linenumber"),
+            col("l_quantity").cast("int"),
+            (col("l_partkey") % 10).cast("int")))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            size(col("arr")).cast("long").as("n"),
+            array_join(array_sort(col("arr")), ",").as("sorted"),
+            array_join(array_sort(array_distinct(col("arr"))), ",").as("dist"),
+            array_contains(col("arr"), 5).as("has5"),
+            array_join(transform(col("arr"), x => x * 2), ",").as("doubled"),
+            array_join(filter(col("arr"), x => x % 2 === 0), ",").as("evens"),
+            aggregate(col("arr"), lit(0), (a, x) => a + x).cast("long").as("total"),
+            array_join(slice(array_sort(col("arr")), 1, 2), ",").as("low2")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(len(arr) AS BIGINT) AS n,
+             |  array_to_string(list_sort(arr), ',') AS sorted,
+             |  array_to_string(list_sort(list_distinct(arr)), ',') AS dist,
+             |  list_contains(arr, 5) AS has5,
+             |  array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
+             |  coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
+             |  CAST(list_sum(arr) AS BIGINT) AS total,
+             |  array_to_string(list_slice(list_sort(arr), 1, 2), ',') AS low2
+             |FROM (SELECT *, [l_linenumber, CAST(trunc(l_quantity) AS INTEGER), CAST(l_partkey % 10 AS INTEGER)] AS arr
+             |      FROM lineitem)""".stripMargin)),
+
+    // ---- B-FNA1: arrayJoin / explode (row generator) ----
+    QueryDef(
+      "b_fna2_explode",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word""".stripMargin)),
+
+    // ---- B-FNP1: map functions ----
+    QueryDef(
+      "b_fnp1_map",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .withColumn("m", map_from_arrays(
+            array(lit("qty"), lit("disc")),
+            array(col("l_quantity"), col("l_discount"))))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            array_join(map_keys(col("m")), ",").as("ks"),
+            round(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x), 4).as("vsum"),
+            map_contains_key(col("m"), "qty").as("has_qty"),
+            element_at(col("m"), "qty").as("qty_val")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  array_to_string(map_keys(m), ',') AS ks,
+             |  round(list_sum(map_values(m)), 4) AS vsum,
+             |  list_contains(map_keys(m), 'qty') AS has_qty,
+             |  map_extract(m, 'qty')[1] AS qty_val
+             |FROM (SELECT *, map(['qty','disc'], [l_quantity, l_discount]) AS m FROM lineitem)""".stripMargin)),
+
+    // ---- B-FNJ1: JSON extraction (ClickHouse Object/JSON type is mapped
+    // to Utf8 JSON text by the reference, arrow/types.rs:400) ----
+    QueryDef(
+      "b_fnj1_json",
+      (s, d) =>
+        t(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k_struct"),
+          get_json_object(col("props"), "$.missing").as("nothing")),
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+             |  json_extract_string(props, '$.missing') AS nothing
+             |FROM events""".stripMargin)),
+
+    // ---- B-FNH1: cryptographic hashes (cross-engine-stable subset) ----
+    QueryDef(
+      "b_fnh1_hash",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("h_md5"),
+          sha2(col("text").cast("binary"), 256).as("h_sha256")),
+      Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+             |FROM documents""".stripMargin)),
+
+    // ---- B-FNH1b: engine-native hashes (xxhash64 / murmur3 / crc32 —
+    // Spark-specific seeds, no cross-engine oracle; stability is asserted
+    // in FunctionsSpec) ----
+    QueryDef(
+      "b_fnh2_hash_native",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          xxhash64(col("text")).as("h_xx"),
+          hash(col("text")).cast("long").as("h_murmur"),
+          crc32(col("text").cast("binary")).as("h_crc")),
+      None),
+
+    // ---- B-FNC1: type conversions ----
+    QueryDef(
+      "b_fnc1_cast",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_orderkey").cast("string").as("key_str"),
+          concat(lit("k"), col("l_orderkey").cast("string")).cast("string").as("tagged"),
+          // Spark double→int cast truncates toward zero (oracle: trunc)
+          col("l_quantity").cast("long").as("qty_int"),
+          lit("3.25").cast("double").as("pi_ish"),
+          date_format(to_date(lit("1996-03-05")), "yyyy-MM-dd").as("d1"),
+          to_timestamp(lit("1996-03-05 12:30:00")).as("ts1"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").as("ship_day"),
+          expr("try_cast('not_a_number' AS INT)").cast("long").as("bad")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_orderkey AS VARCHAR) AS key_str,
+             |  concat('k', CAST(l_orderkey AS VARCHAR)) AS tagged,
+             |  CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+             |  CAST('3.25' AS DOUBLE) AS pi_ish,
+             |  strftime(DATE '1996-03-05', '%Y-%m-%d') AS d1,
+             |  TIMESTAMP '1996-03-05 12:30:00' AS ts1,
+             |  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+             |  CAST(try_cast('not_a_number' AS INT) AS BIGINT) AS bad
+             |FROM lineitem""".stripMargin))
+  )
+}

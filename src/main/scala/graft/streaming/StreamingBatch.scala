@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing surface, exercised in BATCH mode against the
+  * `events` fixture (SURVEY.md §2.2 B-STR2/3/5). The same `window` /
+  * `session_window` / dedup transforms run unchanged under `readStream` —
+  * StreamingSpec drives that path with watermarks through a real
+  * StreamingQuery; these batch declarations give the DuckDB oracle
+  * something deterministic to check.
+  *
+  * Window starts are emitted as epoch SECONDS (bigint): the raw `ts`
+  * carries nanosecond precision in the fixture parquet, which Spark
+  * truncates to µs — never emit it raw (see Tables.t).
+  */
+object StreamingBatch extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- B-STR2: tumbling event-time window ----
+    QueryDef(
+      "b_str2_tumbling",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(
+            unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("n"), col("sv")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS wstart,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- B-STR2: sliding event-time window (1h length, 30min slide) ----
+    // Each event lands in 2 windows; the oracle replays that membership
+    // with an explicit 2-offset expansion.
+    QueryDef(
+      "b_str2_sliding",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("sv")),
+      Some("""SELECT wstart, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM (
+             |  SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) - off AS wstart, value
+             |  FROM events CROSS JOIN (VALUES (0), (1800)) t(off))
+             |GROUP BY wstart""".stripMargin)),
+
+    // ---- B-STR3: session windows (5-minute gap) ----
+    // Oracle is the classic gaps-and-islands rewrite; a new session starts
+    // when the gap to the previous event is >= the timeout (Spark's session
+    // window is [start, lastTs + gap) half-open).
+    QueryDef(
+      "b_str3_session",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("sess_start"),
+            col("n"), col("sv")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+             |), flagged AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sessioned AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged
+             |)
+             |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+             |  count(*) AS n, round(sum(value), 2) AS sv
+             |FROM sessioned GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- B-STR5: stateful dedup (batch projection of dropDuplicates) ----
+    QueryDef(
+      "b_str5_dedup",
+      (s, d) =>
+        t(s, d, "events")
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type"),
+      Some("SELECT DISTINCT user_id, event_type FROM events"))
+  )
+}
