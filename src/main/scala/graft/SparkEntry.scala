@@ -16,7 +16,11 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     functions.Functions,
-    streaming.StreamingBatch)
+    streaming.StreamingBatch,
+    llm.Dedup,
+    llm.Similarity,
+    llm.TextOps,
+    llm.Multimodal)
 
   def allDefs: Seq[QueryDef] = {
     val defs = registries.flatMap(_.defs)

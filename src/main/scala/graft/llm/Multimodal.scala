@@ -1,0 +1,112 @@
+package graft.llm
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.3): media as opaque `binary`
+  * columns with typed metadata, decode / feature-extract / frame-sample as
+  * partition-local batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (clearly marked below) — what is real and tested is
+  * the Spark-side plumbing: the binary column, the typed schema, the
+  * `Dataset.mapPartitions` batch shape (the Scala analog of a pandas-batch
+  * UDF: one iterator per partition, vectorizable, no per-row JVM↔external
+  * round-trips), and the generator-style frame explosion.
+  */
+object Multimodal extends QueryRegistry {
+
+  /** Opaque media row: payload + modality tag. */
+  final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+
+  /** Typed decode output. */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** STUB decoder — stands in for a real codec (none in this container).
+    * Deterministic arithmetic on (doc_id, payload size) so results are
+    * oracle-checkable; a production build swaps only this function.
+    */
+  def decodeStub(r: MediaRow): MediaMeta = {
+    val n = r.media.length.toLong
+    MediaMeta(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = n,
+      width = 64L + (r.doc_id * 7) % 192,
+      height = 64L + (r.doc_id * 13) % 128,
+      n_frames = 1L + r.doc_id % 4)
+  }
+
+  /** documents → synthetic media table: text bytes stand in for the blob;
+    * modality cycles deterministically. The binary column is REAL — all
+    * downstream plumbing treats it as opaque bytes.
+    */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Batch decode: one partition = one batch through the (stub) codec. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling: per media row, emit n_frames evenly-sized byte
+    * slices (generator shape — posexplode over a computed sequence; the
+    * slice really reads the binary payload).
+    */
+  def sampleFrames(media: Dataset[MediaRow]): DataFrame =
+    decodeMeta(media).toDF()
+      .join(media.toDF().select("doc_id", "media"), "doc_id")
+      .withColumn("frame_len", expr("n_bytes DIV n_frames"))
+      .select(col("doc_id"), col("media_type"), col("n_frames"), col("frame_len"),
+        posexplode(expr("sequence(0, CAST(n_frames AS INT) - 1)")).as(Seq("frame_idx", "i")))
+      .drop("i")
+      .withColumn("frame_off", col("frame_idx") * col("frame_len"))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .select("doc_id", "media_type", "frame_idx", "frame_off", "frame_len")
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- decode → typed metadata (stub codec, real plumbing) ----
+    QueryDef(
+      "x_mm_decode_meta",
+      (s, d) => decodeMeta(mediaTable(t(s, d, "documents"))).toDF(),
+      Some("""SELECT doc_id,
+             |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+             |  CAST(length(text) AS BIGINT) AS n_bytes,
+             |  64 + (doc_id * 7) % 192 AS width,
+             |  64 + (doc_id * 13) % 128 AS height,
+             |  1 + doc_id % 4 AS n_frames
+             |FROM documents""".stripMargin)),
+
+    // ---- frame sampling (generator over the binary payload) ----
+    QueryDef(
+      "x_mm_frames",
+      (s, d) => sampleFrames(mediaTable(t(s, d, "documents"))),
+      Some("""SELECT doc_id,
+             |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+             |  CAST(range AS BIGINT) AS frame_idx,
+             |  CAST(range AS BIGINT) * (length(text) // (1 + doc_id % 4)) AS frame_off,
+             |  length(text) // (1 + doc_id % 4) AS frame_len
+             |FROM documents CROSS JOIN range(4)
+             |WHERE range < 1 + doc_id % 4""".stripMargin))
+  )
+}

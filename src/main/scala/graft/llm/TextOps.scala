@@ -1,0 +1,137 @@
+package graft.llm
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` fixture (SURVEY.md §2.3):
+  * language ID (naive-Bayes n-gram/word profiles, trained distributed),
+  * quality scoring, token counting, rolling-hash fingerprinting. All
+  * declarative DataFrame programs.
+  */
+object TextOps extends QueryRegistry {
+
+  /** Multinomial naive-Bayes language ID. Profiles (per-(word,lang)
+    * Laplace-smoothed log-probs) are learned from the labeled slice
+    * `doc_id % 5 == 0` entirely as aggregations; scoring is one join from
+    * exploded tokens to the pivoted profile — no per-language pass over
+    * the corpus, no driver-side model beyond the (tiny) language list.
+    *
+    * On the synthetic fixture the `lang` column is uncorrelated with the
+    * text (all languages draw from one vocabulary — measured NB accuracy
+    * ≈ class prior), so the declared query checks mechanics, not accuracy;
+    * TextOpsSpec validates accuracy on a corpus with real signal.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tokens = docs
+      .withColumn("w", explode(split(col("text"), " ")))
+      .select("doc_id", "lang", "w")
+    val train = tokens.filter(col("doc_id") % 5 === 0)
+
+    val langs = train.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // tiny: #languages values
+    val vocab = train.select("w").distinct().count().toDouble
+
+    // per-(lang): total tokens; per-(word,lang): counts → pivoted log-probs
+    val totals = train.groupBy("lang").agg(count(lit(1)).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
+    val profile = train.groupBy("w").pivot("lang", langs).agg(count(lit(1)))
+    val scoredCols = langs.map { l =>
+      val tot = totals(l).toDouble
+      (log((coalesce(col(l), lit(0L)) + 1.0) / (tot + vocab)) -
+        lit(math.log(1.0 / (tot + vocab)))).as(s"adj_$l") // subtract unseen default → missing words contribute 0
+    }
+    val prof = profile.select(col("w") +: scoredCols: _*)
+
+    val scored = tokens.join(broadcast(prof), Seq("w"), "left")
+    val aggs = langs.map(l => sum(coalesce(col(s"adj_$l"), lit(0.0))).as(s"score_$l"))
+    val perDoc = scored.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+    // base term Σ log(default_l) = n_tokens * log(1/(tot_l+V)) re-added below
+    val nTok = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val full = perDoc.join(nTok, "doc_id")
+    val scoreStructs = langs.map { l =>
+      val tot = totals(l).toDouble
+      struct(
+        (col(s"score_$l") + col("n_tokens") * math.log(1.0 / (tot + vocab))).as("score"),
+        lit(l).as("lang"))
+    }
+    full
+      .withColumn("best", array_max(array(scoreStructs: _*)))
+      .select(col("doc_id"), col("lang").as("true_lang"), col("best.lang").as("pred_lang"))
+  }
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val stopListDuck = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- language ID (model output → no SQL oracle; rows-only) ----
+    QueryDef(
+      "x_text_langid",
+      (s, d) => languageId(t(s, d, "documents")),
+      None),
+
+    // ---- quality scoring: length/punctuation/stopword/word-shape ----
+    QueryDef(
+      "x_text_quality",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            size(col("ws")).cast("long").as("n_words"),
+            round(length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")) / length(col("text")).cast("double"), 6).as("punct_ratio"),
+            round(expr(s"size(filter(ws, w -> array_contains($stopListSql, w)))") / size(col("ws")).cast("double"), 6).as("stop_ratio"),
+            round(length(regexp_replace(col("text"), " ", "")) / size(col("ws")).cast("double"), 6).as("avg_word_len"),
+            round(
+              least(length(col("text")) / 500.0, lit(1.0)) * 0.5 +
+                expr(s"size(filter(ws, w -> array_contains($stopListSql, w)))") / size(col("ws")).cast("double") * 0.3 +
+                (lit(1.0) - length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")) / length(col("text")).cast("double")) * 0.2,
+              6).as("quality")),
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars_m,
+              |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+              |  round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+              |  round(len(list_filter(str_split(text, ' '), w -> list_contains($stopListDuck, w))) / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+              |  round(length(replace(text, ' ', '')) / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS avg_word_len,
+              |  round(least(length(text) / 500.0, 1.0) * 0.5
+              |    + len(list_filter(str_split(text, ' '), w -> list_contains($stopListDuck, w))) / CAST(len(str_split(text, ' ')) AS DOUBLE) * 0.3
+              |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality
+              |FROM documents""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish regex tokenizer ----
+    QueryDef(
+      "x_text_tokens",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("chars")),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+             |  CAST(length(text) AS BIGINT) AS chars
+             |FROM documents""".stripMargin)),
+
+    // ---- rolling-hash document fingerprint (Karp-Rabin base 31 mod 1e9+7) ----
+    QueryDef(
+      "x_text_fingerprint",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          expr(
+            """aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT),
+              |  (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007))""".stripMargin).as("fp")),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+             |FROM documents""".stripMargin))
+  )
+}
