@@ -80,16 +80,17 @@ object Dedup extends QueryRegistry {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over the word multiset: per bit j, sign of the sum of
-    * ±1 votes from each word's hash bit. One pass, O(64·|words|) per doc.
+  /** 64-bit SimHash over the word-3gram shingle set (same feature space as
+    * [[ngramJaccardPairs]] — single-word features would report multiset-
+    * similar but order-scrambled docs as dups): per bit j, sign of the sum
+    * of ±1 votes from each shingle's hash bit. One pass, O(64·|sh|)/doc.
     */
   def withSimhash(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ws", split(col("text"), " "))
+    withShingles(docs)
       .withColumn("simhash", expr(
         """aggregate(
           |  transform(sequence(0, 63), j ->
-          |    CASE WHEN aggregate(ws, 0, (acc, w) ->
+          |    CASE WHEN aggregate(sh, 0, (acc, w) ->
           |      acc + CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN 1 ELSE -1 END) > 0
           |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
           |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin))

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds the same near-dup pairs as exact n-gram jaccard") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val exact = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+    val mh = pairsOf(Dedup.minhashPairs(docs, k = 32, bands = 8, tau = 0.5))
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // LSH candidates + signature estimate: no false negatives expected at
+    // jaccard ≈ 0.98; est-jaccard threshold may admit few extras
+    assert((exact -- mh).isEmpty, s"minhash missed: ${exact -- mh}")
+    val extras = mh -- exact
+    assert(extras.size <= exact.size / 2, s"too many false positives: $extras")
+  }
+
+  test("simhash near-dup pairs are a subset-superset match of exact pairs") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val exact = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+    val sh = pairsOf(Dedup.simhashPairs(docs, maxHamming = 3))
+    // simhash hamming<=3 is a different (stricter, token-multiset) notion;
+    // everything it reports must be a genuine near-dup
+    assert(sh.nonEmpty)
+    assert((sh -- exact).isEmpty, s"simhash false positives: ${sh -- exact}")
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq(
+      (1L, "same text here"), (2L, "same text here"), (3L, "different")).toDF("doc_id", "text")
+    val out = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash signature length and determinism") {
+    val docs = Tables.t(spark, sf0001, "documents").limit(5)
+    val sigs1 = Dedup.withMinhash(docs, 32).select("doc_id", "sig").collect()
+    val sigs2 = Dedup.withMinhash(docs, 32).select("doc_id", "sig").collect()
+    assert(sigs1.map(_.getSeq[Long](1).size).forall(_ === 32))
+    assert(sigs1.map(_.toString).sorted.sameElements(sigs2.map(_.toString).sorted))
+  }
+}

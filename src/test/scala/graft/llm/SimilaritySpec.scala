@@ -1,0 +1,32 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("sign-LSH top-k achieves usable recall vs brute force") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val lsh = topSet(Similarity.lshTopK(emb, queries, 5, tables = 8, bits = 6))
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(brute.size === queries.count() * 5)
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("brute-force cosine agrees with a hand-computed value") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(emb, q, 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(math.abs(out(3L) - 0.6) < 1e-9)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naive-Bayes language ID learns a corpus with real signal") {
+    // Synthetic bilingual corpus with disjoint-ish vocab; docs 0,5,10,...
+    // are the training slice (languageId trains on doc_id % 5 == 0).
+    val enWords = Seq("the", "cat", "sat", "on", "mat", "dog", "runs", "fast")
+    val frWords = Seq("le", "chat", "est", "sur", "tapis", "chien", "court", "vite")
+    val rng = new scala.util.Random(7)
+    def doc(words: Seq[String]) = Seq.fill(30)(words(rng.nextInt(words.size))).mkString(" ")
+    val rows = (0L until 200L).map { i =>
+      if (i % 2 == 0) (i, doc(enWords), "en") else (i, doc(frWords), "fr")
+    }
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val preds = TextOps.languageId(docs)
+    val test = preds.filter(col("doc_id") % 5 =!= 0)
+    val acc = test.filter(col("pred_lang") === col("true_lang")).count().toDouble / test.count()
+    assert(acc >= 0.95, s"langid accuracy on signal-bearing corpus: $acc")
+  }
+
+  test("rolling-hash fingerprint is order-sensitive and deterministic") {
+    val docs = Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("doc_id", "text")
+    val fp = graft.SparkEntry.queries("x_text_fingerprint") // reuse declared program shape
+    val out = docs.select(col("doc_id"), expr(
+      """aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT),
+        |  (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007))""".stripMargin).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(3L))
+    assert(out(1L) !== out(2L))
+    // Karp-Rabin base-31: "abc" = (97*31 + 98)*31 + 99
+    assert(out(1L) === ((97L * 31 + 98) * 31 + 99) % 1000000007)
+  }
+
+  test("token counts match a local tokenizer on a sample") {
+    val sample = graft.Tables.t(spark, sf0001, "documents").limit(20)
+    val got = graft.llm.TextOps.defs.find(_.name == "x_text_tokens").get
+      .build(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.select("doc_id", "text").collect().foreach { r =>
+      val expected = r.getString(1).trim.split("\\s+").length.toLong
+      assert(got(r.getLong(0)) === expected)
+    }
+  }
+}
