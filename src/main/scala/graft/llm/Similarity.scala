@@ -39,9 +39,11 @@ object Similarity extends QueryRegistry {
 
   /** Sign-LSH ANN: `tables` independent hash tables, each hashing the sign
     * pattern of `bits` pseudo-random hyperplane projections into a bucket.
-    * Hyperplane components are deterministic pseudo-gaussians derived from
-    * xxhash64(table, bit, dim). Candidates = bucket collisions in any
-    * table (equi-join, shuffle on bucket key); exact cosine re-ranks.
+    * Hyperplanes are seeded gaussians computed ONCE on the driver and
+    * shipped as a literal `[tables][bits][dim]` array — each row then does
+    * pure arithmetic (`zip_with` dot products) instead of deriving plane
+    * components per row. Candidates = bucket collisions in any table
+    * (equi-join, shuffle on bucket key); exact cosine re-ranks.
     *
     * Multi-probe: the (small, broadcast) query side also probes every
     * Hamming-1 neighbor bucket — for moderate-similarity neighbors
@@ -51,13 +53,17 @@ object Similarity extends QueryRegistry {
     * adding tables, which re-hash and re-shuffle the full candidate set.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, tables: Int, bits: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
     def bucketed(df: DataFrame, vcol: String): DataFrame =
-      df.select(col("*"), explode(expr(
-        s"""transform(sequence(0, $tables - 1), t -> struct(t AS tbl,
-           |  aggregate(sequence(0, $bits - 1), 0, (acc, j) -> acc * 2 +
-           |    CASE WHEN aggregate(sequence(0, size($vcol) - 1), 0D, (a, i) ->
-           |      a + $vcol[i] * ((pmod(xxhash64(concat(t, '_', j, '_', i)), 1000003) / 1000003.0) - 0.5)) > 0
-           |    THEN 1 ELSE 0 END) AS bkey))""".stripMargin)).as("bb"))
+      df.withColumn("pl", typedLit(planes))
+        .select(col("*"), explode(expr(
+          s"""transform(sequence(0, $tables - 1), t -> struct(t AS tbl,
+             |  aggregate(sequence(0, $bits - 1), 0, (acc, j) -> acc * 2 +
+             |    CASE WHEN aggregate(zip_with($vcol, pl[t][j], (x, p) -> x * p), 0D, (a, x) -> a + x) > 0
+             |    THEN 1 ELSE 0 END) AS bkey))""".stripMargin)).as("bb"))
         .select(df.columns.map(col) :+ col("bb.tbl").as("tbl") :+ col("bb.bkey").as("bkey"): _*)
 
     val q = bucketed(
