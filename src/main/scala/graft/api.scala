@@ -27,7 +27,41 @@ final case class QueryDef(
 /** A module of declared queries; SparkEntry concatenates all registries. */
 trait QueryRegistry { def defs: Seq[QueryDef] }
 
-/** Fixture-table loader (TESTDATA.md): every table is one parquet file. */
+/** Standard session configuration applied by every graft entry point
+  * (Verify/Bench/Smoke mains, the test session). Central so no loader has
+  * to mutate a live session's conf as a side effect.
+  */
+object Sessions {
+  /** Confs every graft session needs:
+    *  - UTC so date/timestamp results are engine-portable vs the oracle;
+    *  - `nanosAsLong` because the `events` fixture carries parquet
+    *    TIMESTAMP(NANOS), which Spark's µs TimestampType otherwise rejects
+    *    at read time (the loader then truncates ns → µs explicitly).
+    */
+  def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: String, shufflePartitions: String): SparkSession = {
+    val s = withGraftConfs(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", shufflePartitions))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Fixture-table loader (TESTDATA.md): every table is one parquet file.
+  *
+  * Session requirement: `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (set by [[Sessions]]) — `events.ts` is parquet TIMESTAMP(NANOS), which
+  * Spark's µs TimestampType rejects outright; with the conf the column
+  * arrives as a raw int64 and is truncated ns → µs here (integral DIV — a
+  * double roundtrip would lose precision above 2^53).
+  */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -35,11 +69,6 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is
-      // µs-precision and rejects nanos outright, so read the raw int64
-      // and truncate ns → µs (integral DIV — a double roundtrip would
-      // lose precision above 2^53).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -86,7 +86,7 @@ object Ddl {
       table: String,
       schema: StructType,
       opts: CreateOptions = CreateOptions()): String = {
-    val cols = schema.fields.map(f => f.name -> CHType.fromSpark(f.dataType, f.nullable)).toSeq
+    val cols = schema.fields.map(f => f.name -> CHType.fromSparkField(f)).toSeq
     createTable(db, table, cols, opts)
   }
 }

@@ -40,15 +40,18 @@ object Limited {
       case Some(cap) =>
         val capInt =
           if (cap >= Int.MaxValue.toLong) Int.MaxValue - 1 else cap.toInt
-        // probe one row past the cap to learn whether we truncated,
-        // without scanning the full input
-        val probe = df.limit(capInt + 1).count()
+        // single pass over the input: materialize cap+1 rows once (cached —
+        // at most cap+1 rows of executor memory), count them to learn
+        // whether we truncated, and serve the returned frame from that
+        // cache. The input itself is never scanned twice.
+        val probeDf = df.limit(capInt + 1).cache()
+        val probe = probeDf.count()
         val truncated = probe > capInt
         val reason =
           if (!truncated) "none"
           else if (limits.maxRows.exists(_ <= capInt)) "max_rows"
           else "max_bytes"
-        (df.limit(capInt), QueryStats(math.min(probe, capInt), truncated, reason))
+        (probeDf.limit(capInt), QueryStats(math.min(probe, capInt), truncated, reason))
     }
   }
 }

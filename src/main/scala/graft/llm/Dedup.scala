@@ -4,32 +4,128 @@ import graft.{QueryDef, QueryRegistry, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Pure per-document kernels for the dedup operators, kept in a standalone
+  * serializable module so Spark closures reference it statically (no
+  * enclosing-object capture). These run as plain JIT'd Scala loops inside
+  * `mapPartitions`/`flatMap` — Spark's higher-order array lambdas are
+  * interpreted per element, which at corpus scale is pure interpreter
+  * overhead (measured 60 s for 5k docs in round 1 vs <2 s here).
+  */
+private[llm] object DedupKernels extends Serializable {
+
+  /** Distinct word 3-gram shingles; exact same semantics as the SQL form
+    * `array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))`
+    * over `split(text, ' ')` (limit -1 keeps trailing empties, matching
+    * Spark's `split` and DuckDB's `str_split`).
+    */
+  def shingles(text: String): Array[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String](ws.length * 2)
+      var i = 0
+      while (i <= ws.length - 3) {
+        seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** 64-bit string hash: FNV-1a over UTF-8 bytes + splitmix64 finalizer for
+    * avalanche. Engine-internal (dedup signatures never cross an engine
+    * boundary), so no wire parity with any named hash is required.
+    */
+  def hash64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** MinHash signature: K affine permutations h_j(x) = (x32*(2j+1) + j*c) mod p
+    * over the 32-bit-folded shingle hash, min over the shingle set. Each
+    * shingle is hashed exactly once; the K permutations are integer ops.
+    * All operands stay far below Long overflow (x32 < 2^32, 2j+1 <= 2K).
+    */
+  def minhashSig(sh: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      val x = hash64(sh(si)) & 0xffffffffL
+      var j = 0
+      while (j < k) {
+        val v = (x * (2L * j + 1L) + j * 2654435761L) % 4294967291L
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash: per bit j, sign of the sum of +/-1 votes from each
+    * shingle hash's bit j. One pass, O(64*|sh|) integer ops per doc.
+    */
+  def simhash(sh: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var si = 0
+    while (si < sh.length) {
+      val h = hash64(sh(si))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      si += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 /** Training-data deduplication operators over the `documents` fixture
   * (SURVEY.md §2.3): exact, exact-jaccard (inverted index), MinHash+LSH,
-  * SimHash. All are pure DataFrame programs built from codegen'd builtins
-  * and higher-order lambdas — no UDFs, no driver-side loops — so each is
+  * SimHash. Per-document signature math runs as JIT'd Scala kernels in
+  * typed `flatMap`/`mapPartitions` ([[DedupKernels]]); everything that
+  * shuffles (inverted index, LSH banding/bucketing, candidate scoring)
+  * stays declarative DataFrame logic, so each operator remains
   * one-or-two shuffles regardless of corpus size.
   */
 object Dedup extends QueryRegistry {
 
-  /** Word 3-gram shingle set (distinct), guarded for short docs. */
-  def shingleCol: Column = expr(
-    """array_distinct(CASE WHEN size(ws) >= 3
-      |  THEN transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-      |  ELSE array() END)""".stripMargin)
-
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", split(col("text"), " ")).withColumn("sh", shingleCol)
+  /** Exploded (doc_id, shingle) pairs via a typed flatMap. */
+  private def explodedShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => DedupKernels.shingles(text).iterator.map(s => (id, s)) }
+      .toDF("doc_id", "s")
+  }
 
   /** Exact pairwise word-3gram Jaccard >= `tau` via an inverted shingle
     * index: explode → self-equi-join on shingle → |A∩B| counts → join
     * per-doc sizes. Shuffles on shingle then on doc pairs — never a cross
-    * product. (At 100 TB add a document-frequency cap on pathological
-    * stop-shingles; kept exact here to match the oracle.)
+    * product.
+    *
+    * `dfCap` drops shingles whose document frequency exceeds the cap
+    * before the self-join: one stop-shingle with df=d otherwise creates
+    * O(d²) join rows on a single shuffle key — the classic skew-killer at
+    * corpus scale. Jaccard is then computed consistently over the kept
+    * feature space (both intersections and sizes). The default cap (500)
+    * is far above the fixtures' max df (25 at sf0.1), so fixture results
+    * are byte-identical to the uncapped oracle.
     */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val sh = withShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame = {
+    val all = explodedShingles(docs)
+    val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    val sh = all.join(kept, Seq("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -43,28 +139,28 @@ object Dedup extends QueryRegistry {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: K affine permutations over the 32-bit-folded
-    * shingle hash, h_j(x) = ((x32*(2j+1) + j*c) mod p), taking the min over
-    * the shingle set. The 32-bit fold keeps every product far from Long
-    * overflow (Spark 4 runs ANSI mode: overflow throws, it doesn't wrap).
-    *
-    * Each shingle is string-hashed exactly once (`hs`); the K permutations
-    * are integer math over that — higher-order lambdas are interpreted, so
-    * hashing inside the K-loop would cost K string hashes per shingle.
+  /** (doc_id, sig) MinHash signatures for every doc with >= 1 shingle
+    * (no-shingle docs are dropped — their empty-set signatures would all
+    * collide). One JIT'd pass per document, no shuffle.
     */
-  def withMinhash(docs: DataFrame, k: Int): DataFrame =
-    withShingles(docs)
-      .withColumn("hs", expr("transform(sh, t -> pmod(xxhash64(t), 4294967296))"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, $k - 1), j ->
-           |  array_min(transform(hs, x -> pmod(x * (2*j + 1) + j * 2654435761, 4294967291))))""".stripMargin))
+  def withMinhash(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = DedupKernels.shingles(text)
+          if (sh.isEmpty) Iterator.empty
+          else Iterator((id, DedupKernels.minhashSig(sh, k)))
+        }
+      }
+      .toDF("doc_id", "sig")
+  }
 
   /** In-bucket ordered pair expansion: all (i < j) pairs of the sorted
     * struct array `ds`. Quadratic in bucket size by design — LSH buckets
     * are tiny for near-dup workloads; at 100 TB run exact dedup first so
-    * byte-identical docs don't form a mega-bucket, and docs with no
-    * shingles are filtered before bucketing (their null signatures would
-    * all collide).
+    * byte-identical docs don't form a mega-bucket.
     */
   private val bucketPairs = expr(
     """flatten(transform(sequence(0, size(ds) - 2), i ->
@@ -72,48 +168,68 @@ object Dedup extends QueryRegistry {
 
   /** MinHash + LSH banding: B bands of R rows hash into buckets; docs
     * sharing any band-bucket become candidates, generated by in-bucket
-    * pair expansion after a single groupBy-on-bucket shuffle (a bucket
-    * self-join would shuffle twice and recompute every signature on both
-    * sides); candidates are scored by signature agreement (estimated
-    * Jaccard) >= `tau`.
+    * pair expansion after a single groupBy-on-bucket shuffle; candidates
+    * are scored by signature agreement (estimated Jaccard) >= `tau`.
+    * Band hashing, pair expansion and scoring all run as JIT'd kernels;
+    * the only shuffle is the groupBy on (band, bucket).
     */
   def minhashPairs(docs: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     val rows = k / bands
-    val sigs = withMinhash(docs, k).filter(size(col("sh")) > 0).select("doc_id", "sig")
-    val buckets = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, $bands - 1), b -> struct(b AS band, hash(slice(sig, b*$rows + 1, $rows)) AS bkey))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = buckets.groupBy("band", "bkey")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = withMinhash(docs, k).as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        Iterator.tabulate(bands) { b =>
+          // band key: mix the band's signature slice (FNV-style over longs)
+          var h = 0xcbf29ce484222325L ^ b
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+          (id, sig, b, h)
+        }
+      }
+      .toDF("doc_id", "sig", "band", "bkey")
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(bucketPairs).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+      .select(col("ds"))
+      .as[Seq[(Long, Array[Long])]]
+      .flatMap { ds =>
+        // in-bucket ordered pairs, scored by signature agreement
+        val arr = ds.sortBy(_._1).toArray
+        for {
+          i <- Iterator.range(0, arr.length - 1)
+          j <- Iterator.range(i + 1, arr.length)
+          est = {
+            val (sa, sb) = (arr(i)._2, arr(j)._2)
+            var m = 0; var x = 0
+            while (x < k) { if (sa(x) == sb(x)) m += 1; x += 1 }
+            m.toDouble / k
+          }
+          if est >= tau
+        } yield (arr(i)._1, arr(j)._1, est)
+      }
+      .toDF("doc_a", "doc_b", "est")
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / CAST($k AS DOUBLE)"))
-      .filter(col("est_jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), round(col("est"), 6).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over the word-3gram shingle set (same feature space as
-    * [[ngramJaccardPairs]] — single-word features would report multiset-
-    * similar but order-scrambled docs as dups): per bit j, sign of the sum
-    * of ±1 votes from each shingle's hash bit. One pass, O(64·|sh|)/doc.
+  /** (doc_id, simhash) for every doc with >= 1 shingle; same feature space
+    * as [[ngramJaccardPairs]] (single-word features would report multiset-
+    * similar but order-scrambled docs as dups). JIT'd single pass.
     */
-  def withSimhash(docs: DataFrame): DataFrame =
-    withShingles(docs)
-      // hash each shingle once; the 64 bit-votes are integer ops over `hs`
-      .withColumn("hs", expr("transform(sh, w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    CASE WHEN aggregate(hs, 0, (acc, h) ->
-          |      acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin))
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = DedupKernels.shingles(text)
+          if (sh.isEmpty) Iterator.empty
+          else Iterator((id, DedupKernels.simhash(sh)))
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as LSH (a pair within
     * Hamming distance 3 of 64 shares >= 1 exact band by pigeonhole), then
@@ -121,7 +237,7 @@ object Dedup extends QueryRegistry {
     * groupBy-bucket pair expansion as [[minhashPairs]].
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = withSimhash(docs).filter(size(col("sh")) > 0).select("doc_id", "simhash")
+    val sigs = withSimhash(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b*16) & 65535 AS bkey))")).as("bb"))

@@ -17,12 +17,19 @@ object TextOps extends QueryRegistry {
     * exploded tokens to the pivoted profile — no per-language pass over
     * the corpus, no driver-side model beyond the (tiny) language list.
     *
+    * The broadcast profile is capped at `maxFeatures` words (the most
+    * frequent in the training slice) — an unbounded vocabulary would blow
+    * the broadcast limit at corpus scale; words outside the cap score the
+    * per-language unseen default, exactly like unseen words at inference.
+    * The default cap (262144) is far above both fixtures' vocabularies, so
+    * fixture output is unchanged.
+    *
     * On the synthetic fixture the `lang` column is uncorrelated with the
     * text (all languages draw from one vocabulary — measured NB accuracy
     * ≈ class prior), so the declared query checks mechanics, not accuracy;
     * TextOpsSpec validates accuracy on a corpus with real signal.
     */
-  def languageId(docs: DataFrame): DataFrame = {
+  def languageId(docs: DataFrame, maxFeatures: Int = 1 << 18): DataFrame = {
     val spark = docs.sparkSession
     val tokens = docs
       .withColumn("w", explode(split(col("text"), " ")))
@@ -33,10 +40,16 @@ object TextOps extends QueryRegistry {
       .collect().map(_.getString(0)).sorted.toSeq // tiny: #languages values
     val vocab = train.select("w").distinct().count().toDouble
 
+    // top-N training words by frequency — bounds the broadcast profile
+    val kept = train.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxFeatures)
+      .select("w")
+
     // per-(lang): total tokens; per-(word,lang): counts → pivoted log-probs
     val totals = train.groupBy("lang").agg(count(lit(1)).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
-    val profile = train.groupBy("w").pivot("lang", langs).agg(count(lit(1)))
+    val profile = train.join(kept, Seq("w")).groupBy("w").pivot("lang", langs).agg(count(lit(1)))
     val scoredCols = langs.map { l =>
       val tot = totals(l).toDouble
       (log((coalesce(col(l), lit(0L)) + 1.0) / (tot + vocab)) -

@@ -62,9 +62,16 @@ object AsOfJoin {
         rightCols.headOption.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(ord) === 1).select((leftCols ++ rightCols).map(col): _*)
+    // Carry ONE struct of all payload columns (null for left rows, never
+    // null for right rows) rather than each column independently — a
+    // legitimately-NULL payload field in the matched right row must stay
+    // NULL, not get back-filled from an older right row.
+    val pay = "__asof_payload"
+    val carried = unioned
+      .withColumn(pay,
+        when(col(ord) === 0, struct(rightCols.map(col): _*)).otherwise(lit(null)))
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    carried.filter(col(ord) === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"$pay.$c").as(c)): _*)
   }
 }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 /** Layer-B window-function surface (SURVEY.md §2.2 B-WIN1..3).
   *
   * Each query shuffles once on its partition keys and sorts within
-  * partitions (`WindowExec`); partition keys are chosen with bounded group
-  * sizes so the per-key sort holds at scale.
+  * partitions (`WindowExec`). Every partition key here is high-cardinality
+  * (`o_custkey`, `user_id`), so no single key funnels more than a tiny
+  * fraction of the input through one window task — the property that keeps
+  * these plans skew-free at 100x the data.
   *
   * Determinism: row_number/ntile/lag/lead are only well-defined under a
   * total order, so every ORDER BY ends in a unique key; rank/dense_rank
@@ -26,32 +28,34 @@ object Windows extends QueryRegistry {
     QueryDef(
       "b_win1_ranking",
       (s, d) => {
+        // per-customer ranking: #groups scales with the data, per-group
+        // size is bounded (orders per customer) — skew-free at any SF
         val unique = Window
-          .partitionBy(col("o_orderpriority"))
+          .partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         val tied = Window
-          .partitionBy(col("o_orderpriority"))
+          .partitionBy(col("o_custkey"))
           .orderBy(floor(col("o_totalprice") / 100000.0).desc)
         t(s, d, "orders")
           .select(
-            col("o_orderpriority"),
+            col("o_custkey"),
             col("o_orderkey"),
             row_number().over(unique).cast("long").as("rn"),
             ntile(4).over(unique).cast("long").as("quartile"),
             rank().over(tied).cast("long").as("rnk"),
             dense_rank().over(tied).cast("long").as("drnk"))
-          .filter(col("rn") <= 500)
+          .filter(col("rn") <= 5)
       },
-      Some("""SELECT o_orderpriority, o_orderkey, rn, quartile, rnk, drnk FROM (
-             |  SELECT o_orderpriority, o_orderkey,
+      Some("""SELECT o_custkey, o_orderkey, rn, quartile, rnk, drnk FROM (
+             |  SELECT o_custkey, o_orderkey,
              |    CAST(row_number() OVER w1 AS BIGINT) AS rn,
              |    CAST(ntile(4)     OVER w1 AS BIGINT) AS quartile,
              |    CAST(rank()       OVER w2 AS BIGINT) AS rnk,
              |    CAST(dense_rank() OVER w2 AS BIGINT) AS drnk
              |  FROM orders
-             |  WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
-             |         w2 AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 100000.0) DESC)
-             |) WHERE rn <= 500""".stripMargin)),
+             |  WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             |         w2 AS (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 100000.0) DESC)
+             |) WHERE rn <= 5""".stripMargin)),
 
     // ---- B-WIN2: analytic functions lag/lead/first/last ----
     QueryDef(
@@ -89,9 +93,10 @@ object Windows extends QueryRegistry {
         val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val trailing = base.rowsBetween(-2, Window.currentRow)
         // fractional RANGE frame bounds need the SQL form (the Scala
-        // rangeBetween API is Long-only)
+        // rangeBetween API is Long-only); partitioned per customer so the
+        // range scan stays bounded per key
         val byPrice = expr(
-          """count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
             |  RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""".stripMargin)
         t(s, d, "orders")
           .select(
@@ -106,7 +111,7 @@ object Windows extends QueryRegistry {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend,
              |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
-             |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
              |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS peers_within_10k
              |FROM orders""".stripMargin))
   )

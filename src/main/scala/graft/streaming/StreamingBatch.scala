@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing surface, exercised in BATCH mode against the
-  * `events` fixture (SURVEY.md §2.2 B-STR2/3/5). The same `window` /
-  * `session_window` / dedup transforms run unchanged under `readStream` —
-  * StreamingSpec drives that path with watermarks through a real
-  * StreamingQuery; these batch declarations give the DuckDB oracle
+  * `events` fixture (SURVEY.md §2.2 B-STR2/3/5). The transforms live in
+  * [[Streams]] and are shared verbatim with the streaming path —
+  * StreamingSpec drives the SAME functions through a file-source
+  * `readStream` with live watermarks and a progress listener
+  * (B-STR1/4/6); these batch declarations give the DuckDB oracle
   * something deterministic to check.
   *
   * Window starts are emitted as epoch SECONDS (bigint): the raw `ts`
@@ -24,13 +25,7 @@ object StreamingBatch extends QueryRegistry {
     // ---- B-STR2: tumbling event-time window ----
     QueryDef(
       "b_str2_tumbling",
-      (s, d) =>
-        t(s, d, "events")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-          .select(
-            unix_timestamp(col("window.start")).as("wstart"),
-            col("event_type"), col("n"), col("sv")),
+      (s, d) => Streams.tumbling(t(s, d, "events")),
       Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS wstart,
              |  event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
@@ -40,11 +35,7 @@ object StreamingBatch extends QueryRegistry {
     // with an explicit 2-offset expansion.
     QueryDef(
       "b_str2_sliding",
-      (s, d) =>
-        t(s, d, "events")
-          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-          .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("sv")),
+      (s, d) => Streams.sliding(t(s, d, "events")),
       Some("""SELECT wstart, count(*) AS n, round(sum(value), 2) AS sv
              |FROM (
              |  SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) - off AS wstart, value
@@ -57,14 +48,7 @@ object StreamingBatch extends QueryRegistry {
     // window is [start, lastTs + gap) half-open).
     QueryDef(
       "b_str3_session",
-      (s, d) =>
-        t(s, d, "events")
-          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
-          .select(
-            col("user_id"),
-            unix_timestamp(col("session_window.start")).as("sess_start"),
-            col("n"), col("sv")),
+      (s, d) => Streams.session(t(s, d, "events")),
       Some("""WITH e AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
              |), flagged AS (
@@ -83,10 +67,7 @@ object StreamingBatch extends QueryRegistry {
     // ---- B-STR5: stateful dedup (batch projection of dropDuplicates) ----
     QueryDef(
       "b_str5_dedup",
-      (s, d) =>
-        t(s, d, "events")
-          .select("user_id", "event_type")
-          .dropDuplicates("user_id", "event_type"),
+      (s, d) => Streams.dedup(t(s, d, "events")),
       Some("SELECT DISTINCT user_id, event_type FROM events"))
   )
 }

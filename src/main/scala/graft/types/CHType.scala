@@ -336,7 +336,8 @@ object CHType {
           if (s(pos) == '(') depth += 1
           if (s(pos) == ')') depth -= 1
           pos += 1
-        } while (depth > 0)
+        } while (depth > 0 && pos < s.length)
+        require(depth == 0, s"cannot parse ClickHouse type: unbalanced parens in $s")
         n + s.substring(start, pos)
       } else n
     }
@@ -437,7 +438,11 @@ object CHType {
       case FloatType => Float32
       case DoubleType => Float64
       case BooleanType => UInt8 // Bool→UInt8 on write (arrow/types.rs:220)
-      case d: DecimalType if d.precision == 20 && d.scale == 0 => UInt64
+      // NOTE: a bare Decimal(20,0) maps to Decimal(20,0), NOT UInt64 — a
+      // signed Spark decimal can hold negatives a UInt64 column would
+      // reject. UInt64 round-trips only through the field-metadata marker
+      // set by toSparkField (the reference likewise only produces UInt64
+      // from Arrow's genuinely-unsigned types, arrow/types.rs:377-380).
       case d: DecimalType => Decimal(d.precision, d.scale)
       case StringType => CHString
       case BinaryType => CHString // Binary ↔ String per strings_as_strings option
@@ -478,10 +483,46 @@ object CHType {
     case other => other
   }
 
+  /** Field-metadata key marking a Spark column whose CH origin is an
+    * unsigned type that widens into a signed Spark type ambiguously
+    * (UInt64 → Decimal(20,0)). `fromSparkField` uses it to restore the
+    * unsigned CH type; a bare Decimal(20,0) without the marker stays a
+    * signed Decimal. */
+  val UnsignedOriginKey = "graft.ch.unsigned"
+
+  /** Field-level CH → Spark mapping: like [[toSpark]] but records the
+    * unsigned-origin marker so the mapping round-trips at schema level. */
+  def toSparkField(name: String, t: CHType): StructField = {
+    val (dt, nullable) = toSpark(t)
+    val unsigned = stripEncodings(t) match {
+      case UInt64 => true
+      case _ => false
+    }
+    val md =
+      if (unsigned) new MetadataBuilder().putBoolean(UnsignedOriginKey, true).build()
+      else Metadata.empty
+    StructField(name, dt, nullable, md)
+  }
+
+  private def stripEncodings(t: CHType): CHType = t match {
+    case Nullable(i) => stripEncodings(i)
+    case LowCardinality(i) => stripEncodings(i)
+    case other => other
+  }
+
+  /** Field-level Spark → CH mapping: [[fromSpark]] plus unsigned-origin
+    * restoration from metadata (Decimal(20,0) marked unsigned → UInt64). */
+  def fromSparkField(f: StructField): CHType = {
+    val unsigned =
+      f.metadata.contains(UnsignedOriginKey) && f.metadata.getBoolean(UnsignedOriginKey)
+    f.dataType match {
+      case d: DecimalType if unsigned && d.precision == 20 && d.scale == 0 =>
+        if (f.nullable) Nullable(UInt64) else UInt64
+      case _ => fromSpark(f.dataType, f.nullable)
+    }
+  }
+
   /** Schema-level mapping: a full CH table schema → Spark StructType. */
   def toStructType(fields: Seq[(String, CHType)]): StructType =
-    StructType(fields.map { case (n, t) =>
-      val (dt, nullable) = toSpark(t)
-      StructField(n, dt, nullable)
-    })
+    StructType(fields.map { case (n, t) => toSparkField(n, t) })
 }

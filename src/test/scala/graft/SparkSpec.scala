@@ -7,13 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * would pay JVM+context startup repeatedly). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val s = Sessions.withGraftConfs(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

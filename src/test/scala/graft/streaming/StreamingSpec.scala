@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** B-STR1/4/6: the SAME transforms declared (and oracle-checked) in batch
+  * by [[StreamingBatch]] driven through real StreamingQueries — a
+  * file-source `readStream` (B-STR1), live watermark late-data eviction
+  * (B-STR4), and a progress listener (B-STR6/A17).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("B-STR1/6: file readStream through the shared tumbling transform matches batch, with progress events") {
+    // the file source consumes a directory; stage the single-file fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val path = dir.toString
+    val listener = new Streams.ProgressCapture
+    spark.streams.addListener(listener)
+    try {
+      val q = Streams.tumbling(Streams.eventsStream(spark, path))
+        .writeStream
+        .format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("tumbling_stream")
+        .orderBy("wstart", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = Streams.tumbling(Tables.t(spark, sf0001, "events"))
+        .orderBy("wstart", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+      assert(listener.totalInputRows > 0, "B-STR6: listener saw no input rows")
+      assert(listener.progresses.nonEmpty)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("B-STR4: watermark evicts closed windows and drops late rows") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.tumbling(events)
+      .writeStream
+      .format("memory")
+      .queryName("watermark_stream")
+      .outputMode("update")
+      .start()
+    try {
+      // window [10:00, 11:00) gets two rows
+      input.addData((ts("2024-01-01 10:00:00"), "click", 1.0), (ts("2024-01-01 10:30:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time to 12:30 → watermark 11:30 > window end 11:00,
+      // so the 10:00 window's state is evicted
+      input.addData((ts("2024-01-01 12:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      // a late row inside the evicted window must be DROPPED
+      input.addData((ts("2024-01-01 10:15:00"), "click", 100.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val w10 = spark.table("watermark_stream")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00").getTime / 1000)
+        .collect()
+      assert(w10.nonEmpty)
+      // no emission for the 10:00 window ever includes the late row
+      assert(w10.map(_.getLong(2)).max === 2L, "late row leaked past the watermark")
+      assert(w10.map(_.getDouble(3)).max === 3.0)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("B-STR5: dropDuplicatesWithinWatermark dedups within the watermark delay") {
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupWithinWatermark(events, "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:00:30"), 1L, "click"), // dup within watermark
+        (ts("2024-01-01 10:01:00"), 2L, "view"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("dedup_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "click"), (2L, "view")))
+    } finally if (q.isActive) q.stop()
+  }
+}
