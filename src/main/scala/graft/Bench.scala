@@ -15,5 +15,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // see Verify: a leaked stub-server dispatcher must not block JVM exit
+    System.exit(0)
   }
 }

@@ -13,5 +13,6 @@ object Smoke {
     println(s"ENTRY_ROWS=$n")
     require(n > 0, "entry returned no rows")
     spark.stop()
+    System.exit(0)
   }
 }

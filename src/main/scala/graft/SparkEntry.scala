@@ -17,6 +17,8 @@ object SparkEntry {
     operators.Windows,
     functions.Functions,
     streaming.StreamingBatch,
+    connector.ConnectorQueries,
+    settings.SettingsQueries,
     llm.Dedup,
     llm.Similarity,
     llm.TextOps,

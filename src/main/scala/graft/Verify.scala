@@ -32,5 +32,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the connector queries hold an in-process HTTP stub whose dispatcher
+    // thread is non-daemon; never let it block the forked JVM's exit
+    System.exit(0)
   }
 }

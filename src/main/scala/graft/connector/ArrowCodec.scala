@@ -1,0 +1,218 @@
+package graft.connector
+
+import java.io.{ByteArrayInputStream, InputStream, OutputStream}
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.{BufferAllocator, RootAllocator}
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch}
+
+/** Arrow IPC ⇄ Spark columnar codec — the Spark-native counterpart of the
+  * reference's Arrow serde core (serializer `clickhouse-arrow/src/arrow/
+  * block.rs:64-132`, deserializer `:202-361`, type tables
+  * `src/arrow/types.rs:205-479`). The read side is zero-copy: Arrow
+  * buffers wrap directly into Spark's `ArrowColumnVector`/`ColumnarBatch`
+  * (the analogue of the reference's `bytemuck::cast_slice` bulk path,
+  * `serialize/primitive.rs:61-120`).
+  */
+object ArrowCodec {
+
+  /** One shared root allocator per JVM (executor); children per stream. */
+  lazy val rootAllocator: BufferAllocator = new RootAllocator(Long.MaxValue)
+
+  // ---------------------------------------------------------- schema maps
+
+  /** Spark → Arrow field mapping for the connector's supported subset. */
+  def toArrowField(f: StructField): Field = {
+    val at: ArrowType = f.dataType match {
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case ByteType => new ArrowType.Int(8, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case DateType => new ArrowType.Date(DateUnit.DAY)
+      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+      case other =>
+        throw new UnsupportedOperationException(s"connector does not transport $other yet")
+    }
+    new Field(f.name, new FieldType(f.nullable, at, null), java.util.List.of[Field]())
+  }
+
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields.map(toArrowField).toList.asJava)
+
+  /** Arrow → Spark (the header-block direction: the server's schema is
+    * authoritative, mirroring `client/reader.rs:58`). */
+  def fromArrowField(f: Field): StructField = {
+    val dt: DataType = f.getType match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getIsSigned =>
+        i.getBitWidth match {
+          case 8 => ByteType
+          case 16 => ShortType
+          case 32 => IntegerType
+          case 64 => LongType
+        }
+      case i: ArrowType.Int => // unsigned widens, like the reference's UInt map
+        i.getBitWidth match {
+          case 8 => ShortType
+          case 16 => IntegerType
+          case 32 => LongType
+          case 64 => DecimalType(20, 0)
+        }
+      case fp: ArrowType.FloatingPoint =>
+        if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Date => DateType
+      case _: ArrowType.Timestamp => TimestampType
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case other =>
+        throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  def fromArrowSchema(s: ArrowSchema): StructType =
+    StructType(s.getFields.asScala.map(fromArrowField).toSeq)
+
+  // ------------------------------------------------------------- encoding
+
+  /** Streaming InternalRow → Arrow IPC encoder. Rows buffer into batches
+    * of `maxRowsPerBatch` (the A9 batch-splitter equivalent,
+    * `arrow/utils.rs:49`); everything is written to `out` and flushed once
+    * at `finish()` (the reference's deferred-flush insert,
+    * `client/internal.rs:482-535`).
+    */
+  final class Encoder(schema: StructType, maxRowsPerBatch: Int, out: OutputStream) {
+    private val allocator =
+      rootAllocator.newChildAllocator(s"graft-enc-${System.identityHashCode(this)}", 0, Long.MaxValue)
+    private val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+    private val writer = new ArrowStreamWriter(root, null, out)
+    private val setters: Array[(Int, InternalRow) => Unit] =
+      schema.fields.zipWithIndex.map { case (f, j) => setterFor(f, j, root.getVector(j)) }
+    private var n = 0
+    writer.start()
+
+    private def setterFor(f: StructField, j: Int, v: FieldVector): (Int, InternalRow) => Unit = {
+      val dt = f.dataType
+      (i, row) =>
+        if (row.isNullAt(j)) {
+          v match {
+            case b: BaseFixedWidthVector => b.setNull(i)
+            case b: BaseVariableWidthVector => b.setNull(i)
+            case other => other.asInstanceOf[DecimalVector].setNull(i)
+          }
+        } else dt match {
+          case BooleanType => v.asInstanceOf[BitVector].setSafe(i, if (row.getBoolean(j)) 1 else 0)
+          case ByteType => v.asInstanceOf[TinyIntVector].setSafe(i, row.getByte(j))
+          case ShortType => v.asInstanceOf[SmallIntVector].setSafe(i, row.getShort(j))
+          case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(j))
+          case LongType => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(j))
+          case FloatType => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(j))
+          case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(j))
+          case StringType => v.asInstanceOf[VarCharVector].setSafe(i, row.getUTF8String(j).getBytes)
+          case BinaryType => v.asInstanceOf[VarBinaryVector].setSafe(i, row.getBinary(j))
+          case DateType => v.asInstanceOf[DateDayVector].setSafe(i, row.getInt(j))
+          case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, row.getLong(j))
+          case d: DecimalType =>
+            v.asInstanceOf[DecimalVector].setSafe(i, row.getDecimal(j, d.precision, d.scale).toJavaBigDecimal)
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+    }
+
+    def write(row: InternalRow): Unit = {
+      var j = 0
+      while (j < setters.length) { setters(j)(n, row); j += 1 }
+      n += 1
+      if (n >= maxRowsPerBatch) flushBatch()
+    }
+
+    private def flushBatch(): Unit = if (n > 0) {
+      root.setRowCount(n)
+      writer.writeBatch()
+      root.allocateNew()
+      n = 0
+    }
+
+    /** Write any buffered rows, the end-of-stream marker, and release. */
+    def finish(): Unit = {
+      flushBatch()
+      writer.end()
+      root.close()
+      allocator.close()
+    }
+  }
+
+  /** Encode a fully-materialized row seq as one IPC stream (test/server
+    * helper; the write path streams through [[Encoder]] directly). */
+  def encode(schema: StructType, rows: Iterator[InternalRow], maxRowsPerBatch: Int = 65536): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = new Encoder(schema, maxRowsPerBatch, bos)
+    rows.foreach(enc.write)
+    enc.finish()
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------- decoding
+
+  /** Read just the schema from an IPC stream (the header-block probe). */
+  def readSchema(bytes: Array[Byte]): StructType = {
+    val allocator = rootAllocator.newChildAllocator("graft-schema", 0, Long.MaxValue)
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+    finally { reader.close(); allocator.close() }
+  }
+
+  /** Decode an IPC stream into materialized InternalRows (server/test
+    * helper; the connector scan path is zero-copy via [[BatchReader]]). */
+  def decode(bytes: Array[Byte]): (StructType, Seq[InternalRow]) = {
+    val allocator = rootAllocator.newChildAllocator("graft-dec", 0, Long.MaxValue)
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = fromArrowSchema(root.getSchema)
+      val out = Seq.newBuilder[InternalRow]
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala.map(new ArrowColumnVector(_)).toArray[org.apache.spark.sql.vectorized.ColumnVector]
+        val batch = new ColumnarBatch(cols, root.getRowCount)
+        batch.rowIterator().asScala.foreach(r => out += r.copy())
+      }
+      (schema, out.result())
+    } finally { reader.close(); allocator.close() }
+  }
+
+  /** Zero-copy streaming reader: each Arrow record batch surfaces as one
+    * Spark `ColumnarBatch` whose vectors wrap the Arrow buffers directly
+    * (A2's block→batch deserializer, without the copy). */
+  final class BatchReader(in: InputStream) extends AutoCloseable {
+    private val allocator =
+      rootAllocator.newChildAllocator(s"graft-read-${System.identityHashCode(this)}", 0, Long.MaxValue)
+    private val reader = new ArrowStreamReader(in, allocator)
+    private var current: ColumnarBatch = _
+
+    def sparkSchema: StructType = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+
+    def next(): Boolean =
+      if (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        val cols = root.getFieldVectors.asScala.map(new ArrowColumnVector(_)).toArray[org.apache.spark.sql.vectorized.ColumnVector]
+        current = new ColumnarBatch(cols, root.getRowCount)
+        true
+      } else false
+
+    def get(): ColumnarBatch = current
+
+    override def close(): Unit = { reader.close(); allocator.close() }
+  }
+}

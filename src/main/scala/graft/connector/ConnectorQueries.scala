@@ -1,0 +1,71 @@
+package graft.connector
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared connector capabilities, oracle-checked end-to-end through a
+  * live (in-process, offline) HTTP endpoint: a pushdown read
+  * (B-SRC1-via-A19: Arrow-IPC-over-HTTP scan) and a write+read-back
+  * round trip (B-SNK1/A8 → A2), mirroring the reference's e2e shape
+  * `tests/tests/arrow.rs:21-79` (create → insert → select → compare).
+  */
+object ConnectorQueries extends QueryRegistry {
+
+  /** One stub endpoint per fixture dir, seeded lazily (the container has
+    * no live ClickHouse — same role as the reference's testcontainers). */
+  private val servers = new ConcurrentHashMap[String, StubCHServer]()
+  private val writeSeq = new AtomicLong()
+
+  def serverFor(spark: SparkSession, dir: String): StubCHServer =
+    servers.computeIfAbsent(dir, { d =>
+      val srv = new StubCHServer
+      srv.load("nation", Tables.t(spark, d, "nation"))
+      srv.load("region", Tables.t(spark, d, "region"))
+      srv
+    })
+
+  /** Read through the full connector path with filter + column pushdown. */
+  def connectorScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("graft-ch")
+      .option("url", srv.url)
+      .option("table", "nation")
+      .load()
+      .filter(col("n_regionkey") < 3)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** Write a fixture through the connector insert path, read it back
+    * through the scan path. A fresh table name per invocation keeps the
+    * query idempotent across verify/bench runs. */
+  def insertRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    val tbl = s"supplier_rt_${writeSeq.incrementAndGet()}"
+    Tables.t(spark, dir, "supplier").write.format("graft-ch")
+      .option("url", srv.url)
+      .option("table", tbl)
+      .mode("append")
+      .save()
+    spark.read.format("graft-ch")
+      .option("url", srv.url)
+      .option("table", tbl)
+      .load()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "b_src4_connector_scan",
+      (s, d) => connectorScan(s, d),
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey < 3""".stripMargin)),
+
+    QueryDef(
+      "b_snk1_insert_roundtrip",
+      (s, d) => insertRoundTrip(s, d),
+      Some("SELECT * FROM supplier"))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.connector
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark `TableCatalog` over the connector endpoint (SURVEY.md §2.1 A14 /
+  * §2.2 B-SRC3 + B-SNK2 execution; reference `fetch_schemas`/`fetch_schema`
+  * `clickhouse-arrow/src/client.rs:2263,2414`, `create_table` `:2477`).
+  *
+  * Register as
+  * `spark.sql.catalog.<name> = graft.connector.GraftCatalog` with
+  * `spark.sql.catalog.<name>.url = http://host:port`; then
+  * `SHOW TABLES IN <name>`, `SELECT * FROM <name>.t`,
+  * `CREATE TABLE <name>.t (...)` and `DROP TABLE` work end-to-end —
+  * createTable generates CH DDL through [[graft.ddl.Ddl]].
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var url: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    url = options.get("url")
+    require(url != null, s"catalog $name: option 'url' is required")
+  }
+
+  override def name(): String = catalogName
+
+  private def db(ident: Identifier): Option[String] = ident.namespace().headOption
+
+  private def tableOptions(ident: Identifier): CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String]()
+    m.put("url", url)
+    m.put("table", ident.name())
+    db(ident).foreach(m.put("database", _))
+    new CaseInsensitiveStringMap(m)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    CHHttp.listTables(url, namespace.headOption)
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val schema =
+      try CHHttp.fetchSchema(url, ident.name(), db(ident))
+      catch {
+        case e: java.io.IOException =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name())
+      }
+    new CHTable(schema, tableOptions(ident))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = graft.ddl.CreateOptions(
+      engine = Option(properties.get("engine")).getOrElse("MergeTree()"),
+      orderBy = Option(properties.get("order_by")).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      partitionBy = Option(properties.get("partition_by")))
+    CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(db(ident), ident.name(), schema, opts))
+    new CHTable(schema, tableOptions(ident))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft-ch catalog: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    CHHttp.execute(url, graft.ddl.Ddl.dropTable(db(ident), ident.name()))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft-ch catalog: RENAME not supported")
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true } catch { case _: Exception => false }
+}

@@ -1,0 +1,259 @@
+package graft.connector
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** DataSource V2 connector speaking Arrow IPC over HTTP — the engine's
+  * Layer-A surface (SURVEY.md §2.1 A1/A2/A3/A8/A19; reference client loop
+  * `clickhouse-arrow/src/client.rs:1488→643`, HTTP channel
+  * `src/http/client.rs:22-219`).
+  *
+  * Scale design:
+  *  - column pruning, filter and limit pushdown translate into the
+  *    SELECT text the server executes (`SupportsPushDown*` below), so a
+  *    2-column projection of a wide table ships 2 columns;
+  *  - compilable filters are fully delegated to the server (the same
+  *    trust a JDBC source puts in its database; the reference likewise
+  *    ships WHERE to ClickHouse), so LIMIT can push through and no
+  *    redundant Spark-side Filter re-runs; non-compilable predicates
+  *    stay Spark-side residuals;
+  *  - JDBC-style range partitioning (`partitionColumn`/`lowerBound`/
+  *    `upperBound`/`numPartitions`) fans one logical scan out into N
+  *    independent HTTP range reads, one per executor task — the
+  *    100-TB path (the reference's single TCP connection has no
+  *    equivalent; its `inner_pool` stripes at most 4,
+  *    `src/client/internal.rs:537-569`);
+  *  - reads are zero-copy columnar: Arrow buffers wrap straight into
+  *    `ColumnarBatch` (A2), writes stream Arrow batches per partition
+  *    with one deferred flush (A3/A8).
+  *
+  * Options: `url` (required), `table` (required), `database`,
+  * `maxRowsPerBatch` (write batch split, A9), `partitionColumn`/
+  * `lowerBound`/`upperBound`/`numPartitions` (read fan-out).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ch"
+
+  private def opt(options: CaseInsensitiveStringMap, key: String): String = {
+    val v = options.get(key)
+    require(v != null, s"graft-ch: option '$key' is required")
+    v
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CHHttp.fetchSchema(
+      opt(options, "url"), opt(options, "table"), Option(options.get("database")))
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
+    new CHTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val url = options.get("url")
+  private val table = options.get("table")
+  private val database = Option(options.get("database"))
+
+  override def name(): String = CHSql.tableRef(table, database)
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new CHScanBuilder(schema, url, table, database, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toInt).getOrElse(65536)
+    new CHWriteBuilder(info.schema(), url, table, database, maxRows)
+  }
+}
+
+/** Pushdown-aware scan builder (A19 + §4.1: WHERE/SELECT/LIMIT reach the
+  * server as SQL). */
+final class CHScanBuilder(
+    fullSchema: StructType,
+    url: String,
+    table: String,
+    database: Option[String],
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var whereFragments: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val compiled = filters.map(f => f -> CHSql.compileFilter(f))
+    pushed = compiled.collect { case (f, Some(_)) => f }
+    whereFragments = compiled.collect { case (_, Some(sql)) => sql }.toSeq
+    // compilable filters are fully handled by the server (the connector
+    // trusts its database exactly like a JDBC source — the reference
+    // likewise delegates WHERE to ClickHouse, SURVEY §2.2); only
+    // non-compilable filters remain Spark-side residuals
+    compiled.collect { case (f, None) => f }
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = {
+    // only sound when the scan is a single partition (a per-partition
+    // LIMIT still over-delivers rows, which Spark's own limit then caps)
+    limit = Some(n)
+    false // Spark still applies the global limit
+  }
+
+  override def build(): Scan =
+    new CHScan(required, url, table, database, whereFragments, limit, options)
+}
+
+final case class CHInputPartition(sql: String) extends InputPartition
+
+final class CHScan(
+    required: StructType,
+    url: String,
+    table: String,
+    database: Option[String],
+    whereFragments: Seq[String],
+    limit: Option[Int],
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ch ${CHSql.tableRef(table, database)} " +
+      s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cols = required.fields.map(_.name).toSeq
+    val partCol = Option(options.get("partitionColumn"))
+    partCol match {
+      case Some(pc) =>
+        val lower = options.get("lowerBound").toLong
+        val upper = options.get("upperBound").toLong
+        val n = math.max(1, options.get("numPartitions").toInt)
+        val step = math.max(1L, (upper - lower + n - 1) / n)
+        (0 until n).map { i =>
+          val lo = lower + i * step
+          val hi = lower + (i + 1) * step
+          val range =
+            if (i == 0) s"${CHSql.ident(pc)} < $hi"
+            else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
+            else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
+          CHInputPartition(
+            CHSql.select(table, database, cols, whereFragments :+ range, limit))
+        }.toArray[InputPartition]
+      case None =>
+        Array(CHInputPartition(CHSql.select(table, database, cols, whereFragments, limit)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CHReaderFactory(url)
+}
+
+final class CHReaderFactory(url: String) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val sql = partition.asInstanceOf[CHInputPartition].sql
+    new PartitionReader[ColumnarBatch] {
+      private val reader = new ArrowCodec.BatchReader(CHHttp.queryArrow(url, sql))
+      override def next(): Boolean = reader.next()
+      override def get(): ColumnarBatch = reader.get()
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // row-based fallback over the same columnar stream
+    val columnar = createColumnarReader(partition)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+      override def next(): Boolean = {
+        while (!rows.hasNext) {
+          if (!columnar.next()) return false
+          rows = columnar.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = columnar.close()
+    }
+  }
+}
+
+// ------------------------------------------------------------- write path
+
+final class CHWriteBuilder(
+    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new CHBatchWrite(schema, url, table, database, maxRows)
+  }
+}
+
+final class CHBatchWrite(
+    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CHWriterFactory(schema, url, table, database, maxRows)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class CHCommit(rows: Long) extends WriterCommitMessage
+
+final class CHWriterFactory(
+    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CHDataWriter(schema, url, table, database, maxRows)
+}
+
+/** Per-partition insert writer (A8): rows buffer into Arrow batches of
+  * `maxRows` (A9 splitter) fully in memory, then ship as ONE HTTP POST at
+  * commit — the deferred single flush of `internal.rs:482-535`. Executors
+  * write in parallel, one insert stream per partition.
+  */
+final class CHDataWriter(
+    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    extends DataWriter[InternalRow] {
+
+  private val buffer = new java.io.ByteArrayOutputStream()
+  private val encoder = new ArrowCodec.Encoder(schema, maxRows, buffer)
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = { encoder.write(row); count += 1 }
+
+  override def commit(): WriterCommitMessage = {
+    encoder.finish()
+    val cols = schema.fields.map(f => CHSql.ident(f.name)).mkString(", ")
+    val sql = s"INSERT INTO ${CHSql.tableRef(table, database)} ($cols)"
+    CHHttp.insertArrow(url, sql, out => buffer.writeTo(out))
+    CHCommit(count)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

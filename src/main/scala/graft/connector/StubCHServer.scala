@@ -1,0 +1,231 @@
+package graft.connector
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Offline stand-in for a ClickHouse HTTP endpoint, used by the connector
+  * specs and the connector CORRECTNESS queries (this container has no
+  * live server — same role as the reference's testcontainers harness,
+  * `clickhouse-arrow/src/test_utils.rs:301-478`, e2e shape
+  * `tests/tests/arrow.rs:21-79`).
+  *
+  * Honest semantics, deliberately dumb execution:
+  *  - stores tables as (schema, rows); INSERT bodies are decoded Arrow
+  *    IPC appended to the table; SELECTs re-encode as Arrow IPC;
+  *  - honors column projection, WHERE (via [[StubWhere]], the exact
+  *    grammar `CHSql.compileFilter` emits — a real ClickHouse evaluates
+  *    pushed predicates, so the stand-in must too) and LIMIT;
+  *  - `SHOW TABLES`, `CREATE TABLE` (parsed with the CHType parser),
+  *    `DROP TABLE` and `TRUNCATE TABLE` support the catalog surface.
+  */
+final class StubCHServer {
+
+  final case class TableData(schema: StructType, rows: Vector[InternalRow])
+
+  private val tables = new ConcurrentHashMap[String, TableData]()
+  private val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  // daemon threads: a leaked server must never block JVM exit (Verify/
+  // Bench mains end with spark.stop(), not System.exit)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "stub-ch-server")
+    t.setDaemon(true)
+    t
+  }))
+  server.start()
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  /** Every SQL text received, in arrival order — pushdown assertions. */
+  def queries: Seq[String] = seen.iterator().asScala.toSeq
+
+  def stop(): Unit = server.stop(0)
+
+  /** Seed a table from a DataFrame (test fixture loading). The copy must
+    * happen INSIDE the RDD: scan operators reuse one row buffer, so a
+    * driver-side copy-after-collect would alias every element in local
+    * mode. */
+  def load(name: String, df: DataFrame): Unit = {
+    val rows = df.queryExecution.toRdd.map(_.copy()).collect().toVector
+    tables.put(name, TableData(df.schema, rows))
+  }
+
+  def tableNames: Seq[String] = tables.keySet().asScala.toSeq.sorted
+  def rowCount(name: String): Int = Option(tables.get(name)).map(_.rows.size).getOrElse(0)
+
+  // ----------------------------------------------------------- dispatch
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val sql = params.split("&").collectFirst {
+        case p if p.startsWith("query=") =>
+          java.net.URLDecoder.decode(p.substring(6), StandardCharsets.UTF_8)
+      }.getOrElse("")
+      val body = ex.getRequestBody.readAllBytes()
+      seen.add(sql)
+      // the transport appends the output-format clause; statements below
+      // are parsed without it
+      val stmt = sql.trim.replaceAll("(?i)\\s+FORMAT\\s+ArrowStream\\s*$", "")
+
+      val upper = stmt.toUpperCase
+      if (upper.startsWith("INSERT")) respond(ex, insert(stmt, body))
+      else if (upper.startsWith("SELECT")) respond(ex, select(stmt))
+      else if (upper.startsWith("SHOW TABLES")) respond(ex, showTables())
+      else if (upper.startsWith("CREATE TABLE")) respond(ex, createTable(stmt))
+      else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt))
+      else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt))
+      else respond(ex, Left(s"unsupported statement: $stmt"))
+    } catch {
+      case e: Throwable => respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+
+  private def respond(ex: HttpExchange, result: Either[String, Array[Byte]]): Unit = {
+    result match {
+      case Right(bytes) =>
+        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      case Left(err) =>
+        val msg = err.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(500, msg.length)
+        ex.getResponseBody.write(msg)
+    }
+    ex.close()
+  }
+
+  // ---------------------------------------------------------- statements
+
+  private val identRe = "`((?:[^`\\\\]|\\\\.)*)`|([A-Za-z_][A-Za-z0-9_]*)"
+
+  private def unescape(m: java.util.regex.Matcher): String =
+    if (m.group(1) != null) m.group(1).replace("\\`", "`").replace("\\\\", "\\") else m.group(2)
+
+  private def tableOf(sql: String, after: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile(s"(?i)$after\\s+(?:$identRe\\.)?($identRe)")
+      .matcher(sql)
+    if (m.find()) {
+      // last ident group pair is the table name
+      val t = Option(m.group(4)).map(_.replace("\\`", "`").replace("\\\\", "\\")).orElse(Option(m.group(5)))
+      t
+    } else None
+  }
+
+  private def insert(sql: String, body: Array[Byte]): Either[String, Array[Byte]] =
+    tableOf(sql, "INTO") match {
+      case None => Left(s"cannot parse insert target in: $sql")
+      case Some(name) =>
+        val (schema, rows) = ArrowCodec.decode(body)
+        tables.compute(name, (_, prev) =>
+          if (prev == null) TableData(schema, rows.toVector)
+          else prev.copy(rows = prev.rows ++ rows))
+        Right(Array.empty)
+    }
+
+  private def select(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "FROM") match {
+      case None => Left(s"cannot parse select source in: $sql")
+      case Some(name) =>
+        Option(tables.get(name)) match {
+          case None => Left(s"no such table: $name")
+          case Some(data) =>
+            // projection: the column list between SELECT and FROM
+            val colsPart = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6,
+              sql.toUpperCase.indexOf(" FROM "))
+            val wanted: Seq[Int] =
+              if (colsPart.trim == "*") data.schema.indices
+              else {
+                val m = java.util.regex.Pattern.compile(identRe).matcher(colsPart)
+                val names = Iterator.continually(m).takeWhile(_.find()).map(unescape).toSeq
+                names.map(n => data.schema.fieldIndex(n))
+              }
+            val limit = {
+              val m = java.util.regex.Pattern.compile("(?i)LIMIT\\s+(\\d+)\\s*$").matcher(sql)
+              if (m.find()) Some(m.group(1).toInt) else None
+            }
+            val pred: InternalRow => Boolean = {
+              val m = java.util.regex.Pattern
+                .compile("(?i)\\sWHERE\\s(.*?)(?:\\sLIMIT\\s+\\d+\\s*$|$)", java.util.regex.Pattern.DOTALL)
+                .matcher(sql)
+              if (m.find()) StubWhere.compile(m.group(1), data.schema) else _ => true
+            }
+            val projSchema = StructType(wanted.map(data.schema.fields))
+            val filtered = data.rows.filter(pred)
+            val limited = limit.map(filtered.take).getOrElse(filtered)
+            val projected = limited.iterator.map { r =>
+              InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
+            }
+            Right(ArrowCodec.encode(projSchema, projected))
+        }
+    }
+
+  private def showTables(): Either[String, Array[Byte]] = {
+    val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "name", org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows = tableNames.map(n =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n)))
+    Right(ArrowCodec.encode(schema, rows.iterator))
+  }
+
+  /** Parse `CREATE TABLE t (col Type, ...) ENGINE ...` back through the
+    * CHType parser into a stored schema. */
+  private def createTable(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?") match {
+      case None => Left(s"cannot parse create target in: $sql")
+      case Some(name) =>
+        val open = sql.indexOf('(')
+        var depth = 0
+        var close = -1
+        var i = open
+        while (i < sql.length && close < 0) {
+          if (sql(i) == '(') depth += 1
+          if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+          i += 1
+        }
+        if (open < 0 || close < 0) Left(s"cannot parse column list in: $sql")
+        else {
+          val colsText = sql.substring(open + 1, close)
+          // split on top-level commas only (types contain nested commas)
+          val parts = Vector.newBuilder[String]
+          var d = 0; var start = 0
+          colsText.zipWithIndex.foreach { case (c, idx) =>
+            if (c == '(') d += 1
+            if (c == ')') d -= 1
+            if (c == ',' && d == 0) { parts += colsText.substring(start, idx); start = idx + 1 }
+          }
+          parts += colsText.substring(start)
+          val fields = parts.result().map(_.trim).filter(_.nonEmpty).map { cdef =>
+            val m = java.util.regex.Pattern.compile(s"^(?:$identRe)\\s+(.+)$$").matcher(cdef)
+            require(m.find(), s"cannot parse column def: $cdef")
+            val colName = unescape(m)
+            val chType = graft.types.CHType.parse(m.group(3))
+            graft.types.CHType.toSparkField(colName, chType)
+          }
+          tables.putIfAbsent(name, TableData(StructType(fields), Vector.empty))
+          Right(Array.empty)
+        }
+    }
+
+  private def dropTable(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "TABLE(?:\\s+IF\\s+EXISTS)?") match {
+      case None => Left(s"cannot parse drop target in: $sql")
+      case Some(name) => tables.remove(name); Right(Array.empty)
+    }
+
+  private def truncate(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "TABLE") match {
+      case None => Left(s"cannot parse truncate target in: $sql")
+      case Some(name) =>
+        tables.computeIfPresent(name, (_, d) => d.copy(rows = Vector.empty))
+        Right(Array.empty)
+    }
+}

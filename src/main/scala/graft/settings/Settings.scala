@@ -1,0 +1,70 @@
+package graft.settings
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session settings + bound query parameters (SURVEY.md §2.1 A15;
+  * reference: typed settings registry `clickhouse-arrow/src/settings.rs:
+  * 81-428`, bound params `src/query.rs:71-166`, e2e
+  * `tests/tests/params.rs`).
+  *
+  * The reference ships ClickHouse setting key/values and `{p:Type}` bound
+  * params on the wire; the Spark-native equivalents are session confs and
+  * `spark.sql(sql, args)` named parameters. A small registry maps the
+  * ClickHouse setting names a reference user would set onto their Spark
+  * counterparts, so `GraftSettings(Map("max_threads" -> "16"))` works
+  * unchanged.
+  */
+final case class GraftSettings(settings: Map[String, String] = Map.empty) {
+
+  /** Apply to a session; returns the previous values for restore. */
+  def apply(spark: SparkSession): Map[String, Option[String]] = {
+    val prior = settings.keys.map { k =>
+      val sk = GraftSettings.sparkKey(k)
+      sk -> spark.conf.getOption(sk)
+    }.toMap
+    settings.foreach { case (k, v) => spark.conf.set(GraftSettings.sparkKey(k), v) }
+    prior
+  }
+
+  def restore(spark: SparkSession, prior: Map[String, Option[String]]): Unit =
+    prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+  /** Run `body` with the settings applied, restoring afterwards — the
+    * per-query settings scope the reference attaches to each query. */
+  def scoped[A](spark: SparkSession)(body: => A): A = {
+    val prior = apply(spark)
+    try body finally restore(spark, prior)
+  }
+}
+
+object GraftSettings {
+  /** ClickHouse setting name → Spark conf (extend as needed). Unknown
+    * names pass through untouched so native Spark confs also work. */
+  private val mapping = Map(
+    "max_threads" -> "spark.sql.shuffle.partitions",
+    "max_result_rows" -> "spark.sql.maxResultRows", // advisory; Limited() enforces
+    "max_memory_usage" -> "spark.sql.execution.arrow.maxBytesPerBatch",
+    "join_algorithm" -> "spark.sql.join.preferSortMergeJoin",
+    "max_block_size" -> "spark.sql.parquet.columnarReaderBatchSize",
+    "timezone" -> "spark.sql.session.timeZone")
+
+  def sparkKey(k: String): String = mapping.getOrElse(k, k)
+}
+
+/** Parameterized SQL (the `{name:Type}` server-side binding of
+  * `src/query.rs:71-166`, Spark-native form). */
+object Params {
+
+  /** Run SQL with named parameters bound engine-side (never string
+    * interpolation — same injection-safety the reference gets from
+    * server-side binding). */
+  def sql(spark: SparkSession, sqlText: String, args: Map[String, Any]): DataFrame =
+    spark.sql(sqlText, args)
+
+  /** Positional variant. */
+  def sql(spark: SparkSession, sqlText: String, args: Array[Any]): DataFrame =
+    spark.sql(sqlText, args)
+}
