@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extension point (SparkSessionExtensions): registers the
+  * ClickHouse value-semantics functions (SURVEY.md §4.2) in the
+  * FunctionRegistry so they resolve from SQL text and
+  * `functions.call_function` — codegen'd Catalyst expressions, not UDFs.
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions`
+  * (set by [[Sessions.withGraftConfs]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.ValueExpressions.all.foreach(ext.injectFunction)
+}

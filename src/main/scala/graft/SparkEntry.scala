@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     functions.Functions,
+    functions.ValueQueries,
     streaming.StreamingBatch,
     connector.ConnectorQueries,
     settings.SettingsQueries,

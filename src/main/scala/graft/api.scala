@@ -41,6 +41,7 @@ object Sessions {
   def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cores: String, shufflePartitions: String): SparkSession = {

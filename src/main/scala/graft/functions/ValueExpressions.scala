@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-able Catalyst expressions over the [[CHValues]] kernels
+  * (SURVEY.md §4.2). Each `doGenCode` emits a direct static call into the
+  * whole-stage-generated code — these stay inside the codegen span, unlike
+  * a Scala UDF (serialization + boxing per row) or an interpreted HOF.
+  *
+  * Registered under SQL names by [[graft.GraftExtensions]]
+  * (SparkSessionExtensions.injectFunction), usable via
+  * `functions.call_function("ipv4_string", col)` or plain SQL.
+  */
+object ValueExpressions {
+
+  private def callOf(fn: String): String =
+    s"graft.functions.CHValues.$fn"
+
+  abstract class CHUnary(fn: String, in: DataType, out: DataType)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = out
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = fn
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == in) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fn expects ${in.simpleString}, got ${child.dataType.simpleString}")
+
+    override protected def nullSafeEval(v: Any): Any = evalKernel(v)
+    protected def evalKernel(v: Any): Any
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${callOf(kernelName)}($c)")
+    protected def kernelName: String
+  }
+
+  final case class Ipv4String(child: Expression)
+      extends CHUnary("ipv4_string", BinaryType, StringType) {
+    protected def kernelName = "ipv4ToString"
+    protected def evalKernel(v: Any): Any = CHValues.ipv4ToString(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Ipv4String = copy(child = c)
+  }
+  final case class Ipv4Binary(child: Expression)
+      extends CHUnary("ipv4_binary", StringType, BinaryType) {
+    protected def kernelName = "ipv4FromString"
+    protected def evalKernel(v: Any): Any = CHValues.ipv4FromString(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Ipv4Binary = copy(child = c)
+  }
+  final case class Ipv6String(child: Expression)
+      extends CHUnary("ipv6_string", BinaryType, StringType) {
+    protected def kernelName = "ipv6ToString"
+    protected def evalKernel(v: Any): Any = CHValues.ipv6ToString(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Ipv6String = copy(child = c)
+  }
+  final case class Ipv6Binary(child: Expression)
+      extends CHUnary("ipv6_binary", StringType, BinaryType) {
+    protected def kernelName = "ipv6FromString"
+    protected def evalKernel(v: Any): Any = CHValues.ipv6FromString(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Ipv6Binary = copy(child = c)
+  }
+  final case class UuidString(child: Expression)
+      extends CHUnary("uuid_string", BinaryType, StringType) {
+    protected def kernelName = "uuidToString"
+    protected def evalKernel(v: Any): Any = CHValues.uuidToString(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): UuidString = copy(child = c)
+  }
+  final case class UuidBinary(child: Expression)
+      extends CHUnary("uuid_binary", StringType, BinaryType) {
+    protected def kernelName = "uuidFromString"
+    protected def evalKernel(v: Any): Any = CHValues.uuidFromString(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): UuidBinary = copy(child = c)
+  }
+  final case class Int256String(child: Expression)
+      extends CHUnary("int256_string", BinaryType, StringType) {
+    protected def kernelName = "int256ToString"
+    protected def evalKernel(v: Any): Any = CHValues.int256ToString(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Int256String = copy(child = c)
+  }
+  final case class Int256FromString(child: Expression)
+      extends CHUnary("int256_from_string", StringType, BinaryType) {
+    protected def kernelName = "int256FromString"
+    protected def evalKernel(v: Any): Any = CHValues.int256FromString(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Int256FromString = copy(child = c)
+  }
+  /** Order-preserving binary key: `orderBy(int256_sort_key(c))` sorts
+    * numerically using Spark's NATIVE unsigned binary comparator — Int256
+    * ordering scales with zero custom physical operators. */
+  final case class Int256SortKey(child: Expression)
+      extends CHUnary("int256_sort_key", BinaryType, BinaryType) {
+    protected def kernelName = "int256SortKey"
+    protected def evalKernel(v: Any): Any = CHValues.int256SortKey(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Int256SortKey = copy(child = c)
+  }
+
+  /** (name, builder) pairs for FunctionRegistry injection. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def one(name: String, build: Expression => Expression) =
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CHValues.type].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name expects exactly one argument")
+          build(args.head)
+        })
+    Seq(
+      one("ipv4_string", Ipv4String),
+      one("ipv4_binary", Ipv4Binary),
+      one("ipv6_string", Ipv6String),
+      one("ipv6_binary", Ipv6Binary),
+      one("uuid_string", UuidString),
+      one("uuid_binary", UuidBinary),
+      one("int256_string", Int256String),
+      one("int256_from_string", Int256FromString),
+      one("int256_sort_key", Int256SortKey))
+  }
+}
+
+/** Enum name ⇄ code over the CHType Enum dictionary (reference maps
+  * Enum8/16 to `Dictionary(Int, Utf8)`, `arrow/types.rs:471-474`) —
+  * composed from BUILT-IN map expressions (codegen'd), no custom
+  * Expression needed: the Spark-first preference order in action.
+  */
+object EnumCodec {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def toCode(c: Column, dict: Seq[(String, Int)]): Column =
+    element_at(typedLit(dict.toMap), c)
+
+  def toName(c: Column, dict: Seq[(String, Int)]): Column =
+    element_at(typedLit(dict.map(_.swap).toMap), c)
+
+  /** Dictionary straight from a parsed CH Enum type. */
+  def dictOf(t: graft.types.CHType): Seq[(String, Int)] = t match {
+    case graft.types.CHType.Enum8(entries) => entries
+    case graft.types.CHType.Enum16(entries) => entries
+    case other => throw new IllegalArgumentException(s"not an Enum type: $other")
+  }
+}

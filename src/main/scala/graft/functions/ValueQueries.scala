@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Declared §4.2 value-semantics capabilities, oracle-checked: IPv4
+  * text⇄binary round trip, UUID binary→canonical text, Int256
+  * string⇄binary round trip, Enum name→code. Inputs are derived
+  * arithmetically from `orders` so DuckDB can compute the expected text
+  * forms with plain SQL (IPv6's RFC-5952 canonicalizer has no DuckDB
+  * counterpart — ValueExpressionsSpec pins it with golden vectors).
+  */
+object ValueQueries extends QueryRegistry {
+
+  private val enumDict = Seq(
+    "1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3, "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "b_val1_ch_values",
+      (s, d) => {
+        val ipSql =
+          """concat_ws('.',
+            |  cast(o_orderkey % 256 as string),
+            |  cast((o_orderkey div 7) % 256 as string),
+            |  cast((o_orderkey div 11) % 256 as string),
+            |  cast((o_orderkey div 13) % 256 as string))""".stripMargin
+        Tables.t(s, d, "orders")
+          .orderBy("o_orderkey").limit(2000) // smallest 2000 keys, both engines
+          .select(
+            col("o_orderkey"),
+            // IPv4: text -> 4-byte binary -> canonical text (must fix-point)
+            expr(s"ipv4_string(ipv4_binary($ipSql))").as("ip_rt"),
+            // UUID: 16 md5 bytes -> canonical 8-4-4-4-12
+            expr("uuid_string(unhex(md5(cast(o_orderkey as string))))").as("uuid_txt"),
+            // Int256: decimal string -> 32-byte two's complement -> string
+            expr("int256_string(int256_from_string(cast(cast(o_orderkey as decimal(38,0)) * 1234567890123456789 as string)))")
+              .as("i256_rt"),
+            EnumCodec.toCode(col("o_orderpriority"), enumDict).cast("int").as("prio_code"))
+      },
+      Some("""SELECT o_orderkey,
+             |  (o_orderkey % 256) || '.' || ((o_orderkey // 7) % 256) || '.' ||
+             |  ((o_orderkey // 11) % 256) || '.' || ((o_orderkey // 13) % 256) AS ip_rt,
+             |  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+             |  substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+             |  substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+             |  substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+             |  substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12) AS uuid_txt,
+             |  CAST(CAST(o_orderkey AS HUGEINT) * 1234567890123456789 AS VARCHAR) AS i256_rt,
+             |  CAST(CASE o_orderpriority
+             |    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             |    WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS INTEGER) AS prio_code
+             |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)""".stripMargin))
+  )
+}
