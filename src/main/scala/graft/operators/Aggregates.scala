@@ -189,6 +189,25 @@ object Aggregates extends QueryRegistry {
              |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
              |  round(min(l_extendedprice), 2) AS min_price,
              |  round(max(l_extendedprice), 2) AS max_price
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- B-AGG8b: serialized HLL sketch states (uniqState → uniqMerge,
+    // the reference's AggregateFunction(uniq, T) opaque binary state,
+    // native/types.rs:120-126). Partial sketches materialize as binary
+    // columns, merge downstream — the distributable two-phase form.
+    // Engine-native sketch bytes → no SQL oracle; AggregatesSpec asserts
+    // merged-parts == whole-pass estimates. ----
+    QueryDef(
+      "b_agg10_hll_state",
+      (s, d) =>
+        t(s, d, "lineitem")
+          // partial per (flag, order-bucket): the "-State" half
+          .withColumn("bucket", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("bucket"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("state"))
+          // merge to final per flag: the "-Merge" half
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("nd_part_est")),
+      None)
   )
 }

@@ -350,6 +350,25 @@ object Relational extends QueryRegistry {
       Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
-             |  FROM orders) WHERE rn <= 3""".stripMargin))
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ---- B-JN8: salted skew join — must produce EXACTLY the plain-join
+    // result (the oracle is the unsalted join), while fanning any hot key
+    // over `salt` tasks ----
+    QueryDef(
+      "b_jn8_salted_skew",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey")
+          .select("o_custkey", "c_mktsegment")
+        SkewJoin.saltedJoin(orders, cust, Seq("o_custkey"), salt = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin))
   )
 }

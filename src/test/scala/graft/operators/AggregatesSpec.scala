@@ -34,4 +34,23 @@ class AggregatesSpec extends SparkSpec {
     def run() = li.agg(approx_count_distinct(col("l_partkey"), 0.01)).head.getLong(0)
     assert(run() === run())
   }
+
+  test("b_agg10: HLL partial states merge to the whole-pass sketch (uniqState/uniqMerge)") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val whole = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("e"))
+      .head.getLong(0)
+    val merged = li
+      .withColumn("bucket", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("bucket").agg(hll_sketch_agg(col("l_partkey")).as("state"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("e"))
+      .head.getLong(0)
+    // DataSketches HLL promotes small sketches through coupon lists, so
+    // partial-then-union is statistically (not bit-) identical to one
+    // pass: both must land within the sketch's error bound of exact
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    assert(math.abs(merged - whole) / exact < 0.05, s"merged $merged vs whole $whole")
+    assert(math.abs(merged - exact) / exact < 0.05, s"merged $merged vs exact $exact")
+    assert(math.abs(whole - exact) / exact < 0.05, s"whole $whole vs exact $exact")
+  }
 }
