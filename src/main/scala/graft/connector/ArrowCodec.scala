@@ -41,6 +41,7 @@ object ArrowCodec {
       case BinaryType => ArrowType.Binary.INSTANCE
       case DateType => new ArrowType.Date(DateUnit.DAY)
       case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
       case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport $other yet")
@@ -75,7 +76,7 @@ object ArrowCodec {
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Binary => BinaryType
       case _: ArrowType.Date => DateType
-      case _: ArrowType.Timestamp => TimestampType
+      case t: ArrowType.Timestamp => if (t.getTimezone == null) TimestampNTZType else TimestampType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
@@ -125,6 +126,7 @@ object ArrowCodec {
           case BinaryType => v.asInstanceOf[VarBinaryVector].setSafe(i, row.getBinary(j))
           case DateType => v.asInstanceOf[DateDayVector].setSafe(i, row.getInt(j))
           case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, row.getLong(j))
+          case TimestampNTZType => v.asInstanceOf[TimeStampMicroVector].setSafe(i, row.getLong(j))
           case d: DecimalType =>
             v.asInstanceOf[DecimalVector].setSafe(i, row.getDecimal(j, d.precision, d.scale).toJavaBigDecimal)
           case other => throw new UnsupportedOperationException(other.toString)

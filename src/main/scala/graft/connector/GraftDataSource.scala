@@ -6,10 +6,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -93,12 +95,16 @@ final class CHScanBuilder(
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var whereFragments: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var aggSelect: Seq[String] = Nil // SQL select items when agg pushed
+  private var aggGroupBy: Seq[String] = Nil
+  private var aggSchema: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = filters.map(f => f -> CHSql.compileFilter(f))
@@ -122,8 +128,60 @@ final class CHScanBuilder(
     false // Spark still applies the global limit
   }
 
+  // ---- aggregate pushdown: GROUP BY + MIN/MAX/SUM/COUNT run server-side
+  // per scan partition; Spark merges the partials (partial-pushdown mode,
+  // always sound regardless of partition count). At 100 TB this is the
+  // big lever: a wide-table GROUP BY ships back #groups rows per
+  // partition instead of the raw table.
+
+  private def singleField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  private def sumResultType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case _ => DoubleType
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldType(name: String): DataType = fullSchema(name).dataType
+    val groups = aggregation.groupByExpressions.toSeq.map(singleField)
+    if (groups.exists(_.isEmpty)) return false
+    val aggs: Seq[Option[(String, StructField)]] =
+      aggregation.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          Some(s"COUNT(*)" -> StructField(s"agg_$i", LongType, nullable = false))
+        case (c: Count, i) if !c.isDistinct =>
+          singleField(c.column).map(f =>
+            s"COUNT(${CHSql.ident(f)})" -> StructField(s"agg_$i", LongType, nullable = false))
+        case (m: Min, i) =>
+          singleField(m.column).map(f =>
+            s"MIN(${CHSql.ident(f)})" -> StructField(s"agg_$i", fieldType(f), nullable = true))
+        case (m: Max, i) =>
+          singleField(m.column).map(f =>
+            s"MAX(${CHSql.ident(f)})" -> StructField(s"agg_$i", fieldType(f), nullable = true))
+        case (s: Sum, i) if !s.isDistinct =>
+          singleField(s.column).map(f =>
+            s"SUM(${CHSql.ident(f)})" -> StructField(s"agg_$i", sumResultType(fieldType(f)), nullable = true))
+        case _ => None // distinct aggs / exprs / other funcs: not pushable
+      }
+    if (aggs.exists(_.isEmpty)) return false
+    val groupNames = groups.map(_.get)
+    aggGroupBy = groupNames
+    aggSelect = groupNames.map(CHSql.ident) ++ aggs.map(_.get._1)
+    aggSchema = Some(StructType(
+      groupNames.map(n => StructField(n, fieldType(n), fullSchema(n).nullable)) ++ aggs.map(_.get._2)))
+    true
+  }
+
   override def build(): Scan =
-    new CHScan(required, url, table, database, whereFragments, limit, options)
+    new CHScan(required, url, table, database, whereFragments, limit, options,
+      aggSelect, aggGroupBy, aggSchema)
 }
 
 final case class CHInputPartition(sql: String) extends InputPartition
@@ -135,17 +193,30 @@ final class CHScan(
     database: Option[String],
     whereFragments: Seq[String],
     limit: Option[Int],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    aggSelect: Seq[String] = Nil,
+    aggGroupBy: Seq[String] = Nil,
+    aggSchema: Option[StructType] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ch ${CHSql.tableRef(table, database)} " +
-      s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit"
+      s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit" +
+      (if (aggSelect.nonEmpty) s" pushedAggregates=[${aggSelect.mkString(", ")}]" else "")
+
+  private def sqlFor(where: Seq[String]): String =
+    if (aggSelect.nonEmpty) {
+      val base = s"SELECT ${aggSelect.mkString(", ")} FROM ${CHSql.tableRef(table, database)}"
+      val w = if (where.isEmpty) "" else where.mkString(" WHERE (", ") AND (", ")")
+      val g = if (aggGroupBy.isEmpty) "" else s" GROUP BY ${aggGroupBy.map(CHSql.ident).mkString(", ")}"
+      base + w + g
+    } else {
+      CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val cols = required.fields.map(_.name).toSeq
     val partCol = Option(options.get("partitionColumn"))
     partCol match {
       case Some(pc) =>
@@ -160,11 +231,10 @@ final class CHScan(
             if (i == 0) s"${CHSql.ident(pc)} < $hi"
             else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
             else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
-          CHInputPartition(
-            CHSql.select(table, database, cols, whereFragments :+ range, limit))
+          CHInputPartition(sqlFor(whereFragments :+ range))
         }.toArray[InputPartition]
       case None =>
-        Array(CHInputPartition(CHSql.select(table, database, cols, whereFragments, limit)))
+        Array(CHInputPartition(sqlFor(whereFragments)))
     }
   }
 

@@ -138,33 +138,38 @@ final class StubCHServer {
         Option(tables.get(name)) match {
           case None => Left(s"no such table: $name")
           case Some(data) =>
-            // projection: the column list between SELECT and FROM
+            // the column list between SELECT and FROM
             val colsPart = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6,
               sql.toUpperCase.indexOf(" FROM "))
-            val wanted: Seq[Int] =
-              if (colsPart.trim == "*") data.schema.indices
-              else {
-                val m = java.util.regex.Pattern.compile(identRe).matcher(colsPart)
-                val names = Iterator.continually(m).takeWhile(_.find()).map(unescape).toSeq
-                names.map(n => data.schema.fieldIndex(n))
-              }
-            val limit = {
-              val m = java.util.regex.Pattern.compile("(?i)LIMIT\\s+(\\d+)\\s*$").matcher(sql)
-              if (m.find()) Some(m.group(1).toInt) else None
-            }
             val pred: InternalRow => Boolean = {
               val m = java.util.regex.Pattern
-                .compile("(?i)\\sWHERE\\s(.*?)(?:\\sLIMIT\\s+\\d+\\s*$|$)", java.util.regex.Pattern.DOTALL)
+                .compile("(?i)\\sWHERE\\s(.*?)(?:\\s(?:LIMIT\\s+\\d+|GROUP\\s+BY\\s.*)\\s*$|$)",
+                  java.util.regex.Pattern.DOTALL)
                 .matcher(sql)
               if (m.find()) StubWhere.compile(m.group(1), data.schema) else _ => true
             }
-            val projSchema = StructType(wanted.map(data.schema.fields))
             val filtered = data.rows.filter(pred)
-            val limited = limit.map(filtered.take).getOrElse(filtered)
-            val projected = limited.iterator.map { r =>
-              InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
+            if (colsPart.toUpperCase.matches("(?s).*\\b(COUNT|MIN|MAX|SUM)\\s*\\(.*")) {
+              StubAgg.run(sql, colsPart, data.schema, filtered)
+            } else {
+              val wanted: Seq[Int] =
+                if (colsPart.trim == "*") data.schema.indices
+                else {
+                  val m = java.util.regex.Pattern.compile(identRe).matcher(colsPart)
+                  val names = Iterator.continually(m).takeWhile(_.find()).map(unescape).toSeq
+                  names.map(n => data.schema.fieldIndex(n))
+                }
+              val limit = {
+                val m = java.util.regex.Pattern.compile("(?i)LIMIT\\s+(\\d+)\\s*$").matcher(sql)
+                if (m.find()) Some(m.group(1).toInt) else None
+              }
+              val projSchema = StructType(wanted.map(data.schema.fields))
+              val limited = limit.map(filtered.take).getOrElse(filtered)
+              val projected = limited.iterator.map { r =>
+                InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
+              }
+              Right(ArrowCodec.encode(projSchema, projected))
             }
-            Right(ArrowCodec.encode(projSchema, projected))
         }
     }
 

@@ -118,7 +118,7 @@ private[connector] object StubWhere {
         case ByteType => BigDecimal(row.getByte(idx).toInt)
         case ShortType => BigDecimal(row.getShort(idx).toInt)
         case IntegerType | DateType => BigDecimal(row.getInt(idx))
-        case LongType | TimestampType => BigDecimal(row.getLong(idx))
+        case LongType | TimestampType | TimestampNTZType => BigDecimal(row.getLong(idx))
         case FloatType => BigDecimal(row.getFloat(idx).toDouble)
         case DoubleType => BigDecimal(row.getDouble(idx))
         case d: DecimalType => BigDecimal(row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal)

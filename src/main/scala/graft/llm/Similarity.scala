@@ -42,6 +42,57 @@ private[llm] object VecKernels extends Serializable {
     }
     acc
   }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Index of the nearest centroid (L2). */
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = l2sq(v, centroids(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` nearest centroids, ascending by distance. */
+  def nearestCentroids(v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
+    centroids.indices.sortBy(c => l2sq(v, centroids(c))).take(n).toArray
+
+  /** Lloyd's k-means over a (bounded, driver-resident) sample —
+    * deterministic seeding; the TRAINING is driver-side on <= a few
+    * thousand vectors, the ASSIGNMENT is distributed.
+    */
+  def kmeans(sample: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty k-means sample")
+    val rnd = new scala.util.Random(seed)
+    val dim = sample(0).length
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(rnd.nextInt(sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) sample(rnd.nextInt(sample.length)).clone()
+        else { val s = sums(c); var i = 0; while (i < dim) { s(i) /= counts(c); i += 1 }; s }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
 }
 
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
@@ -138,6 +189,43 @@ object Similarity extends QueryRegistry {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each vector lands in exactly ONE cell
+    * (vs LSH's `tables` copies), queries probe their `nprobe` nearest
+    * cells. Training runs on a bounded driver-side sample (`sampleCap`
+    * rows — the classic IVF recipe); assignment and search are fully
+    * distributed: one JIT'd pass to assign, one equi-join on cell id
+    * (broadcast query side), exact cosine re-rank. At 100 TB the cell id
+    * doubles as a write-time partition key, turning probes into
+    * partition-pruned scans.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              sampleCap: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
+    if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
+
+    val assigned = c.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, VecKernels.nearestCentroid(v, centroids)) })
+      .toDF("vid", "cv", "cell")
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        VecKernels.nearestCentroids(v, centroids, nprobe).iterator.map(cell => (id, v, cell))
+      })
+      .toDF("qid", "qv", "cell")
+    val cand = scoreCosine(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("vid")))
+    graft.operators.LimitBy
+      .limitBy(cand, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
   private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 25 === 0)
 
@@ -169,6 +257,16 @@ object Similarity extends QueryRegistry {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         lshTopK(emb, queriesOf(emb), k = 5, tables = 8, bits = 6)
+      },
+      None),
+
+    // ---- IVF ANN top-5 (k-means cells; no oracle — SimilaritySpec
+    // measures recall vs brute force) ----
+    QueryDef(
+      "x_sim_topk_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 4)
       },
       None)
   )

@@ -72,6 +72,24 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Streaming insert through the connector (the reference's streaming
+    * insert loop, `src/client.rs:542` `insert_many`, as a Structured
+    * Streaming sink): every micro-batch ships as one Arrow-IPC insert per
+    * partition via `foreachBatch` — the micro-batching IS the deferred
+    * flush. Returns the started query; caller stops it.
+    */
+  def writeToConnector(
+      stream: DataFrame, url: String, table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.format("graft-ch")
+          .option("url", url).option("table", table)
+          .mode("append").save()
+      }
+      .start()
+
   /** B-STR6 / A17: progress capture, the Spark mirror of the reference's
     * `Progress{read_rows, read_bytes, total_rows}` broadcast channel
     * (`src/native/progress.rs:6-14`, event bus `src/client.rs:80-93`).

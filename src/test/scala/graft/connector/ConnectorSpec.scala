@@ -19,11 +19,13 @@ class ConnectorSpec extends SparkSpec {
       val df = Seq(
         (1L, 1.toByte, 2.toShort, 3, 4.5f, 6.7, "hello", true,
           java.sql.Date.valueOf("2024-05-17"), java.sql.Timestamp.valueOf("2024-05-17 10:30:00.123456"),
-          Array[Byte](1, 2, 3), BigDecimal("12345.67")),
+          Array[Byte](1, 2, 3), BigDecimal("12345.67"),
+          java.time.LocalDateTime.parse("2024-05-17T10:30:00.123456")),
         (2L, -1.toByte, -2.toShort, -3, -4.5f, -6.7, "wörld ‰", false,
           java.sql.Date.valueOf("1969-12-31"), java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
-          Array[Byte](), BigDecimal("-0.01")))
-        .toDF("l", "b", "s", "i", "f", "d", "str", "bool", "date", "ts", "bin", "dec")
+          Array[Byte](), BigDecimal("-0.01"),
+          java.time.LocalDateTime.parse("1969-12-31T23:59:59.999999")))
+        .toDF("l", "b", "s", "i", "f", "d", "str", "bool", "date", "ts", "bin", "dec", "ntz")
 
       df.write.format("graft-ch").option("url", srv.url).option("table", "t1")
         .mode("append").save()
@@ -137,6 +139,62 @@ class ConnectorSpec extends SparkSpec {
 
       spark.sql("DROP TABLE chtest.newt")
       assert(!srv.tableNames.contains("newt"))
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown: GROUP BY + min/max/sum/count run server-side") {
+    val srv = freshServer()
+    try {
+      srv.load("orders", Tables.t(spark, sf001, "orders"))
+      val df = spark.read.format("graft-ch").option("url", srv.url).option("table", "orders")
+        .load()
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"),
+          sum(col("o_custkey")).as("sk"))
+      val expected = Tables.t(spark, sf001, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"),
+          sum(col("o_custkey")).as("sk"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq)
+      val got = df.orderBy("o_orderpriority").collect().map(_.toSeq)
+      assert(got === expected)
+      // the server executed the aggregation (SQL-level proof)...
+      val aggSql = srv.queries.filter(q => q.contains("GROUP BY") && q.contains("SUM("))
+      assert(aggSql.nonEmpty, srv.queries.mkString("\n"))
+      // ...and the plan records it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pushedAggregates=["), plan)
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown composes with filter pushdown and range partitioning") {
+    val srv = freshServer()
+    try {
+      srv.load("orders", Tables.t(spark, sf001, "orders"))
+      val df = spark.read.format("graft-ch").option("url", srv.url).option("table", "orders")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "0").option("upperBound", "60000")
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+      val expected = Tables.t(spark, sf001, "orders")
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq)
+      val got = df.orderBy("o_orderpriority").collect().map(_.toSeq)
+      assert(got === expected)
+      // partial aggregates per range partition, merged by Spark
+      val aggSql = srv.queries.filter(q => q.contains("GROUP BY") && q.contains("o_orderkey"))
+      assert(aggSql.size === 4, srv.queries.mkString("\n"))
     } finally srv.stop()
   }
 

@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k achieves usable recall vs brute force") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf = topSet(Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("brute-force cosine agrees with a hand-computed value") {
     import spark.implicits._
     val emb = Seq(

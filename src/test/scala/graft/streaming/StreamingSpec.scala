@@ -81,6 +81,27 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming insert: micro-batches flow through the connector write path") {
+    val srv = new graft.connector.StubCHServer
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.writeToConnector(
+        input.toDF().toDF("id", "v"), srv.url, "stream_sink", ckpt)
+      try {
+        input.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        input.addData((3L, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(srv.rowCount("stream_sink") === 3)
+      val back = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "stream_sink").load()
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(back === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally srv.stop()
+  }
+
   test("B-STR5: dropDuplicatesWithinWatermark dedups within the watermark delay") {
     val input = MemoryStream[(Timestamp, Long, String)]
     val events = input.toDF().toDF("ts", "user_id", "event_type")
