@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational,
     operators.Aggregates,
     operators.Windows,
+    operators.ChExtras,
     functions.Functions,
     functions.ValueQueries,
     streaming.StreamingBatch,

@@ -81,6 +81,44 @@ object Multimodal extends QueryRegistry {
       .withColumn("frame_idx", col("frame_idx").cast("long"))
       .select("doc_id", "media_type", "frame_idx", "frame_off", "frame_len")
 
+  /** Typed feature row: an 8-dim integer signature of the payload. */
+  final case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Long])
+
+  /** STUB feature extractor (stands in for an embedding model): dim j
+    * accumulates the payload bytes at positions ≡ j (mod 8), mod 997 —
+    * deterministic, byte-level (really reads the binary), oracle-checkable.
+    */
+  def featureStub(r: MediaRow): MediaFeatures = {
+    val f = new Array[Long](8)
+    var i = 0
+    while (i < r.media.length) { f(i % 8) += r.media(i) & 0xffL; i += 1 }
+    var j = 0
+    while (j < 8) { f(j) %= 997; j += 1 }
+    MediaFeatures(r.doc_id, r.media_type, f)
+  }
+
+  /** Batch feature extraction — same partition-batch shape as decode. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(featureStub))
+  }
+
+  /** STUB resize: fit the decoded dims into a `cap`×`cap` box preserving
+    * aspect ratio (integer math, so the oracle reproduces it exactly).
+    * A production build swaps the arithmetic for a real scaler over the
+    * payload; the plumbing (decode → per-row transform) is what's tested.
+    */
+  def resizeMeta(media: Dataset[MediaRow], cap: Long): DataFrame =
+    decodeMeta(media).toDF()
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        when(col("long_side") <= cap, col("width"))
+          .otherwise(expr(s"width * $cap DIV long_side")).as("out_w"),
+        when(col("long_side") <= cap, col("height"))
+          .otherwise(expr(s"height * $cap DIV long_side")).as("out_h"))
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   val defs: Seq[QueryDef] = Seq(
@@ -107,6 +145,34 @@ object Multimodal extends QueryRegistry {
              |  CAST(range AS BIGINT) * (length(text) // (1 + doc_id % 4)) AS frame_off,
              |  length(text) // (1 + doc_id % 4) AS frame_len
              |FROM documents CROSS JOIN range(4)
-             |WHERE range < 1 + doc_id % 4""".stripMargin))
+             |WHERE range < 1 + doc_id % 4""".stripMargin)),
+
+    // ---- feature extraction (stub model, real byte-level plumbing) ----
+    QueryDef(
+      "x_mm_features",
+      (s, d) => extractFeatures(mediaTable(t(s, d, "documents"))).toDF(),
+      Some("""SELECT doc_id,
+             |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+             |  list_transform(range(8), j ->
+             |    CAST(coalesce(list_sum(list_transform(range(length(text)), i ->
+             |      CASE WHEN i % 8 = j THEN ascii(text[i+1]) ELSE 0 END)), 0) % 997 AS BIGINT)
+             |  ) AS features
+             |FROM documents""".stripMargin)),
+
+    // ---- resize-to-fit (stub scaler, integer-exact) ----
+    QueryDef(
+      "x_mm_resize",
+      (s, d) => resizeMeta(mediaTable(t(s, d, "documents")), cap = 64L),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    64 + (doc_id * 7) % 192 AS width,
+             |    64 + (doc_id * 13) % 128 AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  CASE WHEN greatest(width, height) <= 64 THEN width
+             |       ELSE width * 64 // greatest(width, height) END AS out_w,
+             |  CASE WHEN greatest(width, height) <= 64 THEN height
+             |       ELSE height * 64 // greatest(width, height) END AS out_h
+             |FROM dims""".stripMargin))
   )
 }

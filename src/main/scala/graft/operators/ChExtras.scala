@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ClickHouse dialect extensions a reference user reaches through SQL
+  * passthrough (`clickhouse-arrow/src/client.rs:643`), re-expressed as
+  * native Spark plans:
+  *
+  *  - `GROUP BY ... WITH TOTALS` → grouped agg UNION ALL a grand-total
+  *    row (null key), both sides sharing one scan via self-union of the
+  *    same cached plan shape;
+  *  - `SELECT ... FROM t FINAL` (ReplacingMergeTree latest-version-per-
+  *    key) → `max_by` over the (ts, tiebreak) struct — one hash
+  *    aggregate, no window sort;
+  *  - `SAMPLE k` (deterministic hash sampling; CH samples by
+  *    intHash32(key) ranges) → filter on an md5-prefix range, which
+  *    is engine-portable AND stable under re-runs — every executor
+  *    picks the same rows, unlike `rand()`-based sampling.
+  */
+object ChExtras extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- WITH TOTALS ----
+    QueryDef(
+      "b_agg11_with_totals",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val grouped = orders.groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        val totals = orders.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+          .select(lit(null).cast("string").as("prio"), col("n"), col("rev"))
+        grouped.unionByName(totals)
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT NULL AS prio, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders""".stripMargin)),
+
+    // ---- FINAL: latest version per key, one hash agg (no window sort) ----
+    QueryDef(
+      "b_src5_final",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+            max(col("event_id")).as("max_event_id")),
+      Some("""SELECT user_id, event_type, last_value, max_event_id FROM (
+             |  SELECT user_id, event_type, value AS last_value,
+             |    max(event_id) OVER (PARTITION BY user_id, event_type) AS max_event_id,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    // ---- deterministic hash SAMPLE (~10%) ----
+    QueryDef(
+      "b_smp1_hash_sample",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) < "1a")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""".stripMargin))
+  )
+}
