@@ -27,6 +27,10 @@ object AsOfJoin {
     * @param rightTs   right event-time column
     * @param rightCols right payload columns to carry (renamed as-is onto
     *                  the output; must not collide with left columns)
+    * @param direction the ClickHouse ASOF inequality, left-ts vs
+    *                  right-ts: ">=" (default; latest right at-or-before),
+    *                  ">" (strictly before), "<=" (earliest right
+    *                  at-or-after), "<" (strictly after)
     */
   def leftAsOf(
       left: DataFrame,
@@ -34,44 +38,59 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      direction: String = ">="): DataFrame = {
+    require(Set(">=", ">", "<=", "<").contains(direction),
+      s"asof direction must be one of >=, >, <=, < (got $direction)")
+    val backward = direction == ">=" || direction == ">" // match looks to the past
+    val inclusive = direction == ">=" || direction == "<="
     val ord = "__asof_ord"
     val ts = "__asof_ts"
     val leftCols = left.columns.toSeq
+
+    // At equal timestamps a right row must sort on the VISIBLE side of the
+    // left row: inside the window frame when inclusive, outside when strict.
+    val rightOrd = if (backward == inclusive) 0 else 1
+    val leftOrd = 1 - rightOrd
 
     // Project both sides onto the union schema: leftCols ++ rightCols ++ (ord, ts).
     val lPart = left.select(
       leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(lit(1).as(ord), col(leftTs).as(ts)): _*)
+        Seq(lit(leftOrd).as(ord), col(leftTs).as(ts)): _*)
     val rPart = right.select(
       leftCols.map { c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++
         rightCols.map(col) ++
-        Seq(lit(0).as(ord), col(rightTs).as(ts)): _*)
+        Seq(lit(rightOrd).as(ord), col(rightTs).as(ts)): _*)
     val unioned = lPart.unionByName(rPart)
 
-    // Deterministic under equal timestamps: right rows first (so they are
-    // visible to left rows at the same instant), then stable among
-    // themselves via the first payload column.
-    val w = Window
+    // One shuffle on the key, one sort per partition — the same data
+    // movement a sort-merge join needs. Stable among equal-ts right rows
+    // via the first payload column.
+    val base = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(Seq(col(ts).asc, col(ord).asc) ++
         rightCols.headOption.map(col(_).asc_nulls_first): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     // Carry ONE struct of all payload columns (null for left rows, never
     // null for right rows) rather than each column independently — a
     // legitimately-NULL payload field in the matched right row must stay
-    // NULL, not get back-filled from an older right row.
+    // NULL, not get back-filled from another right row.
     val pay = "__asof_payload"
+    val carry =
+      if (backward) (c: org.apache.spark.sql.Column) => last(c, ignoreNulls = true).over(w)
+      else (c: org.apache.spark.sql.Column) => first(c, ignoreNulls = true).over(w)
     val carried = unioned
       .withColumn(pay,
-        when(col(ord) === 0, struct(rightCols.map(col): _*)).otherwise(lit(null)))
-      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-    carried.filter(col(ord) === 1)
+        when(col(ord) === rightOrd, struct(rightCols.map(col): _*)).otherwise(lit(null)))
+      .withColumn(pay, carry(col(pay)))
+    carried.filter(col(ord) === leftOrd)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"$pay.$c").as(c)): _*)
   }
 }

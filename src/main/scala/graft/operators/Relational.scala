@@ -232,6 +232,24 @@ object Relational extends QueryRegistry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
 
+    // ---- B-JN7b: forward AS-OF (direction "<": the next purchase
+    // STRICTLY after each event) ----
+    QueryDef(
+      "b_jn7_asof_forward",
+      (s, d) => {
+        val e = t(s, d, "events").select("event_id", "user_id", "ts")
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("next_purchase"))
+        AsOfJoin
+          .leftAsOf(e, p, Seq("user_id"), "ts", "ts", Seq("next_purchase"), direction = "<")
+          .select("event_id", "user_id", "next_purchase")
+      },
+      Some("""SELECT e.event_id, e.user_id, p.event_id AS next_purchase
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ON e.user_id = p.user_id AND e.ts < p.ts""".stripMargin)),
+
     // ---- B-SET1: UNION ALL / UNION DISTINCT ----
     QueryDef(
       "b_set1_union_all",
