@@ -226,6 +226,62 @@ object Similarity extends QueryRegistry {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS, exact: all (a < b) pairs with
+    * cos >= tau. O(N²) by construction — the declared exact baseline the
+    * LSH variant is measured against (same pattern as
+    * [[graft.llm.Dedup.ngramJaccardPairs]] vs MinHash).
+    */
+  def embedDupPairsExact(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val b = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    scoreCosine(a.join(b, col("qid") < col("vid")))
+      .filter(col("cos") >= tau)
+      .select(col("qid").as("vec_a"), col("vid").as("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: sign-LSH bucket collisions
+    * (any of `tables` tables) generate candidates with ONE shuffle on the
+    * bucket key — never an all-pairs product; exact cosine filters. Same
+    * bucket→collect→in-bucket-pairs shape as MinHash banding.
+    */
+  def embedDupPairsLsh(emb: DataFrame, tau: Double, tables: Int, bits: Int,
+                       dim: Int = -1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d =
+      if (dim > 0) dim
+      else emb.select(size(col("embedding")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) return spark.emptyDataset[(Long, Long, Double)].toDF("vec_a", "vec_b", "cos")
+    val rnd = new scala.util.Random(7)
+    val planes: Array[Array[Array[Double]]] =
+      Array.fill(tables)(Array.fill(bits)(Array.fill(d)(rnd.nextGaussian())))
+
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        Iterator.tabulate(tables)(t => (id, v, t, VecKernels.bucketKey(v, planes(t))))
+      })
+      .toDF("vec_id", "v", "tbl", "bkey")
+      .groupBy("tbl", "bkey")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+      .as[Seq[(Long, Array[Double])]]
+      .flatMap { ds =>
+        val arr = ds.sortBy(_._1).toArray
+        for {
+          i <- Iterator.range(0, arr.length - 1)
+          j <- Iterator.range(i + 1, arr.length)
+          c = VecKernels.cosine(arr(i)._2, arr(j)._2)
+          if c >= tau
+        } yield (arr(i)._1, arr(j)._1, c)
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
   private def queriesOf(df: DataFrame) = df.filter(col("vec_id") % 25 === 0)
 
@@ -268,6 +324,27 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 4)
       },
+      None),
+
+    // ---- embedding-cosine near-dup pairs, exact baseline ----
+    QueryDef(
+      "x_dedup_embed",
+      (s, d) => embedDupPairsExact(t(s, d, "embeddings"), tau = 0.4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             |    / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1])))
+             |     * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             |    / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1])))
+             |     * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))) >= 0.4""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs, LSH scale path (no oracle;
+    // SimilaritySpec asserts recall vs the exact pairs) ----
+    QueryDef(
+      "x_dedup_embed_lsh",
+      (s, d) => embedDupPairsLsh(t(s, d, "embeddings"), tau = 0.4, tables = 16, bits = 5),
       None)
   )
 }

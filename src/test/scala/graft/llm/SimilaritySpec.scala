@@ -28,6 +28,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("embedding near-dup LSH pairs recall vs the exact pairs") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.embedDupPairsExact(emb, 0.4))
+    val lsh = pairs(Similarity.embedDupPairsLsh(emb, 0.4, tables = 16, bits = 5))
+    assert(exact.nonEmpty, "fixture should contain cos>=0.4 pairs")
+    // every LSH pair is exact-verified (cos filter), so no false positives
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH pair recall too low: $recall")
+  }
+
   test("brute-force cosine agrees with a hand-computed value") {
     import spark.implicits._
     val emb = Seq(

@@ -128,6 +128,20 @@ class CHTypeSpec extends AnyFunSuite {
     assert(fromSpark(BooleanType, nullable = false) === UInt8)
   }
 
+  test("UInt64 round-trips only through the field-metadata marker") {
+    // CH-origin UInt64 → Decimal(20,0) + unsigned marker → UInt64 again
+    val f = toSparkField("u", UInt64)
+    assert(f.dataType === DecimalType(20, 0))
+    assert(f.metadata.getBoolean(UnsignedOriginKey))
+    assert(fromSparkField(f) === UInt64)
+    val fn = toSparkField("un", Nullable(UInt64))
+    assert(fromSparkField(fn) === Nullable(UInt64))
+    // a bare signed Decimal(20,0) must NOT become UInt64 (it can hold
+    // negatives a UInt64 column would reject)
+    assert(fromSpark(DecimalType(20, 0), nullable = false) === Decimal(20, 0))
+    assert(fromSparkField(StructField("d", DecimalType(20, 0))) === Nullable(Decimal(20, 0)))
+  }
+
   test("normalization: Nullable(LowCardinality(T)) transposes; Nullable(Array) illegal") {
     assert(normalize(Nullable(LowCardinality(CHString))) ===
       LowCardinality(Nullable(CHString)))
