@@ -170,51 +170,81 @@ object ArrowCodec {
 
   /** Read just the schema from an IPC stream (the header-block probe). */
   def readSchema(bytes: Array[Byte]): StructType = {
-    val allocator = rootAllocator.newChildAllocator("graft-schema", 0, Long.MaxValue)
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
-    try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
-    finally { reader.close(); allocator.close() }
+    val br = new BatchReader(new ByteArrayInputStream(bytes))
+    try br.sparkSchema
+    finally br.close()
   }
 
   /** Decode an IPC stream into materialized InternalRows (server/test
-    * helper; the connector scan path is zero-copy via [[BatchReader]]). */
+    * helper; the connector scan path stays zero-copy via [[BatchReader]]). */
   def decode(bytes: Array[Byte]): (StructType, Seq[InternalRow]) = {
-    val allocator = rootAllocator.newChildAllocator("graft-dec", 0, Long.MaxValue)
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    val br = new BatchReader(new ByteArrayInputStream(bytes))
     try {
-      val root = reader.getVectorSchemaRoot
-      val schema = fromArrowSchema(root.getSchema)
+      val schema = br.sparkSchema
       val out = Seq.newBuilder[InternalRow]
-      while (reader.loadNextBatch()) {
-        val cols = root.getFieldVectors.asScala.map(new ArrowColumnVector(_)).toArray[org.apache.spark.sql.vectorized.ColumnVector]
-        val batch = new ColumnarBatch(cols, root.getRowCount)
-        batch.rowIterator().asScala.foreach(r => out += r.copy())
-      }
+      while (br.next()) br.get().rowIterator().asScala.foreach(r => out += r.copy())
       (schema, out.result())
-    } finally { reader.close(); allocator.close() }
+    } finally br.close()
   }
 
   /** Zero-copy streaming reader: each Arrow record batch surfaces as one
     * Spark `ColumnarBatch` whose vectors wrap the Arrow buffers directly
-    * (A2's block→batch deserializer, without the copy). */
+    * (A2's block→batch deserializer, without the copy).
+    *
+    * Dictionary-encoded vectors (the wire form of `LowCardinality(T)`,
+    * reference `arrow/deserialize/low_cardinality.rs`) are decoded to
+    * plain values on arrival — SURVEY §1.2: dictionary is an encoding,
+    * not a logical type in Spark; parquet re-dictionarizes on write
+    * anyway. Decoded vectors are owned by this reader and released with
+    * the batch.
+    */
   final class BatchReader(in: InputStream) extends AutoCloseable {
     private val allocator =
       rootAllocator.newChildAllocator(s"graft-read-${System.identityHashCode(this)}", 0, Long.MaxValue)
     private val reader = new ArrowStreamReader(in, allocator)
     private var current: ColumnarBatch = _
+    private var decoded: List[FieldVector] = Nil
 
-    def sparkSchema: StructType = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+    /** Spark schema with dictionary fields resolved to their VALUE type
+      * (the IPC schema carries the index type for encoded columns). */
+    def sparkSchema: StructType = StructType(
+      reader.getVectorSchemaRoot.getSchema.getFields.asScala.map { f =>
+        val enc = f.getDictionary
+        if (enc == null) fromArrowField(f)
+        else {
+          val valueField = reader.getDictionaryVectors.get(enc.getId).getVector.getField
+          StructField(f.getName, fromArrowField(valueField).dataType, f.isNullable)
+        }
+      }.toSeq)
 
     def next(): Boolean =
       if (reader.loadNextBatch()) {
+        decoded.foreach(_.close())
+        decoded = Nil
         val root = reader.getVectorSchemaRoot
-        val cols = root.getFieldVectors.asScala.map(new ArrowColumnVector(_)).toArray[org.apache.spark.sql.vectorized.ColumnVector]
+        val cols = root.getFieldVectors.asScala.map { v =>
+          val dictEnc = v.getField.getDictionary
+          val plain =
+            if (dictEnc == null) v
+            else {
+              val dict = reader.getDictionaryVectors.get(dictEnc.getId)
+              val dv = org.apache.arrow.vector.dictionary.DictionaryEncoder
+                .decode(v, dict).asInstanceOf[FieldVector]
+              decoded ::= dv
+              dv
+            }
+          new ArrowColumnVector(plain)
+        }.toArray[org.apache.spark.sql.vectorized.ColumnVector]
         current = new ColumnarBatch(cols, root.getRowCount)
         true
       } else false
 
     def get(): ColumnarBatch = current
 
-    override def close(): Unit = { reader.close(); allocator.close() }
+    override def close(): Unit = {
+      decoded.foreach(_.close())
+      reader.close()
+      allocator.close()
+    }
   }
 }
