@@ -170,6 +170,24 @@ object Functions extends QueryRegistry {
              |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
              |GROUP BY word""".stripMargin)),
 
+    // ---- B-FNA3: LEFT ARRAY JOIN (explode_outer keeps empty-array rows,
+    // ClickHouse `LEFT ARRAY JOIN`) ----
+    QueryDef(
+      "b_fna3_explode_outer",
+      (s, d) =>
+        t(s, d, "nation")
+          // regionkey<2 nations contribute an empty array → one null row each
+          .withColumn("tags",
+            when(col("n_regionkey") < 2, array().cast("array<string>"))
+              .otherwise(array(concat(lit("r"), col("n_regionkey")), col("n_name"))))
+          .select(col("n_nationkey"), explode_outer(col("tags")).as("tag")),
+      Some("""SELECT n_nationkey, u.tag FROM (
+             |  SELECT n_nationkey,
+             |    CASE WHEN n_regionkey < 2 THEN []
+             |         ELSE ['r' || n_regionkey, n_name] END AS tags
+             |  FROM nation) t
+             |LEFT JOIN LATERAL (SELECT unnest(t.tags) AS tag) u ON TRUE""".stripMargin)),
+
     // ---- B-FNP1: map functions ----
     QueryDef(
       "b_fnp1_map",
