@@ -64,7 +64,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val url = options.get("url")
   private val table = options.get("table")
@@ -73,7 +73,8 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = CHSql.tableRef(table, database)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new CHScanBuilder(schema, url, table, database, options)
@@ -81,6 +82,27 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toInt).getOrElse(65536)
     new CHWriteBuilder(info.schema(), url, table, database, maxRows)
+  }
+
+  // ---- mutations (ClickHouse `ALTER TABLE ... DELETE WHERE`,
+  // `src/client.rs:727` execute path): delete filters compile through the
+  // same translator as scan pushdown; non-compilable filters reject the
+  // delete (Spark then falls back / errors — never a partial delete).
+
+  // unconditional DELETE arrives as a single AlwaysTrue filter
+  private def isAlwaysTrue(f: Filter) = f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => isAlwaysTrue(f) || CHSql.compileFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val where = filters.filterNot(isAlwaysTrue).flatMap(CHSql.compileFilter)
+    if (where.isEmpty) {
+      CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
+    } else {
+      val cond = where.map(w => s"($w)").mkString(" AND ")
+      CHHttp.execute(url, s"ALTER TABLE ${CHSql.tableRef(table, database)} DELETE WHERE $cond")
+    }
   }
 }
 
@@ -277,9 +299,19 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
 
 final class CHWriteBuilder(
     schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
-    extends WriteBuilder {
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  // mode("overwrite") → TRUNCATE TABLE then the normal append stream
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new CHBatchWrite(schema, url, table, database, maxRows)
+    override def toBatch: BatchWrite = {
+      if (truncateFirst) {
+        CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
+      }
+      new CHBatchWrite(schema, url, table, database, maxRows)
+    }
   }
 }
 

@@ -84,6 +84,8 @@ final class StubCHServer {
       else if (upper.startsWith("CREATE TABLE")) respond(ex, createTable(stmt))
       else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt))
       else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt))
+      else if (upper.startsWith("ALTER TABLE") && upper.contains("DELETE WHERE"))
+        respond(ex, alterDelete(stmt))
       else respond(ex, Left(s"unsupported statement: $stmt"))
     } catch {
       case e: Throwable => respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -232,5 +234,24 @@ final class StubCHServer {
       case Some(name) =>
         tables.computeIfPresent(name, (_, d) => d.copy(rows = Vector.empty))
         Right(Array.empty)
+    }
+
+  /** `ALTER TABLE t DELETE WHERE <cond>` — the ClickHouse mutation; rows
+    * matching the condition are removed (same WHERE grammar as scans). */
+  private def alterDelete(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "TABLE") match {
+      case None => Left(s"cannot parse alter target in: $sql")
+      case Some(name) =>
+        val m = java.util.regex.Pattern
+          .compile("(?i)\\sDELETE\\s+WHERE\\s(.*)$", java.util.regex.Pattern.DOTALL)
+          .matcher(sql)
+        if (!m.find()) Left(s"cannot parse DELETE WHERE in: $sql")
+        else {
+          tables.computeIfPresent(name, (_, d) => {
+            val pred = StubWhere.compile(m.group(1), d.schema)
+            d.copy(rows = d.rows.filterNot(pred))
+          })
+          Right(Array.empty)
+        }
     }
 }

@@ -198,6 +198,34 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("DELETE WHERE mutations and overwrite mode work through the catalog") {
+    val srv = freshServer()
+    try {
+      spark.conf.set("spark.sql.catalog.chmut", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chmut.url", srv.url)
+      spark.sql("CREATE TABLE chmut.m (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO chmut.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+      // ALTER TABLE ... DELETE WHERE via SupportsDelete
+      spark.sql("DELETE FROM chmut.m WHERE id < 3")
+      assert(spark.table("chmut.m").collect().map(_.getLong(0)).toSeq === Seq(3L))
+      assert(srv.queries.exists(q => q.startsWith("ALTER TABLE") && q.contains("DELETE WHERE")),
+        srv.queries.mkString("\n"))
+
+      // unconditional DELETE → TRUNCATE
+      spark.sql("DELETE FROM chmut.m")
+      assert(spark.table("chmut.m").count() === 0)
+
+      // mode("overwrite") → TRUNCATE + append
+      import spark.implicits._
+      Seq((10L, "x")).toDF("id", "v").write.format("graft-ch")
+        .option("url", srv.url).option("table", "m").mode("append").save()
+      Seq((20L, "y")).toDF("id", "v").write.format("graft-ch")
+        .option("url", srv.url).option("table", "m").mode("overwrite").save()
+      assert(spark.table("chmut.m").collect().map(_.getLong(0)).toSeq === Seq(20L))
+    } finally srv.stop()
+  }
+
   test("empty table: scan returns zero rows with the right schema") {
     val srv = freshServer()
     try {
