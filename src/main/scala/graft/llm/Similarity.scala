@@ -117,16 +117,50 @@ object Similarity extends QueryRegistry {
       .toDF("qid", "vid", "cos")
   }
 
+  /** (id, vec, ||vec||) — norms computed ONCE per vector so O(N·Q) or
+    * O(N²) pair scoring does one dot product per pair instead of three;
+    * `sqrt(na)*sqrt(nb)` is the exact same double as inside
+    * `VecKernels.cosine`, so scores are bit-identical to the oracle. */
+  private def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[Double])].map { case (i, vec) =>
+      var s = 0.0; var k = 0
+      while (k < vec.length) { s += vec(k) * vec(k); k += 1 }
+      (i, vec, math.sqrt(s))
+    }.toDF(id, v, n)
+  }
+
+  /** Pair scoring with precomputed norms: one JIT'd dot per pair. */
+  private def scoreWithNorms(pairs: DataFrame, aId: String, bId: String,
+      av: String, bv: String, an: String, bn: String,
+      outA: String, outB: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(aId), col(bId), col(av), col(bv), col(an), col(bn))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+      .map { case (a, b, va, vb, na, nb) =>
+        var dot = 0.0; var k = 0
+        val m = math.min(va.length, vb.length)
+        while (k < m) { dot += va(k) * vb(k); k += 1 }
+        (a, b, dot / (na * nb))
+      }
+      .toDF(outA, outB, "cos")
+  }
+
   /** Exact top-k by cosine for each query vector: broadcast the (small)
     * query set against all candidates, then per-query top-k via window —
     * the correctness baseline the LSH path is measured against. O(N·Q) by
     * design; use [[lshTopK]] at scale.
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
-    val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
-    val scored = scoreCosine(
-      c.crossJoin(broadcast(q)).filter(col("qid") =!= col("vid")))
+    val q = withNorm(
+      queries.select(col("vec_id"), col("embedding").cast("array<double>")), "qid", "qv", "qn")
+    val c = withNorm(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>")), "vid", "cv", "cn")
+    val scored = scoreWithNorms(
+      c.crossJoin(broadcast(q)).filter(col("qid") =!= col("vid")),
+      "qid", "vid", "qv", "cv", "qn", "cn", "qid", "vid")
     graft.operators.LimitBy
       .limitBy(scored, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
@@ -232,11 +266,13 @@ object Similarity extends QueryRegistry {
     * [[graft.llm.Dedup.ngramJaccardPairs]] vs MinHash).
     */
   def embedDupPairsExact(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
-    val b = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
-    scoreCosine(a.join(b, col("qid") < col("vid")))
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+    val a = withNorm(base, "qid", "qv", "qn")
+    val b = withNorm(base, "vid", "cv", "cn")
+    scoreWithNorms(a.join(broadcast(b), col("qid") < col("vid")),
+      "qid", "vid", "qv", "cv", "qn", "cn", "vec_a", "vec_b")
       .filter(col("cos") >= tau)
-      .select(col("qid").as("vec_a"), col("vid").as("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** Embedding-cosine near-dup pairs at scale: sign-LSH bucket collisions
