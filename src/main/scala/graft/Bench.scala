@@ -13,10 +13,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal precision keeps the whole line under ~2 KB: the driver
+    // captures a bounded tail of stdout, and full-precision doubles pushed
+    // the round-2 line past it (BENCH_r02 "parsed": null).
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // see Verify: a leaked stub-server dispatcher must not block JVM exit
     System.exit(0)

@@ -217,6 +217,41 @@ object ArrowCodec {
         }
       }.toSeq)
 
+    /** Unsigned Arrow ints — the wire form of ClickHouse UInt8/16/32/64
+      * (reference `arrow/types.rs` UInt map) — are copied into the widened
+      * signed vector their schema maps to: Spark's `ArrowColumnVector` has
+      * no UInt accessors, so wrapping the raw vector would throw on first
+      * read. Owned by this reader, released with the batch (same pattern
+      * as dictionary decode).
+      */
+    private def widenUnsigned(v: FieldVector): FieldVector = {
+      val n = v.getValueCount
+      def fill[T <: BaseFixedWidthVector](out: T)(set: Int => Unit): T = {
+        out.allocateNew(n)
+        var i = 0
+        while (i < n) { if (!v.isNull(i)) set(i); i += 1 }
+        out.setValueCount(n)
+        decoded ::= out
+        out
+      }
+      v match {
+        case u: UInt1Vector =>
+          val out = new SmallIntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, (u.get(i) & 0xff).toShort))
+        case u: UInt2Vector =>
+          val out = new IntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, u.get(i).toInt))
+        case u: UInt4Vector =>
+          val out = new BigIntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, u.get(i) & 0xffffffffL))
+        case u: UInt8Vector =>
+          val out = new DecimalVector(v.getName, allocator, 20, 0)
+          fill(out)(i => out.setSafe(i,
+            new java.math.BigDecimal(java.lang.Long.toUnsignedString(u.get(i)))))
+        case other => other
+      }
+    }
+
     def next(): Boolean =
       if (reader.loadNextBatch()) {
         decoded.foreach(_.close())
@@ -233,7 +268,7 @@ object ArrowCodec {
               decoded ::= dv
               dv
             }
-          new ArrowColumnVector(plain)
+          new ArrowColumnVector(widenUnsigned(plain))
         }.toArray[org.apache.spark.sql.vectorized.ColumnVector]
         current = new ColumnarBatch(cols, root.getRowCount)
         true

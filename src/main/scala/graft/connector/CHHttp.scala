@@ -43,11 +43,26 @@ object CHHttp {
   /** INSERT: IPC bytes produced by `body` stream out as the request body
     * (single deferred flush, like `client/internal.rs:482-535`). */
   def insertArrow(url: String, insertSql: String, body: java.io.OutputStream => Unit): Unit = {
+    val conn = openInsert(url, insertSql)
+    val out = conn.getOutputStream
+    try body(out) finally out.close()
+    finishInsert(conn, insertSql)
+  }
+
+  /** Open a chunked INSERT connection whose request `OutputStream` the
+    * caller writes incrementally — nothing buffers beyond the 1 MiB chunk,
+    * so an arbitrarily large partition streams through constant memory.
+    * Close the stream, then call [[finishInsert]].
+    */
+  def openInsert(url: String, insertSql: String): HttpURLConnection = {
     val conn = open(url, s"$insertSql FORMAT ArrowStream")
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(1 << 20)
-    val out = conn.getOutputStream
-    try body(out) finally out.close()
+    conn
+  }
+
+  /** Complete an [[openInsert]] request: check the response status. */
+  def finishInsert(conn: HttpURLConnection, insertSql: String): Unit = {
     failIfError(conn, insertSql)
     conn.getInputStream.close()
   }

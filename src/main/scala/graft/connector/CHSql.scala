@@ -22,22 +22,40 @@ object CHSql {
   def stringLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-  def lit(v: Any): String = v match {
-    case null => "NULL"
-    case s: String => stringLit(s)
-    case s: org.apache.spark.unsafe.types.UTF8String => stringLit(s.toString)
-    case b: Boolean => if (b) "1" else "0"
-    case d: java.sql.Date => s"toDate(${stringLit(d.toString)})"
-    case d: java.time.LocalDate => s"toDate(${stringLit(d.toString)})"
+  // ISO-8601 'T' form: ClickHouse's DateTime64 text parser accepts it,
+  // and unlike LocalDateTime.toString it never drops trailing zero parts
+  private val ntzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
+
+  /** Literal for a filter value, or None when the value type has no known
+    * server-side text form. The None path matters: an unknown type must
+    * make `compileFilter` return None (a Spark-side residual) rather than
+    * emit `toString` garbage the server would reject — a pushed filter has
+    * no residual fallback.
+    */
+  def litOpt(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case s: String => Some(stringLit(s))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(stringLit(s.toString))
+    case b: Boolean => Some(if (b) "1" else "0")
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double =>
+      Some(v.toString)
+    case d: java.sql.Date => Some(s"toDate(${stringLit(d.toString)})")
+    case d: java.time.LocalDate => Some(s"toDate(${stringLit(d.toString)})")
     case t: java.sql.Timestamp =>
-      s"toDateTime64(${stringLit(t.toInstant.toString.stripSuffix("Z"))}, 6)"
+      Some(s"toDateTime64(${stringLit(t.toInstant.toString.stripSuffix("Z"))}, 6)")
     case t: java.time.Instant =>
-      s"toDateTime64(${stringLit(t.toString.stripSuffix("Z"))}, 6)"
-    case b: Array[Byte] => "unhex(" + stringLit(b.map("%02x".format(_)).mkString) + ")"
-    case n: java.math.BigDecimal => n.toPlainString
-    case n: BigDecimal => n.underlying.toPlainString
-    case other => other.toString // numeric types
+      Some(s"toDateTime64(${stringLit(t.toString.stripSuffix("Z"))}, 6)")
+    case t: java.time.LocalDateTime => // TimestampNTZ filter values: wall clock, no zone
+      Some(s"toDateTime64(${stringLit(ntzFmt.format(t))}, 6)")
+    case b: Array[Byte] => Some("unhex(" + stringLit(b.map("%02x".format(_)).mkString) + ")")
+    case n: java.math.BigDecimal => Some(n.toPlainString)
+    case n: BigDecimal => Some(n.underlying.toPlainString)
+    case _ => None
   }
+
+  def lit(v: Any): String = litOpt(v).getOrElse(
+    throw new IllegalArgumentException(s"no ClickHouse literal form for ${v.getClass.getName}"))
 
   /** LIKE-pattern escape for startsWith/endsWith/contains pushdown. */
   private def likeLit(fragment: String, prefix: String, suffix: String): String =
@@ -46,14 +64,17 @@ object CHSql {
   /** Compile one Spark filter to a CH WHERE fragment; None = not
     * pushable (stays a Spark-side residual only). */
   def compileFilter(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => Some(s"${ident(a)} = ${lit(v)}")
+    case EqualTo(a, v) => litOpt(v).map(l => s"${ident(a)} = $l")
     case EqualNullSafe(a, null) => Some(s"${ident(a)} IS NULL")
-    case EqualNullSafe(a, v) => Some(s"${ident(a)} IS NOT NULL AND ${ident(a)} = ${lit(v)}")
-    case GreaterThan(a, v) => Some(s"${ident(a)} > ${lit(v)}")
-    case GreaterThanOrEqual(a, v) => Some(s"${ident(a)} >= ${lit(v)}")
-    case LessThan(a, v) => Some(s"${ident(a)} < ${lit(v)}")
-    case LessThanOrEqual(a, v) => Some(s"${ident(a)} <= ${lit(v)}")
-    case In(a, vs) if vs.nonEmpty => Some(s"${ident(a)} IN (${vs.map(lit).mkString(", ")})")
+    case EqualNullSafe(a, v) => litOpt(v).map(l => s"${ident(a)} IS NOT NULL AND ${ident(a)} = $l")
+    case GreaterThan(a, v) => litOpt(v).map(l => s"${ident(a)} > $l")
+    case GreaterThanOrEqual(a, v) => litOpt(v).map(l => s"${ident(a)} >= $l")
+    case LessThan(a, v) => litOpt(v).map(l => s"${ident(a)} < $l")
+    case LessThanOrEqual(a, v) => litOpt(v).map(l => s"${ident(a)} <= $l")
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.map(litOpt)
+      if (ls.exists(_.isEmpty)) None
+      else Some(s"${ident(a)} IN (${ls.map(_.get).mkString(", ")})")
     case IsNull(a) => Some(s"${ident(a)} IS NULL")
     case IsNotNull(a) => Some(s"${ident(a)} IS NOT NULL")
     case StringStartsWith(a, v) => Some(s"${ident(a)} LIKE ${likeLit(v, "", "%")}")

@@ -306,20 +306,30 @@ final class CHWriteBuilder(
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      if (truncateFirst) {
-        CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
-      }
-      new CHBatchWrite(schema, url, table, database, maxRows)
-    }
+    override def toBatch: BatchWrite =
+      new CHBatchWrite(schema, url, table, database, maxRows, truncateFirst)
   }
 }
 
+/** `truncateFirst` (mode("overwrite")) runs TRUNCATE in
+  * `createBatchWriterFactory` — after the job is actually launching, not
+  * at plan build, so a plan-time failure never empties the table. The
+  * remaining window is inherent to the streaming-insert design: writers
+  * insert during tasks, so a mid-job failure leaves the table truncated
+  * with partial data and `abort()` cannot restore it (full atomicity
+  * would need a server-side staging table + EXCHANGE TABLES swap, which
+  * the reference's own overwrite path doesn't provide either).
+  */
 final class CHBatchWrite(
-    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    schema: StructType, url: String, table: String, database: Option[String],
+    maxRows: Int, truncateFirst: Boolean)
     extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncateFirst) {
+      CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
+    }
     new CHWriterFactory(schema, url, table, database, maxRows)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -330,32 +340,59 @@ final class CHWriterFactory(
     schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CHDataWriter(schema, url, table, database, maxRows)
+    new CHDataWriter(schema, url, table, database, maxRows, partitionId)
 }
 
 /** Per-partition insert writer (A8): rows buffer into Arrow batches of
-  * `maxRows` (A9 splitter) fully in memory, then ship as ONE HTTP POST at
-  * commit — the deferred single flush of `internal.rs:482-535`. Executors
-  * write in parallel, one insert stream per partition.
+  * `maxRows` (A9 splitter) and each finished batch streams straight into
+  * the chunked HTTP request body — one POST per partition, opened at the
+  * first row, completed (and status-checked) in `commit()`. Constant
+  * memory: at most one Arrow batch + the 1 MiB HTTP chunk buffer on the
+  * heap, however large the partition (the round-2 version buffered the
+  * whole partition's IPC bytes and would OOM / overflow >2 GB at the
+  * 100-TB design point). Executors write in parallel, one insert stream
+  * per partition. An empty partition never opens a connection — except
+  * partition 0, whose commit sends a schema-only insert so an empty
+  * append still reaches (and is validated by) the server exactly once,
+  * like the reference's empty insert block.
   */
 final class CHDataWriter(
-    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    schema: StructType, url: String, table: String, database: Option[String],
+    maxRows: Int, partitionId: Int)
     extends DataWriter[InternalRow] {
 
-  private val buffer = new java.io.ByteArrayOutputStream()
-  private val encoder = new ArrowCodec.Encoder(schema, maxRows, buffer)
+  private val insertSql = {
+    val cols = schema.fields.map(f => CHSql.ident(f.name)).mkString(", ")
+    s"INSERT INTO ${CHSql.tableRef(table, database)} ($cols)"
+  }
+  private var conn: java.net.HttpURLConnection = _
+  private var out: java.io.OutputStream = _
+  private var encoder: ArrowCodec.Encoder = _
   private var count = 0L
 
-  override def write(row: InternalRow): Unit = { encoder.write(row); count += 1 }
+  override def write(row: InternalRow): Unit = {
+    if (encoder == null) {
+      conn = CHHttp.openInsert(url, insertSql)
+      out = conn.getOutputStream
+      encoder = new ArrowCodec.Encoder(schema, maxRows, out)
+    }
+    encoder.write(row)
+    count += 1
+  }
 
   override def commit(): WriterCommitMessage = {
-    encoder.finish()
-    val cols = schema.fields.map(f => CHSql.ident(f.name)).mkString(", ")
-    val sql = s"INSERT INTO ${CHSql.tableRef(table, database)} ($cols)"
-    CHHttp.insertArrow(url, sql, out => buffer.writeTo(out))
+    if (encoder != null) {
+      encoder.finish()
+      out.close()
+      CHHttp.finishInsert(conn, insertSql)
+      encoder = null
+    } else if (partitionId == 0) {
+      CHHttp.insertArrow(url, insertSql,
+        o => { val e = new ArrowCodec.Encoder(schema, maxRows, o); e.finish() })
+    }
     CHCommit(count)
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit = if (conn != null) conn.disconnect()
   override def close(): Unit = ()
 }

@@ -131,7 +131,7 @@ private[connector] object StubWhere {
     private def norm(lit: Any, idx: Int): Any = (lit, schema.fields(idx).dataType) match {
       case (null, _) => null
       case (d: Long, DateType) => BigDecimal(d) // toDate days
-      case (m: Long, TimestampType) => BigDecimal(m) // toDateTime64 micros
+      case (m: Long, TimestampType | TimestampNTZType) => BigDecimal(m) // toDateTime64 micros
       case (n: BigDecimal, _) => n
       case (str: String, StringType) => str
       case (b: Seq[_], BinaryType) => b

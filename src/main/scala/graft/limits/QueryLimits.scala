@@ -40,11 +40,15 @@ object Limited {
       case Some(cap) =>
         val capInt =
           if (cap >= Int.MaxValue.toLong) Int.MaxValue - 1 else cap.toInt
-        // single pass over the input: materialize cap+1 rows once (cached —
-        // at most cap+1 rows of executor memory), count them to learn
-        // whether we truncated, and serve the returned frame from that
-        // cache. The input itself is never scanned twice.
-        val probeDf = df.limit(capInt + 1).cache()
+        // single pass over the input: eagerly materialize cap+1 rows once
+        // (localCheckpoint cuts the lineage — at most cap+1 rows of
+        // executor storage), count the materialized rows to learn whether
+        // we truncated, and serve the returned frame from the checkpoint.
+        // Unlike cache(), checkpoint blocks are released by the
+        // ContextCleaner as soon as the returned frame is unreferenced —
+        // repeated capped calls in a long-lived session don't accumulate
+        // pinned storage. The input itself is never scanned twice.
+        val probeDf = df.limit(capInt + 1).localCheckpoint()
         val probe = probeDf.count()
         val truncated = probe > capInt
         val reason =

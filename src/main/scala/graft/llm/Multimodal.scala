@@ -148,16 +148,29 @@ object Multimodal extends QueryRegistry {
              |WHERE range < 1 + doc_id % 4""".stripMargin)),
 
     // ---- feature extraction (stub model, real byte-level plumbing) ----
+    // The declared query flattens the 8-dim vector to scalar columns: the
+    // driver's oracle canonicalizer sorts rows by value and cannot order an
+    // array cell (round-2 x_mm_features error), and scalars hash identically.
     QueryDef(
       "x_mm_features",
-      (s, d) => extractFeatures(mediaTable(t(s, d, "documents"))).toDF(),
-      Some("""SELECT doc_id,
-             |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-             |  list_transform(range(8), j ->
-             |    CAST(coalesce(list_sum(list_transform(range(length(text)), i ->
-             |      CASE WHEN i % 8 = j THEN ascii(text[i+1]) ELSE 0 END)), 0) % 997 AS BIGINT)
-             |  ) AS features
-             |FROM documents""".stripMargin)),
+      (s, d) => {
+        val feats = extractFeatures(mediaTable(t(s, d, "documents"))).toDF()
+        val dims = (0 until 8).map(j => feats.col("features")(j).as(s"f$j"))
+        feats.select(col("doc_id") +: col("media_type") +: dims: _*)
+      },
+      Some("""WITH feat AS (
+             |  SELECT doc_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+             |    list_transform(range(8), j ->
+             |      CAST(coalesce(list_sum(list_transform(range(length(text)), i ->
+             |        CASE WHEN i % 8 = j THEN ascii(text[i+1]) ELSE 0 END)), 0) % 997 AS BIGINT)
+             |    ) AS features
+             |  FROM documents)
+             |SELECT doc_id, media_type,
+             |  features[1] AS f0, features[2] AS f1, features[3] AS f2,
+             |  features[4] AS f3, features[5] AS f4, features[6] AS f5,
+             |  features[7] AS f6, features[8] AS f7
+             |FROM feat""".stripMargin)),
 
     // ---- resize-to-fit (stub scaler, integer-exact) ----
     QueryDef(

@@ -44,6 +44,44 @@ class ArrowCodecSpec extends SparkSpec {
     assert(rows.map(_.getUTF8String(0).toString) === Seq("low", "high", "low", "high", "high"))
   }
 
+  test("unsigned Arrow ints (CH UInt8/16/32/64 wire form) widen to signed vectors in the scan path") {
+    import org.apache.arrow.vector.{UInt1Vector, UInt2Vector, UInt4Vector, UInt8Vector}
+    val allocator = ArrowCodec.rootAllocator.newChildAllocator("uint-test", 0, Long.MaxValue)
+    def uintField(name: String, bits: Int) = new Field(name,
+      new FieldType(true, new ArrowType.Int(bits, false), null), java.util.List.of[Field]())
+    val f1 = uintField("u8", 8); val f2 = uintField("u16", 16)
+    val f4 = uintField("u32", 32); val f8 = uintField("u64", 64)
+    val v1 = f1.createVector(allocator).asInstanceOf[UInt1Vector]
+    val v2 = f2.createVector(allocator).asInstanceOf[UInt2Vector]
+    val v4 = f4.createVector(allocator).asInstanceOf[UInt4Vector]
+    val v8 = f8.createVector(allocator).asInstanceOf[UInt8Vector]
+    Seq(v1, v2, v4, v8).foreach(_.allocateNew())
+    // row 0: max unsigned values (the cases a signed read would corrupt); row 1: nulls; row 2: small
+    v1.setSafe(0, 255); v2.setSafe(0, 65535); v4.setSafe(0, -1 /* = 4294967295 */)
+    v8.setSafe(0, -1L /* = 18446744073709551615 */)
+    v1.setNull(1); v2.setNull(1); v4.setNull(1); v8.setNull(1)
+    v1.setSafe(2, 7); v2.setSafe(2, 7); v4.setSafe(2, 7); v8.setSafe(2, 7L)
+    Seq(v1, v2, v4, v8).foreach(_.setValueCount(3))
+    val root = new VectorSchemaRoot(
+      List(f1, f2, f4, f8).asJava, List[FieldVector](v1, v2, v4, v8).asJava, 3)
+    val bos = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, bos)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    root.close(); allocator.close()
+
+    val (schema, rows) = ArrowCodec.decode(bos.toByteArray)
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, ShortType}
+    assert(schema.fields.map(_.dataType).toSeq ===
+      Seq(ShortType, IntegerType, LongType, DecimalType(20, 0)))
+    assert(rows(0).getShort(0) === 255.toShort)
+    assert(rows(0).getInt(1) === 65535)
+    assert(rows(0).getLong(2) === 4294967295L)
+    assert(rows(0).getDecimal(3, 20, 0).toString === "18446744073709551615")
+    assert((0 until 4).forall(rows(1).isNullAt))
+    assert(rows(2).getShort(0) === 7.toShort && rows(2).getInt(1) === 7 &&
+      rows(2).getLong(2) === 7L && rows(2).getDecimal(3, 20, 0).toString === "7")
+  }
+
   test("empty stream (schema only) decodes to zero rows") {
     val spark0 = spark // touch the session so codec allocators initialize consistently
     val schema = StructType(Seq(StructField("x", StringType)))

@@ -58,6 +58,25 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("TimestampNTZ filter pushes as a toDateTime64 literal and filters server-side") {
+    val srv = freshServer()
+    try {
+      val df = Seq(
+        (1L, java.time.LocalDateTime.parse("2024-05-17T10:30:00.123456")),
+        (2L, java.time.LocalDateTime.parse("2024-05-17T11:00:00")),
+        (3L, java.time.LocalDateTime.parse("2024-05-18T00:00:00")))
+        .toDF("id", "ntz")
+      df.write.format("graft-ch").option("url", srv.url).option("table", "tntz")
+        .mode("append").save()
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "tntz")
+        .load()
+        .filter(col("ntz") > lit(java.time.LocalDateTime.parse("2024-05-17T10:45:00")))
+      assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+      // the filter really reached the server as SQL (not a Spark residual)
+      assert(srv.queries.exists(q => q.contains("`ntz` > toDateTime64(")))
+    } finally srv.stop()
+  }
+
   test("filter, projection and limit are pushed into the generated SQL") {
     val srv = freshServer()
     try {
