@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     operators.ChExtras,
+    operators.Analytics,
     operators.Subqueries,
     functions.Functions,
     functions.ValueQueries,

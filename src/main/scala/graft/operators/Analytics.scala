@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse behavioral-analytics aggregates — `windowFunnel`,
+  * `retention`, `sequenceMatch`, `topK` — the parametric-aggregate
+  * surface a reference user reaches through SQL passthrough
+  * (`clickhouse-arrow/src/client.rs:643`; the types ride
+  * `Type::AggregateFunction`, `src/native/types.rs:120-126`).
+  *
+  * Scale design: every operator here is one shuffle on `user_id` (high
+  * cardinality — 100-TB safe, no low-cardinality partition keys).
+  * `retention` is a plain partial+final hash aggregate. The funnel /
+  * sequence state machines run in a typed `mapGroups` kernel (plain JIT'd
+  * Scala — no interpreted HOF tax): events are pre-filtered map-side to
+  * the step-relevant subset BEFORE the shuffle, so per-group state is
+  * bounded by one user's step events, the same per-key working set
+  * ClickHouse's own windowFunnel holds.
+  */
+object Analytics extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Funnel state machine shared by windowFunnel and sequenceMatch.
+    * Semantics (= CH `windowFunnel(window)(ts, c1..cL)` default mode):
+    * the max level L' such that events matching steps 1..L' occur at
+    * strictly increasing timestamps with (t_L' - t_1) <= windowMicros.
+    * Greedy earliest-next per chain start is optimal for a fixed start
+    * (exchange argument), so scanning all step-1 starts is exact.
+    */
+  private[operators] object FunnelKernel extends Serializable {
+    def level(steps: Array[Array[Long]], windowMicros: Long): Int = {
+      if (steps.isEmpty || steps(0).isEmpty) return 0
+      var best = 1
+      val starts = steps(0)
+      var s = 0
+      while (s < starts.length && best < steps.length) {
+        val t1 = starts(s)
+        val limit = if (windowMicros == Long.MaxValue) Long.MaxValue
+                    else t1 + windowMicros
+        var cur = t1
+        var lvl = 1
+        var l = 1
+        while (l < steps.length) {
+          // smallest time in step l that is > cur and <= limit
+          val arr = steps(l)
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid) <= cur) lo = mid + 1 else hi = mid
+          }
+          if (lo < arr.length && arr(lo) <= limit) { cur = arr(lo); lvl += 1; l += 1 }
+          else l = steps.length
+        }
+        if (lvl > best) best = lvl
+        s += 1
+      }
+      best
+    }
+  }
+
+  /** Per-user funnel level over `stepTypes` within `windowMicros` of the
+    * chain start. Output: (user_id, funnel_level) for every user with at
+    * least one step-relevant event.
+    */
+  def windowFunnel(events: DataFrame, stepTypes: Seq[String], windowMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    val stepIdx = stepTypes.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (tpe, i)) =>
+        when(col("event_type") === tpe, lit(i)).otherwise(acc)
+      }
+    val nSteps = stepTypes.length
+    val typed = events
+      .filter(col("event_type").isInCollection(stepTypes)) // map-side prune, pre-shuffle
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), stepIdx.cast("int"))
+      .as[(Long, Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt))
+    typed.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (uid, it) =>
+        val byStep = Array.fill(nSteps)(scala.collection.mutable.ArrayBuffer.empty[Long])
+        it.foreach { case (_, us, step) => byStep(step) += us }
+        val sorted = byStep.map { b => val a = b.toArray; java.util.Arrays.sort(a); a }
+        (uid, FunnelKernel.level(sorted, windowMicros))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+      .toDF("user_id", "funnel_level")
+  }
+
+  /** CH `retention(c1, .., cN)`: per user, r1 = saw c1; r_i = saw c1 AND
+    * c_i. One partial+final hash aggregate, scalar flags (no array output
+    * so the oracle canonicalizer can sort rows).
+    */
+  def retention(events: DataFrame, conds: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val saw = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1).otherwise(0)).as(s"saw_$i")
+    }
+    val flags = events.groupBy(col("user_id")).agg(saw.head, saw.tail: _*)
+    val r = (0 until conds.length).map { i =>
+      if (i == 0) col("saw_0").as("r1")
+      else (col("saw_0") * col(s"saw_$i")).as(s"r${i + 1}")
+    }
+    flags.select(col("user_id") +: r: _*)
+  }
+
+  private val HourUs = 3600L * 1000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- windowFunnel: view -> click -> purchase within 1 h ----
+    QueryDef(
+      "b_fun1_window_funnel",
+      (s, d) => windowFunnel(
+        t(s, d, "events"), Seq("view", "click", "purchase"), HourUs),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+             |  WHERE event_type IN ('view','click','purchase')),
+             |l2 AS (
+             |  SELECT DISTINCT a.user_id FROM e a JOIN e b
+             |    ON b.user_id = a.user_id AND b.us > a.us AND b.us <= a.us + 3600000000
+             |  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+             |l3 AS (
+             |  SELECT DISTINCT a.user_id FROM e a
+             |  JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click' AND b.us > a.us
+             |  JOIN e c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+             |    AND c.us > b.us AND c.us <= a.us + 3600000000
+             |  WHERE a.event_type = 'view'),
+             |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view')
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+             |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+             |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+             |            ELSE 0 END AS INT) AS funnel_level
+             |FROM (SELECT DISTINCT user_id FROM e) u""".stripMargin)),
+
+    // ---- retention: signup, then view / then purchase ----
+    QueryDef(
+      "b_fun2_retention",
+      (s, d) => retention(
+        t(s, d, "events"),
+        Seq(col("event_type") === "signup",
+          col("event_type") === "view",
+          col("event_type") === "purchase")),
+      Some("""SELECT user_id,
+             |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS r1,
+             |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |     * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS r2,
+             |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |     * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r3
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ---- sequenceMatch('(?1).*(?2).*(?3)'): ordered subsequence, no window ----
+    QueryDef(
+      "b_fun3_sequence_match",
+      (s, d) => windowFunnel(
+        t(s, d, "events"), Seq("signup", "click", "purchase"), Long.MaxValue)
+        .select(col("user_id"),
+          (col("funnel_level") === 3).cast("int").as("matched")),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+             |  WHERE event_type IN ('signup','click','purchase')),
+             |m AS (
+             |  SELECT DISTINCT a.user_id FROM e a
+             |  JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click' AND b.us > a.us
+             |  JOIN e c ON c.user_id = a.user_id AND c.event_type = 'purchase' AND c.us > b.us
+             |  WHERE a.event_type = 'signup')
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM m) THEN 1 ELSE 0 END AS INT) AS matched
+             |FROM (SELECT DISTINCT user_id FROM e) u""".stripMargin)),
+
+    // ---- topK: SpaceSaving approximate heavy hitters (exact here:
+    // capacity 64 >= 25 brands, so the oracle compares exact counts; the
+    // bounded-error regime is asserted in ApproxTopKSpec) ----
+    QueryDef(
+      "b_agg12_approx_topk",
+      (s, d) => {
+        val brands = t(s, d, "part").select(col("p_brand"))
+          .as[String](Encoders.STRING)
+        brands
+          .select(graft.functions.ApproxTopK.topK(10, 64).toColumn.name("topk"))
+          .select(explode(col("topk")).as("kv"))
+          .select(col("kv.value").as("value"), col("kv.cnt").as("cnt"))
+      },
+      Some("""SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS cnt
+             |FROM part GROUP BY p_brand
+             |ORDER BY cnt DESC, value LIMIT 10""".stripMargin))
+  )
+}

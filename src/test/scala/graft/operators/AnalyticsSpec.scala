@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def level(steps: Array[Array[Long]], w: Long): Int =
+    Analytics.FunnelKernel.level(steps, w)
+
+  test("funnel kernel: exact level semantics") {
+    // no step-1 event -> 0 even when later steps exist
+    assert(level(Array(Array[Long](), Array(5L)), 100L) === 0)
+    // only step 1
+    assert(level(Array(Array(1L), Array[Long]()), 100L) === 1)
+    // full chain inside window
+    assert(level(Array(Array(1L), Array(2L), Array(3L)), 10L) === 3)
+    // chain breaks the window anchored at the chain START
+    assert(level(Array(Array(1L), Array(5L), Array(20L)), 10L) === 2)
+    // a LATER chain start rescues the full chain
+    assert(level(Array(Array(1L, 14L), Array(5L, 15L), Array(20L)), 10L) === 3)
+    // strictly increasing: equal timestamps do not advance
+    assert(level(Array(Array(7L), Array(7L)), 10L) === 1)
+    // greedy earliest-next: taking the early step-2 must not block step-3
+    assert(level(Array(Array(0L), Array(2L, 4L), Array(3L)), 10L) === 3)
+    // unbounded window (sequenceMatch mode) never overflows
+    assert(level(Array(Array(Long.MaxValue - 5), Array(Long.MaxValue - 1)), Long.MaxValue) === 2)
+  }
+
+  test("windowFunnel over a DataFrame groups per user and prunes non-step events") {
+    val ev = Seq(
+      (1L, 1000L, "view"), (1L, 2000L, "click"), (1L, 3000L, "purchase"),
+      (2L, 1000L, "view"), (2L, 2000L, "error"), // error is not a step
+      (3L, 1000L, "click") // no chain start
+    ).toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Analytics.windowFunnel(ev, Seq("view", "click", "purchase"), 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+}
