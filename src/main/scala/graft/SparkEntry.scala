@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.ChExtras,
     operators.Analytics,
+    operators.Reshape,
     operators.Subqueries,
     functions.Functions,
     functions.ValueQueries,

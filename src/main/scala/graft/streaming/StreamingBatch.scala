@@ -68,6 +68,44 @@ object StreamingBatch extends QueryRegistry {
     QueryDef(
       "b_str5_dedup",
       (s, d) => Streams.dedup(t(s, d, "events")),
-      Some("SELECT DISTINCT user_id, event_type FROM events"))
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // ---- custom-state sessionization, batch anchor ----
+    // Same gap rule (`t - last > gap` opens a new session) as
+    // Streams.statefulSessions; StreamingSpec asserts the
+    // flatMapGroupsWithState path emits these exact sessions. Batch form
+    // is the gaps-and-islands rewrite: one shuffle on high-cardinality
+    // user_id, two window passes, no collect.
+    QueryDef(
+      "b_str7_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 300000000L // 5 minutes
+        val w = Window.partitionBy("user_id").orderBy("us")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(w).isNull
+              || col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("sess_start"), max(col("us")).as("sess_end"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "sess_start", "sess_end", "n_events")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events
+             |), flagged AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |    OR us - lag(us) OVER w > 300000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |), sessioned AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(us) AS sess_start, max(us) AS sess_end,
+             |  count(*) AS n_events
+             |FROM sessioned GROUP BY user_id, sid""".stripMargin))
   )
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
 
 /** Structured-Streaming surface (SURVEY.md §2.2 B-STR1/4/6; the reference
   * streams result blocks with Progress events —
@@ -71,6 +71,70 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
+
+  // ---- custom stateful sessionization (flatMapGroupsWithState) ----
+
+  /** One closed session: event times in epoch microseconds. */
+  final case class Session(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization with CUSTOM state — the semantics
+    * `session_window` can't express incrementally when you need the
+    * closed session emitted exactly once with its own schema:
+    * `flatMapGroupsWithState` keyed on `user_id` holds one open session
+    * per user (constant state per key), closes it when a later event
+    * arrives past `gapMicros`, and emits the final open session when the
+    * EVENT-TIME timeout fires (watermark passes last + gap). State is
+    * bounded: one `SessState` per active user, reclaimed on timeout —
+    * the 100-TB-stream path. Batch-mode equivalence (same gap rule) is
+    * declared as the oracle-checked `b_str7_sessionize` lag/island query;
+    * StreamingSpec asserts both modes produce identical sessions.
+    */
+  def statefulSessions(events: DataFrame, gapMicros: Long, wmDelay: String): Dataset[Session] = {
+    // the watermarked ts column must stay in the projection — the
+    // analyzer rejects EventTimeTimeout if it can't see it downstream
+    val typed = events
+      .withWatermark("ts", wmDelay)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP))
+    typed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.last, s.n))
+          } else {
+            val times = it.map(_._2).toArray
+            java.util.Arrays.sort(times)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            var i = 0
+            while (i < times.length) {
+              val t = times(i)
+              cur match {
+                case null => cur = SessState(t, t, 1)
+                case SessState(st, last, n) =>
+                  if (t - last > gapMicros) {
+                    closed += Session(uid, st, last, n)
+                    cur = SessState(t, t, 1)
+                  } else cur = SessState(st, math.max(last, t), n + 1)
+              }
+              i += 1
+            }
+            if (cur != null) {
+              state.update(cur)
+              // fire once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(cur.last / 1000L + gapMicros / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }(Encoders.product[SessState], Encoders.product[Session])
+  }
 
   /** Streaming insert through the connector (the reference's streaming
     * insert loop, `src/client.rs:542` `insert_many`, as a Structured

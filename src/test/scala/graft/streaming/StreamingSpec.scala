@@ -102,6 +102,60 @@ class StreamingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("stateful sessionization: closes on gap, emits on event-time timeout, matches the batch query") {
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val gapUs = 300000000L // 5 minutes, same as b_str7_sessionize
+    val q = Streams.statefulSessions(events, gapUs, "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("session_state_stream")
+      .outputMode("append")
+      .start()
+    try {
+      // session 1 for user 1: two events 1 min apart
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L))
+      q.processAllAvailable()
+      // 20 min later: past the gap → closes session 1, opens session 2
+      input.addData((ts("2024-01-01 10:21:00"), 1L))
+      q.processAllAvailable()
+      // far-future event for another user pushes the watermark past
+      // session 2's horizon → its EventTimeTimeout fires
+      input.addData((ts("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("session_state_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L).sortBy(_._2)
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got === Seq(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:01:00"), 2L),
+        (1L, us("2024-01-01 10:21:00"), us("2024-01-01 10:21:00"), 1L)))
+
+      // batch anchor: the same events through the b_str7 gaps-and-islands
+      // rewrite produce identical sessions for user 1
+      val batchDf = Seq(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
+        (ts("2024-01-01 10:21:00"), 1L), (ts("2024-01-01 12:00:00"), 2L))
+        .toDF("ts", "user_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = batchDf
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull
+            || col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 == 1L).sortBy(_._2)
+      assert(batch === got)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("B-STR5: dropDuplicatesWithinWatermark dedups within the watermark delay") {
     val input = MemoryStream[(Timestamp, Long, String)]
     val events = input.toDF().toDF("ts", "user_id", "event_type")
