@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.{BufferAllocator, RootAllocator}
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.MapVector
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -27,26 +28,45 @@ object ArrowCodec {
 
   // ---------------------------------------------------------- schema maps
 
-  /** Spark → Arrow field mapping for the connector's supported subset. */
+  /** Spark → Arrow field mapping. Nested types recurse: `Array(T)` →
+    * Arrow List (reference `arrow/serialize/list.rs`), `Map(K,V)` → Arrow
+    * Map = List<Struct<key,value>> (`serialize/map.rs`), struct /
+    * CH Tuple → Arrow Struct (`serialize/tuple.rs`).
+    */
   def toArrowField(f: StructField): Field = {
-    val at: ArrowType = f.dataType match {
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case ByteType => new ArrowType.Int(8, true)
-      case ShortType => new ArrowType.Int(16, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case LongType => new ArrowType.Int(64, true)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case StringType => ArrowType.Utf8.INSTANCE
-      case BinaryType => ArrowType.Binary.INSTANCE
-      case DateType => new ArrowType.Date(DateUnit.DAY)
-      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
-      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
-      case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+    def flat(at: ArrowType): Field =
+      new Field(f.name, new FieldType(f.nullable, at, null), java.util.List.of[Field]())
+    f.dataType match {
+      case BooleanType => flat(ArrowType.Bool.INSTANCE)
+      case ByteType => flat(new ArrowType.Int(8, true))
+      case ShortType => flat(new ArrowType.Int(16, true))
+      case IntegerType => flat(new ArrowType.Int(32, true))
+      case LongType => flat(new ArrowType.Int(64, true))
+      case FloatType => flat(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case DoubleType => flat(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case StringType => flat(ArrowType.Utf8.INSTANCE)
+      case BinaryType => flat(ArrowType.Binary.INSTANCE)
+      case DateType => flat(new ArrowType.Date(DateUnit.DAY))
+      case TimestampType => flat(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+      case TimestampNTZType => flat(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
+      case d: DecimalType => flat(new ArrowType.Decimal(d.precision, d.scale, 128))
+      case ArrayType(et, containsNull) =>
+        new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+          java.util.List.of(toArrowField(StructField("item", et, containsNull))))
+      case st: StructType =>
+        new Field(f.name, new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(toArrowField).toList.asJava)
+      case MapType(kt, vt, valueContainsNull) =>
+        val entries = new Field(MapVector.DATA_VECTOR_NAME,
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          java.util.List.of(
+            toArrowField(StructField(MapVector.KEY_NAME, kt, nullable = false)),
+            toArrowField(StructField(MapVector.VALUE_NAME, vt, valueContainsNull))))
+        new Field(f.name, new FieldType(f.nullable, new ArrowType.Map(false), null),
+          java.util.List.of(entries))
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport $other yet")
     }
-    new Field(f.name, new FieldType(f.nullable, at, null), java.util.List.of[Field]())
   }
 
   def toArrowSchema(schema: StructType): ArrowSchema =
@@ -78,6 +98,16 @@ object ArrowCodec {
       case _: ArrowType.Date => DateType
       case t: ArrowType.Timestamp => if (t.getTimezone == null) TimestampNTZType else TimestampType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _: ArrowType.Map => // Map = List<Struct<key,value>>
+        val entries = f.getChildren.get(0)
+        val kv = entries.getChildren.asScala
+        MapType(fromArrowField(kv(0)).dataType, fromArrowField(kv(1)).dataType,
+          kv(1).isNullable)
+      case _: ArrowType.List =>
+        val elem = fromArrowField(f.getChildren.get(0))
+        ArrayType(elem.dataType, elem.nullable)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.map(fromArrowField).toSeq)
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
     }
@@ -105,32 +135,93 @@ object ArrowCodec {
     private var n = 0
     writer.start()
 
-    private def setterFor(f: StructField, j: Int, v: FieldVector): (Int, InternalRow) => Unit = {
-      val dt = f.dataType
-      (i, row) =>
-        if (row.isNullAt(j)) {
-          v match {
-            case b: BaseFixedWidthVector => b.setNull(i)
-            case b: BaseVariableWidthVector => b.setNull(i)
-            case other => other.asInstanceOf[DecimalVector].setNull(i)
+    private def setNull(v: FieldVector, i: Int): Unit = v match {
+      case b: BaseFixedWidthVector => b.setNull(i)
+      case b: BaseVariableWidthVector => b.setNull(i)
+      case l: org.apache.arrow.vector.complex.ListVector => l.setNull(i) // covers MapVector
+      case s: org.apache.arrow.vector.complex.StructVector => s.setNull(i)
+      case other => other.asInstanceOf[DecimalVector].setNull(i)
+    }
+
+    /** Recursive setter over SpecializedGetters so one code path serves
+      * top-level rows, array elements, struct fields, and map entries —
+      * the per-family dispatch of the reference's serializer modules
+      * (`arrow/serialize/{primitive,binary,list,map,tuple}.rs`).
+      * Signature: (vector index, container, ordinal in container).
+      */
+    private def valueSetter(
+        dt: DataType, v: FieldVector): (Int, org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => Unit =
+      dt match {
+        case BooleanType => (i, c, j) => v.asInstanceOf[BitVector].setSafe(i, if (c.getBoolean(j)) 1 else 0)
+        case ByteType => (i, c, j) => v.asInstanceOf[TinyIntVector].setSafe(i, c.getByte(j))
+        case ShortType => (i, c, j) => v.asInstanceOf[SmallIntVector].setSafe(i, c.getShort(j))
+        case IntegerType => (i, c, j) => v.asInstanceOf[IntVector].setSafe(i, c.getInt(j))
+        case LongType => (i, c, j) => v.asInstanceOf[BigIntVector].setSafe(i, c.getLong(j))
+        case FloatType => (i, c, j) => v.asInstanceOf[Float4Vector].setSafe(i, c.getFloat(j))
+        case DoubleType => (i, c, j) => v.asInstanceOf[Float8Vector].setSafe(i, c.getDouble(j))
+        case StringType => (i, c, j) => v.asInstanceOf[VarCharVector].setSafe(i, c.getUTF8String(j).getBytes)
+        case BinaryType => (i, c, j) => v.asInstanceOf[VarBinaryVector].setSafe(i, c.getBinary(j))
+        case DateType => (i, c, j) => v.asInstanceOf[DateDayVector].setSafe(i, c.getInt(j))
+        case TimestampType => (i, c, j) => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, c.getLong(j))
+        case TimestampNTZType => (i, c, j) => v.asInstanceOf[TimeStampMicroVector].setSafe(i, c.getLong(j))
+        case d: DecimalType => (i, c, j) =>
+          v.asInstanceOf[DecimalVector].setSafe(i, c.getDecimal(j, d.precision, d.scale).toJavaBigDecimal)
+        case ArrayType(et, _) =>
+          val lv = v.asInstanceOf[org.apache.arrow.vector.complex.ListVector]
+          val elem = valueSetter(et, lv.getDataVector.asInstanceOf[FieldVector])
+          (i, c, j) => {
+            val arr = c.getArray(j)
+            val off = lv.startNewValue(i)
+            var k = 0
+            while (k < arr.numElements()) {
+              if (arr.isNullAt(k)) setNull(lv.getDataVector.asInstanceOf[FieldVector], off + k)
+              else elem(off + k, arr, k)
+              k += 1
+            }
+            lv.endValue(i, arr.numElements())
           }
-        } else dt match {
-          case BooleanType => v.asInstanceOf[BitVector].setSafe(i, if (row.getBoolean(j)) 1 else 0)
-          case ByteType => v.asInstanceOf[TinyIntVector].setSafe(i, row.getByte(j))
-          case ShortType => v.asInstanceOf[SmallIntVector].setSafe(i, row.getShort(j))
-          case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(j))
-          case LongType => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(j))
-          case FloatType => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(j))
-          case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(j))
-          case StringType => v.asInstanceOf[VarCharVector].setSafe(i, row.getUTF8String(j).getBytes)
-          case BinaryType => v.asInstanceOf[VarBinaryVector].setSafe(i, row.getBinary(j))
-          case DateType => v.asInstanceOf[DateDayVector].setSafe(i, row.getInt(j))
-          case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, row.getLong(j))
-          case TimestampNTZType => v.asInstanceOf[TimeStampMicroVector].setSafe(i, row.getLong(j))
-          case d: DecimalType =>
-            v.asInstanceOf[DecimalVector].setSafe(i, row.getDecimal(j, d.precision, d.scale).toJavaBigDecimal)
-          case other => throw new UnsupportedOperationException(other.toString)
-        }
+        case st: StructType =>
+          val sv = v.asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+          val children = st.fields.zipWithIndex.map { case (f, k) =>
+            val child = sv.getChildByOrdinal(k).asInstanceOf[FieldVector]
+            (valueSetter(f.dataType, child), child)
+          }
+          (i, c, j) => {
+            val row = c.getStruct(j, st.size)
+            sv.setIndexDefined(i)
+            var k = 0
+            while (k < children.length) {
+              val (set, child) = children(k)
+              if (row.isNullAt(k)) setNull(child, i) else set(i, row, k)
+              k += 1
+            }
+          }
+        case MapType(kt, vt, _) =>
+          val mv = v.asInstanceOf[MapVector]
+          val entries = mv.getDataVector.asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+          val keyChild = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+          val valChild = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+          val keySet = valueSetter(kt, keyChild)
+          val valSet = valueSetter(vt, valChild)
+          (i, c, j) => {
+            val m = c.getMap(j)
+            val keys = m.keyArray(); val vals = m.valueArray()
+            val off = mv.startNewValue(i)
+            var k = 0
+            while (k < m.numElements()) {
+              entries.setIndexDefined(off + k)
+              keySet(off + k, keys, k)
+              if (vals.isNullAt(k)) setNull(valChild, off + k) else valSet(off + k, vals, k)
+              k += 1
+            }
+            mv.endValue(i, m.numElements())
+          }
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+
+    private def setterFor(f: StructField, j: Int, v: FieldVector): (Int, InternalRow) => Unit = {
+      val set = valueSetter(f.dataType, v)
+      (i, row) => if (row.isNullAt(j)) setNull(v, i) else set(i, row, j)
     }
 
     def write(row: InternalRow): Unit = {
@@ -181,8 +272,12 @@ object ArrowCodec {
     val br = new BatchReader(new ByteArrayInputStream(bytes))
     try {
       val schema = br.sparkSchema
+      // materialize through an UnsafeProjection, not ColumnarBatchRow.copy:
+      // the latter's primitive-array fast path reads null list elements
+      // without an isNullAt check and Arrow then throws
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
       val out = Seq.newBuilder[InternalRow]
-      while (br.next()) br.get().rowIterator().asScala.foreach(r => out += r.copy())
+      while (br.next()) br.get().rowIterator().asScala.foreach(r => out += proj(r).copy())
       (schema, out.result())
     } finally br.close()
   }

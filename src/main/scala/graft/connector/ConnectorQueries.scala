@@ -66,6 +66,31 @@ object ConnectorQueries extends QueryRegistry {
     QueryDef(
       "b_snk1_insert_roundtrip",
       (s, d) => insertRoundTrip(s, d),
-      Some("SELECT * FROM supplier"))
+      Some("SELECT * FROM supplier")),
+
+    // ---- nested transport: Array(Float32) through insert + scan ----
+    // The embeddings fixture rides the connector both ways (A3 list
+    // serialize → A2 list decode); output scalarizes the vector (dim +
+    // element sum, double-accumulated in element order on both engines)
+    // because the oracle harness can't sort rows on an array cell.
+    QueryDef(
+      "b_src6_connector_array",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        val tbl = s"embeddings_rt_${writeSeq.incrementAndGet()}"
+        Tables.t(s, d, "embeddings").write.format("graft-ch")
+          .option("url", srv.url).option("table", tbl)
+          .mode("append").save()
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", tbl)
+          .load()
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4)
+              .as("vsum"))
+      },
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+             |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum
+             |FROM embeddings""".stripMargin))
   )
 }

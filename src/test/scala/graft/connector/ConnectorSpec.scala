@@ -58,6 +58,41 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("nested types round-trip: Array(T), Map(K,V), Tuple/Struct, with nulls at every level") {
+    val srv = freshServer()
+    try {
+      val df = Seq(
+        (1L, Seq(1.5f, 2.5f, 3.5f), Map("a" -> 1L, "b" -> 2L), ("x", 10)),
+        (2L, Seq.empty[Float], Map.empty[String, Long], ("y", 20)),
+        (3L, Seq(-0.25f), Map("c" -> 3L), ("z", 30)))
+        .toDF("id", "arr", "m", "tup")
+        // null list / null map / null struct / null array element
+        .unionByName(
+          Seq(4L).toDF("id")
+            .withColumn("arr", lit(null).cast("array<float>"))
+            .withColumn("m", lit(null).cast("map<string,bigint>"))
+            .withColumn("tup", lit(null).cast("struct<_1:string,_2:int>")))
+        .unionByName(
+          Seq(5L).toDF("id")
+            .withColumn("arr", array(lit(9.5f), lit(null).cast("float")))
+            .withColumn("m", map(lit("k"), lit(null).cast("bigint")))
+            .withColumn("tup", struct(lit(null).cast("string").as("_1"), lit(7).as("_2"))))
+
+      df.write.format("graft-ch").option("url", srv.url).option("table", "tnest")
+        .mode("append").save()
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "tnest").load()
+
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        df.schema.map(f => (f.name, f.dataType)))
+      val norm = (rows: Array[org.apache.spark.sql.Row]) => rows.map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case m: Map[_, _] => m.toList.sortBy(_._1.toString)
+        case x => x
+      })
+      assert(norm(back.orderBy("id").collect()) === norm(df.orderBy("id").collect()))
+    } finally srv.stop()
+  }
+
   test("TimestampNTZ filter pushes as a toDateTime64 literal and filters server-side") {
     val srv = freshServer()
     try {
