@@ -254,7 +254,70 @@ object Dedup extends QueryRegistry {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over the undirected near-dup pair graph by
+    * iterative min-label propagation: every round each node adopts the
+    * minimum label among itself and its neighbors (one join + one
+    * groupBy shuffle per round), converging in O(graph diameter) rounds.
+    * Near-dup graphs are unions of small dense clusters, so the diameter
+    * — and the round count — is tiny in practice; `maxIter` bounds the
+    * pathological chain case. `localCheckpoint` cuts the lineage every
+    * round (an iterative plan otherwise grows unboundedly), and the
+    * per-round convergence count reads the just-materialized checkpoint,
+    * not the input. Returns (id, cluster = min doc_id reachable).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .select(col("src"), col("label"))
+        .groupBy("src").agg(min("label").as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
+          col("label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") < col("label")).count()
+      labels = next.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Dedup keep-list: every document not in any dup pair, plus one
+    * representative (the min doc_id) per connected component.
+    */
+  def clusterKeepers(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, docs("doc_id") === clusters("id"), "left")
+      .filter(col("id").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id"))
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Shared oracle CTE prefix: the exact n-gram pair graph + recursive
+    * reachability closure (DuckDB computes the same components our
+    * label propagation converges to). */
+  private val ccOracleCtes =
+    """WITH RECURSIVE docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+      |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |  ELSE [] END)) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+      |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da a, db b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |  WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT a AS id, a AS r FROM edges
+      |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -295,6 +358,23 @@ object Dedup extends QueryRegistry {
     QueryDef(
       "x_dedup_simhash",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
-      None)
+      None),
+
+    // ---- connected components over the near-dup pair graph ----
+    QueryDef(
+      "x_dedup_cc_clusters",
+      (s, d) => connectedComponents(ngramJaccardPairs(t(s, d, "documents"), 0.5)),
+      Some(s"""$ccOracleCtes
+             |SELECT id, cluster FROM cc""".stripMargin)),
+
+    // ---- dedup keep-list: untouched docs + one representative/cluster ----
+    QueryDef(
+      "x_dedup_cc_keepers",
+      (s, d) => clusterKeepers(
+        t(s, d, "documents"),
+        connectedComponents(ngramJaccardPairs(t(s, d, "documents"), 0.5))),
+      Some(s"""$ccOracleCtes
+             |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |WHERE cc.id IS NULL OR cc.cluster = d.doc_id""".stripMargin))
   )
 }

@@ -48,4 +48,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs1.map(_.getSeq[Long](1).size).forall(_ === 32))
     assert(sigs1.map(_.toString).sorted.sameElements(sigs2.map(_.toString).sorted))
   }
+
+  test("connected components: chain, triangle, isolated pair, and keepers") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+
+    val docs = (1L to 4L) ++ Seq(10L, 11L, 12L, 20L, 21L, 99L) // 99 untouched
+    val keep = Dedup.clusterKeepers(docs.toDF("doc_id"), Dedup.connectedComponents(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(keep === Set(1L, 10L, 20L, 99L))
+  }
 }
