@@ -33,45 +33,64 @@ object ApproxTopK {
   /** counters: value → (estimated count, max overestimation) */
   type Summary = Map[String, (Long, Long)]
 
+  /** Add `w` occurrences of `v` (SpaceSaving admits arbitrary positive
+    * increments — CH `topKWeighted` uses exactly this). */
+  private def bump(b: Summary, v: String, w: Long, capacity: Int): Summary = b.get(v) match {
+    case Some((c, e)) => b.updated(v, (c + w, e))
+    case None if b.size < capacity => b.updated(v, (w, 0L))
+    case None =>
+      // evict the min counter; the newcomer inherits its count as error
+      val (minKey, (minCnt, _)) = b.minBy { case (key, (c, _)) => (c, key) }
+      (b - minKey).updated(v, (minCnt + w, minCnt))
+  }
+
+  private def mergeSummaries(b1: Summary, b2: Summary, capacity: Int): Summary = {
+    val combined = (b1.keySet ++ b2.keySet).iterator.map { key =>
+      val (c1, e1) = b1.getOrElse(key, (0L, 0L))
+      val (c2, e2) = b2.getOrElse(key, (0L, 0L))
+      key -> (c1 + c2, e1 + e2)
+    }.toMap
+    if (combined.size <= capacity) combined
+    else combined.toSeq
+      .sortBy { case (key, (c, _)) => (-c, key) }
+      .take(capacity).toMap
+  }
+
+  /** Deterministic output order: count desc, then value asc (ties at
+    * the k boundary resolve identically on the engine and the oracle).
+    */
+  private def finishTop(b: Summary, k: Int): Seq[TopKEntry] =
+    b.toSeq
+      .sortBy { case (key, (c, _)) => (-c, key) }
+      .take(k)
+      .map { case (key, (c, e)) => TopKEntry(key, c, e) }
+
   final class SpaceSavingTopK(k: Int, capacity: Int)
       extends Aggregator[String, Summary, Seq[TopKEntry]] {
     require(k <= capacity, "k must be <= capacity")
-
     override def zero: Summary = Map.empty
+    override def reduce(b: Summary, v: String): Summary = bump(b, v, 1L, capacity)
+    override def merge(b1: Summary, b2: Summary): Summary = mergeSummaries(b1, b2, capacity)
+    override def finish(b: Summary): Seq[TopKEntry] = finishTop(b, k)
+    override def bufferEncoder: Encoder[Summary] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[TopKEntry]] = ExpressionEncoder()
+  }
 
-    override def reduce(b: Summary, v: String): Summary = b.get(v) match {
-      case Some((c, e)) => b.updated(v, (c + 1, e))
-      case None if b.size < capacity => b.updated(v, (1L, 0L))
-      case None =>
-        // evict the min counter; the newcomer inherits its count as error
-        val (minKey, (minCnt, _)) = b.minBy { case (key, (c, _)) => (c, key) }
-        (b - minKey).updated(v, (minCnt + 1, minCnt))
-    }
-
-    override def merge(b1: Summary, b2: Summary): Summary = {
-      val combined = (b1.keySet ++ b2.keySet).iterator.map { key =>
-        val (c1, e1) = b1.getOrElse(key, (0L, 0L))
-        val (c2, e2) = b2.getOrElse(key, (0L, 0L))
-        key -> (c1 + c2, e1 + e2)
-      }.toMap
-      if (combined.size <= capacity) combined
-      else combined.toSeq
-        .sortBy { case (key, (c, _)) => (-c, key) }
-        .take(capacity).toMap
-    }
-
-    /** Deterministic output order: count desc, then value asc (ties at
-      * the k boundary resolve identically on the engine and the oracle).
-      */
-    override def finish(b: Summary): Seq[TopKEntry] =
-      b.toSeq
-        .sortBy { case (key, (c, _)) => (-c, key) }
-        .take(k)
-        .map { case (key, (c, e)) => TopKEntry(key, c, e) }
-
+  /** CH `topKWeighted(k)(value, weight)` — same summary, increments by
+    * the weight column instead of 1. */
+  final class SpaceSavingTopKWeighted(k: Int, capacity: Int)
+      extends Aggregator[(String, Long), Summary, Seq[TopKEntry]] {
+    require(k <= capacity, "k must be <= capacity")
+    override def zero: Summary = Map.empty
+    override def reduce(b: Summary, v: (String, Long)): Summary = bump(b, v._1, v._2, capacity)
+    override def merge(b1: Summary, b2: Summary): Summary = mergeSummaries(b1, b2, capacity)
+    override def finish(b: Summary): Seq[TopKEntry] = finishTop(b, k)
     override def bufferEncoder: Encoder[Summary] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[TopKEntry]] = ExpressionEncoder()
   }
 
   def topK(k: Int, capacity: Int): SpaceSavingTopK = new SpaceSavingTopK(k, capacity)
+
+  def topKWeighted(k: Int, capacity: Int): SpaceSavingTopKWeighted =
+    new SpaceSavingTopKWeighted(k, capacity)
 }

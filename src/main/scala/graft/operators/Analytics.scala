@@ -167,6 +167,80 @@ object Analytics extends QueryRegistry {
              |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM m) THEN 1 ELSE 0 END AS INT) AS matched
              |FROM (SELECT DISTINCT user_id FROM e) u""".stripMargin)),
 
+    // ---- neighbor / runningDifference / runningAccumulate: CH's
+    // result-order functions, well-defined here as window functions over
+    // an explicit (user_id, ts, event_id) order — partitioned on
+    // high-cardinality user_id, never a global sort ----
+    QueryDef(
+      "b_win4_neighbor",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .select(col("event_id"), col("user_id"),
+            round(lag(col("value"), 1).over(w), 6).as("prev_value"),
+            round(col("value") - lag(col("value"), 1).over(w), 6).as("running_diff"),
+            round(sum(col("value")).over(run), 4).as("running_sum"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(lag(value) OVER w, 6) AS prev_value,
+             |  round(value - lag(value) OVER w, 6) AS running_diff,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin)),
+
+    // ---- PASTE JOIN (positional): align two result sets row-by-row.
+    // Inherently a total-order operator (CH runs it on one node too), so
+    // the inputs are pre-limited top-k slices; the row_number runs over
+    // 100 rows, not the table ----
+    QueryDef(
+      "b_jn9_paste",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def ranked(df: org.apache.spark.sql.DataFrame, orderCols: Seq[org.apache.spark.sql.Column]) =
+          df.withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
+        val topOrders = ranked(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100),
+          Seq(col("o_totalprice").desc, col("o_orderkey")))
+        val topParts = ranked(
+          t(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+            .orderBy(col("p_retailprice").desc, col("p_partkey")).limit(100),
+          Seq(col("p_retailprice").desc, col("p_partkey")))
+        topOrders.join(topParts, "rn")
+          .select(col("rn"), col("o_orderkey"), col("o_totalprice"),
+            col("p_partkey"), col("p_retailprice"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
+             |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+             |p AS (SELECT p_partkey, p_retailprice,
+             |    row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100)
+             |SELECT CAST(o.rn AS INT) AS rn, o_orderkey, o_totalprice, p_partkey, p_retailprice
+             |FROM o JOIN p ON o.rn = p.rn""".stripMargin)),
+
+    // ---- topKWeighted: heavy hitters by weight column (exact regime:
+    // capacity 256 >= 150 p_type values) ----
+    QueryDef(
+      "b_agg13_topk_weighted",
+      (s, d) => {
+        val typed = t(s, d, "part")
+          .select(col("p_type"), col("p_size").cast("long"))
+          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+        typed
+          .select(graft.functions.ApproxTopK.topKWeighted(10, 256).toColumn.name("topk"))
+          .select(explode(col("topk")).as("kv"))
+          .select(col("kv.value").as("value"), col("kv.cnt").as("wsum"))
+      },
+      Some("""SELECT p_type AS value, CAST(sum(p_size) AS BIGINT) AS wsum
+             |FROM part GROUP BY p_type
+             |ORDER BY wsum DESC, value LIMIT 10""".stripMargin)),
+
     // ---- topK: SpaceSaving approximate heavy hitters (exact here:
     // capacity 64 >= 25 brands, so the oracle compares exact counts; the
     // bounded-error regime is asserted in ApproxTopKSpec) ----
