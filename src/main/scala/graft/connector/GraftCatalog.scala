@@ -78,8 +78,12 @@ class GraftCatalog extends TableCatalog {
     true
   }
 
+  /** `ALTER TABLE ch.a RENAME TO ch.b` → ClickHouse `RENAME TABLE`
+    * (reference reaches it through raw SQL, `src/client.rs:643`). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft-ch catalog: RENAME not supported")
+    CHHttp.execute(url,
+      s"RENAME TABLE ${CHSql.tableRef(oldIdent.name(), db(oldIdent))} " +
+        s"TO ${CHSql.tableRef(newIdent.name(), db(newIdent))}")
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: Exception => false }

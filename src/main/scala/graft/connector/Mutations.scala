@@ -1,0 +1,39 @@
+package graft.connector
+
+import org.apache.spark.sql.sources.Filter
+
+/** Client-side mutation surface — the reference reaches ClickHouse
+  * mutations (`ALTER TABLE … UPDATE/DELETE`) through raw SQL execute
+  * (`clickhouse-arrow/src/client.rs:643` `query_raw`, e2e in its mutation
+  * tests). DELETE rides the DSv2 `SupportsDelete` path on [[CHTable]];
+  * UPDATE has no DSv2 hook, so it's a direct helper compiling through the
+  * same literal/filter translator as scan pushdown — non-compilable
+  * filters or values reject the whole mutation (never a partial or
+  * wrong-scope update).
+  */
+object Mutations {
+
+  /** `ALTER TABLE t UPDATE col = value, … WHERE cond`. Values accept the
+    * same Scala/Java types `CHSql.litOpt` knows (numbers, strings,
+    * date/time, binary, null). The mutation runs server-side; Spark never
+    * sees the rows.
+    */
+  def updateWhere(
+      url: String,
+      table: String,
+      database: Option[String],
+      assignments: Map[String, Any],
+      where: Seq[Filter]): Unit = {
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val sets = assignments.toSeq.map { case (colName, v) =>
+      val lit = CHSql.litOpt(v).getOrElse(
+        throw new IllegalArgumentException(s"updateWhere: no literal form for $colName = $v"))
+      s"${CHSql.ident(colName)} = $lit"
+    }
+    val conds = where.map(f => CHSql.compileFilter(f).getOrElse(
+      throw new IllegalArgumentException(s"updateWhere: filter not compilable: $f")))
+    val cond = if (conds.isEmpty) "1" else conds.map(c => s"($c)").mkString(" AND ")
+    CHHttp.execute(url,
+      s"ALTER TABLE ${CHSql.tableRef(table, database)} UPDATE ${sets.mkString(", ")} WHERE $cond")
+  }
+}

@@ -86,6 +86,9 @@ final class StubCHServer {
       else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt))
       else if (upper.startsWith("ALTER TABLE") && upper.contains("DELETE WHERE"))
         respond(ex, alterDelete(stmt))
+      else if (upper.startsWith("ALTER TABLE") && upper.contains(" UPDATE "))
+        respond(ex, alterUpdate(stmt))
+      else if (upper.startsWith("RENAME TABLE")) respond(ex, renameTable(stmt))
       else respond(ex, Left(s"unsupported statement: $stmt"))
     } catch {
       case e: Throwable => respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -235,6 +238,40 @@ final class StubCHServer {
         tables.computeIfPresent(name, (_, d) => d.copy(rows = Vector.empty))
         Right(Array.empty)
     }
+
+  /** `ALTER TABLE t UPDATE a = lit, … WHERE <cond>` — the ClickHouse
+    * update mutation; matching rows are rewritten in place. */
+  private def alterUpdate(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "TABLE") match {
+      case None => Left(s"cannot parse alter target in: $sql")
+      case Some(name) =>
+        val m = java.util.regex.Pattern
+          .compile("(?i)\\sUPDATE\\s(.*?)\\sWHERE\\s(.*)$", java.util.regex.Pattern.DOTALL)
+          .matcher(sql)
+        if (!m.find()) Left(s"cannot parse UPDATE … WHERE in: $sql")
+        else {
+          tables.computeIfPresent(name, (_, d) => {
+            val rewrite = StubWhere.compileAssignments(m.group(1), d.schema)
+            val pred = StubWhere.compile(m.group(2), d.schema)
+            d.copy(rows = d.rows.map(r => if (pred(r)) rewrite(r) else r))
+          })
+          Right(Array.empty)
+        }
+    }
+
+  /** `RENAME TABLE a TO b` — the catalog rename. */
+  private def renameTable(sql: String): Either[String, Array[Byte]] = {
+    val from = tableOf(sql, "TABLE")
+    val to = tableOf(sql, "TO")
+    (from, to) match {
+      case (Some(a), Some(b)) =>
+        Option(tables.remove(a)) match {
+          case Some(d) => tables.put(b, d); Right(Array.empty)
+          case None => Left(s"no such table: $a")
+        }
+      case _ => Left(s"cannot parse rename in: $sql")
+    }
+  }
 
   /** `ALTER TABLE t DELETE WHERE <cond>` — the ClickHouse mutation; rows
     * matching the condition are removed (same WHERE grammar as scans). */

@@ -21,6 +21,23 @@ private[connector] object StubWhere {
     e
   }
 
+  /** Parse the SET list of an `ALTER TABLE … UPDATE` mutation
+    * (``` `col` = <literal>, … ```) into a row rewriter. Same literal
+    * grammar as WHERE; unparseable input fails loudly.
+    */
+  def compileAssignments(text: String, schema: StructType): InternalRow => InternalRow = {
+    val p = new Parser(text, schema)
+    val as = p.parseAssignments()
+    p.expectEnd()
+    val byIdx = as.toMap
+    row => InternalRow.fromSeq(schema.indices.map { i =>
+      byIdx.get(i) match {
+        case Some(v) => v
+        case None => if (row.isNullAt(i)) null else row.get(i, schema(i).dataType)
+      }
+    })
+  }
+
   private final class Parser(s: String, schema: StructType) {
     private var pos = 0
 
@@ -59,6 +76,7 @@ private[connector] object StubWhere {
       ws()
       if (kw("NOT")) { val e = parseUnary(); row => !e(row) }
       else if (peek == '(') { expect('('); val e = parseExpr(); expect(')'); e }
+      else if (kw("1")) _ => true // unconditional mutation (`WHERE 1`)
       else parsePredicate()
     }
 
@@ -160,6 +178,42 @@ private[connector] object StubWhere {
         }
       }
       java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+    }
+
+    /** `ident = literal (, ident = literal)*` → (field index, stored value) */
+    def parseAssignments(): Seq[(Int, Any)] = {
+      val out = Seq.newBuilder[(Int, Any)]
+      var cont = true
+      while (cont) {
+        val idx = parseIdent()
+        ws(); require(pos < s.length && s(pos) == '=', s"expected '=' at $pos in: $s"); pos += 1
+        out += idx -> toStored(parseLiteral(), idx)
+        ws()
+        if (pos < s.length && peek == ',') pos += 1 else cont = false
+      }
+      out.result()
+    }
+
+    /** Parsed literal → the value InternalRow stores for the field type. */
+    private def toStored(lit: Any, idx: Int): Any = {
+      val dt = schema.fields(idx).dataType
+      (lit, dt) match {
+        case (null, _) => null
+        case (s: String, StringType) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case (n: BigDecimal, BooleanType) => n != BigDecimal(0)
+        case (n: BigDecimal, ByteType) => n.toByte
+        case (n: BigDecimal, ShortType) => n.toShort
+        case (n: BigDecimal, IntegerType) => n.toInt
+        case (n: BigDecimal, LongType) => n.toLong
+        case (n: BigDecimal, FloatType) => n.toFloat
+        case (n: BigDecimal, DoubleType) => n.toDouble
+        case (n: BigDecimal, d: DecimalType) =>
+          org.apache.spark.sql.types.Decimal(n.underlying, d.precision, d.scale)
+        case (d: Long, DateType) => d.toInt // toDate days
+        case (m: Long, TimestampType | TimestampNTZType) => m // toDateTime64 micros
+        case (b: Seq[_], BinaryType) => b.asInstanceOf[Seq[Byte]].toArray
+        case (other, t) => throw new UnsupportedOperationException(s"stub UPDATE: $other as $t")
+      }
     }
 
     private def parsePredicate(): InternalRow => Boolean = {

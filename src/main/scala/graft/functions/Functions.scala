@@ -170,6 +170,20 @@ object Functions extends QueryRegistry {
              |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
              |GROUP BY word""".stripMargin)),
 
+    // ---- B-FNA4: arrayEnumerate / ARRAY JOIN with ordinality
+    // (posexplode pairs each element with its position) ----
+    QueryDef(
+      "b_fna4_enumerate",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"),
+            round(col("col").cast("double"), 6).as("val")),
+      Some("""SELECT vec_id, CAST(i AS INT) AS pos, round(CAST(v AS DOUBLE), 6) AS val
+             |FROM (SELECT vec_id, unnest(embedding) AS v,
+             |        unnest(range(len(embedding))) AS i
+             |      FROM embeddings)""".stripMargin)),
+
     // ---- B-FNA3: LEFT ARRAY JOIN (explode_outer keeps empty-array rows,
     // ClickHouse `LEFT ARRAY JOIN`) ----
     QueryDef(

@@ -197,6 +197,20 @@ object Aggregates extends QueryRegistry {
     // columns, merge downstream — the distributable two-phase form.
     // Engine-native sketch bytes → no SQL oracle; AggregatesSpec asserts
     // merged-parts == whole-pass estimates. ----
+    // ---- groupBitAnd / groupBitOr / groupBitXor (CH bitwise aggs) ----
+    QueryDef(
+      "b_agg14_bitwise",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            bit_and(col("event_id")).as("band"),
+            bit_or(col("event_id")).as("bor"),
+            bit_xor(col("event_id")).as("bxor")),
+      Some("""SELECT event_type, bit_and(event_id) AS band,
+             |  bit_or(event_id) AS bor, bit_xor(event_id) AS bxor
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     QueryDef(
       "b_agg10_hll_state",
       (s, d) =>

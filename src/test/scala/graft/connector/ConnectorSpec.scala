@@ -58,6 +58,50 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("UPDATE mutation rewrites matching rows server-side") {
+    import org.apache.spark.sql.sources.{GreaterThan, StringStartsWith}
+    val srv = freshServer()
+    try {
+      Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "alphabet", 3.0))
+        .toDF("id", "name", "score")
+        .write.format("graft-ch").option("url", srv.url).option("table", "tu")
+        .mode("append").save()
+      Mutations.updateWhere(srv.url, "tu", None,
+        Map("score" -> 9.5, "name" -> "patched"),
+        Seq(StringStartsWith("name", "alpha"), GreaterThan("id", 1L)))
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "tu")
+        .load().orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(back === Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "patched", 9.5)))
+
+      // unconditional update hits every row
+      Mutations.updateWhere(srv.url, "tu", None, Map("score" -> 0.0), Nil)
+      val scores = spark.read.format("graft-ch").option("url", srv.url).option("table", "tu")
+        .load().collect().map(_.getDouble(2)).toSet
+      assert(scores === Set(0.0))
+
+      // a non-compilable value must reject the mutation, not mangle it
+      intercept[IllegalArgumentException] {
+        Mutations.updateWhere(srv.url, "tu", None, Map("score" -> new Object), Nil)
+      }
+    } finally srv.stop()
+  }
+
+  test("catalog RENAME TABLE moves data to the new name") {
+    val srv = freshServer()
+    try {
+      Seq((1L, "x")).toDF("id", "v")
+        .write.format("graft-ch").option("url", srv.url).option("table", "old_name")
+        .mode("append").save()
+      spark.conf.set("spark.sql.catalog.chx", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chx.url", srv.url)
+      spark.sql("ALTER TABLE chx.old_name RENAME TO new_name")
+      assert(srv.tableNames.contains("new_name") && !srv.tableNames.contains("old_name"))
+      assert(spark.read.format("graft-ch").option("url", srv.url)
+        .option("table", "new_name").load().count() === 1)
+    } finally srv.stop()
+  }
+
   test("nested types round-trip: Array(T), Map(K,V), Tuple/Struct, with nulls at every level") {
     val srv = freshServer()
     try {
