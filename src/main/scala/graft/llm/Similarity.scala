@@ -266,12 +266,44 @@ object Similarity extends QueryRegistry {
     * [[graft.llm.Dedup.ngramJaccardPairs]] vs MinHash).
     */
   def embedDupPairsExact(emb: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
-    val a = withNorm(base, "qid", "qv", "qn")
-    val b = withNorm(base, "vid", "cv", "cn")
-    scoreWithNorms(a.join(broadcast(b), col("qid") < col("vid")),
-      "qid", "vid", "qv", "cv", "qn", "cn", "vec_a", "vec_b")
-      .filter(col("cos") >= tau)
+      .as[(Long, Array[Double])]
+    // one candidate array per EXECUTOR (a ~1 MB/2k-vector broadcast),
+    // O(N²/2) dots in a JIT'd loop over primitive arrays. The former
+    // broadcast-theta-join shape was formally the same plan, but it
+    // materialized both deserialized vectors per PAIR (4M array allocs
+    // at sf0.1 → GC-bound and wildly variance-prone). The collect is the
+    // declared exact-baseline bound — [[embedDupPairsLsh]] is the path
+    // that scales past driver memory.
+    val cand = base.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    }.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cand)
+    base.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (ida, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) { na += va(i) * va(i); i += 1 }
+          val sna = math.sqrt(na)
+          // binary search the first candidate id > ida (cand sorted by id)
+          var lo = 0; var hi = cs.length
+          while (lo < hi) { val m = (lo + hi) >>> 1; if (cs(m)._1 <= ida) lo = m + 1 else hi = m }
+          Iterator.range(lo, cs.length).map { j =>
+            val (idb, vb, nb) = cs(j)
+            var dot = 0.0; var k = 0
+            val m = math.min(va.length, vb.length)
+            while (k < m) { dot += va(k) * vb(k); k += 1 }
+            (ida, idb, dot / (sna * nb))
+          }.filter(_._3 >= tau)
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos")
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
