@@ -197,6 +197,42 @@ object Aggregates extends QueryRegistry {
     // columns, merge downstream — the distributable two-phase form.
     // Engine-native sketch bytes → no SQL oracle; AggregatesSpec asserts
     // merged-parts == whole-pass estimates. ----
+    // ---- -If combinators (sumIf/countIf/avgIf): conditional aggregates,
+    // the CH combinator surface as FILTER-style aggs — stays one
+    // partial+final hash aggregate, conditions evaluated map-side ----
+    QueryDef(
+      "b_agg15_condif",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2)
+              .as("sum_urgent"),
+            count(when(col("o_totalprice") > 200000.0, lit(1))).as("n_big"),
+            round(avg(when(col("o_orderpriority") === "5-LOW", col("o_totalprice"))), 4)
+              .as("avg_low")),
+      Some("""SELECT o_orderstatus,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS sum_urgent,
+             |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+             |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 4) AS avg_low
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- fixed-bin histogram via width_bucket ----
+    QueryDef(
+      "b_agg16_histogram",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(width_bucket(col("l_quantity"), lit(0d), lit(50d), lit(10)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("l_quantity")), 2).as("lo"),
+            round(max(col("l_quantity")), 2).as("hi")),
+      // DuckDB has no width_bucket — same bucketing spelled arithmetically
+      Some("""SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+             |            WHEN l_quantity >= 50 THEN 11
+             |            ELSE floor(l_quantity / 5.0) + 1 END AS BIGINT) AS bucket,
+             |  count(*) AS n, round(min(l_quantity), 2) AS lo, round(max(l_quantity), 2) AS hi
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // ---- groupBitAnd / groupBitOr / groupBitXor (CH bitwise aggs) ----
     QueryDef(
       "b_agg14_bitwise",

@@ -70,6 +70,30 @@ object StreamingBatch extends QueryRegistry {
       (s, d) => Streams.dedup(t(s, d, "events")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // ---- stream-stream interval join, batch anchor ----
+    // Same transform as Streams.intervalJoin (watermarks are no-ops in
+    // batch): click → purchase attribution within 10 minutes per user.
+    QueryDef(
+      "b_str8_interval_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Streams.intervalJoin(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("cuser"), col("event_id").as("click_id"),
+              col("ts").as("cts")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("puser"), col("event_id").as("purchase_id"),
+              col("ts").as("pts")),
+          maxGap = "10 minutes", wmDelay = "1 hour")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) > epoch_us(c.ts)
+             | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin)),
+
     // ---- custom-state sessionization, batch anchor ----
     // Same gap rule (`t - last > gap` opens a new session) as
     // Streams.statefulSessions; StreamingSpec asserts the

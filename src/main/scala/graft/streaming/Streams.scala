@@ -72,6 +72,22 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Stream-stream interval join: click → purchase attribution within
+    * `maxGap` per user. In streaming mode BOTH sides carry watermarks and
+    * the join condition is time-bounded, so Spark can expire join state
+    * (a stream-stream join without the bound would buffer forever —
+    * the 100-TB-stream correctness requirement). Inputs need columns
+    * (cuser, click_id, cts) / (puser, purchase_id, pts).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame, maxGap: String,
+      wmDelay: String): DataFrame =
+    clicks.withWatermark("cts", wmDelay)
+      .join(
+        purchases.withWatermark("pts", wmDelay),
+        expr(s"cuser = puser AND pts > cts AND pts <= cts + interval $maxGap"))
+      .select(col("cuser").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----
 
   /** One closed session: event times in epoch microseconds. */

@@ -156,6 +156,33 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks within the gap") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.intervalJoin(
+      clicks.toDF().toDF("cuser", "click_id", "cts"),
+      purchases.toDF().toDF("puser", "purchase_id", "pts"),
+      maxGap = "10 minutes", wmDelay = "5 minutes")
+      .writeStream.format("memory").queryName("ij_stream").outputMode("append")
+      .start()
+    try {
+      clicks.addData((1L, 100L, ts("2024-01-01 10:00:00")), (2L, 101L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, 200L, ts("2024-01-01 10:05:00")), // within gap → joins
+        (2L, 201L, ts("2024-01-01 10:20:00")), // past the 10-min gap → no join
+        (1L, 202L, ts("2024-01-01 09:59:00"))) // before the click → no join
+      q.processAllAvailable()
+      // push both watermarks forward so joined results flush in append mode
+      clicks.addData((9L, 900L, ts("2024-01-01 12:00:00")))
+      purchases.addData((9L, 901L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("ij_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.filter(_._1 != 9L) === Set((1L, 100L, 200L, 300000000L)))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("B-STR5: dropDuplicatesWithinWatermark dedups within the watermark delay") {
     val input = MemoryStream[(Timestamp, Long, String)]
     val events = input.toDF().toDF("ts", "user_id", "event_type")
