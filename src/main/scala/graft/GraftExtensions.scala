@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (set by [[Sessions.withGraftConfs]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.ValueExpressions.all.foreach(ext.injectFunction)
+    functions.VecExpressions.all.foreach(ext.injectFunction)
+  }
 }

@@ -51,6 +51,31 @@ object ValueQueries extends QueryRegistry {
              |  CAST(CASE o_orderpriority
              |    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
              |    WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS INTEGER) AS prio_code
-             |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)""".stripMargin))
+             |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)""".stripMargin)),
+
+    // ---- codegen'd vector expressions (vec_cosine/vec_dot/vec_norm):
+    // consecutive-vector similarity via a self-join; the expression runs
+    // inside whole-stage codegen, not as an interpreted HOF ----
+    QueryDef(
+      "b_val2_vec_cosine",
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        a.join(b, col("vec_a") + 1 === col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(expr("vec_cosine(va, vb)"), 6).as("cos"),
+            round(expr("vec_dot(va, vb)"), 6).as("dot"),
+            round(expr("vec_norm(va)"), 6).as("norm_a"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             |    / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1])))
+             |     * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))), 6) AS cos,
+             |  round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])), 6) AS dot,
+             |  round(sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1]))), 6) AS norm_a
+             |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id""".stripMargin))
   )
 }
