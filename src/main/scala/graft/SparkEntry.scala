@@ -23,6 +23,7 @@ object SparkEntry {
     functions.ValueQueries,
     streaming.StreamingBatch,
     connector.ConnectorQueries,
+    sources.Formats,
     settings.SettingsQueries,
     llm.Dedup,
     llm.Similarity,

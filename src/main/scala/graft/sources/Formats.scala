@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format sources/sinks. The reference speaks ClickHouse
+  * FORMATs on the HTTP channel (ArrowStream for data, but the server
+  * accepts CSV/JSONEachRow/etc on the same endpoint —
+  * `clickhouse-arrow/src/http/client.rs:22-219`); the Spark-native
+  * counterparts are the built-in csv/json file sources, declared here as
+  * write→read round trips so the oracle pins both directions.
+  *
+  * Scale notes: both reads carry an EXPLICIT schema — schema inference
+  * is a full extra pass over the data at 100 TB. CSV/JSON are row
+  * formats with no pushdown or pruning; the scaladoc'd guidance is that
+  * they are interchange formats, with parquet/Arrow as the query path.
+  */
+object Formats extends QueryRegistry {
+
+  private val seq = new AtomicLong()
+
+  private def roundTrip(
+      s: SparkSession, d: String, fmt: String)(opts: Map[String, String]): DataFrame = {
+    val src = Tables.t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$fmt-rt-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}")
+    src.write.mode("overwrite").options(opts).format(fmt).save(dir.toString)
+    s.read.schema(src.schema).options(opts).format(fmt).load(dir.toString)
+  }
+
+  private val oracle =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "b_src7_csv_roundtrip",
+      (s, d) => roundTrip(s, d, "csv")(Map("header" -> "true")),
+      Some(oracle)),
+    QueryDef(
+      "b_src8_jsonl_roundtrip",
+      (s, d) => roundTrip(s, d, "json")(Map.empty),
+      Some(oracle))
+  )
+}
