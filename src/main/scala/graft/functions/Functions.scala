@@ -170,6 +170,40 @@ object Functions extends QueryRegistry {
              |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
              |GROUP BY word""".stripMargin)),
 
+    // ---- B-FNS2: base64Encode/base64Decode round trip ----
+    QueryDef(
+      "b_fns2_base64",
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            base64(col("p_name").cast("binary")).as("b64"),
+            unbase64(base64(col("p_name").cast("binary"))).cast("string").as("rt")),
+      Some("""SELECT p_partkey, base64(p_name::BLOB) AS b64, p_name AS rt
+             |FROM part""".stripMargin)),
+
+    // ---- B-FNA5: multi-array ARRAY JOIN (lockstep zip-explode of two
+    // parallel arrays, CH `ARRAY JOIN arr1, arr2`) ----
+    QueryDef(
+      "b_fna5_zip_join",
+      (s, d) => {
+        val grouped = t(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("rows"))
+          .select(col("l_orderkey"),
+            expr("transform(rows, r -> r.l_linenumber)").as("lines"),
+            expr("transform(rows, r -> r.l_quantity)").as("qtys"))
+        grouped
+          .select(col("l_orderkey"),
+            explode(arrays_zip(col("lines"), col("qtys"))).as("z"))
+          .select(col("l_orderkey"),
+            col("z.lines").as("l_linenumber"),
+            round(col("z.qtys"), 2).as("qty"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+             |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin)),
+
     // ---- B-FNA4: arrayEnumerate / ARRAY JOIN with ordinality
     // (posexplode pairs each element with its position) ----
     QueryDef(

@@ -56,6 +56,40 @@ object Reshape extends QueryRegistry {
              |  WHERE event_type = 'purchase' GROUP BY 1) e
              |ON e.day = CAST(g.d AS DATE)""".stripMargin)),
 
+    // ---- WITH FILL … INTERPOLATE: fill rows carry the last observed
+    // value forward (CH's default INTERPOLATE carries the previous row's
+    // expression). The ignoreNulls-last window runs over the AXIS (41
+    // rows), not the fact table — a single tiny task by construction. ----
+    QueryDef(
+      "b_fil2_interpolate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vals = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(round(max(col("value")), 4).as("v"))
+        val axis = s.range(1)
+          .select(explode(sequence(
+            lit(java.sql.Date.valueOf("2024-01-01")),
+            lit(java.sql.Date.valueOf("2024-02-10")),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        axis.join(vals, Seq("day"), "left")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+      },
+      Some("""WITH axis AS (
+             |  SELECT CAST(g.d AS DATE) AS day
+             |  FROM generate_series(DATE '2024-01-01', DATE '2024-02-10', INTERVAL 1 DAY) g(d)),
+             |vals AS (
+             |  SELECT CAST(ts AS DATE) AS day, round(max(value), 4) AS v FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+             |  last_value(v.v IGNORE NULLS) OVER (ORDER BY a.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+             |FROM axis a LEFT JOIN vals v ON v.day = a.day""".stripMargin)),
+
     // ---- PIVOT: revenue by status x priority (explicit value list) ----
     QueryDef(
       "b_pvt1_pivot",

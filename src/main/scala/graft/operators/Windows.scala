@@ -113,6 +113,23 @@ object Windows extends QueryRegistry {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
              |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
              |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS peers_within_10k
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- B-WIN4: distribution functions percent_rank / cume_dist ----
+    QueryDef(
+      "b_win5_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin))
   )
 }
