@@ -43,6 +43,46 @@ private[llm] object VecKernels extends Serializable {
     acc
   }
 
+  /** v / ||v|| (fresh array; zero vector returned as-is). */
+  def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) v.clone()
+    else {
+      val inv = 1.0 / math.sqrt(s)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+  }
+
+  /** PQ codes: per subspace f (= [bounds(f), bounds(f+1))), the index of
+    * the nearest codebook centroid, as one byte (ksub <= 256).
+    */
+  def pqEncode(v: Array[Double], codebooks: Array[Array[Array[Double]]],
+               bounds: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](codebooks.length)
+    var f = 0
+    while (f < codebooks.length) {
+      val cb = codebooks(f)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var s = 0.0; var i = bounds(f); var j = 0
+        while (i < bounds(f + 1) && j < cen.length) {
+          val dlt = v(i) - cen(j); s += dlt * dlt; i += 1; j += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(f) = best.toByte
+      f += 1
+    }
+    out
+  }
+
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -196,28 +236,68 @@ object Similarity extends QueryRegistry {
     val planes: Array[Array[Array[Double]]] =
       Array.fill(tables)(Array.fill(bits)(Array.fill(d)(rnd.nextGaussian())))
 
-    // (id, vec) -> one row per table with its bucket key, via a JIT'd kernel
-    def bucketed(df: DataFrame, idCol: String, vCol: String): DataFrame =
-      df.select(col(idCol), col(vCol)).as[(Long, Array[Double])]
-        .mapPartitions { it =>
-          it.flatMap { case (id, v) =>
-            Iterator.tabulate(tables)(t => (id, v, t, VecKernels.bucketKey(v, planes(t))))
+    // The query side is small BY DEFINITION (it is the broadcast side), so
+    // the probe index lives in a driver-built broadcast: (table, bucket) →
+    // query ids, where each query registers its own bucket plus every
+    // Hamming-1 neighbor (the multi-probe). Candidates are then found in a
+    // SINGLE map-side pass over the corpus — each vector hashes `tables`
+    // times, collects colliding qids into a local set (the dedup that used
+    // to be a (qid, vid, qv, cv) shuffle), and scores exact cosine against
+    // the broadcast query vectors. Zero shuffles before the final top-k,
+    // and the corpus is never row-multiplied ×tables.
+    val qRows = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    val qVecs: Map[Long, (Array[Double], Double)] = qRows.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      id -> (v, math.sqrt(s))
+    }.toMap
+    val probeIndex: Map[(Int, Int), Array[Long]] = qRows
+      .iterator
+      .flatMap { case (id, v) =>
+        Iterator.range(0, tables).flatMap { t =>
+          val key = VecKernels.bucketKey(v, planes(t))
+          Iterator.single(((t, key), id)) ++
+            Iterator.range(0, bits).map(f => ((t, key ^ (1 << f)), id))
+        }
+      }
+      .toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.toArray }
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val bcIdx = spark.sparkContext.broadcast(probeIndex)
+
+    val cand = emb
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = bcIdx.value
+        val qs = bcQ.value
+        it.flatMap { case (vid, cv) =>
+          val hits = scala.collection.mutable.HashSet.empty[Long]
+          var t = 0
+          while (t < tables) {
+            idx.get((t, VecKernels.bucketKey(cv, planes(t)))).foreach { qids =>
+              var i = 0
+              while (i < qids.length) { if (qids(i) != vid) hits += qids(i); i += 1 }
+            }
+            t += 1
+          }
+          if (hits.isEmpty) Iterator.empty
+          else {
+            var nc = 0.0; var i = 0
+            while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+            val snc = math.sqrt(nc)
+            hits.iterator.map { qid =>
+              val (qv, qn) = qs(qid)
+              var dot = 0.0; var j = 0
+              val m = math.min(qv.length, cv.length)
+              while (j < m) { dot += qv(j) * cv(j); j += 1 }
+              (qid, vid, dot / (qn * snc))
+            }
           }
         }
-        .toDF(idCol, vCol, "tbl", "bkey")
-
-    val q = bucketed(
-      queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv")),
-      "qid", "qv")
-      .withColumn("bkey", explode(expr(
-        s"concat(array(bkey), transform(sequence(0, $bits - 1), f -> cast(bkey as int) ^ shiftleft(1, f)))")))
-    val c = bucketed(
-      emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv")),
-      "vid", "cv")
-    val cand = scoreCosine(
-      c.join(broadcast(q), Seq("tbl", "bkey"))
-        .filter(col("qid") =!= col("vid"))
-        .dropDuplicates("qid", "vid"))
+      }
+      .toDF("qid", "vid", "cos")
     graft.operators.LimitBy
       .limitBy(cand, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
@@ -257,6 +337,132 @@ object Similarity extends QueryRegistry {
         .filter(col("qid") =!= col("vid")))
     graft.operators.LimitBy
       .limitBy(cand, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Product-quantization (PQ) ANN with an asymmetric-distance (ADC) scan.
+    *
+    * The embedding dimension is split into `m` subspaces; a per-subspace
+    * k-means codebook (`ksub` centroids, trained on a bounded driver-side
+    * sample of L2-NORMALIZED vectors) encodes each corpus vector as `m`
+    * byte codes. That codes column is the scale story: at 100 TB the ADC
+    * scan reads m bytes per vector instead of 4·dim floats (32x narrower
+    * at dim=64, m=8), and it is what a real deployment would materialize.
+    *
+    * Each query precomputes an ADC lookup table — m × ksub partial dots
+    * between its normalized subvectors and the codebook — so scoring a
+    * candidate costs m table adds instead of a dim-length dot. Since both
+    * sides are normalized, the ADC sum approximates cosine directly.
+    * The scan keeps a bounded per-query min-heap per partition (local
+    * top-s, s = shortlistFactor·k), so the shuffle after the scan carries
+    * at most partitions × Q × s rows — never the N × Q score matrix.
+    * The shortlist is broadcast back against the corpus for an exact
+    * cosine re-rank, then final top-k.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+             sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
+      .map(VecKernels.normalize)
+    if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val d = sample(0).length
+    val mm = math.min(m, d)
+    // subspace f covers [bounds(f), bounds(f+1)) — remainder spread left
+    val bounds = Array.tabulate(mm + 1)(f => f * d / mm)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(mm) { f =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, bounds(f), bounds(f + 1)))
+      VecKernels.kmeans(sub, ksub, iters = 8, seed = seed + f)
+    }
+
+    // corpus → (vid, codes): one JIT'd pass, nothing but ids+codes shuffled
+    val codes = c.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (vid, v) =>
+        (vid, VecKernels.pqEncode(VecKernels.normalize(v), codebooks, bounds))
+      })
+      .toDF("vid", "codes")
+
+    // per-query ADC lookup tables, built on the driver (query side is small
+    // by definition) and broadcast: lut(q)(f*ksub + code) = partial dot
+    val qRows = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    if (qRows.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val qids = qRows.map(_._1)
+    val luts: Array[Array[Double]] = qRows.map { case (_, qv) =>
+      val nq = VecKernels.normalize(qv)
+      val lut = new Array[Double](mm * ksub)
+      var f = 0
+      while (f < mm) {
+        val cb = codebooks(f)
+        var cI = 0
+        while (cI < cb.length) {
+          var dot = 0.0; var i = bounds(f); var j = 0
+          val cen = cb(cI)
+          while (i < bounds(f + 1)) { dot += nq(i) * cen(j); i += 1; j += 1 }
+          lut(f * ksub + cI) = dot
+          cI += 1
+        }
+        f += 1
+      }
+      lut
+    }
+    val bcLuts = spark.sparkContext.broadcast((qids, luts))
+    val s = shortlistFactor * k
+
+    val shortlist = codes.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (ids, ls) = bcLuts.value
+        val nq = ids.length
+        // bounded per-query min-heaps: (score, vid), worst on top
+        val heaps = Array.fill(nq)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), Double](_._1).reverse))
+        it.foreach { case (vid, cd) =>
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != vid) {
+              val lut = ls(qi)
+              var score = 0.0; var f = 0
+              while (f < cd.length) { score += lut(f * ksub + (cd(f) & 0xff)); f += 1 }
+              val h = heaps(qi)
+              if (h.size < s) h.enqueue((score, vid))
+              else if (score > h.head._1) { h.dequeue(); h.enqueue((score, vid)) }
+            }
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap(qi => heaps(qi).iterator.map { case (_, vid) => (ids(qi), vid) })
+      }
+      .toDF("qid", "vid")
+    // global shortlist per query, then exact re-rank on the (small) union
+    val short = graft.operators.LimitBy
+      .limitBy(shortlist.dropDuplicates("qid", "vid"), Seq(col("qid")), Seq(col("vid").asc), s * 8)
+    val qVecs: Map[Long, (Array[Double], Double)] = qRows.map { case (id, v) =>
+      var nrm = 0.0; var i = 0
+      while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+      id -> (v, math.sqrt(nrm))
+    }.toMap
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val rerank = c.join(broadcast(short), Seq("vid"))
+      .select(col("qid"), col("vid"), col("cv"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.map { case (qid, vid, cv) =>
+          val (qv, qn) = qs(qid)
+          var nc = 0.0; var i = 0
+          while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+          var dot = 0.0; var j = 0
+          val mlen = math.min(qv.length, cv.length)
+          while (j < mlen) { dot += qv(j) * cv(j); j += 1 }
+          (qid, vid, dot / (qn * math.sqrt(nc)))
+        }
+      }
+      .toDF("qid", "vid", "cos")
+    graft.operators.LimitBy
+      .limitBy(rerank, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 
@@ -391,6 +597,16 @@ object Similarity extends QueryRegistry {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 4)
+      },
+      None),
+
+    // ---- PQ/ADC ANN top-5 (byte-code scan + exact re-rank; no oracle —
+    // SimilaritySpec measures recall vs brute force) ----
+    QueryDef(
+      "x_sim_topk_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        pqTopK(emb, queriesOf(emb), k = 5, m = 8, ksub = 16)
       },
       None),
 

@@ -28,6 +28,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("PQ/ADC top-k achieves usable recall vs brute force") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val pq = topSet(Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16))
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
+
   test("embedding near-dup LSH pairs recall vs the exact pairs") {
     val emb = Tables.t(spark, sf001, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
