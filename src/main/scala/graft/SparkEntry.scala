@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Analytics,
     operators.Reshape,
     operators.Subqueries,
+    operators.Enrich,
     functions.Functions,
     functions.ValueQueries,
     streaming.StreamingBatch,
