@@ -29,6 +29,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.TextOps,
+    llm.Curation,
     llm.Multimodal)
 
   def allDefs: Seq[QueryDef] = {

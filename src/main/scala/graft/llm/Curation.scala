@@ -1,0 +1,140 @@
+package graft.llm
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators a 100-TB LLM pipeline runs after the
+  * dedup/quality passes in [[Dedup]]/[[TextOps]]: PII redaction, document
+  * chunking, vocabulary building, stratified sampling, and deterministic
+  * train/val/test splits.
+  *
+  * Scale design:
+  *  - redact / chunk / split are pure per-row projections or generators —
+  *    no shuffle, linear in input splits, codegen'd.
+  *  - vocab is one explode + one hash aggregate with map-side partials;
+  *    the `HAVING count >= k` cut keeps the result bounded (the long tail
+  *    of hapax tokens never leaves the aggregate).
+  *  - sampling/splitting derive the keep/assign decision from md5 of the
+  *    row key — deterministic under retries, re-runs, and engine moves
+  *    (CH `SAMPLE` semantics, reference `sql` passthrough), never
+  *    `rand()`, which would break exactly-once curation lineage.
+  */
+object Curation extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PII redaction: email/phone scrubbing before training ----
+    // The fixture corpus carries no PII, so the query plants a synthetic
+    // contact line per doc, then redacts it — the regexes are the
+    // operator under test (RE2-compatible so any engine can run them).
+    QueryDef(
+      "x_text_redact",
+      (s, d) => {
+        val withPii = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(withPii,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+            "\\+?\\d[\\d-]{7,}\\d", "[PHONE]").as("clean"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or +1-555-010-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS clean
+             |FROM w""".stripMargin)),
+
+    // ---- chunking: overlapping fixed-size windows for context packing ----
+    // chunk = 200 chars, stride = 150 (50 overlap). A generator per row —
+    // no shuffle; at 100 TB output size is input × (size/stride).
+    QueryDef(
+      "x_text_chunk",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"), col("text"),
+            explode(sequence(lit(0), greatest(length(col("text")), lit(1)) - 1, lit(150))).as("off"))
+          .where(col("off") < length(col("text")))
+          .select(
+            col("doc_id"),
+            (col("off") / 150).cast("long").as("chunk_id"),
+            substring(col("text"), col("off") + 1, lit(200)).as("chunk")),
+      Some("""SELECT doc_id,
+             |  CAST(off / 150 AS BIGINT) AS chunk_id,
+             |  substr(text, off + 1, 200) AS chunk
+             |FROM (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0, greatest(length(text), 1) - 1, 150)) AS off
+             |  FROM documents)
+             |WHERE off < length(text)""".stripMargin)),
+
+    // ---- vocabulary: token → document-frequency histogram ----
+    QueryDef(
+      "x_text_vocab",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")), " +")).as("token"))
+          .where(col("token") =!= "")
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 5),
+      Some("""SELECT token, count(*) AS cnt FROM (
+             |  SELECT unnest(str_split_regex(
+             |    lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')), ' +')) AS token
+             |  FROM documents)
+             |WHERE token <> '' GROUP BY token HAVING count(*) >= 5""".stripMargin)),
+
+    // ---- stratified hash sampling: per-stratum deterministic rates ----
+    // Different keep-rates per language (upsample rare strata); decision
+    // is md5(doc_id), so the sample is stable across runs and engines.
+    QueryDef(
+      "x_smp2_stratified",
+      (s, d) => {
+        // md5-prefix buckets (b_smp1 technique): 2 hex chars = 256 strata
+        // slots; 'en' keeps < '1a' (~10%), the rest keep < '80' (50%).
+        val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        t(s, d, "documents")
+          .withColumn("h", h)
+          .where(
+            (col("lang") === "en" && col("h") < "1a") ||
+            (col("lang") =!= "en" && col("h") < "80"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+             |  FROM documents)
+             |WHERE (lang = 'en' AND h < '1a') OR (lang <> 'en' AND h < '80')""".stripMargin)),
+
+    // ---- train/val/test split: 80/10/10, deterministic by content key ----
+    QueryDef(
+      "x_smp3_split",
+      (s, d) => {
+        // 'cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90% — same md5-prefix
+        // buckets, so a doc's split never changes between runs.
+        val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            when(h < "cc", "train").when(h < "e6", "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+             |      FROM documents)""".stripMargin))
+  )
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan/semantics evidence for the curation operators beyond the oracle:
+  * the per-row ops must stay shuffle-free (linear at 100 TB) and the
+  * hash-based sample/split must be deterministic across runs. */
+class CurationSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("redact, chunk, and split are shuffle-free per-row plans") {
+    for (name <- Seq("x_text_redact", "x_text_chunk", "x_smp3_split")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name should not shuffle: $p")
+    }
+  }
+
+  test("vocab aggregates with map-side partials") {
+    val p = plan("x_text_vocab")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("train/val/test split is deterministic and covers every doc") {
+    val a = SparkEntry.queries("x_smp3_split")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = SparkEntry.queries("x_smp3_split")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet == Set("train", "val", "test"))
+    // ~80/10/10 with md5-prefix buckets; allow generous tolerance
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("chunks reassemble to the original prefix structure") {
+    import spark.implicits._
+    val chunks = SparkEntry.queries("x_text_chunk")(spark, sf0001)
+      .where($"doc_id" === 1).orderBy($"chunk_id").as[(Long, Long, String)].collect()
+    val doc = graft.Tables.t(spark, sf0001, "documents")
+      .where($"doc_id" === 1).select("text").as[String].head()
+    if (doc.nonEmpty) {
+      assert(chunks.head._3 == doc.take(200))
+      // stride 150 < size 200 → consecutive chunks overlap by 50 chars
+      if (chunks.length > 1)
+        assert(chunks(0)._3.takeRight(50) == chunks(1)._3.take(50))
+    }
+  }
+}
