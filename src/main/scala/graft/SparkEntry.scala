@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Subqueries,
     operators.Enrich,
     functions.Functions,
+    functions.FnExtras,
     functions.ValueQueries,
     streaming.StreamingBatch,
     connector.ConnectorQueries,

@@ -1,0 +1,155 @@
+package graft.functions
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tier of scalar-function families from the reference's SQL
+  * passthrough surface (`clickhouse-arrow/src/client.rs:643`): string
+  * search/distance (`position`/`match`/`countSubstrings`/`editDistance`/
+  * `multiSearchAny`), best-effort datetime parsing
+  * (`parseDateTimeBestEffort`), array builders (`range`/`arrayResize`/
+  * `arrayFlatten`/`indexOf`/`arrayReverse`/`arrayCompact`), map
+  * higher-order functions (`mapApply`/`mapFilter`), and RANGE window
+  * frames.
+  *
+  * All are per-row projections or single window/agg passes — codegen'd,
+  * shuffle-free except the window query, which partitions on the
+  * high-cardinality `o_custkey`.
+  */
+object FnExtras extends QueryRegistry {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- string search & edit distance ----
+    QueryDef(
+      "b_fns2_search",
+      (s, d) =>
+        t(s, d, "part").select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), lower(col("p_type"))).as("edit_dist"),
+          regexp_count(col("p_name"), lit("[aeiou]")).as("vowels"),
+          array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), ",").as("words"),
+          col("p_name").ilike("%WID%").as("ilike_hit"),
+          col("p_name").rlike("^[a-z]+ (widget|bolt)").as("re_hit"),
+          (instr(col("p_name"), "widget") > 0 || instr(col("p_name"), "gear") > 0)
+            .as("multi_any")),
+      Some("""SELECT p_partkey,
+             |  levenshtein(p_name, lower(p_type)) AS edit_dist,
+             |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS vowels,
+             |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+             |  p_name ILIKE '%WID%' AS ilike_hit,
+             |  regexp_matches(p_name, '^[a-z]+ (widget|bolt)') AS re_hit,
+             |  (strpos(p_name, 'widget') > 0 OR strpos(p_name, 'gear') > 0) AS multi_any
+             |FROM part""".stripMargin)),
+
+    // ---- parseDateTimeBestEffort: first matching format wins ----
+    // Three wire formats derived from o_orderdate, then parsed back by a
+    // try_to_timestamp cascade — the CH "best effort" contract.
+    QueryDef(
+      "b_fnd2_parse_best_effort",
+      (s, d) => {
+        val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "MMM d yyyy"))
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          raw.as("raw"),
+          coalesce(
+            try_to_timestamp(raw, lit("yyyy-MM-dd")),
+            try_to_timestamp(raw, lit("dd/MM/yyyy")),
+            try_to_timestamp(raw, lit("MMM d yyyy"))).as("parsed"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey,
+             |    CASE o_orderkey % 3
+             |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+             |      WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+             |      ELSE strftime(o_orderdate, '%b %-d %Y') END AS raw
+             |  FROM orders)
+             |SELECT o_orderkey, raw,
+             |  coalesce(try_strptime(raw, '%Y-%m-%d'),
+             |           try_strptime(raw, '%d/%m/%Y'),
+             |           try_strptime(raw, '%b %-d %Y')) AS parsed
+             |FROM w""".stripMargin)),
+
+    // ---- array builders: range / flatten / indexOf / reverse / compact ----
+    QueryDef(
+      "b_fna5_array_builders",
+      (s, d) => {
+        val seq1 = sequence(lit(1), pmod(col("p_size"), lit(5)) + 1)
+        t(s, d, "part").select(
+          col("p_partkey"),
+          array_join(seq1, ",").as("seq"),
+          array_join(flatten(array(seq1, array(lit(99)))), ",").as("flat"),
+          array_position(seq1, 3).cast("long").as("idx_of_3"),
+          element_at(seq1, -1).cast("long").as("last_elem"),
+          array_join(reverse(seq1), ",").as("rev"),
+          array_join(
+            array_compact(array(lit("x"), lit(null).cast("string"), lit("y"))), ",")
+            .as("compacted"))
+      },
+      Some("""WITH w AS (
+             |  SELECT p_partkey, generate_series(1, p_size % 5 + 1) AS a FROM part)
+             |SELECT p_partkey,
+             |  array_to_string(a, ',') AS seq,
+             |  array_to_string(flatten([a, [99]]), ',') AS flat,
+             |  CAST(coalesce(list_position(a, 3), 0) AS BIGINT) AS idx_of_3,
+             |  CAST(a[-1] AS BIGINT) AS last_elem,
+             |  array_to_string(list_reverse(a), ',') AS rev,
+             |  array_to_string(list_filter(['x', NULL, 'y'], x -> x IS NOT NULL), ',') AS compacted
+             |FROM w""".stripMargin)),
+
+    // ---- map higher-order functions: apply / filter / concat ----
+    // Maps built from part attributes; outputs serialized as sorted
+    // "k=v" strings (map column order is engine-specific). The oracle
+    // hand-derives the same strings with list ops — DuckDB needs no map
+    // type to agree on the semantics.
+    QueryDef(
+      "b_fnp2_map_hofs",
+      (s, d) => {
+        val m = map_from_arrays(
+          array(lit("a"), lit("b"), lit("c")),
+          array(col("p_size"), col("p_size") * 2, col("p_size") * 3))
+        def render(mc: org.apache.spark.sql.Column) = array_join(
+          array_sort(transform(map_entries(mc),
+            e => concat(e.getField("key"), lit("="), e.getField("value").cast("string")))), ",")
+        t(s, d, "part").select(
+          col("p_partkey"),
+          render(transform_values(m, (_, v) => v + 1)).as("applied"),
+          render(map_filter(m, (_, v) => v % 2 === 0)).as("evens"),
+          render(map_concat(m, map(lit("d"), col("p_size") * 4))).as("merged"))
+      },
+      Some("""SELECT p_partkey,
+             |  'a=' || (p_size + 1) || ',b=' || (p_size * 2 + 1) || ',c=' || (p_size * 3 + 1) AS applied,
+             |  array_to_string(list_sort(
+             |    list_filter(['a=' || p_size, 'b=' || p_size * 2, 'c=' || p_size * 3],
+             |                x -> CAST(str_split(x, '=')[2] AS BIGINT) % 2 = 0)), ',') AS evens,
+             |  'a=' || p_size || ',b=' || p_size * 2 || ',c=' || p_size * 3 || ',d=' || p_size * 4 AS merged
+             |FROM part""".stripMargin)),
+
+    // ---- RANGE window frame: value-based bounds, not row counts ----
+    QueryDef(
+      "b_win5_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 0L)
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          count(lit(1)).over(w).as("peers_in_band"),
+          round(sum(col("o_totalprice")).over(w), 2).as("band_sum"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(o_totalprice, 2) AS price,
+             |  count(*) OVER w AS peers_in_band,
+             |  round(sum(o_totalprice) OVER w, 2) AS band_sum
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin))
+  )
+}
