@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Reshape,
     operators.Subqueries,
     operators.Enrich,
+    operators.Bucketed,
     functions.Functions,
     functions.FnExtras,
     functions.ValueQueries,
