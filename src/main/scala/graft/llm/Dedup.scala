@@ -319,6 +319,47 @@ object Dedup extends QueryRegistry {
       |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
       |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
 
+  /** Benchmark-contamination scan: for every training doc, count the
+    * word-3gram shingles it shares with any benchmark doc and flag pairs
+    * with >= `minOverlap` shared shingles (train/test leakage detection).
+    *
+    * The benchmark side is small by construction (eval sets are a
+    * fraction of a corpus), so it becomes a broadcast inverted index
+    * `shingle -> bench ids`; training docs stream through one typed
+    * `flatMap` counting hits — ZERO shuffles over the 100-TB side. The
+    * bench set here is carved deterministically from the corpus
+    * (`doc_id % benchMod == 0`) since the fixtures ship no separate
+    * eval table.
+    */
+  def contamination(docs: DataFrame, benchMod: Int = 97, minOverlap: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val index = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]
+    typed.filter(_._1 % benchMod == 0).collect().foreach { case (id, text) =>
+      DedupKernels.shingles(text).foreach(s =>
+        index.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]) += id)
+    }
+    val bc = spark.sparkContext.broadcast(index.map { case (k, v) => (k, v.toArray) }.toMap)
+    typed.filter(_._1 % benchMod != 0)
+      .flatMap { case (id, text) =>
+        val idx = bc.value
+        val counts = new scala.collection.mutable.HashMap[Long, Int]
+        DedupKernels.shingles(text).foreach { s =>
+          idx.get(s) match {
+            case Some(ids) =>
+              var i = 0
+              while (i < ids.length) {
+                counts(ids(i)) = counts.getOrElse(ids(i), 0) + 1; i += 1
+              }
+            case None => ()
+          }
+        }
+        counts.iterator.collect { case (b, c) if c >= minOverlap => (id, b, c.toLong) }
+      }
+      .toDF("doc_id", "bench_id", "overlap")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: group by content hash, keep min doc_id ----
@@ -346,6 +387,20 @@ object Dedup extends QueryRegistry {
              |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5""".stripMargin)),
+
+    // ---- benchmark decontamination: train×bench shingle overlap ----
+    QueryDef(
+      "x_dedup_contaminate",
+      (s, d) => contamination(t(s, d, "documents")),
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+             |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
+             |FROM t JOIN b ON t.s = b.s
+             |GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 3""".stripMargin)),
 
     // ---- MinHash + LSH near-dup candidates (engine-native hashes → no
     // cross-engine oracle; DedupSpec asserts parity with the exact pairs) ----

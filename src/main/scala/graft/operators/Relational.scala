@@ -332,6 +332,21 @@ object Relational extends QueryRegistry {
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
              |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin)),
 
+    // ---- B-SRT2: full global sort (no limit) — range-partitioned ----
+    // Spark samples the sort key and range-partitions before the
+    // per-partition sort, so a 100-TB ORDER BY parallelizes instead of
+    // funneling through one task (RelationalSpec asserts the
+    // rangepartitioning exchange). TopK stays b_srt1; this is the
+    // full-ordering path (export / merge-ready output).
+    QueryDef(
+      "b_srt2_global_sort",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderdate, o_orderkey""".stripMargin)),
+
     // ---- B-LIM1: LIMIT / OFFSET over a total order ----
     QueryDef(
       "b_lim1_limit_offset",
