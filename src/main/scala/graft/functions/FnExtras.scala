@@ -26,7 +26,7 @@ object FnExtras extends QueryRegistry {
 
     // ---- string search & edit distance ----
     QueryDef(
-      "b_fns2_search",
+      "b_fns3_search",
       (s, d) =>
         t(s, d, "part").select(
           col("p_partkey"),
@@ -78,7 +78,7 @@ object FnExtras extends QueryRegistry {
 
     // ---- array builders: range / flatten / indexOf / reverse / compact ----
     QueryDef(
-      "b_fna5_array_builders",
+      "b_fna7_array_builders",
       (s, d) => {
         val seq1 = sequence(lit(1), pmod(col("p_size"), lit(5)) + 1)
         t(s, d, "part").select(
@@ -133,7 +133,7 @@ object FnExtras extends QueryRegistry {
 
     // ---- RANGE window frame: value-based bounds, not row counts ----
     QueryDef(
-      "b_win5_range_frame",
+      "b_win6_range_frame",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
           .rangeBetween(-10000L, 0L)

@@ -124,7 +124,7 @@ object Enrich extends QueryRegistry {
     // Element order is engine-specific → emit sorted, comma-joined
     // strings on both sides (also keeps the oracle hash comparable).
     QueryDef(
-      "b_fna4_array_setops",
+      "b_fna6_array_setops",
       (s, d) => {
         val a = split(col("p_name"), " ")
         val b = array(lit("widget"), lit("bolt"), lit("gear"), lit("cold"))
@@ -152,7 +152,7 @@ object Enrich extends QueryRegistry {
     // produce bit-identical doubles — interpolating raw doubles differs
     // in the last ulp and flips round(x, 2) at .005 boundaries.
     QueryDef(
-      "b_agg14_exact_quantile",
+      "b_agg17_exact_quantile",
       (s, d) => {
         val cents = round(col("l_extendedprice") * 100).cast("long")
         t(s, d, "lineitem")

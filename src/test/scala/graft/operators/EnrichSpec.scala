@@ -42,7 +42,7 @@ class EnrichSpec extends SparkSpec {
   }
 
   test("url parse / set ops / exact quantile queries stay codegen'd projections or single aggregates") {
-    for (name <- Seq("b_url1_parse", "b_fna4_array_setops")) {
+    for (name <- Seq("b_url1_parse", "b_fna6_array_setops")) {
       val p = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       // `*(n)` is WholeStageCodegen's marker in executedPlan.toString
