@@ -51,6 +51,42 @@ object Relational extends QueryRegistry {
              |  l_quantity + 10.0 AS qty10
              |FROM lineitem""".stripMargin)),
 
+    // ---- B-PRJ2: SELECT * EXCEPT(...) REPLACE(...) column modifiers ----
+    // CH's star modifiers; Spark-side they are schema-driven drop/
+    // withColumn — still a pure codegen'd projection, the star expansion
+    // happens at plan build so nothing extra is scanned.
+    QueryDef(
+      "b_prj2_except_replace",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("o_orderpriority", upper(col("o_orderpriority")))
+          .drop("o_totalprice", "o_orderdate"),
+      Some("""SELECT * EXCLUDE (o_totalprice, o_orderdate)
+             |  REPLACE (upper(o_orderpriority) AS o_orderpriority)
+             |FROM orders""".stripMargin)),
+
+    // ---- B-PRJ3: SELECT * APPLY(agg) — aggregate every numeric column ----
+    // The column list is derived from the schema programmatically (the
+    // point of APPLY); grouping key stays explicit.
+    QueryDef(
+      "b_prj3_apply",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val numeric = orders.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            && f.name != "o_orderkey" => f.name
+        }
+        // double on both sides: DuckDB sum(BIGINT) is HUGEINT otherwise
+        orders.groupBy(col("o_orderstatus"))
+          .agg(
+            round(sum(col(numeric.head).cast("double")), 2).as(s"sum_${numeric.head}"),
+            numeric.tail.map(c => round(sum(col(c).cast("double")), 2).as(s"sum_$c")).toSeq: _*)
+      },
+      Some("""SELECT o_orderstatus,
+             |  round(sum(CAST(o_custkey AS DOUBLE)), 2) AS sum_o_custkey,
+             |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_o_totalprice
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- B-FLT1: comparison / boolean / IN / BETWEEN / LIKE ----
     QueryDef(
       "b_flt1_predicates",
