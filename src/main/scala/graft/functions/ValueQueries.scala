@@ -76,6 +76,29 @@ object ValueQueries extends QueryRegistry {
              |     * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))), 6) AS cos,
              |  round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])), 6) AS dot,
              |  round(sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1]))), 6) AS norm_a
-             |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id""".stripMargin))
+             |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id""".stripMargin)),
+
+    // ---- exact Decimal aggregation (CH Decimal64(2) money semantics) ----
+    // Doubles drift when summed in different orders; Decimal(18,2) is
+    // exact and associative, so the engines agree to the last cent with
+    // no in-query rounding crutch. Results cross the oracle boundary as
+    // strings: DuckDB's pandas bridge coerces every DECIMAL to float64,
+    // which would silently downgrade the exactness being asserted.
+    QueryDef(
+      "b_val3_decimal",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("p")).cast(DecimalType(38, 2)).cast("string").as("total"),
+            max(col("p")).cast("string").as("mx"),
+            count(col("p")).as("n")),
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
+             |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS mx,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -186,6 +186,28 @@ object Multimodal extends QueryRegistry {
              |       ELSE width * 64 // greatest(width, height) END AS out_w,
              |  CASE WHEN greatest(width, height) <= 64 THEN height
              |       ELSE height * 64 // greatest(width, height) END AS out_h
-             |FROM dims""".stripMargin))
+             |FROM dims""".stripMargin)),
+
+    // ---- audio: windowed RMS energy per fixed-size frame ----
+    // PCM stand-in: the embedding vector as a sample stream (the real
+    // decode is the stub above — framing/energy math is the operator).
+    // Declarative generator + hash agg: partial aggregation per frame,
+    // no per-row state, scales with input splits.
+    QueryDef(
+      "x_mm_audio_energy",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+          .select(col("vec_id"), expr("pos div 16").as("frame"), col("col").as("x"))
+          .groupBy("vec_id", "frame")
+          .agg(
+            round(sqrt(avg(col("x") * col("x"))), 6).as("rms"),
+            count(lit(1)).as("n_samples")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v, unnest(range(len(v))) AS i FROM e)
+             |SELECT vec_id, i // 16 AS frame,
+             |  round(sqrt(avg(v[i+1] * v[i+1])), 6) AS rms,
+             |  count(*) AS n_samples
+             |FROM s GROUP BY vec_id, i // 16""".stripMargin))
   )
 }
