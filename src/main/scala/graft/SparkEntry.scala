@@ -25,6 +25,7 @@ object SparkEntry {
     functions.FnExtras,
     functions.ValueQueries,
     streaming.StreamingBatch,
+    streaming.MatView,
     connector.ConnectorQueries,
     sources.Formats,
     settings.SettingsQueries,

@@ -66,6 +66,25 @@ object ChExtras extends QueryRegistry {
           .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) < "1a")
           .select("o_orderkey", "o_custkey", "o_totalprice"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""".stripMargin))
+             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""".stripMargin)),
+
+    // ---- join algorithm selection (CH `join_algorithm` setting) ----
+    // CH users pick hash/partial-merge/grace-hash per query via
+    // settings; the Spark-native lever is a strategy hint. Here the
+    // build side is hinted shuffle-hash (no sort of the big probe side —
+    // CH's default hash-join shape); ChExtrasSpec asserts the planner
+    // honored it.
+    QueryDef(
+      "b_jn11_hint_shuffle_hash",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus""".stripMargin))
   )
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse materialized views, Spark-native.
+  *
+  * In the reference a user creates `MATERIALIZED VIEW … ENGINE =
+  * SummingMergeTree` via DDL passthrough; every INSERT then triggers the
+  * view query over the inserted block only, appending *partial*
+  * aggregates to the target table, which the engine merges at read
+  * (FINAL) or compaction. The Spark-native equivalents of the three
+  * moving parts:
+  *
+  *  - per-insert incremental maintenance → Structured Streaming
+  *    `foreachBatch`: each micro-batch aggregates ONLY its own rows and
+  *    appends the partials (MatViewSpec drives this across micro-batches
+  *    with a MemoryStream);
+  *  - the partial-sum target table → any append sink (parquet dir, the
+  *    connector table); appends are tiny (one row per touched key per
+  *    batch), never a rewrite of accumulated state;
+  *  - merge-at-read (FINAL) → [[mergeOnRead]]: re-aggregate the partials
+  *    by key. Commutative+associative aggregates only (sum/count/min/
+  *    max — the SummingMergeTree contract); avg ships as (sum, count).
+  *
+  * At 100 TB this is the same math that makes map-side partial
+  * aggregation work: the partials table stays ~|keys|·|batches| rows,
+  * and the read-side merge is one hash aggregate over it — the full
+  * event history is never rescanned.
+  */
+object MatView extends QueryRegistry {
+
+  /** The view query applied to one slice (a micro-batch or, for the
+    * batch anchor below, the whole table): partial sums per key.
+    */
+  def partials(slice: DataFrame): DataFrame =
+    slice.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(col("value")).as("sum_value"),
+        count(lit(1)).as("n"))
+
+  /** Merge-on-read over accumulated partials (ClickHouse FINAL on a
+    * SummingMergeTree target): same keys, partials re-summed.
+    */
+  def mergeOnRead(partialsTable: DataFrame): DataFrame =
+    partialsTable.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        round(sum(col("sum_value")), 6).as("sum_value"),
+        sum(col("n")).as("n"))
+
+  /** Attach incremental maintenance to a source stream: each
+    * micro-batch's partials are handed to `appendSink` (idempotent by
+    * batchId if the sink needs exactly-once).
+    */
+  def maintain(
+      source: DataFrame,
+      appendSink: (DataFrame, Long) => Unit,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) => appendSink(partials(batch), id) }
+      .start()
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+    // Batch anchor: maintaining the MV over the whole history and then
+    // merge-on-read must equal the direct aggregate. The query runs the
+    // two-step path (partials per 3 deterministic slices → merge) so the
+    // oracle exercises the actual MV math, not a shortcut.
+    QueryDef(
+      "b_mv1_summing",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"), col("event_type"), col("value"), col("event_id"))
+        // three deterministic "insert blocks", as if the history arrived
+        // in micro-batches
+        val slices = (0 until 3).map(i => partials(ev.where(col("event_id") % 3 === i)))
+        mergeOnRead(slices.reduce(_ unionByName _))
+      },
+      Some("""SELECT user_id, event_type,
+             |  round(sum(value), 6) AS sum_value, count(*) AS n
+             |FROM events GROUP BY user_id, event_type""".stripMargin))
+  )
+}
