@@ -256,6 +256,42 @@ object Analytics extends QueryRegistry {
       },
       Some("""SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS cnt
              |FROM part GROUP BY p_brand
-             |ORDER BY cnt DESC, value LIMIT 10""".stripMargin))
+             |ORDER BY cnt DESC, value LIMIT 10""".stripMargin)),
+
+    // ---- runningConcurrency: concurrent open intervals per user ----
+    // Intervals become ±1 boundary events; a cumulative sum ordered by
+    // (time, delta) counts how many are open at each boundary (delta
+    // ascending ⇒ an interval ending at t closes before one starting at
+    // t). Partitioned on `user_id` (high cardinality); times move as
+    // epoch micros so the fixture's nanosecond timestamps never hit an
+    // engine-formatting edge. Default RANGE frame makes tied boundaries
+    // peers — both engines give every simultaneous boundary the same
+    // concurrency, so the result is deterministic.
+    QueryDef(
+      "b_win7_concurrency",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("t0"),
+          (unix_micros(col("ts")) + (col("event_id") % 300 + 1) * 1000000L).as("t1"))
+        val bounds = ev.select(col("user_id"), col("t0").as("t"), lit(1).as("delta"))
+          .unionByName(ev.select(col("user_id"), col("t1").as("t"), lit(-1).as("delta")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+        bounds.select(
+          col("user_id"), col("t"), col("delta"),
+          sum(col("delta")).over(w).as("concurrent"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS t0,
+             |    epoch_us(ts) + (event_id % 300 + 1) * 1000000 AS t1
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id, t0 AS t, 1 AS delta FROM ev
+             |  UNION ALL
+             |  SELECT user_id, t1 AS t, -1 AS delta FROM ev)
+             |SELECT user_id, t, delta,
+             |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS concurrent
+             |FROM b""".stripMargin))
   )
 }

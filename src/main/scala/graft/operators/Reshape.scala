@@ -119,6 +119,38 @@ object Reshape extends QueryRegistry {
             "metric", "value"),
       Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
              |UNION ALL
-             |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin))
+             |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin)),
+
+    // ---- per-group gap fill: each user's own daily axis ----
+    // The global WITH FILL (b_fil1) generates one axis; the per-group
+    // variant generates each key's [min_day, max_day] span and left-joins
+    // the facts back. Axis size is bounded by each group's own span, and
+    // the generator runs AFTER the groupBy — the fact table is scanned
+    // once. Day crosses the oracle as a string: the fixture's nanosecond
+    // timestamps round-trip differently as raw pandas datetimes.
+    QueryDef(
+      "b_fil3_group_fill",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(round(sum(col("value")), 6).as("s"))
+        val axis = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+        axis.join(daily, Seq("user_id", "day"), "left")
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("s"), lit(0.0)).as("s"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 6) AS s
+             |  FROM events GROUP BY user_id, date_trunc('day', ts)),
+             |axis AS (
+             |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+             |  FROM daily GROUP BY user_id)
+             |SELECT a.user_id, strftime(a.day, '%Y-%m-%d') AS day, coalesce(d.s, 0.0) AS s
+             |FROM axis a LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day""".stripMargin))
   )
 }
