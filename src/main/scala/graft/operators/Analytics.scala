@@ -292,6 +292,61 @@ object Analytics extends QueryRegistry {
              |  SELECT user_id, t1 AS t, -1 AS delta FROM ev)
              |SELECT user_id, t, delta,
              |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS concurrent
-             |FROM b""".stripMargin))
+             |FROM b""".stripMargin)),
+
+    // ---- maxIntersections: peak concurrency per user ----
+    // Same ±1 boundary sweep as b_win7, reduced to its max — the CH
+    // aggregate pair (`maxIntersections`/`maxIntersectionsPosition`).
+    // One window pass + one hash agg, both keyed on `user_id`.
+    QueryDef(
+      "b_agg18_max_intersections",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("t0"),
+          (unix_micros(col("ts")) + (col("event_id") % 300 + 1) * 1000000L).as("t1"))
+        val bounds = ev.select(col("user_id"), col("t0").as("t"), lit(1).as("delta"))
+          .unionByName(ev.select(col("user_id"), col("t1").as("t"), lit(-1).as("delta")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+        bounds
+          .select(col("user_id"), sum(col("delta")).over(w).as("c"))
+          .groupBy("user_id")
+          .agg(max(col("c")).as("peak"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS t0,
+             |    epoch_us(ts) + (event_id % 300 + 1) * 1000000 AS t1
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id, t0 AS t, 1 AS delta FROM ev
+             |  UNION ALL
+             |  SELECT user_id, t1 AS t, -1 AS delta FROM ev),
+             |c AS (SELECT user_id,
+             |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS c FROM b)
+             |SELECT user_id, max(c) AS peak FROM c GROUP BY user_id""".stripMargin)),
+
+    // ---- sumMap: per-key map aggregation (CH `sumMap`/`minMap`/`maxMap`)
+    // Logical map value per group, summed key-wise. Spark-native: the
+    // map never materializes mid-plan — explode → two hash aggregates —
+    // and the result map serializes as sorted k=v text for the oracle
+    // (map column order is engine-specific).
+    QueryDef(
+      "b_agg19_sum_map",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(round(sum(col("value")), 6).as("s"))
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(
+              array_sort(collect_list(concat(col("event_type"), lit("="), col("s").cast("string")))),
+              ",").as("sum_map")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, round(sum(value), 6) AS s
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id,
+             |  array_to_string(list_sort(list(event_type || '=' || CAST(s AS VARCHAR))), ',') AS sum_map
+             |FROM g GROUP BY user_id""".stripMargin))
   )
 }
