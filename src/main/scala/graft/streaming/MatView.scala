@@ -82,6 +82,41 @@ object MatView extends QueryRegistry {
       },
       Some("""SELECT user_id, event_type,
              |  round(sum(value), 6) AS sum_value, count(*) AS n
+             |FROM events GROUP BY user_id, event_type""".stripMargin)),
+
+    // CH projections: the same aggregate, but answered transparently from
+    // the partials table by the RouteToProjection optimizer rule. The
+    // build proves routing happened (plan must scan the partials path),
+    // materializes eagerly, then clears the registry so no other declared
+    // query is silently routed — registry hygiene, not a perf crutch.
+    QueryDef(
+      "b_mv2_projection_route",
+      (s, d) => {
+        val mvDir = partialsDir(s, d)
+        graft.plans.Projections.register(graft.plans.Projections.ProjectionDef(
+          s"$d/events.parquet", Seq("user_id", "event_type"), "value", mvDir))
+        try {
+          val routed = t(s, d, "events")
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(round(sum(col("value")), 6).as("sum_value"), count(lit(1)).as("n"))
+          require(
+            routed.queryExecution.executedPlan.toString.contains("mv_partials"),
+            "projection routing did not fire")
+          routed.localCheckpoint(true)
+        } finally graft.plans.Projections.clear()
+      },
+      Some("""SELECT user_id, event_type,
+             |  round(sum(value), 6) AS sum_value, count(*) AS n
              |FROM events GROUP BY user_id, event_type""".stripMargin))
   )
+
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Partials parquet for `d`'s events, built once per session. */
+  private def partialsDir(s: SparkSession, d: String): String =
+    written.computeIfAbsent(d, _ => {
+      val dir = s"/tmp/graft_mv_partials/mv_partials_${math.abs(d.hashCode)}"
+      partials(Tables.t(s, d, "events")).write.mode("overwrite").parquet(dir)
+      dir
+    })
 }
