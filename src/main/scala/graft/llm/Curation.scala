@@ -135,6 +135,69 @@ object Curation extends QueryRegistry {
              |  CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val'
              |       ELSE 'test' END AS split
              |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
-             |      FROM documents)""".stripMargin))
+             |      FROM documents)""".stripMargin)),
+
+    // ---- URL canonicalization + dedup (crawl hygiene) ----
+    // Lowercase scheme+host, strip utm_* tracking params, fragments, and
+    // trailing slashes, then group by the canonical form — the standard
+    // pre-dedup step for crawled corpora. URLs synthesized from doc
+    // attributes (two variants per doc collapse to one canonical form).
+    QueryDef(
+      "x_text_url_canon",
+      (s, d) => {
+        val base = concat(
+          lit("HTTPS://Example.COM/docs/"), col("source"), lit("/"),
+          col("doc_id").cast("string"))
+        // odd docs get tracking noise + fragment; even get a trailing slash
+        val raw = when(col("doc_id") % 2 === 1,
+            concat(base, lit("?utm_source=feed&utm_campaign=x#section")))
+          .otherwise(concat(base, lit("/")))
+        val canon =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(raw), "#.*$", ""),
+              "\\?utm_[^#]*", ""),
+            "/+$", "")
+        t(s, d, "documents")
+          .select(canon.as("canon_url"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_variants"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE WHEN doc_id % 2 = 1
+             |    THEN 'HTTPS://Example.COM/docs/' || source || '/' || CAST(doc_id AS VARCHAR)
+             |         || '?utm_source=feed&utm_campaign=x#section'
+             |    ELSE 'HTTPS://Example.COM/docs/' || source || '/' || CAST(doc_id AS VARCHAR) || '/'
+             |    END AS raw
+             |  FROM documents)
+             |SELECT regexp_replace(regexp_replace(regexp_replace(lower(raw),
+             |    '#.*$', ''), '\?utm_[^#]*', ''), '/+$', '') AS canon_url,
+             |  count(*) AS n_variants
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    // ---- quality-weighted sampling: keep-probability ∝ quality ----
+    // Deterministic: keep iff md5 bucket (0..255) < 256 · min(1, score),
+    // with score derived from document length — long docs kept more
+    // often. Same lineage guarantees as x_smp2 (stable under retries).
+    QueryDef(
+      "x_smp4_weighted",
+      (s, d) => {
+        val score = least(lit(1.0), length(col("text")).cast("double") / 400.0)
+        val bucket = conv(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+          .cast("long")
+        t(s, d, "documents")
+          .withColumn("keep_threshold", floor(score * 256).cast("long"))
+          .where(bucket < col("keep_threshold"))
+          .select(col("doc_id"), col("keep_threshold"))
+      },
+      Some("""SELECT doc_id, keep_threshold FROM (
+             |  SELECT doc_id,
+             |    CAST(floor(least(1.0, length(text) / 400.0) * 256) AS BIGINT) AS keep_threshold,
+             |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             |      AS BIGINT) AS bkt
+             |  FROM documents)
+             |WHERE bkt < keep_threshold""".stripMargin))
   )
 }

@@ -347,6 +347,45 @@ object Analytics extends QueryRegistry {
              |  FROM events GROUP BY user_id, event_type)
              |SELECT user_id,
              |  array_to_string(list_sort(list(event_type || '=' || CAST(s AS VARCHAR))), ',') AS sum_map
-             |FROM g GROUP BY user_id""".stripMargin))
+             |FROM g GROUP BY user_id""".stripMargin)),
+
+    // ---- intervalLengthSum: covered time per user (union of intervals,
+    // overlaps counted once). Same boundary sweep; a segment [t, next_t)
+    // counts iff at least one interval is open (running > 0). ----
+    QueryDef(
+      "b_agg20_interval_length",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("t0"),
+          (unix_micros(col("ts")) + (col("event_id") % 300 + 1) * 1000000L).as("t1"))
+        val bounds = ev.select(col("user_id"), col("t0").as("t"), lit(1).as("delta"))
+          .unionByName(ev.select(col("user_id"), col("t1").as("t"), lit(-1).as("delta")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+        bounds
+          .select(
+            col("user_id"), col("t"),
+            sum(col("delta")).over(w).as("running"),
+            lead(col("t"), 1).over(w).as("next_t"))
+          .where(col("running") > 0 && col("next_t").isNotNull)
+          .groupBy("user_id")
+          .agg((sum(col("next_t") - col("t")) / 1000000L).cast("long").as("covered_sec"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS t0,
+             |    epoch_us(ts) + (event_id % 300 + 1) * 1000000 AS t1
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id, t0 AS t, 1 AS delta FROM ev
+             |  UNION ALL
+             |  SELECT user_id, t1 AS t, -1 AS delta FROM ev),
+             |seg AS (SELECT user_id, t,
+             |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS running,
+             |  lead(t) OVER (PARTITION BY user_id ORDER BY t, delta) AS next_t FROM b)
+             |SELECT user_id,
+             |  CAST(sum(next_t - t) // 1000000 AS BIGINT) AS covered_sec
+             |FROM seg WHERE running > 0 AND next_t IS NOT NULL
+             |GROUP BY user_id""".stripMargin))
   )
 }

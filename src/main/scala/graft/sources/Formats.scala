@@ -44,6 +44,12 @@ object Formats extends QueryRegistry {
     QueryDef(
       "b_src8_jsonl_roundtrip",
       (s, d) => roundTrip(s, d, "json")(Map.empty),
+      Some(oracle)),
+    // columnar like parquet: pruning/pushdown-capable, a real query-path
+    // format (unlike the row interchange formats above)
+    QueryDef(
+      "b_src9_orc_roundtrip",
+      (s, d) => roundTrip(s, d, "orc")(Map.empty),
       Some(oracle))
   )
 }
