@@ -150,6 +150,26 @@ object FnExtras extends QueryRegistry {
              |  round(sum(o_totalprice) OVER w, 2) AS band_sum
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
-             |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- safe arithmetic: CH divideOrNull / intDivOrZero / parse-or-null
+    // (ANSI-off semantics made explicit with the try_* family) ----
+    QueryDef(
+      "b_fnm2_safe_arith",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(try_divide(col("l_extendedprice"), col("l_discount")), 4).as("div_or_null"),
+          coalesce(
+            try_divide(col("l_quantity"), col("l_discount")), lit(0.0)).as("div_or_zero"),
+          try_divide(lit(1.0), col("l_discount") - col("l_discount")).as("one_over_zero"),
+          expr("try_cast(l_returnflag AS INT)").as("parse_or_null")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice / nullif(l_discount, 0), 4) AS div_or_null,
+             |  coalesce(l_quantity / nullif(l_discount, 0), 0.0) AS div_or_zero,
+             |  1.0 / nullif(l_discount - l_discount, 0) AS one_over_zero,
+             |  try_cast(l_returnflag AS INT) AS parse_or_null
+             |FROM lineitem""".stripMargin))
   )
 }

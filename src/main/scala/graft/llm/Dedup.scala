@@ -402,6 +402,40 @@ object Dedup extends QueryRegistry {
              |FROM t JOIN b ON t.s = b.s
              |GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 3""".stripMargin)),
 
+    // ---- blocked fuzzy dedup: edit distance within prefix blocks ----
+    // Classic record-linkage shape: a cheap blocking key (20-char prefix)
+    // bounds the candidate space, then exact `levenshtein` scores only
+    // within-block pairs — never all-pairs. Blocks over `blockCap` are
+    // dropped (same skew-guard rationale as the jaccard df cap: one hot
+    // prefix must not become an O(d²) shuffle key at corpus scale).
+    QueryDef(
+      "x_dedup_fuzzy",
+      (s, d) => {
+        val blockCap = 50
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            substring(col("text"), 1, 20).as("blk"),
+            substring(col("text"), 1, 100).as("head"))
+          .withColumn("bn", count(lit(1)).over(w))
+          .where(col("bn") <= blockCap)
+        val a = docs.select(col("doc_id").as("doc_a"), col("blk"), col("head").as("ha"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("blk"), col("head").as("hb"))
+        a.join(b, Seq("blk"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ha"), col("hb")).as("dist"))
+          .where(col("dist") <= 5)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, substr(text, 1, 20) AS blk, substr(text, 1, 100) AS head
+             |  FROM documents),
+             |s AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM d)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(a.head, b.head) AS INT) AS dist
+             |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE a.bn <= 50 AND levenshtein(a.head, b.head) <= 5""".stripMargin)),
+
     // ---- MinHash + LSH near-dup candidates (engine-native hashes → no
     // cross-engine oracle; DedupSpec asserts parity with the exact pairs) ----
     QueryDef(

@@ -50,6 +50,28 @@ object Formats extends QueryRegistry {
     QueryDef(
       "b_src9_orc_roundtrip",
       (s, d) => roundTrip(s, d, "orc")(Map.empty),
-      Some(oracle))
+      Some(oracle)),
+    // schema evolution (CH `ALTER TABLE ADD COLUMN` analog): an old
+    // batch written without the new column reads back with nulls when
+    // merged with a new-schema batch — no rewrite of historical files.
+    QueryDef(
+      "b_src10_schema_evolution",
+      (s, d) => {
+        val src = Tables.t(s, d, "supplier")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-evo-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}").toString
+        src.select(col("s_suppkey"), col("s_name"))
+          .where(col("s_suppkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dir/v=1")
+        src.select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .where(col("s_suppkey") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$dir/v=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      },
+      Some("""SELECT s_suppkey, s_name, NULL AS s_acctbal FROM supplier WHERE s_suppkey % 2 = 0
+             |UNION ALL
+             |SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 2 = 1""".stripMargin))
   )
 }
