@@ -170,6 +170,48 @@ object FnExtras extends QueryRegistry {
              |  coalesce(l_quantity / nullif(l_discount, 0), 0.0) AS div_or_zero,
              |  1.0 / nullif(l_discount - l_discount, 0) AS one_over_zero,
              |  try_cast(l_returnflag AS INT) AS parse_or_null
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // ---- groupArray with deterministic ORDER BY (CH groupArraySorted) ----
+    // collect_list order is execution-dependent; sorting (key, value)
+    // structs inside the aggregate pins it — the only portable contract.
+    QueryDef(
+      "b_agg21_group_concat",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("o_orderkey"), col("o_orderpriority")))),
+                e => e.getField("o_orderpriority")),
+              "|").as("prio_seq"),
+            count(lit(1)).as("n")),
+      Some("""SELECT o_custkey,
+             |  string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS prio_seq,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // ---- date/time arithmetic tier 2 ----
+    QueryDef(
+      "b_fnd3_date_arith",
+      (s, d) =>
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_98"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow_1sun"),
+          quarter(col("o_orderdate")).cast("long").as("q")),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+             |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+             |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS q
+             |FROM orders""".stripMargin))
   )
 }

@@ -357,6 +357,27 @@ object Relational extends QueryRegistry {
              |EXCEPT ALL
              |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
 
+    // ---- B-SET4: UNION by name with missing columns (null-filled) ----
+    // CH's `UNION ALL` matches by position and errors on arity mismatch;
+    // the schema-evolution-friendly variant unions heterogenous slices
+    // by NAME, null-filling absent columns — the same contract as
+    // b_src10's merged read, but as a set operation.
+    QueryDef(
+      "b_set4_union_missing",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val recent = o.filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        val legacy = o.filter(col("o_totalprice") < 1000.0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        recent.unionByName(legacy, allowMissingColumns = true)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |WHERE o_totalprice > 400000.0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+             |WHERE o_totalprice < 1000.0""".stripMargin)),
+
     // ---- B-SRT1: multi-key ORDER BY + LIMIT (TakeOrderedAndProject) ----
     QueryDef(
       "b_srt1_sort_limit",

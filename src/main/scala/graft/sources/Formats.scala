@@ -72,6 +72,20 @@ object Formats extends QueryRegistry {
       },
       Some("""SELECT s_suppkey, s_name, NULL AS s_acctbal FROM supplier WHERE s_suppkey % 2 = 0
              |UNION ALL
-             |SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 2 = 1""".stripMargin))
+             |SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 2 = 1""".stripMargin)),
+    // the reference's own wire format as a file interchange: Arrow IPC
+    // stream files, encoded/decoded by the connector codec
+    QueryDef(
+      "b_src11_arrow_ipc",
+      (s, d) => {
+        val src = Tables.t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-arrows-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}").toString
+        ArrowIpc.write(src, dir)
+        ArrowIpc.read(s, dir)
+      },
+      Some(oracle))
   )
 }
