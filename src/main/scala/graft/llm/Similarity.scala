@@ -629,6 +629,57 @@ object Similarity extends QueryRegistry {
     QueryDef(
       "x_dedup_embed_lsh",
       (s, d) => embedDupPairsLsh(t(s, d, "embeddings"), tau = 0.4, tables = 16, bits = 5),
-      None)
+      None),
+
+    // ---- int8 embedding quantization (4× storage cut for ANN shards) --
+    // Per-vector max-abs scale → symmetric int8 codes + reconstruction
+    // error. JIT'd map kernel (no per-element HOF interpretation); the
+    // oracle recomputes with list ops. Rounding is explicit half-away-
+    // from-zero so both engines agree on negative midpoints.
+    QueryDef(
+      "x_embed_quantize",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        t(s, d, "embeddings")
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, v) =>
+            val a = v.toArray
+            var mx = 0.0
+            var i = 0
+            while (i < a.length) { val ab = math.abs(a(i)); if (ab > mx) mx = ab; i += 1 }
+            val scale = if (mx == 0.0) 1.0 else mx
+            def halfAway(x: Double): Long =
+              if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+            val q = new Array[Long](a.length)
+            var se = 0.0
+            i = 0
+            while (i < a.length) {
+              q(i) = halfAway(a(i) / scale * 127.0)
+              val r = a(i) - q(i) * scale / 127.0
+              se += r * r
+              i += 1
+            }
+            (id,
+              BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              q.take(4).mkString(","),
+              BigDecimal(math.sqrt(se)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .toDF("vec_id", "scale_r", "q_head", "err_r")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+             |       ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+             |  FROM e),
+             |q AS (SELECT vec_id, v, scale,
+             |  list_transform(v, x -> CAST(round(x / scale * 127) AS BIGINT)) AS qv
+             |  FROM s)
+             |SELECT vec_id, round(scale, 6) AS scale_r,
+             |  array_to_string(qv[1:4], ',') AS q_head,
+             |  round(sqrt(list_sum(list_transform(range(len(v)),
+             |    i -> pow(v[i+1] - qv[i+1] * scale / 127, 2)))), 6) AS err_r
+             |FROM q""".stripMargin))
   )
 }

@@ -86,6 +86,43 @@ object Analytics extends QueryRegistry {
       .toDF("user_id", "funnel_level")
   }
 
+  /** `windowFunnel(... , 'strict_order')`: the chain breaks if any OTHER
+    * listed step interleaves — level L needs steps 1..L to appear as a
+    * CONTIGUOUS run in the user's step-event sequence (time-ordered,
+    * ties broken by step index). Same shuffle shape as the base funnel;
+    * the per-user scan is O(|events|) after one sort.
+    */
+  def windowFunnelStrict(events: DataFrame, stepTypes: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    val stepIdx = stepTypes.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (tpe, i)) =>
+        when(col("event_type") === tpe, lit(i)).otherwise(acc)
+      }
+    val nSteps = stepTypes.length
+    events
+      .filter(col("event_type").isInCollection(stepTypes))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), stepIdx.cast("int"))
+      .as[(Long, Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (uid, it) =>
+        val seq = it.map { case (_, us, step) => (us, step) }.toArray
+        java.util.Arrays.sort(seq, Ordering.by((p: (Long, Int)) => p))
+        var best = 0
+        var i = 0
+        while (i < seq.length) {
+          if (seq(i)._2 == 0) {
+            var lvl = 1
+            var j = i + 1
+            while (j < seq.length && lvl < nSteps && seq(j)._2 == lvl) { lvl += 1; j += 1 }
+            if (lvl > best) best = lvl
+          }
+          i += 1
+        }
+        (uid, best)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+      .toDF("user_id", "funnel_level")
+  }
+
   /** CH `retention(c1, .., cN)`: per user, r1 = saw c1; r_i = saw c1 AND
     * c_i. One partial+final hash aggregate, scalar flags (no array output
     * so the oracle canonicalizer can sort rows).
@@ -293,6 +330,29 @@ object Analytics extends QueryRegistry {
              |SELECT user_id, t, delta,
              |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS concurrent
              |FROM b""".stripMargin)),
+
+    // ---- windowFunnel strict_order mode: interleaving steps break the
+    // chain → level L ⇔ "01..L-1" appears contiguously in the
+    // time-ordered step sequence, which the oracle checks with plain
+    // substring containment over a string_agg reconstruction ----
+    QueryDef(
+      "b_fun4_funnel_strict",
+      (s, d) => windowFunnelStrict(
+        t(s, d, "events"), Seq("view", "click", "purchase")),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS st
+             |  FROM events WHERE event_type IN ('view','click','purchase')),
+             |seqs AS (
+             |  SELECT user_id,
+             |    string_agg(CAST(st AS VARCHAR), '' ORDER BY us, st) AS sq
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN sq LIKE '%012%' THEN 3
+             |       WHEN sq LIKE '%01%' THEN 2
+             |       WHEN sq LIKE '%0%' THEN 1
+             |       ELSE 0 END AS funnel_level
+             |FROM seqs""".stripMargin)),
 
     // ---- maxIntersections: peak concurrency per user ----
     // Same ±1 boundary sweep as b_win7, reduced to its max — the CH
