@@ -198,6 +198,36 @@ object Curation extends QueryRegistry {
              |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
              |      AS BIGINT) AS bkt
              |  FROM documents)
-             |WHERE bkt < keep_threshold""".stripMargin))
+             |WHERE bkt < keep_threshold""".stripMargin)),
+
+    // ---- shard packing: bin documents into shards by token budget ----
+    // Two-level so it scales: a hash bucket bounds each packing window
+    // (16 here; 4096 at corpus scale), then a per-bucket cumulative
+    // token sum cuts shards every `budget` tokens. The window partitions
+    // on the bucket — never a single global sort — and shard ids are
+    // (bucket, cut) pairs, so packing is deterministic and
+    // embarrassingly parallel across buckets.
+    QueryDef(
+      "x_pack_shards",
+      (s, d) => {
+        val budget = 5000L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 16).as("bucket"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .select(col("doc_id"), col("bucket"),
+            expr(s"(cum - 1) div $budget").as("shard_in_bucket"),
+            col("toks"))
+      },
+      Some("""SELECT doc_id, doc_id % 16 AS bucket,
+             |  CAST((cum - 1) // 5000 AS BIGINT) AS shard_in_bucket, toks
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+             |    sum(CAST(len(str_split(text, ' ')) AS BIGINT))
+             |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
+             |  FROM documents)""".stripMargin))
   )
 }

@@ -357,6 +357,46 @@ object Relational extends QueryRegistry {
              |EXCEPT ALL
              |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
 
+    // ---- B-JN12: banded range join via bucket expansion ----
+    // |t_a - t_b| <= band joins are theta joins (cartesian at scale).
+    // The scalable form: quantize time into band-width buckets, explode
+    // ONE side into its 3 adjacent buckets, equi-join on the bucket, then
+    // refine with the exact predicate — one hash shuffle, candidates
+    // bounded by 3× the true band population, never O(N·M). The oracle
+    // runs the naive theta join (fine at fixture scale) to prove the
+    // rewrite is exact.
+    QueryDef(
+      "b_jn12_banded_range",
+      (s, d) => {
+        val bandUs = 60L * 1000000L // 1 minute
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("tc"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("tp"))
+        // integer `div`: double division on epoch micros (> 2^50) loses
+        // ulps exactly at bucket boundaries
+        val expanded = clicks
+          .withColumn("bkt",
+            explode(array(expr(s"tc div $bandUs") - 1,
+              expr(s"tc div $bandUs"),
+              expr(s"tc div $bandUs") + 1)))
+        expanded.join(
+            purchases.withColumn("bkt", expr(s"tp div $bandUs")),
+            Seq("bkt"))
+          .where(col("user_id") === col("p_user") && abs(col("tc") - col("tp")) <= bandUs)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (col("tp") - col("tc")).as("gap_us"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 60000000""".stripMargin)),
+
     // ---- B-SET4: UNION by name with missing columns (null-filled) ----
     // CH's `UNION ALL` matches by position and errors on arity mismatch;
     // the schema-evolution-friendly variant unions heterogenous slices
