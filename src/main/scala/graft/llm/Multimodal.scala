@@ -208,6 +208,38 @@ object Multimodal extends QueryRegistry {
              |SELECT vec_id, i // 16 AS frame,
              |  round(sqrt(avg(v[i+1] * v[i+1])), 6) AS rms,
              |  count(*) AS n_samples
-             |FROM s GROUP BY vec_id, i // 16""".stripMargin))
+             |FROM s GROUP BY vec_id, i // 16""".stripMargin)),
+
+    // ---- video scene-cut detection: frame-delta thresholding ----
+    // Per-video frame energies (deterministic synth — the decode is the
+    // stub), lag-1 delta per video, cut where |delta| crosses the
+    // threshold. Window partitions on doc_id (one video = one group);
+    // at scale frames-per-video is bounded, videos are many.
+    QueryDef(
+      "x_mm_scene_cuts",
+      (s, d) => {
+        val nFrames = lit(1) + pmod(col("doc_id"), lit(4))
+        val energy = pmod(col("doc_id") * 31 + col("f") * col("f") * 17, lit(1000))
+          .cast("double") / 1000.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("f"))
+        t(s, d, "documents")
+          .where(col("doc_id") % 3 === 2) // the "video" slice of mediaTable
+          .select(col("doc_id"), explode(sequence(lit(0), nFrames - 1)).as("f"))
+          .withColumn("energy", round(energy, 6))
+          .withColumn("delta", round(col("energy") - lag(col("energy"), 1).over(w), 6))
+          .withColumn("is_cut", coalesce(abs(col("delta")) > 0.5, lit(false)))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, unnest(range(1 + doc_id % 4)) AS f
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |e AS (SELECT doc_id, f,
+             |  round(((doc_id * 31 + f * f * 17) % 1000) / 1000.0, 6) AS energy FROM fr),
+             |d AS (SELECT doc_id, f, energy,
+             |  round(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY f), 6) AS delta
+             |  FROM e)
+             |SELECT doc_id, f, energy, delta,
+             |  coalesce(abs(delta) > 0.5, false) AS is_cut
+             |FROM d""".stripMargin))
   )
 }

@@ -446,6 +446,49 @@ object Analytics extends QueryRegistry {
              |SELECT user_id,
              |  CAST(sum(next_t - t) // 1000000 AS BIGINT) AS covered_sec
              |FROM seg WHERE running > 0 AND next_t IS NOT NULL
-             |GROUP BY user_id""".stripMargin))
+             |GROUP BY user_id""".stripMargin)),
+
+    // ---- simpleLinearRegression: slope/intercept per group ----
+    QueryDef(
+      "b_agg22_linreg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+            round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("r"),
+            regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n")),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             |  round(corr(l_extendedprice, l_quantity), 6) AS r,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- entropy: Shannon entropy of the value distribution per group
+    // (CH `entropy`). Two hash aggregates — counts per (group, value),
+    // then -Σ p·log2 p — both with map-side partials. ----
+    QueryDef(
+      "b_agg23_entropy",
+      (s, d) => {
+        val counts = t(s, d, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("c"))
+        val totals = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderstatus"))
+        counts
+          .withColumn("tot", sum(col("c")).over(totals))
+          .groupBy(col("o_orderstatus"))
+          .agg(round(-sum((col("c") / col("tot")) * log2(col("c") / col("tot"))), 6)
+            .as("entropy"))
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+             |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+             |t AS (SELECT o_orderstatus, o_orderpriority, c,
+             |  sum(c) OVER (PARTITION BY o_orderstatus) AS tot FROM c)
+             |SELECT o_orderstatus,
+             |  round(-sum((c / CAST(tot AS DOUBLE)) * log2(c / CAST(tot AS DOUBLE))), 6) AS entropy
+             |FROM t GROUP BY o_orderstatus""".stripMargin))
   )
 }
