@@ -74,6 +74,41 @@ object TextOps extends QueryRegistry {
       .select(col("doc_id"), col("lang").as("true_lang"), col("best.lang").as("pred_lang"))
   }
 
+  /** Char-trigram language-model quality score (a cheap perplexity
+    * proxy, the classic pre-filter before an expensive model pass).
+    * Trained on the corpus itself as two aggregations — trigram counts
+    * capped at `maxFeatures` (broadcast-bounded, same rationale as
+    * [[languageId]]) and the grand total — then each doc scores
+    * avg log P(trigram) with Laplace smoothing; unseen trigrams get the
+    * smoothed floor. Kernelized trigram extraction (JIT loop, no
+    * per-element HOF interpretation). Model op → rows-only evidence;
+    * TextOpsSpec asserts natural text outscores gibberish.
+    */
+  def lmScore(docs: DataFrame, maxFeatures: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def trigrams(text: String): Array[String] = {
+      val t = text.toLowerCase
+      if (t.length < 3) Array.empty[String]
+      else Array.tabulate(t.length - 2)(i => t.substring(i, i + 3))
+    }
+    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => trigrams(text).iterator.map(g => (id, g)) }
+      .toDF("doc_id", "g")
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc).limit(maxFeatures)
+    val total = grams.count().toDouble
+    val vocab = counts.count().toDouble
+    val logp = counts.select(col("g"),
+      log((col("c") + 1.0) / (total + vocab)).as("lp"))
+    val floor = math.log(1.0 / (total + vocab))
+    grams.join(broadcast(logp), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        round(avg(coalesce(col("lp"), lit(floor))), 6).as("avg_logp"),
+        count(lit(1)).as("n_grams"))
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -145,6 +180,13 @@ object TextOps extends QueryRegistry {
              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
              |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- char-trigram LM quality score (perplexity proxy; model op →
+    // rows-only, natural-vs-gibberish separation asserted in TextOpsSpec)
+    QueryDef(
+      "x_text_lm_score",
+      (s, d) => lmScore(t(s, d, "documents")),
+      None)
   )
 }

@@ -489,6 +489,31 @@ object Analytics extends QueryRegistry {
              |  sum(c) OVER (PARTITION BY o_orderstatus) AS tot FROM c)
              |SELECT o_orderstatus,
              |  round(-sum((c / CAST(tot AS DOUBLE)) * log2(c / CAST(tot AS DOUBLE))), 6) AS entropy
-             |FROM t GROUP BY o_orderstatus""".stripMargin))
+             |FROM t GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- higher moments: population skewness / excess kurtosis ----
+    // Spark's skewness/kurtosis are population-form; DuckDB's built-ins
+    // are sample-corrected, so the oracle recomputes the population form
+    // from explicit central moments (two aggregation passes).
+    QueryDef(
+      "b_agg24_moments",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(skewness(col("l_extendedprice")), 6).as("skew"),
+            round(kurtosis(col("l_extendedprice")), 6).as("kurt"),
+            round(stddev_pop(col("l_extendedprice")), 4).as("sd_pop")),
+      Some("""WITH mu AS (
+             |  SELECT l_returnflag, avg(l_extendedprice) AS m
+             |  FROM lineitem GROUP BY l_returnflag),
+             |dx AS (
+             |  SELECT l.l_returnflag, l_extendedprice - m AS x
+             |  FROM lineitem l JOIN mu USING (l_returnflag))
+             |SELECT l_returnflag,
+             |  round(avg(x*x*x) / pow(avg(x*x), 1.5), 6) AS skew,
+             |  round(avg(x*x*x*x) / pow(avg(x*x), 2) - 3, 6) AS kurt,
+             |  round(sqrt(avg(x*x)), 4) AS sd_pop
+             |FROM dx GROUP BY l_returnflag""".stripMargin))
   )
 }

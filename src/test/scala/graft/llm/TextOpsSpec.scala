@@ -46,4 +46,18 @@ class TextOpsSpec extends SparkSpec {
       assert(got(r.getLong(0)) === expected)
     }
   }
+
+  test("trigram LM scores natural text above gibberish") {
+    import spark.implicits._
+    val natural = (1 to 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and runs through the field"))
+    val gibber = (41 to 50).map(i =>
+      (i.toLong, s"zq9x7vk${i}k3jw0pqy8rr2mnb5tt1uu6ccd4eef"))
+    val docs = (natural ++ gibber).toDF("doc_id", "text")
+    val scored = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val natAvg = natural.map(x => scored(x._1)).sum / natural.size
+    val gibAvg = gibber.map(x => scored(x._1)).sum / gibber.size
+    assert(natAvg > gibAvg + 1.0, s"natural $natAvg vs gibberish $gibAvg")
+  }
 }
