@@ -212,6 +212,88 @@ object FnExtras extends QueryRegistry {
              |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
              |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
              |  CAST(quarter(o_orderdate) AS BIGINT) AS q
+             |FROM orders""".stripMargin)),
+
+    // ---- arrayCumSum / arrayDifference (per-array scans) ----
+    QueryDef(
+      "b_fna8_array_scans",
+      (s, d) =>
+        t(s, d, "part")
+          .withColumn("a0", sequence(lit(1), pmod(col("p_size"), lit(6)) + 1))
+          .select(
+            col("p_partkey"),
+            array_join(col("a0"), ",").as("a"),
+            array_join(expr(
+              """transform(sequence(1, size(a0)),
+                |  i -> aggregate(slice(a0, 1, i), CAST(0 AS BIGINT), (acc, x) -> acc + x))""".stripMargin),
+              ",").as("cumsum"),
+            array_join(expr(
+              """transform(sequence(1, size(a0)),
+                |  i -> IF(i = 1, CAST(a0[0] AS BIGINT), CAST(a0[i-1] - a0[i-2] AS BIGINT)))""".stripMargin),
+              ",").as("diffs")),
+      Some("""WITH w AS (SELECT p_partkey, generate_series(1, p_size % 6 + 1) AS a FROM part)
+             |SELECT p_partkey,
+             |  array_to_string(a, ',') AS a,
+             |  array_to_string(list_transform(range(len(a)),
+             |    i -> list_sum(a[1:i+1])), ',') AS cumsum,
+             |  array_to_string(list_transform(range(len(a)),
+             |    i -> CASE WHEN i = 0 THEN a[1] ELSE a[i+1] - a[i] END), ',') AS diffs
+             |FROM w""".stripMargin)),
+
+    // ---- first/last_value IGNORE NULLS over windows ----
+    QueryDef(
+      "b_win8_ignore_nulls",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val v = when(col("o_totalprice") > 150000.0, col("o_totalprice"))
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          round(last(v, ignoreNulls = true).over(w), 2).as("last_big"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(last_value(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END IGNORE NULLS)
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_big
+             |FROM orders""".stripMargin)),
+
+    // ---- scalar bit ops: shifts / and / or / xor / not ----
+    QueryDef(
+      "b_fnb1_bitops",
+      (s, d) =>
+        t(s, d, "part").select(
+          col("p_partkey"),
+          shiftleft(col("p_partkey"), 3).as("shl"),
+          shiftright(col("p_partkey"), 2).as("shr"),
+          col("p_partkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("p_partkey").bitwiseOR(lit(4096L)).as("b_or"),
+          col("p_partkey").bitwiseXOR(lit(0x5555L)).as("b_xor"),
+          bitwise_not(col("p_partkey")).as("b_not"),
+          bit_count(col("p_partkey")).cast("long").as("popcnt")),
+      Some("""SELECT p_partkey,
+             |  p_partkey << 3 AS shl,
+             |  p_partkey >> 2 AS shr,
+             |  p_partkey & 255 AS b_and,
+             |  p_partkey | 4096 AS b_or,
+             |  xor(p_partkey, 21845) AS b_xor,
+             |  ~p_partkey AS b_not,
+             |  CAST(bit_count(p_partkey) AS BIGINT) AS popcnt
+             |FROM part""".stripMargin)),
+
+    // ---- CH transform(x, from, to, default): value mapping ----
+    QueryDef(
+      "b_flt3_transform_map",
+      (s, d) => {
+        val m = typedLit(Map(
+          "1-URGENT" -> "P0", "2-HIGH" -> "P1", "3-MEDIUM" -> "P2"))
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          coalesce(element_at(m, col("o_orderpriority")), lit("P3")).as("tier"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P0' WHEN '2-HIGH' THEN 'P1'
+             |       WHEN '3-MEDIUM' THEN 'P2' ELSE 'P3' END AS tier
              |FROM orders""".stripMargin))
   )
 }
