@@ -402,6 +402,29 @@ object Dedup extends QueryRegistry {
              |FROM t JOIN b ON t.s = b.s
              |GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 3""".stripMargin)),
 
+    // ---- normalized exact dedup: case/whitespace/punct-insensitive ----
+    // The step between byte-exact and fuzzy: canonicalize (lowercase,
+    // strip punctuation, collapse whitespace) then hash-group — catches
+    // the "same doc, different formatting" duplicates byte-exact dedup
+    // misses, at the same single-shuffle cost.
+    QueryDef(
+      "x_dedup_normalized",
+      (s, d) => {
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, d, "documents")
+          .select(col("doc_id"), md5(canon.cast("binary")).as("canon_hash"))
+          .groupBy("canon_hash")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+          .where(col("n_dups") > 1)
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash
+             |  FROM documents)
+             |SELECT canon_hash, count(*) AS n_dups, min(doc_id) AS keeper
+             |FROM c GROUP BY canon_hash HAVING count(*) > 1""".stripMargin)),
+
     // ---- blocked fuzzy dedup: edit distance within prefix blocks ----
     // Classic record-linkage shape: a cheap blocking key (20-char prefix)
     // bounds the candidate space, then exact `levenshtein` scores only

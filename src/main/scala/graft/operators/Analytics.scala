@@ -354,6 +354,68 @@ object Analytics extends QueryRegistry {
              |       ELSE 0 END AS funnel_level
              |FROM seqs""".stripMargin)),
 
+    // ---- sequenceCount: non-overlapping step-pattern matches per user.
+    // Greedy left-to-right over the time-ordered step sequence == CH's
+    // non-overlap semantics; the oracle counts via string replace length
+    // arithmetic on the same reconstruction used by b_fun4. ----
+    QueryDef(
+      "b_fun5_sequence_count",
+      (s, d) => {
+        val stepTypes = Seq("view", "click")
+        val stepIdx = stepTypes.zipWithIndex
+          .foldLeft(lit(-1)) { case (acc, (tpe, i)) =>
+            when(col("event_type") === tpe, lit(i)).otherwise(acc)
+          }
+        t(s, d, "events")
+          .filter(col("event_type").isInCollection(stepTypes))
+          .select(col("user_id").cast("long"), unix_micros(col("ts")), stepIdx.cast("int"))
+          .as[(Long, Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt))
+          .groupByKey(_._1)(Encoders.scalaLong)
+          .mapGroups { (uid, it) =>
+            val seq = it.map { case (_, us, step) => (us, step) }.toArray
+            java.util.Arrays.sort(seq, Ordering.by((p: (Long, Int)) => p))
+            var n = 0L
+            var i = 0
+            while (i < seq.length) {
+              if (seq(i)._2 == 0 && i + 1 < seq.length && seq(i + 1)._2 == 1) { n += 1; i += 2 }
+              else i += 1
+            }
+            (uid, n)
+          }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          .toDF("user_id", "n_matches")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    CASE event_type WHEN 'view' THEN 0 ELSE 1 END AS st
+             |  FROM events WHERE event_type IN ('view','click')),
+             |seqs AS (
+             |  SELECT user_id, string_agg(CAST(st AS VARCHAR), '' ORDER BY us, st) AS sq
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  CAST((length(sq) - length(replace(sq, '01', ''))) / 2 AS BIGINT) AS n_matches
+             |FROM seqs""".stripMargin)),
+
+    // ---- deltaSum: sum of positive increments along the time axis ----
+    QueryDef(
+      "b_agg25_delta_sum",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+          .where(col("dv") > 0)
+          .groupBy("user_id")
+          .agg(round(sum(col("dv")), 6).as("delta_sum"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |    value - lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS dv
+             |  FROM events)
+             |SELECT user_id, round(sum(dv), 6) AS delta_sum
+             |FROM d WHERE dv > 0 GROUP BY user_id""".stripMargin)),
+
     // ---- maxIntersections: peak concurrency per user ----
     // Same ±1 boundary sweep as b_win7, reduced to its max — the CH
     // aggregate pair (`maxIntersections`/`maxIntersectionsPosition`).
