@@ -410,18 +410,30 @@ object Dedup extends QueryRegistry {
     QueryDef(
       "x_dedup_normalized",
       (s, d) => {
+        // every 7th doc gets a formatting-mangled twin (uppercased,
+        // double-spaced) — byte-different, canonically identical; the
+        // canon hash must collapse exactly those pairs
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val mangled = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            regexp_replace(upper(col("text")), " ", "  ").as("text"))
         val canon = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-        t(s, d, "documents")
+        docs.unionByName(mangled)
           .select(col("doc_id"), md5(canon.cast("binary")).as("canon_hash"))
           .groupBy("canon_hash")
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
           .where(col("n_dups") > 1)
       },
-      Some("""WITH c AS (
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, replace(upper(text), ' ', '  ')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |c AS (
              |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
              |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash
-             |  FROM documents)
+             |  FROM u)
              |SELECT canon_hash, count(*) AS n_dups, min(doc_id) AS keeper
              |FROM c GROUP BY canon_hash HAVING count(*) > 1""".stripMargin)),
 
