@@ -576,6 +576,193 @@ object Analytics extends QueryRegistry {
              |  round(avg(x*x*x) / pow(avg(x*x), 1.5), 6) AS skew,
              |  round(avg(x*x*x*x) / pow(avg(x*x), 2) - 3, 6) AS kurt,
              |  round(sqrt(avg(x*x)), 4) AS sd_pop
-             |FROM dx GROUP BY l_returnflag""".stripMargin))
+             |FROM dx GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- Welch + Student two-sample t-tests (CH `welchTTest`,
+    // `studentTTest`): ONE conditional-aggregation pass computes both
+    // groups' (n, mean, s²) simultaneously — a single map-side-partial
+    // hash aggregate over the scan, no second pass, 1-row final. ----
+    QueryDef(
+      "b_agg26_ttest",
+      (s, d) => {
+        val a = col("l_returnflag") === "A"
+        val r = col("l_returnflag") === "R"
+        val x = col("l_extendedprice")
+        t(s, d, "lineitem")
+          .where(col("l_returnflag").isin("A", "R"))
+          .agg(
+            count(when(a, 1)).cast("double").as("n1"),
+            avg(when(a, x)).as("m1"),
+            var_samp(when(a, x)).as("v1"),
+            count(when(r, 1)).cast("double").as("n2"),
+            avg(when(r, x)).as("m2"),
+            var_samp(when(r, x)).as("v2"))
+          .select(
+            round((col("m1") - col("m2")) /
+              sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6).as("t_welch"),
+            round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+              (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+                pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2).as("df_welch"),
+            round((col("m1") - col("m2")) /
+              sqrt(((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2")) /
+                (col("n1") + col("n2") - 2) *
+                (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("t_student"),
+            (col("n1") + col("n2") - 2).cast("long").as("df_student"))
+      },
+      Some("""WITH g AS (
+             |  SELECT
+             |    CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS DOUBLE) AS n1,
+             |    avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS m1,
+             |    var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS v1,
+             |    CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE) AS n2,
+             |    avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS m2,
+             |    var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS v2
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+             |SELECT
+             |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
+             |  round(pow(v1 / n1 + v2 / n2, 2) /
+             |    (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2) AS df_welch,
+             |  round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+             |    * (1 / n1 + 1 / n2)), 6) AS t_student,
+             |  CAST(n1 + n2 - 2 AS BIGINT) AS df_student
+             |FROM g""".stripMargin)),
+
+    // ---- exponentialMovingAverage (CH): final smoothed value per user.
+    // The closed form ema_N = α·Σ (1−α)^(N−i)·x_i turns the inherently
+    // sequential recurrence into one window pass + one hash aggregate —
+    // no per-row driver state, order pinned by the unique event_id.
+    // Weights underflow to exactly 0 past ~100 lags in BOTH engines
+    // (IEEE doubles), so the tail never contributes noise. ----
+    QueryDef(
+      "b_win9_ema",
+      (s, d) => {
+        val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("value"),
+            row_number().over(byUser.orderBy(col("event_id"))).as("i"),
+            count(lit(1)).over(byUser).as("n"))
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value") * pow(lit(0.7), col("n") - col("i"))) * 0.3, 6)
+            .as("ema"))
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS i,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events)
+             |SELECT user_id, round(sum(value * pow(0.7, n - i)) * 0.3, 6) AS ema
+             |FROM w GROUP BY user_id""".stripMargin)),
+
+    // ---- avgWeighted (CH): Σwx/Σw in one partial+final pass ----
+    QueryDef(
+      "b_agg27_avg_weighted",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(
+            sum(col("l_extendedprice") * col("l_quantity")) /
+              sum(col("l_quantity").cast("double")), 6).as("wavg")),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity)
+             |    / sum(CAST(l_quantity AS DOUBLE)), 6) AS wavg
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- minMap / maxMap (CH): key-wise extrema across map-valued rows,
+    // serialized as sorted k=v CSV (the cross-engine map contract proven
+    // by b_agg19_sum_map) ----
+    QueryDef(
+      "b_agg28_minmax_map",
+      (s, d) => {
+        val g = t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(round(min(col("value")), 6).as("mn"), round(max(col("value")), 6).as("mx"))
+        g.groupBy(col("user_id"))
+          .agg(
+            array_join(array_sort(collect_list(
+              concat(col("event_type"), lit("="), col("mn").cast("string")))), ",")
+              .as("min_map"),
+            array_join(array_sort(collect_list(
+              concat(col("event_type"), lit("="), col("mx").cast("string")))), ",")
+              .as("max_map"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type,
+             |    round(min(value), 6) AS mn, round(max(value), 6) AS mx
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id,
+             |  array_to_string(list_sort(list(event_type || '=' || CAST(mn AS VARCHAR))), ',') AS min_map,
+             |  array_to_string(list_sort(list(event_type || '=' || CAST(mx AS VARCHAR))), ',') AS max_map
+             |FROM g GROUP BY user_id""".stripMargin)),
+
+    // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
+    // value series to 20 visually-representative points. Selection is not
+    // SQL-expressible → rows-only verify (count deterministic:
+    // min(n, 20) per user); the kernel's semantics are asserted in
+    // AnalyticsSpec (endpoints kept, spike retention, pass-through).
+    // One shuffle on user_id; per-series working set = that series only.
+    QueryDef(
+      "b_fun6_lttb",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"),
+            col("value"), col("event_id"))
+          .as[(Long, Long, Double, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val pts = it.toArray.sortBy(p => (p._2, p._4))
+            val keep = LttbKernel.select(
+              pts.map(_._2.toDouble), pts.map(_._3), 20)
+            keep.iterator.map(i => (uid, pts(i)._2, pts(i)._3))
+          }
+          .toDF("user_id", "t", "value")
+      },
+      None)
   )
+
+  /** Largest-Triangle-Three-Buckets downsampling kernel (CH
+    * `largestTriangleThreeBuckets`): always keeps the first and last
+    * point; buckets the interior into `threshold-2` ranges and keeps, per
+    * bucket, the point maximizing the triangle area formed with the
+    * previously kept point and the NEXT bucket's centroid (Steinarsson
+    * 2013, public algorithm). Plain JIT'd loops — no interpreted HOFs.
+    */
+  private[operators] object LttbKernel extends Serializable {
+    def select(ts: Array[Double], vs: Array[Double], threshold: Int): Array[Int] = {
+      val n = ts.length
+      if (threshold >= n || threshold < 3) return Array.range(0, n)
+      val out = new Array[Int](threshold)
+      out(0) = 0
+      val every = (n - 2).toDouble / (threshold - 2)
+      var a = 0
+      var i = 0
+      while (i < threshold - 2) {
+        val bs = (i * every).toInt + 1
+        val be = math.min(((i + 1) * every).toInt + 1, n - 1)
+        val ns = be
+        val ne = math.min(((i + 2) * every).toInt + 1, n)
+        var cx = 0.0
+        var cy = 0.0
+        var k = ns
+        while (k < ne) { cx += ts(k); cy += vs(k); k += 1 }
+        val m = math.max(ne - ns, 1)
+        cx /= m
+        cy /= m
+        var best = -1.0
+        var bi = bs
+        var j = bs
+        while (j < be) {
+          val area = math.abs(
+            (ts(a) - cx) * (vs(j) - vs(a)) - (ts(a) - ts(j)) * (cy - vs(a)))
+          if (area > best) { best = area; bi = j }
+          j += 1
+        }
+        out(i + 1) = bi
+        a = bi
+        i += 1
+      }
+      out(threshold - 1) = n - 1
+      out
+    }
+  }
 }

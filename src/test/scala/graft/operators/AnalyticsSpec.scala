@@ -39,4 +39,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(1L -> 3, 2L -> 1, 3L -> 0))
   }
+
+  test("LTTB kernel: pass-through below threshold, endpoints always kept") {
+    val ts = Array.tabulate(5)(_.toDouble)
+    val vs = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    // n <= threshold -> identity
+    assert(Analytics.LttbKernel.select(ts, vs, 20).toSeq === (0 until 5))
+    // downsample keeps first and last and is strictly increasing
+    val big = Array.tabulate(100)(_.toDouble)
+    val bvs = big.map(t => math.sin(t / 7))
+    val keep = Analytics.LttbKernel.select(big, bvs, 10)
+    assert(keep.length === 10)
+    assert(keep.head === 0 && keep.last === 99)
+    assert(keep.toSeq === keep.toSeq.sorted && keep.distinct.length === 10)
+  }
+
+  test("LTTB kernel: a lone spike on a flat series is retained") {
+    val n = 90
+    val ts = Array.tabulate(n)(_.toDouble)
+    val vs = Array.fill(n)(1.0)
+    vs(47) = 100.0 // the only feature in its bucket
+    val keep = Analytics.LttbKernel.select(ts, vs, 12)
+    assert(keep.contains(47), s"spike index 47 not in ${keep.toSeq}")
+  }
 }
