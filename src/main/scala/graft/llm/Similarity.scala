@@ -83,7 +83,7 @@ private[llm] object VecKernels extends Serializable {
     out
   }
 
-  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+  def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -680,6 +680,109 @@ object Similarity extends QueryRegistry {
              |  array_to_string(qv[1:4], ',') AS q_head,
              |  round(sqrt(list_sum(list_transform(range(len(v)),
              |    i -> pow(v[i+1] - qv[i+1] * scale / 127, 2)))), 6) AS err_r
-             |FROM q""".stripMargin))
+             |FROM q""".stripMargin)),
+
+    // ---- distributed k-means semantic clustering (cluster-then-curate:
+    // group semantically-near docs, keep one representative per cluster).
+    // Model output → rows-only verify; the row count is pinned to k by
+    // emitting every cluster id (empty ones included). Convergence and
+    // assignment quality are asserted in SimilaritySpec. ----
+    QueryDef(
+      "x_embed_kmeans",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
+          .cache()
+        val (cents, _) = fitKMeans(ds, k = 8, iters = 5)
+        // training actions are done — release the cache now; the final
+        // stats job below recomputes one scan from parquet (leak-free:
+        // nothing stays pinned in executor storage after this query).
+        ds.unpersist(blocking = false)
+        val bc = s.sparkContext.broadcast(cents)
+        val stats = ds
+          .map { case (id, v) =>
+            val ci = VecKernels.nearestCentroid(v, bc.value)
+            (ci, id, VecKernels.l2sq(v, bc.value(ci)))
+          }
+          .toDF("cluster", "vec_id", "d2")
+          .groupBy("cluster")
+          .agg(
+            count(lit(1)).as("size"),
+            min(col("vec_id")).as("keeper_vec_id"),
+            round(sum(col("d2")), 2).as("inertia"))
+        s.range(8).select(col("id").cast("int").as("cluster"))
+          .join(stats, Seq("cluster"), "left")
+          .select(
+            col("cluster"),
+            coalesce(col("size"), lit(0L)).as("size"),
+            col("keeper_vec_id"),
+            coalesce(col("inertia"), lit(0.0)).as("inertia"))
+      },
+      None)
   )
+
+  /** Distributed Lloyd k-means over the FULL embedding table (the
+    * clustering backbone for semantic dedup/curation at corpus scale —
+    * unlike [[VecKernels.kmeans]], which trains on a driver-resident
+    * sample). Per iteration: centroids are BROADCAST, one `mapPartitions`
+    * pass computes per-centroid partials (count, Σv, Σd²), and the driver
+    * reduces numPartitions×k tiny rows. Driver traffic is k×dim doubles
+    * per pass — corpus size affects only the distributed scan, and no
+    * pass shuffles at all, so the shape holds at 100 TB. Deterministic:
+    * init = the k lowest vec_ids, ties break to the lowest centroid
+    * index.
+    *
+    * @return (final centroids, per-iteration inertia — Lloyd guarantees
+    *         the sequence is non-increasing, asserted in SimilaritySpec)
+    */
+  private[llm] def fitKMeans(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      k: Int,
+      iters: Int): (Array[Array[Double]], Array[Double]) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    var cents = ds.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, "k-means init found no vec_id < k")
+    val inertia = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = ds
+        .mapPartitions { rows =>
+          val c = bc.value
+          val dim = c(0).length
+          val sums = Array.fill(c.length)(new Array[Double](dim))
+          val counts = new Array[Long](c.length)
+          var d2 = 0.0
+          rows.foreach { case (_, v) =>
+            val ci = VecKernels.nearestCentroid(v, c)
+            counts(ci) += 1
+            d2 += VecKernels.l2sq(v, c(ci))
+            var j = 0
+            while (j < dim) { sums(ci)(j) += v(j); j += 1 }
+          }
+          Iterator.tabulate(c.length)(i =>
+            (i, sums(i), counts(i), if (i == 0) d2 else 0.0))
+        }
+        .collect()
+      inertia(it) = partials.map(_._4).sum
+      val dim = cents(0).length
+      cents = cents.indices.map { ci =>
+        val mine = partials.filter(_._1 == ci)
+        val n = mine.map(_._3).sum
+        if (n == 0) cents(ci) // empty cluster keeps its centroid
+        else {
+          val s = new Array[Double](dim)
+          mine.foreach { p => var j = 0; while (j < dim) { s(j) += p._2(j); j += 1 } }
+          var j = 0
+          while (j < dim) { s(j) /= n; j += 1 }
+          s
+        }
+      }.toArray
+      it += 1
+    }
+    (cents, inertia)
+  }
 }

@@ -187,6 +187,51 @@ object TextOps extends QueryRegistry {
     QueryDef(
       "x_text_lm_score",
       (s, d) => lmScore(t(s, d, "documents")),
-      None)
+      None),
+
+    // ---- intra-document repetition (Gopher-style quality filter: the
+    // fraction of word trigrams that are repeats of an earlier trigram in
+    // the SAME document). Computed in a typed map kernel — a plain JIT'd
+    // HashSet loop, no interpreted HOFs — making it a pure per-row op:
+    // embarrassingly parallel, zero shuffle, scales linearly to any
+    // corpus. The oracle rebuilds identical trigrams with DuckDB list
+    // comprehensions. ----
+    QueryDef(
+      "x_text_repetition",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = text.split(" ").filter(_.nonEmpty)
+            val n = math.max(w.length - 2, 0)
+            val seen = new scala.collection.mutable.HashSet[String]
+            var dups = 0
+            var i = 0
+            while (i < n) {
+              if (!seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))) dups += 1
+              i += 1
+            }
+            (id, n.toLong, if (n == 0) 0.0 else dups.toDouble / n)
+          }
+          .toDF("doc_id", "n_trigrams", "rf")
+          .select(col("doc_id"), col("n_trigrams"), round(col("rf"), 6).as("rep_frac"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ws) >= 3 THEN
+             |      list_transform(generate_series(1, len(ws) - 2),
+             |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             |    ELSE [] END AS tg
+             |  FROM w)
+             |SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_trigrams,
+             |  CASE WHEN len(tg) = 0 THEN 0.0
+             |       ELSE round((len(tg) - len(list_distinct(tg))) / CAST(len(tg) AS DOUBLE), 6)
+             |  END AS rep_frac
+             |FROM g""".stripMargin))
   )
 }

@@ -694,6 +694,56 @@ object Analytics extends QueryRegistry {
              |  array_to_string(list_sort(list(event_type || '=' || CAST(mx AS VARCHAR))), ',') AS max_map
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // ---- cramersV (CH): association strength between two categoricals.
+    // Only the contingency aggregate touches the corpus (one partial+final
+    // hash agg); every later step runs over the r×c cell table — at 100 TB
+    // the post-scan work stays a few dozen rows. Empty cells re-enter via
+    // the dimension cross join (their expected counts still add to χ²). --
+    QueryDef(
+      "b_agg29_cramers_v",
+      (s, d) => {
+        val c = t(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val ra = c.groupBy("a").agg(sum(col("n")).as("na"))
+        val rb = c.groupBy("b").agg(sum(col("n")).as("nb"))
+        val nt = c.agg(sum(col("n")).as("nt"))
+        val cells = ra.crossJoin(rb).join(c, Seq("a", "b"), "left").crossJoin(nt)
+          .select(col("a"), col("b"), col("na"), col("nb"), col("nt"),
+            coalesce(col("n"), lit(0.0)).as("n"))
+        cells
+          .agg(
+            sum(pow(col("n") - col("na") * col("nb") / col("nt"), 2) /
+              (col("na") * col("nb") / col("nt"))).as("chi2"),
+            max(col("nt")).as("nt"),
+            countDistinct(col("a")).cast("double").as("r"),
+            countDistinct(col("b")).cast("double").as("cdim"))
+          .select(
+            round(sqrt(col("chi2") / (col("nt") * (least(col("r"), col("cdim")) - 1))), 6)
+              .as("cramers_v"),
+            round(col("chi2"), 4).as("chi2"),
+            col("nt").cast("long").as("n"))
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus a, o_orderpriority b, CAST(count(*) AS DOUBLE) n
+             |  FROM orders GROUP BY 1, 2),
+             |ra AS (SELECT a, sum(n) na FROM c GROUP BY a),
+             |rb AS (SELECT b, sum(n) nb FROM c GROUP BY b),
+             |tot AS (SELECT sum(n) nt FROM c),
+             |cells AS (
+             |  SELECT ra.a, rb.b, na, nb, nt, coalesce(n, 0) AS n
+             |  FROM ra CROSS JOIN rb CROSS JOIN tot
+             |  LEFT JOIN c ON c.a = ra.a AND c.b = rb.b),
+             |sc AS (
+             |  SELECT sum(pow(n - na * nb / nt, 2) / (na * nb / nt)) AS chi2,
+             |    max(nt) AS nt,
+             |    CAST(count(DISTINCT a) AS DOUBLE) AS r,
+             |    CAST(count(DISTINCT b) AS DOUBLE) AS cdim
+             |  FROM cells)
+             |SELECT round(sqrt(chi2 / (nt * (least(r, cdim) - 1))), 6) AS cramers_v,
+             |  round(chi2, 4) AS chi2, CAST(nt AS BIGINT) AS n
+             |FROM sc""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:

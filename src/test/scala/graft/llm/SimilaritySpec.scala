@@ -64,4 +64,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === 0.0)
     assert(math.abs(out(3L) - 0.6) < 1e-9)
   }
+
+  test("distributed k-means: inertia non-increasing, blobs recovered") {
+    import spark.implicits._
+    // three well-separated blobs; ids 0..2 (the init seeds) land one per blob
+    val pts = (0 until 90).map { i =>
+      val blob = i % 3
+      val base = Array(blob * 10.0, blob * -10.0)
+      (i.toLong, Array(base(0) + (i / 3) * 0.01, base(1) + (i / 7) * 0.01))
+    }
+    val ds = pts.toDS().repartition(4)
+    val (cents, inertia) = Similarity.fitKMeans(ds, k = 3, iters = 4)
+    assert(cents.length === 3)
+    inertia.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: ${inertia.toSeq}")
+    }
+    // final assignment groups each blob together
+    val byBlob = pts.groupBy(_._1 % 3).values.map { blob =>
+      blob.map(p => VecKernels.nearestCentroid(p._2, cents)).distinct
+    }
+    byBlob.foreach(cs => assert(cs.size === 1, s"blob split across $cs"))
+    assert(byBlob.flatten.toSet.size === 3, "blobs collapsed into one cluster")
+  }
 }
