@@ -294,6 +294,105 @@ object FnExtras extends QueryRegistry {
       Some("""SELECT o_orderkey,
              |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P0' WHEN '2-HIGH' THEN 'P1'
              |       WHEN '3-MEDIUM' THEN 'P2' ELSE 'P3' END AS tier
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- ngramDistance / ngramSearch (CH string-similarity tier):
+    // char-trigram Jaccard between two columns, computed in a typed map
+    // kernel (JIT'd HashSet loop — the same anti-interpreter pattern as
+    // the dedup signatures). Pure per-row op, zero shuffle. The oracle
+    // rebuilds identical trigram sets with DuckDB list comprehensions. --
+    QueryDef(
+      "b_fns4_ngram_sim",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_type"))
+          .as[(Long, String, String)]
+          .map { case (k, a, b) =>
+            val sim = NgramKernel.jaccard(a, b)
+            (k, sim)
+          }
+          .toDF("p_partkey", "sim")
+          .select(
+            col("p_partkey"),
+            round(col("sim"), 6).as("ngram_sim"),
+            round(lit(1.0) - col("sim"), 6).as("ngram_dist"))
+      },
+      Some("""WITH g AS (
+             |  SELECT p_partkey,
+             |    list_distinct(CASE WHEN length(p_name) >= 3 THEN
+             |      list_transform(generate_series(1, length(p_name) - 2), i -> p_name[i:i+2])
+             |      ELSE [] END) AS da,
+             |    list_distinct(CASE WHEN length(p_type) >= 3 THEN
+             |      list_transform(generate_series(1, length(p_type) - 2), i -> p_type[i:i+2])
+             |      ELSE [] END) AS db
+             |  FROM part),
+             |j AS (
+             |  SELECT p_partkey, len(da) + len(db) AS tot,
+             |    len(list_filter(da, x -> list_contains(db, x))) AS inter
+             |  FROM g)
+             |SELECT p_partkey,
+             |  round(CASE WHEN tot = 0 THEN 1.0
+             |             ELSE inter / CAST(tot - inter AS DOUBLE) END, 6) AS ngram_sim,
+             |  round(1.0 - CASE WHEN tot = 0 THEN 1.0
+             |             ELSE inter / CAST(tot - inter AS DOUBLE) END, 6) AS ngram_dist
+             |FROM j""".stripMargin)),
+
+    // ---- formatReadableSize + bar (CH display formatters): unit-ladder
+    // string rendering and a proportional text gauge. The max() for the
+    // gauge denominator is ONE scalar aggregate broadcast via cross join
+    // — not a window over the full table — so the scan stays one pass. --
+    QueryDef(
+      "b_fmt1_readable",
+      (s, d) => {
+        val x = col("l_extendedprice")
+        val mx = t(s, d, "lineitem").agg(max(x).as("mx"))
+        t(s, d, "lineitem")
+          .where(col("l_orderkey") % 37 === 0)
+          .crossJoin(mx)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            when(x < 1024, concat(round(x, 0).cast("long").cast("string"), lit(" B")))
+              .when(x < 1048576, concat(round(x / 1024, 2).cast("string"), lit(" KiB")))
+              .otherwise(concat(round(x / 1048576, 2).cast("string"), lit(" MiB")))
+              .as("readable"),
+            concat(lit("["),
+              rpad(repeat(lit("#"), round(x / col("mx") * 10).cast("int")), 10, " "),
+              lit("]")).as("bar"))
+      },
+      Some("""WITH m AS (SELECT max(l_extendedprice) AS mx FROM lineitem)
+             |SELECT l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CASE WHEN l_extendedprice < 1024
+             |         THEN CAST(CAST(round(l_extendedprice, 0) AS BIGINT) AS VARCHAR) || ' B'
+             |       WHEN l_extendedprice < 1048576
+             |         THEN CAST(round(l_extendedprice / 1024, 2) AS VARCHAR) || ' KiB'
+             |       ELSE CAST(round(l_extendedprice / 1048576, 2) AS VARCHAR) || ' MiB'
+             |  END AS readable,
+             |  '[' || rpad(repeat('#', CAST(round(l_extendedprice / mx * 10) AS INT)), 10, ' ') || ']' AS bar
+             |FROM lineitem CROSS JOIN m WHERE l_orderkey % 37 = 0""".stripMargin))
   )
+
+  /** Char-trigram set kernel for `b_fns4_ngram_sim` (CH `ngramDistance`).
+    * Plain JIT'd loops; sets are per-row and bounded by string length.
+    */
+  private[functions] object NgramKernel extends Serializable {
+    def jaccard(a: String, b: String): Double = {
+      val sa = trigrams(a)
+      val sb = trigrams(b)
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else {
+        var inter = 0
+        sa.foreach(g => if (sb.contains(g)) inter += 1)
+        inter.toDouble / (sa.size + sb.size - inter)
+      }
+    }
+    private def trigrams(s: String): scala.collection.mutable.HashSet[String] = {
+      val set = new scala.collection.mutable.HashSet[String]
+      var i = 0
+      while (i + 3 <= s.length) { set.add(s.substring(i, i + 3)); i += 1 }
+      set
+    }
+  }
 }

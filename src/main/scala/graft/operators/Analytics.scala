@@ -744,6 +744,39 @@ object Analytics extends QueryRegistry {
              |  round(chi2, 4) AS chi2, CAST(nt AS BIGINT) AS n
              |FROM sc""".stripMargin)),
 
+    // ---- nonNegativeDerivative / rate (CH time-series tier): per-user
+    // value change per second, negatives clamped to 0, NULL on the first
+    // row and on zero time deltas — made explicit CASE-by-CASE on both
+    // sides (greatest()'s NULL handling differs between engines). One
+    // window pass on the high-cardinality user_id. ----
+    QueryDef(
+      "b_win10_rate",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tm"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            ((col("value") - lag(col("value"), 1).over(w)) /
+              ((col("tm") - lag(col("tm"), 1).over(w)) / 1e6)).as("raw"))
+          .select(col("user_id"), col("event_id"),
+            when(col("raw").isNull, lit(null).cast("double"))
+              .when(col("raw") < 0, lit(0.0))
+              .otherwise(round(col("raw"), 6)).as("rate"))
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id,
+             |    (value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id))
+             |    / ((epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)) / 1e6)
+             |    AS raw
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  CASE WHEN raw IS NULL THEN NULL
+             |       WHEN raw < 0 THEN 0.0
+             |       ELSE round(raw, 6) END AS rate
+             |FROM w""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:

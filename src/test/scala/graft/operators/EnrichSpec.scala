@@ -50,4 +50,22 @@ class EnrichSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$name should not shuffle: $p")
     }
   }
+
+  test("geohash codec: public golden vectors and encode/decode fixpoint") {
+    // Wikipedia's canonical example
+    assert(Enrich.GeoKernel.geohashEncode(57.64911, 10.40744, 11) === "u4pruydqqvj")
+    assert(Enrich.GeoKernel.geohashEncode(57.64911, 10.40744, 5) === "u4pru")
+    // equator/prime-meridian cell
+    assert(Enrich.GeoKernel.geohashEncode(0.0, 0.0, 1) === "s")
+    // decode returns the cell center; re-encoding the center reproduces
+    // the hash prefix at the same precision
+    for (h <- Seq("u4pruyd", "s000000", "9q8yyk8", "ezs42")) {
+      val (la, lo) = Enrich.GeoKernel.geohashDecodeCenter(h)
+      assert(Enrich.GeoKernel.geohashEncode(la, lo, h.length) === h)
+    }
+    // decode error stays bounded by the cell size at precision 7
+    val (la, lo) = Enrich.GeoKernel.geohashDecodeCenter(
+      Enrich.GeoKernel.geohashEncode(48.8566, 2.3522, 7))
+    assert(math.abs(la - 48.8566) < 0.001 && math.abs(lo - 2.3522) < 0.001)
+  }
 }
