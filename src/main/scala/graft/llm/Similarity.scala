@@ -682,6 +682,15 @@ object Similarity extends QueryRegistry {
              |    i -> pow(v[i+1] - qv[i+1] * scale / 127, 2)))), 6) AS err_r
              |FROM q""".stripMargin)),
 
+    // ---- semantic near-dup pairs via k-means cluster blocking (no
+    // oracle — centroid-dependent candidate set; SimilaritySpec asserts
+    // recall vs the exact pair baseline and zero false positives) ----
+    QueryDef(
+      "x_dedup_semantic",
+      (s, d) => semanticDupPairs(
+        t(s, d, "embeddings"), tau = 0.4, k = 8, nprobe = 2, iters = 3),
+      None),
+
     // ---- distributed k-means semantic clustering (cluster-then-curate:
     // group semantically-near docs, keep one representative per cluster).
     // Model output → rows-only verify; the row count is pinned to k by
@@ -722,6 +731,56 @@ object Similarity extends QueryRegistry {
       },
       None)
   )
+
+  /** Semantic near-dup pairs via k-means cluster BLOCKING: vectors are
+    * assigned to their `nprobe` nearest centroids, candidate pairs are
+    * generated only INSIDE a cluster block, then exact-cosine filtered.
+    * The all-pairs O(N²) scan becomes Σ|block|² — the same bucket-
+    * bounding shape as the MinHash/LSH dedup paths, but keyed by
+    * semantic cells, so it doubles as "cluster then keep one
+    * representative" curation. Multi-probe assignment recovers most
+    * cross-boundary pairs; recall vs the exact baseline is asserted in
+    * SimilaritySpec. One shuffle (on cell id); per-block working set is
+    * a cluster, the quantity the centroid count k controls at scale.
+    */
+  private[llm] def semanticDupPairs(
+      emb: DataFrame,
+      tau: Double,
+      k: Int,
+      nprobe: Int,
+      iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .cache()
+    val (cents, _) = fitKMeans(ds, k, iters)
+    ds.unpersist(blocking = false) // training done; final job rescans parquet
+    val bc = spark.sparkContext.broadcast(cents)
+    ds.flatMap { case (id, v) =>
+        VecKernels.nearestCentroids(v, bc.value, nprobe).iterator.map(c => (c, id, v))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < members.length) {
+          var j = i + 1
+          while (j < members.length) {
+            val cos = VecKernels.cosine(members(i)._3, members(j)._3)
+            if (cos >= tau)
+              out += ((members(i)._2, members(j)._2, math.rint(cos * 1e6) / 1e6))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .dropDuplicates("vec_a", "vec_b")
+  }
 
   /** Distributed Lloyd k-means over the FULL embedding table (the
     * clustering backbone for semantic dedup/curation at corpus scale —

@@ -777,6 +777,91 @@ object Analytics extends QueryRegistry {
              |       ELSE round(raw, 6) END AS rate
              |FROM w""".stripMargin)),
 
+    // ---- -Array aggregate combinators (CH `sumArray`/`avgArray`/
+    // `minArray`/`maxArray`): aggregate over every ELEMENT of an array
+    // column across rows. Per-row element folds run in a typed map
+    // kernel (JIT'd loop, no interpreted HOFs), then one ordinary hash
+    // aggregate combines the per-row partials — map-side combine intact,
+    // one shuffle on the group key. ----
+    QueryDef(
+      "b_agg30_array_combinators",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "embeddings")
+          .select(col("label"), col("embedding"))
+          .as[(Int, Array[Float])]
+          .map { case (label, v) =>
+            var sum = 0.0
+            var mn = Double.MaxValue
+            var mx = Double.MinValue
+            var i = 0
+            while (i < v.length) {
+              val x = v(i).toDouble
+              sum += x
+              if (x < mn) mn = x
+              if (x > mx) mx = x
+              i += 1
+            }
+            (label, sum, mn, mx, v.length.toLong)
+          }
+          .toDF("label", "s", "mn", "mx", "n")
+          .groupBy(col("label"))
+          .agg(
+            round(sum(col("s")), 4).as("sum_arr"),
+            round(sum(col("s")) / sum(col("n")), 6).as("avg_elem"),
+            round(min(col("mn")), 6).as("min_elem"),
+            round(max(col("mx")), 6).as("max_elem"))
+      },
+      Some("""SELECT label,
+             |  round(sum(list_sum(embedding::DOUBLE[])), 4) AS sum_arr,
+             |  round(sum(list_sum(embedding::DOUBLE[]))
+             |    / sum(len(embedding)), 6) AS avg_elem,
+             |  round(min(list_min(embedding::DOUBLE[])), 6) AS min_elem,
+             |  round(max(list_max(embedding::DOUBLE[])), 6) AS max_elem
+             |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // ---- kolmogorovSmirnovTest (CH): two-sample KS statistic between
+    // the A and R price distributions. Phase 1 collapses the corpus to
+    // per-DISTINCT-VALUE counts (ordinary shuffle agg — the only pass
+    // that touches all rows); phase 2's cumulative window runs over the
+    // value SPECTRUM, whose cardinality — not the corpus — bounds the
+    // single-partition sort (CH pays the same per-value materialization
+    // inside the aggregate's finalize). ----
+    QueryDef(
+      "b_agg31_ks_test",
+      (s, d) => {
+        val pts = t(s, d, "lineitem")
+          .where(col("l_returnflag").isin("A", "R"))
+          .groupBy(col("l_extendedprice").as("x"))
+          .agg(
+            sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ca"),
+            sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("cr"))
+        val tot = pts.agg(
+          sum(col("ca")).cast("double").as("na"),
+          sum(col("cr")).cast("double").as("nr"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("x"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        pts.crossJoin(tot)
+          .select((sum(col("ca")).over(w) / col("na") -
+            sum(col("cr")).over(w) / col("nr")).as("diff"))
+          .agg(round(max(abs(col("diff"))), 6).as("ks"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT l_extendedprice AS x,
+             |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cr) AS DOUBLE) AS nr
+             |  FROM pts),
+             |c AS (
+             |  SELECT
+             |    sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) / na
+             |    - sum(cr) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) / nr AS diff
+             |  FROM pts CROSS JOIN tot)
+             |SELECT round(max(abs(diff)), 6) AS ks FROM c""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:

@@ -65,6 +65,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(3L) - 0.6) < 1e-9)
   }
 
+  test("semantic cluster-blocked dedup: no false positives, usable recall") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.embedDupPairsExact(emb, 0.4))
+    val sem = pairs(Similarity.semanticDupPairs(emb, 0.4, k = 8, nprobe = 2, iters = 3))
+    // every emitted pair passed the exact cosine filter -> subset of exact
+    assert((sem -- exact).isEmpty, s"false positives: ${(sem -- exact).take(5)}")
+    val recall = (exact intersect sem).size.toDouble / exact.size
+    assert(recall >= 0.5, s"semantic-blocking recall too low: $recall")
+  }
+
   test("distributed k-means: inertia non-increasing, blobs recovered") {
     import spark.implicits._
     // three well-separated blobs; ids 0..2 (the init seeds) land one per blob
