@@ -372,6 +372,97 @@ object FnExtras extends QueryRegistry {
              |  END AS readable,
              |  '[' || rpad(repeat('#', CAST(round(l_extendedprice / mx * 10) AS INT)), 10, ' ') || ']' AS bar
              |FROM lineitem CROSS JOIN m WHERE l_orderkey % 37 = 0""".stripMargin))
+  ) ++ tzDefs
+
+  /** Timezone tier (CH `toTimeZone`/`toStartOfHour` in a zone): instants
+    * rendered in named IANA zones. Both engines consult the same tzdb;
+    * results cross the oracle as formatted strings so timestamp-canon
+    * differences can't leak in. Pure per-row projection, codegen'd. ----
+    */
+  private def tzDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "b_fnd4_timezone",
+      (s, d) => {
+        val ts = col("ts")
+        t(s, d, "events")
+          .where(col("event_id") % 11 === 0)
+          .select(
+            col("event_id"),
+            date_format(from_utc_timestamp(ts, "America/New_York"), "yyyy-MM-dd HH:mm")
+              .as("ny"),
+            date_format(from_utc_timestamp(ts, "Asia/Tokyo"), "yyyy-MM-dd HH:mm")
+              .as("tokyo"),
+            hour(from_utc_timestamp(ts, "Australia/Sydney")).cast("long").as("syd_hour"))
+      },
+      Some("""SELECT event_id,
+             |  strftime(timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M') AS ny,
+             |  strftime(timezone('Asia/Tokyo', timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M') AS tokyo,
+             |  CAST(hour(timezone('Australia/Sydney', timezone('UTC', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS syd_hour
+             |FROM events WHERE event_id % 11 = 0""".stripMargin)),
+
+    // ---- nested JSON round trip (CH JSONExtract* family): build a
+    // nested document with to_json, then extract scalars, nested-object
+    // fields, and array elements back out by JSONPath. The JSON layer is
+    // what's under test — both engines derive the same values from the
+    // same base columns through their own builders/extractors. ----
+    QueryDef(
+      "b_fnj2_json_nested",
+      (s, d) => {
+        val j = to_json(struct(
+          col("o_orderkey").as("k"),
+          struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("o"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("tags")))
+        t(s, d, "orders")
+          .where(col("o_orderkey") % 101 === 0)
+          .withColumn("j", j)
+          .select(
+            col("o_orderkey"),
+            get_json_object(col("j"), "$.o.st").as("st"),
+            round(get_json_object(col("j"), "$.o.tp").cast("double"), 2).as("tp"),
+            get_json_object(col("j"), "$.tags[0]").as("tag0"),
+            get_json_object(col("j"), "$.tags[1]").as("tag1"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderkey, to_json(struct_pack(
+             |    k := o_orderkey,
+             |    o := struct_pack(st := o_orderstatus, tp := o_totalprice),
+             |    tags := [o_orderpriority, o_orderstatus])) AS j
+             |  FROM orders WHERE o_orderkey % 101 = 0)
+             |SELECT o_orderkey,
+             |  j ->> '$.o.st' AS st,
+             |  round(CAST(j ->> '$.o.tp' AS DOUBLE), 2) AS tp,
+             |  j ->> '$.tags[0]' AS tag0,
+             |  j ->> '$.tags[1]' AS tag1
+             |FROM b""".stripMargin)),
+
+    // ---- Unicode NFC normalization (CH `normalizeUTF8NFC`): combining
+    // sequences (e + U+0301) collapse to precomposed code points. Spark
+    // has no normalize builtin → java.text.Normalizer in a typed map
+    // kernel; DuckDB oracles with nfc_normalize. Lengths count code
+    // points on both sides. ----
+    QueryDef(
+      "b_fns5_nfc",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .where(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"), col("p_name"))
+          .as[(Long, String)]
+          .map { case (k, name) =>
+            val decomposed = name + "e\u0301" // 'e' + COMBINING ACUTE ACCENT (decomposed)
+            val nfc = java.text.Normalizer
+              .normalize(decomposed, java.text.Normalizer.Form.NFC)
+            (k, decomposed.codePointCount(0, decomposed.length).toLong,
+              nfc.codePointCount(0, nfc.length).toLong,
+              nfc.endsWith("\u00e9"))
+          }
+          .toDF("p_partkey", "len_raw", "len_nfc", "precomposed")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(length(p_name || 'e' || chr(769)) AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(p_name || 'e' || chr(769))) AS BIGINT) AS len_nfc,
+             |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
+             |FROM part WHERE p_partkey % 7 = 0""".stripMargin))
   )
 
   /** Char-trigram set kernel for `b_fns4_ngram_sim` (CH `ngramDistance`).

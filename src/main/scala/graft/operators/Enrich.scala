@@ -174,6 +174,32 @@ object Enrich extends QueryRegistry {
              |  median(cents) AS med_cents
              |FROM t GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- dictGetHierarchy / dictIsIn (CH hierarchical dictionaries):
+    // the ancestor chain (nation → region) is materialized DIM-SIDE by
+    // pre-joining the two dictionary levels, then broadcast — the fact
+    // scan resolves the whole hierarchy in one broadcast hash join, zero
+    // fact-side shuffle (exactly how CH walks its in-memory hierarchy,
+    // declared so AQE can still re-plan). ----
+    QueryDef(
+      "b_dict2_hierarchy",
+      (s, d) => {
+        val dim = t(s, d, "nation")
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        t(s, d, "customer")
+          .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            col("c_custkey"),
+            concat_ws(",", col("n_name"), col("r_name")).as("hierarchy"),
+            (col("r_name") === "EUROPE").as("in_europe"))
+      },
+      Some("""SELECT c_custkey,
+             |  n_name || ',' || r_name AS hierarchy,
+             |  r_name = 'EUROPE' AS in_europe
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // ---- geohashEncode / geohashDecode (CH geo tier 2): base32 geohash
     // of the same synthetic coordinates b_geo1 uses, plus the decoded
     // cell center. Encoding is bit-interleaving — no SQL oracle →

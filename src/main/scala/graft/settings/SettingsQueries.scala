@@ -53,6 +53,38 @@ object SettingsQueries extends QueryRegistry {
              |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
              |GROUP BY l_orderkey, o_orderdate
              |ORDER BY revenue DESC, l_orderkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- CREATE FUNCTION (CH SQL UDFs: `CREATE FUNCTION f AS (x) ->
+    // ...`): Spark 4's native SQL scalar UDFs. The function body is a
+    // plain expression, so Catalyst INLINES it — the call sites below
+    // codegen exactly like the hand-written arithmetic; no interpreter
+    // boundary, unlike a Scala closure UDF. Oracle expands the macro by
+    // hand (the capability under test is the registration surface). ----
+    QueryDef(
+      "b_sql2_create_function",
+      (s, d) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_discounted(
+                |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1 - disc) * (1 + tax)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(q DOUBLE)
+                |RETURNS STRING
+                |RETURN CASE WHEN q < 10 THEN 'S' WHEN q < 30 THEN 'M' ELSE 'L' END"""
+          .stripMargin)
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_fn_v")
+        s.sql(
+          """SELECT graft_tier(l_quantity) AS tier,
+            |  round(sum(graft_discounted(l_extendedprice, l_discount, l_tax)), 2)
+            |    AS charge,
+            |  count(*) AS n
+            |FROM lineitem_fn_v GROUP BY graft_tier(l_quantity)""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'S'
+             |            WHEN l_quantity < 30 THEN 'M' ELSE 'L' END AS tier,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY CASE WHEN l_quantity < 10 THEN 'S'
+             |              WHEN l_quantity < 30 THEN 'M' ELSE 'L' END""".stripMargin))
   )
 }
