@@ -68,3 +68,58 @@ object Params {
   def sql(spark: SparkSession, sqlText: String, args: Array[Any]): DataFrame =
     spark.sql(sqlText, args)
 }
+
+/** Query-result cache (reference: the `query_cache` family in
+  * `clickhouse-arrow/src/settings.rs` — ClickHouse's server-side result
+  * cache, `use_query_cache`/`query_cache_ttl`). Spark-native form: the
+  * normalized SQL text keys a persisted DataFrame; a hit returns the
+  * already-materialized result without touching the source. LRU-bounded —
+  * eviction UNPERSISTS, so executor storage never accumulates beyond
+  * `capacity` results (the round-2 `Limited` leak, learned from).
+  *
+  * Normalization is whitespace-collapse only (same contract as CH: the
+  * cache keys on the AST of the text, not semantic equivalence).
+  */
+final class QueryCache(spark: SparkSession, capacity: Int = 32) {
+
+  private var hitCount = 0L
+  private var missCount = 0L
+
+  private val entries =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > capacity
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  private def normalize(sql: String): String = sql.trim.replaceAll("\\s+", " ")
+
+  /** Run (or replay) a SQL query through the cache. */
+  def sql(query: String): DataFrame = synchronized {
+    val key = normalize(query)
+    entries.get(key) match {
+      case null =>
+        missCount += 1
+        val df = spark.sql(key)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        entries.put(key, df)
+        df
+      case hit =>
+        hitCount += 1
+        hit
+    }
+  }
+
+  def hits: Long = synchronized(hitCount)
+  def misses: Long = synchronized(missCount)
+  def size: Int = synchronized(entries.size())
+
+  /** Drop everything (CH `SYSTEM DROP QUERY CACHE`). */
+  def clear(): Unit = synchronized {
+    entries.values().forEach(_.unpersist(false))
+    entries.clear()
+  }
+}

@@ -86,6 +86,124 @@ object Formats extends QueryRegistry {
         ArrowIpc.write(src, dir)
         ArrowIpc.read(s, dir)
       },
-      Some(oracle))
+      Some(oracle)),
+
+    // ---- partitioned layout + partition pruning (CH `PARTITION BY` on
+    // MergeTree: queries touching one partition never read the others).
+    // The write lays orders out as o_year=YYYY/ directories; the filtered
+    // read resolves the predicate AT PLANNING TIME against directory
+    // names — the 1995 scan lists only that directory, the other years'
+    // files are never opened (FormatsSpec asserts the PartitionFilters
+    // plan entry). THE mechanism that bounds a 100-TB time-series scan
+    // to the queried window. ----
+    QueryDef(
+      "b_src12_partitioned_scan",
+      (s, d) => {
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-partby-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}").toString
+        Tables.t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+        s.read.parquet(dir)
+          .where(col("o_year") === 1995)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- CollapsingMergeTree semantics (CH sign-column collapse): +1
+    // rows assert a version, -1 rows cancel it; the canonical collapse
+    // query is sum(value*sign) grouped by key HAVING sum(sign) > 0. Here
+    // a third of the orders get an in-place revision (cancel + re-state
+    // at 1.1×); collapsed totals keep exactly the surviving versions.
+    // One shuffle on the (high-cardinality) key — the same partial+final
+    // hash agg as any sum, which is the point: collapse IS aggregation. -
+    QueryDef(
+      "b_src13_collapsing",
+      (s, d) => {
+        // prices ride as integer cents so the ±cancellation sums exactly
+        // (float sum order would otherwise wobble at the cent boundary)
+        val o = Tables.t(s, d, "orders")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val v1 = o.select(col("o_orderkey"), cents.as("p"), lit(1L).as("sign"))
+        val cancel = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), cents.as("p"), lit(-1L).as("sign"))
+        val v2 = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), round(cents * 1.1).cast("long").as("p"), lit(1L).as("sign"))
+        v1.unionByName(cancel).unionByName(v2)
+          .groupBy(col("o_orderkey"))
+          .agg(
+            (sum(col("p") * col("sign")) / 100.0).as("price"),
+            sum(col("sign")).cast("long").as("live_rows"))
+          .where(col("live_rows") > 0)
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS p, 1 AS sign
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), -1
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |    CAST(round(CAST(round(o_totalprice * 100) AS BIGINT) * 1.1) AS BIGINT), 1
+             |  FROM orders WHERE o_orderkey % 3 = 0)
+             |SELECT o_orderkey, CAST(sum(p * sign) AS DOUBLE) / 100.0 AS price,
+             |  CAST(sum(sign) AS BIGINT) AS live_rows
+             |FROM t GROUP BY o_orderkey HAVING sum(sign) > 0""".stripMargin)),
+
+    // ---- small-file compaction (CH `OPTIMIZE TABLE` / merge): many tiny
+    // parts are re-written into size-targeted files. The fragmented
+    // table here is 64 shards of lineitem; compaction computes the
+    // output file count from the ACTUAL on-disk bytes (ceil(bytes /
+    // target)) rather than a magic constant, then rewrites with
+    // coalesce — no shuffle, each output task concatenates inputs.
+    // Integrity is oracle-checked (counts/sums survive); the file-count
+    // drop is asserted in FormatsSpec. ----
+    QueryDef(
+      "b_src14_compaction",
+      (s, d) => {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-compact-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}")
+        val small = new java.io.File(base, "small").toString
+        val compacted = new java.io.File(base, "compacted").toString
+        Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(small)
+        compact(s, small, compacted, targetBytes = 32L * 1024 * 1024)
+        s.read.parquet(compacted)
+          .agg(
+            count(lit(1)).as("rows"),
+            sum(col("l_quantity").cast("double")).cast("long").as("qty"),
+            round(sum(col("l_extendedprice")), 2).as("total"))
+      },
+      Some("""SELECT count(*) AS rows,
+             |  CAST(sum(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem""".stripMargin))
   )
+
+  /** Rewrite a fragmented parquet directory into ceil(bytes/targetBytes)
+    * files (the OPTIMIZE merge). Coalesce, not repartition: no shuffle —
+    * each output task concatenates whole input splits.
+    */
+  def compact(s: SparkSession, in: String, out: String, targetBytes: Long): Int = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(new java.io.File(in))
+    }
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    s.read.parquet(in).coalesce(n).write.mode("overwrite").parquet(out)
+    n
+  }
 }

@@ -61,4 +61,31 @@ class SettingsSpec extends SparkSpec {
       assert(e.durationNs > 0)
     } finally spark.listenerManager.unregister(bus)
   }
+
+  test("query cache: identical text hits, results match, whitespace normalizes") {
+    Tables.t(spark, sf001, "nation").createOrReplaceTempView("qc_nation")
+    val qc = new QueryCache(spark)
+    try {
+      val q = "SELECT n_regionkey, count(*) AS n FROM qc_nation GROUP BY n_regionkey"
+      val first = qc.sql(q).collect().toSeq
+      val second = qc.sql("  SELECT n_regionkey,\n count(*) AS n FROM qc_nation GROUP BY n_regionkey ").collect().toSeq
+      assert(first.toSet === second.toSet)
+      assert(qc.misses === 1 && qc.hits === 1)
+    } finally qc.clear()
+  }
+
+  test("query cache: LRU eviction unpersists, capacity bounds storage") {
+    Tables.t(spark, sf001, "region").createOrReplaceTempView("qc_region")
+    val qc = new QueryCache(spark, capacity = 2)
+    try {
+      val dfs = (0 until 3).map { i =>
+        qc.sql(s"SELECT r_regionkey + $i AS k FROM qc_region")
+      }
+      dfs.foreach(_.count())
+      assert(qc.size === 2, s"size=${qc.size}")
+      // the first (eldest) entry was evicted and unpersisted
+      assert(dfs(0).storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+      assert(dfs(2).storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    } finally qc.clear()
+  }
 }
