@@ -258,6 +258,73 @@ object Aggregates extends QueryRegistry {
           // merge to final per flag: the "-Merge" half
           .groupBy(col("l_returnflag"))
           .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("nd_part_est")),
-      None)
+      None),
+
+    // ---- uniqTheta set algebra (CH `uniqTheta` + union/intersect/not):
+    // per-partition sketches, driver-side merge (see ThetaSketches
+    // scaladoc for the 100-TB shape). Below k=4096 distinct keys theta
+    // sketches are EXACT — the sf0.01 fixture stays in that regime, so
+    // the oracle compares true distinct counts; the approximate regime's
+    // error bound is asserted in ThetaSpec. ----
+    QueryDef(
+      "b_agg32_theta_setops",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val a = graft.functions.ThetaSketches.distinctSketch(
+          o.where(col("o_orderpriority") === "1-URGENT"), "o_custkey")
+        val b = graft.functions.ThetaSketches.distinctSketch(
+          o.where(col("o_orderpriority") === "2-HIGH"), "o_custkey")
+        Seq((
+          math.round(a.getEstimate),
+          math.round(b.getEstimate),
+          math.round(graft.functions.ThetaSketches.union(a, b).getEstimate),
+          math.round(graft.functions.ThetaSketches.intersect(a, b).getEstimate),
+          math.round(graft.functions.ThetaSketches.aNotB(a, b).getEstimate)))
+          .toDF("u_urgent", "u_high", "u_union", "u_inter", "u_diff")
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+             |SELECT
+             |  CAST((SELECT count(*) FROM a) AS BIGINT) AS u_urgent,
+             |  CAST((SELECT count(*) FROM b) AS BIGINT) AS u_high,
+             |  CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS u_union,
+             |  CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS u_inter,
+             |  CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT) AS u_diff""".stripMargin)),
+
+    // ---- quantileExactWeighted / weighted median (CH): the classic
+    // "median price weighted by quantity". Phase 1 collapses to the
+    // per-(group, DISTINCT value) weight spectrum — the only pass over
+    // the corpus; phase 2's cumulative window walks the spectrum, whose
+    // cardinality (not the row count) bounds the per-group sort. ----
+    QueryDef(
+      "b_agg33_weighted_median",
+      (s, d) => {
+        val cumW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val totW = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(sum(col("l_quantity").cast("double")).as("w"))
+          .select(col("l_returnflag"), col("v"),
+            sum(col("w")).over(cumW).as("cum"),
+            sum(col("w")).over(totW).as("tot"))
+          .where(col("cum") >= col("tot") / 2)
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("v")).as("wmedian"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, l_extendedprice AS v,
+             |    sum(CAST(l_quantity AS DOUBLE)) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, v,
+             |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+             |                 ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM g)
+             |SELECT l_returnflag, min(v) AS wmedian
+             |FROM c WHERE cum >= tot / 2 GROUP BY l_returnflag""".stripMargin))
   )
 }
