@@ -682,6 +682,98 @@ object Similarity extends QueryRegistry {
              |    i -> pow(v[i+1] - qv[i+1] * scale / 127, 2)))), 6) AS err_r
              |FROM q""".stripMargin)),
 
+    // ---- arrayAUC (CH) / classifier evaluation over the corpus: AUC of
+    // a deterministic score (first embedding component) predicting the
+    // even-label class, via the rank-sum identity. The ranking window is
+    // global — fine here because the scored set is the EVALUATION set;
+    // at corpus scale swap the exact rank for binned ECDF ranks (the
+    // b_agg31 spectrum pattern). Tie order is pinned by vec_id so both
+    // engines rank identically. ----
+    QueryDef(
+      "x_ml_auc",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("score"),
+            (col("label") % 2 === 0).cast("int").as("pos"))
+          .select(col("pos"),
+            row_number().over(W.orderBy(col("score"), col("vec_id")))
+              .cast("double").as("r"))
+          .agg(
+            sum(col("pos")).cast("double").as("np"),
+            sum(lit(1) - col("pos")).cast("double").as("nn"),
+            sum(col("r") * col("pos")).as("rsum"))
+          .select(
+            round((col("rsum") - col("np") * (col("np") + 1) / 2) /
+              (col("np") * col("nn")), 6).as("auc"),
+            col("np").cast("long").as("n_pos"),
+            col("nn").cast("long").as("n_neg"))
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding[1]::DOUBLE AS score,
+             |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+             |  FROM embeddings),
+             |r AS (
+             |  SELECT pos, CAST(row_number() OVER (ORDER BY score, vec_id) AS DOUBLE) AS r
+             |  FROM s),
+             |a AS (
+             |  SELECT CAST(sum(pos) AS DOUBLE) np,
+             |    CAST(sum(1 - pos) AS DOUBLE) nn,
+             |    sum(r * pos) rsum
+             |  FROM r)
+             |SELECT round((rsum - np * (np + 1) / 2) / (np * nn), 6) AS auc,
+             |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+             |FROM a""".stripMargin)),
+
+    // ---- precision/recall threshold sweep over the same score (the
+    // quality-filter calibration curve: pick the threshold before
+    // filtering 100 TB on it). Min-max normalized score × 10 thresholds;
+    // one pass per grouping, thresholds broadcast via cross join. ----
+    QueryDef(
+      "x_ml_pr_curve",
+      (s, d) => {
+        val scored = t(s, d, "embeddings").select(
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          (col("label") % 2 === 0).cast("int").as("pos"))
+        val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+        val th = s.range(10).select((col("id") / 10.0).as("t"))
+        scored.crossJoin(bounds)
+          .withColumn("sn", (col("score") - col("lo")) / (col("hi") - col("lo")))
+          .crossJoin(th)
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("sn") >= col("t") && col("pos") === 1, 1).otherwise(0)).as("tp"),
+            sum(when(col("sn") >= col("t") && col("pos") === 0, 1).otherwise(0)).as("fp"),
+            sum(col("pos")).as("npos"))
+          .select(col("t"),
+            when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+              .otherwise(round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+              .as("prec"),
+            round(col("tp") / col("npos").cast("double"), 6).as("recall"),
+            col("tp").cast("long").as("tp"))
+      },
+      Some("""WITH s AS (
+             |  SELECT embedding[1]::DOUBLE AS score,
+             |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+             |  FROM embeddings),
+             |b AS (SELECT min(score) lo, max(score) hi FROM s),
+             |n AS (SELECT (score - lo) / (hi - lo) AS sn, pos FROM s CROSS JOIN b),
+             |th AS (SELECT unnest(generate_series(0, 9)) / 10.0 AS t),
+             |g AS (
+             |  SELECT t,
+             |    sum(CASE WHEN sn >= t AND pos = 1 THEN 1 ELSE 0 END) tp,
+             |    sum(CASE WHEN sn >= t AND pos = 0 THEN 1 ELSE 0 END) fp,
+             |    sum(pos) npos
+             |  FROM n CROSS JOIN th GROUP BY t)
+             |SELECT t,
+             |  CASE WHEN tp + fp = 0 THEN NULL
+             |       ELSE round(tp / CAST(tp + fp AS DOUBLE), 6) END AS prec,
+             |  round(tp / CAST(npos AS DOUBLE), 6) AS recall,
+             |  CAST(tp AS BIGINT) AS tp
+             |FROM g""".stripMargin)),
+
     // ---- semantic near-dup pairs via k-means cluster blocking (no
     // oracle — centroid-dependent candidate set; SimilaritySpec asserts
     // recall vs the exact pair baseline and zero false positives) ----

@@ -862,6 +862,73 @@ object Analytics extends QueryRegistry {
              |  FROM pts CROSS JOIN tot)
              |SELECT round(max(abs(diff)), 6) AS ks FROM c""".stripMargin)),
 
+    // ---- rankCorr / Spearman (CH): computed the scale-clean way — NOT
+    // a row-level rank window. Both marginals collapse to their DISTINCT-
+    // value spectra first (ordinary shuffle aggs over the corpus), the
+    // average tie rank comes from a cumulative window over each spectrum,
+    // and the weighted Pearson moments run over the joint spectrum. The
+    // corpus is touched by exactly one aggregate; every window/join after
+    // is bounded by distinct-value counts. ----
+    QueryDef(
+      "b_agg34_spearman",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val pairs = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("f"),
+            col("l_quantity").cast("double").as("q"),
+            col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        def avgRank(valueCol: String, cntName: String, rankName: String) = {
+          val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
+            .rowsBetween(W.unboundedPreceding, 0)
+          pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
+            .select(col("f"), col(valueCol),
+              (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
+                .as(rankName))
+        }
+        pairs
+          .join(avgRank("q", "cq", "rq"), Seq("f", "q"))
+          .join(avgRank("v", "cv", "rv"), Seq("f", "v"))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(
+            sum(col("c")).as("n"),
+            sum(col("c") * col("rq")).as("sq"),
+            sum(col("c") * col("rv")).as("sv"),
+            sum(col("c") * col("rq") * col("rq")).as("sqq"),
+            sum(col("c") * col("rv") * col("rv")).as("svv"),
+            sum(col("c") * col("rq") * col("rv")).as("sqv"))
+          .select(col("l_returnflag"),
+            round((col("sqv") / col("n") - (col("sq") / col("n")) * (col("sv") / col("n"))) /
+              (sqrt(col("sqq") / col("n") - pow(col("sq") / col("n"), 2)) *
+                sqrt(col("svv") / col("n") - pow(col("sv") / col("n"), 2))), 6)
+              .as("spearman"))
+      },
+      Some("""WITH p AS (
+             |  SELECT l_returnflag f, CAST(l_quantity AS DOUBLE) q,
+             |    l_extendedprice v, CAST(count(*) AS DOUBLE) c
+             |  FROM lineitem GROUP BY 1, 2, 3),
+             |mq AS (SELECT f, q, sum(c) cq FROM p GROUP BY 1, 2),
+             |mqr AS (SELECT f, q,
+             |  sum(cq) OVER (PARTITION BY f ORDER BY q ROWS UNBOUNDED PRECEDING)
+             |    - cq + (cq + 1) / 2.0 AS rq FROM mq),
+             |mv AS (SELECT f, v, sum(c) cv FROM p GROUP BY 1, 2),
+             |mvr AS (SELECT f, v,
+             |  sum(cv) OVER (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |    - cv + (cv + 1) / 2.0 AS rv FROM mv),
+             |j AS (
+             |  SELECT p.f, p.c, mqr.rq, mvr.rv
+             |  FROM p JOIN mqr ON p.f = mqr.f AND p.q = mqr.q
+             |         JOIN mvr ON p.f = mvr.f AND p.v = mvr.v),
+             |sm AS (
+             |  SELECT f, sum(c) n, sum(c*rq) sq, sum(c*rv) sv,
+             |    sum(c*rq*rq) sqq, sum(c*rv*rv) svv, sum(c*rq*rv) sqv
+             |  FROM j GROUP BY f)
+             |SELECT f AS l_returnflag,
+             |  round((sqv/n - (sq/n)*(sv/n)) /
+             |    (sqrt(sqq/n - pow(sq/n, 2)) * sqrt(svv/n - pow(sv/n, 2))), 6)
+             |    AS spearman
+             |FROM sm""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Systematic plan audit over representative declared queries — the
+  * "would this survive 100×" assertions as regression tests: filters
+  * reach the parquet scan, dimension joins broadcast, no accidental
+  * cartesian products, aggregates keep one exchange, projections stay
+  * inside WholeStageCodegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filter queries push predicates into the parquet scan") {
+    for (q <- Seq("b_flt1_predicates", "b_sub1_in")) {
+      val p = plan(q)
+      // at least one scan carries a NON-empty pushed-filter list
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+        s"$q has no pushed filters:\n$p")
+    }
+  }
+
+  test("dimension-lookup joins broadcast the dim side") {
+    for (q <- Seq("b_jn6_broadcast", "b_dict1_dictget", "b_dict2_hierarchy")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge:\n$p")
+    }
+  }
+
+  test("equi-joins and aggregates never degrade to cartesian products") {
+    for (q <- Seq("b_jn1_inner", "b_jn2_left", "b_agg1_hash_agg",
+        "b_win2_analytic", "b_topk1_limit_by", "b_jn12_banded_range")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops:\n$p")
+    }
+  }
+
+  test("the Q1 aggregate keeps exactly one exchange (partial+final)") {
+    val p = plan("b_agg1_hash_agg")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"b_agg1 should shuffle once, saw $exchanges:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("pure projections stay one codegen stage, no shuffle") {
+    for (q <- Seq("b_prj1_project", "b_fnm1_math", "b_fnc1_cast")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$q left WholeStageCodegen:\n$p")
+    }
+  }
+}
