@@ -774,6 +774,77 @@ object Similarity extends QueryRegistry {
              |  CAST(tp AS BIGINT) AS tp
              |FROM g""".stripMargin)),
 
+    // ---- per-dimension z-score standardization (feature preprocessing
+    // before ANN/clustering). Corpus moments per dimension come from ONE
+    // mapPartitions pass of dim-bounded partials (n, Σx, Σx²) merged on
+    // the driver — the fitKMeans driver-traffic contract — then broadcast
+    // back for a pure map normalization pass. Oracle recomputes the same
+    // population moments by positional unnest. First four dims cross the
+    // oracle (the parquet column would carry all of them). ----
+    QueryDef(
+      "x_embed_standardize",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
+        val partials = ds.mapPartitions { it =>
+          var n = 0L
+          var sum: Array[Double] = null
+          var sq: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (sum == null) { sum = new Array[Double](v.length); sq = new Array[Double](v.length) }
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); sq(i) += v(i) * v(i); i += 1 }
+            n += 1
+          }
+          if (n == 0) Iterator.empty else Iterator.single((n, sum, sq))
+        }.collect()
+        val n = partials.map(_._1).sum.toDouble
+        val dim = partials.head._2.length
+        val mean = new Array[Double](dim)
+        val std = new Array[Double](dim)
+        partials.foreach { p =>
+          var i = 0
+          while (i < dim) { mean(i) += p._2(i); std(i) += p._3(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) {
+          mean(i) /= n
+          std(i) = math.sqrt(std(i) / n - mean(i) * mean(i))
+          i += 1
+        }
+        val bcM = s.sparkContext.broadcast(mean)
+        val bcS = s.sparkContext.broadcast(std)
+        ds.map { case (id, v) =>
+            val m = bcM.value
+            val sd = bcS.value
+            (id, (v(0) - m(0)) / sd(0), (v(1) - m(1)) / sd(1),
+              (v(2) - m(2)) / sd(2), (v(3) - m(3)) / sd(3))
+          }
+          .toDF("vec_id", "a", "b", "c", "dd")
+          .select(col("vec_id"),
+            round(col("a"), 6).as("z1"), round(col("b"), 6).as("z2"),
+            round(col("c"), 6).as("z3"), round(col("dd"), 6).as("z4"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+             |u AS (SELECT unnest(v) x, unnest(range(1, len(v) + 1)) i FROM e),
+             |m AS (SELECT i, avg(x) mu,
+             |        sqrt(avg(x * x) - avg(x) * avg(x)) sd
+             |      FROM u GROUP BY i),
+             |w AS (SELECT
+             |        max(CASE WHEN i = 1 THEN mu END) mu1, max(CASE WHEN i = 1 THEN sd END) sd1,
+             |        max(CASE WHEN i = 2 THEN mu END) mu2, max(CASE WHEN i = 2 THEN sd END) sd2,
+             |        max(CASE WHEN i = 3 THEN mu END) mu3, max(CASE WHEN i = 3 THEN sd END) sd3,
+             |        max(CASE WHEN i = 4 THEN mu END) mu4, max(CASE WHEN i = 4 THEN sd END) sd4
+             |      FROM m)
+             |SELECT vec_id,
+             |  round((v[1] - mu1) / sd1, 6) AS z1,
+             |  round((v[2] - mu2) / sd2, 6) AS z2,
+             |  round((v[3] - mu3) / sd3, 6) AS z3,
+             |  round((v[4] - mu4) / sd4, 6) AS z4
+             |FROM e CROSS JOIN w""".stripMargin)),
+
     // ---- semantic near-dup pairs via k-means cluster blocking (no
     // oracle — centroid-dependent candidate set; SimilaritySpec asserts
     // recall vs the exact pair baseline and zero false positives) ----

@@ -929,6 +929,45 @@ object Analytics extends QueryRegistry {
              |    AS spearman
              |FROM sm""".stripMargin)),
 
+    // ---- corrMatrix (CH): all pairwise Pearson correlations of three
+    // measures in ONE aggregation pass (CH materializes the same upper
+    // triangle); partial+final hash agg, no second scan ----
+    QueryDef(
+      "b_agg35_corr_matrix",
+      (s, d) => {
+        val q = col("l_quantity").cast("double")
+        val p = col("l_extendedprice")
+        val dc = col("l_discount")
+        t(s, d, "lineitem").agg(
+          round(corr(q, p), 6).as("corr_qty_price"),
+          round(corr(q, dc), 6).as("corr_qty_disc"),
+          round(corr(p, dc), 6).as("corr_price_disc"))
+      },
+      Some("""SELECT
+             |  round(corr(CAST(l_quantity AS DOUBLE), l_extendedprice), 6) AS corr_qty_price,
+             |  round(corr(CAST(l_quantity AS DOUBLE), l_discount), 6) AS corr_qty_disc,
+             |  round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+             |FROM lineitem""".stripMargin)),
+
+    // ---- -Distinct aggregate combinators (CH `sumDistinct`/
+    // `avgDistinct`/`uniqExact`): distinct-value aggregation per group.
+    // Spark expands these to a two-level aggregate (distinct-key partial,
+    // then final) — still map-side combined, one logical shuffle. ----
+    QueryDef(
+      "b_agg36_distinct_combinators",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum_distinct(col("l_quantity").cast("long")).as("sum_d"),
+            round(expr("avg(DISTINCT CAST(l_quantity AS LONG))"), 6).as("avg_d"),
+            count_distinct(col("l_quantity")).as("cnt_d")),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_d,
+             |  round(avg(DISTINCT CAST(l_quantity AS BIGINT)), 6) AS avg_d,
+             |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cnt_d
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:
