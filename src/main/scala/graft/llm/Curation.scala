@@ -228,6 +228,47 @@ object Curation extends QueryRegistry {
              |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
              |    sum(CAST(len(str_split(text, ' ')) AS BIGINT))
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
-             |  FROM documents)""".stripMargin))
+             |  FROM documents)""".stripMargin)),
+
+    // ---- end-to-end curation pipeline (the composition story: the ops
+    // above chained as ONE declarative plan). normalize → exact-dedup
+    // (keep lowest id per canon) → Gopher-style shape filters (word
+    // count, mean word length). Catalyst fuses the whole chain: one
+    // shuffle (the dedup window on the canon key), everything else
+    // per-row; the filters run AFTER dedup so the expensive stages see
+    // the deduped set — at 100 TB that ordering is the cost model. ----
+    QueryDef(
+      "x_pipe_curate",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon")).orderBy(col("doc_id"))
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, d, "documents")
+          .withColumn("canon", canon)
+          .withColumn("rn", row_number().over(W))
+          .where(col("rn") === 1)
+          .withColumn("nw", size(split(col("canon"), " ")).cast("double"))
+          .where(col("nw") >= 20 &&
+            (length(regexp_replace(col("canon"), " ", "")) / col("nw"))
+              .between(3.0, 12.0))
+          .select(col("doc_id"), col("lang"), col("nw").cast("long").as("n_words"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+             |  FROM documents),
+             |dd AS (
+             |  SELECT *, row_number() OVER (PARTITION BY canon ORDER BY doc_id) rn
+             |  FROM c),
+             |k AS (
+             |  SELECT doc_id, lang, canon,
+             |    CAST(len(str_split(canon, ' ')) AS DOUBLE) AS nw
+             |  FROM dd WHERE rn = 1)
+             |SELECT doc_id, lang, CAST(nw AS BIGINT) AS n_words
+             |FROM k
+             |WHERE nw >= 20
+             |  AND length(replace(canon, ' ', '')) / nw BETWEEN 3.0 AND 12.0""".stripMargin))
   )
 }

@@ -968,6 +968,28 @@ object Analytics extends QueryRegistry {
              |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cnt_d
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- misc aggregate tier: boundingRatio (value range slope),
+    // uniqUpTo(5) (capped distinct), deterministic any() (pinned to min
+    // so both engines agree — CH `any` is arbitrary-pick). One hash agg.
+    QueryDef(
+      "b_agg37_misc",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round((max(col("l_extendedprice")) - min(col("l_extendedprice"))) /
+              (max(col("l_quantity").cast("double")) -
+                min(col("l_quantity").cast("double"))), 6).as("bounding_ratio"),
+            least(count_distinct(col("l_linestatus")), lit(5L)).as("uniq_up_to_5"),
+            min(col("l_orderkey")).as("any_det")),
+      Some("""SELECT l_returnflag,
+             |  round((max(l_extendedprice) - min(l_extendedprice))
+             |    / (max(CAST(l_quantity AS DOUBLE)) - min(CAST(l_quantity AS DOUBLE))), 6)
+             |    AS bounding_ratio,
+             |  CAST(least(count(DISTINCT l_linestatus), 5) AS BIGINT) AS uniq_up_to_5,
+             |  min(l_orderkey) AS any_det
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
     // value series to 20 visually-representative points. Selection is not
     // SQL-expressible → rows-only verify (count deterministic:

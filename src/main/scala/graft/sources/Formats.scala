@@ -187,7 +187,26 @@ object Formats extends QueryRegistry {
       Some("""SELECT count(*) AS rows,
              |  CAST(sum(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS qty,
              |  round(sum(l_extendedprice), 2) AS total
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // ---- virtual provenance columns (CH `_part` / `_file`): every scan
+    // can name the physical file each row came from via Spark's
+    // `_metadata` struct — free at read time (no data columns touched
+    // for the metadata side). The oracle sees the same basename because
+    // the fixture is one file per table; with many parts the GROUP BY
+    // would enumerate them, which is exactly the CH `_part` usage. ----
+    QueryDef(
+      "b_src15_virtual_cols",
+      (s, d) =>
+        s.read.parquet(s"$d/orders.parquet")
+          .select(
+            regexp_extract(col("_metadata.file_name"), "[^/]+$", 0).as("part_file"),
+            col("o_orderkey"))
+          .groupBy(col("part_file"))
+          .agg(count(lit(1)).as("rows_in_part"), max(col("o_orderkey")).as("max_key")),
+      Some("""SELECT 'orders.parquet' AS part_file,
+             |  count(*) AS rows_in_part, max(o_orderkey) AS max_key
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 
   /** Rewrite a fragmented parquet directory into ceil(bytes/targetBytes)

@@ -72,6 +72,15 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins the
+    * static dimension. No stream-side state and no watermark requirement —
+    * the static side is planned per batch (so a dim refresh lands on the
+    * next trigger), and the broadcast keeps the stream partitioning
+    * untouched: the same zero-fact-shuffle contract as batch dictGet.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Stream-stream interval join: click → purchase attribution within
     * `maxGap` per user. In streaming mode BOTH sides carry watermarks and
     * the join condition is time-bounded, so Spark can expire join state

@@ -156,6 +156,26 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("stream-static join enriches micro-batches from the broadcast dim") {
+    val ev = MemoryStream[(Long, Long)]
+    val dim = Tables.t(spark, sf001, "nation").select(
+      col("n_nationkey").as("nk"), col("n_name"))
+    val q = Streams.streamStaticEnrich(ev.toDF().toDF("nk", "event_id"), dim, "nk")
+      .writeStream.format("memory").queryName("ss_enrich").outputMode("append")
+      .start()
+    try {
+      ev.addData((0L, 1L), (3L, 2L))
+      q.processAllAvailable()
+      ev.addData((0L, 3L)) // second batch re-plans the same static dim
+      q.processAllAvailable()
+      val rows = spark.table("ss_enrich")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(rows.size === 3)
+      assert(rows.map(_._2).forall(_.nonEmpty))
+      assert(rows.groupBy(_._1).forall(_._2.size == 1), "dup enrichment")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to clicks within the gap") {
     val clicks = MemoryStream[(Long, Long, Timestamp)]
     val purchases = MemoryStream[(Long, Long, Timestamp)]
