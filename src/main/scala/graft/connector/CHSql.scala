@@ -94,11 +94,13 @@ object CHSql {
       database: Option[String],
       columns: Seq[String],
       whereFragments: Seq[String],
-      limit: Option[Int]): String = {
+      limit: Option[Int],
+      orderBy: Seq[String] = Nil): String = {
     val cols = if (columns.isEmpty) "1" else columns.map(ident).mkString(", ")
     val where =
       if (whereFragments.isEmpty) "" else whereFragments.mkString(" WHERE (", ") AND (", ")")
+    val ord = if (orderBy.isEmpty) "" else s" ORDER BY ${orderBy.mkString(", ")}"
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM ${tableRef(table, database)}$where$lim"
+    s"SELECT $cols FROM ${tableRef(table, database)}$where$ord$lim"
   }
 }

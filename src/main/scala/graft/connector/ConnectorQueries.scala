@@ -25,6 +25,7 @@ object ConnectorQueries extends QueryRegistry {
       val srv = new StubCHServer
       srv.load("nation", Tables.t(spark, d, "nation"))
       srv.load("region", Tables.t(spark, d, "region"))
+      srv.load("supplier", Tables.t(spark, d, "supplier"))
       srv
     })
 
@@ -91,6 +92,24 @@ object ConnectorQueries extends QueryRegistry {
       },
       Some("""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
              |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    // ---- TopN pushdown through the connector: ORDER BY + LIMIT run
+    // server-side per scan partition (transport carries ≤ n rows per
+    // partition), Spark's TopN merges — ConnectorSpec asserts the pushed
+    // SQL and plan marker; this entry pins the end-to-end result. ----
+    QueryDef(
+      "b_src16_connector_topn",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "supplier")
+          .load()
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+          .limit(10)
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""".stripMargin))
   )
 }

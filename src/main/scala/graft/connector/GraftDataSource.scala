@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -118,12 +118,14 @@ final class CHScanBuilder(
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var whereFragments: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var orderBy: Seq[String] = Nil
   private var aggSelect: Seq[String] = Nil // SQL select items when agg pushed
   private var aggGroupBy: Seq[String] = Nil
   private var aggSchema: Option[StructType] = None
@@ -149,6 +151,31 @@ final class CHScanBuilder(
     limit = Some(n)
     false // Spark still applies the global limit
   }
+
+  // ---- TopN pushdown (ORDER BY + LIMIT): the server sorts and truncates
+  // per scan partition, so the transport carries at most n rows per
+  // partition instead of the whole table; Spark's own TopN then merges
+  // (partial pushdown — always sound, any partition count).
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggSelect.nonEmpty) return false
+    val compiled = orders.toSeq.map { so =>
+      singleField(so.expression()).map { f =>
+        val dir =
+          if (so.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+        val nulls =
+          if (so.nullOrdering() == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+          else "NULLS LAST"
+        s"${CHSql.ident(f)} $dir $nulls"
+      }
+    }
+    if (compiled.exists(_.isEmpty)) false
+    else {
+      orderBy = compiled.flatten
+      limit = Some(n)
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- aggregate pushdown: GROUP BY + MIN/MAX/SUM/COUNT run server-side
   // per scan partition; Spark merges the partials (partial-pushdown mode,
@@ -203,7 +230,7 @@ final class CHScanBuilder(
 
   override def build(): Scan =
     new CHScan(required, url, table, database, whereFragments, limit, options,
-      aggSelect, aggGroupBy, aggSchema)
+      aggSelect, aggGroupBy, aggSchema, orderBy)
 }
 
 final case class CHInputPartition(sql: String) extends InputPartition
@@ -218,7 +245,8 @@ final class CHScan(
     options: CaseInsensitiveStringMap,
     aggSelect: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
-    aggSchema: Option[StructType] = None)
+    aggSchema: Option[StructType] = None,
+    orderBy: Seq[String] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema.getOrElse(required)
@@ -226,6 +254,7 @@ final class CHScan(
   override def description(): String =
     s"graft-ch ${CHSql.tableRef(table, database)} " +
       s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit" +
+      (if (orderBy.nonEmpty) s" pushedTopN=[${orderBy.mkString(", ")}]" else "") +
       (if (aggSelect.nonEmpty) s" pushedAggregates=[${aggSelect.mkString(", ")}]" else "")
 
   private def sqlFor(where: Seq[String]): String =
@@ -235,7 +264,7 @@ final class CHScan(
       val g = if (aggGroupBy.isEmpty) "" else s" GROUP BY ${aggGroupBy.map(CHSql.ident).mkString(", ")}"
       base + w + g
     } else {
-      CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit)
+      CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit, orderBy)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {

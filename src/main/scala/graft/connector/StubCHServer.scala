@@ -148,12 +148,21 @@ final class StubCHServer {
               sql.toUpperCase.indexOf(" FROM "))
             val pred: InternalRow => Boolean = {
               val m = java.util.regex.Pattern
-                .compile("(?i)\\sWHERE\\s(.*?)(?:\\s(?:LIMIT\\s+\\d+|GROUP\\s+BY\\s.*)\\s*$|$)",
+                .compile(
+                  "(?i)\\sWHERE\\s(.*?)(?:\\s(?:LIMIT\\s+\\d+|ORDER\\s+BY\\s.*|GROUP\\s+BY\\s.*)\\s*$|$)",
                   java.util.regex.Pattern.DOTALL)
                 .matcher(sql)
               if (m.find()) StubWhere.compile(m.group(1), data.schema) else _ => true
             }
-            val filtered = data.rows.filter(pred)
+            val unsorted = data.rows.filter(pred)
+            // pushed TopN arrives as ORDER BY ... LIMIT n — honor the sort
+            val filtered = {
+              val m = java.util.regex.Pattern
+                .compile("(?i)\\sORDER\\s+BY\\s+(.*?)(?:\\s+LIMIT\\s+\\d+)?\\s*$",
+                  java.util.regex.Pattern.DOTALL)
+                .matcher(sql)
+              if (m.find()) sortRows(unsorted, data.schema, m.group(1)) else unsorted
+            }
             if (colsPart.toUpperCase.matches("(?s).*\\b(COUNT|MIN|MAX|SUM)\\s*\\(.*")) {
               StubAgg.run(sql, colsPart, data.schema, filtered)
             } else {
@@ -177,6 +186,52 @@ final class StubCHServer {
             }
         }
     }
+
+  /** Evaluate an `ORDER BY a [ASC|DESC] [NULLS FIRST|LAST], ...` clause —
+    * the pushed-TopN sort the real server would perform. */
+  private def sortRows(
+      rows: Vector[InternalRow],
+      schema: StructType,
+      clause: String): Vector[InternalRow] = {
+    val items = clause.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
+      val m = java.util.regex.Pattern
+        .compile("(?i)^(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))\\s*(ASC|DESC)?\\s*(?:NULLS\\s+(FIRST|LAST))?$")
+        .matcher(item)
+      require(m.matches(), s"cannot parse order item: $item")
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      val idx = schema.fieldIndex(name)
+      val desc = Option(m.group(3)).exists(_.equalsIgnoreCase("DESC"))
+      val nullsFirst = Option(m.group(4)).map(_.equalsIgnoreCase("FIRST")).getOrElse(!desc)
+      (idx, schema.fields(idx).dataType, desc, nullsFirst)
+    }
+    def cmpVal(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+      case _ => a.toString.compareTo(b.toString)
+    }
+    val ord = new Ordering[InternalRow] {
+      override def compare(ra: InternalRow, rb: InternalRow): Int = {
+        var i = 0
+        while (i < items.length) {
+          val (idx, dt, desc, nullsFirst) = items(i)
+          val va = if (ra.isNullAt(idx)) null else ra.get(idx, dt)
+          val vb = if (rb.isNullAt(idx)) null else rb.get(idx, dt)
+          val c =
+            if (va == null && vb == null) 0
+            else if (va == null) { if (nullsFirst) -1 else 1 }
+            else if (vb == null) { if (nullsFirst) 1 else -1 }
+            else { val base = cmpVal(va, vb); if (desc) -base else base }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+    rows.sorted(ord)
+  }
 
   private def showTables(): Either[String, Array[Byte]] = {
     val schema = StructType(Seq(org.apache.spark.sql.types.StructField(

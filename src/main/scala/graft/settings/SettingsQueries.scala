@@ -85,6 +85,20 @@ object SettingsQueries extends QueryRegistry {
              |  count(*) AS n
              |FROM lineitem
              |GROUP BY CASE WHEN l_quantity < 10 THEN 'S'
-             |              WHEN l_quantity < 30 THEN 'M' ELSE 'L' END""".stripMargin))
+             |              WHEN l_quantity < 30 THEN 'M' ELSE 'L' END""".stripMargin)),
+
+    // ---- GROUP BY ALL (CH and Spark 3.4+/DuckDB all support the same
+    // shorthand: group on every non-aggregate select item) ----
+    QueryDef(
+      "b_sql3_group_by_all",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_gba_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM orders_gba_v GROUP BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ALL""".stripMargin))
   )
 }

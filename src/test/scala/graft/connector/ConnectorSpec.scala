@@ -181,6 +181,29 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("TopN (ORDER BY + LIMIT) pushes to the server and returns the true top rows") {
+    val srv = freshServer()
+    try {
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+      val df = spark.read.format("graft-ch").option("url", srv.url).option("table", "nation")
+        .load()
+        .select("n_nationkey", "n_name")
+        .orderBy(col("n_nationkey").desc)
+        .limit(3)
+      val keys = df.collect().map(_.get(0).toString.toLong).toSeq
+      val expected = Tables.t(spark, sf001, "nation")
+        .orderBy(col("n_nationkey").desc).limit(3)
+        .collect().map(_.get(0).toString.toLong).toSeq
+      assert(keys === expected)
+
+      val q = srv.queries.filter(_.startsWith("SELECT `")).last
+      assert(q.matches("(?is).*ORDER BY `n_nationkey` DESC NULLS LAST.*"), q)
+      assert(q.contains("LIMIT 3"), q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pushedTopN=["), plan)
+    } finally srv.stop()
+  }
+
   test("pushed filters appear in the physical plan (plan inspection)") {
     val srv = freshServer()
     try {
