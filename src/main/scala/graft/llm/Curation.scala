@@ -230,6 +230,26 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- deterministic epoch shuffle: the training-order permutation
+    // for epoch N is ORDER BY md5(id, seed=N) — reproducible, seekable,
+    // no RNG. The global position here pins the full permutation for the
+    // oracle; at corpus scale the writer only needs ORDER BY shuffle_key
+    // (range-partitioned, b_srt2's path) — no global row_number. ----
+    QueryDef(
+      "x_smp5_epoch_shuffle",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit("_ep7"))).as("shuffle_key"))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("shuffle_key"), col("doc_id"))).cast("long")),
+      Some("""SELECT doc_id,
+             |  md5(CAST(doc_id AS VARCHAR) || '_ep7') AS shuffle_key,
+             |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '_ep7'), doc_id)
+             |       AS BIGINT) AS pos
+             |FROM documents""".stripMargin)),
+
     // ---- end-to-end curation pipeline (the composition story: the ops
     // above chained as ONE declarative plan). normalize → exact-dedup
     // (keep lowest id per canon) → Gopher-style shape filters (word

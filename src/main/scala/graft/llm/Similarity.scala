@@ -845,6 +845,43 @@ object Similarity extends QueryRegistry {
              |  round((v[4] - mu4) / sd4, 6) AS z4
              |FROM e CROSS JOIN w""".stripMargin)),
 
+    // ---- deterministic negative sampling for contrastive training:
+    // per anchor, the k "random" different-label negatives are picked by
+    // ranking a seeded md5 of the (anchor, candidate) pair — reproducible
+    // across runs and engines, no RNG state. The anchor×candidate join is
+    // the exact form here; at corpus scale the candidate side is first
+    // hash-sampled down (the b_smp1 pattern) so the pair space stays
+    // bounded. ----
+    QueryDef(
+      "x_embed_negatives",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val anchors = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("anchor"), col("label").as("alabel"))
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor")).orderBy(col("h"), col("cand"))
+        anchors
+          .join(e.select(col("vec_id").as("cand"), col("label").as("clabel")),
+            col("clabel") =!= col("alabel"))
+          .withColumn("h",
+            md5(concat(col("anchor").cast("string"), lit("_"), col("cand").cast("string"))))
+          .withColumn("rn", row_number().over(W))
+          .where(col("rn") <= 3)
+          .select(col("anchor"), col("cand"), col("rn").cast("long").as("rank"))
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id anchor, label alabel FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id cand, label clabel FROM embeddings),
+             |j AS (
+             |  SELECT anchor, cand,
+             |    md5(CAST(anchor AS VARCHAR) || '_' || CAST(cand AS VARCHAR)) h
+             |  FROM a JOIN c ON clabel <> alabel),
+             |r AS (
+             |  SELECT anchor, cand,
+             |    row_number() OVER (PARTITION BY anchor ORDER BY h, cand) rn
+             |  FROM j)
+             |SELECT anchor, cand, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 3""".stripMargin)),
+
     // ---- semantic near-dup pairs via k-means cluster blocking (no
     // oracle — centroid-dependent candidate set; SimilaritySpec asserts
     // recall vs the exact pair baseline and zero false positives) ----

@@ -63,4 +63,17 @@ object Progress {
     spark.listenerManager.register(bus)
     bus
   }
+
+  /** The captured event log as a queryable DataFrame — the
+    * `system.query_log` surface (reference users read the same telemetry
+    * from ClickHouse's query_log table). Driver-local rows: the log is
+    * bounded by query count, not data size, so `createDataFrame` over it
+    * is metadata-scale by construction.
+    */
+  def queryLog(spark: SparkSession, bus: Bus): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    bus.events
+      .map(p => (p.funcName, p.durationNs, p.readRows, p.outputRows, p.failed))
+      .toDF("func_name", "duration_ns", "read_rows", "output_rows", "failed")
+  }
 }

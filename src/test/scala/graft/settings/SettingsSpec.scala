@@ -62,6 +62,19 @@ class SettingsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(bus)
   }
 
+  test("A17: query_log surface exposes captured events as a DataFrame") {
+    val bus = Progress.install(spark)
+    try {
+      Tables.t(spark, sf001, "region").write.mode("overwrite").format("noop").save()
+      var tries = 0
+      while (bus.events.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val log = Progress.queryLog(spark, bus)
+      assert(log.columns.toSeq ===
+        Seq("func_name", "duration_ns", "read_rows", "output_rows", "failed"))
+      assert(log.where(col("failed") === false).count() >= 1)
+    } finally spark.listenerManager.unregister(bus)
+  }
+
   test("query cache: identical text hits, results match, whitespace normalizes") {
     Tables.t(spark, sf001, "nation").createOrReplaceTempView("qc_nation")
     val qc = new QueryCache(spark)
