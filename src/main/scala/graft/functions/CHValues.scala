@@ -195,4 +195,22 @@ object CHValues {
     }
     0
   }
+
+  /** Karp-Rabin rolling hash (base 31 mod 1e9+7) over the string's
+    * characters — the x_text_fingerprint kernel, hoisted from an
+    * interpreted `aggregate(...)` HOF into a JIT'd loop callable from
+    * whole-stage codegen (round-1 verdict's remaining interpreter spot).
+    * Semantics identical to the SQL form: per-char `acc*31 + codepoint
+    * (mod p)` with non-negative mod.
+    */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = java.lang.Math.floorMod(acc * 31 + str.charAt(i), 1000000007L)
+      i += 1
+    }
+    acc
+  }
 }

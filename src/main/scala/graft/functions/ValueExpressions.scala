@@ -97,6 +97,19 @@ object ValueExpressions {
     override protected def withNewChildInternal(c: Expression): Int256SortKey = copy(child = c)
   }
 
+  /** Codegen'd Karp-Rabin document fingerprint (replaces the interpreted
+    * `aggregate(...)` HOF form — the per-char lambda never leaves the
+    * generated code now). */
+  final case class RollingFingerprint(child: Expression)
+      extends CHUnary("ch_fingerprint", StringType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "rollingFingerprint"
+    protected def evalKernel(v: Any): Any =
+      CHValues.rollingFingerprint(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+      copy(child = c)
+  }
+
   /** (name, builder) pairs for FunctionRegistry injection. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def one(name: String, build: Expression => Expression) =
@@ -115,7 +128,8 @@ object ValueExpressions {
       one("uuid_binary", UuidBinary),
       one("int256_string", Int256String),
       one("int256_from_string", Int256FromString),
-      one("int256_sort_key", Int256SortKey))
+      one("int256_sort_key", Int256SortKey),
+      one("ch_fingerprint", RollingFingerprint))
   }
 }
 

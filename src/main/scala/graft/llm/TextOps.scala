@@ -167,15 +167,17 @@ object TextOps extends QueryRegistry {
              |  CAST(length(text) AS BIGINT) AS chars
              |FROM documents""".stripMargin)),
 
-    // ---- rolling-hash document fingerprint (Karp-Rabin base 31 mod 1e9+7) ----
+    // ---- rolling-hash document fingerprint (Karp-Rabin base 31 mod
+    // 1e9+7) — computed by the codegen'd `ch_fingerprint` expression
+    // (ValueExpressions.RollingFingerprint): the per-char loop runs
+    // inside whole-stage codegen, replacing the interpreted
+    // aggregate(...) HOF this query originally carried. ----
     QueryDef(
       "x_text_fingerprint",
       (s, d) =>
         t(s, d, "documents").select(
           col("doc_id"),
-          expr(
-            """aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT),
-              |  (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007))""".stripMargin).as("fp")),
+          call_function("ch_fingerprint", col("text")).as("fp")),
       Some("""SELECT doc_id,
              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
              |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),

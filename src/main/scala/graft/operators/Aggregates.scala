@@ -260,6 +260,24 @@ object Aggregates extends QueryRegistry {
           .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("nd_part_est")),
       None),
 
+    // ---- grouping() discriminator over ROLLUP (CH `WITH ROLLUP` rows
+    // are distinguished the same way): subtotal rows labeled by the
+    // grouping bit so consumers can split detail from rollup. ----
+    QueryDef(
+      "b_agg38_grouping_id",
+      (s, d) =>
+        t(s, d, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // ---- uniqTheta set algebra (CH `uniqTheta` + union/intersect/not):
     // per-partition sketches, driver-side merge (see ThetaSketches
     // scaladoc for the 100-TB shape). Below k=4096 distinct keys theta

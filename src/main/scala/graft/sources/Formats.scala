@@ -206,7 +206,25 @@ object Formats extends QueryRegistry {
           .agg(count(lit(1)).as("rows_in_part"), max(col("o_orderkey")).as("max_key")),
       Some("""SELECT 'orders.parquet' AS part_file,
              |  count(*) AS rows_in_part, max(o_orderkey) AS max_key
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- compression codecs (CH `CODEC(ZSTD)` / `CODEC(LZ4)` → the
+    // Spark-level equivalent is the columnar file codec, §2.1 A7). The
+    // query round-trips through zstd parquet; FormatsSpec asserts the
+    // zstd files are actually smaller than uncompressed ones (i.e. the
+    // codec option really took effect, not just a rename). ----
+    QueryDef(
+      "b_src17_compression",
+      (s, d) => {
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-zstd-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}").toString
+        Tables.t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+        s.read.parquet(dir)
+      },
+      Some(oracle))
   )
 
   /** Rewrite a fragmented parquet directory into ceil(bytes/targetBytes)

@@ -100,6 +100,22 @@ class ValueExpressionsSpec extends SparkSpec {
     assert(scanned.queryExecution.executedPlan.toString.contains("*(1) Project"))
   }
 
+  test("ch_fingerprint matches the HOF formula and stays in codegen") {
+    // golden: "ab" -> (0*31+97)*31+98 mod p = 3105
+    val v = spark.sql("SELECT ch_fingerprint('ab') AS fp").head.getLong(0)
+    assert(v === 97L * 31 + 98)
+    // parity with the interpreted aggregate() form it replaced
+    val both = graft.Tables.t(spark, sf001, "nation")
+      .selectExpr(
+        "ch_fingerprint(n_name) AS fast",
+        """aggregate(filter(split(n_name, ''), c -> c <> ''), CAST(0 AS BIGINT),
+          |  (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)) AS slow""".stripMargin)
+    assert(both.collect().forall(r => r.getLong(0) === r.getLong(1)))
+    val scanned = graft.Tables.t(spark, sf001, "nation")
+      .selectExpr("ch_fingerprint(n_name) AS fp")
+    assert(graft.explain.Explain.codegenSpans(scanned) >= 1)
+  }
+
   test("enum name <-> code via the CHType dictionary") {
     val t = graft.types.CHType.parse("Enum8('low' = 1, 'high' = 2)")
     val dict = EnumCodec.dictOf(t)

@@ -38,6 +38,21 @@ class FormatsSpec extends SparkSpec {
     assert(part > 0 && part < full, s"pruned=$part full=$full")
   }
 
+  test("compression codec option takes effect: zstd smaller than uncompressed") {
+    val base = tmp("codec")
+    val none = new java.io.File(base, "none").toString
+    val zstd = new java.io.File(base, "zstd").toString
+    val src = Tables.t(spark, sf001, "lineitem").coalesce(1)
+    src.write.mode("overwrite").option("compression", "none").parquet(none)
+    src.write.mode("overwrite").option("compression", "zstd").parquet(zstd)
+    def bytes(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(bytes(zstd) > 0 && bytes(zstd) < bytes(none),
+      s"zstd=${bytes(zstd)} none=${bytes(none)}")
+    assert(spark.read.parquet(zstd).count() === src.count())
+  }
+
   test("compaction merges 64 shards into the byte-targeted file count, shuffle-free") {
     val base = tmp("compact")
     val small = new java.io.File(base, "small").toString
