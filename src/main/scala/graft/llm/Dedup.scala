@@ -108,6 +108,30 @@ object Dedup extends QueryRegistry {
       .toDF("doc_id", "s")
   }
 
+
+  /** Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) — catches a
+    * short document quoted inside a long one, which Jaccard dilutes
+    * toward zero. Same inverted-index shape, df cap and shuffle profile
+    * as [[ngramJaccardPairs]]; only the normalizer differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame = {
+    val all = explodedShingles(docs)
+    val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    val sh = all.join(kept, Seq("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("containment", col("i") / least(col("sa.n"), col("sb.n")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Exact pairwise word-3gram Jaccard >= `tau` via an inverted shingle
     * index: explode → self-equi-join on shingle → |A∩B| counts → join
     * per-doc sizes. Shuffles on shingle then on doc pairs — never a cross
@@ -387,6 +411,21 @@ object Dedup extends QueryRegistry {
              |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5""".stripMargin)),
+
+    QueryDef(
+      "x_dedup_containment",
+      (s, d) => ngramContainmentPairs(t(s, d, "documents"), 0.6),
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT da AS doc_a, db AS doc_b,
+             |  round(i / (least(sa.n, sb.n) * 1.0), 6) AS containment
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (least(sa.n, sb.n) * 1.0) >= 0.6""".stripMargin)),
 
     // ---- benchmark decontamination: train×bench shingle overlap ----
     QueryDef(

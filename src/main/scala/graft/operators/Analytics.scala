@@ -968,6 +968,62 @@ object Analytics extends QueryRegistry {
              |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cnt_d
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- ANY LEFT JOIN (CH join strictness `ANY`: at most ONE build-
+    // side match per probe row, vs standard ALL semantics). Made
+    // deterministic the CH-documented way cannot be (CH picks an
+    // arbitrary match): the build side is reduced to its min-l_linenumber
+    // row per key FIRST (one aggregate), then an ordinary 1:1 equi-join.
+    // Same two-shuffle cost as the plain join — strictness costs nothing.
+    QueryDef(
+      "b_jn13_any_join",
+      (s, d) => {
+        // lexicographic struct-min: ONE deterministic row per key even
+        // though l_linenumber repeats within an order in this fixture
+        val firstLine = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(min(struct(col("l_linenumber"), col("l_extendedprice"))).as("m"))
+          .select(col("l_orderkey"),
+            col("m.l_linenumber").as("first_line"),
+            col("m.l_extendedprice").as("first_price"))
+        t(s, d, "orders")
+          .join(firstLine, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            col("first_line").cast("long").as("first_line"),
+            round(col("first_price"), 2).as("first_price"))
+      },
+      Some("""WITH fl AS (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |                       ORDER BY l_linenumber, l_extendedprice) rn
+             |  FROM lineitem)
+             |SELECT o_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS first_line,
+             |  round(l_extendedprice, 2) AS first_price
+             |FROM orders LEFT JOIN fl ON o_orderkey = l_orderkey AND rn = 1""".stripMargin)),
+
+    // ---- LIMIT n WITH TIES (CH): keep every row tied with the cut.
+    // Scale-clean two-phase form — NO global rank window: phase 1 is an
+    // ordinary TopN (orderBy+limit, per-partition top-k then merge) that
+    // yields the cut value; phase 2 is a plain pushdown-able filter
+    // `qty >= cut`. Identical result to rank() <= n by definition of
+    // rank ties; the oracle uses the rank() form to prove it. ----
+    QueryDef(
+      "b_lim3_with_ties",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").cast("long").as("qty"))
+        val cut = base.orderBy(col("qty").desc).limit(5)
+          .agg(min(col("qty")).as("cut"))
+        base.crossJoin(cut).where(col("qty") >= col("cut"))
+          .select(col("l_orderkey"), col("ln"), col("qty"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             |  CAST(l_quantity AS BIGINT) AS qty
+             |FROM (
+             |  SELECT *, rank() OVER (ORDER BY l_quantity DESC) rk
+             |  FROM lineitem) WHERE rk <= 5""".stripMargin)),
+
     // ---- misc aggregate tier: boundingRatio (value range slope),
     // uniqUpTo(5) (capped distinct), deterministic any() (pinned to min
     // so both engines agree — CH `any` is arbitrary-pick). One hash agg.
