@@ -52,4 +52,37 @@ object StateAggregates {
 
   /** `var_samp` computed through the mergeable-state path. */
   def varSampState(c: Column): Column = udaf(VarSampAggregator).apply(c)
+
+  /** Kahan compensated summation state (CH `sumKahan`): the running
+    * compensation `c` carries the low-order bits a plain double sum
+    * drops. Merge sums both partials and both compensations — the
+    * associativity loss is bounded by one rounding per merge, vs one per
+    * ROW for the naive sum. StateAggregatesSpec shows the adversarial
+    * case where naive summation loses 1.0s next to 1e16.
+    */
+  final case class KahanState(sum: Double, c: Double) {
+    def add(x: Double): KahanState = {
+      val y = x - c
+      val t = sum + y
+      KahanState(t, (t - sum) - y)
+    }
+    def merge(o: KahanState): KahanState = {
+      val y = o.sum - c
+      val t = sum + y
+      KahanState(t, ((t - sum) - y) + o.c)
+    }
+    def value: Double = sum - c
+  }
+
+  object KahanSumAggregator extends Aggregator[Double, KahanState, Double] {
+    override def zero: KahanState = KahanState(0.0, 0.0)
+    override def reduce(b: KahanState, a: Double): KahanState = b.add(a)
+    override def merge(b1: KahanState, b2: KahanState): KahanState = b1.merge(b2)
+    override def finish(r: KahanState): Double = r.value
+    override def bufferEncoder: Encoder[KahanState] = Encoders.product[KahanState]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** CH `sumKahan` through the mergeable-state path. */
+  def sumKahan(c: Column): Column = udaf(KahanSumAggregator).apply(c)
 }

@@ -230,6 +230,32 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- weighted reservoir sampling WITHOUT replacement (Efraimidis-
+    // Spiridakis A-Res): key each row by u^(1/w) with a DETERMINISTIC
+    // uniform u (Knuth multiplicative hash — no RNG state, no hex casts),
+    // then take the global top-k by key. The top-k is Spark's TopN
+    // (per-partition heads + merge), so the full corpus never sorts —
+    // the textbook distributed form of the algorithm. Weight = n_chars:
+    // longer docs proportionally likelier, each picked at most once. ----
+    QueryDef(
+      "x_smp6_reservoir",
+      (s, d) => {
+        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) / 1000004.0
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            pow(u, lit(1.0) / col("n_chars")).as("prio"))
+          .orderBy(col("prio").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"), round(col("prio"), 9).as("prio"))
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  round(pow((doc_id * 2654435761 % 1000003 + 1) / 1000004.0,
+             |            1.0 / n_chars), 9) AS prio
+             |FROM documents
+             |ORDER BY pow((doc_id * 2654435761 % 1000003 + 1) / 1000004.0,
+             |             1.0 / n_chars) DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
     // ---- deterministic epoch shuffle: the training-order permutation
     // for epoch N is ORDER BY md5(id, seed=N) — reproducible, seekable,
     // no RNG. The global position here pins the full permutation for the

@@ -427,6 +427,37 @@ object Dedup extends QueryRegistry {
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (least(sa.n, sb.n) * 1.0) >= 0.6""".stripMargin)),
 
+    // ---- boilerplate detection: the fraction of a document made of
+    // corpus-COMMON shingles (df >= 4) — headers/footers/templates score
+    // high and get stripped before training. Reuses the inverted shingle
+    // index; the df table is the same aggregate the jaccard cap builds,
+    // so at scale the two ops share one pass. ----
+    QueryDef(
+      "x_text_boilerplate",
+      (s, d) => {
+        val sh = explodedShingles(t(s, d, "documents"))
+        val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(dfc.where(col("df") >= 4).select(col("s"), lit(1).as("common")),
+            Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("common"), lit(0))).cast("long").as("n_common"))
+          .select(col("doc_id"), col("n_shingles"), col("n_common"),
+            round(col("n_common") / col("n_shingles").cast("double"), 6)
+              .as("boilerplate_frac"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |dfc AS (SELECT s, count(*) df FROM sh GROUP BY s)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             |  round(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END)
+             |    / CAST(count(*) AS DOUBLE), 6) AS boilerplate_frac
+             |FROM sh JOIN dfc USING (s) GROUP BY doc_id""".stripMargin)),
+
     // ---- benchmark decontamination: train×bench shingle overlap ----
     QueryDef(
       "x_dedup_contaminate",

@@ -845,6 +845,39 @@ object Similarity extends QueryRegistry {
              |  round((v[4] - mu4) / sd4, 6) AS z4
              |FROM e CROSS JOIN w""".stripMargin)),
 
+    // ---- mean-pooling chunk embeddings into a group vector (the
+    // standard doc-from-chunks / class-centroid pool). Declarative
+    // posexplode → per-(group, position) avg keeps partial aggregation
+    // intact — unlike a naive mapGroups, a hot label never funnels its
+    // raw vectors through one task. First four dims cross the oracle. --
+    QueryDef(
+      "x_embed_meanpool",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        val m = ex.groupBy(col("label"), col("pos")).agg(avg(col("col")).as("mu"))
+        val n = t(s, d, "embeddings").groupBy(col("label")).agg(count(lit(1)).as("n"))
+        m.where(col("pos") < 4)
+          .groupBy(col("label"))
+          .agg(
+            round(max(when(col("pos") === 0, col("mu"))), 6).as("m1"),
+            round(max(when(col("pos") === 1, col("mu"))), 6).as("m2"),
+            round(max(when(col("pos") === 2, col("mu"))), 6).as("m3"),
+            round(max(when(col("pos") === 3, col("mu"))), 6).as("m4"))
+          .join(n, "label")
+          .select(col("label"), col("n"), col("m1"), col("m2"), col("m3"), col("m4"))
+      },
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings),
+             |u AS (SELECT label, unnest(v) x, unnest(range(1, len(v) + 1)) i FROM e),
+             |m AS (SELECT label, i, avg(x) mu FROM u WHERE i <= 4 GROUP BY 1, 2),
+             |n AS (SELECT label, count(*) n FROM e GROUP BY 1)
+             |SELECT label, n,
+             |  round(max(CASE WHEN i = 1 THEN mu END), 6) AS m1,
+             |  round(max(CASE WHEN i = 2 THEN mu END), 6) AS m2,
+             |  round(max(CASE WHEN i = 3 THEN mu END), 6) AS m3,
+             |  round(max(CASE WHEN i = 4 THEN mu END), 6) AS m4
+             |FROM m JOIN n USING (label) GROUP BY label, n""".stripMargin)),
+
     // ---- deterministic negative sampling for contrastive training:
     // per anchor, the k "random" different-label negatives are picked by
     // ranking a seeded md5 of the (anchor, candidate) pair — reproducible

@@ -260,6 +260,20 @@ object Aggregates extends QueryRegistry {
           .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("nd_part_est")),
       None),
 
+    // ---- sumKahan (CH): compensated summation through the mergeable-
+    // state Aggregator path (partial per partition, compensation carried
+    // through merge). Float results legitimately differ from a naive
+    // engine sum in the low bits → rows-only verify; the adversarial
+    // case where naive summation is WRONG is pinned in FunctionsSpec. --
+    QueryDef(
+      "b_agg39_kahan_sum",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(graft.functions.StateAggregates.sumKahan(col("l_extendedprice"))
+            .as("ksum")),
+      None),
+
     // ---- grouping() discriminator over ROLLUP (CH `WITH ROLLUP` rows
     // are distinguished the same way): subtotal rows labeled by the
     // grouping bit so consumers can split detail from rollup. ----

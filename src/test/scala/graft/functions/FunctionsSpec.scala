@@ -39,4 +39,25 @@ class FunctionsSpec extends SparkSpec {
     val hashes = docs.select(xxhash64(col("text"))).distinct().count()
     assert(hashes === texts)
   }
+
+  test("sumKahan keeps low-order mass a naive double sum drops") {
+    // 1e16 + 1.0 == 1e16 in doubles: naive summation loses every 1.0
+    val adversarial = (Seq(1e16) ++ Seq.fill(1000)(1.0) ++ Seq(-1e16))
+    // kernel-level: exact answer is 1000.0
+    val st = adversarial.foldLeft(StateAggregates.KahanSumAggregator.zero)(
+      (b, x) => StateAggregates.KahanSumAggregator.reduce(b, x))
+    assert(StateAggregates.KahanSumAggregator.finish(st) === 1000.0)
+    val naive = adversarial.foldLeft(0.0)(_ + _)
+    assert(naive !== 1000.0, s"naive sum unexpectedly exact: $naive")
+    // through Spark's partial/merge path: compensation is exact WITHIN a
+    // partition; each merge may round once (≤ ulp(1e16) = 2 per merge).
+    // Naive summation loses essentially all 1000 units; Kahan keeps them
+    // to within a few merge roundings.
+    val df = adversarial.toDF("x").repartition(7)
+    val viaSpark = df.agg(StateAggregates.sumKahan(col("x"))).head.getDouble(0)
+    assert(math.abs(viaSpark - 1000.0) <= 16.0, s"got $viaSpark")
+    val naiveSpark = df.agg(sum(col("x"))).head.getDouble(0)
+    assert(math.abs(naiveSpark - 1000.0) > 100.0,
+      s"naive spark sum unexpectedly accurate: $naiveSpark")
+  }
 }
