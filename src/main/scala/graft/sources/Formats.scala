@@ -208,6 +208,36 @@ object Formats extends QueryRegistry {
              |  count(*) AS rows_in_part, max(o_orderkey) AS max_key
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // ---- dynamic partition overwrite (CH `ALTER TABLE … DROP/ATTACH
+    // PARTITION` rollover): rewriting ONE partition replaces only that
+    // directory — the other years' files are physically untouched. The
+    // 1995 partition is re-stated with doubled prices; the read-back
+    // proves 1995 changed and everything else didn't. This is the
+    // idempotent-backfill primitive for a 100-TB time-partitioned table.
+    QueryDef(
+      "b_src18_partition_overwrite",
+      (s, d) => {
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-dynpart-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}").toString
+        val orders = Tables.t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+        val patched = orders.where(col("o_year") === 1995)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try patched.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(dir)
+          .groupBy(col("o_year").cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n,
+             |  round(sum(CASE WHEN year(o_orderdate) = 1995
+             |                 THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ---- compression codecs (CH `CODEC(ZSTD)` / `CODEC(LZ4)` → the
     // Spark-level equivalent is the columnar file codec, §2.1 A7). The
     // query round-trips through zstd parquet; FormatsSpec asserts the

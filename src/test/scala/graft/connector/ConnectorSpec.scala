@@ -87,6 +87,23 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("EXCHANGE TABLES swaps two tables' contents") {
+    val srv = freshServer()
+    try {
+      import spark.implicits._
+      Seq((1L, "live")).toDF("id", "tag").write.format("graft-ch")
+        .option("url", srv.url).option("table", "blue").mode("append").save()
+      Seq((2L, "staged")).toDF("id", "tag").write.format("graft-ch")
+        .option("url", srv.url).option("table", "green").mode("append").save()
+      Mutations.exchangeTables(srv.url, "blue", "green")
+      def tagOf(t: String): String =
+        spark.read.format("graft-ch").option("url", srv.url).option("table", t)
+          .load().select("tag").head.getString(0)
+      assert(tagOf("blue") === "staged")
+      assert(tagOf("green") === "live")
+    } finally srv.stop()
+  }
+
   test("catalog RENAME TABLE moves data to the new name") {
     val srv = freshServer()
     try {
