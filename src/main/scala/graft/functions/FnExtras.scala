@@ -462,7 +462,34 @@ object FnExtras extends QueryRegistry {
              |  CAST(length(p_name || 'e' || chr(769)) AS BIGINT) AS len_raw,
              |  CAST(length(nfc_normalize(p_name || 'e' || chr(769))) AS BIGINT) AS len_nfc,
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
-             |FROM part WHERE p_partkey % 7 = 0""".stripMargin))
+             |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
+
+    // ---- arrayJaccardIndex (CH): set similarity of two array columns
+    // via the BUILT-IN set ops (array_intersect/array_union — codegen'd,
+    // no lambda interpretation; the Spark-first preference order). ----
+    QueryDef(
+      "b_fna9_array_jaccard",
+      (s, d) => {
+        val a = sequence(lit(1), pmod(col("p_size"), lit(6)) + 2)
+        val b = sequence(pmod(col("p_size"), lit(3)) + 1, lit(8))
+        t(s, d, "part").select(
+          col("p_partkey"),
+          size(array_intersect(a, b)).cast("long").as("inter"),
+          size(array_union(a, b)).cast("long").as("uni"),
+          round(size(array_intersect(a, b)) /
+            size(array_union(a, b)).cast("double"), 6).as("jaccard"))
+      },
+      Some("""WITH w AS (
+             |  SELECT p_partkey,
+             |    generate_series(1, p_size % 6 + 2) a,
+             |    generate_series(p_size % 3 + 1, 8) b
+             |  FROM part)
+             |SELECT p_partkey,
+             |  CAST(len(list_filter(list_distinct(a), x -> list_contains(b, x))) AS BIGINT) AS inter,
+             |  CAST(len(list_distinct(a || b)) AS BIGINT) AS uni,
+             |  round(len(list_filter(list_distinct(a), x -> list_contains(b, x)))
+             |    / CAST(len(list_distinct(a || b)) AS DOUBLE), 6) AS jaccard
+             |FROM w""".stripMargin))
   )
 
   /** Char-trigram set kernel for `b_fns4_ngram_sim` (CH `ngramDistance`).

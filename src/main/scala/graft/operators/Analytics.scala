@@ -968,6 +968,71 @@ object Analytics extends QueryRegistry {
              |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cnt_d
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- sequenceNextNode (CH): the event that FOLLOWS the first
+    // occurrence of a matched chain (view→click here) per user — "what
+    // do users do after converting". Window-composable: flag positions
+    // whose (event, next) matches the chain, take each user's earliest,
+    // emit the event after it. One shuffle on user_id. ----
+    QueryDef(
+      "b_fun7_sequence_next",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(W))
+          .withColumn("nxt2", lead(col("event_type"), 2).over(W))
+          .where(col("event_type") === "view" && col("nxt") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("event_id"), col("nxt2"))).as("m"))
+          .select(col("user_id"), col("m.nxt2").as("next_node"))
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id, event_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) nxt,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) nxt2
+             |  FROM events),
+             |hit AS (
+             |  SELECT user_id, event_id, nxt2,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
+             |  FROM w WHERE event_type = 'view' AND nxt = 'click')
+             |SELECT user_id, nxt2 AS next_node FROM hit WHERE rn = 1""".stripMargin)),
+
+    // ---- histogram (CH adaptive `histogram(n)`, equi-depth form): the
+    // decile boundaries come from the distinct-value SPECTRUM with
+    // cumulative counts (the b_agg31/34 pattern — corpus touched once),
+    // so each bucket carries ~n/10 rows regardless of skew. ----
+    QueryDef(
+      "b_agg40_equidepth_hist",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val spectrum = t(s, d, "lineitem")
+          .groupBy(col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val tot = spectrum.agg(sum(col("c")).cast("double").as("n"))
+        spectrum.crossJoin(tot)
+          .select(col("v"), col("c"),
+            least(floor((sum(col("c")).over(W) - 1) * 10 / col("n")), lit(9L))
+              .as("decile"))
+          .groupBy(col("decile"))
+          .agg(
+            sum(col("c")).cast("long").as("rows_in"),
+            round(min(col("v")), 2).as("lo"),
+            round(max(col("v")), 2).as("hi"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT l_extendedprice v, count(*) c FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) n FROM sp),
+             |d AS (
+             |  SELECT v, c,
+             |    least(CAST(floor((sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - 1)
+             |      * 10 / n) AS BIGINT), 9) AS decile
+             |  FROM sp CROSS JOIN tot)
+             |SELECT decile, CAST(sum(c) AS BIGINT) AS rows_in,
+             |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+             |FROM d GROUP BY decile""".stripMargin)),
+
     // ---- ANY LEFT JOIN (CH join strictness `ANY`: at most ONE build-
     // side match per probe row, vs standard ALL semantics). Made
     // deterministic the CH-documented way cannot be (CH picks an
