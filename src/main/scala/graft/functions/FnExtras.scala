@@ -464,6 +464,34 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- malformed-record tolerance (CH `input_format_allow_errors_*`
+    // / Spark PERMISSIVE parsing): every 5th "wire row" is corrupt JSON;
+    // from_json yields NULL for those instead of failing the batch, and
+    // the ok flag routes them to a quarantine path. The ingest-
+    // robustness contract a 100-TB loader needs (one bad row must never
+    // kill a 10-hour job). ----
+    QueryDef(
+      "b_fnj3_bad_records",
+      (s, d) => {
+        val raw = when(col("s_suppkey") % 5 === 0,
+          concat(lit("{bad json "), col("s_name")))
+          .otherwise(to_json(struct(col("s_suppkey").as("id"), col("s_acctbal").as("bal"))))
+        t(s, d, "supplier")
+          .select(col("s_suppkey"), raw.as("raw"))
+          .withColumn("parsed", from_json(col("raw"), "id BIGINT, bal DOUBLE",
+            Map.empty[String, String]))
+          .select(
+            col("s_suppkey"),
+            col("parsed.id").isNotNull.as("ok"),
+            col("parsed.id").as("id"),
+            round(col("parsed.bal"), 2).as("bal"))
+      },
+      Some("""SELECT s_suppkey,
+             |  s_suppkey % 5 <> 0 AS ok,
+             |  CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_suppkey END AS id,
+             |  CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE round(s_acctbal, 2) END AS bal
+             |FROM supplier""".stripMargin)),
+
     // ---- arrayJaccardIndex (CH): set similarity of two array columns
     // via the BUILT-IN set ops (array_intersect/array_union — codegen'd,
     // no lambda interpretation; the Spark-first preference order). ----

@@ -119,6 +119,33 @@ object Multimodal extends QueryRegistry {
         when(col("long_side") <= cap, col("height"))
           .otherwise(expr(s"height * $cap DIV long_side")).as("out_h"))
 
+  /** Average-hash (aHash) perceptual fingerprint: the payload is reduced
+    * to an 8×8 grid of slice means (the stub stand-in for decoded
+    * luminance), each bit = cell above the grid mean. Identical payloads
+    * hash identically; small payload edits flip few bits (MultimodalSpec
+    * asserts both). JIT'd loops, per-row, zero shuffle.
+    */
+  def aHash(media: Array[Byte]): Long = {
+    if (media.isEmpty) return 0L
+    val cells = new Array[Double](64)
+    val step = math.max(1, media.length / 64)
+    var c = 0
+    while (c < 64) {
+      val from = math.min(c * step, media.length - 1)
+      val until = math.min(from + step, media.length)
+      var s = 0.0
+      var i = from
+      while (i < until) { s += (media(i) & 0xff); i += 1 }
+      cells(c) = s / math.max(1, until - from)
+      c += 1
+    }
+    val mean = cells.sum / 64
+    var h = 0L
+    c = 0
+    while (c < 64) { if (cells(c) > mean) h |= (1L << c); c += 1 }
+    h
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   val defs: Seq[QueryDef] = Seq(
@@ -240,6 +267,31 @@ object Multimodal extends QueryRegistry {
              |  FROM e)
              |SELECT doc_id, f, energy, delta,
              |  coalesce(abs(delta) > 0.5, false) AS is_cut
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // ---- perceptual-hash image dedup: aHash per payload, hash-group,
+    // keep groups of 2+ (exact-duplicate images regardless of filename/
+    // id). Every 9th doc gets a payload-identical twin (the fixture has
+    // no byte dups), so the result is non-empty by construction — the
+    // x_dedup_normalized self-demonstration pattern. Hash kernel
+    // robustness (identity / small-edit Hamming) is MultimodalSpec's
+    // job; rows-only verify here. One shuffle on the 64-bit hash. ----
+    QueryDef(
+      "x_mm_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = mediaTable(docs)
+        val twins = mediaTable(
+          docs.where(col("doc_id") % 9 === 0)
+            .withColumn("doc_id", col("doc_id") + 20000000L))
+        media.union(twins)
+          .map(r => (r.doc_id, aHash(r.media)))
+          .toDF("doc_id", "phash")
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+          .where(col("n_dups") > 1)
+      },
+      None)
   )
 }

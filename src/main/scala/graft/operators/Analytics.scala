@@ -1033,6 +1033,35 @@ object Analytics extends QueryRegistry {
              |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
              |FROM d GROUP BY decile""".stripMargin)),
 
+    // ---- null-safe equality join (CH `isNotDistinctFrom` / SQL `<=>`):
+    // NULL keys MATCH the dim's NULL row instead of silently dropping —
+    // the "unknown bucket" join every fact table with nullable dims
+    // needs. Same broadcast-able equi-join plan as `=`; only the key
+    // comparator differs. ----
+    QueryDef(
+      "b_jn14_null_safe",
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("k"))
+        val b = t(s, d, "orders").select(col("o_orderpriority").as("k")).distinct()
+          .unionByName(s.range(1).select(lit(null).cast("string").as("k")))
+          .withColumn("bucket", coalesce(col("k"), lit("UNKNOWN")))
+        a.join(broadcast(b), a("k") <=> b("k"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END k
+             |  FROM orders),
+             |b AS (
+             |  SELECT k, coalesce(k, 'UNKNOWN') AS bucket FROM (
+             |    SELECT DISTINCT o_orderpriority k FROM orders
+             |    UNION ALL SELECT NULL))
+             |SELECT bucket, count(*) n
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |GROUP BY bucket""".stripMargin)),
+
     // ---- ANY LEFT JOIN (CH join strictness `ANY`: at most ONE build-
     // side match per probe row, vs standard ALL semantics). Made
     // deterministic the CH-documented way cannot be (CH picks an
