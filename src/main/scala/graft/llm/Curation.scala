@@ -230,6 +230,57 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- data-contract audit: the pre-training sanity report as ONE
+    // query — null checks, range checks, duplicate keys, FK orphans,
+    // each a cheap aggregate/anti-join, unioned into (check, violations).
+    // Every branch is partial-aggregated or broadcast-anti-joined; the
+    // union is plan-level (no extra pass over any input). ----
+    QueryDef(
+      "x_audit_contract",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val checks = Seq(
+          docs.agg(sum(when(col("text").isNull || col("text") === "", 1).otherwise(0))
+            .cast("long").as("violations"))
+            .select(lit("doc_text_null_or_empty").as("check"), col("violations")),
+          docs.agg(sum(when(col("n_chars") < 0 || col("n_chars") > 100000, 1).otherwise(0))
+            .cast("long").as("violations"))
+            .select(lit("doc_nchars_range").as("check"), col("violations")),
+          docs.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+            .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(0))
+              .cast("long").as("violations"))
+            .select(lit("doc_id_duplicates").as("check"), col("violations")),
+          emb.agg(sum(when(size(col("embedding")) =!= 64, 1).otherwise(0))
+            .cast("long").as("violations"))
+            .select(lit("embedding_dim_drift").as("check"), col("violations")),
+          emb.join(docs.select(col("doc_id")),
+              emb("vec_id") === docs("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+            .select(lit("embedding_orphans").as("check"), col("violations")))
+        checks.reduce(_ unionByName _)
+      },
+      Some("""SELECT 'doc_text_null_or_empty' AS "check",
+             |  CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             |FROM documents
+             |UNION ALL
+             |SELECT 'doc_nchars_range',
+             |  CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM documents
+             |UNION ALL
+             |SELECT 'doc_id_duplicates',
+             |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+             |    SELECT count(*) c FROM documents GROUP BY doc_id HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'embedding_dim_drift',
+             |  CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM embeddings
+             |UNION ALL
+             |SELECT 'embedding_orphans',
+             |  CAST(count(*) AS BIGINT) FROM embeddings e
+             |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)"""
+        .stripMargin)),
+
     // ---- weighted reservoir sampling WITHOUT replacement (Efraimidis-
     // Spiridakis A-Res): key each row by u^(1/w) with a DETERMINISTIC
     // uniform u (Knuth multiplicative hash — no RNG state, no hex casts),

@@ -845,6 +845,66 @@ object Similarity extends QueryRegistry {
              |  round((v[4] - mu4) / sd4, 6) AS z4
              |FROM e CROSS JOIN w""".stripMargin)),
 
+    // ---- embedding outlier detection (corpus-quality filter: vectors
+    // far from the global centroid are suspect — encoder failures, empty
+    // inputs, wrong modality). Centroid via ONE dim-bounded partial pass
+    // (the standardize/kmeans driver contract), then a broadcast map
+    // computes distances and a 1-row stats cross join z-scores them. ----
+    QueryDef(
+      "x_embed_outliers",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
+        val partials = ds.mapPartitions { it =>
+          var n = 0L
+          var sumv: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (sumv == null) sumv = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { sumv(i) += v(i); i += 1 }
+            n += 1
+          }
+          if (n == 0) Iterator.empty else Iterator.single((n, sumv))
+        }.collect()
+        val n = partials.map(_._1).sum.toDouble
+        val dim = partials.head._2.length
+        val mu = new Array[Double](dim)
+        partials.foreach { p =>
+          var i = 0
+          while (i < dim) { mu(i) += p._2(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { mu(i) /= n; i += 1 }
+        val bc = s.sparkContext.broadcast(mu)
+        val dists = ds.map { case (id, v) =>
+            val m = bc.value
+            var s2 = 0.0
+            var j = 0
+            while (j < v.length) { val dd = v(j) - m(j); s2 += dd * dd; j += 1 }
+            (id, math.sqrt(s2))
+          }
+          .toDF("vec_id", "dist")
+        val stats = dists.agg(
+          avg(col("dist")).as("md"), stddev_pop(col("dist")).as("sd"))
+        dists.crossJoin(stats)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+            round((col("dist") - col("md")) / col("sd"), 4).as("z"),
+            (((col("dist") - col("md")) / col("sd")) > 2.0).as("is_outlier"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+             |u AS (SELECT vec_id, unnest(v) x, unnest(range(1, len(v) + 1)) i FROM e),
+             |m AS (SELECT i, avg(x) mu FROM u GROUP BY i),
+             |dd AS (
+             |  SELECT vec_id, sqrt(sum(pow(x - mu, 2))) dist
+             |  FROM u JOIN m USING (i) GROUP BY vec_id),
+             |st AS (SELECT avg(dist) md, stddev_pop(dist) sd FROM dd)
+             |SELECT vec_id, round(dist, 6) AS dist,
+             |  round((dist - md) / sd, 4) AS z,
+             |  (dist - md) / sd > 2.0 AS is_outlier
+             |FROM dd CROSS JOIN st""".stripMargin)),
+
     // ---- the codegen'd vector expressions through the ORACLE gate
     // (CH `dotProduct`/`cosineDistance`/`L2Norm`): vec_dot/vec_cosine/
     // vec_norm are native Catalyst expressions (VecExpressions,
