@@ -464,6 +464,34 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- arrayEnumerateUniq (CH): per element, its occurrence index
+    // among equal values so far ([a,b,a,a] → [1,1,2,3]). Computed in a
+    // typed map kernel (HashMap counter loop); the oracle rebuilds with
+    // a quadratic-but-tiny list comprehension. ----
+    QueryDef(
+      "b_fna10_enumerate_uniq",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            split(col("p_name"), " ").as("ws"))
+          .as[(Long, Seq[String])]
+          .map { case (k, ws) =>
+            val seen = new scala.collection.mutable.HashMap[String, Int]
+            val out = ws.map { w =>
+              val c = seen.getOrElse(w, 0) + 1
+              seen(w) = c
+              c
+            }
+            (k, out.mkString(","))
+          }
+          .toDF("p_partkey", "enum_uniq")
+      },
+      Some("""SELECT p_partkey,
+             |  array_to_string(list_transform(range(len(ws)),
+             |    i -> len(list_filter(ws[1:i+1], x -> x = ws[i+1]))), ',') AS enum_uniq
+             |FROM (SELECT p_partkey, str_split(p_name, ' ') ws FROM part)""".stripMargin)),
+
     // ---- malformed-record tolerance (CH `input_format_allow_errors_*`
     // / Spark PERMISSIVE parsing): every 5th "wire row" is corrupt JSON;
     // from_json yields NULL for those instead of failing the batch, and

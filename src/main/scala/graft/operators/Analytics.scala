@@ -1033,6 +1033,23 @@ object Analytics extends QueryRegistry {
              |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
              |FROM d GROUP BY decile""".stripMargin)),
 
+    // ---- LIMIT k OFFSET m BY key (CH): per-group pagination — skip
+    // each group's first 2, keep the next 3. Same two-phase LimitBy
+    // (local head of k+m, then bounded global rank). ----
+    QueryDef(
+      "b_topk2_limit_by_offset",
+      (s, d) =>
+        LimitBy.limitBy(
+          t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3, offset = 2),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn > 2 AND rn <= 5""".stripMargin)),
+
     // ---- null-safe equality join (CH `isNotDistinctFrom` / SQL `<=>`):
     // NULL keys MATCH the dim's NULL row instead of silently dropping —
     // the "unknown bucket" join every fact table with nullable dims

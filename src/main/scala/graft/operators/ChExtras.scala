@@ -85,6 +85,24 @@ object ChExtras extends QueryRegistry {
             round(sum(col("l_quantity")), 2).as("qty")),
       Some("""SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- join_algorithm = 'full_sorting_merge' (CH) → SHUFFLE_MERGE
+    // hint: both sides sort-merge on the key, the strategy for two huge
+    // pre-sorted/bucketed fact tables where hash tables would spill.
+    // ChExtrasSpec asserts the SortMergeJoin actually materializes. ----
+    QueryDef(
+      "b_jn15_hint_merge",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").hint("shuffle_merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev")),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin))
   )
 }

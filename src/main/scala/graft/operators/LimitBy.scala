@@ -16,16 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object LimitBy {
 
-  /** Keep the first `k` rows of each group under `orderCols`. The caller
-    * must make `orderCols` a total order (add a unique tiebreaker) if
-    * deterministic output is required.
+  /** Keep rows `offset+1 .. offset+k` of each group under `orderCols`
+    * (CH `LIMIT k OFFSET offset BY expr`; offset 0 = plain LIMIT BY).
+    * The caller must make `orderCols` a total order (add a unique
+    * tiebreaker) if deterministic output is required.
     */
-  def limitBy(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+  def limitBy(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCols: Seq[Column],
+      k: Int,
+      offset: Int = 0): DataFrame = {
+    val keep = k + offset // phase 1 must retain the skipped prefix too
     val gk = "__limitby_gk"
     val withKey = df.withColumn(gk, struct(groupCols: _*))
 
-    // Phase 1: local top-k. Sort within each input partition by (group,
-    // order) — no exchange — then keep the first k rows of each group run.
+    // Phase 1: local top-(k+offset). Sort within each input partition by
+    // (group, order) — no exchange — then keep each group run's head.
     val locallySorted = withKey.sortWithinPartitions(col(gk) +: orderCols: _*)
     val gkIdx = locallySorted.schema.fieldIndex(gk)
     val local = locallySorted.mapPartitions { it =>
@@ -36,15 +43,15 @@ object LimitBy {
         val key = row.get(gkIdx)
         if (first || key != current) { current = key; seen = 0; first = false }
         seen += 1
-        seen <= k
+        seen <= keep
       }
     }(Encoders.row(locallySorted.schema))
 
-    // Phase 2: global top-k over the (<= k * numPartitions per group) rest.
+    // Phase 2: global rank over the (<= keep * numPartitions per group) rest.
     val rn = "__limitby_rn"
     val w = Window.partitionBy(col(gk)).orderBy(orderCols: _*)
     local.withColumn(rn, row_number().over(w))
-      .filter(col(rn) <= k)
+      .filter(col(rn) > offset && col(rn) <= keep)
       .drop(rn, gk)
   }
 }

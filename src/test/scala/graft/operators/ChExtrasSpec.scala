@@ -12,4 +12,11 @@ class ChExtrasSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("shuffle_merge hint selects SortMergeJoin") {
+    val p = SparkEntry.queries("b_jn15_hint_merge")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
 }
