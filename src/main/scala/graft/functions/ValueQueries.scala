@@ -99,6 +99,41 @@ object ValueQueries extends QueryRegistry {
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total,
              |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS mx,
              |  count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- isIPAddressInRange (CH): CIDR containment. The Spark side
+    // goes text → ipv4_binary (codegen'd §4.2 expression) → 32-bit int →
+    // prefix compare; the oracle recomputes the same integer from the
+    // octet arithmetic directly — the expression round trip is what's
+    // under test, the mask math is shared. /12 of 10.16.0.0 ≡ the
+    // second octet in [16, 31]. ----
+    QueryDef(
+      "b_val4_cidr",
+      (s, d) => {
+        val ipSql =
+          """concat_ws('.', '10',
+            |  cast((o_orderkey div 7) % 256 as string),
+            |  cast((o_orderkey div 11) % 256 as string),
+            |  cast(o_orderkey % 256 as string))""".stripMargin
+        Tables.t(s, d, "orders")
+          .orderBy("o_orderkey").limit(2000)
+          .select(
+            col("o_orderkey"),
+            expr(s"ipv4_string(ipv4_binary($ipSql))").as("ip"),
+            expr(
+              s"""(cast(conv(hex(ipv4_binary($ipSql)), 16, 10) as bigint) >> 20) =
+                 |(cast(conv(hex(ipv4_binary('10.16.0.0')), 16, 10) as bigint) >> 20)"""
+                .stripMargin).as("in_10_16_0_0_12"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey,
+             |    '10.' || ((o_orderkey // 7) % 256) || '.' ||
+             |    ((o_orderkey // 11) % 256) || '.' || (o_orderkey % 256) AS ip,
+             |    10 * 16777216 + ((o_orderkey // 7) % 256) * 65536 +
+             |    ((o_orderkey // 11) % 256) * 256 + (o_orderkey % 256) AS ip_int
+             |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000))
+             |SELECT o_orderkey, ip,
+             |  (ip_int >> 20) = ((10 * 16777216 + 16 * 65536) >> 20) AS in_10_16_0_0_12
+             |FROM w""".stripMargin))
   )
 }

@@ -1135,6 +1135,30 @@ object Analytics extends QueryRegistry {
              |  SELECT *, rank() OVER (ORDER BY l_quantity DESC) rk
              |  FROM lineitem) WHERE rk <= 5""".stripMargin)),
 
+    // ---- mode / topK(1) (CH): the most frequent value per group, ties
+    // broken to the SMALLEST value so both engines agree (SQL mode()'s
+    // tie-break is undefined). Spectrum aggregate then a lexicographic
+    // struct-max — two hash aggs, no window. ----
+    QueryDef(
+      "b_agg41_mode",
+      (s, d) => {
+        val sp = t(s, d, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val mx = sp.groupBy(col("o_orderstatus")).agg(max(col("c")).as("mc"))
+        sp.join(mx, Seq("o_orderstatus"))
+          .where(col("c") === col("mc"))
+          .groupBy(col("o_orderstatus"))
+          .agg(min(col("v")).as("mode_prio"), max(col("mc")).as("mode_count"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT o_orderstatus, o_orderpriority v, count(*) c
+             |  FROM orders GROUP BY 1, 2),
+             |mx AS (SELECT o_orderstatus, max(c) mc FROM sp GROUP BY 1)
+             |SELECT o_orderstatus, min(v) AS mode_prio, max(mc) AS mode_count
+             |FROM sp JOIN mx USING (o_orderstatus)
+             |WHERE c = mc GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- misc aggregate tier: boundingRatio (value range slope),
     // uniqUpTo(5) (capped distinct), deterministic any() (pinned to min
     // so both engines agree — CH `any` is arbitrary-pick). One hash agg.

@@ -156,6 +156,38 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("maxFilesPerTrigger paces a backfill into bounded micro-batches") {
+    // three staged files; one file per trigger -> at least 3 batches,
+    // each bounded — the knob that keeps a 100-TB backfill from loading
+    // the whole directory into batch 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-paced")
+    dir.toFile.deleteOnExit()
+    val ev = Tables.t(spark, sf0001, "events").limit(300)
+    ev.where(col("event_id") % 3 === 0).write.parquet(dir.resolve("f0").toString)
+    ev.where(col("event_id") % 3 === 1).write.parquet(dir.resolve("f1").toString)
+    ev.where(col("event_id") % 3 === 2).write.parquet(dir.resolve("f2").toString)
+    val schema = spark.read.parquet(dir.resolve("f0").toString).schema
+    val listener = new Streams.ProgressCapture
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(dir.toString)
+        .groupBy(col("event_type")).count()
+        .writeStream.format("memory").queryName("paced_stream")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val withRows = listener.progresses.count(_.inputRows > 0)
+      assert(withRows >= 3, s"expected >=3 paced batches, saw $withRows")
+      val total = spark.table("paced_stream")
+        .agg(sum(col("count"))).head.getLong(0)
+      assert(total === ev.count())
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream-static join enriches micro-batches from the broadcast dim") {
     val ev = MemoryStream[(Long, Long)]
     val dim = Tables.t(spark, sf001, "nation").select(
