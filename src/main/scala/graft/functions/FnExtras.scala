@@ -464,6 +464,27 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- string tier 3 (CH `translate`/`repeat`/`left`/`right`/
+    // `splitByChar(..)[n]`): five more passthrough names, all per-row
+    // codegen'd built-ins on both engines ----
+    QueryDef(
+      "b_fns6_string_tier3",
+      (s, d) =>
+        t(s, d, "part").select(
+          col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          repeat(substring(col("p_name"), 1, 3), 2).as("rep"),
+          substring(col("p_name"), 1, 4).as("l4"),
+          substring(col("p_name"), -4, 4).as("r4"),
+          split(col("p_name"), " ").getItem(1).as("word2")),
+      Some("""SELECT p_partkey,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+             |  repeat(substr(p_name, 1, 3), 2) AS rep,
+             |  left(p_name, 4) AS l4,
+             |  right(p_name, 4) AS r4,
+             |  split_part(p_name, ' ', 2) AS word2
+             |FROM part""".stripMargin)),
+
     // ---- arrayEnumerateUniq (CH): per element, its occurrence index
     // among equal values so far ([a,b,a,a] → [1,1,2,3]). Computed in a
     // typed map kernel (HashMap counter loop); the oracle rebuilds with

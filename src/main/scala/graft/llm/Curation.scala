@@ -230,6 +230,67 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- the training MANIFEST: the pipeline's end product as one
+    // declarative plan — dedupe (canon hash keep-lowest), split
+    // (md5-bucket train/val/test, x_smp3's exact semantics), and for
+    // train docs a token-budget shard id (x_pack_shards' two-level
+    // packing). What a 100-TB run writes as its index: every kept doc,
+    // its split, and where its tokens physically land. ----
+    QueryDef(
+      "x_pipe_manifest",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon")).orderBy(col("doc_id"))
+        val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        val packW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, d, "documents")
+          .withColumn("canon", canon)
+          .withColumn("rn", row_number().over(W))
+          .where(col("rn") === 1)
+          .withColumn("split",
+            when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+          .withColumn("toks", size(split(col("canon"), " ")).cast("long"))
+          .withColumn("bucket",
+            when(col("split") === "train", col("doc_id") % 8).otherwise(lit(-1L)))
+          .withColumn("cum", sum(col("toks")).over(packW))
+          .select(col("doc_id"), col("split"),
+            when(col("split") === "train", expr("(cum - 1) div 4000"))
+              .otherwise(lit(null).cast("long")).as("shard"),
+            col("toks"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+             |  FROM documents),
+             |dd AS (
+             |  SELECT doc_id, canon,
+             |    row_number() OVER (PARTITION BY canon ORDER BY doc_id) rn
+             |  FROM c),
+             |k AS (
+             |  SELECT doc_id, canon,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    CAST(len(str_split(canon, ' ')) AS BIGINT) AS toks
+             |  FROM dd WHERE rn = 1),
+             |p AS (
+             |  SELECT doc_id, split, toks,
+             |    CASE WHEN split = 'train' THEN doc_id % 8 ELSE -1 END AS bucket
+             |  FROM k),
+             |w AS (
+             |  SELECT doc_id, split, toks, bucket,
+             |    sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+             |  FROM p)
+             |SELECT doc_id, split,
+             |  CASE WHEN split = 'train' THEN CAST((cum - 1) // 4000 AS BIGINT)
+             |       ELSE NULL END AS shard,
+             |  toks
+             |FROM w""".stripMargin)),
+
     // ---- data-contract audit: the pre-training sanity report as ONE
     // query — null checks, range checks, duplicate keys, FK orphans,
     // each a cheap aggregate/anti-join, unioned into (check, violations).
