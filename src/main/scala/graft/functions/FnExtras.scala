@@ -464,6 +464,32 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- arrayRotate / arrayShift (CH 23.8 array tier): rotation as
+    // slice+concat — pure built-ins, same construction both engines ----
+    QueryDef(
+      "b_fna11_rotate",
+      (s, d) => {
+        val a = sequence(lit(1), pmod(col("p_size"), lit(5)) + 3)
+        val k = pmod(col("p_partkey"), size(a))
+        t(s, d, "part").select(
+          col("p_partkey"),
+          array_join(a, ",").as("arr"),
+          array_join(
+            concat(slice(a, k + 1, size(a) - k), slice(a, lit(1), k)), ",")
+            .as("rot_left_k"),
+          array_join(slice(concat(a, a), size(a) - k + 1, size(a)), ",")
+            .as("rot_right_k"))
+      },
+      Some("""WITH w AS (
+             |  SELECT p_partkey, generate_series(1, p_size % 5 + 3) a,
+             |    p_partkey % (p_size % 5 + 3) k
+             |  FROM part)
+             |SELECT p_partkey,
+             |  array_to_string(a, ',') AS arr,
+             |  array_to_string(a[k+1:] || a[:k], ',') AS rot_left_k,
+             |  array_to_string((a || a)[len(a)-k+1:2*len(a)-k], ',') AS rot_right_k
+             |FROM w""".stripMargin)),
+
     // ---- string tier 3 (CH `translate`/`repeat`/`left`/`right`/
     // `splitByChar(..)[n]`): five more passthrough names, all per-row
     // codegen'd built-ins on both engines ----

@@ -845,6 +845,33 @@ object Similarity extends QueryRegistry {
              |  round((v[4] - mu4) / sd4, 6) AS z4
              |FROM e CROSS JOIN w""".stripMargin)),
 
+    // ---- top principal component via matrix-free power iteration (the
+    // "dominant direction" diagnostic: anisotropic/collapsed embedding
+    // spaces show one direction eating the variance). Each iteration is
+    // one mapPartitions pass accumulating Σ (x−μ)·((x−μ)·v) — a dim-
+    // sized vector per partition to the driver, never a d×d covariance
+    // matrix. Model output → rows-only; axis recovery is asserted in
+    // SimilaritySpec on synthetic anisotropic data. ----
+    QueryDef(
+      "x_embed_pca1",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
+        val pc = topComponent(ds, iters = 5)
+        val bc = s.sparkContext.broadcast(pc)
+        ds.map { case (id, x) =>
+            val v = bc.value
+            var p = 0.0
+            var i = 0
+            while (i < x.length) { p += x(i) * v(i); i += 1 }
+            (id, math.rint(p * 1e4) / 1e4)
+          }
+          .toDF("vec_id", "pc1_projection")
+      },
+      None),
+
     // ---- embedding outlier detection (corpus-quality filter: vectors
     // far from the global centroid are suspect — encoder failures, empty
     // inputs, wrong modality). Centroid via ONE dim-bounded partial pass
@@ -1103,6 +1130,72 @@ object Similarity extends QueryRegistry {
       }
       .toDF("vec_a", "vec_b", "cos")
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Top principal component by matrix-free power iteration: v ←
+    * normalize(Σ (x−μ)·((x−μ)·v)) — each pass touches the data once and
+    * ships only dim doubles per partition (never a d×d covariance).
+    * Deterministic start (e₁ basis vector); sign pinned so the first
+    * nonzero coordinate is positive.
+    */
+  private[llm] def topComponent(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      iters: Int): Array[Double] = {
+    val spark = ds.sparkSession
+    // centering mean (one dim-bounded partial pass)
+    val partials = ds.mapPartitions { it =>
+      var n = 0L
+      var s: Array[Double] = null
+      it.foreach { case (_, v) =>
+        if (s == null) s = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        n += 1
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, s))
+    }(org.apache.spark.sql.Encoders.product[(Long, Array[Double])]).collect()
+    val n = partials.map(_._1).sum.toDouble
+    val dim = partials.head._2.length
+    val mu = new Array[Double](dim)
+    partials.foreach { p =>
+      var i = 0
+      while (i < dim) { mu(i) += p._2(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mu(i) /= n; i += 1 }
+
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var it = 0
+    while (it < iters) {
+      val bcV = spark.sparkContext.broadcast(v)
+      val bcMu = spark.sparkContext.broadcast(mu)
+      val acc = ds.mapPartitions { rows =>
+        val vv = bcV.value
+        val m = bcMu.value
+        val s = new Array[Double](vv.length)
+        rows.foreach { case (_, x) =>
+          var p = 0.0
+          var j = 0
+          while (j < x.length) { p += (x(j) - m(j)) * vv(j); j += 1 }
+          j = 0
+          while (j < x.length) { s(j) += p * (x(j) - m(j)); j += 1 }
+        }
+        Iterator.single(Tuple1(s))
+      }(org.apache.spark.sql.Encoders.product[Tuple1[Array[Double]]])
+        .collect()
+      val next = new Array[Double](dim)
+      acc.foreach { t1 =>
+        val s = t1._1
+        var j = 0
+        while (j < dim) { next(j) += s(j); j += 1 }
+      }
+      v = VecKernels.normalize(next)
+      it += 1
+    }
+    // pin the sign for determinism
+    val firstNz = v.indexWhere(math.abs(_) > 1e-12)
+    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(-_)
+    v
   }
 
   /** Distributed Lloyd k-means over the FULL embedding table (the

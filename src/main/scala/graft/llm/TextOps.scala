@@ -236,6 +236,36 @@ object TextOps extends QueryRegistry {
              |  END AS rep_frac
              |FROM g""".stripMargin)),
 
+    // ---- Zipf fit: log-log slope of frequency vs rank over the corpus
+    // vocabulary (natural corpora sit near −1; synthetic/templated text
+    // drifts — a cheap corpus-health statistic). The rank window runs
+    // over the VOCABULARY spectrum, not the token stream; the corpus is
+    // touched only by the word-count aggregate. ----
+    QueryDef(
+      "x_text_zipf",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(W))
+          .agg(
+            round(regr_slope(log(col("c")), log(col("r"))), 4).as("zipf_slope"),
+            round(corr(log(col("c")), log(col("r"))), 4).as("pearson_r"),
+            count(lit(1)).as("vocab"))
+      },
+      Some("""WITH v AS (
+             |  SELECT w, count(*) c FROM (
+             |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) w
+             |    FROM documents) GROUP BY w),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) r FROM v)
+             |SELECT round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+             |  round(corr(ln(c), ln(r)), 4) AS pearson_r,
+             |  count(*) AS vocab
+             |FROM r""".stripMargin)),
+
     // ---- out-of-vocabulary rate vs the corpus top-20 vocabulary (the
     // tokenizer-coverage question every training pipeline asks before
     // committing a vocab). Two passes: the vocab aggregate (ties broken

@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"semantic-blocking recall too low: $recall")
   }
 
+  test("power iteration recovers the dominant axis of anisotropic data") {
+    import spark.implicits._
+    // variance 100x larger along the (1,1,0,...)/sqrt(2) direction
+    val axis = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0)
+    val pts = (0 until 200).map { i =>
+      val t = (i - 100) * 0.1 // spread along the axis
+      val noise = Array(0.01 * (i % 7 - 3), 0.01 * (i % 5 - 2),
+        0.02 * (i % 3 - 1), 0.02 * (i % 11 - 5))
+      (i.toLong, Array.tabulate(4)(j => axis(j) * t + noise(j)))
+    }
+    val v = Similarity.topComponent(pts.toDS().repartition(4), iters = 6)
+    val cos = math.abs(v.zip(axis).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.98, s"recovered ${v.toSeq}, |cos|=$cos")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "not unit norm")
+  }
+
   test("distributed k-means: inertia non-increasing, blobs recovered") {
     import spark.implicits._
     // three well-separated blobs; ids 0..2 (the init seeds) land one per blob
