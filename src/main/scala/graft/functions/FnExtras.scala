@@ -464,6 +464,27 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- dateDiff units (CH `dateDiff('day'|'month'|'year', a, b)` and
+    // `age`): calendar deltas against a fixed anchor, all built-ins ----
+    QueryDef(
+      "b_fnd5_datediff",
+      (s, d) => {
+        val anchor = to_date(lit("1995-06-15"))
+        t(s, d, "orders")
+          .where(col("o_orderkey") % 13 === 0)
+          .select(
+            col("o_orderkey"),
+            datediff(anchor, col("o_orderdate")).cast("long").as("dd_days"),
+            floor(months_between(anchor, col("o_orderdate"))).cast("long").as("dd_months"),
+            (lit(1995) - year(col("o_orderdate"))).cast("long").as("dd_years"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(date_diff('day', o_orderdate, DATE '1995-06-15') AS BIGINT) AS dd_days,
+             |  CAST((1995 - year(o_orderdate)) * 12 + (6 - month(o_orderdate))
+             |    - CASE WHEN day(o_orderdate) > 15 THEN 1 ELSE 0 END AS BIGINT) AS dd_months,
+             |  CAST(1995 - year(o_orderdate) AS BIGINT) AS dd_years
+             |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin)),
+
     // ---- arrayRotate / arrayShift (CH 23.8 array tier): rotation as
     // slice+concat — pure built-ins, same construction both engines ----
     QueryDef(

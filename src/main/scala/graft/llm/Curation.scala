@@ -230,6 +230,42 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- weighted source interleaving (the Pile-style data MIXTURE:
+    // sample each source at a fixed ratio). Per-source quotas are
+    // round(w_s · available); the picks are the md5-least documents
+    // within each source — deterministic, reproducible, and the rank
+    // window partitions on the SOURCE key (bounded groups), never a
+    // global sort. ----
+    QueryDef(
+      "x_smp7_interleave",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        val weights = typedLit(Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.7))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+          .withColumn("rn", row_number().over(W))
+          .withColumn("quota", round(
+            coalesce(element_at(weights, col("source")), lit(0.25)) *
+              count(lit(1)).over(
+                org.apache.spark.sql.expressions.Window.partitionBy(col("source")))))
+          .where(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rn").cast("long").as("rank_in_source"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    md5(CAST(doc_id AS VARCHAR)) h,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn,
+             |    count(*) OVER (PARTITION BY source) n
+             |  FROM documents)
+             |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+             |FROM w
+             |WHERE rn <= round(CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+             |                  WHEN 'src2' THEN 0.7 ELSE 0.25 END * n)""".stripMargin)),
+
     // ---- the training MANIFEST: the pipeline's end product as one
     // declarative plan — dedupe (canon hash keep-lowest), split
     // (md5-bucket train/val/test, x_smp3's exact semantics), and for

@@ -274,6 +274,28 @@ object Aggregates extends QueryRegistry {
             .as("ksum")),
       None),
 
+    // ---- quantiles(...) ARRAY form (CH's plural quantiles returns one
+    // array per group): exact interpolated percentiles over integer
+    // cents (the cross-engine interpolation-parity trick), serialized
+    // for the oracle. One pass; the array is the aggregate's output. ----
+    QueryDef(
+      "b_agg44_quantile_array",
+      (s, d) => {
+        val cents = expr("CAST(round(l_extendedprice * 100) AS LONG)")
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(array_join(
+            transform(
+              percentile(cents, array(lit(0.1), lit(0.5), lit(0.9))),
+              x => round(x, 2).cast("string")), ",").as("q_arr"))
+      },
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_transform(
+             |    quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+             |                  [0.1, 0.5, 0.9]),
+             |    x -> CAST(round(x, 2) AS VARCHAR)), ',') AS q_arr
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- grouping() discriminator over ROLLUP (CH `WITH ROLLUP` rows
     // are distinguished the same way): subtotal rows labeled by the
     // grouping bit so consumers can split detail from rollup. ----
