@@ -464,6 +464,25 @@ object FnExtras extends QueryRegistry {
              |  ends_with(nfc_normalize(p_name || 'e' || chr(769)), chr(233)) AS precomposed
              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)),
 
+    // ---- format / printf (CH `format('{}..', ...)`): positional
+    // string templating, printf dialect on both engines ----
+    QueryDef(
+      "b_fns7_format",
+      (s, d) =>
+        t(s, d, "orders")
+          .where(col("o_orderkey") % 41 === 0)
+          .select(
+            col("o_orderkey"),
+            format_string("order %07d [%s] %.2f",
+              col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+              .as("line"),
+            format_string("%s|%s",
+              col("o_orderpriority"), upper(col("o_orderstatus"))).as("tag")),
+      Some("""SELECT o_orderkey,
+             |  printf('order %07d [%s] %.2f', o_orderkey, o_orderstatus, o_totalprice) AS line,
+             |  printf('%s|%s', o_orderpriority, upper(o_orderstatus)) AS tag
+             |FROM orders WHERE o_orderkey % 41 = 0""".stripMargin)),
+
     // ---- dateDiff units (CH `dateDiff('day'|'month'|'year', a, b)` and
     // `age`): calendar deltas against a fixed anchor, all built-ins ----
     QueryDef(
