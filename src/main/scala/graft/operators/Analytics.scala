@@ -86,6 +86,63 @@ object Analytics extends QueryRegistry {
       .toDF("user_id", "funnel_level")
   }
 
+  /** `windowFunnel(..., 'strict_dedup')` kernel: advancing stops the
+    * moment an ALREADY-MATCHED step repeats before the next step — a
+    * re-fired "view" between "click" and "purchase" interrupts the
+    * chain (CH's strict_dedup contract). Input: the user's step events
+    * as parallel (ts, step) arrays, time-ordered with ties broken by
+    * step index. Scans every chain start; O(starts × events), bounded
+    * by one user's step events.
+    */
+  private[operators] object StrictDedupKernel extends Serializable {
+    def level(ts: Array[Long], steps: Array[Int], nSteps: Int, windowMicros: Long): Int = {
+      if (ts.isEmpty) return 0
+      var best = 0
+      var s = 0
+      while (s < ts.length && best < nSteps) {
+        if (steps(s) == 0) {
+          val t0 = ts(s)
+          var lvl = 1
+          var lastT = t0
+          var i = s + 1
+          var broken = false
+          while (!broken && lvl < nSteps && i < ts.length && ts(i) - t0 <= windowMicros) {
+            val st = steps(i)
+            if (st == lvl && ts(i) > lastT) { lvl += 1; lastT = ts(i) }
+            else if (st < lvl && ts(i) > lastT) broken = true // matched step re-fired
+            i += 1
+          }
+          if (lvl > best) best = lvl
+        }
+        s += 1
+      }
+      best
+    }
+  }
+
+  /** strict_dedup funnel over a DataFrame — same shuffle/prune shape as
+    * the base funnel, different kernel. */
+  def windowFunnelStrictDedup(
+      events: DataFrame, stepTypes: Seq[String], windowMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    val stepIdx = stepTypes.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (tpe, i)) =>
+        when(col("event_type") === tpe, lit(i)).otherwise(acc)
+      }
+    val nSteps = stepTypes.length
+    events
+      .filter(col("event_type").isInCollection(stepTypes))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), stepIdx.cast("int"))
+      .as[(Long, Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        (uid, StrictDedupKernel.level(
+          evs.map(_._2), evs.map(_._3), nSteps, windowMicros))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+      .toDF("user_id", "funnel_level")
+  }
+
   /** `windowFunnel(... , 'strict_order')`: the chain breaks if any OTHER
     * listed step interleaves — level L needs steps 1..L to appear as a
     * CONTIGUOUS run in the user's step-event sequence (time-ordered,
@@ -967,6 +1024,16 @@ object Analytics extends QueryRegistry {
              |  round(avg(DISTINCT CAST(l_quantity AS BIGINT)), 6) AS avg_d,
              |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cnt_d
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- windowFunnel strict_dedup mode: an already-matched step
+    // re-firing interrupts the chain (kernel semantics pinned in
+    // AnalyticsSpec; model-mode output → rows-only, count = users with
+    // ≥1 step event, deterministic) ----
+    QueryDef(
+      "b_fun8_funnel_strict_dedup",
+      (s, d) => windowFunnelStrictDedup(
+        t(s, d, "events"), Seq("view", "click", "purchase"), 3600L * 1000000L),
+      None),
 
     // ---- sequenceNextNode (CH): the event that FOLLOWS the first
     // occurrence of a matched chain (view→click here) per user — "what

@@ -40,6 +40,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map(1L -> 3, 2L -> 1, 3L -> 0))
   }
 
+  test("strict_dedup kernel: a re-fired matched step interrupts the chain") {
+    def lvl(evs: Seq[(Long, Int)], w: Long = 1000L): Int = {
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      Analytics.StrictDedupKernel.level(
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray, 3, w)
+    }
+    // clean chain completes
+    assert(lvl(Seq((1L, 0), (2L, 1), (3L, 2))) === 3)
+    // step-0 re-fires between step 1 and step 2 -> interrupted at 2
+    assert(lvl(Seq((1L, 0), (2L, 1), (3L, 0), (4L, 2))) === 2)
+    // step-1 re-fires before step 2 -> interrupted at 2
+    assert(lvl(Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2))) === 2)
+    // a LATER clean start still rescues the full chain
+    assert(lvl(Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1), (5L, 2))) === 3)
+    // window still bounds the chain
+    assert(lvl(Seq((1L, 0), (2L, 1), (5000L, 2))) === 2)
+    // no step-0 -> 0
+    assert(lvl(Seq((1L, 1), (2L, 2))) === 0)
+  }
+
   test("LTTB kernel: pass-through below threshold, endpoints always kept") {
     val ts = Array.tabulate(5)(_.toDouble)
     val vs = Array(1.0, 2.0, 3.0, 4.0, 5.0)

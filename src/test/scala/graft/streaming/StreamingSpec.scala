@@ -156,6 +156,25 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("rate source streams a gapless number sequence (system.numbers analog)") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("value"))
+      .writeStream.format("memory").queryName("rate_numbers")
+      .outputMode("append").start()
+    try {
+      var tries = 0
+      while (spark.table("rate_numbers").count() < 50 && tries < 100) {
+        Thread.sleep(200); tries += 1
+      }
+      q.stop()
+      val vals = spark.table("rate_numbers").collect().map(_.getLong(0)).sorted
+      assert(vals.length >= 50, s"only ${vals.length} rows arrived")
+      assert(vals.head === 0L)
+      assert(vals.toSeq === (vals.head to vals.last).toSeq, "gaps in the sequence")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("maxFilesPerTrigger paces a backfill into bounded micro-batches") {
     // three staged files; one file per trigger -> at least 3 batches,
     // each bounded — the knob that keeps a 100-TB backfill from loading
