@@ -24,11 +24,16 @@ object Analytics extends QueryRegistry {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   /** Funnel state machine shared by windowFunnel and sequenceMatch.
-    * Semantics (= CH `windowFunnel(window)(ts, c1..cL)` default mode):
+    * Semantics (= CH `windowFunnel(window, 'strict_increase')(ts, c1..cL)`):
     * the max level L' such that events matching steps 1..L' occur at
     * strictly increasing timestamps with (t_L' - t_1) <= windowMicros.
-    * Greedy earliest-next per chain start is optimal for a fixed start
-    * (exchange argument), so scanning all step-1 starts is exact.
+    * We pin `strict_increase` rather than CH's default mode because the
+    * default may advance the chain across events SHARING a timestamp in
+    * whatever order the engine happens to visit them — a nondeterministic
+    * result by construction. Strict advancement is deterministic and is
+    * what the paired oracles assert (`b.us > a.us`). Greedy earliest-next
+    * per chain start is optimal for a fixed start (exchange argument), so
+    * scanning all step-1 starts is exact.
     */
   private[operators] object FunnelKernel extends Serializable {
     def level(steps: Array[Array[Long]], windowMicros: Long): Int = {
@@ -385,7 +390,7 @@ object Analytics extends QueryRegistry {
              |  UNION ALL
              |  SELECT user_id, t1 AS t, -1 AS delta FROM ev)
              |SELECT user_id, t, delta,
-             |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS concurrent
+             |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS BIGINT) AS concurrent
              |FROM b""".stripMargin)),
 
     // ---- windowFunnel strict_order mode: interleaving steps break the
@@ -503,7 +508,7 @@ object Analytics extends QueryRegistry {
              |  SELECT user_id, t1 AS t, -1 AS delta FROM ev),
              |c AS (SELECT user_id,
              |  sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS c FROM b)
-             |SELECT user_id, max(c) AS peak FROM c GROUP BY user_id""".stripMargin)),
+             |SELECT user_id, CAST(max(c) AS BIGINT) AS peak FROM c GROUP BY user_id""".stripMargin)),
 
     // ---- sumMap: per-key map aggregation (CH `sumMap`/`minMap`/`maxMap`)
     // Logical map value per group, summed key-wise. Spark-native: the
