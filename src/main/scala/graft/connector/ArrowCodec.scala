@@ -26,6 +26,21 @@ object ArrowCodec {
   /** One shared root allocator per JVM (executor); children per stream. */
   lazy val rootAllocator: BufferAllocator = new RootAllocator(Long.MaxValue)
 
+  /** StructField metadata key marking a BinaryType column as fixed-width
+    * on the wire: the column transports as Arrow `FixedSizeBinary(n)`
+    * instead of VarBinary. This is how the reference wires the CH
+    * fixed-width value types — UUID/IPv6/Int128/UInt128 as FSB(16),
+    * Int256/UInt256 as FSB(32), IPv4 as FSB(4), FixedString(n) as FSB(n)
+    * (`clickhouse-arrow/src/arrow/types.rs:381-398,414`). Values shorter
+    * than `n` zero-pad on encode (CH FixedString semantics); longer
+    * values truncate.
+    */
+  val FixedWidthKey = "ch.byteWidth"
+
+  /** Tag a BinaryType field's metadata for FSB transport. */
+  def fixedWidthMetadata(n: Int): Metadata =
+    new MetadataBuilder().putLong(FixedWidthKey, n.toLong).build()
+
   // ---------------------------------------------------------- schema maps
 
   /** Spark → Arrow field mapping. Nested types recurse: `Array(T)` →
@@ -45,6 +60,8 @@ object ArrowCodec {
       case FloatType => flat(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
       case DoubleType => flat(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
       case StringType => flat(ArrowType.Utf8.INSTANCE)
+      case BinaryType if f.metadata.contains(FixedWidthKey) =>
+        flat(new ArrowType.FixedSizeBinary(f.metadata.getLong(FixedWidthKey).toInt))
       case BinaryType => flat(ArrowType.Binary.INSTANCE)
       case DateType => flat(new ArrowType.Date(DateUnit.DAY))
       case TimestampType => flat(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
@@ -108,10 +125,17 @@ object ArrowCodec {
         ArrayType(elem.dataType, elem.nullable)
       case _: ArrowType.Struct =>
         StructType(f.getChildren.asScala.map(fromArrowField).toSeq)
+      case fsb: ArrowType.FixedSizeBinary => BinaryType
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
     }
-    StructField(f.getName, dt, f.isNullable)
+    // FSB width survives the round trip through the metadata tag, so a
+    // scanned-then-rewritten column keeps its fixed-width wire form
+    val md = f.getType match {
+      case fsb: ArrowType.FixedSizeBinary => fixedWidthMetadata(fsb.getByteWidth)
+      case _ => Metadata.empty
+    }
+    StructField(f.getName, dt, f.isNullable, md)
   }
 
   def fromArrowSchema(s: ArrowSchema): StructType =
@@ -160,7 +184,17 @@ object ArrowCodec {
         case FloatType => (i, c, j) => v.asInstanceOf[Float4Vector].setSafe(i, c.getFloat(j))
         case DoubleType => (i, c, j) => v.asInstanceOf[Float8Vector].setSafe(i, c.getDouble(j))
         case StringType => (i, c, j) => v.asInstanceOf[VarCharVector].setSafe(i, c.getUTF8String(j).getBytes)
-        case BinaryType => (i, c, j) => v.asInstanceOf[VarBinaryVector].setSafe(i, c.getBinary(j))
+        case BinaryType => v match {
+          // fixed-width wire form (FixedWidthKey metadata): zero-pad /
+          // truncate to the declared width, CH FixedString semantics
+          case fsb: FixedSizeBinaryVector =>
+            val w = fsb.getByteWidth
+            (i, c, j) => {
+              val b = c.getBinary(j)
+              fsb.setSafe(i, if (b.length == w) b else java.util.Arrays.copyOf(b, w))
+            }
+          case _ => (i, c, j) => v.asInstanceOf[VarBinaryVector].setSafe(i, c.getBinary(j))
+        }
         case DateType => (i, c, j) => v.asInstanceOf[DateDayVector].setSafe(i, c.getInt(j))
         case TimestampType => (i, c, j) => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, c.getLong(j))
         case TimestampNTZType => (i, c, j) => v.asInstanceOf[TimeStampMicroVector].setSafe(i, c.getLong(j))
@@ -343,6 +377,19 @@ object ArrowCodec {
           val out = new DecimalVector(v.getName, allocator, 20, 0)
           fill(out)(i => out.setSafe(i,
             new java.math.BigDecimal(java.lang.Long.toUnsignedString(u.get(i)))))
+        // FixedSizeBinary (the wire form of UUID/IPv6/FixedString/
+        // Int128/256, reference `arrow/types.rs:381-398`): Spark's
+        // `ArrowColumnVector` has no FSB accessor, so copy into a
+        // VarBinary the BinaryAccessor can read. The schema keeps the
+        // width in FixedWidthKey metadata.
+        case fsb: FixedSizeBinaryVector =>
+          val out = new VarBinaryVector(v.getName, allocator)
+          out.allocateNew()
+          var i = 0
+          while (i < n) { if (!fsb.isNull(i)) out.setSafe(i, fsb.get(i)); i += 1 }
+          out.setValueCount(n)
+          decoded ::= out
+          out
         case other => other
       }
     }

@@ -110,6 +110,31 @@ object ConnectorQueries extends QueryRegistry {
           .limit(10)
       },
       Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
-             |ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""".stripMargin))
+             |ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""".stripMargin)),
+
+    // ---- FixedSizeBinary transport: UUID-shaped 16-byte values ride
+    // the connector as Arrow FSB(16) — the wire form the reference uses
+    // for UUID/IPv6/Int128 (`arrow/types.rs:381-398`) — then decode to
+    // canonical text through the engine's uuid_string expression. The
+    // FixedWidthKey metadata on the write side selects the FSB wire
+    // form; the scan side maps FSB back to BinaryType + metadata. ----
+    QueryDef(
+      "b_val5_uuid_transport",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        val tbl = s"uuid_rt_${writeSeq.incrementAndGet()}"
+        Tables.t(s, d, "nation")
+          .select(col("n_nationkey"),
+            unhex(md5(col("n_name").cast("binary"))).as("u", ArrowCodec.fixedWidthMetadata(16)))
+          .write.format("graft-ch").option("url", srv.url).option("table", tbl)
+          .mode("append").save()
+        s.read.format("graft-ch").option("url", srv.url).option("table", tbl).load()
+          .select(col("n_nationkey"), expr("uuid_string(u)").as("uuid_text"))
+      },
+      Some("""SELECT n_nationkey,
+             |  concat(substr(md5(n_name),1,8),'-',substr(md5(n_name),9,4),'-',
+             |         substr(md5(n_name),13,4),'-',substr(md5(n_name),17,4),'-',
+             |         substr(md5(n_name),21,12)) AS uuid_text
+             |FROM nation""".stripMargin))
   )
 }

@@ -498,9 +498,18 @@ object CHType {
       case UInt64 => true
       case _ => false
     }
-    val md =
-      if (unsigned) new MetadataBuilder().putBoolean(UnsignedOriginKey, true).build()
-      else Metadata.empty
+    // fixed-width binaries keep their width so the connector transports
+    // them as Arrow FixedSizeBinary (reference arrow/types.rs:381-398)
+    val fixedWidth = stripEncodings(t) match {
+      case FixedString(n) => Some(n)
+      case Int256 | UInt256 => Some(32)
+      case _ => None
+    }
+    val md = (unsigned, fixedWidth) match {
+      case (true, _) => new MetadataBuilder().putBoolean(UnsignedOriginKey, true).build()
+      case (_, Some(w)) => new MetadataBuilder().putLong(graft.connector.ArrowCodec.FixedWidthKey, w.toLong).build()
+      case _ => Metadata.empty
+    }
     StructField(name, dt, nullable, md)
   }
 

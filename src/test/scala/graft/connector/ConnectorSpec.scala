@@ -375,4 +375,44 @@ class ConnectorSpec extends SparkSpec {
       assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
     } finally srv.stop()
   }
+
+  test("FixedSizeBinary round-trip: UUID-16 and FixedString-width values keep bytes and wire form") {
+    val srv = freshServer()
+    try {
+      // 16-byte UUID-shaped values + a FixedString(8) column whose second
+      // value is SHORT (5 bytes) — must zero-pad to 8 on the wire, CH
+      // FixedString semantics (reference arrow/types.rs:381-398,414)
+      val u1 = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+      val u2 = Array.tabulate[Byte](16)(i => (0xf0 - i).toByte)
+      val base = Seq((1L, u1, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+        (2L, u2, Array[Byte](9, 8, 7, 6, 5)))
+        .toDF("id", "u", "fs")
+      val df = base.select(col("id"),
+        col("u").as("u", ArrowCodec.fixedWidthMetadata(16)),
+        col("fs").as("fs", ArrowCodec.fixedWidthMetadata(8)))
+      df.write.format("graft-ch").option("url", srv.url).option("table", "tfsb")
+        .mode("append").save()
+
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "tfsb").load()
+      // the scan-side schema proves the wire used FSB: the width metadata
+      // only appears when fromArrowField saw a FixedSizeBinary field
+      assert(back.schema("u").metadata.getLong(ArrowCodec.FixedWidthKey) === 16L)
+      assert(back.schema("fs").metadata.getLong(ArrowCodec.FixedWidthKey) === 8L)
+      val rows = back.orderBy("id").collect()
+      assert(rows.map(_.getAs[Array[Byte]]("u").toSeq) === Seq(u1.toSeq, u2.toSeq))
+      assert(rows.map(_.getAs[Array[Byte]]("fs").toSeq) ===
+        Seq(Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8), Seq[Byte](9, 8, 7, 6, 5, 0, 0, 0)))
+
+      // null FSB cells survive too
+      val withNull = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(3L, null)),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("u", BinaryType, nullable = true, ArrowCodec.fixedWidthMetadata(16)))))
+      withNull.write.format("graft-ch").option("url", srv.url).option("table", "tfsbn")
+        .mode("append").save()
+      val backN = spark.read.format("graft-ch").option("url", srv.url).option("table", "tfsbn")
+        .load().collect()
+      assert(backN.length === 1 && backN(0).isNullAt(1))
+    } finally srv.stop()
+  }
 }
