@@ -1,6 +1,6 @@
 package graft.connector
 
-import java.io.InputStream
+import java.io.{InputStream, OutputStream}
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets
 
@@ -10,12 +10,45 @@ import java.nio.charset.StandardCharsets
   * `FORMAT ArrowStream` appended, results come back as an Arrow IPC
   * stream (`src/http/arrow_stream.rs:17-64`); inserts POST the IPC bytes
   * as the request body. Plain `java.net` — executors need no extra deps.
+  *
+  * Wire compression (A7; reference compresses every block by default,
+  * `src/compression.rs:25-200`, HTTP `enable_compression`
+  * `src/http/client.rs:32`): the `codec` parameter selects
+  * `gzip`/`zstd`/`lz4`/`none`. Requests carry `Content-Encoding`,
+  * responses are negotiated via `Accept-Encoding` +
+  * `enable_http_compression=1` (the ClickHouse HTTP contract). gzip and
+  * zstd use standard frames a real server speaks natively; lz4 uses the
+  * lz4-java block stream (stub-to-connector only — a real endpoint pair
+  * would negotiate CH's own lz4 framing). Codec classes come from jars
+  * Spark already ships (java.util.zip, zstd-jni, lz4-java).
   */
 object CHHttp {
 
-  private def open(url: String, sql: String): HttpURLConnection = {
+  val NoCodec = "none"
+
+  /** Wrap a stream in the named decompressor. */
+  def wrapIn(in: InputStream, codec: String): InputStream = codec match {
+    case null | "" | NoCodec => in
+    case "gzip" => new java.util.zip.GZIPInputStream(in, 1 << 16)
+    case "zstd" => new com.github.luben.zstd.ZstdInputStream(in)
+    case "lz4" => new net.jpountz.lz4.LZ4BlockInputStream(in)
+    case other => throw new IllegalArgumentException(s"unknown compression codec: $other")
+  }
+
+  /** Wrap a stream in the named compressor. */
+  def wrapOut(out: OutputStream, codec: String): OutputStream = codec match {
+    case null | "" | NoCodec => out
+    case "gzip" => new java.util.zip.GZIPOutputStream(out, 1 << 16)
+    case "zstd" => new com.github.luben.zstd.ZstdOutputStream(out)
+    case "lz4" => new net.jpountz.lz4.LZ4BlockOutputStream(out)
+    case other => throw new IllegalArgumentException(s"unknown compression codec: $other")
+  }
+
+  private def open(url: String, sql: String, codec: String = NoCodec): HttpURLConnection = {
     val q = URLEncoder.encode(sql, StandardCharsets.UTF_8)
-    val conn = URI.create(s"$url/?query=$q").toURL.openConnection().asInstanceOf[HttpURLConnection]
+    val compressParam = if (codec == NoCodec) "" else "&enable_http_compression=1"
+    val conn = URI.create(s"$url/?query=$q$compressParam").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
@@ -32,19 +65,22 @@ object CHHttp {
   }
 
   /** SELECT returning the response body as an Arrow IPC stream. */
-  def queryArrow(url: String, sql: String): InputStream = {
-    val conn = open(url, s"$sql FORMAT ArrowStream")
+  def queryArrow(url: String, sql: String, codec: String = NoCodec): InputStream = {
+    val conn = open(url, s"$sql FORMAT ArrowStream", codec)
+    if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
     conn.setDoOutput(true)
     conn.getOutputStream.close()
     failIfError(conn, sql)
-    conn.getInputStream
+    val enc = Option(conn.getHeaderField("Content-Encoding")).getOrElse(NoCodec)
+    wrapIn(conn.getInputStream, enc)
   }
 
   /** INSERT: IPC bytes produced by `body` stream out as the request body
     * (single deferred flush, like `client/internal.rs:482-535`). */
-  def insertArrow(url: String, insertSql: String, body: java.io.OutputStream => Unit): Unit = {
-    val conn = openInsert(url, insertSql)
-    val out = conn.getOutputStream
+  def insertArrow(
+      url: String, insertSql: String, body: OutputStream => Unit, codec: String = NoCodec): Unit = {
+    val conn = openInsert(url, insertSql, codec)
+    val out = insertStream(conn, codec)
     try body(out) finally out.close()
     finishInsert(conn, insertSql)
   }
@@ -52,14 +88,21 @@ object CHHttp {
   /** Open a chunked INSERT connection whose request `OutputStream` the
     * caller writes incrementally — nothing buffers beyond the 1 MiB chunk,
     * so an arbitrarily large partition streams through constant memory.
-    * Close the stream, then call [[finishInsert]].
+    * Obtain the (possibly compressing) stream via [[insertStream]], close
+    * it, then call [[finishInsert]].
     */
-  def openInsert(url: String, insertSql: String): HttpURLConnection = {
-    val conn = open(url, s"$insertSql FORMAT ArrowStream")
+  def openInsert(url: String, insertSql: String, codec: String = NoCodec): HttpURLConnection = {
+    val conn = open(url, s"$insertSql FORMAT ArrowStream", codec)
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(1 << 20)
+    if (codec != NoCodec) conn.setRequestProperty("Content-Encoding", codec)
     conn
   }
+
+  /** The request body stream for an [[openInsert]] connection, wrapped in
+    * the insert codec. Closing it finishes the compression frame. */
+  def insertStream(conn: HttpURLConnection, codec: String = NoCodec): OutputStream =
+    wrapOut(conn.getOutputStream, codec)
 
   /** Complete an [[openInsert]] request: check the response status. */
   def finishInsert(conn: HttpURLConnection, insertSql: String): Unit = {
@@ -89,6 +132,15 @@ object CHHttp {
     * `src/client.rs:2263-2414`). */
   def listTables(url: String, database: Option[String]): Seq[String] = {
     val sql = database.map(d => s"SHOW TABLES FROM ${CHSql.ident(d)}").getOrElse("SHOW TABLES")
+    singleTextColumn(url, sql)
+  }
+
+  /** `SHOW DATABASES` — the namespace listing (reference
+    * `src/client.rs:2263` fetch_schemas spans all databases). */
+  def listDatabases(url: String): Seq[String] =
+    singleTextColumn(url, "SHOW DATABASES")
+
+  private def singleTextColumn(url: String, sql: String): Seq[String] = {
     val in = queryArrow(url, sql)
     try {
       val (_, rows) = ArrowCodec.decode(in.readAllBytes())

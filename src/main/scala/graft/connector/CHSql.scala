@@ -88,19 +88,27 @@ object CHSql {
     case _ => None
   }
 
-  /** Build the pushed-down SELECT for one scan partition. */
+  /** Build the pushed-down SELECT for one scan partition. Pagination uses
+    * the ClickHouse forms `LIMIT n OFFSET m` / standalone `OFFSET m ROWS`
+    * (SQL-standard OFFSET clause). */
   def select(
       table: String,
       database: Option[String],
       columns: Seq[String],
       whereFragments: Seq[String],
       limit: Option[Int],
-      orderBy: Seq[String] = Nil): String = {
+      orderBy: Seq[String] = Nil,
+      offset: Option[Int] = None): String = {
     val cols = if (columns.isEmpty) "1" else columns.map(ident).mkString(", ")
     val where =
       if (whereFragments.isEmpty) "" else whereFragments.mkString(" WHERE (", ") AND (", ")")
     val ord = if (orderBy.isEmpty) "" else s" ORDER BY ${orderBy.mkString(", ")}"
-    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM ${tableRef(table, database)}$where$ord$lim"
+    val page = (limit, offset) match {
+      case (Some(n), Some(m)) => s" LIMIT $n OFFSET $m"
+      case (Some(n), None) => s" LIMIT $n"
+      case (None, Some(m)) => s" OFFSET $m ROWS"
+      case (None, None) => ""
+    }
+    s"SELECT $cols FROM ${tableRef(table, database)}$where$ord$page"
   }
 }

@@ -135,6 +135,58 @@ object ConnectorQueries extends QueryRegistry {
              |  concat(substr(md5(n_name),1,8),'-',substr(md5(n_name),9,4),'-',
              |         substr(md5(n_name),13,4),'-',substr(md5(n_name),17,4),'-',
              |         substr(md5(n_name),21,12)) AS uuid_text
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // ---- OFFSET pushdown (pairs with the landed TopN): the server skips
+    // and truncates; on the single-read plan Spark drops its own
+    // limit/offset entirely (ConnectorSpec asserts the pushed SQL and the
+    // multi-partition refusal) ----
+    QueryDef(
+      "b_src19_connector_offset",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "supplier")
+          .load()
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+          .offset(3).limit(5)
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |ORDER BY s_suppkey LIMIT 5 OFFSET 3""".stripMargin)),
+
+    // ---- runtime join filtering (DPP for a remote scan): the broadcast
+    // dim side's join keys reach the fact scan as a pushed IN list, so
+    // the server prunes the fact read before the transport — the 100-TB
+    // fact⋈dim lever (reference delegates joins wholesale,
+    // `client.rs:643`; Spark keeps the join, ships the key set) ----
+    QueryDef(
+      "b_jn16_runtime_filter",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        val fact = s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "supplier").load()
+        val dim = Tables.t(s, d, "nation").filter(col("n_regionkey") === 0)
+        fact.join(broadcast(dim), fact("s_nationkey") === dim("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""SELECT s_suppkey, s_name, n_name FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_regionkey = 0""".stripMargin)),
+
+    // ---- compressed transport: the same scan result through a
+    // zstd-compressed wire (A7; reference compresses every block,
+    // `compression.rs:25-200`) — byte-identical to the plain read ----
+    QueryDef(
+      "b_src20_compressed_scan",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "nation")
+          .option("compression", "zstd")
+          .load()
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
   )
 }

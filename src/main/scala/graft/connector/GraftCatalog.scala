@@ -18,8 +18,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SHOW TABLES IN <name>`, `SELECT * FROM <name>.t`,
   * `CREATE TABLE <name>.t (...)` and `DROP TABLE` work end-to-end —
   * createTable generates CH DDL through [[graft.ddl.Ddl]].
+  *
+  * Namespaces map to ClickHouse databases (`SHOW/CREATE/DROP DATABASE`;
+  * reference `src/client.rs:2263` schema listing spans databases,
+  * `:924`/`:974` create/drop): `SHOW NAMESPACES IN <name>`,
+  * `CREATE NAMESPACE <name>.db`, `DROP NAMESPACE` — single-level only,
+  * like ClickHouse itself.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var url: String = _
@@ -87,4 +93,44 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: Exception => false }
+
+  // ------------------------------------------------- namespace surface
+
+  private def noSuchNamespace(namespace: Array[String]): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Seq(catalogName) ++ namespace)
+
+  override def listNamespaces(): Array[Array[String]] =
+    CHHttp.listDatabases(url).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // CH databases don't nest
+    else noSuchNamespace(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && CHHttp.listDatabases(url).contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else noSuchNamespace(namespace)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft-ch catalog: ClickHouse databases don't nest: ${namespace.mkString(".")}")
+    CHHttp.execute(url, s"CREATE DATABASE IF NOT EXISTS ${CHSql.ident(namespace.head)}")
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-ch catalog: ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) noSuchNamespace(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"graft-ch catalog: namespace ${namespace.head} is not empty (use CASCADE)")
+    CHHttp.execute(url, s"DROP DATABASE IF EXISTS ${CHSql.ident(namespace.head)}")
+    true
+  }
 }

@@ -81,7 +81,8 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toInt).getOrElse(65536)
-    new CHWriteBuilder(info.schema(), url, table, database, maxRows)
+    val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
+    new CHWriteBuilder(info.schema(), url, table, database, maxRows, codec)
   }
 
   // ---- mutations (ClickHouse `ALTER TABLE ... DELETE WHERE`,
@@ -119,16 +120,24 @@ final class CHScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var whereFragments: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Nil
   private var aggSelect: Seq[String] = Nil // SQL select items when agg pushed
   private var aggGroupBy: Seq[String] = Nil
   private var aggSchema: Option[StructType] = None
+
+  // one HTTP range read per executor task when partitionColumn is set;
+  // LIMIT/TopN/OFFSET are only FULLY delegable on the single-read plan
+  // (a per-partition LIMIT over-delivers; a per-partition OFFSET
+  // under-delivers — the JDBC source draws the same line)
+  private val singlePartition = options.get("partitionColumn") == null
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = filters.map(f => f -> CHSql.compileFilter(f))
@@ -146,11 +155,26 @@ final class CHScanBuilder(
     required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = {
-    // only sound when the scan is a single partition (a per-partition
-    // LIMIT still over-delivers rows, which Spark's own limit then caps)
+    // single partition: the server's LIMIT IS the global limit (full
+    // push, Spark drops its own). Range-partitioned: each range still
+    // caps at n, Spark's global limit then merges (partial push). A
+    // pushed partial aggregate never emits LIMIT in its SQL, so the
+    // limit stays Spark-side there.
     limit = Some(n)
-    false // Spark still applies the global limit
+    singlePartition && aggSelect.isEmpty
   }
+
+  // ---- OFFSET pushdown (pairs with LIMIT/TopN): only the single-read
+  // plan can skip rows server-side. When a LIMIT was already pushed the
+  // pushed value was limit+offset (Spark pushes the combined prefix
+  // first), so shrink it back to the post-skip row count — the server
+  // then returns exactly rows [offset, offset+limit).
+  override def pushOffset(n: Int): Boolean =
+    if (singlePartition && aggSelect.isEmpty) {
+      limit = limit.map(l => math.max(0, l - n))
+      offset = Some(n)
+      true
+    } else false
 
   // ---- TopN pushdown (ORDER BY + LIMIT): the server sorts and truncates
   // per scan partition, so the transport carries at most n rows per
@@ -175,7 +199,9 @@ final class CHScanBuilder(
       true
     }
   }
-  override def isPartiallyPushed(): Boolean = true
+  // single partition: the server's sort+truncate is complete — Spark
+  // drops its own TopN; otherwise Spark merges the per-range prefixes
+  override def isPartiallyPushed(): Boolean = !singlePartition
 
   // ---- aggregate pushdown: GROUP BY + MIN/MAX/SUM/COUNT run server-side
   // per scan partition; Spark merges the partials (partial-pushdown mode,
@@ -230,10 +256,10 @@ final class CHScanBuilder(
 
   override def build(): Scan =
     new CHScan(required, url, table, database, whereFragments, limit, options,
-      aggSelect, aggGroupBy, aggSchema, orderBy)
+      aggSelect, aggGroupBy, aggSchema, orderBy, offset)
 }
 
-final case class CHInputPartition(sql: String) extends InputPartition
+final case class CHInputPartition(sql: String, codec: String) extends InputPartition
 
 final class CHScan(
     required: StructType,
@@ -246,16 +272,39 @@ final class CHScan(
     aggSelect: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
     aggSchema: Option[StructType] = None,
-    orderBy: Seq[String] = Nil)
-    extends Scan with Batch {
+    orderBy: Seq[String] = Nil,
+    offset: Option[Int] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  private val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
 
   override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ch ${CHSql.tableRef(table, database)} " +
-      s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit" +
+      s"pushedWhere=[${whereFragments.mkString(" AND ")}] limit=$limit offset=$offset" +
       (if (orderBy.nonEmpty) s" pushedTopN=[${orderBy.mkString(", ")}]" else "") +
-      (if (aggSelect.nonEmpty) s" pushedAggregates=[${aggSelect.mkString(", ")}]" else "")
+      (if (aggSelect.nonEmpty) s" pushedAggregates=[${aggSelect.mkString(", ")}]" else "") +
+      (if (runtimeFragments.nonEmpty) s" runtimeFilters=[${runtimeFragments.mkString(" AND ")}]" else "")
+
+  // ---- runtime join filtering (DPP for a remote scan): at execution
+  // time Spark hands the build side's join-key values to the probe-side
+  // scan as an `In` filter; compiling it into the pushed WHERE prunes
+  // the fact read server-side — the 100-TB fact⋈dim lever. The
+  // reference reaches the same effect by delegating whole joins to the
+  // server (`src/client.rs:643`); Spark keeps the join and ships only
+  // the key set. Non-compilable runtime filters drop silently (they are
+  // an optimization, never a correctness requirement — Spark re-applies
+  // the join itself).
+  private var runtimeFragments: Seq[String] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggSelect.nonEmpty) Array.empty // agg SQL already fixed at build time
+    else required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFragments = filters.toSeq.flatMap(CHSql.compileFilter)
 
   private def sqlFor(where: Seq[String]): String =
     if (aggSelect.nonEmpty) {
@@ -264,10 +313,11 @@ final class CHScan(
       val g = if (aggGroupBy.isEmpty) "" else s" GROUP BY ${aggGroupBy.map(CHSql.ident).mkString(", ")}"
       base + w + g
     } else {
-      CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit, orderBy)
+      CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit, orderBy, offset)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val pushedWhere = whereFragments ++ runtimeFragments
     val partCol = Option(options.get("partitionColumn"))
     partCol match {
       case Some(pc) =>
@@ -282,10 +332,10 @@ final class CHScan(
             if (i == 0) s"${CHSql.ident(pc)} < $hi"
             else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
             else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
-          CHInputPartition(sqlFor(whereFragments :+ range))
+          CHInputPartition(sqlFor(pushedWhere :+ range), codec)
         }.toArray[InputPartition]
       case None =>
-        Array(CHInputPartition(sqlFor(whereFragments)))
+        Array(CHInputPartition(sqlFor(pushedWhere), codec))
     }
   }
 
@@ -297,9 +347,9 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val sql = partition.asInstanceOf[CHInputPartition].sql
+    val p = partition.asInstanceOf[CHInputPartition]
     new PartitionReader[ColumnarBatch] {
-      private val reader = new ArrowCodec.BatchReader(CHHttp.queryArrow(url, sql))
+      private val reader = new ArrowCodec.BatchReader(CHHttp.queryArrow(url, p.sql, p.codec))
       override def next(): Boolean = reader.next()
       override def get(): ColumnarBatch = reader.get()
       override def close(): Unit = reader.close()
@@ -327,49 +377,74 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
 // ------------------------------------------------------------- write path
 
 final class CHWriteBuilder(
-    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    schema: StructType, url: String, table: String, database: Option[String],
+    maxRows: Int, codec: String)
     extends WriteBuilder with SupportsTruncate {
-  private var truncateFirst = false
+  private var overwrite = false
 
-  // mode("overwrite") → TRUNCATE TABLE then the normal append stream
-  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  // mode("overwrite") → stage-and-swap (see CHBatchWrite)
+  override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new CHBatchWrite(schema, url, table, database, maxRows, truncateFirst)
+      new CHBatchWrite(schema, url, table, database, maxRows, overwrite, codec)
   }
 }
 
-/** `truncateFirst` (mode("overwrite")) runs TRUNCATE in
-  * `createBatchWriterFactory` — after the job is actually launching, not
-  * at plan build, so a plan-time failure never empties the table. The
-  * remaining window is inherent to the streaming-insert design: writers
-  * insert during tasks, so a mid-job failure leaves the table truncated
-  * with partial data and `abort()` cannot restore it (full atomicity
-  * would need a server-side staging table + EXCHANGE TABLES swap, which
-  * the reference's own overwrite path doesn't provide either).
+/** `mode("overwrite")` is stage-and-swap, never truncate-then-stream:
+  * writers insert into a fresh staging table; only `commit()` — after
+  * every task succeeded — swaps staging into place (rename cycle, the
+  * plain-SQL decomposition of ClickHouse `EXCHANGE TABLES`) and drops
+  * the displaced data. A mid-job task failure reaches `abort()`, which
+  * drops the staging table and leaves the original byte-identical — the
+  * failure window of the old TRUNCATE-at-launch design is gone. Task
+  * RETRIES within a surviving job can still duplicate a partition's
+  * already-streamed batches inside staging (streamed inserts cannot be
+  * unsent; the full fix is server-side insert dedup keys), which local
+  * runs never hit (maxFailures=1) — documented, not hidden.
   */
 final class CHBatchWrite(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, truncateFirst: Boolean)
+    maxRows: Int, overwrite: Boolean, codec: String)
     extends BatchWrite {
+
+  private val stagingTable = s"${table}__ow_staging"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (truncateFirst) {
-      CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
-    }
-    new CHWriterFactory(schema, url, table, database, maxRows)
+    val target = if (overwrite) {
+      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable))
+      CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(database, stagingTable, schema))
+      stagingTable
+    } else table
+    new CHWriterFactory(schema, url, target, database, maxRows, codec)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (overwrite) {
+    val targetExists =
+      try { CHHttp.fetchSchema(url, table, database); true }
+      catch { case _: java.io.IOException => false }
+    if (targetExists) {
+      Mutations.exchangeTables(url, table, stagingTable, database)
+      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable)) // displaced rows
+    } else {
+      CHHttp.execute(url,
+        s"RENAME TABLE ${CHSql.tableRef(stagingTable, database)} TO ${CHSql.tableRef(table, database)}")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = if (overwrite) {
+    CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable))
+  }
 }
 
 final case class CHCommit(rows: Long) extends WriterCommitMessage
 
 final class CHWriterFactory(
-    schema: StructType, url: String, table: String, database: Option[String], maxRows: Int)
+    schema: StructType, url: String, table: String, database: Option[String],
+    maxRows: Int, codec: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CHDataWriter(schema, url, table, database, maxRows, partitionId)
+    new CHDataWriter(schema, url, table, database, maxRows, partitionId, codec)
 }
 
 /** Per-partition insert writer (A8): rows buffer into Arrow batches of
@@ -387,7 +462,7 @@ final class CHWriterFactory(
   */
 final class CHDataWriter(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, partitionId: Int)
+    maxRows: Int, partitionId: Int, codec: String)
     extends DataWriter[InternalRow] {
 
   private val insertSql = {
@@ -401,8 +476,8 @@ final class CHDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (encoder == null) {
-      conn = CHHttp.openInsert(url, insertSql)
-      out = conn.getOutputStream
+      conn = CHHttp.openInsert(url, insertSql, codec)
+      out = CHHttp.insertStream(conn, codec) // compressing wrapper (A7)
       encoder = new ArrowCodec.Encoder(schema, maxRows, out)
     }
     encoder.write(row)
@@ -412,12 +487,12 @@ final class CHDataWriter(
   override def commit(): WriterCommitMessage = {
     if (encoder != null) {
       encoder.finish()
-      out.close()
+      out.close() // finishes the compression frame before the HTTP body ends
       CHHttp.finishInsert(conn, insertSql)
       encoder = null
     } else if (partitionId == 0) {
       CHHttp.insertArrow(url, insertSql,
-        o => { val e = new ArrowCodec.Encoder(schema, maxRows, o); e.finish() })
+        o => { val e = new ArrowCodec.Encoder(schema, maxRows, o); e.finish() }, codec)
     }
     CHCommit(count)
   }

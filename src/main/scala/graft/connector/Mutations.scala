@@ -45,10 +45,11 @@ object Mutations {
     * needing atomicity gate reads on a catalog flag (documented, not
     * hidden).
     */
-  def exchangeTables(url: String, a: String, b: String): Unit = {
+  def exchangeTables(url: String, a: String, b: String, database: Option[String] = None): Unit = {
+    def ref(t: String) = CHSql.tableRef(t, database)
     val tmp = s"${a}__xchg_tmp"
-    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(a)} TO ${CHSql.ident(tmp)}")
-    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(b)} TO ${CHSql.ident(a)}")
-    CHHttp.execute(url, s"RENAME TABLE ${CHSql.ident(tmp)} TO ${CHSql.ident(b)}")
+    CHHttp.execute(url, s"RENAME TABLE ${ref(a)} TO ${ref(tmp)}")
+    CHHttp.execute(url, s"RENAME TABLE ${ref(b)} TO ${ref(a)}")
+    CHHttp.execute(url, s"RENAME TABLE ${ref(tmp)} TO ${ref(b)}")
   }
 }

@@ -30,7 +30,10 @@ final class StubCHServer {
   final case class TableData(schema: StructType, rows: Vector[InternalRow])
 
   private val tables = new ConcurrentHashMap[String, TableData]()
+  private val databases = ConcurrentHashMap.newKeySet[String]()
+  databases.add("default")
   private val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val encodings = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -47,6 +50,12 @@ final class StubCHServer {
 
   /** Every SQL text received, in arrival order — pushdown assertions. */
   def queries: Seq[String] = seen.iterator().asScala.toSeq
+
+  /** (request Content-Encoding, response Content-Encoding) per request,
+    * in arrival order — wire-compression assertions. */
+  def wireEncodings: Seq[(String, String)] = encodings.iterator().asScala.toSeq
+
+  def databaseNames: Seq[String] = databases.asScala.toSeq.sorted
 
   def stop(): Unit = server.stop(0)
 
@@ -71,32 +80,62 @@ final class StubCHServer {
         case p if p.startsWith("query=") =>
           java.net.URLDecoder.decode(p.substring(6), StandardCharsets.UTF_8)
       }.getOrElse("")
-      val body = ex.getRequestBody.readAllBytes()
+      // wire compression, the ClickHouse HTTP contract: request bodies
+      // arrive under Content-Encoding; responses compress only when the
+      // client both advertises Accept-Encoding and enables
+      // enable_http_compression=1 (like the real server's setting)
+      val reqEnc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .getOrElse(CHHttp.NoCodec)
+      val respEnc =
+        if (params.contains("enable_http_compression=1"))
+          Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).getOrElse(CHHttp.NoCodec)
+        else CHHttp.NoCodec
+      encodings.add((reqEnc, respEnc))
+      val body = {
+        val raw = ex.getRequestBody.readAllBytes()
+        if (raw.isEmpty || reqEnc == CHHttp.NoCodec) raw
+        else CHHttp.wrapIn(new java.io.ByteArrayInputStream(raw), reqEnc).readAllBytes()
+      }
       seen.add(sql)
       // the transport appends the output-format clause; statements below
       // are parsed without it
       val stmt = sql.trim.replaceAll("(?i)\\s+FORMAT\\s+ArrowStream\\s*$", "")
 
       val upper = stmt.toUpperCase
-      if (upper.startsWith("INSERT")) respond(ex, insert(stmt, body))
-      else if (upper.startsWith("SELECT")) respond(ex, select(stmt))
-      else if (upper.startsWith("SHOW TABLES")) respond(ex, showTables())
-      else if (upper.startsWith("CREATE TABLE")) respond(ex, createTable(stmt))
-      else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt))
-      else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt))
+      if (upper.startsWith("INSERT")) respond(ex, insert(stmt, body), respEnc)
+      else if (upper.startsWith("SELECT")) respond(ex, select(stmt), respEnc)
+      else if (upper.startsWith("SHOW TABLES")) respond(ex, showTables(), respEnc)
+      else if (upper.startsWith("SHOW DATABASES")) respond(ex, showDatabases(), respEnc)
+      else if (upper.startsWith("CREATE TABLE")) respond(ex, createTable(stmt), respEnc)
+      else if (upper.startsWith("CREATE DATABASE")) respond(ex, createDatabase(stmt), respEnc)
+      else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt), respEnc)
+      else if (upper.startsWith("DROP DATABASE")) respond(ex, dropDatabase(stmt), respEnc)
+      else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt), respEnc)
       else if (upper.startsWith("ALTER TABLE") && upper.contains("DELETE WHERE"))
-        respond(ex, alterDelete(stmt))
+        respond(ex, alterDelete(stmt), respEnc)
       else if (upper.startsWith("ALTER TABLE") && upper.contains(" UPDATE "))
-        respond(ex, alterUpdate(stmt))
-      else if (upper.startsWith("RENAME TABLE")) respond(ex, renameTable(stmt))
-      else respond(ex, Left(s"unsupported statement: $stmt"))
+        respond(ex, alterUpdate(stmt), respEnc)
+      else if (upper.startsWith("RENAME TABLE")) respond(ex, renameTable(stmt), respEnc)
+      else respond(ex, Left(s"unsupported statement: $stmt"), CHHttp.NoCodec)
     } catch {
-      case e: Throwable => respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      case e: Throwable =>
+        respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"), CHHttp.NoCodec)
     }
 
-  private def respond(ex: HttpExchange, result: Either[String, Array[Byte]]): Unit = {
+  private def respond(
+      ex: HttpExchange, result: Either[String, Array[Byte]], respEnc: String): Unit = {
     result match {
-      case Right(bytes) =>
+      case Right(raw) =>
+        val bytes =
+          if (raw.isEmpty || respEnc == CHHttp.NoCodec) raw
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = CHHttp.wrapOut(bos, respEnc)
+            z.write(raw); z.close()
+            bos.toByteArray
+          }
+        if (bytes.nonEmpty && respEnc != CHHttp.NoCodec)
+          ex.getResponseHeaders.set("Content-Encoding", respEnc)
         ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
         if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
       case Left(err) =>
@@ -149,7 +188,7 @@ final class StubCHServer {
             val pred: InternalRow => Boolean = {
               val m = java.util.regex.Pattern
                 .compile(
-                  "(?i)\\sWHERE\\s(.*?)(?:\\s(?:LIMIT\\s+\\d+|ORDER\\s+BY\\s.*|GROUP\\s+BY\\s.*)\\s*$|$)",
+                  "(?i)\\sWHERE\\s(.*?)(?:\\s(?:LIMIT\\s+\\d+.*|OFFSET\\s+\\d+.*|ORDER\\s+BY\\s.*|GROUP\\s+BY\\s.*)\\s*$|$)",
                   java.util.regex.Pattern.DOTALL)
                 .matcher(sql)
               if (m.find()) StubWhere.compile(m.group(1), data.schema) else _ => true
@@ -158,7 +197,8 @@ final class StubCHServer {
             // pushed TopN arrives as ORDER BY ... LIMIT n — honor the sort
             val filtered = {
               val m = java.util.regex.Pattern
-                .compile("(?i)\\sORDER\\s+BY\\s+(.*?)(?:\\s+LIMIT\\s+\\d+)?\\s*$",
+                .compile(
+                  "(?i)\\sORDER\\s+BY\\s+(.*?)(?:\\s+LIMIT\\s+\\d+(?:\\s+OFFSET\\s+\\d+)?|\\s+OFFSET\\s+\\d+(?:\\s+ROWS?)?)?\\s*$",
                   java.util.regex.Pattern.DOTALL)
                 .matcher(sql)
               if (m.find()) sortRows(unsorted, data.schema, m.group(1)) else unsorted
@@ -173,12 +213,19 @@ final class StubCHServer {
                   val names = Iterator.continually(m).takeWhile(_.find()).map(unescape).toSeq
                   names.map(n => data.schema.fieldIndex(n))
                 }
+              // pushed pagination: `LIMIT n [OFFSET m]` or `OFFSET m ROWS`
+              // — OFFSET skips first (SQL semantics), LIMIT caps the rest
               val limit = {
-                val m = java.util.regex.Pattern.compile("(?i)LIMIT\\s+(\\d+)\\s*$").matcher(sql)
+                val m = java.util.regex.Pattern.compile("(?i)\\bLIMIT\\s+(\\d+)").matcher(sql)
+                if (m.find()) Some(m.group(1).toInt) else None
+              }
+              val offset = {
+                val m = java.util.regex.Pattern.compile("(?i)\\bOFFSET\\s+(\\d+)").matcher(sql)
                 if (m.find()) Some(m.group(1).toInt) else None
               }
               val projSchema = StructType(wanted.map(data.schema.fields))
-              val limited = limit.map(filtered.take).getOrElse(filtered)
+              val shifted = offset.map(filtered.drop).getOrElse(filtered)
+              val limited = limit.map(shifted.take).getOrElse(shifted)
               val projected = limited.iterator.map { r =>
                 InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
               }
@@ -233,13 +280,36 @@ final class StubCHServer {
     rows.sorted(ord)
   }
 
-  private def showTables(): Either[String, Array[Byte]] = {
+  private def showTables(): Either[String, Array[Byte]] =
+    textColumn(tableNames)
+
+  private def showDatabases(): Either[String, Array[Byte]] =
+    textColumn(databaseNames)
+
+  private def textColumn(values: Seq[String]): Either[String, Array[Byte]] = {
     val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
       "name", org.apache.spark.sql.types.StringType, nullable = false)))
-    val rows = tableNames.map(n =>
+    val rows = values.map(n =>
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n)))
     Right(ArrowCodec.encode(schema, rows.iterator))
   }
+
+  /** `CREATE DATABASE [IF NOT EXISTS] db` — the namespace create. */
+  private def createDatabase(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "DATABASE(?:\\s+IF\\s+NOT\\s+EXISTS)?") match {
+      case None => Left(s"cannot parse create database in: $sql")
+      case Some(name) => databases.add(name); Right(Array.empty)
+    }
+
+  /** `DROP DATABASE [IF EXISTS] db` — drops the namespace and every
+    * table inside it (ClickHouse cascade semantics). */
+  private def dropDatabase(sql: String): Either[String, Array[Byte]] =
+    tableOf(sql, "DATABASE(?:\\s+IF\\s+EXISTS)?") match {
+      case None => Left(s"cannot parse drop database in: $sql")
+      case Some(name) =>
+        databases.remove(name)
+        Right(Array.empty)
+    }
 
   /** Parse `CREATE TABLE t (col Type, ...) ENGINE ...` back through the
     * CHType parser into a stored schema. */

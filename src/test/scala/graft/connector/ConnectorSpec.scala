@@ -415,4 +415,153 @@ class ConnectorSpec extends SparkSpec {
       assert(backN.length === 1 && backN(0).isNullAt(1))
     } finally srv.stop()
   }
+
+  test("runtime join filtering: the build side's keys land in the pushed WHERE") {
+    val srv = freshServer()
+    try {
+      srv.load("supplier", Tables.t(spark, sf001, "supplier"))
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+
+      // unit contract first: Spark hands runtime filters to the Scan via
+      // SupportsRuntimeFiltering.filter(); the next planInputPartitions
+      // must compile them into the pushed SQL
+      val schema = CHHttp.fetchSchema(srv.url, "supplier", None)
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("url", srv.url, "table", "supplier"))
+      val scan = new CHScanBuilder(schema, srv.url, "supplier", None, opts)
+        .build().asInstanceOf[CHScan]
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("s_nationkey", Array(1L, 2L, 3L))))
+      val part = scan.planInputPartitions()(0).asInstanceOf[CHInputPartition]
+      assert(part.sql.contains("`s_nationkey` IN (1, 2, 3)"), part.sql)
+
+      // e2e: broadcast dim join → DPP hands the dim keys to the fact scan
+      val fact = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "supplier").load()
+      val dim = Tables.t(spark, sf001, "nation").filter(col("n_regionkey") === 0)
+      val joined = fact.join(broadcast(dim), fact("s_nationkey") === dim("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val expected = Tables.t(spark, sf001, "supplier").as("s")
+        .join(dim, col("s.s_nationkey") === dim("n_nationkey")).count()
+      assert(joined.count() === expected)
+      val runtimeScans = srv.queries.filter(q =>
+        q.startsWith("SELECT `") && q.contains("`s_nationkey` IN ("))
+      assert(runtimeScans.nonEmpty,
+        s"no runtime-filtered scan SQL seen:\n${srv.queries.mkString("\n")}")
+    } finally srv.stop()
+  }
+
+  test("OFFSET pushes with LIMIT on the single-partition scan") {
+    val srv = freshServer()
+    try {
+      srv.load("supplier", Tables.t(spark, sf001, "supplier"))
+      val df = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "supplier").load()
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+        .offset(10).limit(5)
+      val expected = Tables.t(spark, sf001, "supplier")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+        .offset(10).limit(5).collect().map(_.toSeq)
+      assert(df.collect().map(_.toSeq) === expected)
+      val q = srv.queries.filter(_.startsWith("SELECT `")).last
+      assert(q.contains("OFFSET 10"), q)
+    } finally srv.stop()
+  }
+
+  test("multi-partition scans refuse OFFSET/full-LIMIT delegation (soundness)") {
+    val srv = freshServer()
+    try {
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+      val df = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "nation")
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .select("n_nationkey").orderBy("n_nationkey")
+        .offset(10).limit(5)
+      // per-range OFFSET would drop 10 rows from EACH range — Spark must
+      // keep the offset on its side and the result must still be exact
+      assert(df.collect().map(_.get(0).toString.toLong).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+      assert(!srv.queries.exists(_.contains("OFFSET")), srv.queries.mkString("\n"))
+    } finally srv.stop()
+  }
+
+  test("namespaces: SHOW/CREATE/DROP DATABASE through the catalog") {
+    val srv = freshServer()
+    try {
+      spark.conf.set("spark.sql.catalog.chns", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.chns.url", srv.url)
+      val shown = spark.sql("SHOW NAMESPACES IN chns").collect().map(_.getString(0)).toSet
+      assert(shown.contains("default"))
+
+      spark.sql("CREATE NAMESPACE chns.staging_db")
+      assert(srv.databaseNames.contains("staging_db"))
+      assert(spark.sql("SHOW NAMESPACES IN chns").collect().map(_.getString(0)).toSet
+        .contains("staging_db"))
+
+      // a table created inside the namespace carries the qualified ref
+      spark.sql("CREATE TABLE chns.staging_db.t1 (id BIGINT)")
+      assert(srv.queries.exists(q =>
+        q.startsWith("CREATE TABLE") && q.contains("`staging_db`.`t1`")))
+
+      spark.sql("DROP NAMESPACE chns.staging_db CASCADE")
+      assert(!srv.databaseNames.contains("staging_db"))
+    } finally srv.stop()
+  }
+
+  test("overwrite is stage-and-swap: a failed job leaves the original table intact") {
+    val srv = freshServer()
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.format("graft-ch").option("url", srv.url).option("table", "ow")
+        .mode("append").save()
+
+      // a task that throws mid-stream: the overwrite job must fail
+      // WITHOUT touching `ow` (the old TRUNCATE-first design left it
+      // empty or partial here)
+      val bad = spark.range(0, 10, 1, 2)
+        .selectExpr("id", "IF(id = 7, CAST(raise_error('boom') AS STRING), 'x') AS v")
+      intercept[Exception] {
+        bad.write.format("graft-ch").option("url", srv.url).option("table", "ow")
+          .mode("overwrite").save()
+      }
+      assert(srv.rowCount("ow") === 3)
+      assert(!srv.tableNames.exists(_.contains("__ow_staging")), srv.tableNames.mkString(","))
+
+      // and a successful overwrite really replaces the contents
+      Seq((9L, "z")).toDF("id", "v")
+        .write.format("graft-ch").option("url", srv.url).option("table", "ow")
+        .mode("overwrite").save()
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "ow")
+        .load().collect()
+      assert(back.map(_.getLong(0)).toSeq === Seq(9L))
+      assert(!srv.tableNames.exists(_.contains("__ow_staging")), srv.tableNames.mkString(","))
+    } finally srv.stop()
+  }
+
+  test("wire compression: gzip/zstd/lz4 round-trip byte-identical, headers prove the codec") {
+    for (codec <- Seq("gzip", "zstd", "lz4")) {
+      val srv = freshServer()
+      try {
+        val df = Tables.t(spark, sf001, "supplier")
+        df.write.format("graft-ch").option("url", srv.url).option("table", "s")
+          .option("compression", codec).mode("append").save()
+        // the insert body really traveled compressed
+        assert(srv.wireEncodings.exists(_._1 == codec),
+          s"$codec: no compressed request seen: ${srv.wireEncodings}")
+
+        val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "s")
+          .option("compression", codec).load()
+        val plain = spark.read.format("graft-ch").option("url", srv.url).option("table", "s")
+          .load()
+        assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ===
+          plain.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+        // the response really traveled compressed
+        assert(srv.wireEncodings.exists(_._2 == codec),
+          s"$codec: no compressed response seen: ${srv.wireEncodings}")
+      } finally srv.stop()
+    }
+  }
 }
