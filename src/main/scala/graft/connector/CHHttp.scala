@@ -60,7 +60,8 @@ object CHHttp {
     if (code != 200) {
       val err = Option(conn.getErrorStream)
         .map(s => new String(s.readAllBytes(), StandardCharsets.UTF_8)).getOrElse("")
-      throw new java.io.IOException(s"HTTP $code for [$sql]: $err")
+      // typed surface: code/name/severity parsed from the CH error body
+      throw CHError.parse(code, sql, err)
     }
   }
 

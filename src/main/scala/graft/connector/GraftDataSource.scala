@@ -274,9 +274,42 @@ final class CHScan(
     aggSchema: Option[StructType] = None,
     orderBy: Seq[String] = Nil,
     offset: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
+
+  // ---- server-reported statistics: one cheap `SELECT count(*)` (with the
+  // pushed WHERE, so a filtered dim reports its filtered size) gives
+  // Spark real row counts where a remote table otherwise defaults to
+  // sizeInBytes=Long.MaxValue — which silently disables auto-broadcast
+  // for EVERY connector dim and turns 100-TB fact⋈dim plans into
+  // shuffle joins. The reference's server knows its sizes natively; over
+  // DSv2 this is the SupportsReportStatistics contract. Failures degrade
+  // to unknown (never fail planning); `statistics=false` opts out.
+  private lazy val serverStats: Statistics = {
+    val disabled = "false".equalsIgnoreCase(options.getOrDefault("statistics", "true"))
+    def unknown = new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+    if (disabled) unknown
+    else try {
+      val where =
+        if (whereFragments.isEmpty) ""
+        else whereFragments.mkString(" WHERE (", ") AND (", ")")
+      val sql = s"SELECT COUNT(*) FROM ${CHSql.tableRef(table, database)}$where"
+      val in = CHHttp.queryArrow(url, sql, codec)
+      val (sch, rows) = try ArrowCodec.decode(in.readAllBytes()) finally in.close()
+      val n = rows.head.get(0, sch.fields(0).dataType).asInstanceOf[Number].longValue()
+      val rowBytes = math.max(8L, readSchema().defaultSize.toLong)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(n * rowBytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+      }
+    } catch { case _: Exception => unknown }
+  }
+
+  override def estimateStatistics(): Statistics = serverStats
 
   override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this

@@ -116,10 +116,14 @@ final class StubCHServer {
       else if (upper.startsWith("ALTER TABLE") && upper.contains(" UPDATE "))
         respond(ex, alterUpdate(stmt), respEnc)
       else if (upper.startsWith("RENAME TABLE")) respond(ex, renameTable(stmt), respEnc)
-      else respond(ex, Left(s"unsupported statement: $stmt"), CHHttp.NoCodec)
+      else respond(ex,
+        Left(s"Code: 62. DB::Exception: unsupported statement: $stmt (SYNTAX_ERROR)"),
+        CHHttp.NoCodec)
     } catch {
       case e: Throwable =>
-        respond(ex, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"), CHHttp.NoCodec)
+        respond(ex,
+          Left(s"Code: 1002. DB::Exception: ${e.getClass.getSimpleName}: ${e.getMessage}"),
+          CHHttp.NoCodec)
     }
 
   private def respond(
@@ -180,7 +184,9 @@ final class StubCHServer {
       case None => Left(s"cannot parse select source in: $sql")
       case Some(name) =>
         Option(tables.get(name)) match {
-          case None => Left(s"no such table: $name")
+          case None =>
+            // the real server's error-body shape — CHError.parse reads it
+            Left(s"Code: 60. DB::Exception: Table $name doesn't exist. (UNKNOWN_TABLE)")
           case Some(data) =>
             // the column list between SELECT and FROM
             val colsPart = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6,

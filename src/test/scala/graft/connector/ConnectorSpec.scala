@@ -541,6 +541,65 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("server row stats make small connector dims auto-broadcast (no hint)") {
+    val srv = freshServer()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+      // threshold between the tiny connector dim (~2 KB reported by the
+      // server count) and the parquet fact, so ONLY stats-aware planning
+      // can pick the broadcast join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      val fact = Tables.t(spark, sf001, "orders")
+
+      val dim = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "nation").load()
+      val j = fact.join(dim, fact("o_custkey") % 25 === dim("n_nationkey"))
+      assert(j.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        j.queryExecution.sparkPlan.toString)
+
+      // without stats the remote size is unknown (Long.MaxValue default)
+      // and the static planner cannot choose broadcast
+      val dimNoStats = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "nation")
+        .option("statistics", "false").load()
+      val j2 = fact.join(dimNoStats, fact("o_custkey") % 25 === dimNoStats("n_nationkey"))
+      assert(!j2.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        j2.queryExecution.sparkPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      srv.stop()
+    }
+  }
+
+  test("server errors surface typed: code, symbolic name, severity, retry class") {
+    val srv = freshServer()
+    try {
+      // missing table → UNKNOWN_TABLE(60), a deterministic Query error
+      val e = intercept[CHServerException] {
+        CHHttp.fetchSchema(srv.url, "nope", None)
+      }
+      assert(e.code === 60)
+      assert(e.name === "UNKNOWN_TABLE")
+      assert(e.severity === CHError.Query)
+      assert(!e.retryable)
+      assert(e.getMessage.contains("UNKNOWN_TABLE"), e.getMessage)
+
+      // unsupported statement → SYNTAX_ERROR(62)
+      val e2 = intercept[CHServerException] { CHHttp.execute(srv.url, "OPTIMIZE TABLE x") }
+      assert(e2.code === 62 && e2.severity === CHError.Syntax && !e2.retryable)
+
+      // classification table: transient server/protocol errors ARE retryable
+      assert(CHError.severityOf(241) === CHError.Query) // MEMORY_LIMIT_EXCEEDED: deterministic
+      assert(CHError.severityOf(209).retryable) // SOCKET_TIMEOUT
+      assert(CHError.severityOf(243).retryable) // NOT_ENOUGH_SPACE
+      assert(!CHError.severityOf(62).retryable)
+      // a body with no Code prefix (proxy crash page) degrades, not throws
+      val fallback = CHError.parse(502, "SELECT 1", "<html>bad gateway</html>")
+      assert(fallback.code === -1 && fallback.severity === CHError.Unknown)
+    } finally srv.stop()
+  }
+
   test("wire compression: gzip/zstd/lz4 round-trip byte-identical, headers prove the codec") {
     for (codec <- Seq("gzip", "zstd", "lz4")) {
       val srv = freshServer()
