@@ -291,6 +291,110 @@ object ArrowCodec {
     bos.toByteArray
   }
 
+  /** Encode with the named string columns DICTIONARY-encoded — the wire
+    * form of `LowCardinality(String)` (A5; reference
+    * `arrow/serialize/low_cardinality.rs:1-60`: per-block dict + keys,
+    * key width chosen from cardinality). Indices here are Int32 over one
+    * dictionary computed for the whole stream: the Arrow Java stream
+    * reader has no dictionary-replacement support, so the one-dict form
+    * is the interoperable one — which is also why [[Encoder]] (the
+    * unbounded streaming insert path) stays plain-encoded: it would have
+    * to buffer the whole partition to learn the dictionary first. This
+    * helper is for bounded blocks (server responses, client-side batch
+    * inserts); [[BatchReader]] decodes it transparently on arrival.
+    */
+  def encodeDict(
+      schema: StructType, rows: Seq[InternalRow], dictCols: Set[String]): Array[Byte] = {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+
+    val encodable = schema.fields.zipWithIndex.collect {
+      case (f, j) if dictCols.contains(f.name) && f.dataType == StringType => j
+    }.toSet
+    if (encodable.isEmpty) return encode(schema, rows.iterator)
+
+    val allocator =
+      rootAllocator.newChildAllocator(s"graft-dictenc-${System.identityHashCode(rows)}", 0, Long.MaxValue)
+    val toClose = scala.collection.mutable.ListBuffer.empty[AutoCloseable]
+    try {
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      // per-column dictionaries: value order = first appearance (the
+      // reference's per-block dict build order)
+      val colIndex: Map[Int, (Map[String, Int], DictionaryEncoding)] = encodable.map { j =>
+        val seen = new java.util.LinkedHashMap[String, Integer]()
+        rows.foreach { r =>
+          if (!r.isNullAt(j)) {
+            val s = r.getUTF8String(j).toString
+            if (!seen.containsKey(s)) seen.put(s, seen.size())
+          }
+        }
+        val dictVec = new VarCharVector(s"${schema.fields(j).name}_dict", allocator)
+        toClose += dictVec
+        dictVec.allocateNew(seen.size())
+        seen.forEach((s, i) => dictVec.setSafe(i.intValue(), s.getBytes("UTF-8")))
+        dictVec.setValueCount(seen.size())
+        val encoding = new DictionaryEncoding(j.toLong, false, new ArrowType.Int(32, true))
+        provider.put(new Dictionary(dictVec, encoding))
+        j -> (seen.asScala.map { case (k, v) => k -> v.intValue() }.toMap, encoding)
+      }.toMap
+
+      val fields = schema.fields.zipWithIndex.map { case (f, j) =>
+        if (encodable(j))
+          new Field(f.name,
+            new FieldType(f.nullable, new ArrowType.Int(32, true), colIndex(j)._2),
+            java.util.List.of[Field]())
+        else toArrowField(f)
+      }
+      val root = VectorSchemaRoot.create(new ArrowSchema(java.util.List.of(fields: _*)), allocator)
+      toClose += root
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = new ArrowStreamWriter(root, provider, bos)
+      toClose += writer
+      writer.start()
+      root.allocateNew()
+      schema.fields.zipWithIndex.foreach { case (f, j) =>
+        val v = root.getVector(j)
+        var i = 0
+        if (encodable(j)) {
+          val iv = v.asInstanceOf[IntVector]
+          val lookup = colIndex(j)._1
+          rows.foreach { r =>
+            if (r.isNullAt(j)) iv.setNull(i)
+            else iv.setSafe(i, lookup(r.getUTF8String(j).toString))
+            i += 1
+          }
+        } else {
+          rows.foreach { r =>
+            if (r.isNullAt(j)) v match {
+              case b: BaseFixedWidthVector => b.setNull(i)
+              case b: BaseVariableWidthVector => b.setNull(i)
+              case other =>
+                throw new UnsupportedOperationException(s"encodeDict null for: ${f.dataType}")
+            }
+            else f.dataType match {
+              case StringType => v.asInstanceOf[VarCharVector].setSafe(i, r.getUTF8String(j).getBytes)
+              case LongType => v.asInstanceOf[BigIntVector].setSafe(i, r.getLong(j))
+              case IntegerType => v.asInstanceOf[IntVector].setSafe(i, r.getInt(j))
+              case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, r.getDouble(j))
+              case other => throw new UnsupportedOperationException(
+                s"encodeDict non-dict column type: $other")
+            }
+            i += 1
+          }
+        }
+      }
+      root.setRowCount(rows.size)
+      writer.writeBatch()
+      writer.end()
+      bos.toByteArray
+    } finally {
+      // reverse creation order: writer releases its dictionary batches
+      // before the roots/vectors they reference go down
+      toClose.reverse.foreach(c => try c.close() catch { case _: Exception => () })
+      allocator.close()
+    }
+  }
+
   // ------------------------------------------------------------- decoding
 
   /** Read just the schema from an IPC stream (the header-block probe). */

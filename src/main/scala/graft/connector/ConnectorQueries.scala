@@ -26,6 +26,10 @@ object ConnectorQueries extends QueryRegistry {
       srv.load("nation", Tables.t(spark, d, "nation"))
       srv.load("region", Tables.t(spark, d, "region"))
       srv.load("supplier", Tables.t(spark, d, "supplier"))
+      // nation.n_name serves dictionary-encoded (LowCardinality wire
+      // form, A5): EVERY nation scan below rides the dict decode path
+      // through the oracle gate, not just a dedicated spec
+      srv.markLowCardinality("nation", Set("n_name"))
       srv
     })
 
@@ -188,5 +192,21 @@ object ConnectorQueries extends QueryRegistry {
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+,
+    // ---- LowCardinality transport (A5): n_name travels as an Arrow
+    // dictionary (per-block dict + Int32 keys, the reference's
+    // low_cardinality wire form); BatchReader decodes transparently and
+    // the values hash-match the plain oracle ----
+    QueryDef(
+      "b_src21_lowcard_scan",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "nation")
+          .load()
+          .select(col("n_name"), col("n_regionkey"))
+          .filter(col("n_regionkey") >= 2)
+      },
+      Some("SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 2"))
   )
 }

@@ -32,6 +32,10 @@ final class StubCHServer {
   private val tables = new ConcurrentHashMap[String, TableData]()
   private val databases = ConcurrentHashMap.newKeySet[String]()
   databases.add("default")
+  // tables whose marked String columns serve DICT-ENCODED (the
+  // LowCardinality wire form, reference serialize/low_cardinality.rs) —
+  // scans of these tables exercise the A5 decode path end-to-end
+  private val lowCardCols = new ConcurrentHashMap[String, Set[String]]()
   private val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val encodings = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 
@@ -70,6 +74,11 @@ final class StubCHServer {
 
   def tableNames: Seq[String] = tables.keySet().asScala.toSeq.sorted
   def rowCount(name: String): Int = Option(tables.get(name)).map(_.rows.size).getOrElse(0)
+
+  /** Declare `LowCardinality(String)` columns: subsequent SELECTs of these
+    * columns respond dictionary-encoded on the wire. */
+  def markLowCardinality(table: String, cols: Set[String]): Unit =
+    lowCardCols.put(table, cols)
 
   // ----------------------------------------------------------- dispatch
 
@@ -235,7 +244,11 @@ final class StubCHServer {
               val projected = limited.iterator.map { r =>
                 InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
               }
-              Right(ArrowCodec.encode(projSchema, projected))
+              val dictCols = lowCardCols.getOrDefault(name, Set.empty)
+                .intersect(projSchema.fieldNames.toSet)
+              if (dictCols.nonEmpty)
+                Right(ArrowCodec.encodeDict(projSchema, projected.toVector, dictCols))
+              else Right(ArrowCodec.encode(projSchema, projected))
             }
         }
     }

@@ -541,6 +541,46 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("LowCardinality wire form: dictionary-encoded responses and inserts round-trip") {
+    val srv = freshServer()
+    try {
+      val nation = Tables.t(spark, sf001, "nation")
+      srv.load("nation", nation)
+      srv.markLowCardinality("nation", Set("n_name"))
+
+      // response direction: the wire bytes REALLY carry a dictionary
+      val raw = CHHttp.queryArrow(srv.url, "SELECT `n_name`, `n_regionkey` FROM `nation`")
+      val bytes = try raw.readAllBytes() finally raw.close()
+      val alloc = ArrowCodec.rootAllocator.newChildAllocator("lc-probe", 0, Long.MaxValue)
+      val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        val f = rdr.getVectorSchemaRoot.getSchema.getFields.get(0)
+        assert(f.getDictionary != null, s"n_name not dictionary-encoded: $f")
+      } finally { rdr.close(); alloc.close() }
+
+      // ...and the connector scan decodes it transparently
+      val got = spark.read.format("graft-ch").option("url", srv.url).option("table", "nation")
+        .load().select("n_name", "n_regionkey").orderBy("n_name").collect().map(_.toSeq)
+      val expected = nation.select("n_name", "n_regionkey").orderBy("n_name")
+        .collect().map(_.toSeq)
+      assert(got === expected)
+
+      // insert direction: a client-side dict-encoded body decodes into
+      // plain stored values (the A5 encode path)
+      val rows = nation.select("n_nationkey", "n_name").queryExecution
+        .toRdd.map(_.copy()).collect().toSeq
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+      val body = ArrowCodec.encodeDict(schema, rows, Set("n_name"))
+      CHHttp.insertArrow(srv.url, "INSERT INTO `lc_ins` (`n_nationkey`, `n_name`)",
+        o => o.write(body))
+      val back = spark.read.format("graft-ch").option("url", srv.url).option("table", "lc_ins")
+        .load().orderBy("n_nationkey").collect().map(_.getString(1)).toSeq
+      assert(back === nation.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+    } finally srv.stop()
+  }
+
   test("server row stats make small connector dims auto-broadcast (no hint)") {
     val srv = freshServer()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
