@@ -65,16 +65,43 @@ object CHHttp {
     }
   }
 
-  /** SELECT returning the response body as an Arrow IPC stream. */
-  def queryArrow(url: String, sql: String, codec: String = NoCodec): InputStream = {
-    val conn = open(url, s"$sql FORMAT ArrowStream", codec)
-    if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
-    conn.setDoOutput(true)
-    conn.getOutputStream.close()
-    failIfError(conn, sql)
-    val enc = Option(conn.getHeaderField("Content-Encoding")).getOrElse(NoCodec)
-    wrapIn(conn.getInputStream, enc)
+  /** Bounded retry for idempotent requests: severity-classified transient
+    * failures (Server/Protocol — timeouts, overload, network) and
+    * connect-level IO errors re-attempt with linear backoff; deterministic
+    * Query/Syntax/Data errors surface immediately (re-running those just
+    * repeats the failure). Reads only — an insert body is already
+    * streamed when the status arrives, so the write path NEVER retries
+    * here (task-level retry + staging overwrite own that story).
+    */
+  private val maxRetries = 2
+
+  private def withRetry[T](attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: CHServerException if e.retryable && tries < maxRetries =>
+          tries += 1
+          Thread.sleep(50L * tries)
+        case e: java.net.ConnectException if tries < maxRetries =>
+          tries += 1
+          Thread.sleep(50L * tries)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** SELECT returning the response body as an Arrow IPC stream. */
+  def queryArrow(url: String, sql: String, codec: String = NoCodec): InputStream =
+    withRetry { () =>
+      val conn = open(url, s"$sql FORMAT ArrowStream", codec)
+      if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      failIfError(conn, sql)
+      val enc = Option(conn.getHeaderField("Content-Encoding")).getOrElse(NoCodec)
+      wrapIn(conn.getInputStream, enc)
+    }
 
   /** INSERT: IPC bytes produced by `body` stream out as the request body
     * (single deferred flush, like `client/internal.rs:482-535`). */

@@ -80,6 +80,12 @@ final class StubCHServer {
   def markLowCardinality(table: String, cols: Set[String]): Unit =
     lowCardCols.put(table, cols)
 
+  // fault injection: fail the next `n` requests with the given CH error
+  // code (retry-path testing — the reference's flaky-server e2e analog)
+  private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val failCode = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextRequests(n: Int, code: Int): Unit = { failCode.set(code); failNext.set(n) }
+
   // ----------------------------------------------------------- dispatch
 
   private def handle(ex: HttpExchange): Unit =
@@ -106,6 +112,13 @@ final class StubCHServer {
         else CHHttp.wrapIn(new java.io.ByteArrayInputStream(raw), reqEnc).readAllBytes()
       }
       seen.add(sql)
+      if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        val c = failCode.get()
+        respond(ex,
+          Left(s"Code: $c. DB::Exception: injected transient failure (${CHError.nameOf(c)})"),
+          CHHttp.NoCodec)
+        return
+      }
       // the transport appends the output-format clause; statements below
       // are parsed without it
       val stmt = sql.trim.replaceAll("(?i)\\s+FORMAT\\s+ArrowStream\\s*$", "")

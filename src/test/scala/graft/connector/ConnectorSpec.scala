@@ -640,6 +640,28 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("transient server failures retry; deterministic errors do not") {
+    val srv = freshServer()
+    try {
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+      // SOCKET_TIMEOUT(209) is severity Protocol → retryable: the scan
+      // survives two injected failures
+      srv.failNextRequests(2, 209)
+      val n = spark.read.format("graft-ch").option("url", srv.url).option("table", "nation")
+        .option("statistics", "false").load().count()
+      assert(n === 25)
+
+      // SYNTAX_ERROR(62) is deterministic → exactly ONE request, no retry
+      srv.failNextRequests(1, 62)
+      val before = srv.queries.size
+      val e = intercept[CHServerException] {
+        CHHttp.queryArrow(srv.url, "SELECT `n_name` FROM `nation`").close()
+      }
+      assert(e.code === 62 && !e.retryable)
+      assert(srv.queries.size === before + 1, "deterministic error must not retry")
+    } finally srv.stop()
+  }
+
   test("wire compression: gzip/zstd/lz4 round-trip byte-identical, headers prove the codec") {
     for (codec <- Seq("gzip", "zstd", "lz4")) {
       val srv = freshServer()
