@@ -324,6 +324,50 @@ object Dedup extends QueryRegistry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** The shared expensive core of the exact near-dup family — exploded
+    * shingles → df-cap → self-equi-join → per-pair intersection counts +
+    * per-doc sizes — memoized per (session, fixture dir):
+    * `x_dedup_ngram_jaccard`, `x_dedup_containment` and the
+    * cc_clusters/cc_keepers chain all derive from this ONE
+    * materialization (only the normalizer differs), instead of each
+    * rebuilding the pair graph. `localCheckpoint` stores it on executor
+    * local disk — the same place the shuffle for it would land anyway.
+    */
+  private val coreCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def pairCoreFor(s: SparkSession, d: String): DataFrame =
+    coreCache.computeIfAbsent(
+      (System.identityHashCode(s), d), { _ =>
+        val all = explodedShingles(t(s, d, "documents"))
+        val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 500).select("s")
+        val sh = all.join(kept, Seq("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("i"),
+            col("sa.n").as("na"), col("sb.n").as("nb"))
+          .localCheckpoint()
+      })
+
+  private def jaccardPairsFor(s: SparkSession, d: String, tau: Double): DataFrame =
+    pairCoreFor(s, d)
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  private def containmentPairsFor(s: SparkSession, d: String, tau: Double): DataFrame =
+    pairCoreFor(s, d)
+      .withColumn("containment", col("i") / least(col("na"), col("nb")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+
   /** Connected components over the documents pair graph, memoized per
     * (session, fixture dir): `x_dedup_cc_clusters` and
     * `x_dedup_cc_keepers` need the SAME pair graph + label propagation,
@@ -338,7 +382,7 @@ object Dedup extends QueryRegistry {
   private def ccClustersFor(s: SparkSession, d: String): DataFrame =
     ccCache.computeIfAbsent(
       (System.identityHashCode(s), d),
-      _ => connectedComponents(ngramJaccardPairs(t(s, d, "documents"), 0.5)))
+      _ => connectedComponents(jaccardPairsFor(s, d, 0.5)))
 
   /** Shared oracle CTE prefix: the exact n-gram pair graph + recursive
     * reachability closure (DuckDB computes the same components our
@@ -424,7 +468,7 @@ object Dedup extends QueryRegistry {
     // ---- exact n-gram Jaccard near-dup pairs (inverted index) ----
     QueryDef(
       "x_dedup_ngram_jaccard",
-      (s, d) => ngramJaccardPairs(t(s, d, "documents"), 0.5),
+      (s, d) => jaccardPairsFor(s, d, 0.5),
       Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
              |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
@@ -439,7 +483,7 @@ object Dedup extends QueryRegistry {
 
     QueryDef(
       "x_dedup_containment",
-      (s, d) => ngramContainmentPairs(t(s, d, "documents"), 0.6),
+      (s, d) => containmentPairsFor(s, d, 0.6),
       Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
              |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
