@@ -934,19 +934,19 @@ object Analytics extends QueryRegistry {
     QueryDef(
       "b_agg34_spearman",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
         val pairs = t(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("f"),
             col("l_quantity").cast("double").as("q"),
             col("l_extendedprice").as("v"))
           .agg(count(lit(1)).cast("double").as("c"))
+        // marginal cumulative counts ride Spectrum.withRunningSum: a
+        // 3-value partition key would otherwise cap the spectrum walk at
+        // parallelism 3 (count sums are integer-valued → exact)
         def avgRank(valueCol: String, cntName: String, rankName: String) = {
-          val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
-            .rowsBetween(W.unboundedPreceding, 0)
-          pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
+          val marginal = pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
+          Spectrum.withRunningSum(marginal, Seq("f"), valueCol, cntName, "__cum")
             .select(col("f"), col(valueCol),
-              (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
-                .as(rankName))
+              (col("__cum") - col(cntName) + (col(cntName) + 1) / 2.0).as(rankName))
         }
         pairs
           .join(avgRank("q", "cq", "rq"), Seq("f", "q"))
@@ -1073,20 +1073,21 @@ object Analytics extends QueryRegistry {
     // ---- histogram (CH adaptive `histogram(n)`, equi-depth form): the
     // decile boundaries come from the distinct-value SPECTRUM with
     // cumulative counts (the b_agg31/34 pattern — corpus touched once),
-    // so each bucket carries ~n/10 rows regardless of skew. ----
+    // so each bucket carries ~n/10 rows regardless of skew. The
+    // cumulative count runs through Spectrum.withRunningSum — a nearly
+    // continuous column's spectrum is corpus-sized, so a single-task
+    // global window here would serialize the whole histogram. ----
     QueryDef(
       "b_agg40_equidepth_hist",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         val spectrum = t(s, d, "lineitem")
           .groupBy(col("l_extendedprice").as("v"))
           .agg(count(lit(1)).as("c"))
         val tot = spectrum.agg(sum(col("c")).cast("double").as("n"))
-        spectrum.crossJoin(tot)
+        Spectrum.withRunningSum(spectrum, "v", "c", "cum")
+          .crossJoin(tot)
           .select(col("v"), col("c"),
-            least(floor((sum(col("c")).over(W) - 1) * 10 / col("n")), lit(9L))
-              .as("decile"))
+            least(floor((col("cum") - 1) * 10 / col("n")), lit(9L)).as("decile"))
           .groupBy(col("decile"))
           .agg(
             sum(col("c")).cast("long").as("rows_in"),

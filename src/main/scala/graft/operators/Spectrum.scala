@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running totals over a value spectrum — the two-phase
+  * prefix-sum that replaces `Window.orderBy(v)` with NO partition spec
+  * (Spark executes that as ONE task holding the whole ordered input: the
+  * classic quiet scale-killer behind "No Partition Defined for Window"
+  * warnings; reference CH computes cumulative spectra inside its
+  * sorted-aggregation core instead).
+  *
+  * Shape: range-partition by the order column (a global sort boundary,
+  * same shuffle a global window needs anyway), cumulative-sum WITHIN each
+  * range in parallel, then add each partition's starting offset — the
+  * offsets come from a #partitions-sized frame (bounded, broadcast).
+  * Results are bit-identical to the single-task global window; wall-clock
+  * parallelism is #partitions instead of 1.
+  */
+object Spectrum {
+
+  /** Add `outCol` = running (inclusive) sum of `sumCol` in `orderCol`
+    * order, optionally per `partCols` group. `(partCols, orderCol)`
+    * should be distinct across rows (a spectrum: one row per value) so
+    * range boundaries can't split ties.
+    *
+    * Float note: reordering double addition is only safe when the
+    * summands are integer-valued (counts cast to double — exact in IEEE
+    * up to 2^53); true fractional weights could drift a ulp vs the
+    * sequential window. Every call site here sums counts/quantities.
+    */
+  def withRunningSum(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      sumCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pc = partCols.map(col)
+    // materialize the range partitioning once: both the offsets pass and
+    // the final pass must see the SAME partition ids
+    val ranged = df.repartitionByRange(n, pc :+ col(orderCol): _*).localCheckpoint()
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    // #partitions × #groups-crossing rows — the only narrow window left
+    val offW =
+      (if (partCols.isEmpty) Window.orderBy(col("__pid"))
+       else Window.partitionBy(pc: _*).orderBy(col("__pid")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("__pid") +: pc: _*)
+      .agg(sum(col(sumCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(offW), lit(0)))
+      .select(col("__pid") +: pc :+ col("__offset"): _*)
+    val inPart = Window.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withPid.join(broadcast(offsets), "__pid" +: partCols)
+      .withColumn(outCol, col("__offset") + sum(col(sumCol)).over(inPart))
+      .drop("__pid", "__offset")
+  }
+
+  def withRunningSum(
+      df: DataFrame, orderCol: String, sumCol: String, outCol: String): DataFrame =
+    withRunningSum(df, Nil, orderCol, sumCol, outCol)
+}
