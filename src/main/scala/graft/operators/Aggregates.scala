@@ -354,16 +354,16 @@ object Aggregates extends QueryRegistry {
     QueryDef(
       "b_agg33_weighted_median",
       (s, d) => {
-        // spectrum walk via the distributed prefix-sum (3-value group key
-        // → single-digit parallelism under a plain window); per-group
-        // totals broadcast from a 3-row aggregate. Quantity sums are
-        // integer-valued doubles, so the reordered addition stays exact.
-        val spectrum = t(s, d, "lineitem")
+        val cumW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val totW = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+        t(s, d, "lineitem")
           .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(sum(col("l_quantity").cast("double")).as("w"))
-        val tot = spectrum.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tot"))
-        graft.operators.Spectrum.withRunningSum(spectrum, Seq("l_returnflag"), "v", "w", "cum")
-          .join(broadcast(tot), "l_returnflag")
+          .select(col("l_returnflag"), col("v"),
+            sum(col("w")).over(cumW).as("cum"),
+            sum(col("w")).over(totW).as("tot"))
           .where(col("cum") >= col("tot") / 2)
           .groupBy(col("l_returnflag"))
           .agg(min(col("v")).as("wmedian"))

@@ -934,19 +934,24 @@ object Analytics extends QueryRegistry {
     QueryDef(
       "b_agg34_spearman",
       (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
         val pairs = t(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("f"),
             col("l_quantity").cast("double").as("q"),
             col("l_extendedprice").as("v"))
           .agg(count(lit(1)).cast("double").as("c"))
-        // marginal cumulative counts ride Spectrum.withRunningSum: a
-        // 3-value partition key would otherwise cap the spectrum walk at
-        // parallelism 3 (count sums are integer-valued → exact)
+        // the cumulative walks ride the f-partitioned window: parallelism
+        // equals the GROUP BY key's cardinality, which is the operator's
+        // contract (a keyless spectrum walk would use
+        // Spectrum.withRunningSum instead — measured here, the extra
+        // range shuffle costs more than 3-way parallelism loses)
         def avgRank(valueCol: String, cntName: String, rankName: String) = {
-          val marginal = pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
-          Spectrum.withRunningSum(marginal, Seq("f"), valueCol, cntName, "__cum")
+          val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
+            .rowsBetween(W.unboundedPreceding, 0)
+          pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
             .select(col("f"), col(valueCol),
-              (col("__cum") - col(cntName) + (col(cntName) + 1) / 2.0).as(rankName))
+              (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
+                .as(rankName))
         }
         pairs
           .join(avgRank("q", "cq", "rq"), Seq("f", "q"))

@@ -39,9 +39,12 @@ object Spectrum {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val pc = partCols.map(col)
-    // materialize the range partitioning once: both the offsets pass and
-    // the final pass must see the SAME partition ids
-    val ranged = df.repartitionByRange(n, pc :+ col(orderCol): _*).localCheckpoint()
+    // both the offsets pass and the final pass hang off the SAME
+    // repartitionByRange subtree: Spark's ReuseExchange computes the
+    // range shuffle once and both branches read identical partition ids
+    // from it (RangePartitioner sampling is seed-deterministic, and an
+    // explicit numPartitions keeps AQE from re-coalescing either read)
+    val ranged = df.repartitionByRange(n, pc :+ col(orderCol): _*)
     val withPid = ranged.withColumn("__pid", spark_partition_id())
     // #partitions × #groups-crossing rows — the only narrow window left
     val offW =
