@@ -31,25 +31,31 @@ object TextOps extends QueryRegistry {
     */
   def languageId(docs: DataFrame, maxFeatures: Int = 1 << 18): DataFrame = {
     val spark = docs.sparkSession
-    val tokens = docs
+    // ONE tokenize pass: the corpus explodes into per-(doc, word) counts
+    // once and materializes (executor-local disk); the profile learn (5
+    // aggregations over the train slice) and both scoring passes
+    // re-aggregate this compact frame instead of re-exploding the corpus
+    // — previously the token stream was recomputed up to 7×.
+    val wc = docs
       .withColumn("w", explode(split(col("text"), " ")))
-      .select("doc_id", "lang", "w")
-    val train = tokens.filter(col("doc_id") % 5 === 0)
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val train = wc.filter(col("doc_id") % 5 === 0)
 
     val langs = train.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq // tiny: #languages values
     val vocab = train.select("w").distinct().count().toDouble
 
     // top-N training words by frequency — bounds the broadcast profile
-    val kept = train.groupBy("w").agg(count(lit(1)).as("c"))
+    val kept = train.groupBy("w").agg(sum(col("k")).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxFeatures)
       .select("w")
 
     // per-(lang): total tokens; per-(word,lang): counts → pivoted log-probs
-    val totals = train.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val totals = train.groupBy("lang").agg(sum(col("k")).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
-    val profile = train.join(kept, Seq("w")).groupBy("w").pivot("lang", langs).agg(count(lit(1)))
+    val profile = train.join(kept, Seq("w")).groupBy("w").pivot("lang", langs).agg(sum(col("k")))
     val scoredCols = langs.map { l =>
       val tot = totals(l).toDouble
       (log((coalesce(col(l), lit(0L)) + 1.0) / (tot + vocab)) -
@@ -57,12 +63,12 @@ object TextOps extends QueryRegistry {
     }
     val prof = profile.select(col("w") +: scoredCols: _*)
 
-    val scored = tokens.join(broadcast(prof), Seq("w"), "left")
-    val aggs = langs.map(l => sum(coalesce(col(s"adj_$l"), lit(0.0))).as(s"score_$l"))
-    val perDoc = scored.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+    val scored = wc.join(broadcast(prof), Seq("w"), "left")
+    val aggs = langs.map(l =>
+      sum(col("k") * coalesce(col(s"adj_$l"), lit(0.0))).as(s"score_$l")) :+
+      sum(col("k")).as("n_tokens")
+    val full = scored.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
     // base term Σ log(default_l) = n_tokens * log(1/(tot_l+V)) re-added below
-    val nTok = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val full = perDoc.join(nTok, "doc_id")
     val scoreStructs = langs.map { l =>
       val tot = totals(l).toDouble
       struct(
