@@ -8,7 +8,7 @@ import org.apache.arrow.vector.{FieldVector, IntVector, VarCharVector, VectorSch
 import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 class ArrowCodecSpec extends SparkSpec {
 
@@ -89,5 +89,30 @@ class ArrowCodecSpec extends SparkSpec {
     val (s, rows) = ArrowCodec.decode(bytes)
     assert(s === StructType(Seq(StructField("x", StringType, nullable = true))))
     assert(rows.isEmpty)
+  }
+
+  test("encodeDict: nulls, repeated values and empty input survive the dict round trip") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType)))
+    def row(id: Long, tag: String) =
+      org.apache.spark.sql.catalyst.InternalRow(id, if (tag == null) null else UTF8String.fromString(tag))
+    val rows = Seq(row(1, "a"), row(2, null), row(3, "b"), row(4, "a"), row(5, null))
+
+    val bytes = ArrowCodec.encodeDict(schema, rows, Set("tag"))
+    val (s, back) = ArrowCodec.decode(bytes)
+    // decode resolves the dictionary: value type, not the index type
+    assert(s("tag").dataType === StringType)
+    val got = back.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getUTF8String(1).toString))
+    assert(got === Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "a"), (5L, null)))
+
+    // empty input: schema-only stream, no dictionary rows
+    val (_, none) = ArrowCodec.decode(ArrowCodec.encodeDict(schema, Nil, Set("tag")))
+    assert(none.isEmpty)
+
+    // a dict request for a non-string column falls back to plain encode
+    val plain = ArrowCodec.encodeDict(schema, rows.take(1), Set("id"))
+    assert(ArrowCodec.decode(plain)._2.size === 1)
   }
 }
