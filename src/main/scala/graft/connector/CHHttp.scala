@@ -44,10 +44,18 @@ object CHHttp {
     case other => throw new IllegalArgumentException(s"unknown compression codec: $other")
   }
 
-  private def open(url: String, sql: String, codec: String = NoCodec): HttpURLConnection = {
+  private def open(
+      url: String, sql: String, codec: String = NoCodec,
+      settings: Seq[(String, String)] = Nil): HttpURLConnection = {
     val q = URLEncoder.encode(sql, StandardCharsets.UTF_8)
     val compressParam = if (codec == NoCodec) "" else "&enable_http_compression=1"
-    val conn = URI.create(s"$url/?query=$q$compressParam").toURL
+    // per-query server settings ride as URL params — the ClickHouse HTTP
+    // contract for A15 (reference sends settings with each query,
+    // `src/client.rs:643` query options; HTTP channel `http/client.rs`)
+    val settingParams = settings.map { case (k, v) =>
+      s"&${URLEncoder.encode(k, StandardCharsets.UTF_8)}=${URLEncoder.encode(v, StandardCharsets.UTF_8)}"
+    }.mkString
+    val conn = URI.create(s"$url/?query=$q$compressParam$settingParams").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setConnectTimeout(30000)
@@ -92,9 +100,11 @@ object CHHttp {
   }
 
   /** SELECT returning the response body as an Arrow IPC stream. */
-  def queryArrow(url: String, sql: String, codec: String = NoCodec): InputStream =
+  def queryArrow(
+      url: String, sql: String, codec: String = NoCodec,
+      settings: Seq[(String, String)] = Nil): InputStream =
     withRetry { () =>
-      val conn = open(url, s"$sql FORMAT ArrowStream", codec)
+      val conn = open(url, s"$sql FORMAT ArrowStream", codec, settings)
       if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
       conn.setDoOutput(true)
       conn.getOutputStream.close()
@@ -119,8 +129,10 @@ object CHHttp {
     * Obtain the (possibly compressing) stream via [[insertStream]], close
     * it, then call [[finishInsert]].
     */
-  def openInsert(url: String, insertSql: String, codec: String = NoCodec): HttpURLConnection = {
-    val conn = open(url, s"$insertSql FORMAT ArrowStream", codec)
+  def openInsert(
+      url: String, insertSql: String, codec: String = NoCodec,
+      settings: Seq[(String, String)] = Nil): HttpURLConnection = {
+    val conn = open(url, s"$insertSql FORMAT ArrowStream", codec, settings)
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(1 << 20)
     if (codec != NoCodec) conn.setRequestProperty("Content-Encoding", codec)

@@ -82,7 +82,8 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toInt).getOrElse(65536)
     val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
-    new CHWriteBuilder(info.schema(), url, table, database, maxRows, codec)
+    new CHWriteBuilder(info.schema(), url, table, database, maxRows, codec,
+      CHSettings.from(options))
   }
 
   // ---- mutations (ClickHouse `ALTER TABLE ... DELETE WHERE`,
@@ -259,7 +260,41 @@ final class CHScanBuilder(
       aggSelect, aggGroupBy, aggSchema, orderBy, offset)
 }
 
-final case class CHInputPartition(sql: String, codec: String) extends InputPartition
+final case class CHInputPartition(
+    sql: String, codec: String, settings: Seq[(String, String)] = Nil) extends InputPartition
+
+/** Per-query server settings from `settings.*` options — the connector's
+  * A15 surface: `option("settings.max_threads", "8")` reaches the server
+  * as the `max_threads=8` URL param on every request of that scan/write
+  * (the CH HTTP settings contract the reference exposes per query). */
+private[connector] object CHSettings {
+  def from(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    options.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("settings.") =>
+        k.substring("settings.".length) -> v
+    }.sortBy(_._1)
+}
+
+// ---- DSv2 custom metrics: per-task rows/bytes from the server, summed
+// into the Spark UI's scan/write nodes (the A17 counters the reference
+// emits as Progress events, surfaced the Spark-native way)
+final class CHRowsReadMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chRowsRead"
+  override def description(): String = "rows read from server"
+}
+final class CHBatchesReadMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chBatchesRead"
+  override def description(): String = "arrow batches read from server"
+}
+final class CHRowsWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chRowsWritten"
+  override def description(): String = "rows written to server"
+}
+private final case class CHTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
 
 final class CHScan(
     required: StructType,
@@ -277,6 +312,10 @@ final class CHScan(
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
+  private val settings = CHSettings.from(options)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CHRowsReadMetric, new CHBatchesReadMetric)
 
   // ---- server-reported statistics: one cheap `SELECT count(*)` (with the
   // pushed WHERE, so a filtered dim reports its filtered size) gives
@@ -365,10 +404,10 @@ final class CHScan(
             if (i == 0) s"${CHSql.ident(pc)} < $hi"
             else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
             else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
-          CHInputPartition(sqlFor(pushedWhere :+ range), codec)
+          CHInputPartition(sqlFor(pushedWhere :+ range), codec, settings)
         }.toArray[InputPartition]
       case None =>
-        Array(CHInputPartition(sqlFor(pushedWhere), codec))
+        Array(CHInputPartition(sqlFor(pushedWhere), codec, settings))
     }
   }
 
@@ -382,10 +421,19 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[CHInputPartition]
     new PartitionReader[ColumnarBatch] {
-      private val reader = new ArrowCodec.BatchReader(CHHttp.queryArrow(url, p.sql, p.codec))
-      override def next(): Boolean = reader.next()
+      private val reader =
+        new ArrowCodec.BatchReader(CHHttp.queryArrow(url, p.sql, p.codec, p.settings))
+      private var rows = 0L
+      private var batches = 0L
+      override def next(): Boolean = {
+        val has = reader.next()
+        if (has) { batches += 1; rows += reader.get().numRows() }
+        has
+      }
       override def get(): ColumnarBatch = reader.get()
       override def close(): Unit = reader.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(CHTaskMetric("chRowsRead", rows), CHTaskMetric("chBatchesRead", batches))
     }
   }
 
@@ -411,7 +459,7 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
 
 final class CHWriteBuilder(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, codec: String)
+    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -420,7 +468,9 @@ final class CHWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new CHBatchWrite(schema, url, table, database, maxRows, overwrite, codec)
+      new CHBatchWrite(schema, url, table, database, maxRows, overwrite, codec, settings)
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new CHRowsWrittenMetric)
   }
 }
 
@@ -438,7 +488,7 @@ final class CHWriteBuilder(
   */
 final class CHBatchWrite(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, overwrite: Boolean, codec: String)
+    maxRows: Int, overwrite: Boolean, codec: String, settings: Seq[(String, String)] = Nil)
     extends BatchWrite {
 
   private val stagingTable = s"${table}__ow_staging"
@@ -449,7 +499,7 @@ final class CHBatchWrite(
       CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(database, stagingTable, schema))
       stagingTable
     } else table
-    new CHWriterFactory(schema, url, target, database, maxRows, codec)
+    new CHWriterFactory(schema, url, target, database, maxRows, codec, settings)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (overwrite) {
@@ -474,10 +524,10 @@ final case class CHCommit(rows: Long) extends WriterCommitMessage
 
 final class CHWriterFactory(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, codec: String)
+    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CHDataWriter(schema, url, table, database, maxRows, partitionId, codec)
+    new CHDataWriter(schema, url, table, database, maxRows, partitionId, codec, settings)
 }
 
 /** Per-partition insert writer (A8): rows buffer into Arrow batches of
@@ -495,7 +545,7 @@ final class CHWriterFactory(
   */
 final class CHDataWriter(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, partitionId: Int, codec: String)
+    maxRows: Int, partitionId: Int, codec: String, settings: Seq[(String, String)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val insertSql = {
@@ -507,9 +557,12 @@ final class CHDataWriter(
   private var encoder: ArrowCodec.Encoder = _
   private var count = 0L
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CHTaskMetric("chRowsWritten", count))
+
   override def write(row: InternalRow): Unit = {
     if (encoder == null) {
-      conn = CHHttp.openInsert(url, insertSql, codec)
+      conn = CHHttp.openInsert(url, insertSql, codec, settings)
       out = CHHttp.insertStream(conn, codec) // compressing wrapper (A7)
       encoder = new ArrowCodec.Encoder(schema, maxRows, out)
     }

@@ -38,6 +38,7 @@ final class StubCHServer {
   private val lowCardCols = new ConcurrentHashMap[String, Set[String]]()
   private val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val encodings = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val rawQueryStrings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -58,6 +59,9 @@ final class StubCHServer {
   /** (request Content-Encoding, response Content-Encoding) per request,
     * in arrival order — wire-compression assertions. */
   def wireEncodings: Seq[(String, String)] = encodings.iterator().asScala.toSeq
+
+  /** Raw URL query strings per request — settings-param assertions. */
+  def requestQueryStrings: Seq[String] = rawQueryStrings.iterator().asScala.toSeq
 
   def databaseNames: Seq[String] = databases.asScala.toSeq.sorted
 
@@ -112,6 +116,7 @@ final class StubCHServer {
         else CHHttp.wrapIn(new java.io.ByteArrayInputStream(raw), reqEnc).readAllBytes()
       }
       seen.add(sql)
+      rawQueryStrings.add(params)
       if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         val c = failCode.get()
         respond(ex,

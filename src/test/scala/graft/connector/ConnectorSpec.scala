@@ -640,6 +640,38 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("settings.* options ride every request as URL params; scan/write report custom metrics") {
+    val srv = freshServer()
+    try {
+      srv.load("nation", Tables.t(spark, sf001, "nation"))
+      val df = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "nation")
+        .option("settings.max_threads", "8")
+        .option("settings.max_memory_usage", "1000000000")
+        .option("statistics", "false")
+        .load().select("n_nationkey")
+      assert(df.collect().length === 25)
+      val scanParams = srv.requestQueryStrings.filter(_.contains("n_nationkey"))
+      assert(scanParams.nonEmpty && scanParams.forall(p =>
+        p.contains("max_threads=8") && p.contains("max_memory_usage=1000000000")),
+        srv.requestQueryStrings.mkString("\n"))
+      val scanNodes = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scanNodes.nonEmpty)
+      assert(scanNodes.head.metrics.contains("chRowsRead"), scanNodes.head.metrics.keys)
+
+      // write side: settings reach the insert request too
+      Seq((1L, "x")).toDF("id", "v").write.format("graft-ch")
+        .option("url", srv.url).option("table", "tset")
+        .option("settings.async_insert", "1")
+        .mode("append").save()
+      assert(srv.requestQueryStrings.exists(p =>
+        p.contains("INSERT+INTO+%60tset%60") && p.contains("async_insert=1")),
+        srv.requestQueryStrings.mkString("\n"))
+    } finally srv.stop()
+  }
+
   test("transient server failures retry; deterministic errors do not") {
     val srv = freshServer()
     try {
