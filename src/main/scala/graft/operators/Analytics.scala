@@ -901,12 +901,12 @@ object Analytics extends QueryRegistry {
         val tot = pts.agg(
           sum(col("ca")).cast("double").as("na"),
           sum(col("cr")).cast("double").as("nr"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("x"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        pts.crossJoin(tot)
-          .select((sum(col("ca")).over(w) / col("na") -
-            sum(col("cr")).over(w) / col("nr")).as("diff"))
+        // both empirical CDFs ride ONE distributed prefix-sum over the
+        // value spectrum (keyless → a plain window would serialize on a
+        // single task; counts are integers so reordering is exact)
+        Spectrum.withRunningSums(pts, Nil, "x", Seq("ca" -> "cum_a", "cr" -> "cum_r"))
+          .crossJoin(tot)
+          .select((col("cum_a") / col("na") - col("cum_r") / col("nr")).as("diff"))
           .agg(round(max(abs(col("diff"))), 6).as("ks"))
       },
       Some("""WITH pts AS (

@@ -30,12 +30,13 @@ object Spectrum {
     * up to 2^53); true fractional weights could drift a ulp vs the
     * sequential window. Every call site here sums counts/quantities.
     */
-  def withRunningSum(
+  /** Multi-column form: each `(sumCol, outCol)` pair gets its running
+    * sum from the SAME single range shuffle and offsets pass. */
+  def withRunningSums(
       df: DataFrame,
       partCols: Seq[String],
       orderCol: String,
-      sumCol: String,
-      outCol: String): DataFrame = {
+      sums: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val pc = partCols.map(col)
@@ -51,18 +52,27 @@ object Spectrum {
       (if (partCols.isEmpty) Window.orderBy(col("__pid"))
        else Window.partitionBy(pc: _*).orderBy(col("__pid")))
         .rowsBetween(Window.unboundedPreceding, -1)
+    val psums = sums.map { case (s, _) => sum(col(s)).as(s"__psum_$s") }
     val offsets = withPid.groupBy(col("__pid") +: pc: _*)
-      .agg(sum(col(sumCol)).as("__psum"))
-      .withColumn("__offset", coalesce(sum(col("__psum")).over(offW), lit(0)))
-      .select(col("__pid") +: pc :+ col("__offset"): _*)
+      .agg(psums.head, psums.tail: _*)
+      .select(
+        (col("__pid") +: pc) ++ sums.map { case (s, _) =>
+          coalesce(sum(col(s"__psum_$s")).over(offW), lit(0)).as(s"__off_$s")
+        }: _*)
     val inPart = Window.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    withPid.join(broadcast(offsets), "__pid" +: partCols)
-      .withColumn(outCol, col("__offset") + sum(col(sumCol)).over(inPart))
-      .drop("__pid", "__offset")
+    sums.foldLeft(withPid.join(broadcast(offsets), "__pid" +: partCols)) {
+      case (acc, (s, out)) =>
+        acc.withColumn(out, col(s"__off_$s") + sum(col(s)).over(inPart))
+    }.drop("__pid" +: sums.map { case (s, _) => s"__off_$s" }: _*)
   }
 
   def withRunningSum(
+      df: DataFrame, partCols: Seq[String], orderCol: String,
+      sumCol: String, outCol: String): DataFrame =
+    withRunningSums(df, partCols, orderCol, Seq(sumCol -> outCol))
+
+  def withRunningSum(
       df: DataFrame, orderCol: String, sumCol: String, outCol: String): DataFrame =
-    withRunningSum(df, Nil, orderCol, sumCol, outCol)
+    withRunningSums(df, Nil, orderCol, Seq(sumCol -> outCol))
 }
