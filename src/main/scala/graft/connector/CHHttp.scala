@@ -103,6 +103,29 @@ object CHHttp {
   def queryArrow(
       url: String, sql: String, codec: String = NoCodec,
       settings: Seq[(String, String)] = Nil): InputStream =
+    queryArrowWithSummary(url, sql, codec, settings)._1
+
+  /** Server progress counters from the `X-ClickHouse-Summary` response
+    * header (A17 on the HTTP channel; the reference's Progress events,
+    * `native/progress.rs:6-14`, ride this header over HTTP). */
+  final case class Summary(readRows: Long, writtenRows: Long)
+
+  private val summaryField = java.util.regex.Pattern.compile("\"(read_rows|written_rows)\"\\s*:\\s*\"?(\\d+)\"?")
+
+  def parseSummary(header: String): Summary = {
+    var read = -1L; var written = -1L
+    val m = summaryField.matcher(header)
+    while (m.find()) m.group(1) match {
+      case "read_rows" => read = m.group(2).toLong
+      case "written_rows" => written = m.group(2).toLong
+    }
+    Summary(read, written)
+  }
+
+  /** [[queryArrow]] plus the parsed summary header (absent → counters -1). */
+  def queryArrowWithSummary(
+      url: String, sql: String, codec: String = NoCodec,
+      settings: Seq[(String, String)] = Nil): (InputStream, Summary) =
     withRetry { () =>
       val conn = open(url, s"$sql FORMAT ArrowStream", codec, settings)
       if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
@@ -110,7 +133,9 @@ object CHHttp {
       conn.getOutputStream.close()
       failIfError(conn, sql)
       val enc = Option(conn.getHeaderField("Content-Encoding")).getOrElse(NoCodec)
-      wrapIn(conn.getInputStream, enc)
+      val summary = Option(conn.getHeaderField("X-ClickHouse-Summary"))
+        .map(parseSummary).getOrElse(Summary(-1L, -1L))
+      (wrapIn(conn.getInputStream, enc), summary)
     }
 
   /** INSERT: IPC bytes produced by `body` stream out as the request body

@@ -290,6 +290,10 @@ final class CHRowsWrittenMetric extends org.apache.spark.sql.connector.metric.Cu
   override def name(): String = "chRowsWritten"
   override def description(): String = "rows written to server"
 }
+final class CHServerReadRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chServerReadRows"
+  override def description(): String = "rows read (server-reported summary)"
+}
 private final case class CHTaskMetric(metricName: String, metricValue: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -315,7 +319,7 @@ final class CHScan(
   private val settings = CHSettings.from(options)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new CHRowsReadMetric, new CHBatchesReadMetric)
+    Array(new CHRowsReadMetric, new CHBatchesReadMetric, new CHServerReadRowsMetric)
 
   // ---- server-reported statistics: one cheap `SELECT count(*)` (with the
   // pushed WHERE, so a filtered dim reports its filtered size) gives
@@ -421,8 +425,9 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[CHInputPartition]
     new PartitionReader[ColumnarBatch] {
-      private val reader =
-        new ArrowCodec.BatchReader(CHHttp.queryArrow(url, p.sql, p.codec, p.settings))
+      private val (stream, summary) =
+        CHHttp.queryArrowWithSummary(url, p.sql, p.codec, p.settings)
+      private val reader = new ArrowCodec.BatchReader(stream)
       private var rows = 0L
       private var batches = 0L
       override def next(): Boolean = {
@@ -433,7 +438,10 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
       override def get(): ColumnarBatch = reader.get()
       override def close(): Unit = reader.close()
       override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-        Array(CHTaskMetric("chRowsRead", rows), CHTaskMetric("chBatchesRead", batches))
+        Array(
+          CHTaskMetric("chRowsRead", rows),
+          CHTaskMetric("chBatchesRead", batches),
+          CHTaskMetric("chServerReadRows", math.max(0L, summary.readRows)))
     }
   }
 

@@ -84,6 +84,12 @@ final class StubCHServer {
   def markLowCardinality(table: String, cols: Set[String]): Unit =
     lowCardCols.put(table, cols)
 
+  // per-request progress counters for the X-ClickHouse-Summary response
+  // header (set by select/insert, read by respond — same handler thread)
+  private val summaryRows = new ThreadLocal[(Long, Long)] {
+    override def initialValue(): (Long, Long) = (-1L, -1L)
+  }
+
   // fault injection: fail the next `n` requests with the given CH error
   // code (retry-path testing — the reference's flaky-server e2e analog)
   private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -117,6 +123,7 @@ final class StubCHServer {
       }
       seen.add(sql)
       rawQueryStrings.add(params)
+      summaryRows.set((-1L, -1L))
       if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         val c = failCode.get()
         respond(ex,
@@ -167,6 +174,11 @@ final class StubCHServer {
           }
         if (bytes.nonEmpty && respEnc != CHHttp.NoCodec)
           ex.getResponseHeaders.set("Content-Encoding", respEnc)
+        // the real server's progress header (A17 over HTTP)
+        val (readRows, writtenRows) = summaryRows.get()
+        if (readRows >= 0 || writtenRows >= 0)
+          ex.getResponseHeaders.set("X-ClickHouse-Summary",
+            s"""{"read_rows":"${math.max(0, readRows)}","written_rows":"${math.max(0, writtenRows)}"}""")
         ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
         if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
       case Left(err) =>
@@ -203,6 +215,7 @@ final class StubCHServer {
         tables.compute(name, (_, prev) =>
           if (prev == null) TableData(schema, rows.toVector)
           else prev.copy(rows = prev.rows ++ rows))
+        summaryRows.set((-1L, rows.size.toLong))
         Right(Array.empty)
     }
 
@@ -259,6 +272,7 @@ final class StubCHServer {
               val projSchema = StructType(wanted.map(data.schema.fields))
               val shifted = offset.map(filtered.drop).getOrElse(filtered)
               val limited = limit.map(shifted.take).getOrElse(shifted)
+              summaryRows.set((limited.size.toLong, -1L))
               val projected = limited.iterator.map { r =>
                 InternalRow.fromSeq(wanted.map(i => r.get(i, data.schema.fields(i).dataType)))
               }

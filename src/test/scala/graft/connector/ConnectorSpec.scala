@@ -660,6 +660,14 @@ class ConnectorSpec extends SparkSpec {
       }
       assert(scanNodes.nonEmpty)
       assert(scanNodes.head.metrics.contains("chRowsRead"), scanNodes.head.metrics.keys)
+      assert(scanNodes.head.metrics.contains("chServerReadRows"), scanNodes.head.metrics.keys)
+
+      // the X-ClickHouse-Summary header parses into server-reported rows
+      val (in, summary) = CHHttp.queryArrowWithSummary(srv.url, "SELECT `n_name` FROM `nation`")
+      in.close()
+      assert(summary.readRows === 25L, summary)
+      assert(CHHttp.parseSummary("""{"read_rows":"42","written_rows":"7"}""")
+        === CHHttp.Summary(42L, 7L))
 
       // write side: settings reach the insert request too
       Seq((1L, "x")).toDF("id", "v").write.format("graft-ch")
