@@ -392,14 +392,34 @@ final class CHScan(
       CHSql.select(table, database, required.fields.map(_.name).toSeq, where, limit, orderBy, offset)
     }
 
+  // Bounds for the range fan-out: explicit options win; otherwise probe
+  // the server once (`SELECT MIN(c), MAX(c)` with the pushed WHERE) —
+  // the usability gap JDBC leaves open (it demands explicit bounds) and
+  // exactly what the server can answer cheaply from its index.
+  private def rangeBounds(pc: String, pushedWhere: Seq[String]): (Long, Long) =
+    (Option(options.get("lowerBound")), Option(options.get("upperBound"))) match {
+      case (Some(lo), Some(hi)) => (lo.toLong, hi.toLong)
+      case _ =>
+        val where =
+          if (pushedWhere.isEmpty) ""
+          else pushedWhere.mkString(" WHERE (", ") AND (", ")")
+        val sql = s"SELECT MIN(${CHSql.ident(pc)}), MAX(${CHSql.ident(pc)}) " +
+          s"FROM ${CHSql.tableRef(table, database)}$where"
+        val in = CHHttp.queryArrow(url, sql, codec, settings)
+        val (sch, rows) = try ArrowCodec.decode(in.readAllBytes()) finally in.close()
+        def longAt(i: Int): Long =
+          rows.head.get(i, sch.fields(i).dataType).asInstanceOf[Number].longValue()
+        // upper bound is exclusive in the range split below
+        (longAt(0), longAt(1) + 1)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val pushedWhere = whereFragments ++ runtimeFragments
     val partCol = Option(options.get("partitionColumn"))
     partCol match {
       case Some(pc) =>
-        val lower = options.get("lowerBound").toLong
-        val upper = options.get("upperBound").toLong
-        val n = math.max(1, options.get("numPartitions").toInt)
+        val (lower, upper) = rangeBounds(pc, pushedWhere)
+        val n = math.max(1, Option(options.get("numPartitions")).map(_.toInt).getOrElse(8))
         val step = math.max(1L, (upper - lower + n - 1) / n)
         (0 until n).map { i =>
           val lo = lower + i * step

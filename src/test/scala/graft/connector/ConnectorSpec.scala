@@ -254,6 +254,26 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("range partitioning without explicit bounds probes MIN/MAX from the server") {
+    val srv = freshServer()
+    try {
+      srv.load("orders", Tables.t(spark, sf001, "orders"))
+      val df = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "orders")
+        .option("partitionColumn", "o_orderkey")
+        .option("numPartitions", "4")
+        .option("statistics", "false")
+        .load()
+      assert(df.rdd.getNumPartitions === 4)
+      assert(df.count() === Tables.t(spark, sf001, "orders").count())
+      // the probe really hit the server, and every key landed in a range
+      assert(srv.queries.exists(q => q.contains("MIN(`o_orderkey`)") && q.contains("MAX(")),
+        srv.queries.mkString("\n"))
+      assert(df.select("o_orderkey").distinct().count() ===
+        Tables.t(spark, sf001, "orders").select("o_orderkey").distinct().count())
+    } finally srv.stop()
+  }
+
   test("catalog: SHOW TABLES / CREATE / load / DROP through GraftCatalog") {
     val srv = freshServer()
     try {
