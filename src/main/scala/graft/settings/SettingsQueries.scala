@@ -21,6 +21,24 @@ object SettingsQueries extends QueryRegistry {
              |WHERE o_totalprice > 250000.0 AND o_orderpriority = '1-URGENT'
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- array-typed bound parameter in an IN-style predicate — the
+    // reference's flagship param case (`{ids:Array(Int32)} IN`, its
+    // issue-#52 e2e `tests/tests/params.rs:219`); Spark-side the array
+    // binds as one literal and `array_contains` is the IN form ----
+    QueryDef(
+      "a15_params_array",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_params_v")
+        Params.sql(s,
+          """SELECT o_orderkey, o_custkey FROM orders_params_v
+            |WHERE array_contains(:keys, o_orderkey % 10)
+            |ORDER BY o_orderkey""".stripMargin,
+          Map("keys" -> Array(1L, 3L, 5L)))
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE list_contains([1, 3, 5], o_orderkey % 10)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- SQL-text entry point: the reference's primary UX is shipping
     // a SQL string (`client.rs:643 query_raw`); here the same string runs
     // through Catalyst end-to-end over registered views — a TPC-H Q3
