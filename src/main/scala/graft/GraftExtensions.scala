@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.ValueExpressions.all.foreach(ext.injectFunction)
     functions.VecExpressions.all.foreach(ext.injectFunction)
+    // CH SQL dialect: reference users' function spellings resolve onto
+    // built-in Catalyst expressions (pure name mapping, codegen'd)
+    functions.ChDialect.all.foreach(ext.injectFunction)
     // CH projections: transparent agg → pre-aggregate routing
     // (no-op until graft.plans.Projections.register is called)
     ext.injectOptimizerRule(session => new plans.RouteToProjection(session))

@@ -117,6 +117,31 @@ object SettingsQueries extends QueryRegistry {
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
              |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-             |FROM orders GROUP BY ALL""".stripMargin))
+             |FROM orders GROUP BY ALL""".stripMargin)),
+
+    // ---- CH SQL dialect end-to-end: a query written entirely in
+    // ClickHouse function spellings (countIf/sumIf/uniqExact/intDiv/
+    // toYYYYMM/toInt64) runs unmodified through spark.sql — the
+    // ChDialect aliases resolve onto built-in codegen'd expressions.
+    // Oracle states the same semantics in DuckDB-native SQL. ----
+    QueryDef(
+      "b_sql4_ch_dialect",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_chd_v")
+        s.sql(
+          """SELECT toYYYYMM(o_orderdate) AS ym,
+            |  countIf(o_orderpriority = '1-URGENT') AS urgent,
+            |  round(sumIf(o_totalprice, o_orderstatus = 'F'), 2) AS f_total,
+            |  toInt64(uniqExact(intDiv(o_custkey, 100))) AS cust_buckets
+            |FROM orders_chd_v
+            |GROUP BY toYYYYMM(o_orderdate)
+            |ORDER BY ym""".stripMargin)
+      },
+      Some("""SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
+             |  CAST(count(DISTINCT o_custkey // 100) AS BIGINT) AS cust_buckets
+             |FROM orders
+             |GROUP BY 1 ORDER BY ym""".stripMargin))
   )
 }
