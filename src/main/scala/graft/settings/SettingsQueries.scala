@@ -142,6 +142,57 @@ object SettingsQueries extends QueryRegistry {
              |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
              |  CAST(count(DISTINCT o_custkey // 100) AS BIGINT) AS cust_buckets
              |FROM orders
-             |GROUP BY 1 ORDER BY ym""".stripMargin))
+             |GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    // ---- CH dialect, wide surface: multiIf / countIf / avgIf /
+    // JSONExtractInt / toRelativeMonthNum / uniqExact over events ----
+    QueryDef(
+      "b_sql5_ch_dialect_wide",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_chd5_v")
+        s.sql(
+          """SELECT toInt64(toRelativeMonthNum(ts)) AS ym,
+            |  multiIf(event_type = 'purchase', 'buy',
+            |          event_type = 'click', 'engage', 'other') AS kind,
+            |  count(*) AS n,
+            |  countIf(JSONExtractInt(props, 'k') > 50) AS k_hi,
+            |  round(avgIf(value, value > 0), 2) AS avg_pos,
+            |  toInt64(uniqExact(user_id)) AS users
+            |FROM events_chd5_v
+            |GROUP BY 1, 2
+            |ORDER BY ym, kind""".stripMargin)
+      },
+      Some("""SELECT CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym,
+             |  CASE WHEN event_type = 'purchase' THEN 'buy'
+             |       WHEN event_type = 'click' THEN 'engage'
+             |       ELSE 'other' END AS kind,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) FILTER (
+             |    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS k_hi,
+             |  round(avg(value) FILTER (WHERE value > 0), 2) AS avg_pos,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY ym, kind""".stripMargin)),
+
+    // ---- CH dialect, lambda-first higher-order array functions
+    // (arrayCount / arrayFilter / arrayUniq / splitByChar) ----
+    QueryDef(
+      "b_sql6_ch_dialect_arrays",
+      (s, d) => {
+        Tables.t(s, d, "documents").createOrReplaceTempView("documents_chd6_v")
+        s.sql(
+          """SELECT doc_id,
+            |  toInt64(arrayCount(x -> x <> '', splitByChar(' ', text))) AS words,
+            |  toInt64(arrayUniq(arrayFilter(x -> lengthUTF8(x) > 3,
+            |                                splitByChar(' ', text)))) AS long_uniq
+            |FROM documents_chd6_v
+            |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS words,
+             |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+             |                                     x -> length(x) > 3))) AS BIGINT) AS long_uniq
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 }

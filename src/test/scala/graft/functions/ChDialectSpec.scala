@@ -70,4 +70,175 @@ class ChDialectSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rows === Seq((1, "x"), (1, "y")))
   }
+
+  private def seqOf(sql: String): Seq[Any] =
+    one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  test("higher-order array functions take the lambda FIRST, CH-style") {
+    assert(seqOf("arrayMap(x -> x * 2, array(1,2,3))") === Seq(2, 4, 6))
+    assert(seqOf("arrayFilter(x -> x % 2 = 0, array(1,2,3,4))") === Seq(2, 4))
+    assert(one("arrayExists(x -> x > 2, array(1,2,3))") === true)
+    assert(one("arrayAll(x -> x > 0, array(1,2,3))") === true)
+    assert(one("arrayAll(x -> x > 1, array(1,2,3))") === false)
+    assert(one("arrayCount(x -> x > 1, array(1,2,3))") === 2)
+    assert(one("arrayFirst(x -> x > 1, array(1,2,3))") === 2)
+    assert(one("arrayFirst(x -> x > 9, array(1,2,3))") === null)
+  }
+
+  test("array utilities") {
+    assert(seqOf("arraySlice(array(1,2,3,4,5), 2, 3)") === Seq(2, 3, 4))
+    assert(seqOf("arraySlice(array(1,2,3,4,5), 3)") === Seq(3, 4, 5))
+    assert(seqOf("arrayFlatten(array(array(1,2), array(3)))") === Seq(1, 2, 3))
+    assert(one("arrayUniq(array(1,1,2,3,3))") === 3)
+    assert(seqOf("arrayPushBack(array(1,2), 3)") === Seq(1, 2, 3))
+    assert(seqOf("arrayPushFront(array(2,3), 1)") === Seq(1, 2, 3))
+    assert(seqOf("arrayPopBack(array(1,2,3))") === Seq(1, 2))
+    assert(seqOf("arrayPopBack(array())") === Seq())
+    assert(seqOf("arrayPopFront(array(1,2,3))") === Seq(2, 3))
+    assert(seqOf("arrayIntersect(array(1,2,3), array(2,3,4))").sortBy(_.toString) === Seq(2, 3))
+    assert(seqOf("arrayReverseSort(array(1,3,2))") === Seq(3, 2, 1))
+    assert(one("arrayMin(array(3,1,2))") === 1)
+    assert(one("arrayMax(array(3,1,2))") === 3)
+    assert(one("arrayAvg(array(1,2,3,4))") === 2.5)
+    assert(seqOf("arrayEnumerate(array('a','b','c'))") === Seq(1, 2, 3))
+  }
+
+  test("argMin/argMax/anyValue/anyLast/quantile aggregates") {
+    Seq(("a", 3), ("b", 1), ("c", 9)).toDF("k", "v").createOrReplaceTempView("chag")
+    val r = spark.sql(
+      """SELECT argMin(k, v) AS amn, argMax(k, v) AS amx,
+        |  anyValue(k) AS av, anyLast(k) AS al FROM chag""".stripMargin).head
+    assert(r.getString(0) === "b" && r.getString(1) === "c")
+    assert(Set("a", "b", "c").contains(r.getString(2)))
+    assert(Set("a", "b", "c").contains(r.getString(3)))
+    assert(spark.sql("SELECT quantile(v) FROM chag").head.get(0).toString.toDouble === 3.0)
+    assert(spark.sql("SELECT quantile(v, 1.0) FROM chag").head.get(0).toString.toDouble === 9.0)
+    assert(spark.sql("SELECT uniqCombined(v) FROM chag").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT groupBitAnd(v) FROM chag").head.getInt(0) === (3 & 1 & 9))
+    assert(spark.sql("SELECT groupBitOr(v) FROM chag").head.getInt(0) === (3 | 1 | 9))
+    assert(spark.sql("SELECT groupBitXor(v) FROM chag").head.getInt(0) === (3 ^ 1 ^ 9))
+    val s = spark.sql(
+      "SELECT covarPop(v, v), varSamp(v), stddevSamp(v), varPop(v) FROM chag").head
+    assert(math.abs(s.getDouble(0) - s.getDouble(3)) < 1e-9) // covarPop(v,v) = varPop
+    assert(math.abs(s.getDouble(2) - math.sqrt(s.getDouble(1))) < 1e-9)
+  }
+
+  test("date component extraction and truncation") {
+    val d = "toDate('2024-05-17')" // a Friday
+    assert(one(s"toYear($d)") === 2024)
+    assert(one(s"toQuarter($d)") === 2)
+    assert(one(s"toMonth($d)") === 5)
+    assert(one(s"toDayOfMonth($d)") === 17)
+    assert(one(s"toDayOfYear($d)") === 138)
+    assert(one(s"toDayOfWeek($d)") === 5) // CH: Monday=1 … Friday=5
+    assert(one(s"toStartOfYear($d)").toString === "2024-01-01")
+    assert(one(s"toStartOfQuarter($d)").toString === "2024-04-01")
+    assert(one(s"toMonday($d)").toString === "2024-05-13")
+    val ts = "toDateTime('2024-05-17 13:42:57')"
+    assert(one(s"toHour($ts)") === 13)
+    assert(one(s"toMinute($ts)") === 42)
+    assert(one(s"toSecond($ts)") === 57)
+    assert(one(s"toStartOfHour($ts)").toString === "2024-05-17 13:00:00.0")
+    assert(one(s"toStartOfMinute($ts)").toString === "2024-05-17 13:42:00.0")
+  }
+
+  test("date arithmetic and CH dateDiff semantics") {
+    val d = "toDate('2024-05-17')"
+    assert(one(s"addDays($d, 20)").toString === "2024-06-06")
+    assert(one(s"subtractDays($d, 17)").toString === "2024-04-30")
+    assert(one(s"addWeeks($d, 2)").toString === "2024-05-31")
+    assert(one(s"addMonths($d, 2)").toString === "2024-07-17")
+    assert(one(s"subtractMonths($d, 5)").toString === "2023-12-17")
+    assert(one(s"addYears($d, 1)").toString === "2025-05-17")
+    assert(one(s"subtractYears($d, 25)").toString === "1999-05-17")
+    // CH dateDiff(unit, s, e) = toRelative<Unit>Num(e) - toRelative<Unit>Num(s):
+    // calendar-BOUNDARY counting, not elapsed periods
+    def rel(unit: String, a: String, b: String): Long =
+      spark.sql(s"SELECT toRelative${unit}Num(toDate('$b')) - toRelative${unit}Num(toDate('$a')) AS r")
+        .head.get(0).toString.toLong
+    assert(rel("Day", "2024-05-17", "2024-05-20") === 3L)
+    assert(rel("Year", "2023-12-31", "2024-01-01") === 1L)
+    assert(rel("Month", "2024-01-31", "2024-02-01") === 1L)
+    assert(rel("Quarter", "2024-03-31", "2024-04-01") === 1L)
+    // Sun 2024-05-19 → Mon 2024-05-20 crosses a week boundary
+    assert(rel("Week", "2024-05-19", "2024-05-20") === 1L)
+    assert(rel("Week", "2024-05-20", "2024-05-26") === 0L)
+    assert(one("toRelativeDayNum(toDate('1970-01-11'))") === 10)
+    assert(one("toRelativeHourNum(toDateTime('1970-01-02 03:00:00'))") === 27L)
+    assert(one("toRelativeMinuteNum(toDateTime('1970-01-01 02:05:00'))") === 125L)
+    assert(one("toUnixTimestamp(toDateTime('1970-01-01 00:01:40'))") === 100L)
+    assert(one("fromUnixTimestamp(100)").toString === "1970-01-01 00:01:40.0")
+    assert(one("formatDateTime(toDateTime('2024-05-17 13:42:57'), '%Y-%m-%d %H:%i:%S')")
+      === "2024-05-17 13:42:57")
+    assert(one("formatDateTime(toDate('2024-05-17'), '%F')") === "2024-05-17")
+  }
+
+  test("multiIf, null handling, guarded division") {
+    assert(one("multiIf(1 > 2, 'a', 2 > 1, 'b', 'z')") === "b")
+    assert(one("multiIf(1 > 2, 'a', 2 > 3, 'b', 'z')") === "z")
+    assert(one("assumeNotNull(5)") === 5)
+    assert(one("toNullable(7)") === 7)
+    assert(one("intDivOrZero(7, 2)") === 3L)
+    assert(one("intDivOrZero(7, 0)") === 0L)
+    assert(one("moduloOrZero(7, 3)") === 1)
+    assert(one("moduloOrZero(7, 0)") === 0)
+  }
+
+  test("string spellings") {
+    assert(one("substringUTF8('hello', 2, 3)") === "ell")
+    assert(one("trimBoth('  x  ')") === "x")
+    assert(one("trimLeft('  x  ')") === "x  ")
+    assert(one("trimRight('  x  ')") === "  x")
+    assert(one("reverseUTF8('abc')") === "cba")
+    assert(one("leftUTF8('hello', 2)") === "he")
+    assert(one("rightUTF8('hello', 2)") === "lo")
+    assert(one("rightPad('ab', 4, '*')") === "ab**")
+    assert(one("base64Encode('hi')") === "aGk=")
+    assert(one("base64Decode('aGk=')") === "hi")
+  }
+
+  test("JSON extraction with CH key arguments") {
+    val j = """'{"k": "v", "n": 42, "f": 1.5, "b": true, "arr": [1,2,3]}'"""
+    assert(one(s"JSONExtractString($j, 'k')") === "v")
+    assert(one(s"JSONExtractInt($j, 'n')") === 42L)
+    assert(one(s"JSONExtractFloat($j, 'f')") === 1.5)
+    assert(one(s"JSONExtractBool($j, 'b')") === true)
+    assert(one(s"JSONHas($j, 'k')") === true)
+    assert(one(s"JSONHas($j, 'missing')") === false)
+    assert(one("JSONLength('[1,2,3]')") === 3)
+  }
+
+  test("math, tuples, maps") {
+    assert(one("exp2(10)") === 1024.0)
+    assert(one("exp10(3)") === 1000.0)
+    assert(one("roundBankers(cast(2.5 AS DOUBLE), 0)") === 2.0)
+    assert(one("roundBankers(cast(3.5 AS DOUBLE), 0)") === 4.0)
+    assert(one("tupleElement(tuple('a', 7), 1)") === "a")
+    assert(one("tupleElement(tuple('a', 7), 2)") === 7)
+    assert(one("tupleElement(named_struct('x', 5), 'x')") === 5)
+    assert(seqOf("mapKeys(map('a', 1, 'b', 2))").sortBy(_.toString) === Seq("a", "b"))
+    assert(seqOf("mapValues(map('a', 1, 'b', 2))").sortBy(_.toString) === Seq(1, 2))
+    assert(one("mapContains(map('a', 1), 'a')") === true)
+    assert(one("mapContains(map('a', 1), 'z')") === false)
+  }
+
+  test("UUID/IP transport spellings round-trip through the native expressions") {
+    val u = "018f3f4a-1111-7222-8333-abcdefabcdef"
+    assert(one(s"UUIDNumToString(UUIDStringToNum('$u'))") === u)
+    assert(one(s"IPv6NumToString(IPv6StringToNum('2001:db8::1'))") === "2001:db8::1")
+    assert(one("IPv4StringToNum('1.2.3.4')") === (1L << 24 | 2L << 16 | 3L << 8 | 4L))
+    assert(one("IPv4NumToString(16909060)") === "1.2.3.4")
+    assert(one("generateUUIDv4()").toString.length === 36)
+  }
+
+  test("no alias shadows a Spark builtin function (case-insensitive)") {
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
+    // dateDiff intentionally overlays builtin datediff but PRESERVES its
+    // 2-arg semantics exactly (asserted above) — the only allowed overlap
+    val allowed = Set("datediff")
+    val clashes = ChDialect.all.map(_._1.funcName)
+      .filter(n => builtin.contains(n.toLowerCase) && !allowed.contains(n.toLowerCase))
+    assert(clashes.isEmpty, s"dialect aliases shadow Spark builtins: $clashes")
+  }
 }
