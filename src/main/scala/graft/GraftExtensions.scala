@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CH SQL dialect: reference users' function spellings resolve onto
     // built-in Catalyst expressions (pure name mapping, codegen'd)
     functions.ChDialect.all.foreach(ext.injectFunction)
+    // CH parameterized-aggregate syntax `quantile(0.9)(x)`: quote-aware
+    // textual rewrite onto the two-arg spellings, then Spark's own parser
+    ext.injectParser((_, parser) => new functions.ChSqlParser(parser))
     // CH projections: transparent agg → pre-aggregate routing
     // (no-op until graft.plans.Projections.register is called)
     ext.injectOptimizerRule(session => new plans.RouteToProjection(session))

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   *
   * Deliberately NOT aliased: names Spark already owns (`length`,
   * `concat`, `position`, `coalesce`, `if`, `greatest` …) — shadowing a
-  * builtin would silently change existing queries' semantics; and CH's
-  * parameterized-aggregate syntax (`quantile(0.9)(x)`) which Spark's
-  * parser cannot form — those spell as two-arg functions instead
-  * (`quantileExact(x, 0.9)` ships as Spark `percentile`).
+  * builtin would silently change existing queries' semantics (enforced
+  * programmatically in ChDialectSpec against `FunctionRegistry.builtin`).
+  * CH's parameterized-aggregate syntax (`quantile(0.9)(x)`) is handled
+  * one layer up by [[ChSqlParser]], which rewrites it onto the two-arg
+  * spellings registered here.
   */
 object ChDialect {
 

@@ -193,6 +193,28 @@ object SettingsQueries extends QueryRegistry {
              |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
              |                                     x -> length(x) > 3))) AS BIGINT) AS long_uniq
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- CH parameterized-aggregate SYNTAX end-to-end: the injected
+    // ChSqlParser rewrites `quantileExact(p)(x)` onto the registered
+    // two-arg spelling before Spark's parser sees it ----
+    QueryDef(
+      "b_sql7_ch_param_agg",
+      (s, d) => {
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_chd7_v")
+        s.sql(
+          """SELECT l_returnflag,
+            |  round(quantileExact(0.5)(l_quantity), 2) AS med_qty,
+            |  round(quantileExact(0.9)(l_extendedprice), 2) AS p90_price
+            |FROM lineitem_chd7_v
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

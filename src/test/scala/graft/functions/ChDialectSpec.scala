@@ -231,6 +231,35 @@ class ChDialectSpec extends SparkSpec {
     assert(one("generateUUIDv4()").toString.length === 36)
   }
 
+  test("parameterized-aggregate syntax quantile(p)(x) parses via ChSqlParser") {
+    Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("v").createOrReplaceTempView("chpq")
+    assert(spark.sql("SELECT quantileExact(0.5)(v) FROM chpq")
+      .head.get(0).toString.toDouble === 5.5)
+    assert(spark.sql("SELECT round(quantile(1.0)(v), 1) FROM chpq")
+      .head.get(0).toString.toDouble === 10.0)
+    val qs = spark.sql("SELECT quantiles(0.0, 1.0)(v) FROM chpq").head
+      .getSeq[Double](0)
+    assert(qs === Seq(1.0, 10.0))
+    assert(spark.sql("SELECT uniqCombined(12)(v) FROM chpq").head.getLong(0) >= 9L)
+    // nested inside an expression, with other args around it
+    assert(spark.sql("SELECT round(quantileExact(0.5)(v) + 1.0, 1) FROM chpq")
+      .head.get(0).toString.toDouble === 6.5)
+  }
+
+  test("ChSqlRewrite never touches quoted text or valid Spark SQL") {
+    assert(ChSqlRewrite("SELECT 'quantile(0.5)(x)' AS s") === "SELECT 'quantile(0.5)(x)' AS s")
+    assert(ChSqlRewrite("SELECT `quantile` FROM t -- quantile(1)(x)")
+      === "SELECT `quantile` FROM t -- quantile(1)(x)")
+    val plain = "SELECT percentile(v, 0.5), count(*) FROM t WHERE a > (SELECT max(b) FROM u)"
+    assert(ChSqlRewrite(plain) === plain)
+    assert(ChSqlRewrite("SELECT quantile(0.9)(x) FROM t") === "SELECT quantile(x, 0.9) FROM t")
+    assert(ChSqlRewrite("SELECT quantiles(0.1, 0.9)(x + 1) FROM t")
+      === "SELECT percentile(x + 1, array(0.1, 0.9)) FROM t")
+    // two occurrences both rewrite; string in between survives
+    assert(ChSqlRewrite("SELECT quantile(0.1)(a), ')(', quantile(0.2)(b) FROM t")
+      === "SELECT quantile(a, 0.1), ')(', quantile(b, 0.2) FROM t")
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
