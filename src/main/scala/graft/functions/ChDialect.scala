@@ -85,6 +85,44 @@ object ChDialect {
     out.toString
   }
 
+  private def tryCast(e: Expression, t: DataType): Expression =
+    Cast(e, t, None, EvalMode.TRY)
+
+  private def litInt(e: Expression, fname: String): Int = e match {
+    case Literal(n: Byte, ByteType) => n.toInt
+    case Literal(n: Short, ShortType) => n.toInt
+    case Literal(n: Int, IntegerType) => n
+    case Literal(n: Long, LongType) => n.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fname expects an integer literal, got $other")
+  }
+
+  /** Floor a timestamp to a whole number of seconds since epoch. */
+  private def floorToSeconds(ts: Expression, sec: Long): Expression = {
+    val epoch = Cast(Cast(ts, TimestampType), LongType)
+    Cast(Multiply(IntegralDivide(epoch, Literal(sec)), Literal(sec)), TimestampType)
+  }
+
+  /** CH `toStartOfInterval(ts, INTERVAL n unit)`: Spark parses the
+    * interval literal as an ANSI day-time (micros) or year-month (months)
+    * literal — align on the matching boundary. */
+  private def toStartOfInterval(ts: Expression, interval: Expression): Expression =
+    interval match {
+      case Literal(micros: Long, _: DayTimeIntervalType) =>
+        require(micros > 0 && micros % 1000000L == 0,
+          "toStartOfInterval supports whole-second day-time intervals")
+        floorToSeconds(ts, micros / 1000000L)
+      case Literal(months: Int, _: YearMonthIntervalType) => months match {
+        case 1 => TruncDate(Cast(ts, DateType), Literal("month"))
+        case 3 => TruncDate(Cast(ts, DateType), Literal("quarter"))
+        case 12 => TruncDate(Cast(ts, DateType), Literal("year"))
+        case m => throw new IllegalArgumentException(
+          s"toStartOfInterval: unsupported month interval $m (use 1, 3 or 12)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"toStartOfInterval expects an INTERVAL literal, got $other")
+    }
+
   val all: Seq[(FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, FunctionBuilder)] = Seq(
     // ---- conditional aggregates (CH `-If` combinators) ----
     fn("countIf", 1) { a => Count(Seq(If(a.head, Literal(1), Literal(null, IntegerType)))) },
@@ -388,5 +426,56 @@ object ChDialect {
       Cast(Conv(Hex(ValueExpressions.Ipv4Binary(a.head)), Literal(16), Literal(10)), LongType) },
     fn("IPv4NumToString", 1) { a =>
       ValueExpressions.Ipv4String(Unhex(new StringLPad(Hex(a.head), Literal(8), Literal("0")))) },
-    fn("generateUUIDv4", 0) { _ => new Uuid() })
+    fn("generateUUIDv4", 0) { _ => new Uuid() },
+
+    // ---- weighted average + more -If combinators ----
+    fn("avgWeighted", 2) { a =>
+      Divide(
+        Sum(Multiply(Cast(a.head, DoubleType), Cast(a(1), DoubleType))).toAggregateExpression(),
+        Sum(Cast(a(1), DoubleType)).toAggregateExpression()) },
+    fn("uniqIf", 2) { a =>
+      new HyperLogLogPlusPlus(If(a(1), a.head, Literal(null, NullType))) },
+    fn("uniqExactIf", 2) { a =>
+      Size(CollectSet(If(a(1), a.head, Literal(null, NullType))).toAggregateExpression()) },
+    fn("sumIfOrNull", 2) { a => Sum(If(a(1), a.head, Literal(null, NullType))) },
+
+    // ---- window-function spellings (attach OVER (...) as usual) ----
+    fnVar("lagInFrame", 1) { a =>
+      if (a.length >= 3) Lag(a.head, a(1), a(2), ignoreNulls = false)
+      else if (a.length == 2) Lag(a.head, a(1), Literal(null), ignoreNulls = false)
+      else Lag(a.head, Literal(1), Literal(null), ignoreNulls = false) },
+    fnVar("leadInFrame", 1) { a =>
+      if (a.length >= 3) Lead(a.head, a(1), a(2), ignoreNulls = false)
+      else if (a.length == 2) Lead(a.head, a(1), Literal(null), ignoreNulls = false)
+      else Lead(a.head, Literal(1), Literal(null), ignoreNulls = false) },
+
+    // ---- interval-aligned truncation ----
+    fn("toStartOfFiveMinutes", 1) { a => floorToSeconds(a.head, 300L) },
+    fn("toStartOfTenMinutes", 1) { a => floorToSeconds(a.head, 600L) },
+    fn("toStartOfFifteenMinutes", 1) { a => floorToSeconds(a.head, 900L) },
+    fn("toStartOfInterval", 2) { a => toStartOfInterval(a.head, a(1)) },
+
+    // ---- safe-cast families (CH *OrNull / *OrZero) ----
+    fn("toInt8OrNull", 1) { a => tryCast(a.head, ByteType) },
+    fn("toInt16OrNull", 1) { a => tryCast(a.head, ShortType) },
+    fn("toInt32OrNull", 1) { a => tryCast(a.head, IntegerType) },
+    fn("toInt64OrNull", 1) { a => tryCast(a.head, LongType) },
+    fn("toFloat32OrNull", 1) { a => tryCast(a.head, FloatType) },
+    fn("toFloat64OrNull", 1) { a => tryCast(a.head, DoubleType) },
+    fn("toDateOrNull", 1) { a => tryCast(a.head, DateType) },
+    fn("toDateTimeOrNull", 1) { a => tryCast(a.head, TimestampType) },
+    fn("toInt8OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, ByteType), Literal(0.toByte))) },
+    fn("toInt16OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, ShortType), Literal(0.toShort))) },
+    fn("toInt32OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, IntegerType), Literal(0))) },
+    fn("toInt64OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, LongType), Literal(0L))) },
+    fn("toFloat32OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, FloatType), Literal(0.0f))) },
+    fn("toFloat64OrZero", 1) { a => Coalesce(Seq(tryCast(a.head, DoubleType), Literal(0.0))) },
+
+    // ---- decimal conversions (CH toDecimalN(x, scale)) ----
+    fn("toDecimal32", 2) { a =>
+      Cast(a.head, DecimalType(9, litInt(a(1), "toDecimal32"))) },
+    fn("toDecimal64", 2) { a =>
+      Cast(a.head, DecimalType(18, litInt(a(1), "toDecimal64"))) },
+    fn("toDecimal128", 2) { a =>
+      Cast(a.head, DecimalType(38, litInt(a(1), "toDecimal128"))) })
 }

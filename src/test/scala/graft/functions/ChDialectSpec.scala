@@ -231,6 +231,53 @@ class ChDialectSpec extends SparkSpec {
     assert(one("generateUUIDv4()").toString.length === 36)
   }
 
+  test("avgWeighted and -If uniq combinators") {
+    Seq((1.0, 1.0), (2.0, 3.0), (10.0, 0.0)).toDF("x", "w").createOrReplaceTempView("chaw")
+    // (1*1 + 2*3 + 10*0) / (1 + 3 + 0) = 7/4
+    assert(spark.sql("SELECT avgWeighted(x, w) FROM chaw").head.getDouble(0) === 1.75)
+    Seq(1, 2, 2, 3, 4, 4).toDF("v").createOrReplaceTempView("chui")
+    assert(spark.sql("SELECT uniqExactIf(v, v % 2 = 0) FROM chui").head.get(0) === 2)
+    val u = spark.sql("SELECT uniqIf(v, v % 2 = 0) FROM chui").head.getLong(0)
+    assert(u >= 1L && u <= 3L)
+  }
+
+  test("lagInFrame/leadInFrame window spellings") {
+    Seq((1, 10), (2, 20), (3, 30)).toDF("i", "v").createOrReplaceTempView("chwf")
+    val rows = spark.sql(
+      """SELECT i, lagInFrame(v) OVER (ORDER BY i) AS lg,
+        |  leadInFrame(v, 1, -1) OVER (ORDER BY i) AS ld
+        |FROM chwf ORDER BY i""".stripMargin).collect()
+    assert(rows.map(r => Option(r.get(1))).toSeq === Seq(None, Some(10), Some(20)))
+    assert(rows.map(_.getInt(2)).toSeq === Seq(20, 30, -1))
+  }
+
+  test("interval-aligned truncation") {
+    val ts = "toDateTime('2024-05-17 13:47:29')"
+    assert(one(s"toStartOfFiveMinutes($ts)").toString === "2024-05-17 13:45:00.0")
+    assert(one(s"toStartOfTenMinutes($ts)").toString === "2024-05-17 13:40:00.0")
+    assert(one(s"toStartOfFifteenMinutes($ts)").toString === "2024-05-17 13:45:00.0")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 30 MINUTE)").toString === "2024-05-17 13:30:00.0")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 1 HOUR)").toString === "2024-05-17 13:00:00.0")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 1 MONTH)").toString === "2024-05-01")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 3 MONTH)").toString === "2024-04-01")
+    assert(one(s"toStartOfInterval($ts, INTERVAL 12 MONTH)").toString === "2024-01-01")
+  }
+
+  test("OrNull/OrZero safe casts and decimal conversions") {
+    assert(one("toInt32OrNull('42')") === 42)
+    assert(one("toInt32OrNull('nope')") === null)
+    assert(one("toInt32OrZero('nope')") === 0)
+    assert(one("toInt64OrZero('7')") === 7L)
+    assert(one("toFloat64OrNull('x')") === null)
+    assert(one("toFloat64OrZero('2.5')") === 2.5)
+    assert(one("toDateOrNull('not-a-date')") === null)
+    assert(one("toDateOrNull('2024-05-17')").toString === "2024-05-17")
+    assert(one("toDateTimeOrNull('nope')") === null)
+    assert(one("toDecimal32('3.14159', 2)").toString === "3.14")
+    assert(one("toDecimal64(2.5, 1)").toString === "2.5")
+    assert(one("toDecimal128('1e20', 0)").toString === "100000000000000000000")
+  }
+
   test("parameterized-aggregate syntax quantile(p)(x) parses via ChSqlParser") {
     Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("v").createOrReplaceTempView("chpq")
     assert(spark.sql("SELECT quantileExact(0.5)(v) FROM chpq")
