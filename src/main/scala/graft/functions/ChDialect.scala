@@ -123,6 +123,20 @@ object ChDialect {
         s"toStartOfInterval expects an INTERVAL literal, got $other")
     }
 
+  private def emptyIfNull(e: Expression): Expression = Coalesce(Seq(e, Literal("")))
+
+  /** Haversine distance in meters for (lon1, lat1, lon2, lat2) degrees. */
+  private def haversineMeters(a: Seq[Expression], radius: Double): Expression = {
+    def rad(e: Expression) = Multiply(Cast(e, DoubleType), Literal(math.Pi / 180.0))
+    val (lon1, lat1, lon2, lat2) = (rad(a(0)), rad(a(1)), rad(a(2)), rad(a(3)))
+    def half(e: Expression) = Divide(e, Literal(2.0))
+    def sq(e: Expression) = Multiply(e, e)
+    val h = Add(
+      sq(Sin(half(Subtract(lat2, lat1)))),
+      Multiply(Multiply(Cos(lat1), Cos(lat2)), sq(Sin(half(Subtract(lon2, lon1))))))
+    Multiply(Literal(2.0 * radius), Asin(Sqrt(h)))
+  }
+
   val all: Seq[(FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, FunctionBuilder)] = Seq(
     // ---- conditional aggregates (CH `-If` combinators) ----
     fn("countIf", 1) { a => Count(Seq(If(a.head, Literal(1), Literal(null, IntegerType)))) },
@@ -477,5 +491,36 @@ object ChDialect {
     fn("toDecimal64", 2) { a =>
       Cast(a.head, DecimalType(18, litInt(a(1), "toDecimal64"))) },
     fn("toDecimal128", 2) { a =>
-      Cast(a.head, DecimalType(38, litInt(a(1), "toDecimal128"))) })
+      Cast(a.head, DecimalType(38, litInt(a(1), "toDecimal128"))) },
+
+    // ---- URL functions (CH URL family → parse_url; CH returns '' for
+    // absent parts, parse_url returns NULL — coalesce to match) ----
+    fn("protocol", 1) { a => emptyIfNull(ParseUrl(Seq(a.head, Literal("PROTOCOL")), false)) },
+    fn("domain", 1) { a => emptyIfNull(ParseUrl(Seq(a.head, Literal("HOST")), false)) },
+    fn("domainWithoutWWW", 1) { a =>
+      emptyIfNull(RegExpReplace(
+        ParseUrl(Seq(a.head, Literal("HOST")), false), Literal("^www\\."), Literal(""))) },
+    fn("topLevelDomain", 1) { a =>
+      emptyIfNull(RegExpExtract(
+        ParseUrl(Seq(a.head, Literal("HOST")), false), Literal("\\.([^.]+)$"), Literal(1))) },
+    fn("path", 1) { a => emptyIfNull(ParseUrl(Seq(a.head, Literal("PATH")), false)) },
+    fn("pathFull", 1) { a =>
+      Concat(Seq(
+        emptyIfNull(ParseUrl(Seq(a.head, Literal("PATH")), false)),
+        If(IsNull(ParseUrl(Seq(a.head, Literal("QUERY")), false)), Literal(""),
+          Concat(Seq(Literal("?"), ParseUrl(Seq(a.head, Literal("QUERY")), false)))))) },
+    fn("queryString", 1) { a => emptyIfNull(ParseUrl(Seq(a.head, Literal("QUERY")), false)) },
+    fn("fragment", 1) { a => emptyIfNull(ParseUrl(Seq(a.head, Literal("REF")), false)) },
+    fn("extractURLParameter", 2) { a =>
+      emptyIfNull(ParseUrl(Seq(a.head, Literal("QUERY"), a(1)), false)) },
+    fn("cutQueryString", 1) { a =>
+      RegExpReplace(a.head, Literal("\\?[^#]*"), Literal("")) },
+    fn("cutFragment", 1) { a =>
+      RegExpReplace(a.head, Literal("#.*$"), Literal("")) },
+
+    // ---- geo distance (CH greatCircleDistance/geoDistance: meters
+    // between (lon1,lat1),(lon2,lat2); haversine on the builtin trig
+    // expressions — stays inside whole-stage codegen) ----
+    fn("greatCircleDistance", 4) { a => haversineMeters(a, 6371000.0) },
+    fn("geoDistance", 4) { a => haversineMeters(a, 6372797.560856) })
 }

@@ -278,6 +278,34 @@ class ChDialectSpec extends SparkSpec {
     assert(one("toDecimal128('1e20', 0)").toString === "100000000000000000000")
   }
 
+  test("URL function family") {
+    val u = "'https://www.example.co.uk/a/b?x=1&y=2#frag'"
+    assert(one(s"protocol($u)") === "https")
+    assert(one(s"domain($u)") === "www.example.co.uk")
+    assert(one(s"domainWithoutWWW($u)") === "example.co.uk")
+    assert(one(s"topLevelDomain($u)") === "uk")
+    assert(one(s"path($u)") === "/a/b")
+    assert(one(s"pathFull($u)") === "/a/b?x=1&y=2")
+    assert(one(s"queryString($u)") === "x=1&y=2")
+    assert(one(s"fragment($u)") === "frag")
+    assert(one(s"extractURLParameter($u, 'y')") === "2")
+    assert(one(s"extractURLParameter($u, 'zz')") === "")
+    assert(one(s"cutQueryString($u)") === "https://www.example.co.uk/a/b#frag")
+    assert(one(s"cutFragment($u)") === "https://www.example.co.uk/a/b?x=1&y=2")
+    assert(one("domain('not a url')") === "")
+  }
+
+  test("geo distance") {
+    // Paris (2.3522E, 48.8566N) → London (-0.1276E, 51.5072N) ≈ 343.5 km
+    val d = one("greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
+      .asInstanceOf[Double]
+    assert(d > 330000.0 && d < 360000.0)
+    assert(one("greatCircleDistance(0.0, 0.0, 0.0, 0.0)") === 0.0)
+    // geoDistance uses a slightly larger mean radius
+    val g = one("geoDistance(2.3522, 48.8566, -0.1276, 51.5072)").asInstanceOf[Double]
+    assert(math.abs(g - d) / d < 0.001)
+  }
+
   test("parameterized-aggregate syntax quantile(p)(x) parses via ChSqlParser") {
     Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("v").createOrReplaceTempView("chpq")
     assert(spark.sql("SELECT quantileExact(0.5)(v) FROM chpq")
