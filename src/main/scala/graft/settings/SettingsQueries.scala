@@ -215,6 +215,34 @@ object SettingsQueries extends QueryRegistry {
              |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- CH URL function family over synthesized crawl URLs; the
+    // oracle states the expected parts by construction ----
+    QueryDef(
+      "b_sql8_ch_url",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), concat(
+            lit("https://docs.example.com/"), col("source"), lit("/"),
+            col("doc_id").cast("string"),
+            lit("?page="), (col("doc_id") % 10).cast("string"),
+            lit("&utm_source=feed#s")).as("url"))
+          .createOrReplaceTempView("urls_chd8_v")
+        s.sql(
+          """SELECT doc_id, domain(url) AS host, path(url) AS pth,
+            |  extractURLParameter(url, 'page') AS page,
+            |  cutQueryString(url) AS no_q
+            |FROM urls_chd8_v
+            |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, 'docs.example.com' AS host,
+             |  '/' || source || '/' || CAST(doc_id AS VARCHAR) AS pth,
+             |  CAST(doc_id % 10 AS VARCHAR) AS page,
+             |  'https://docs.example.com/' || source || '/' ||
+             |    CAST(doc_id AS VARCHAR) || '#s' AS no_q
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 }
