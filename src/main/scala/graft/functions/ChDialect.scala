@@ -522,5 +522,70 @@ object ChDialect {
     // between (lon1,lat1),(lon2,lat2); haversine on the builtin trig
     // expressions — stays inside whole-stage codegen) ----
     fn("greatCircleDistance", 4) { a => haversineMeters(a, 6371000.0) },
-    fn("geoDistance", 4) { a => haversineMeters(a, 6372797.560856) })
+    fn("geoDistance", 4) { a => haversineMeters(a, 6372797.560856) },
+
+    // ---- array math (CH neighbors/prefix-sum shapes, O(n)) ----
+    fn("arrayDifference", 1) { a =>
+      // [0, a1-a0, a2-a1, ...]: zip the array against itself shifted one
+      // right (first element pairs with itself → leading 0)
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      val y = UnresolvedNamedLambdaVariable(Seq("ch_y_"))
+      val shifted = Concat(Seq(
+        CreateArray(Seq(ElementAt(a.head, Literal(1), None, failOnError = false))),
+        Slice(a.head, Literal(1), Subtract(Size(a.head), Literal(1)))))
+      If(EqualTo(Size(a.head), Literal(0)), a.head,
+        ZipWith(a.head, shifted, LambdaFunction(Subtract(x, y), Seq(x, y)))) },
+    fn("arrayCumSum", 1) { a =>
+      // running prefix sums via aggregate(): acc carries the sums so far,
+      // each step appends last+x (bounded-array assumption, like CH)
+      val acc = UnresolvedNamedLambdaVariable(Seq("ch_acc_"))
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      val out = UnresolvedNamedLambdaVariable(Seq("ch_out_"))
+      ArrayAggregate(a.head, Slice(a.head, Literal(1), Literal(0)),
+        LambdaFunction(
+          Concat(Seq(acc, CreateArray(Seq(Add(
+            Coalesce(Seq(ElementAt(acc, Literal(-1), None, failOnError = false), Literal(0))),
+            x))))),
+          Seq(acc, x)),
+        LambdaFunction(out, Seq(out))) },
+    fn("bitTest", 2) { a =>
+      Cast(BitwiseAnd(ShiftRight(a.head, Cast(a(1), IntegerType)), Literal(1)), ByteType) },
+    fn("intExp2", 1) { a => ShiftLeft(Literal(1L), Cast(a.head, IntegerType)) },
+    fn("intExp10", 1) { a =>
+      Cast(Pow(Literal(10.0), Cast(a.head, DoubleType)), LongType) },
+    fn("ifNotFinite", 2) { a =>
+      val d = Cast(a.head, DoubleType)
+      If(Or(IsNaN(d), Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+        EqualTo(d, Literal(Double.NegativeInfinity)))), a(1), a.head) },
+
+    // ---- string tokenizers / search ----
+    fn("splitByString", 2) { a =>
+      StringSplit(a(1), Literal(java.util.regex.Pattern.quote(litString(a.head, "splitByString"))),
+        Literal(-1)) },
+    fn("splitByRegexp", 2) { a => StringSplit(a(1), a.head, Literal(-1)) },
+    fn("alphaTokens", 1) { a =>
+      RegExpExtractAll(a.head, Literal("[A-Za-z]+"), Literal(0)) },
+    fn("tokens", 1) { a =>
+      RegExpExtractAll(a.head, Literal("[\\p{L}\\p{N}_]+"), Literal(0)) },
+    // CH extractAll uses capture group 1 when the pattern has one; this
+    // alias extracts the WHOLE match — spell the group explicitly if needed
+    fn("extractAll", 2) { a => RegExpExtractAll(a.head, a(1), Literal(0)) },
+    fn("countSubstrings", 2) { a =>
+      If(EqualTo(Length(a(1)), Literal(0)), Literal(0L),
+        IntegralDivide(
+          Subtract(Length(a.head), Length(StringReplace(a.head, a(1), Literal("")))),
+          Length(a(1)))) },
+    fn("concatWithSeparator", 3) { a => ConcatWs(Seq(a.head, a(1), a(2))) },
+    fn("positionCaseInsensitive", 2) { a =>
+      new StringLocate(Lower(a(1)), Lower(a.head)) },
+    fn("appendTrailingCharIfAbsent", 2) { a =>
+      If(EndsWith(a.head, a(1)), a.head, Concat(Seq(a.head, a(1)))) },
+
+    // ---- more date conversions ----
+    fn("timeSlot", 1) { a => floorToSeconds(a.head, 1800L) },
+    fn("YYYYMMDDToDate", 1) { a =>
+      tryCast(new ParseToDate(Cast(a.head, StringType), Literal("yyyyMMdd")), DateType) },
+    fn("YYYYMMDDhhmmssToDateTime", 1) { a =>
+      tryCast(new ParseToTimestamp(Cast(a.head, StringType), Literal("yyyyMMddHHmmss")),
+        TimestampType) })
 }

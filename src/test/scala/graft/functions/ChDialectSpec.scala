@@ -306,6 +306,43 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(g - d) / d < 0.001)
   }
 
+  test("array math: difference, cumulative sum, bit helpers") {
+    assert(seqOf("arrayDifference(array(1, 4, 9, 16))") === Seq(0, 3, 5, 7))
+    assert(seqOf("arrayDifference(array(5))") === Seq(0))
+    assert(seqOf("arrayDifference(array())") === Seq())
+    assert(seqOf("arrayCumSum(array(1, 2, 3, 4))") === Seq(1, 3, 6, 10))
+    assert(seqOf("arrayCumSum(CAST(array() AS ARRAY<INT>))") === Seq())
+    assert(one("bitTest(10, 1)") === 1.toByte)
+    assert(one("bitTest(10, 2)") === 0.toByte)
+    assert(one("intExp2(10)") === 1024L)
+    assert(one("intExp10(3)") === 1000L)
+    assert(one("ifNotFinite(cast('Infinity' AS DOUBLE), -1.0)") === -1.0)
+    assert(one("ifNotFinite(cast('NaN' AS DOUBLE), -1.0)") === -1.0)
+    assert(one("ifNotFinite(cast(2.5 AS DOUBLE), -1.0)") === 2.5)
+  }
+
+  test("string tokenizers and search helpers") {
+    assert(seqOf("splitByString('::', 'a::b::c')") === Seq("a", "b", "c"))
+    assert(seqOf("splitByRegexp('[0-9]+', 'a1b22c')") === Seq("a", "b", "c"))
+    assert(seqOf("alphaTokens('abc2def 3ghi')") === Seq("abc", "def", "ghi"))
+    assert(seqOf("tokens('hello, wörld_9!')") === Seq("hello", "wörld_9"))
+    assert(seqOf("extractAll('a1b22c', '[0-9]+')") === Seq("1", "22"))
+    assert(one("countSubstrings('ababab', 'ab')") === 3L)
+    assert(one("countSubstrings('aaa', '')") === 0L)
+    assert(one("concatWithSeparator('-', 'a', 'b')") === "a-b")
+    assert(one("positionCaseInsensitive('Hello', 'LL')") === 3)
+    assert(one("appendTrailingCharIfAbsent('dir', '/')") === "dir/")
+    assert(one("appendTrailingCharIfAbsent('dir/', '/')") === "dir/")
+  }
+
+  test("timeSlot and YYYYMMDD conversions") {
+    assert(one("timeSlot(toDateTime('2024-05-17 13:47:29'))").toString
+      === "2024-05-17 13:30:00.0")
+    assert(one("YYYYMMDDToDate(20240517)").toString === "2024-05-17")
+    assert(one("YYYYMMDDhhmmssToDateTime(20240517134257)").toString
+      === "2024-05-17 13:42:57.0")
+  }
+
   test("parameterized-aggregate syntax quantile(p)(x) parses via ChSqlParser") {
     Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("v").createOrReplaceTempView("chpq")
     assert(spark.sql("SELECT quantileExact(0.5)(v) FROM chpq")
