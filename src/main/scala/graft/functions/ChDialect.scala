@@ -302,6 +302,13 @@ object ChDialect {
     fnVar("quantileTDigest", 1) { a =>
       new ApproximatePercentile(a.head, if (a.length >= 2) a(1) else Literal(0.5)) },
     fn("uniqCombined", 1) { a => new HyperLogLogPlusPlus(a.head) },
+    // CH uniqUpTo(N)(x): exact count while <= N, else N+1 — the cheap
+    // "are there more than N distinct?" probe. ChSqlParser rewrites the
+    // parameterized form onto this two-arg spelling.
+    fn("uniqUpTo", 2) { a =>
+      Least(Seq(
+        Size(CollectSet(a.head).toAggregateExpression()),
+        Add(Cast(a(1), IntegerType), Literal(1)))) },
     fn("uniqHLL12", 1) { a => new HyperLogLogPlusPlus(a.head) },
     fn("groupBitAnd", 1) { a => BitAndAgg(a.head) },
     fn("groupBitOr", 1) { a => BitOrAgg(a.head) },

@@ -52,7 +52,7 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object ChSqlRewrite {
   /** name(P)(A) → name(A, P) */
-  private val swapParam = Set("quantile", "quantileexact", "quantiletdigest")
+  private val swapParam = Set("quantile", "quantileexact", "quantiletdigest", "uniqupto")
 
   def apply(sql: String): String = {
     var cur = sql

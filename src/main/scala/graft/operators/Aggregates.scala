@@ -296,6 +296,26 @@ object Aggregates extends QueryRegistry {
              |    x -> CAST(round(x, 2) AS VARCHAR)), ',') AS q_arr
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- Shannon entropy of a column's value distribution (CH
+    // `entropy(x)`): one hash-aggregate over the corpus → a
+    // distinct-value-bounded spectrum; the normalization window runs over
+    // that tiny spectrum, never the corpus. ----
+    QueryDef(
+      "b_agg45_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "events")
+          .groupBy(col("event_type")).agg(count(lit(1)).cast("double").as("c"))
+        val p = col("c") / sum(col("c")).over(Window.partitionBy())
+        counts
+          .select(p.as("p"))
+          .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
+      },
+      Some("""SELECT round(-sum(p * log2(p)), 4) AS entropy FROM (
+             |  SELECT CAST(count(*) AS DOUBLE) /
+             |         (SELECT count(*) FROM events) AS p
+             |  FROM events GROUP BY event_type)""".stripMargin)),
+
     // ---- grouping() discriminator over ROLLUP (CH `WITH ROLLUP` rows
     // are distinguished the same way): subtotal rows labeled by the
     // grouping bit so consumers can split detail from rollup. ----

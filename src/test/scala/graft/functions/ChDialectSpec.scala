@@ -353,6 +353,9 @@ class ChDialectSpec extends SparkSpec {
       .getSeq[Double](0)
     assert(qs === Seq(1.0, 10.0))
     assert(spark.sql("SELECT uniqCombined(12)(v) FROM chpq").head.getLong(0) >= 9L)
+    // uniqUpTo: exact while <= N, else N+1
+    assert(spark.sql("SELECT uniqUpTo(3)(v) FROM chpq").head.getInt(0) === 4)
+    assert(spark.sql("SELECT uniqUpTo(20)(v) FROM chpq").head.getInt(0) === 10)
     // nested inside an expression, with other args around it
     assert(spark.sql("SELECT round(quantileExact(0.5)(v) + 1.0, 1) FROM chpq")
       .head.get(0).toString.toDouble === 6.5)
