@@ -42,6 +42,8 @@ object Sessions {
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // CH-style introspection: SELECT * FROM system.tables/columns/...
+      .config("spark.sql.catalog.system", "graft.connector.SystemCatalog")
       .config("spark.ui.enabled", "false")
 
   def local(cores: String, shufflePartitions: String): SparkSession = {

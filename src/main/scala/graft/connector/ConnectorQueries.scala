@@ -207,6 +207,23 @@ object ConnectorQueries extends QueryRegistry {
           .select(col("n_name"), col("n_regionkey"))
           .filter(col("n_regionkey") >= 2)
       },
-      Some("SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 2"))
+      Some("SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 2")),
+
+    // ---- system.* introspection (CH system.tables/columns surface):
+    // driver-local metadata snapshots through the DSv2 system catalog.
+    // No DuckDB analog (engine introspection) → rows-only; semantics
+    // pinned in SystemCatalogSpec. ----
+    QueryDef(
+      "b_sys1_system_tables",
+      (s, d) => {
+        graft.Tables.t(s, d, "nation").createOrReplaceTempView("nation_sys_v")
+        s.sql(
+          """SELECT t.name AS table_name, c.name AS col, c.type, c.position
+            |FROM system.tables t
+            |JOIN system.columns c ON c.table = t.name
+            |WHERE t.name = 'nation_sys_v'
+            |ORDER BY c.position""".stripMargin)
+      },
+      None)
   )
 }
