@@ -54,8 +54,19 @@ object ChSqlRewrite {
   /** name(P)(A) → name(A, P) */
   private val swapParam = Set("quantile", "quantileexact", "quantiletdigest", "uniqupto")
 
+  /** CH queries routinely end `... FORMAT JSONEachRow;` — the output
+    * format is a CLIENT concern in CH (a DataFrame here), and Spark's
+    * grammar rejects the clause. Strip a trailing `FORMAT <ident>` and/or
+    * `;`. No valid Spark query can end this way (an alias named `format`
+    * cannot be followed by a bare identifier), so this only rescues
+    * queries that would otherwise fail to parse. */
+  private val trailingFormat =
+    "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9_]*\\s*;?\\s*$".r
+  private val trailingSemi = "(?s)\\s*;\\s*$".r
+
   def apply(sql: String): String = {
-    var cur = sql
+    var cur = trailingSemi.replaceFirstIn(
+      trailingFormat.replaceFirstIn(sql, ""), "")
     var changed = true
     var guard = 0
     while (changed && guard < 1000) {

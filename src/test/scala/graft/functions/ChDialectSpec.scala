@@ -375,6 +375,16 @@ class ChDialectSpec extends SparkSpec {
       === "SELECT quantile(a, 0.1), ')(', quantile(b, 0.2) FROM t")
   }
 
+  test("trailing FORMAT clause and semicolon are stripped like a CH client") {
+    assert(spark.sql("SELECT 1 AS x FORMAT JSONEachRow").head.getInt(0) === 1)
+    assert(spark.sql("SELECT 2 AS x FORMAT Pretty;").head.getInt(0) === 2)
+    assert(spark.sql("SELECT 3 AS x;").head.getInt(0) === 3)
+    // a string literal ending in a FORMAT-like tail is untouched
+    assert(one("'use FORMAT JSON'") === "use FORMAT JSON")
+    assert(ChSqlRewrite("SELECT countIf(x > 0) FROM t FORMAT CSV;")
+      === "SELECT countIf(x > 0) FROM t")
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet

@@ -53,4 +53,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("*(1)"), s"$q left WholeStageCodegen:\n$p")
     }
   }
+
+  test("CH dialect queries plan identically to native Spark spellings") {
+    // the dialect is pure name mapping, so the aggregate shape must match
+    // what the native spelling produces: map-side partials, one hash
+    // exchange (+ one range exchange for the ORDER BY), no cartesians
+    for (q <- Seq("b_sql4_ch_dialect", "b_sql5_ch_dialect_wide")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q should shuffle at most twice (agg+sort), saw $exchanges:\n$p")
+    }
+    // dialect scalar pipeline (lambda-first arrays over one table):
+    // no join, no cartesian, single range exchange for the ORDER BY
+    val p6 = plan("b_sql6_ch_dialect_arrays")
+    assert(!p6.contains("CartesianProduct"), s"b_sql6 went cartesian:\n$p6")
+    assert("Exchange".r.findAllIn(p6).length <= 1, s"b_sql6 over-shuffles:\n$p6")
+  }
 }
