@@ -126,6 +126,18 @@ object ArrowCodec {
       case _: ArrowType.Struct =>
         StructType(f.getChildren.asScala.map(fromArrowField).toSeq)
       case fsb: ArrowType.FixedSizeBinary => BinaryType
+      case u: ArrowType.Union =>
+        // CH `Variant(...)` wire form (reference `arrow/types.rs:483-499`):
+        // dense union, child NAME = the CH type name, type code = branch
+        // index. Maps onto the §1.2 tagged struct (variant_type, v0..vN);
+        // the scan reader materializes it as exactly that struct.
+        require(u.getMode == org.apache.arrow.vector.types.UnionMode.Dense,
+          "connector transports Dense unions (the CH Variant wire form) only")
+        StructType(
+          StructField("variant_type", StringType, nullable = false) +:
+          f.getChildren.asScala.toSeq.zipWithIndex.map { case (c, i) =>
+            StructField(s"v$i", fromArrowField(c).dataType, nullable = true)
+          })
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
     }
@@ -494,6 +506,39 @@ object ArrowCodec {
           out.setValueCount(n)
           decoded ::= out
           out
+        // CH Variant (dense union, reference `arrow/types.rs:483-499`):
+        // Spark's ArrowColumnVector has no union accessor, so materialize
+        // the §1.2 tagged struct — variant_type carries the branch's CH
+        // type name (= the union child's field name), v<i> the value.
+        case duv: org.apache.arrow.vector.complex.DenseUnionVector =>
+          import org.apache.arrow.vector.complex.StructVector
+          import org.apache.arrow.vector.types.pojo.{ArrowType => AT, FieldType}
+          val struct = StructVector.empty(v.getName, allocator)
+          val tag = struct.addOrGet("variant_type",
+            FieldType.notNullable(AT.Utf8.INSTANCE), classOf[VarCharVector])
+          val children = duv.getField.getChildren.asScala.toSeq
+          val branches = children.zipWithIndex.map { case (cf, i) =>
+            struct.addOrGet(s"v$i", cf.getFieldType, classOf[FieldVector])
+          }
+          struct.allocateNew()
+          val tagBytes: IndexedSeq[Array[Byte]] =
+            children.map(_.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toIndexedSeq
+          var i = 0
+          while (i < n) {
+            val tid = duv.getTypeId(i)
+            if (tid >= 0) {
+              val childVec = duv.getVectorByType(tid)
+              val off = duv.getOffset(i)
+              if (childVec != null && !childVec.isNull(off))
+                branches(tid).copyFromSafe(off, i, childVec)
+              tag.setSafe(i, tagBytes(tid))
+              struct.setIndexDefined(i)
+            }
+            i += 1
+          }
+          struct.setValueCount(n)
+          decoded ::= struct
+          struct
         case other => other
       }
     }

@@ -64,6 +64,10 @@ object CHSql {
   /** Compile one Spark filter to a CH WHERE fragment; None = not
     * pushable (stays a Spark-side residual only). */
   def compileFilter(f: Filter): Option[String] = f match {
+    // nested-field refs (struct members, `v.variant_type`) arrive dotted;
+    // quoting them as one identifier would be wrong CH SQL — leave those
+    // filters Spark-side as residuals
+    case _ if f.references.exists(_.contains(".")) => None
     case EqualTo(a, v) => litOpt(v).map(l => s"${ident(a)} = $l")
     case EqualNullSafe(a, null) => Some(s"${ident(a)} IS NULL")
     case EqualNullSafe(a, v) => litOpt(v).map(l => s"${ident(a)} IS NOT NULL AND ${ident(a)} = $l")

@@ -213,6 +213,23 @@ object ConnectorQueries extends QueryRegistry {
     // driver-local metadata snapshots through the DSv2 system catalog.
     // No DuckDB analog (engine introspection) → rows-only; semantics
     // pinned in SystemCatalogSpec. ----
+    // ---- Variant transport (dense-union wire form, reference
+    // arrow/types.rs:483 + e2e new_types.rs:125): the scan materializes
+    // the §1.2 tagged struct. Wire form has no DuckDB analog →
+    // rows-only; value semantics pinned in VariantTransportSpec. ----
+    QueryDef(
+      "b_src22_variant_scan",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadVariantTable("variants_q", 20)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "variants_q")
+          .load()
+          .selectExpr("v.variant_type AS vt", "v.v0 AS s_val", "v.v1 AS i_val")
+          .where("v.variant_type = 'Int64'")
+      },
+      None),
+
     QueryDef(
       "b_sys1_system_tables",
       (s, d) => {

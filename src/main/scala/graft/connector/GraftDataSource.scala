@@ -153,7 +153,14 @@ final class CHScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // top-level pruning only: the server projects COLUMNS, so a
+    // nested-pruned struct (Spark asking for `v.variant_type` out of a
+    // Variant/Tuple column) must widen back to the table's full field —
+    // the wire carries the whole struct and the reader's ordinals must
+    // match the declared read schema
+    required = StructType(requiredSchema.fields.map { f =>
+      fullSchema.fields.find(_.name == f.name).getOrElse(f)
+    })
 
   override def pushLimit(n: Int): Boolean = {
     // single partition: the server's LIMIT IS the global limit (full

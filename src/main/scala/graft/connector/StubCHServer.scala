@@ -36,6 +36,10 @@ final class StubCHServer {
   // LowCardinality wire form, reference serialize/low_cardinality.rs) —
   // scans of these tables exercise the A5 decode path end-to-end
   private val lowCardCols = new ConcurrentHashMap[String, Set[String]]()
+  // tables served as PRE-ENCODED Arrow IPC bytes verbatim — for wire
+  // forms ArrowCodec.encode cannot build from InternalRows (dense-union
+  // Variant columns, reference arrow/types.rs:483); pushdown is ignored
+  private val rawTables = new ConcurrentHashMap[String, Array[Byte]]()
   private val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val encodings = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   private val rawQueryStrings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -219,9 +223,63 @@ final class StubCHServer {
         Right(Array.empty)
     }
 
+  /** Serve a table as pre-encoded Arrow IPC bytes (Variant/union wire
+    * forms); every SELECT on it returns the stream verbatim. */
+  def loadRawArrow(name: String, bytes: Array[Byte]): Unit = rawTables.put(name, bytes)
+
+  /** Serve a one-column `Variant(String, Int64)` table in the reference's
+    * dense-union wire form (`arrow/types.rs:483-499`; e2e
+    * `tests/tests/new_types.rs:125`): values alternate branches by
+    * parity — even ids ride the String branch ("s<i>"), odd ids the
+    * Int64 branch (i). Deterministic, so declared queries can assert on
+    * it at any fixture scale. */
+  def loadVariantTable(name: String, rows: Int): Unit = {
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.DenseUnionVector
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+    val alloc = ArrowCodec.rootAllocator
+      .newChildAllocator(s"variant-$name", 0, Long.MaxValue)
+    val duv = DenseUnionVector.empty("v", alloc)
+    val strId = duv.registerNewTypeId(Field.nullable("String", ArrowType.Utf8.INSTANCE))
+    val intId = duv.registerNewTypeId(Field.nullable("Int64", new ArrowType.Int(64, true)))
+    val strVec = duv.addVector(strId,
+      new VarCharVector("String", alloc)).asInstanceOf[VarCharVector]
+    val intVec = duv.addVector(intId,
+      new BigIntVector("Int64", alloc)).asInstanceOf[BigIntVector]
+    duv.allocateNew(); strVec.allocateNew(); intVec.allocateNew()
+    var si = 0
+    var ii = 0
+    var i = 0
+    while (i < rows) {
+      if (i % 2 == 0) {
+        strVec.setSafe(si, s"s$i".getBytes(StandardCharsets.UTF_8))
+        duv.setTypeId(i, strId)
+        duv.getOffsetBuffer.setInt(i.toLong * 4, si)
+        si += 1
+      } else {
+        intVec.setSafe(ii, i.toLong)
+        duv.setTypeId(i, intId)
+        duv.getOffsetBuffer.setInt(i.toLong * 4, ii)
+        ii += 1
+      }
+      i += 1
+    }
+    strVec.setValueCount(si); intVec.setValueCount(ii); duv.setValueCount(rows)
+    val root = new VectorSchemaRoot(
+      java.util.List.of(duv.getField),
+      java.util.List.of(duv: org.apache.arrow.vector.FieldVector), rows)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start(); writer.writeBatch(); writer.end()
+    writer.close(); root.close(); duv.close(); alloc.close()
+    rawTables.put(name, out.toByteArray)
+  }
+
   private def select(sql: String): Either[String, Array[Byte]] =
     tableOf(sql, "FROM") match {
       case None => Left(s"cannot parse select source in: $sql")
+      case Some(name) if rawTables.containsKey(name) => Right(rawTables.get(name))
       case Some(name) =>
         Option(tables.get(name)) match {
           case None =>
