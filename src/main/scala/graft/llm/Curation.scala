@@ -230,6 +230,35 @@ object Curation extends QueryRegistry {
              |      OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
              |  FROM documents)""".stripMargin)),
 
+    // ---- sequence-length bucketing (training batch planning): docs
+    // group into power-of-2 token-length buckets — the table a batch
+    // scheduler reads to build fixed-shape batches with minimal padding
+    // waste. One hash-aggregate over the corpus; the padding-waste
+    // estimate (bucket ceiling minus actual tokens) falls out of the
+    // same pass. Scales: output is bucket-count-bounded. ----
+    QueryDef(
+      "x_smp8_length_buckets",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("toks"))
+          .select(col("toks"),
+            ceil(log2(greatest(col("toks"), lit(1L)))).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("tokens"),
+            (sum(expr("CAST(pow(2, bucket) AS BIGINT)")) - sum(col("toks")))
+              .cast("long").as("pad_waste"))
+          .orderBy(col("bucket")),
+      Some("""SELECT bucket, count(*) AS n_docs, sum(toks) AS tokens,
+             |  CAST(sum(CAST(pow(2, bucket) AS BIGINT)) - sum(toks) AS BIGINT) AS pad_waste
+             |FROM (
+             |  SELECT toks,
+             |    CAST(ceil(log2(greatest(toks, 1))) AS BIGINT) AS bucket
+             |  FROM (SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+             |        FROM documents))
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // ---- weighted source interleaving (the Pile-style data MIXTURE:
     // sample each source at a fixed ratio). Per-source quotas are
     // round(w_s · available); the picks are the md5-least documents
