@@ -276,6 +276,18 @@ object ChDialect {
       Slice(a.head, Literal(1), Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0)))) },
     fn("arrayPopFront", 1) { a => Slice(a.head, Literal(2), Size(a.head)) },
     fn("arrayIntersect", 2) { a => ArrayIntersect(a.head, a(1)) },
+    fn("hasAny", 2) { a => ArraysOverlap(a.head, a(1)) },
+    fn("hasAll", 2) { a =>
+      // every element of b appears in a: forall(b, x -> array_contains(a, x))
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      ArrayForAll(a(1), LambdaFunction(ArrayContains(a.head, x), Seq(x))) },
+    // CH range(n) = [0, n); Sequence(0, n-1) would run DESCENDING for
+    // n = 0, so guard with an empty slice
+    fn("range", 1) { a =>
+      val n = Cast(a.head, LongType)
+      If(LessThanOrEqual(n, Literal(0L)),
+        Slice(new Sequence(Literal(0L), Literal(0L)), Literal(1), Literal(0)),
+        new Sequence(Literal(0L), Subtract(n, Literal(1L)))) },
     fn("arrayReverseSort", 1) { a => new SortArray(a.head, Literal(false)) },
     fn("arrayMin", 1) { a => ArrayMin(a.head) },
     fn("arrayMax", 1) { a => ArrayMax(a.head) },

@@ -64,9 +64,25 @@ object ChSqlRewrite {
     "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9_]*\\s*;?\\s*$".r
   private val trailingSemi = "(?s)\\s*;\\s*$".r
 
+  /** CH EXPLAIN operations (reference `explain.rs`) → the nearest Spark
+    * EXPLAIN mode: AST/SYNTAX → EXTENDED (parsed + rewritten plans),
+    * PLAN/PIPELINE → FORMATTED (logical/physical), ESTIMATE → COST. */
+  private val chExplain =
+    "(?is)^(\\s*EXPLAIN\\s+)(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)\\b".r
+
+  private def mapExplain(sql: String): String =
+    chExplain.replaceAllIn(sql, m => {
+      val mode = m.group(2).toUpperCase match {
+        case "AST" | "SYNTAX" => "EXTENDED"
+        case "PLAN" | "PIPELINE" => "FORMATTED"
+        case "ESTIMATE" => "COST"
+      }
+      java.util.regex.Matcher.quoteReplacement(m.group(1) + mode)
+    })
+
   def apply(sql: String): String = {
-    var cur = trailingSemi.replaceFirstIn(
-      trailingFormat.replaceFirstIn(sql, ""), "")
+    var cur = mapExplain(trailingSemi.replaceFirstIn(
+      trailingFormat.replaceFirstIn(sql, ""), ""))
     var changed = true
     var guard = 0
     while (changed && guard < 1000) {

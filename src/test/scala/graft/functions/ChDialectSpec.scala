@@ -385,6 +385,27 @@ class ChDialectSpec extends SparkSpec {
       === "SELECT countIf(x > 0) FROM t")
   }
 
+  test("hasAll/hasAny/range array spellings") {
+    assert(one("hasAny(array(1,2,3), array(3,9))") === true)
+    assert(one("hasAny(array(1,2,3), array(8,9))") === false)
+    assert(one("hasAll(array(1,2,3), array(1,3))") === true)
+    assert(one("hasAll(array(1,2,3), array(1,9))") === false)
+    assert(seqOf("range(4)") === Seq(0L, 1L, 2L, 3L))
+    assert(seqOf("range(0)") === Seq())
+  }
+
+  test("CH EXPLAIN operations map onto Spark EXPLAIN modes") {
+    assert(ChSqlRewrite("EXPLAIN PIPELINE SELECT 1") === "EXPLAIN FORMATTED SELECT 1")
+    assert(ChSqlRewrite("explain ast SELECT 1") === "explain EXTENDED SELECT 1")
+    assert(ChSqlRewrite("EXPLAIN ESTIMATE SELECT 1") === "EXPLAIN COST SELECT 1")
+    // runs end-to-end through spark.sql
+    val out = spark.sql("EXPLAIN PIPELINE SELECT 1 AS x").head.getString(0)
+    assert(out.contains("Physical Plan"))
+    // plain Spark EXPLAIN unaffected
+    assert(ChSqlRewrite("EXPLAIN SELECT 1") === "EXPLAIN SELECT 1")
+    assert(ChSqlRewrite("EXPLAIN FORMATTED SELECT 1") === "EXPLAIN FORMATTED SELECT 1")
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
