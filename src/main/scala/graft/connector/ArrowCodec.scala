@@ -37,6 +37,12 @@ object ArrowCodec {
     */
   val FixedWidthKey = "ch.byteWidth"
 
+  /** StructField metadata key marking a tagged struct (variant_type,
+    * v0..vN) as a CH Variant: the value is the comma-joined CH type names
+    * of the branches — the union child names on the wire. Attached on
+    * scan, honored on write, so Variant columns round-trip. */
+  val VariantTypesKey = "ch.variantTypes"
+
   /** Tag a BinaryType field's metadata for FSB transport. */
   def fixedWidthMetadata(n: Int): Metadata =
     new MetadataBuilder().putLong(FixedWidthKey, n.toLong).build()
@@ -70,6 +76,20 @@ object ArrowCodec {
       case ArrayType(et, containsNull) =>
         new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
           java.util.List.of(toArrowField(StructField("item", et, containsNull))))
+      case st: StructType if f.metadata.contains(VariantTypesKey) =>
+        // tagged struct → CH Variant dense union (child NAME = CH type
+        // name, type code = branch index; reference arrow/types.rs:483)
+        val names = f.metadata.getString(VariantTypesKey).split(",").toSeq
+        require(names.length == st.fields.length - 1,
+          s"${f.name}: ${names.length} variant type names for ${st.fields.length - 1} branches")
+        val branches = st.fields.drop(1).zip(names).map { case (bf, nm) =>
+          toArrowField(StructField(nm, bf.dataType, nullable = true))
+        }
+        new Field(f.name,
+          new FieldType(f.nullable,
+            new ArrowType.Union(org.apache.arrow.vector.types.UnionMode.Dense,
+              branches.indices.toArray), null),
+          branches.toList.asJava)
       case st: StructType =>
         new Field(f.name, new FieldType(f.nullable, ArrowType.Struct.INSTANCE, null),
           st.fields.map(toArrowField).toList.asJava)
@@ -141,10 +161,13 @@ object ArrowCodec {
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
     }
-    // FSB width survives the round trip through the metadata tag, so a
-    // scanned-then-rewritten column keeps its fixed-width wire form
+    // FSB width / variant branch names survive the round trip through
+    // metadata tags, so a scanned-then-rewritten column keeps its wire form
     val md = f.getType match {
       case fsb: ArrowType.FixedSizeBinary => fixedWidthMetadata(fsb.getByteWidth)
+      case _: ArrowType.Union =>
+        new MetadataBuilder().putString(VariantTypesKey,
+          f.getChildren.asScala.map(_.getName).mkString(",")).build()
       case _ => Metadata.empty
     }
     StructField(f.getName, dt, f.isNullable, md)
@@ -166,6 +189,7 @@ object ArrowCodec {
       rootAllocator.newChildAllocator(s"graft-enc-${System.identityHashCode(this)}", 0, Long.MaxValue)
     private val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
     private val writer = new ArrowStreamWriter(root, null, out)
+    private val resetHooks = scala.collection.mutable.ListBuffer.empty[() => Unit]
     private val setters: Array[(Int, InternalRow) => Unit] =
       schema.fields.zipWithIndex.map { case (f, j) => setterFor(f, j, root.getVector(j)) }
     private var n = 0
@@ -226,6 +250,35 @@ object ArrowCodec {
             }
             lv.endValue(i, arr.numElements())
           }
+        // tagged-struct Variant writing into the dense-union wire form:
+        // the branch is the single non-null v<k> (a null variant rides
+        // branch 0 with a null slot). Per-branch offset counters reset
+        // with each batch via onBatchReset.
+        case st: StructType if v.isInstanceOf[org.apache.arrow.vector.complex.DenseUnionVector] =>
+          val duv = v.asInstanceOf[org.apache.arrow.vector.complex.DenseUnionVector]
+          val nBranches = st.fields.length - 1
+          val branchVecs = (0 until nBranches).map(k =>
+            duv.getVectorByType(k.toByte).asInstanceOf[FieldVector])
+          val branchSets = st.fields.drop(1).zipWithIndex.map { case (bf, k) =>
+            valueSetter(bf.dataType, branchVecs(k))
+          }
+          val counters = new Array[Int](nBranches)
+          resetHooks += (() => java.util.Arrays.fill(counters, 0))
+          (i, c, j) => {
+            val row = c.getStruct(j, st.size)
+            var k = 0; var branch = -1
+            while (k < nBranches && branch < 0) {
+              if (!row.isNullAt(k + 1)) branch = k
+              k += 1
+            }
+            val tag = if (branch >= 0) branch else 0
+            while (duv.getValueCapacity <= i) duv.reAlloc() // raw buffer writes don't auto-grow
+            duv.setTypeId(i, tag.toByte)
+            duv.getOffsetBuffer.setInt(i.toLong * 4, counters(tag))
+            if (branch >= 0) branchSets(tag)(counters(tag), row, tag + 1)
+            else setNull(branchVecs(0), counters(0))
+            counters(tag) += 1
+          }
         case st: StructType =>
           val sv = v.asInstanceOf[org.apache.arrow.vector.complex.StructVector]
           val children = st.fields.zipWithIndex.map { case (f, k) =>
@@ -281,6 +334,7 @@ object ArrowCodec {
       root.setRowCount(n)
       writer.writeBatch()
       root.allocateNew()
+      resetHooks.foreach(_())
       n = 0
     }
 

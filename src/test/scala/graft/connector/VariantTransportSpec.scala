@@ -83,6 +83,43 @@ class VariantTransportSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("Variant round-trips: tagged-struct write → union wire → scan") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val srv = new StubCHServer
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StructType(Seq(
+          StructField("variant_type", StringType, nullable = false),
+          StructField("v0", StringType, nullable = true),
+          StructField("v1", LongType, nullable = true))), nullable = true,
+          new MetadataBuilder()
+            .putString(ArrowCodec.VariantTypesKey, "String,Int64").build())))
+      val rows = Seq(
+        Row(1L, Row("String", "alpha", null)),
+        Row(2L, Row("Int64", null, 42L)),
+        Row(3L, Row("String", "beta", null)),
+        Row(4L, Row("Int64", null, 7L)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      df.write.format("graft-ch")
+        .option("url", srv.url).option("table", "var_rt")
+        .mode("append").save()
+
+      val back = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "var_rt")
+        .load()
+        .selectExpr("id", "v.variant_type", "v.v0", "v.v1")
+        .orderBy("id").collect()
+      assert(back.length === 4)
+      assert(back(0).getString(1) === "String" && back(0).getString(2) === "alpha")
+      assert(back(1).getString(1) === "Int64" && back(1).getLong(3) === 42L)
+      assert(back(2).getString(2) === "beta")
+      assert(back(3).getLong(3) === 7L)
+    } finally srv.stop()
+  }
+
   test("variant branch values filter and aggregate like ordinary columns") {
     val srv = new StubCHServer
     try {
