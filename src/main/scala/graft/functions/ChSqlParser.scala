@@ -80,9 +80,92 @@ object ChSqlRewrite {
       java.util.regex.Matcher.quoteReplacement(m.group(1) + mode)
     })
 
+  /** CH `FROM t [LEFT] ARRAY JOIN expr AS alias` → Spark
+    * `LATERAL VIEW explode[_outer](expr) ch_aj AS alias`. Single-array,
+    * aliased form only: CH's multi-array ARRAY JOIN zips arrays
+    * positionally (chained LATERAL VIEWs would cross-product — wrong),
+    * and the bare-column form shadows the source column (ambiguous in
+    * Spark); both are left untouched and fail loudly at parse. */
+  private def rewriteArrayJoin(sql: String): String = {
+    val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+      "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY")
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w1 = sql.substring(start, i)
+        if (w1.equalsIgnoreCase("ARRAY") || w1.equalsIgnoreCase("LEFT")) {
+          // try to read "[LEFT] ARRAY JOIN"
+          var p = skipWs(sql, i)
+          var left = false
+          var arrayAt = start
+          var ok = w1.equalsIgnoreCase("ARRAY")
+          if (w1.equalsIgnoreCase("LEFT")) {
+            val (word, after) = readWord(sql, p)
+            if (word.equalsIgnoreCase("ARRAY")) { left = true; ok = true; p = skipWs(sql, after) }
+          } else arrayAt = start
+          if (ok) {
+            val (join, afterJoin) = readWord(sql, if (w1.equalsIgnoreCase("ARRAY")) p else p)
+            if (join.equalsIgnoreCase("JOIN")) {
+              // capture expr .. [AS alias] until a depth-0 stop keyword,
+              // comma (multi-array: bail), or end
+              var q = skipWs(sql, afterJoin)
+              val exprStart = q
+              var depth = 0
+              var exprEnd = -1
+              var bail = false
+              while (q < n && exprEnd < 0 && !bail) {
+                val ch = sql.charAt(q)
+                if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
+                else if (ch == '(') { depth += 1; q += 1 }
+                else if (ch == ')') {
+                  if (depth == 0) exprEnd = q else { depth -= 1; q += 1 }
+                } else if (ch == ',' && depth == 0) bail = true
+                else if (Character.isJavaIdentifierStart(ch) && depth == 0) {
+                  val ws = q
+                  while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
+                  if (stops.contains(sql.substring(ws, q).toUpperCase)) exprEnd = ws
+                } else q += 1
+              }
+              if (!bail) {
+                if (exprEnd < 0) exprEnd = n
+                val segment = sql.substring(exprStart, exprEnd).trim
+                // split the trailing "AS alias"
+                val m = java.util.regex.Pattern
+                  .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$")
+                  .matcher(segment)
+                if (m.matches()) {
+                  val fn = if (left) "explode_outer" else "explode"
+                  val repl = s"LATERAL VIEW $fn(${m.group(1)}) ch_aj_ AS ${m.group(2)} "
+                  return rewriteArrayJoin(
+                    sql.substring(0, if (left) start else arrayAt) + repl + sql.substring(exprEnd))
+                }
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  private def readWord(s: String, start: Int): (String, Int) = {
+    var i = start
+    if (i < s.length && Character.isJavaIdentifierStart(s.charAt(i))) {
+      while (i < s.length && Character.isJavaIdentifierPart(s.charAt(i))) i += 1
+      (s.substring(start, i), i)
+    } else ("", start)
+  }
+
   def apply(sql: String): String = {
-    var cur = mapExplain(trailingSemi.replaceFirstIn(
-      trailingFormat.replaceFirstIn(sql, ""), ""))
+    var cur = rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(
+      trailingFormat.replaceFirstIn(sql, ""), "")))
     var changed = true
     var guard = 0
     while (changed && guard < 1000) {

@@ -406,6 +406,35 @@ class ChDialectSpec extends SparkSpec {
     assert(ChSqlRewrite("EXPLAIN FORMATTED SELECT 1") === "EXPLAIN FORMATTED SELECT 1")
   }
 
+  test("CH ARRAY JOIN clause rewrites onto LATERAL VIEW explode") {
+    assert(ChSqlRewrite("SELECT id, x FROM t ARRAY JOIN tags AS x WHERE x <> ''")
+      === "SELECT id, x FROM t LATERAL VIEW explode(tags) ch_aj_ AS x WHERE x <> ''")
+    assert(ChSqlRewrite("SELECT id, x FROM t LEFT ARRAY JOIN tags AS x")
+      === "SELECT id, x FROM t LATERAL VIEW explode_outer(tags) ch_aj_ AS x ")
+    // expression form with an inner AS cast
+    assert(ChSqlRewrite("SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x ORDER BY x")
+      === "SELECT x FROM t LATERAL VIEW explode(splitByChar(',', s)) ch_aj_ AS x ORDER BY x")
+    // multi-array (zip semantics) and bare-column forms stay untouched
+    assert(ChSqlRewrite("SELECT * FROM t ARRAY JOIN a AS x, b AS y")
+      === "SELECT * FROM t ARRAY JOIN a AS x, b AS y")
+    assert(ChSqlRewrite("SELECT arr FROM t ARRAY JOIN arr")
+      === "SELECT arr FROM t ARRAY JOIN arr")
+    // plain LEFT JOIN untouched
+    val lj = "SELECT * FROM a LEFT JOIN b ON a.id = b.id"
+    assert(ChSqlRewrite(lj) === lj)
+
+    Seq((1, Seq("p", "q")), (2, Seq.empty[String])).toDF("id", "tags")
+      .createOrReplaceTempView("chajc")
+    val rows = spark.sql(
+      "SELECT id, x FROM chajc ARRAY JOIN tags AS x ORDER BY id, x")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "p"), (1, "q")))
+    val leftRows = spark.sql(
+      "SELECT id, x FROM chajc LEFT ARRAY JOIN tags AS x ORDER BY id, x")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(leftRows === Seq((1, Some("p")), (1, Some("q")), (2, None)))
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
