@@ -217,6 +217,46 @@ object SettingsQueries extends QueryRegistry {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- explicit GROUPING SETS (CH and Spark share the syntax;
+    // rollup/cube are covered elsewhere — this is the free-form list) ----
+    QueryDef(
+      "b_agg47_grouping_sets",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_gs_v")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM orders_gs_v
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ---- named WINDOW clause (CH `WINDOW w AS (...)` — shared frame
+    // definition referenced by several window functions) ----
+    QueryDef(
+      "b_win10_named_window",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_nw_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  rank() OVER w AS rnk,
+            |  round(sum(o_totalprice) OVER w, 2) AS run_total
+            |FROM orders_nw_v
+            |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  rank() OVER w AS rnk,
+             |  round(sum(o_totalprice) OVER w, 2) AS run_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- CH URL function family over synthesized crawl URLs; the
     // oracle states the expected parts by construction ----
     QueryDef(
