@@ -158,6 +158,29 @@ object TextOps extends QueryRegistry {
               |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality
               |FROM documents""".stripMargin)),
 
+    // ---- per-source quality calibration: percentile rank of the
+    // quality proxy WITHIN each source, so one global keep-threshold is
+    // comparable across heterogeneous sources (a web source's 0.8 and a
+    // books source's 0.8 mean different things; their 80th percentiles
+    // don't). The window partitions on the source key — bounded groups,
+    // never a global sort. ----
+    QueryDef(
+      "x_text_quality_calibrated",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            round(least(length(col("text")) / 500.0, lit(1.0)), 6).as("score"))
+          .withColumn("q_rank", round(percent_rank().over(w), 6))
+      },
+      Some("""SELECT doc_id, source, score,
+             |  round(percent_rank() OVER (
+             |    PARTITION BY source ORDER BY score, doc_id), 6) AS q_rank
+             |FROM (SELECT doc_id, source,
+             |        round(least(length(text) / 500.0, 1.0), 6) AS score
+             |      FROM documents)""".stripMargin)),
+
     // ---- token counting: whitespace + BPE-ish regex tokenizer ----
     QueryDef(
       "x_text_tokens",
