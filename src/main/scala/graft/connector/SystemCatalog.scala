@@ -70,7 +70,12 @@ class SystemCatalog extends TableCatalog {
 }
 
 object SystemCatalog {
-  val tableNames: Seq[String] = Seq("tables", "columns", "functions", "settings", "one")
+  val tableNames: Seq[String] =
+    Seq("tables", "columns", "functions", "settings", "one", "numbers")
+
+  /** `system.numbers` is unbounded in CH (clients always LIMIT it); a
+    * Spark batch scan must be finite, so an un-pushed read caps here. */
+  val NumbersDefaultCap = 1 << 20
 
   def schemaOf(kind: String): StructType = kind match {
     case "tables" => StructType(Seq(
@@ -93,6 +98,8 @@ object SystemCatalog {
       StructField("value", StringType, nullable = false)))
     case "one" => StructType(Seq(
       StructField("dummy", ByteType, nullable = false)))
+    case "numbers" => StructType(Seq(
+      StructField("number", LongType, nullable = false)))
   }
 
   private def s(v: String) = UTF8String.fromString(v)
@@ -139,7 +146,9 @@ object SystemCatalog {
   }
 }
 
-/** One metadata table; every scan is a fresh driver-local snapshot. */
+/** One metadata table; every scan is a fresh driver-local snapshot.
+  * `numbers` additionally accepts LIMIT pushdown (CH's `system.numbers`
+  * is unbounded and always consumed under a LIMIT). */
 class SystemTable(kind: String) extends Table with SupportsRead {
   override def name(): String = kind
   override def schema(): StructType = SystemCatalog.schemaOf(kind)
@@ -147,10 +156,17 @@ class SystemTable(kind: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+      private var limit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean =
+        if (kind == "numbers") { limit = Some(n); true } else false
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = SystemCatalog.schemaOf(kind)
-        override def rows(): Array[InternalRow] = SystemCatalog.rowsOf(kind)
+        override def rows(): Array[InternalRow] =
+          if (kind == "numbers") {
+            val n = limit.getOrElse(SystemCatalog.NumbersDefaultCap)
+            Array.tabulate(n)(i => new GenericInternalRow(Array[Any](i.toLong)))
+          } else SystemCatalog.rowsOf(kind)
         override def description(): String = s"system.$kind (driver-local metadata snapshot)"
       }
     }

@@ -46,6 +46,17 @@ class SystemCatalogSpec extends SparkSpec {
     assert(v.length === 1 && v.head.getString(0) === spark.conf.get("spark.sql.shuffle.partitions"))
   }
 
+  test("system.numbers generates integers under a pushed LIMIT") {
+    val rows = spark.sql("SELECT number FROM system.numbers LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(0L, 1L, 2L, 3L, 4L))
+    // composes like CH's row generator
+    val s = spark.sql(
+      "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 101)")
+      .head.getLong(0)
+    assert(s === 5050L)
+  }
+
   test("filters and aggregates compose over system tables") {
     val n = spark.sql(
       "SELECT count(*) FROM system.functions WHERE name LIKE 'array%'").head.getLong(0)
