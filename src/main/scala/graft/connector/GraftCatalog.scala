@@ -76,8 +76,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new CHTable(schema, tableOptions(ident))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-ch catalog: ALTER TABLE not supported")
+  /** Column DDL → ClickHouse `ALTER TABLE ... ADD/DROP/RENAME/MODIFY
+    * COLUMN` (the reference reaches these through raw SQL,
+    * `src/client.rs:643`). Top-level columns only — CH nested-field
+    * mutation has different semantics. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ref = CHSql.tableRef(ident.name(), db(ident))
+    def chTypeOf(dt: org.apache.spark.sql.types.DataType, nullable: Boolean): String =
+      graft.types.CHType.format(graft.types.CHType.fromSpark(dt, nullable))
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        CHHttp.execute(url,
+          s"ALTER TABLE $ref ADD COLUMN ${CHSql.ident(a.fieldNames()(0))} " +
+            chTypeOf(a.dataType(), a.isNullable))
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        CHHttp.execute(url,
+          s"ALTER TABLE $ref DROP COLUMN ${CHSql.ident(d.fieldNames()(0))}")
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        CHHttp.execute(url,
+          s"ALTER TABLE $ref RENAME COLUMN ${CHSql.ident(r.fieldNames()(0))} " +
+            s"TO ${CHSql.ident(r.newName())}")
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        CHHttp.execute(url,
+          s"ALTER TABLE $ref MODIFY COLUMN ${CHSql.ident(u.fieldNames()(0))} " +
+            chTypeOf(u.newDataType(), true))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-ch catalog: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     CHHttp.execute(url, graft.ddl.Ddl.dropTable(db(ident), ident.name()))

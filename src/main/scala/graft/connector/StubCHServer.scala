@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
 
 /** Offline stand-in for a ClickHouse HTTP endpoint, used by the connector
   * specs and the connector CORRECTNESS queries (this container has no
@@ -149,6 +149,8 @@ final class StubCHServer {
       else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt), respEnc)
       else if (upper.startsWith("DROP DATABASE")) respond(ex, dropDatabase(stmt), respEnc)
       else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt), respEnc)
+      else if (upper.startsWith("ALTER TABLE") && upper.contains(" COLUMN "))
+        respond(ex, alterColumn(stmt), respEnc)
       else if (upper.startsWith("ALTER TABLE") && upper.contains("DELETE WHERE"))
         respond(ex, alterDelete(stmt), respEnc)
       else if (upper.startsWith("ALTER TABLE") && upper.contains(" UPDATE "))
@@ -472,6 +474,82 @@ final class StubCHServer {
         tables.computeIfPresent(name, (_, d) => d.copy(rows = Vector.empty))
         Right(Array.empty)
     }
+
+  /** `ALTER TABLE t ADD/DROP/RENAME/MODIFY COLUMN ...` — column DDL
+    * mutating the stored schema (ADD pads existing rows with NULL; MODIFY
+    * widens Int32→Int64 values, other conversions null the column — the
+    * lazy-mutation simplification). */
+  private def alterColumn(sql: String): Either[String, Array[Byte]] = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|RENAME|MODIFY)\\s+COLUMN\\s+(.+)$")
+      .matcher(sql)
+    if (!m.find()) return Left(s"cannot parse column DDL: $sql")
+    val op = m.group(1).toUpperCase
+    val rest = m.group(2).trim
+    def unq(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+    tableOf(sql, "TABLE") match {
+      case None => Left(s"cannot parse alter target in: $sql")
+      case Some(name) =>
+        Option(tables.get(name)) match {
+          case None => Left(s"Code: 60. DB::Exception: Table $name doesn't exist. (UNKNOWN_TABLE)")
+          case Some(data) =>
+            val next: Either[String, TableData] = op match {
+              case "ADD" =>
+                val p = rest.split("\\s+", 2)
+                if (p.length < 2) Left(s"ADD COLUMN needs a type: $rest")
+                else {
+                  val f = graft.types.CHType.toSparkField(unq(p(0)),
+                    graft.types.CHType.parse(p(1).trim))
+                  Right(TableData(
+                    StructType(data.schema.fields :+ f),
+                    data.rows.map(r => InternalRow.fromSeq(
+                      data.schema.indices.map(i =>
+                        r.get(i, data.schema.fields(i).dataType)) :+ null))))
+                }
+              case "DROP" =>
+                val idx = data.schema.fieldIndex(unq(rest))
+                Right(TableData(
+                  StructType(data.schema.fields.patch(idx, Nil, 1)),
+                  data.rows.map(r => InternalRow.fromSeq(
+                    data.schema.indices.filter(_ != idx).map(i =>
+                      r.get(i, data.schema.fields(i).dataType))))))
+              case "RENAME" =>
+                val p = rest.split("(?i)\\s+TO\\s+")
+                if (p.length != 2) Left(s"RENAME COLUMN needs TO: $rest")
+                else {
+                  val idx = data.schema.fieldIndex(unq(p(0)))
+                  Right(data.copy(schema = StructType(data.schema.fields.updated(idx,
+                    data.schema.fields(idx).copy(name = unq(p(1)))))))
+                }
+              case "MODIFY" =>
+                val p = rest.split("\\s+", 2)
+                val idx = data.schema.fieldIndex(unq(p(0)))
+                val newF = graft.types.CHType.toSparkField(unq(p(0)),
+                  graft.types.CHType.parse(p(1).trim))
+                val oldT = data.schema.fields(idx).dataType
+                def conv(v: Any): Any = (oldT, newF.dataType) match {
+                  case (a, b) if a == b => v
+                  case (IntegerType, LongType) => if (v == null) null else v.asInstanceOf[Int].toLong
+                  case (LongType, DoubleType) => if (v == null) null else v.asInstanceOf[Long].toDouble
+                  case _ => null
+                }
+                Right(TableData(
+                  StructType(data.schema.fields.updated(idx, newF)),
+                  data.rows.map { r =>
+                    InternalRow.fromSeq(data.schema.indices.map { i =>
+                      val v = r.get(i, data.schema.fields(i).dataType)
+                      if (i == idx) conv(v) else v
+                    })
+                  }))
+              case other => Left(s"unsupported column DDL op $other")
+            }
+            next match {
+              case Left(e) => Left(e)
+              case Right(d) => tables.put(name, d); Right(Array.empty)
+            }
+        }
+    }
+  }
 
   /** `ALTER TABLE t UPDATE a = lit, … WHERE <cond>` — the ClickHouse
     * update mutation; matching rows are rewritten in place. */

@@ -297,6 +297,27 @@ class ConnectorSpec extends SparkSpec {
 
       spark.sql("DROP TABLE chtest.newt")
       assert(!srv.tableNames.contains("newt"))
+
+      // column DDL: ADD pads with NULL, RENAME is schema-only, MODIFY
+      // widens, DROP removes — each lands as CH ALTER ... COLUMN SQL
+      spark.sql("CREATE TABLE chtest.altt (id INT, name STRING)")
+      spark.sql("INSERT INTO chtest.altt VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE chtest.altt ADD COLUMNS (score DOUBLE)")
+      assert(srv.queries.exists(q => q.contains("ADD COLUMN") && q.contains("`score`")))
+      val withScore = spark.table("chtest.altt")
+      assert(withScore.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+      assert(withScore.collect().forall(_.isNullAt(2)))
+      spark.sql("ALTER TABLE chtest.altt RENAME COLUMN name TO label")
+      assert(spark.table("chtest.altt").schema.fieldNames.toSeq
+        === Seq("id", "label", "score"))
+      spark.sql("ALTER TABLE chtest.altt ALTER COLUMN id TYPE BIGINT")
+      assert(spark.table("chtest.altt").schema("id").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(spark.table("chtest.altt").orderBy("id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      spark.sql("ALTER TABLE chtest.altt DROP COLUMN score")
+      assert(spark.table("chtest.altt").schema.fieldNames.toSeq === Seq("id", "label"))
+      spark.sql("DROP TABLE chtest.altt")
     } finally srv.stop()
   }
 
