@@ -289,6 +289,15 @@ object ChDialect {
         Slice(new Sequence(Literal(0L), Literal(0L)), Literal(1), Literal(0)),
         new Sequence(Literal(0L), Subtract(n, Literal(1L)))) },
     fn("arrayReverseSort", 1) { a => new SortArray(a.head, Literal(false)) },
+    fn("arrayWithConstant", 2) { a => ArrayRepeat(a(1), a.head) },
+    fnVar("arrayResize", 2) { a =>
+      // grow pads with the fill value (third arg; NULL default), shrink
+      // truncates — composition of slice + repeat
+      val fill = if (a.length >= 3) a(2) else Literal(null, NullType)
+      val want = Cast(a(1), IntegerType)
+      Concat(Seq(
+        Slice(a.head, Literal(1), want),
+        ArrayRepeat(fill, Greatest(Seq(Subtract(want, Size(a.head)), Literal(0)))))) },
     fn("arrayMin", 1) { a => ArrayMin(a.head) },
     fn("arrayMax", 1) { a => ArrayMax(a.head) },
     fn("arrayAvg", 1) { a =>
@@ -415,6 +424,12 @@ object ChDialect {
     fn("rightUTF8", 2) { a => Right(a.head, a(1)) },
     fn("base64Encode", 1) { a => Base64(Cast(a.head, BinaryType)) },
     fn("base64Decode", 1) { a => Cast(UnBase64(a.head), StringType) },
+    fn("encodeURLComponent", 1) { a => new UrlEncode(a.head) },
+    fn("decodeURLComponent", 1) { a => new UrlDecode(a.head) },
+    fn("levenshteinDistance", 2) { a => Levenshtein(a.head, a(1)) },
+    fn("editDistance", 2) { a => Levenshtein(a.head, a(1)) },
+    fn("regexpQuoteMeta", 1) { a =>
+      RegExpReplace(a.head, Literal("([.^$*+?()\\[\\]{}|\\\\])"), Literal("\\\\$1")) },
 
     // ---- JSON extraction (CH key args → $.path) ----
     fn("JSONExtractString", 2) { a =>
@@ -435,6 +450,7 @@ object ChDialect {
     fn("exp2", 1) { a => Pow(Literal(2.0), Cast(a.head, DoubleType)) },
     fn("exp10", 1) { a => Pow(Literal(10.0), Cast(a.head, DoubleType)) },
     fn("roundBankers", 2) { a => BRound(a.head, a(1)) },
+    fn("negate", 1) { a => UnaryMinus(a.head) },
 
     // ---- tuples and maps ----
     fnVar("tuple", 1) { a => CreateStruct(a) },

@@ -435,6 +435,19 @@ class ChDialectSpec extends SparkSpec {
     assert(leftRows === Seq((1, Some("p")), (1, Some("q")), (2, None)))
   }
 
+  test("URL encoding, edit distance, array constructors") {
+    assert(one("encodeURLComponent('a b&c')") === "a+b%26c")
+    assert(one("decodeURLComponent('a+b%26c')") === "a b&c")
+    assert(one("levenshteinDistance('kitten', 'sitting')") === 3)
+    assert(one("editDistance('abc', 'abd')") === 1)
+    assert(one("regexpQuoteMeta('a.b*c')") === "a\\.b\\*c")
+    assert(one(s"match('a.b*c', regexpQuoteMeta('a.b*c'))") === true)
+    assert(seqOf("arrayWithConstant(3, 7)") === Seq(7, 7, 7))
+    assert(seqOf("arrayResize(array(1,2,3), 2)") === Seq(1, 2))
+    assert(seqOf("arrayResize(array(1,2), 4, 0)") === Seq(1, 2, 0, 0))
+    assert(one("negate(5)") === -5)
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
