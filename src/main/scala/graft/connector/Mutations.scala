@@ -52,4 +52,17 @@ object Mutations {
     CHHttp.execute(url, s"RENAME TABLE ${ref(b)} TO ${ref(a)}")
     CHHttp.execute(url, s"RENAME TABLE ${ref(tmp)} TO ${ref(b)}")
   }
+
+  /** CH `OPTIMIZE TABLE [FINAL] [DEDUPLICATE]` — force a server-side
+    * merge (the reference reaches it through raw SQL, `client.rs:643`).
+    * A maintenance passthrough: the server does the work; file-level
+    * compaction of OUR parquet layouts is `sources/Formats` `OPTIMIZE`
+    * (`b_src14_compaction`). */
+  def optimizeTable(
+      url: String, table: String, database: Option[String] = None,
+      finalMerge: Boolean = false, deduplicate: Boolean = false): Unit = {
+    val suffix =
+      (if (finalMerge) " FINAL" else "") + (if (deduplicate) " DEDUPLICATE" else "")
+    CHHttp.execute(url, s"OPTIMIZE TABLE ${CHSql.tableRef(table, database)}$suffix")
+  }
 }

@@ -149,6 +149,15 @@ final class StubCHServer {
       else if (upper.startsWith("DROP TABLE")) respond(ex, dropTable(stmt), respEnc)
       else if (upper.startsWith("DROP DATABASE")) respond(ex, dropDatabase(stmt), respEnc)
       else if (upper.startsWith("TRUNCATE")) respond(ex, truncate(stmt), respEnc)
+      else if (upper.startsWith("OPTIMIZE TABLE")) {
+        // maintenance no-op with DEDUPLICATE honored: full-row duplicates
+        // collapse, like the server's dedup merge
+        val name = tableOf(stmt, "TABLE")
+        if (stmt.toUpperCase.contains("DEDUPLICATE"))
+          name.foreach(n => tables.computeIfPresent(n, (_, d) =>
+            d.copy(rows = d.rows.distinct)))
+        respond(ex, Right(Array.empty[Byte]), respEnc)
+      }
       else if (upper.startsWith("ALTER TABLE") && upper.contains(" COLUMN "))
         respond(ex, alterColumn(stmt), respEnc)
       else if (upper.startsWith("ALTER TABLE") && upper.contains("DELETE WHERE"))

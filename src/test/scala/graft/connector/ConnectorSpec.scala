@@ -317,6 +317,13 @@ class ConnectorSpec extends SparkSpec {
         .map(_.getLong(0)).toSeq === Seq(1L, 2L))
       spark.sql("ALTER TABLE chtest.altt DROP COLUMN score")
       assert(spark.table("chtest.altt").schema.fieldNames.toSeq === Seq("id", "label"))
+
+      // OPTIMIZE TABLE passthrough; DEDUPLICATE collapses full-row dups
+      spark.sql("INSERT INTO chtest.altt VALUES (1, 'a'), (1, 'a'), (3, 'c')")
+      val before = srv.rowCount("altt")
+      Mutations.optimizeTable(srv.url, "altt", finalMerge = true, deduplicate = true)
+      assert(srv.queries.exists(_.startsWith("OPTIMIZE TABLE")))
+      assert(srv.rowCount("altt") < before)
       spark.sql("DROP TABLE chtest.altt")
     } finally srv.stop()
   }
@@ -667,7 +674,7 @@ class ConnectorSpec extends SparkSpec {
       assert(e.getMessage.contains("UNKNOWN_TABLE"), e.getMessage)
 
       // unsupported statement → SYNTAX_ERROR(62)
-      val e2 = intercept[CHServerException] { CHHttp.execute(srv.url, "OPTIMIZE TABLE x") }
+      val e2 = intercept[CHServerException] { CHHttp.execute(srv.url, "KILL MUTATION WHERE 1") }
       assert(e2.code === 62 && e2.severity === CHError.Syntax && !e2.retryable)
 
       // classification table: transient server/protocol errors ARE retryable
