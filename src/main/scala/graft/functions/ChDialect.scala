@@ -451,6 +451,23 @@ object ChDialect {
     fn("exp10", 1) { a => Pow(Literal(10.0), Cast(a.head, DoubleType)) },
     fn("roundBankers", 2) { a => BRound(a.head, a(1)) },
     fn("negate", 1) { a => UnaryMinus(a.head) },
+    // BFloat16 rides the wire as UInt16 raw bits (reference
+    // arrow/types.rs:527-529: "Arrow doesn't have BFloat16 natively");
+    // these convert bits <-> Float32. StaticInvoke is codegen'd.
+    fn("toBFloat16", 1) { a =>
+      // truncating round (drop the low 16 mantissa bits), like the cast
+      // the reference documents for the raw-bits representation
+      Cast(BitwiseAnd(
+        ShiftRight(
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            classOf[java.lang.Float], IntegerType, "floatToRawIntBits",
+            Seq(Cast(a.head, FloatType)), Seq(FloatType)),
+          Literal(16)),
+        Literal(0xFFFF)), IntegerType) },
+    fn("bfloat16ToFloat32", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Float], FloatType, "intBitsToFloat",
+        Seq(ShiftLeft(Cast(a.head, IntegerType), Literal(16))), Seq(IntegerType)) },
 
     // ---- tuples and maps ----
     fnVar("tuple", 1) { a => CreateStruct(a) },

@@ -448,6 +448,19 @@ class ChDialectSpec extends SparkSpec {
     assert(one("negate(5)") === -5)
   }
 
+  test("BFloat16 raw-bits conversions match the wire form") {
+    // 1.0f = 0x3F800000 → bf16 bits 0x3F80
+    assert(one("toBFloat16(cast(1.0 AS FLOAT))") === 0x3F80)
+    assert(one("bfloat16ToFloat32(16256)") === 1.0f)
+    // round-trip is exact for values representable in bf16
+    assert(one("bfloat16ToFloat32(toBFloat16(cast(-2.5 AS FLOAT)))") === -2.5f)
+    assert(one("bfloat16ToFloat32(toBFloat16(cast(0.0 AS FLOAT)))") === 0.0f)
+    // truncation loses low mantissa bits but stays within bf16 epsilon
+    val x = spark.sql("SELECT bfloat16ToFloat32(toBFloat16(cast(3.14159 AS FLOAT)))")
+      .head.getFloat(0)
+    assert(math.abs(x - 3.14159f) < 0.02f)
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
