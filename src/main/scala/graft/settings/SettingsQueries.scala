@@ -195,6 +195,26 @@ object SettingsQueries extends QueryRegistry {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- CH string-tokenizer dialect tier end-to-end ----
+    QueryDef(
+      "b_sql9_ch_dialect_strings",
+      (s, d) => {
+        Tables.t(s, d, "documents").createOrReplaceTempView("documents_chd9_v")
+        s.sql(
+          """SELECT doc_id,
+            |  toInt64(countSubstrings(text, 'the')) AS the_n,
+            |  toInt64(arrayUniq(alphaTokens(text))) AS uniq_alpha,
+            |  toInt64(levenshteinDistance(source, 'web')) AS src_dist
+            |FROM documents_chd9_v
+            |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS the_n,
+             |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS uniq_alpha,
+             |  CAST(levenshtein(source, 'web') AS BIGINT) AS src_dist
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- CH parameterized-aggregate SYNTAX end-to-end: the injected
     // ChSqlParser rewrites `quantileExact(p)(x)` onto the registered
     // two-arg spelling before Spark's parser sees it ----
