@@ -461,6 +461,29 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(x - 3.14159f) < 0.02f)
   }
 
+  test("ChSqlRewrite is a no-op on every declared oracle SQL text") {
+    // the whole DuckDB oracle corpus (200+ realistic SQL strings with
+    // quotes, regexes, lambdas, window frames, CTEs) must pass through
+    // the rewriter byte-identical — the shim only ever touches call
+    // shapes no valid query can contain
+    val oracles = graft.SparkEntry.oracleSql.values.toSeq
+    assert(oracles.nonEmpty)
+    val changed = oracles.filter(sql => ChSqlRewrite(sql) != sql)
+    assert(changed.isEmpty,
+      s"rewriter modified ${changed.size} oracle SQL texts, e.g.:\n${changed.headOption.getOrElse("")}")
+  }
+
+  test("ChSqlRewrite is idempotent on its positive cases") {
+    val cases = Seq(
+      "SELECT quantile(0.9)(x), quantiles(0.1,0.5)(y) FROM t ARRAY JOIN a AS e FORMAT CSV;",
+      "EXPLAIN PIPELINE SELECT uniqUpTo(3)(v) FROM t",
+      "SELECT countIf(x > 0) FROM t LEFT ARRAY JOIN tags AS tg")
+    for (c <- cases) {
+      val once = ChSqlRewrite(c)
+      assert(ChSqlRewrite(once) === once, s"not idempotent for: $c")
+    }
+  }
+
   test("no alias shadows a Spark builtin function (case-insensitive)") {
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
     val builtin = FunctionRegistry.builtin.listFunction().map(_.funcName.toLowerCase).toSet
