@@ -38,7 +38,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# DuckDB result types that the driver's pandas bridge materializes as
+# float64 (or object) while Spark returns int64 — the canonicalized
+# frames then hash differently even when every value is identical.
+# sum(BIGINT) -> HUGEINT is the canonical offender (bit us in r04 and
+# again in r05's x_smp8_length_buckets). Lint the oracle's *declared*
+# result schema via DESCRIBE so the drift fails loudly at verify time,
+# with the fix named, instead of as an opaque hash mismatch at the
+# driver.
+_DRIFTY_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)", "UINT64")
+
+
+def lint_oracle_types(con, sql: str):
+    """Return [(column, duck_type), ...] for result columns whose DuckDB
+    type is known to drift through pandas. Empty list = clean."""
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:
+        return []  # the main path will surface the SQL error itself
+    return [(row[0], row[1]) for row in desc
+            if any(row[1].upper().startswith(t) for t in _DRIFTY_TYPES)]
+
+
+def _lint_demo(con):
+    """--lint-demo: seed a violating oracle (un-cast sum over BIGINT) and
+    show the guard catches it."""
+    con.execute("CREATE OR REPLACE VIEW _demo AS SELECT CAST(i AS BIGINT) x "
+                "FROM range(10) t(i)")
+    bad = "SELECT sum(x) AS tokens FROM _demo"
+    good = "SELECT CAST(sum(x) AS BIGINT) AS tokens FROM _demo"
+    hits = lint_oracle_types(con, bad)
+    assert hits == [("tokens", "HUGEINT")], hits
+    assert lint_oracle_types(con, good) == []
+    print(f"LINT-DEMO seeded violation caught: {bad!r} -> {hits}")
+    print(f"LINT-DEMO cast form passes clean:  {good!r}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--lint-demo":
+        _lint_demo(duckdb.connect())
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +93,14 @@ def main():
             ok = len(spark_df) > 0
             n_noracle += 1
             print(f"{'ROWS-OK ' if ok else 'EMPTY!! '}{name} (no oracle, {len(spark_df)} rows)")
+            continue
+        drifty = lint_oracle_types(con, oracle[name])
+        if drifty:
+            n_fail += 1
+            for col, typ in drifty:
+                print(f"FAIL    {name}: oracle column {col!r} is {typ} — "
+                      f"pandas will widen it to float64 while Spark returns "
+                      f"int64; wrap it in CAST(... AS BIGINT) in the oracle SQL")
             continue
         try:
             duck_df = con.execute(oracle[name]).df()

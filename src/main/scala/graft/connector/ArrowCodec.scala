@@ -265,9 +265,11 @@ object ArrowCodec {
           val counters = new Array[Int](nBranches)
           resetHooks += (() => java.util.Arrays.fill(counters, 0))
           (i, c, j) => {
-            val row = c.getStruct(j, st.size)
+            // a NULL top-level variant takes the same encoding as a tagged
+            // struct with no live branch: tag 0, null slot on branch 0
+            val row = if (c.isNullAt(j)) null else c.getStruct(j, st.size)
             var k = 0; var branch = -1
-            while (k < nBranches && branch < 0) {
+            while (row != null && k < nBranches && branch < 0) {
               if (!row.isNullAt(k + 1)) branch = k
               k += 1
             }
@@ -320,7 +322,15 @@ object ArrowCodec {
 
     private def setterFor(f: StructField, j: Int, v: FieldVector): (Int, InternalRow) => Unit = {
       val set = valueSetter(f.dataType, v)
-      (i, row) => if (row.isNullAt(j)) setNull(v, i) else set(i, row, j)
+      v match {
+        // dense-union (Variant) nulls need the per-branch offset counters
+        // that live inside the value setter, so nulls route through it
+        // (it writes tag 0 + a null slot on branch 0) instead of setNull
+        case _: org.apache.arrow.vector.complex.DenseUnionVector =>
+          (i, row) => set(i, row, j)
+        case _ =>
+          (i, row) => if (row.isNullAt(j)) setNull(v, i) else set(i, row, j)
+      }
     }
 
     def write(row: InternalRow): Unit = {

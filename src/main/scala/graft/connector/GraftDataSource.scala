@@ -383,6 +383,16 @@ final class CHScan(
 
   override def filterAttributes(): Array[NamedReference] =
     if (aggSelect.nonEmpty) Array.empty // agg SQL already fixed at build time
+    else if (limit.nonEmpty || offset.nonEmpty || orderBy.nonEmpty)
+      // pagination was pushed: the server's LIMIT/OFFSET/ORDER BY window
+      // is computed BEFORE any later-arriving filter in the same SQL, but
+      // Spark's plan places the (dropped or merged) limit BEFORE the join
+      // the runtime filter comes from. Injecting the DPP key set into the
+      // same pushed SQL would make the server window the FILTERED set —
+      // e.g. fact.orderBy(k).limit(n) ⋈ dim would admit row n+5 whenever
+      // it matches the dim, which the un-filtered window correctly
+      // excludes. Decline runtime filtering; the join re-applies itself.
+      Array.empty
     else required.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
@@ -414,10 +424,17 @@ final class CHScan(
           s"FROM ${CHSql.tableRef(table, database)}$where"
         val in = CHHttp.queryArrow(url, sql, codec, settings)
         val (sch, rows) = try ArrowCodec.decode(in.readAllBytes()) finally in.close()
-        def longAt(i: Int): Long =
-          rows.head.get(i, sch.fields(i).dataType).asInstanceOf[Number].longValue()
-        // upper bound is exclusive in the range split below
-        (longAt(0), longAt(1) + 1)
+        def longAt(i: Int): Option[Long] = rows.headOption.flatMap(r =>
+          Option(r.get(i, sch.fields(i).dataType)).map(_.asInstanceOf[Number].longValue()))
+        // MIN/MAX over zero rows (empty table, or the pushed/runtime WHERE
+        // pruned everything) comes back as one row of NULLs — degrade to a
+        // single (0,1) range whose one read carries the same WHERE and
+        // returns the correct empty result, instead of an NPE at planning
+        (longAt(0), longAt(1)) match {
+          // upper bound is exclusive in the range split below
+          case (Some(lo), Some(hi)) => (lo, hi + 1)
+          case _ => (0L, 1L)
+        }
     }
 
   override def planInputPartitions(): Array[InputPartition] = {

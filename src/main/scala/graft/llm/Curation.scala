@@ -250,7 +250,7 @@ object Curation extends QueryRegistry {
             (sum(expr("CAST(pow(2, bucket) AS BIGINT)")) - sum(col("toks")))
               .cast("long").as("pad_waste"))
           .orderBy(col("bucket")),
-      Some("""SELECT bucket, count(*) AS n_docs, sum(toks) AS tokens,
+      Some("""SELECT bucket, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
              |  CAST(sum(CAST(pow(2, bucket) AS BIGINT)) - sum(toks) AS BIGINT) AS pad_waste
              |FROM (
              |  SELECT toks,

@@ -536,6 +536,64 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("pushed pagination declines runtime filtering (soundness)") {
+    val srv = freshServer()
+    try {
+      srv.load("supplier", Tables.t(spark, sf001, "supplier"))
+      // unit contract: once LIMIT/TopN/OFFSET are delegated, the scan must
+      // not advertise runtime-filterable attributes — a DPP key set
+      // injected into the same SQL would window the FILTERED rows, while
+      // Spark planned the limit BELOW the join (it dropped its own Limit
+      // on the full push)
+      val schema = CHHttp.fetchSchema(srv.url, "supplier", None)
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("url", srv.url, "table", "supplier"))
+      def builder() = new CHScanBuilder(schema, srv.url, "supplier", None, opts)
+      val plain = builder()
+      assert(plain.build().asInstanceOf[CHScan].filterAttributes().nonEmpty)
+      val limited = builder()
+      assert(limited.pushLimit(5))
+      assert(limited.build().asInstanceOf[CHScan].filterAttributes().isEmpty)
+      val topn = builder()
+      assert(topn.pushTopN(Array(
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column("s_suppkey"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)), 5))
+      assert(topn.build().asInstanceOf[CHScan].filterAttributes().isEmpty)
+
+      // e2e: fact.orderBy.limit(n) ⋈ broadcast dim — the n rows must be
+      // the global top-n BEFORE the join filter, matching the parquet plan
+      val fact = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "supplier").load()
+        .orderBy("s_suppkey").limit(5)
+      val dim = Tables.t(spark, sf001, "nation").filter(col("n_regionkey") === 0)
+      val got = fact.join(broadcast(dim), fact("s_nationkey") === dim("n_nationkey"))
+        .select("s_suppkey").collect().map(_.getLong(0)).sorted.toSeq
+      val expected = Tables.t(spark, sf001, "supplier")
+        .orderBy("s_suppkey").limit(5).as("s")
+        .join(dim, col("s.s_nationkey") === dim("n_nationkey"))
+        .select("s_suppkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected)
+    } finally srv.stop()
+  }
+
+  test("rangeBounds probe degrades to an empty scan when WHERE prunes all rows") {
+    val srv = freshServer()
+    try {
+      srv.load("supplier", Tables.t(spark, sf001, "supplier"))
+      // auto-bounds probe (no lowerBound/upperBound): the MIN/MAX comes
+      // back as one row of NULLs when the pushed WHERE matches nothing —
+      // must plan an empty result, not NPE
+      val df = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "supplier")
+        .option("partitionColumn", "s_suppkey")
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("s_suppkey") < 0)
+      assert(df.count() === 0L)
+    } finally srv.stop()
+  }
+
   test("namespaces: SHOW/CREATE/DROP DATABASE through the catalog") {
     val srv = freshServer()
     try {

@@ -100,7 +100,10 @@ class VariantTransportSpec extends SparkSpec {
         Row(1L, Row("String", "alpha", null)),
         Row(2L, Row("Int64", null, 42L)),
         Row(3L, Row("String", "beta", null)),
-        Row(4L, Row("Int64", null, 7L)))
+        Row(4L, Row("Int64", null, 7L)),
+        // NULL top-level variant: must encode as tag 0 + null slot (the
+        // same wire form CH uses for a NULL Variant value), not crash
+        Row(5L, null))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
       df.write.format("graft-ch")
@@ -112,11 +115,14 @@ class VariantTransportSpec extends SparkSpec {
         .load()
         .selectExpr("id", "v.variant_type", "v.v0", "v.v1")
         .orderBy("id").collect()
-      assert(back.length === 4)
+      assert(back.length === 5)
       assert(back(0).getString(1) === "String" && back(0).getString(2) === "alpha")
       assert(back(1).getString(1) === "Int64" && back(1).getLong(3) === 42L)
       assert(back(2).getString(2) === "beta")
       assert(back(3).getLong(3) === 7L)
+      // the null variant decodes like the null row of the scan test:
+      // branch-0 type name, every branch value null
+      assert(back(4).getString(1) === "String" && back(4).isNullAt(2) && back(4).isNullAt(3))
     } finally srv.stop()
   }
 
