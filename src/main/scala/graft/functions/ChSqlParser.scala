@@ -2,43 +2,74 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** ClickHouse parameterized-aggregate syntax shim (SURVEY §2.2; reference
-  * users ship CH SQL text): CH spells `quantile(0.9)(x)` — parameters in a
-  * FIRST argument list, inputs in a SECOND — which Spark's grammar cannot
-  * form. This injected parser (`SparkSessionExtensions.injectParser`)
-  * rewrites that call shape into the two-argument spellings ChDialect
-  * registers, then delegates to Spark's own parser:
+/** ClickHouse SQL syntax shim (SURVEY §2.2; reference users ship CH SQL
+  * text, `clickhouse-arrow/src/client.rs:643`). Injected via
+  * `SparkSessionExtensions.injectParser`, it adapts CH-only spellings
+  * onto Spark's grammar in two tiers:
   *
-  *   quantile(0.9)(x)        → quantile(x, 0.9)
-  *   quantileExact(0.5)(x)   → quantileExact(x, 0.5)
-  *   quantileTDigest(0.9)(x) → quantileTDigest(x, 0.9)
+  * ALWAYS-ON (cannot change the meaning of any valid Spark query — the
+  * rewritten shapes are not well-formed Spark SQL under any reading):
+  *   quantile(0.9)(x)        → quantile(x, 0.9)     (param-agg call shape)
   *   quantiles(0.1,0.9)(x)   → percentile(x, array(0.1,0.9))
   *   uniqCombined(12)(x)     → uniqCombined(x)   (precision hint dropped —
   *                             Spark's HLL++ tunes via relativeSD, not 2^p)
+  *   EXPLAIN AST/SYNTAX/...  → EXPLAIN EXTENDED/FORMATTED/COST
+  *   trailing `;`            → stripped
   *
-  * The rewrite is purely textual but quote/comment-aware: content inside
-  * '…', "…", `…`, -- line comments and &#47;* block comments is never
-  * touched, so a string literal containing "quantile(0.5)(x)" survives
-  * verbatim. `name(a)(b)` is not valid Spark SQL for any other reading, so
-  * the rewrite can never change the meaning of a working Spark query.
+  * RESCUE (attempted ONLY after Spark's own parser rejected the text, so
+  * a working Spark query — including one that merely ends in an alias
+  * named `format` or `sample` — is provably never altered):
+  *   ... FORMAT JSONEachRow      → stripped (output format is a client
+  *                                 concern; the result is a DataFrame)
+  *   ... SETTINGS k = v, ...     → stripped; `join_algorithm` becomes the
+  *                                 matching Spark join-strategy hint,
+  *                                 other keys apply as session confs
+  *                                 through the A15 GraftSettings mapping
+  *   FROM t SAMPLE 0.1           → deterministic md5-hash sample over the
+  *                                 table's registered sampling key (CH
+  *                                 requires a declared sampling key; so do
+  *                                 we — `registerSampleKey`)
+  *   FROM t [LEFT] ARRAY JOIN …  → LATERAL VIEW explode/posexplode (see
+  *                                 rewriteArrayJoin; multi-array zips
+  *                                 positionally like CH)
+  *
+  * All rewrites are textual but quote/comment-aware: content inside '…',
+  * "…", `…`, -- line comments and &#47;* block comments is never touched.
   */
 class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rw(sqlText: String): String = ChSqlRewrite(sqlText)
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rw(sqlText))
+  /** Safe pass first; on ParseException retry once with the rescue pass
+    * (CH-only clause forms). The original error is rethrown when rescue
+    * changes nothing, so pure Spark syntax errors surface untouched. */
+  private def parseRescuing[A](sqlText: String)(f: String => A): A = {
+    val safe = ChSqlRewrite(sqlText)
+    try f(safe)
+    catch {
+      case e: ParseException =>
+        val r = ChSqlRewrite.rescue(sqlText)
+        if (r.sql == safe) throw e
+        ChSqlRewrite.applySettings(r.settings)
+        f(r.sql)
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseRescuing(sqlText)(delegate.parsePlan)
   // parsePlanWithParameters is a DEFAULT method: without this override the
   // wrapper would inherit the interface default and silently drop the
   // bound-parameter context (A15 named params would arrive unbound)
   override def parsePlanWithParameters(
       sqlText: String,
       parameters: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(rw(sqlText), parameters)
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rw(sqlText))
-  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(rw(sqlText))
+    parseRescuing(sqlText)(delegate.parsePlanWithParameters(_, parameters))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    parseRescuing(sqlText)(delegate.parseQuery)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(ChSqlRewrite(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
@@ -55,14 +86,24 @@ object ChSqlRewrite {
   private val swapParam = Set("quantile", "quantileexact", "quantiletdigest", "uniqupto")
 
   /** CH queries routinely end `... FORMAT JSONEachRow;` — the output
-    * format is a CLIENT concern in CH (a DataFrame here), and Spark's
-    * grammar rejects the clause. Strip a trailing `FORMAT <ident>` and/or
-    * `;`. No valid Spark query can end this way (an alias named `format`
-    * cannot be followed by a bare identifier), so this only rescues
-    * queries that would otherwise fail to parse. */
+    * format is a CLIENT concern in CH (a DataFrame here). Rescue-only:
+    * `SELECT * FROM t ORDER BY format DESC` is valid Spark SQL that this
+    * pattern matches, so the strip never runs on text Spark accepted. */
   private val trailingFormat =
-    "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9_]*\\s*;?\\s*$".r
+    "(?is)\\s+FORMAT\\s+[A-Za-z][A-Za-z0-9_]*\\s*$".r
   private val trailingSemi = "(?s)\\s*;\\s*$".r
+
+  /** Trailing `SETTINGS k = v [, ...]` (reference passes the clause
+    * through inside the query string, `src/query.rs:168-197`; typed
+    * registry `src/settings.rs:81-428`). Values: number/ident or
+    * '…'-quoted. Anchored at end-of-text, position re-checked against
+    * quote/comment state before use. */
+  private val settingsValue = "'(?:[^']|'')*'|[A-Za-z0-9_.+-]+"
+  private val settingsTail =
+    ("(?is)\\s+SETTINGS\\s+([A-Za-z_][A-Za-z0-9_]*\\s*=\\s*(?:" + settingsValue +
+      ")(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*\\s*=\\s*(?:" + settingsValue + "))*)\\s*$").r
+  private val settingsPair =
+    ("([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(" + settingsValue + ")").r
 
   /** CH EXPLAIN operations (reference `explain.rs`) → the nearest Spark
     * EXPLAIN mode: AST/SYNTAX → EXTENDED (parsed + rewritten plans),
@@ -80,15 +121,292 @@ object ChSqlRewrite {
       java.util.regex.Matcher.quoteReplacement(m.group(1) + mode)
     })
 
-  /** CH `FROM t [LEFT] ARRAY JOIN expr AS alias` → Spark
-    * `LATERAL VIEW explode[_outer](expr) ch_aj AS alias`. Single-array,
-    * aliased form only: CH's multi-array ARRAY JOIN zips arrays
-    * positionally (chained LATERAL VIEWs would cross-product — wrong),
-    * and the bare-column form shadows the source column (ambiguous in
-    * Spark); both are left untouched and fail loudly at parse. */
+  // ------------------------------------------------------------ safe tier
+
+  /** The always-on pass. ARRAY JOIN must live here, not in rescue: Spark
+    * PARSES `FROM t ARRAY JOIN tags AS x` as alias `ARRAY` + an inner
+    * join to table `tags`, failing only at ANALYSIS (table not found) —
+    * which the parse-failure retry never sees. The residual false
+    * positive is a table alias literally named `array`/`left` directly
+    * followed by a bare JOIN (`FROM t array JOIN u`), which the rewrite
+    * would misread; every other rewrite here matches shapes no valid
+    * Spark SQL can contain. */
+  def apply(sql: String): String = {
+    var cur = rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))
+    var changed = true
+    var guard = 0
+    while (changed && guard < 1000) {
+      val next = rewriteOnce(cur)
+      changed = next ne cur
+      cur = next
+      guard += 1
+    }
+    cur
+  }
+
+  // ---------------------------------------------------------- rescue tier
+
+  final case class Rescued(sql: String, settings: Seq[(String, String)])
+
+  /** The parse-failure retry pass: CH clause forms (FORMAT / SETTINGS /
+    * SAMPLE / ARRAY JOIN) that share surface syntax with valid Spark SQL
+    * and therefore only run once Spark's parser has already rejected the
+    * text. Returns the rewritten SQL plus the captured SETTINGS pairs
+    * (minus `join_algorithm`, which becomes a join-strategy hint in the
+    * text itself — per-query, like CH). */
+  def rescue(sqlText: String): Rescued = {
+    val semi = trailingSemi.replaceFirstIn(sqlText, "")
+    val noFmt = stripIfOutside(semi, trailingFormat)
+    val (noSet, kvs) = stripSettings(noFmt)
+    val hinted = kvs.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("join_algorithm") => joinHintFor(v)
+    }.flatten match {
+      case Some(h) => injectHint(noSet, h)
+      case None => noSet
+    }
+    Rescued(
+      apply(rewriteSample(hinted)),
+      kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
+  }
+
+  /** Apply captured SETTINGS pairs to the active session through the A15
+    * GraftSettings name mapping (CH `max_threads` → shuffle partitions,
+    * etc.). Best-effort like the reference's passthrough: a key Spark
+    * rejects (static conf, bad value) is skipped, never fails the query.
+    * Deviation (documented): CH settings scope to the one query; Spark
+    * session confs persist like SQL `SET` until changed. */
+  def applySettings(kvs: Seq[(String, String)]): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { sp =>
+      kvs.foreach { case (k, v) =>
+        try sp.conf.set(graft.settings.GraftSettings.sparkKey(k), v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
+  /** CH `join_algorithm` values → the Spark join-strategy hint that picks
+    * the same physical shape (the `b_jn11`/`b_jn15` lever). */
+  private def joinHintFor(raw: String): Option[String] =
+    unquote(raw).toLowerCase(java.util.Locale.ROOT) match {
+      case "hash" | "parallel_hash" | "grace_hash" => Some("SHUFFLE_HASH")
+      case "full_sorting_merge" | "partial_merge" => Some("MERGE")
+      case "direct" => Some("BROADCAST") // key-lookup join: broadcast is the Spark analog
+      case _ => None // auto/default: leave strategy choice to the planner
+    }
+
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
+
+  /** Insert `/&#42;+ hint(relations…) &#42;/` after the first SELECT
+    * keyword outside quotes/comments. Join-strategy hints only take
+    * effect on NAMED relations (a parameterless hint wraps the whole
+    * plan and never reaches an inner join's sides), so the hint lists
+    * every table referenced after a FROM/JOIN token; names a relation
+    * doesn't match are ignored by Spark with a warning. */
+  private def injectHint(sql: String, hint: String): String = {
+    val rels = collectRelationNames(sql)
+    if (rels.isEmpty) return sql
+    val hintText = s"$hint(${rels.mkString(", ")})"
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("SELECT"))
+          return sql.substring(0, i) + s" /*+ $hintText */" + sql.substring(i)
+      } else i += 1
+    }
+    sql
+  }
+
+  /** Unqualified table names following FROM/JOIN tokens (subqueries skip
+    * the paren; their inner FROM is picked up as the scan continues). */
+  private def collectRelationNames(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w = sql.substring(start, i)
+        if (w.equalsIgnoreCase("FROM") || w.equalsIgnoreCase("JOIN")) {
+          var p = skipWs(sql, i)
+          if (p < n && sql.charAt(p) != '(') {
+            var lastPart = ""
+            var done = false
+            while (!done) {
+              if (p < n && sql.charAt(p) == '`') {
+                val e = skipQuoted(sql, p)
+                lastPart = sql.substring(p + 1, e - 1); p = e
+              } else {
+                val (word, after) = readWord(sql, p)
+                if (word.isEmpty) done = true else { lastPart = word; p = after }
+              }
+              if (!done) { if (p < n && sql.charAt(p) == '.') p += 1 else done = true }
+            }
+            if (lastPart.nonEmpty) out += lastPart
+            i = p
+          }
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Strip a trailing SETTINGS tail and return its (key, value) pairs
+    * (values unquoted). The `$`-anchored match is re-checked to start
+    * outside any literal/comment before stripping. */
+  private def stripSettings(sql: String): (String, Seq[(String, String)]) =
+    settingsTail.findFirstMatchIn(sql) match {
+      case Some(m) if outsideLiterals(sql, m.start) =>
+        val pairs = settingsPair.findAllMatchIn(m.group(1)).map(p =>
+          p.group(1) -> unquote(p.group(2))).toSeq
+        (sql.substring(0, m.start), pairs)
+      case _ => (sql, Nil)
+    }
+
+  /** Regex strip guarded by the literal/comment scanner. */
+  private def stripIfOutside(sql: String, re: scala.util.matching.Regex): String =
+    re.findFirstMatchIn(sql) match {
+      case Some(m) if outsideLiterals(sql, m.start) => sql.substring(0, m.start)
+      case _ => sql
+    }
+
+  /** True when `idx` is reachable outside every quote and comment. */
+  private def outsideLiterals(sql: String, idx: Int): Boolean = {
+    var i = 0
+    while (i < idx) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else i += 1
+    }
+    // a literal/comment opened before idx and spanning past it makes the
+    // scanner jump over idx (i > idx); landing exactly on it means outside
+    i == idx
+  }
+
+  // ------------------------------------------------------------- SAMPLE k
+
+  /** CH `FROM t SAMPLE k` needs the table's declared sampling key (CH
+    * errors without one in the DDL; we mirror that contract with an
+    * explicit registry). The rewrite is the deterministic md5-prefix
+    * filter `b_smp1_hash_sample` established: P(md5_hex4(key) < t) =
+    * t/65536, reproducible and identical across engines. */
+  private val sampleKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerSampleKey(table: String, keyExpr: String): Unit =
+    sampleKeys.put(table.toLowerCase(java.util.Locale.ROOT), keyExpr)
+
+  private def parseFraction(num: String): Option[Double] =
+    if (num.contains('/')) {
+      val parts = num.split('/')
+      if (parts.length == 2)
+        try {
+          val d = parts(1).trim.toDouble
+          if (d == 0) None else Some(parts(0).trim.toDouble / d)
+        } catch { case _: NumberFormatException => None }
+      else None
+    } else try Some(num.toDouble) catch { case _: NumberFormatException => None }
+
+  private def rewriteSample(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("FROM")) {
+          // qualified, possibly backquoted table identifier
+          var p = skipWs(sql, i)
+          val identStart = p
+          var lastPart = ""
+          var ok = p < n
+          var done = false
+          while (ok && !done) {
+            if (p < n && sql.charAt(p) == '`') {
+              val e = skipQuoted(sql, p)
+              lastPart = sql.substring(p + 1, e - 1); p = e
+            } else {
+              val (w, after) = readWord(sql, p)
+              if (w.isEmpty) ok = false else { lastPart = w; p = after }
+            }
+            if (ok) { if (p < n && sql.charAt(p) == '.') p += 1 else done = true }
+          }
+          if (ok) {
+            val identEnd = p
+            val (w2, afterW2) = readWord(sql, skipWs(sql, p))
+            if (w2.equalsIgnoreCase("SAMPLE")) {
+              var r = skipWs(sql, afterW2)
+              val numStart = r
+              while (r < n && (Character.isDigit(sql.charAt(r)) ||
+                sql.charAt(r) == '.' || sql.charAt(r) == '/')) r += 1
+              val num = sql.substring(numStart, r)
+              parseFraction(num) match {
+                case Some(f) if f > 0 && f < 1 =>
+                  val tableSql = sql.substring(identStart, identEnd)
+                  val key = Option(sampleKeys.get(lastPart.toLowerCase(java.util.Locale.ROOT)))
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"SAMPLE: no sampling key declared for table '$lastPart' — " +
+                        "register one with graft.functions.ChSqlRewrite.registerSampleKey" +
+                        "(table, keyExpr) (ClickHouse likewise requires SAMPLE BY in the DDL)"))
+                  val threshold = f"${math.floor(f * 65536).toInt}%04x"
+                  val repl = s"(SELECT * FROM $tableSql WHERE substring(md5(" +
+                    s"CAST($key AS STRING)), 1, 4) < '$threshold') $lastPart"
+                  return rewriteSample(sql.substring(0, identStart) + repl + sql.substring(r))
+                case _ => () // SAMPLE n (approx row count) unsupported: fail loudly
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ----------------------------------------------------------- ARRAY JOIN
+
+  /** CH `FROM t [LEFT] ARRAY JOIN item [, item ...]` → LATERAL VIEW.
+    *
+    *   - one `expr AS alias` item: `LATERAL VIEW explode[_outer](expr)
+    *     ch_aj_ AS alias` (unchanged from round 5);
+    *   - multiple items (CH zips POSITIONALLY — chained explodes would
+    *     cross-product): the first array drives `posexplode[_outer]`,
+    *     every further element is the shared index into its array
+    *     (`get` — NULL out of bounds, never an ANSI error):
+    *     `LATERAL VIEW posexplode(a) ch_aj_0 AS ch_aj_pos_, x
+    *      LATERAL VIEW explode(array(get(b, ch_aj_pos_))) ch_aj_1 AS y`.
+    *     Unequal lengths yield NULL elements (CH errors unless
+    *     `enable_unaligned_array_join` — documented deviation);
+    *   - any item WITHOUT an `AS alias` bails → loud parse failure,
+    *     never silent wrongness. (CH's bare form REPLACES the source
+    *     column with its element — a self-aliased LATERAL VIEW is an
+    *     AMBIGUOUS_REFERENCE in Spark, so there is no faithful textual
+    *     rewrite; spell `ARRAY JOIN arr AS arr_elem`.)
+    */
   private def rewriteArrayJoin(sql: String): String = {
     val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
-      "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY")
+      "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY",
+      "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS")
+    val asAlias = java.util.regex.Pattern
+      .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$")
     val n = sql.length
     var i = 0
     while (i < n) {
@@ -101,51 +419,67 @@ object ChSqlRewrite {
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
         val w1 = sql.substring(start, i)
         if (w1.equalsIgnoreCase("ARRAY") || w1.equalsIgnoreCase("LEFT")) {
-          // try to read "[LEFT] ARRAY JOIN"
           var p = skipWs(sql, i)
           var left = false
-          var arrayAt = start
           var ok = w1.equalsIgnoreCase("ARRAY")
           if (w1.equalsIgnoreCase("LEFT")) {
             val (word, after) = readWord(sql, p)
             if (word.equalsIgnoreCase("ARRAY")) { left = true; ok = true; p = skipWs(sql, after) }
-          } else arrayAt = start
+          }
           if (ok) {
-            val (join, afterJoin) = readWord(sql, if (w1.equalsIgnoreCase("ARRAY")) p else p)
+            val (join, afterJoin) = readWord(sql, p)
             if (join.equalsIgnoreCase("JOIN")) {
-              // capture expr .. [AS alias] until a depth-0 stop keyword,
-              // comma (multi-array: bail), or end
+              // parse the comma-separated item list up to a depth-0 stop
               var q = skipWs(sql, afterJoin)
-              val exprStart = q
-              var depth = 0
-              var exprEnd = -1
+              val items = scala.collection.mutable.ListBuffer.empty[(String, String)]
+              var listEnd = -1
               var bail = false
-              while (q < n && exprEnd < 0 && !bail) {
-                val ch = sql.charAt(q)
-                if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
-                else if (ch == '(') { depth += 1; q += 1 }
-                else if (ch == ')') {
-                  if (depth == 0) exprEnd = q else { depth -= 1; q += 1 }
-                } else if (ch == ',' && depth == 0) bail = true
-                else if (Character.isJavaIdentifierStart(ch) && depth == 0) {
-                  val ws = q
-                  while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
-                  if (stops.contains(sql.substring(ws, q).toUpperCase)) exprEnd = ws
-                } else q += 1
-              }
-              if (!bail) {
-                if (exprEnd < 0) exprEnd = n
-                val segment = sql.substring(exprStart, exprEnd).trim
-                // split the trailing "AS alias"
-                val m = java.util.regex.Pattern
-                  .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$")
-                  .matcher(segment)
-                if (m.matches()) {
-                  val fn = if (left) "explode_outer" else "explode"
-                  val repl = s"LATERAL VIEW $fn(${m.group(1)}) ch_aj_ AS ${m.group(2)} "
-                  return rewriteArrayJoin(
-                    sql.substring(0, if (left) start else arrayAt) + repl + sql.substring(exprEnd))
+              var more = true
+              while (more && !bail && q < n) {
+                val itemStart = q
+                var depth = 0
+                var itemEnd = -1
+                var comma = false
+                while (q < n && itemEnd < 0) {
+                  val ch = sql.charAt(q)
+                  if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
+                  else if (ch == '(') { depth += 1; q += 1 }
+                  else if (ch == ')') {
+                    if (depth == 0) itemEnd = q else { depth -= 1; q += 1 }
+                  } else if (ch == ',' && depth == 0) { itemEnd = q; comma = true }
+                  else if (Character.isJavaIdentifierStart(ch) && depth == 0) {
+                    val ws = q
+                    while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
+                    if (stops.contains(sql.substring(ws, q).toUpperCase)) itemEnd = ws
+                  } else q += 1
                 }
+                if (itemEnd < 0) itemEnd = q
+                val segment = sql.substring(itemStart, itemEnd).trim
+                val m = asAlias.matcher(segment)
+                if (m.matches()) items += (m.group(1) -> m.group(2))
+                else bail = true
+                if (!bail) {
+                  if (comma) q = skipWs(sql, itemEnd + 1)
+                  else { listEnd = itemEnd; more = false }
+                }
+              }
+              if (!bail && items.nonEmpty && listEnd >= 0) {
+                val repl =
+                  if (items.length == 1) {
+                    val (e0, a0) = items.head
+                    val fn = if (left) "explode_outer" else "explode"
+                    s"LATERAL VIEW $fn($e0) ch_aj_ AS $a0 "
+                  } else {
+                    val (e0, a0) = items.head
+                    val fn = if (left) "posexplode_outer" else "posexplode"
+                    val head = s"LATERAL VIEW $fn($e0) ch_aj_0 AS ch_aj_pos_, $a0 "
+                    val rest = items.toList.zipWithIndex.drop(1).map { case ((e, a), j) =>
+                      s"LATERAL VIEW explode(array(get($e, ch_aj_pos_))) ch_aj_$j AS $a "
+                    }
+                    head + rest.mkString
+                  }
+                return rewriteArrayJoin(
+                  sql.substring(0, start) + repl + sql.substring(listEnd))
               }
             }
           }
@@ -161,20 +495,6 @@ object ChSqlRewrite {
       while (i < s.length && Character.isJavaIdentifierPart(s.charAt(i))) i += 1
       (s.substring(start, i), i)
     } else ("", start)
-  }
-
-  def apply(sql: String): String = {
-    var cur = rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(
-      trailingFormat.replaceFirstIn(sql, ""), "")))
-    var changed = true
-    var guard = 0
-    while (changed && guard < 1000) {
-      val next = rewriteOnce(cur)
-      changed = next ne cur
-      cur = next
-      guard += 1
-    }
-    cur
   }
 
   /** Rewrites the FIRST parameterized call found, or returns `sql` (eq). */

@@ -303,6 +303,69 @@ object SettingsQueries extends QueryRegistry {
              |  'https://docs.example.com/' || source || '/' ||
              |    CAST(doc_id AS VARCHAR) || '#s' AS no_q
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- CH `SETTINGS` clause in SQL text (reference passthrough
+    // `src/query.rs:168-197` → `client.rs:643`; typed registry
+    // `src/settings.rs:81-428`): the tail strips in the parser's rescue
+    // pass, `join_algorithm='hash'` becomes a SHUFFLE_HASH strategy hint
+    // on the named relations (per-query, like CH), and the remaining
+    // keys apply through the A15 GraftSettings mapping. max_threads=32
+    // is the session's configured parallelism restated — a no-op here,
+    // proving the plumbing without perturbing later queries. ----
+    QueryDef(
+      "b_sql10_settings_clause",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_set_v")
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_set_v")
+        s.sql(
+          """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+            |FROM lineitem_set_v JOIN orders_set_v ON l_orderkey = o_orderkey
+            |GROUP BY o_orderstatus
+            |SETTINGS join_algorithm = 'hash', max_threads = 32""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- multi-array ARRAY JOIN (positional zip, CH semantics): the
+    // rewrite drives posexplode off the first array and indexes the rest
+    // with the shared position — one Generate over the fact, never a
+    // cross product. DuckDB zips parallel unnests in the SELECT list. ----
+    QueryDef(
+      "b_sql11_array_join_multi",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_aj_v")
+        s.sql(
+          """SELECT o_orderkey, part, amt
+            |FROM (SELECT o_orderkey,
+            |        array('key', 'cust') AS tags,
+            |        array(CAST(o_orderkey AS DOUBLE), CAST(o_custkey AS DOUBLE)) AS vals
+            |      FROM orders_aj_v) t
+            |ARRAY JOIN tags AS part, vals AS amt
+            |ORDER BY o_orderkey, part""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, unnest(['key', 'cust']) AS part,
+             |  unnest([CAST(o_orderkey AS DOUBLE), CAST(o_custkey AS DOUBLE)]) AS amt
+             |FROM orders
+             |ORDER BY o_orderkey, part""".stripMargin)),
+
+    // ---- CH `SAMPLE k` clause: deterministic md5-prefix sampling over
+    // the table's registered sampling key (CH requires `SAMPLE BY` in
+    // the DDL; the registry is our analog). floor(0.1·65536) = 0x1999 —
+    // identical row set in any engine with a standard md5. ----
+    QueryDef(
+      "b_sql12_sample_clause",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_smp_v")
+        graft.functions.ChSqlRewrite.registerSampleKey("orders_smp_v", "o_orderkey")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_smp_v SAMPLE 0.1
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

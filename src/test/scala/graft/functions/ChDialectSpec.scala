@@ -381,8 +381,18 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT 3 AS x;").head.getInt(0) === 3)
     // a string literal ending in a FORMAT-like tail is untouched
     assert(one("'use FORMAT JSON'") === "use FORMAT JSON")
+    // the strip is RESCUE-tier: the always-on pass leaves the text alone...
     assert(ChSqlRewrite("SELECT countIf(x > 0) FROM t FORMAT CSV;")
+      === "SELECT countIf(x > 0) FROM t FORMAT CSV")
+    // ...and the rescue pass (after a parse failure) removes it
+    assert(ChSqlRewrite.rescue("SELECT countIf(x > 0) FROM t FORMAT CSV;").sql
       === "SELECT countIf(x > 0) FROM t")
+    // valid Spark SQL that merely ENDS in format-shaped tokens parses
+    // fine and is never rewritten (the parse-first contract)
+    Seq(("a", 2), ("b", 1)).toDF("format", "v").createOrReplaceTempView("chfmt")
+    assert(spark.sql("SELECT v FROM chfmt ORDER BY format DESC")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(spark.sql("SELECT f.format FROM chfmt f").collect().length === 2)
   }
 
   test("hasAll/hasAny/range array spellings") {
@@ -407,21 +417,30 @@ class ChDialectSpec extends SparkSpec {
   }
 
   test("CH ARRAY JOIN clause rewrites onto LATERAL VIEW explode") {
-    assert(ChSqlRewrite("SELECT id, x FROM t ARRAY JOIN tags AS x WHERE x <> ''")
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT id, x FROM t ARRAY JOIN tags AS x WHERE x <> ''")
       === "SELECT id, x FROM t LATERAL VIEW explode(tags) ch_aj_ AS x WHERE x <> ''")
-    assert(ChSqlRewrite("SELECT id, x FROM t LEFT ARRAY JOIN tags AS x")
+    assert(rw("SELECT id, x FROM t LEFT ARRAY JOIN tags AS x")
       === "SELECT id, x FROM t LATERAL VIEW explode_outer(tags) ch_aj_ AS x ")
     // expression form with an inner AS cast
-    assert(ChSqlRewrite("SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x ORDER BY x")
+    assert(rw("SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x ORDER BY x")
       === "SELECT x FROM t LATERAL VIEW explode(splitByChar(',', s)) ch_aj_ AS x ORDER BY x")
-    // multi-array (zip semantics) and bare-column forms stay untouched
-    assert(ChSqlRewrite("SELECT * FROM t ARRAY JOIN a AS x, b AS y")
-      === "SELECT * FROM t ARRAY JOIN a AS x, b AS y")
-    assert(ChSqlRewrite("SELECT arr FROM t ARRAY JOIN arr")
-      === "SELECT arr FROM t ARRAY JOIN arr")
+    // the rewrite is ALWAYS-ON (Spark parses `t ARRAY JOIN tags` as
+    // alias + inner join, failing only at analysis — rescue can't see it)
+    assert(ChSqlRewrite("SELECT id, x FROM t ARRAY JOIN tags AS x")
+      === "SELECT id, x FROM t LATERAL VIEW explode(tags) ch_aj_ AS x ")
+    // multi-array = POSITIONAL zip: first array drives posexplode, the
+    // rest index by the shared position (chained explodes would
+    // cross-product — wrong)
+    assert(rw("SELECT * FROM t ARRAY JOIN a AS x, b AS y WHERE x > 0")
+      === "SELECT * FROM t LATERAL VIEW posexplode(a) ch_aj_0 AS ch_aj_pos_, x " +
+        "LATERAL VIEW explode(array(get(b, ch_aj_pos_))) ch_aj_1 AS y WHERE x > 0")
+    // a complex expr without an alias still bails → loud parse failure
+    val noAlias = "SELECT * FROM t ARRAY JOIN f(a), b AS y"
+    assert(rw(noAlias) === noAlias)
     // plain LEFT JOIN untouched
     val lj = "SELECT * FROM a LEFT JOIN b ON a.id = b.id"
-    assert(ChSqlRewrite(lj) === lj)
+    assert(rw(lj) === lj)
 
     Seq((1, Seq("p", "q")), (2, Seq.empty[String])).toDF("id", "tags")
       .createOrReplaceTempView("chajc")
@@ -433,6 +452,90 @@ class ChDialectSpec extends SparkSpec {
       "SELECT id, x FROM chajc LEFT ARRAY JOIN tags AS x ORDER BY id, x")
       .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
     assert(leftRows === Seq((1, Some("p")), (1, Some("q")), (2, None)))
+  }
+
+  test("multi-array ARRAY JOIN zips positionally end-to-end") {
+    Seq(
+      (1, Seq("p", "q"), Seq(10, 20)),
+      (2, Seq("r"), Seq(30)),
+      (3, Seq("s", "t"), Seq(40))) // unequal: missing element → NULL
+      .toDF("id", "tags", "vals").createOrReplaceTempView("chajm")
+    val rows = spark.sql(
+      "SELECT id, x, v FROM chajm ARRAY JOIN tags AS x, vals AS v ORDER BY id, x")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(rows === Seq(
+      (1, "p", Some(10)), (1, "q", Some(20)), (2, "r", Some(30)),
+      (3, "s", Some(40)), (3, "t", None)))
+    // LEFT multi-array keeps empty-array rows
+    val left = spark.sql(
+      "SELECT id, x, v FROM chajm LEFT ARRAY JOIN tags AS x, vals AS v WHERE id = 2")
+      .collect()
+    assert(left.length === 1 && left(0).getString(1) === "r")
+    // bare-column form has no faithful Spark rewrite (CH REPLACES the
+    // column; a self-aliased LATERAL VIEW is AMBIGUOUS_REFERENCE) —
+    // it bails untouched and fails loudly, never silently
+    val bare = "SELECT id, tags FROM chajm ARRAY JOIN tags"
+    assert(ChSqlRewrite(bare) === bare)
+  }
+
+  test("SETTINGS clause strips, maps join_algorithm to a strategy hint, applies confs") {
+    // capture + strip
+    val r = ChSqlRewrite.rescue(
+      "SELECT a FROM t SETTINGS max_threads = 8, join_algorithm = 'hash'")
+    assert(r.sql === "SELECT /*+ SHUFFLE_HASH(t) */ a FROM t")
+    assert(r.settings === Seq("max_threads" -> "8"))
+    // a literal containing a SETTINGS-shaped tail is untouched
+    val lit = "SELECT 'x SETTINGS a = 1' AS s"
+    assert(ChSqlRewrite.rescue(lit).sql === lit)
+
+    // join_algorithm='hash' influences the chosen strategy (the b_jn11
+    // lever): the plan materializes a ShuffledHashJoin even though the
+    // sides are broadcast-small
+    spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v")
+      .createOrReplaceTempView("chsetl")
+    spark.range(0, 100).selectExpr("id AS k", "id % 3 AS w")
+      .createOrReplaceTempView("chsetr")
+    val hinted = spark.sql(
+      """SELECT chsetl.k, v, w FROM chsetl JOIN chsetr ON chsetl.k = chsetr.k
+        |SETTINGS join_algorithm = 'hash'""".stripMargin)
+    assert(hinted.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      hinted.queryExecution.executedPlan.toString)
+    assert(hinted.count() === 100)
+
+    // non-hint keys land on the session through the A15 mapping
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.sql("SELECT 1 AS x SETTINGS max_threads = 7").collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
+  test("SAMPLE clause rewrites to the deterministic md5-hash sample") {
+    ChSqlRewrite.registerSampleKey("chsmpl", "id")
+    // floor(0.1 * 65536) = 6553 = 0x1999
+    assert(ChSqlRewrite.rescue("SELECT id FROM chsmpl SAMPLE 0.1 ORDER BY id").sql
+      === "SELECT id FROM (SELECT * FROM chsmpl WHERE substring(md5(" +
+        "CAST(id AS STRING)), 1, 4) < '1999') chsmpl ORDER BY id")
+    // the k/m fraction spelling
+    assert(ChSqlRewrite.rescue("SELECT id FROM chsmpl SAMPLE 1/4").sql
+      .contains("< '4000'"))
+    // no registered key → loud CH-style failure, not silent wrongness
+    val err = intercept[IllegalArgumentException] {
+      ChSqlRewrite.rescue("SELECT x FROM chnokey SAMPLE 0.5")
+    }
+    assert(err.getMessage.contains("sampling key"))
+
+    spark.range(0, 2000).toDF("id").createOrReplaceTempView("chsmpl")
+    val sampled = spark.sql("SELECT id FROM chsmpl SAMPLE 0.1")
+    val nSampled = sampled.count()
+    // deterministic: same rows every run, ~10% of 2000
+    assert(nSampled === spark.sql("SELECT id FROM chsmpl SAMPLE 0.1").count())
+    assert(nSampled > 100 && nSampled < 320, s"got $nSampled of 2000")
+    val manual = spark.sql(
+      "SELECT id FROM chsmpl WHERE substring(md5(CAST(id AS STRING)), 1, 4) < '1999'")
+    assert(sampled.collect().map(_.getLong(0)).sorted.toSeq
+      === manual.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("URL encoding, edit distance, array constructors") {
