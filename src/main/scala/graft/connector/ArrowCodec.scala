@@ -47,6 +47,20 @@ object ArrowCodec {
   def fixedWidthMetadata(n: Int): Metadata =
     new MetadataBuilder().putLong(FixedWidthKey, n.toLong).build()
 
+  /** StructField metadata key carrying the declared CH type name when the
+    * Arrow wire type alone is ambiguous: `BFloat16` (u16 raw bits vs a
+    * plain UInt16), `Time`/`Time64(p)` (time-of-day vs plain ints),
+    * `Dynamic` (dense union vs Variant). Travels as Arrow field metadata
+    * in the IPC schema, so it survives server round trips. */
+  val CHTypeKey = "ch.type"
+
+  /** StructField metadata key preserving an Enum8/16 column's name↔code
+    * map (`name=code,name=code`). The wire form is Dictionary(Int8/16,
+    * Utf8) — reference `arrow/types.rs:471-474` — which the generic dict
+    * decode surfaces as strings; this key keeps the declared codes so
+    * `enumCode`-style expressions and DDL regeneration stay exact. */
+  val EnumValuesKey = "ch.enumValues"
+
   // ---------------------------------------------------------- schema maps
 
   /** Spark → Arrow field mapping. Nested types recurse: `Array(T)` →
@@ -55,9 +69,38 @@ object ArrowCodec {
     * CH Tuple → Arrow Struct (`serialize/tuple.rs`).
     */
   def toArrowField(f: StructField): Field = {
+    // `ch.*` Spark metadata rides the Arrow field metadata, so the wire
+    // schema keeps the CH type identity (BFloat16/Time/Dynamic/Enum)
+    val chMeta: java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      Seq(CHTypeKey, EnumValuesKey).foreach { k =>
+        if (f.metadata.contains(k)) m.put(k, f.metadata.getString(k))
+      }
+      if (m.isEmpty) null else m
+    }
     def flat(at: ArrowType): Field =
-      new Field(f.name, new FieldType(f.nullable, at, null), java.util.List.of[Field]())
+      new Field(f.name, new FieldType(f.nullable, at, null, chMeta), java.util.List.of[Field]())
+    val declared =
+      if (f.metadata.contains(CHTypeKey)) f.metadata.getString(CHTypeKey) else ""
     f.dataType match {
+      // BFloat16 wires as u16 raw bits (reference `values.rs:105`; there
+      // is no Arrow bf16 — HALF is IEEE fp16, a different format)
+      case FloatType if declared == "BFloat16" => flat(new ArrowType.Int(16, false))
+      // Time = seconds since midnight (values.rs:108); Time64(p) scaled
+      case IntegerType if declared == "Time" =>
+        flat(new ArrowType.Time(TimeUnit.SECOND, 32))
+      case LongType if declared.startsWith("Time64") =>
+        val unit = if (declared.contains("(9)")) TimeUnit.NANOSECOND else TimeUnit.MICROSECOND
+        flat(new ArrowType.Time(unit, 64))
+      // Dynamic writes back as stringified values (the reference's
+      // observable read form, `tests/tests/new_types.rs:242-296`; CH
+      // coerces string inserts into Dynamic server-side). Forced
+      // nullable: the source struct inherits the Arrow union's
+      // non-nullable convention, but a NULL dynamic stringifies to NULL
+      case _: StructType if declared.startsWith("Dynamic") =>
+        new Field(f.name,
+          new FieldType(true, ArrowType.Utf8.INSTANCE, null, chMeta),
+          java.util.List.of[Field]())
       case BooleanType => flat(ArrowType.Bool.INSTANCE)
       case ByteType => flat(new ArrowType.Int(8, true))
       case ShortType => flat(new ArrowType.Int(16, true))
@@ -112,8 +155,28 @@ object ArrowCodec {
   /** Arrow → Spark (the header-block direction: the server's schema is
     * authoritative, mirroring `client/reader.rs:58`). */
   def fromArrowField(f: Field): StructField = {
+    val fieldMeta: Map[String, String] =
+      Option(f.getMetadata).map(_.asScala.toMap).getOrElse(Map.empty)
+    val declared = fieldMeta.getOrElse(CHTypeKey, "")
     val dt: DataType = f.getType match {
       case _: ArrowType.Bool => BooleanType
+      // BFloat16 raw bits (u16 on the wire, `values.rs:105`): the reader
+      // widens the bits to Float32, so the schema reads Float
+      case i: ArrowType.Int if declared == "BFloat16" && i.getBitWidth == 16 => FloatType
+      // time-of-day: Spark has no TIME type — Time surfaces as seconds
+      // since midnight (Int), Time64 as the scaled count (Long), with
+      // the declared CH type kept in metadata for DDL regeneration
+      case t: ArrowType.Time => if (t.getBitWidth == 32) IntegerType else LongType
+      // Dynamic (runtime-typed; dense union wire tagged ch.type=Dynamic):
+      // the reference's observable read form is stringified values plus
+      // type names (`tests/tests/new_types.rs:242-296`) — materialized
+      // here as struct(dynamic_type, value)
+      case u: ArrowType.Union if declared.startsWith("Dynamic") =>
+        require(u.getMode == org.apache.arrow.vector.types.UnionMode.Dense,
+          "connector transports Dense unions only")
+        StructType(Seq(
+          StructField("dynamic_type", StringType, nullable = true),
+          StructField("value", StringType, nullable = true)))
       case i: ArrowType.Int if i.getIsSigned =>
         i.getBitWidth match {
           case 8 => ByteType
@@ -161,16 +224,18 @@ object ArrowCodec {
       case other =>
         throw new UnsupportedOperationException(s"connector does not transport arrow $other yet")
     }
-    // FSB width / variant branch names survive the round trip through
-    // metadata tags, so a scanned-then-rewritten column keeps its wire form
-    val md = f.getType match {
-      case fsb: ArrowType.FixedSizeBinary => fixedWidthMetadata(fsb.getByteWidth)
-      case _: ArrowType.Union =>
-        new MetadataBuilder().putString(VariantTypesKey,
-          f.getChildren.asScala.map(_.getName).mkString(",")).build()
-      case _ => Metadata.empty
+    // FSB width / variant branch names / ch.* wire metadata survive the
+    // round trip, so a scanned-then-rewritten column keeps its wire form
+    val mb = new MetadataBuilder()
+    fieldMeta.foreach { case (k, v) => if (k.startsWith("ch.")) mb.putString(k, v) }
+    f.getType match {
+      case fsb: ArrowType.FixedSizeBinary => mb.putLong(FixedWidthKey, fsb.getByteWidth.toLong)
+      case _: ArrowType.Union if !declared.startsWith("Dynamic") =>
+        mb.putString(VariantTypesKey,
+          f.getChildren.asScala.map(_.getName).mkString(","))
+      case _ => ()
     }
-    StructField(f.getName, dt, f.isNullable, md)
+    StructField(f.getName, dt, f.isNullable, mb.build())
   }
 
   def fromArrowSchema(s: ArrowSchema): StructType =
@@ -215,6 +280,27 @@ object ArrowCodec {
         case BooleanType => (i, c, j) => v.asInstanceOf[BitVector].setSafe(i, if (c.getBoolean(j)) 1 else 0)
         case ByteType => (i, c, j) => v.asInstanceOf[TinyIntVector].setSafe(i, c.getByte(j))
         case ShortType => (i, c, j) => v.asInstanceOf[SmallIntVector].setSafe(i, c.getShort(j))
+        // time-of-day wire forms (CHTypeKey metadata routed the Arrow
+        // schema to Time vectors; `values.rs:105-111`)
+        case IntegerType if v.isInstanceOf[TimeSecVector] =>
+          (i, c, j) => v.asInstanceOf[TimeSecVector].setSafe(i, c.getInt(j))
+        case LongType if v.isInstanceOf[TimeMicroVector] =>
+          (i, c, j) => v.asInstanceOf[TimeMicroVector].setSafe(i, c.getLong(j))
+        case LongType if v.isInstanceOf[TimeNanoVector] =>
+          (i, c, j) => v.asInstanceOf[TimeNanoVector].setSafe(i, c.getLong(j))
+        // BFloat16: u16 raw bits = float bits >>> 16, truncation
+        // (matching the round-5 toBFloat16 kernel and `values.rs:105`)
+        case FloatType if v.isInstanceOf[UInt2Vector] =>
+          (i, c, j) => v.asInstanceOf[UInt2Vector].setSafe(
+            i, (java.lang.Float.floatToRawIntBits(c.getFloat(j)) >>> 16).toChar)
+        // Dynamic (struct(dynamic_type, value)) writes its stringified
+        // value — the server coerces strings into Dynamic
+        case st: StructType if v.isInstanceOf[VarCharVector] =>
+          (i, c, j) => {
+            val row = c.getStruct(j, st.size)
+            if (row == null || row.isNullAt(1)) v.asInstanceOf[VarCharVector].setNull(i)
+            else v.asInstanceOf[VarCharVector].setSafe(i, row.getUTF8String(1).getBytes)
+          }
         case IntegerType => (i, c, j) => v.asInstanceOf[IntVector].setSafe(i, c.getInt(j))
         case LongType => (i, c, j) => v.asInstanceOf[BigIntVector].setSafe(i, c.getLong(j))
         case FloatType => (i, c, j) => v.asInstanceOf[Float4Vector].setSafe(i, c.getFloat(j))
@@ -522,7 +608,14 @@ object ArrowCodec {
         if (enc == null) fromArrowField(f)
         else {
           val valueField = reader.getDictionaryVectors.get(enc.getId).getVector.getField
-          StructField(f.getName, fromArrowField(valueField).dataType, f.isNullable)
+          // `ch.*` metadata (Enum8/16 name↔code map, declared type) rides
+          // the INDEX field; keep it on the decoded string column so the
+          // enum expressions and DDL regeneration stay exact
+          val mb = new MetadataBuilder()
+          Option(f.getMetadata).foreach(_.asScala.foreach { case (k, vv) =>
+            if (k.startsWith("ch.")) mb.putString(k, vv)
+          })
+          StructField(f.getName, fromArrowField(valueField).dataType, f.isNullable, mb.build())
         }
       }.toSeq)
 
@@ -543,13 +636,36 @@ object ArrowCodec {
         decoded ::= out
         out
       }
+      val declared = Option(v.getField.getMetadata)
+        .flatMap(m => Option(m.get(CHTypeKey))).getOrElse("")
       v match {
         case u: UInt1Vector =>
           val out = new SmallIntVector(v.getName, allocator)
           fill(out)(i => out.set(i, (u.get(i) & 0xff).toShort))
+        // BFloat16 raw bits: widen u16 → Float32 by shifting the bits
+        // into the high half (`values.rs:105`; exact, no rounding)
+        case u: UInt2Vector if declared == "BFloat16" =>
+          val out = new Float4Vector(v.getName, allocator)
+          fill(out)(i => out.set(i,
+            java.lang.Float.intBitsToFloat((u.get(i) & 0xffff) << 16)))
         case u: UInt2Vector =>
           val out = new IntVector(v.getName, allocator)
           fill(out)(i => out.set(i, u.get(i).toInt))
+        // time-of-day vectors: Spark's ArrowColumnVector has no Time
+        // accessors — copy into the plain int/long vector the schema
+        // maps to (seconds for Time, scaled count for Time64)
+        case t: TimeSecVector =>
+          val out = new IntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, t.get(i)))
+        case t: TimeMilliVector =>
+          val out = new IntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, t.get(i)))
+        case t: TimeMicroVector =>
+          val out = new BigIntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, t.get(i)))
+        case t: TimeNanoVector =>
+          val out = new BigIntVector(v.getName, allocator)
+          fill(out)(i => out.set(i, t.get(i)))
         case u: UInt4Vector =>
           val out = new BigIntVector(v.getName, allocator)
           fill(out)(i => out.set(i, u.get(i) & 0xffffffffL))
@@ -570,6 +686,41 @@ object ArrowCodec {
           out.setValueCount(n)
           decoded ::= out
           out
+        // CH Dynamic (dense union tagged ch.type=Dynamic): the
+        // reference's observable read form is STRINGIFIED values plus
+        // the type name (`tests/tests/new_types.rs:242-296`) —
+        // materialize struct(dynamic_type, value) with both as Utf8.
+        case duv: org.apache.arrow.vector.complex.DenseUnionVector
+            if declared.startsWith("Dynamic") =>
+          import org.apache.arrow.vector.complex.StructVector
+          import org.apache.arrow.vector.types.pojo.{ArrowType => AT, FieldType}
+          val struct = StructVector.empty(v.getName, allocator)
+          val tag = struct.addOrGet("dynamic_type",
+            FieldType.nullable(AT.Utf8.INSTANCE), classOf[VarCharVector])
+          val value = struct.addOrGet("value",
+            FieldType.nullable(AT.Utf8.INSTANCE), classOf[VarCharVector])
+          struct.allocateNew()
+          val children = duv.getField.getChildren.asScala.toSeq
+          val nameBytes: IndexedSeq[Array[Byte]] =
+            children.map(_.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toIndexedSeq
+          var i = 0
+          while (i < n) {
+            val tid = duv.getTypeId(i)
+            if (tid >= 0) {
+              val childVec = duv.getVectorByType(tid)
+              val off = duv.getOffset(i)
+              struct.setIndexDefined(i)
+              if (childVec != null && !childVec.isNull(off)) {
+                tag.setSafe(i, nameBytes(tid))
+                value.setSafe(i, String.valueOf(childVec.getObject(off))
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              } // NULL dynamic: both fields stay null (dynamicType = NULL in CH)
+            }
+            i += 1
+          }
+          struct.setValueCount(n)
+          decoded ::= struct
+          struct
         // CH Variant (dense union, reference `arrow/types.rs:483-499`):
         // Spark's ArrowColumnVector has no union accessor, so materialize
         // the §1.2 tagged struct — variant_type carries the branch's CH

@@ -230,6 +230,77 @@ object ConnectorQueries extends QueryRegistry {
       },
       None),
 
+    // ---- Enum8 transport (reference `arrow/types.rs:471-474`): the
+    // wire is Dictionary(Int8, Utf8) with the declared name↔code map in
+    // `ch.enumValues` field metadata; the scan decodes to strings and
+    // the query maps names back to codes FROM THAT METADATA — proving
+    // the declared codes (not dict positions) survive the round trip.
+    // Oracle reproduces the stub's cycling fixture by construction. ----
+    QueryDef(
+      "b_val6_enum_transport",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadEnumTable("enums_q", Seq("red" -> 1, "green" -> 2, "blue" -> 5), 40)
+        val df = s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "enums_q").load()
+        val codePairs = df.schema("e").metadata.getString(ArrowCodec.EnumValuesKey)
+          .split(",").toSeq.map { kv =>
+            val Array(nm, code) = kv.split("="); (nm, code.toInt)
+          }
+        val codeMap = map(codePairs.flatMap { case (nm, c) =>
+          Seq(lit(nm), lit(c)) }: _*)
+        // the derived `code` column doubles as the agg-pushdown blocker:
+        // grouping on an expression keeps the GROUP BY Spark-side (the
+        // raw-Arrow stub serves the stream verbatim and could not answer
+        // it), and NO filter may appear (even an inferred IS NOT NULL
+        // would push a WHERE the raw table refuses)
+        df.withColumn("code", element_at(codeMap, col("e")))
+          .groupBy(col("e"), col("code"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("e"))
+      },
+      Some("""SELECT e, n, code FROM (VALUES
+             |  ('blue', CAST(13 AS BIGINT), 5),
+             |  ('green', CAST(13 AS BIGINT), 2),
+             |  ('red', CAST(14 AS BIGINT), 1)) AS t(e, n, code)
+             |ORDER BY e""".stripMargin)),
+
+    // ---- Dynamic transport (runtime-typed column): dense union tagged
+    // ch.type=Dynamic; the scan surfaces the reference's observable read
+    // form — stringified value + type name (new_types.rs:242-296). Wire
+    // form has no DuckDB analog → rows-only; semantics pinned in
+    // WireTypesSpec. ----
+    QueryDef(
+      "b_src23_dynamic_scan",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadDynamicTable("dynamics_q", 30)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "dynamics_q").load()
+          .selectExpr("dyn.dynamic_type AS dtype", "dyn.value AS v")
+          .where("dyn.dynamic_type IS NOT NULL")
+      },
+      None),
+
+    // ---- BFloat16 / Time / Time64 transport (`values.rs:105-111`):
+    // u16 raw bits widen to Float32, time-of-day vectors widen to
+    // seconds/micros. No DuckDB analog for the wire forms → rows-only;
+    // exact values pinned in WireTypesSpec. ----
+    QueryDef(
+      "b_val7_time_bf16_transport",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadScalarWireTable("scalars_q", 50)
+        // `aligned` proves the two clocks agree row-by-row; computed as
+        // a column, not a filter — a filter's inferred IS NOT NULL would
+        // push a WHERE the verbatim raw-Arrow table refuses to evaluate
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "scalars_q").load()
+          .selectExpr("bf", "t", "t64",
+            "t64 = CAST(t AS BIGINT) * 1000000 AS aligned")
+      },
+      None),
+
     QueryDef(
       "b_sys1_system_tables",
       (s, d) => {

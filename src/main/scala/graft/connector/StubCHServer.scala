@@ -287,10 +287,238 @@ final class StubCHServer {
     rawTables.put(name, out.toByteArray)
   }
 
+  /** Enum8 wire form (reference `arrow/types.rs:471-474`): a
+    * Dictionary(Int8, Utf8)-encoded column whose index field carries the
+    * declared name↔code map as `ch.enumValues` Arrow field metadata.
+    * Values cycle through the declared names. */
+  def loadEnumTable(name: String, values: Seq[(String, Int)], rows: Int): Unit = {
+    import org.apache.arrow.vector.{TinyIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType}
+    val alloc = ArrowCodec.rootAllocator
+      .newChildAllocator(s"enum-$name", 0, Long.MaxValue)
+    val dictVec = new VarCharVector("e_dict", alloc)
+    dictVec.allocateNew(values.size)
+    values.zipWithIndex.foreach { case ((nm, _), i) =>
+      dictVec.setSafe(i, nm.getBytes(StandardCharsets.UTF_8))
+    }
+    dictVec.setValueCount(values.size)
+    val encoding = new DictionaryEncoding(1L, false, new ArrowType.Int(8, true))
+    val provider = new DictionaryProvider.MapDictionaryProvider()
+    provider.put(new Dictionary(dictVec, encoding))
+
+    val meta = new java.util.HashMap[String, String]()
+    meta.put(ArrowCodec.CHTypeKey, "Enum8")
+    meta.put(ArrowCodec.EnumValuesKey,
+      values.map { case (nm, code) => s"$nm=$code" }.mkString(","))
+    val idField = new Field("e",
+      new FieldType(true, new ArrowType.Int(8, true), encoding, meta),
+      java.util.List.of[Field]())
+    val idVec = idField.createVector(alloc).asInstanceOf[TinyIntVector]
+    idVec.allocateNew(rows)
+    var i = 0
+    while (i < rows) { idVec.setSafe(i, (i % values.size).toByte); i += 1 }
+    idVec.setValueCount(rows)
+
+    // single column: raw-Arrow tables serve the stored stream verbatim,
+    // so a pruned/aggregated SELECT over a multi-column raw table would
+    // desync the declared read schema from the wire
+    val root = new VectorSchemaRoot(
+      java.util.List.of(idField),
+      java.util.List.of(idVec: org.apache.arrow.vector.FieldVector), rows)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, provider, out)
+    writer.start(); writer.writeBatch(); writer.end()
+    writer.close(); root.close(); idVec.close(); dictVec.close(); alloc.close()
+    rawTables.put(name, out.toByteArray)
+  }
+
+  /** Dynamic wire form: the same dense union as Variant, tagged
+    * `ch.type=Dynamic` in field metadata — the scan stringifies values
+    * and keeps the type name (reference observable behavior,
+    * `tests/tests/new_types.rs:242-296`). Rows cycle String/Int64/NULL. */
+  def loadDynamicTable(name: String, rows: Int): Unit = {
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.DenseUnionVector
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val alloc = ArrowCodec.rootAllocator
+      .newChildAllocator(s"dynamic-$name", 0, Long.MaxValue)
+    val duv = DenseUnionVector.empty("dyn", alloc)
+    val strId = duv.registerNewTypeId(Field.nullable("String", ArrowType.Utf8.INSTANCE))
+    val intId = duv.registerNewTypeId(Field.nullable("Int64", new ArrowType.Int(64, true)))
+    val strVec = duv.addVector(strId,
+      new VarCharVector("String", alloc)).asInstanceOf[VarCharVector]
+    val intVec = duv.addVector(intId,
+      new BigIntVector("Int64", alloc)).asInstanceOf[BigIntVector]
+    duv.allocateNew(); strVec.allocateNew(); intVec.allocateNew()
+    var si = 0; var ii = 0; var i = 0
+    while (i < rows) {
+      (i % 3) match {
+        case 0 =>
+          strVec.setSafe(si, s"dyn$i".getBytes(StandardCharsets.UTF_8))
+          duv.setTypeId(i, strId); duv.getOffsetBuffer.setInt(i.toLong * 4, si); si += 1
+        case 1 =>
+          intVec.setSafe(ii, i.toLong * 10)
+          duv.setTypeId(i, intId); duv.getOffsetBuffer.setInt(i.toLong * 4, ii); ii += 1
+        case _ => // NULL Dynamic: a null slot on the String branch
+          strVec.setNull(si)
+          duv.setTypeId(i, strId); duv.getOffsetBuffer.setInt(i.toLong * 4, si); si += 1
+      }
+      i += 1
+    }
+    strVec.setValueCount(si); intVec.setValueCount(ii); duv.setValueCount(rows)
+    // rebuild the root field with the ch.type tag (metadata lives in the
+    // schema message, not the batch body)
+    val f0 = duv.getField
+    val meta = new java.util.HashMap[String, String]()
+    meta.put(ArrowCodec.CHTypeKey, "Dynamic")
+    val tagged = new Field(f0.getName,
+      new FieldType(f0.isNullable, f0.getType, null, meta), f0.getChildren)
+    val root = new VectorSchemaRoot(
+      java.util.List.of(tagged),
+      java.util.List.of(duv: org.apache.arrow.vector.FieldVector), rows)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start(); writer.writeBatch(); writer.end()
+    writer.close(); root.close(); duv.close(); alloc.close()
+    rawTables.put(name, out.toByteArray)
+  }
+
+  /** BFloat16 + Time + Time64 wire forms (reference `values.rs:105-111`):
+    * bf16 as u16 raw bits tagged `ch.type=BFloat16`, Time as
+    * Time32(SECOND), Time64 as Time64(MICROSECOND). */
+  def loadScalarWireTable(name: String, rows: Int): Unit = {
+    import org.apache.arrow.vector.{TimeMicroVector, TimeSecVector, UInt2Vector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.TimeUnit
+    val alloc = ArrowCodec.rootAllocator
+      .newChildAllocator(s"scalarwire-$name", 0, Long.MaxValue)
+    val bfMeta = new java.util.HashMap[String, String]()
+    bfMeta.put(ArrowCodec.CHTypeKey, "BFloat16")
+    val bfField = new Field("bf",
+      new FieldType(true, new ArrowType.Int(16, false), null, bfMeta),
+      java.util.List.of[Field]())
+    val tMeta = new java.util.HashMap[String, String]()
+    tMeta.put(ArrowCodec.CHTypeKey, "Time")
+    val tField = new Field("t",
+      new FieldType(true, new ArrowType.Time(TimeUnit.SECOND, 32), null, tMeta),
+      java.util.List.of[Field]())
+    val t64Meta = new java.util.HashMap[String, String]()
+    t64Meta.put(ArrowCodec.CHTypeKey, "Time64(6)")
+    val t64Field = new Field("t64",
+      new FieldType(true, new ArrowType.Time(TimeUnit.MICROSECOND, 64), null, t64Meta),
+      java.util.List.of[Field]())
+    val bfVec = bfField.createVector(alloc).asInstanceOf[UInt2Vector]
+    val tVec = tField.createVector(alloc).asInstanceOf[TimeSecVector]
+    val t64Vec = t64Field.createVector(alloc).asInstanceOf[TimeMicroVector]
+    bfVec.allocateNew(rows); tVec.allocateNew(rows); t64Vec.allocateNew(rows)
+    var i = 0
+    while (i < rows) {
+      // bf16 raw bits of (i * 0.5f): exact in bf16 for small i
+      bfVec.setSafe(i, (java.lang.Float.floatToRawIntBits(i * 0.5f) >>> 16).toChar)
+      tVec.setSafe(i, i * 60)          // i minutes past midnight, seconds
+      t64Vec.setSafe(i, i * 60000000L) // same instant, microseconds
+      i += 1
+    }
+    bfVec.setValueCount(rows); tVec.setValueCount(rows); t64Vec.setValueCount(rows)
+    val root = new VectorSchemaRoot(
+      java.util.List.of(bfField, tField, t64Field),
+      java.util.List.of(bfVec: org.apache.arrow.vector.FieldVector, tVec, t64Vec), rows)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start(); writer.writeBatch(); writer.end()
+    writer.close(); root.close(); bfVec.close(); tVec.close(); t64Vec.close(); alloc.close()
+    rawTables.put(name, out.toByteArray)
+  }
+
+  /** Raw-table SELECT: honor column projection by re-slicing the stored
+    * Arrow stream VECTOR-wise (keeps dict/union wire forms intact — a
+    * row-level re-encode would lose them), and fail loudly on anything
+    * the verbatim stream cannot answer (pushed WHERE / GROUP BY) —
+    * loud beats silently returning unfiltered data. */
+  private def selectRaw(name: String, sql: String): Either[String, Array[Byte]] = {
+    val bytes = rawTables.get(name)
+    val upper = sql.toUpperCase
+    if (upper.contains(" WHERE ") || upper.contains(" GROUP BY "))
+      return Left(s"Code: 48. DB::Exception: raw-arrow stub table $name " +
+        "cannot evaluate a pushed WHERE/GROUP BY (NOT_IMPLEMENTED)")
+    val colsPart = sql.substring(upper.indexOf("SELECT") + 6, upper.indexOf(" FROM ")).trim
+    if (colsPart == "*") return Right(bytes)
+    // COUNT(*) (the pushed count aggregate and the statistics probe) is
+    // answerable verbatim: the stream's row count
+    if (colsPart.equalsIgnoreCase("COUNT(*)")) {
+      val alloc0 = ArrowCodec.rootAllocator.newChildAllocator(s"raw-count-$name", 0, Long.MaxValue)
+      val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc0)
+      val total =
+        try {
+          var t = 0L
+          while (rdr.loadNextBatch()) t += rdr.getVectorSchemaRoot.getRowCount
+          t
+        } finally { rdr.close(); alloc0.close() }
+      val alloc1 = ArrowCodec.rootAllocator.newChildAllocator(s"raw-count-out-$name", 0, Long.MaxValue)
+      val cnt = new org.apache.arrow.vector.BigIntVector("COUNT(*)", alloc1)
+      cnt.allocateNew(1); cnt.setSafe(0, total); cnt.setValueCount(1)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.List.of(cnt.getField),
+        java.util.List.of(cnt: org.apache.arrow.vector.FieldVector), 1)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+      w.start(); w.writeBatch(); w.end()
+      w.close(); root.close(); cnt.close(); alloc1.close()
+      return Right(out.toByteArray)
+    }
+    val want = colsPart.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+    val alloc = ArrowCodec.rootAllocator.newChildAllocator(s"raw-proj-$name", 0, Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val names = reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(_.getName).toSet
+      val missing = want.filterNot(names)
+      if (missing.nonEmpty)
+        return Left(s"Code: 47. DB::Exception: Missing columns ${missing.mkString(", ")} " +
+          s"in raw table $name (UNKNOWN_IDENTIFIER)")
+      if (want == reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(_.getName).toSeq)
+        return Right(bytes)
+      val out = new java.io.ByteArrayOutputStream()
+      // writer is created after the first batch so the reader's
+      // dictionaries are loaded before start() snapshots the provider
+      var writer: org.apache.arrow.vector.ipc.ArrowStreamWriter = null
+      var subRoot: org.apache.arrow.vector.VectorSchemaRoot = null
+      try {
+        while (reader.loadNextBatch()) {
+          val root = reader.getVectorSchemaRoot
+          if (writer == null) {
+            val vecs = want.map(c => root.getVector(c))
+            subRoot = new org.apache.arrow.vector.VectorSchemaRoot(
+              vecs.map(_.getField).asJava,
+              vecs.map(v => v: org.apache.arrow.vector.FieldVector).asJava,
+              root.getRowCount)
+            writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(subRoot, reader, out)
+            writer.start()
+          }
+          subRoot.setRowCount(root.getRowCount)
+          writer.writeBatch()
+        }
+        if (writer == null) return Right(bytes) // zero batches: verbatim
+        writer.end()
+        Right(out.toByteArray)
+      } finally {
+        if (writer != null) writer.close() // before the roots it references
+      }
+    } finally {
+      reader.close()
+      alloc.close()
+    }
+  }
+
   private def select(sql: String): Either[String, Array[Byte]] =
     tableOf(sql, "FROM") match {
       case None => Left(s"cannot parse select source in: $sql")
-      case Some(name) if rawTables.containsKey(name) => Right(rawTables.get(name))
+      case Some(name) if rawTables.containsKey(name) => selectRaw(name, sql)
       case Some(name) =>
         Option(tables.get(name)) match {
           case None =>
