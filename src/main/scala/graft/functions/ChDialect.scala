@@ -151,7 +151,20 @@ object ChDialect {
     fn("groupArray", 1) { a => CollectList(a.head) },
     fn("groupUniqArray", 1) { a => CollectSet(a.head) },
     // (`median` is NOT aliased — Spark 4 owns it as a builtin already)
-    fn("quantileExact", 2) { a => new Percentile(a.head, a(1)) },
+    // CH quantileExact is NEAREST-RANK: an actual element of the set,
+    // never interpolated — Spark's Percentile would interpolate (0.5 of
+    // 1..10 -> 5.5; nearest-rank says 5). Classic definition: 1-based
+    // rank ceil(p*n), clamped for p=0 (= DuckDB quantile_disc, the
+    // oracle's spelling). Like CH, exact quantiles materialize the
+    // group in memory.
+    fn("quantileExact", 2) { a =>
+      val sorted = new SortArray(
+        CollectList(a.head).toAggregateExpression(), Literal(true))
+      val rank = Cast(Ceil(Multiply(Cast(a(1), DoubleType),
+        Cast(Size(sorted), DoubleType))), IntegerType)
+      val idx0 = Greatest(Seq(Literal(0), Subtract(rank, Literal(1))))
+      GetArrayItem(sorted, idx0, failOnError = false)
+    },
     fn("stddevPop", 1) { a => StddevPop(a.head) },
     fn("varPop", 1) { a => VariancePop(a.head) },
 

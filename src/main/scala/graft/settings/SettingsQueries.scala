@@ -231,8 +231,8 @@ object SettingsQueries extends QueryRegistry {
             |ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
-             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+             |  round(quantile_disc(l_quantity, 0.5), 2) AS med_qty,
+             |  round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_price
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),

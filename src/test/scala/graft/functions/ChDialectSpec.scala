@@ -345,8 +345,9 @@ class ChDialectSpec extends SparkSpec {
 
   test("parameterized-aggregate syntax quantile(p)(x) parses via ChSqlParser") {
     Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("v").createOrReplaceTempView("chpq")
+    // nearest-rank (CH semantics): an actual element, never interpolated
     assert(spark.sql("SELECT quantileExact(0.5)(v) FROM chpq")
-      .head.get(0).toString.toDouble === 5.5)
+      .head.get(0).toString.toDouble === 5.0)
     assert(spark.sql("SELECT round(quantile(1.0)(v), 1) FROM chpq")
       .head.get(0).toString.toDouble === 10.0)
     val qs = spark.sql("SELECT quantiles(0.0, 1.0)(v) FROM chpq").head
@@ -358,7 +359,7 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT uniqUpTo(20)(v) FROM chpq").head.getInt(0) === 10)
     // nested inside an expression, with other args around it
     assert(spark.sql("SELECT round(quantileExact(0.5)(v) + 1.0, 1) FROM chpq")
-      .head.get(0).toString.toDouble === 6.5)
+      .head.get(0).toString.toDouble === 6.0)
   }
 
   test("ChSqlRewrite never touches quoted text or valid Spark SQL") {
