@@ -93,4 +93,95 @@ object AsOfJoin {
     carried.filter(col(ord) === leftOrd)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"$pay.$c").as(c)): _*)
   }
+
+  /** Range-bucketed AS-OF join — the 100-TB shape for skewed keys.
+    *
+    * [[leftAsOf]] sorts each key's ENTIRE history inside one window
+    * partition; a hot key (one user with billions of events) becomes a
+    * single straggler task. This variant splits every key by a time
+    * bucket so no sort exceeds (key, bucket) granularity:
+    *
+    *  1. in-bucket pass — the same union-window form, but partitioned by
+    *     (keys, bucket): bounded partitions, a hot key spreads across
+    *     its time range;
+    *  2. carry pass — per (key, bucket) the LATEST right payload (one
+    *     hash aggregate), forward-filled per key across the bucket GRID
+    *     (distinct (key, bucket) pairs from both sides — orders of
+    *     magnitude fewer rows than the raw inputs), so every bucket
+    *     knows "the latest right row strictly before me";
+    *  3. left rows without an in-bucket match take the carry via an
+    *     equi-join on (keys, bucket).
+    *
+    * A right row in an EARLIER bucket is always strictly older than any
+    * left timestamp in this bucket, so the carry is valid for both the
+    * inclusive (>=) and strict (>) backward directions; equal-timestamp
+    * resolution only ever happens inside a bucket, where the in-bucket
+    * pass applies the same tag ordering as [[leftAsOf]].
+    *
+    * Right timestamps must be non-null (ClickHouse ASOF requires the
+    * same). Bucket width is in the timestamp's microsecond scale.
+    */
+  def leftAsOfBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      bucketWidthMicros: Long,
+      direction: String = ">="): DataFrame = {
+    require(direction == ">=" || direction == ">",
+      s"bucketed asof covers the backward directions >= and > (got $direction)")
+    require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    val bkt = "__asof_bkt"
+    val matchedTs = "__asof_matched_ts"
+    val pay = "__asof_carry"
+    val prev = "__asof_prev"
+    val leftCols = left.columns.toSeq
+    // timestamp columns bucket on their microsecond scale; numeric event
+    // times bucket on their own unit (the width is then in that unit)
+    def bucketOf(df: DataFrame, ts: String) = {
+      val c = df.schema(ts).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(ts))
+        case _ => col(ts).cast("long")
+      }
+      floor(c.cast("double") / bucketWidthMicros).cast("long")
+    }
+
+    val left2 = left.withColumn(bkt, bucketOf(left, leftTs))
+    // matchedTs doubles as the "found an in-bucket match" marker: a
+    // matched right row always has a non-null timestamp, while a null
+    // payload FIELD must not be confused with "no match"
+    val right2 = right
+      .withColumn(bkt, bucketOf(right, rightTs))
+      .withColumn(matchedTs, col(rightTs))
+
+    // 1) in-bucket: bounded window partitions (keys + bucket)
+    val inBucket = leftAsOf(
+      left2, right2, keys :+ bkt, leftTs, rightTs,
+      rightCols :+ matchedTs, direction)
+
+    // 2) carry grid: latest right payload per (key, bucket), forward-
+    //    filled per key over the DISTINCT bucket grid of both sides
+    val gridKeys = (keys :+ bkt).map(col)
+    val lastPerBucket = right2.groupBy(gridKeys: _*)
+      .agg(max_by(
+        struct(rightCols.map(col): _*),
+        struct(col(rightTs) +: rightCols.headOption.map(col).toSeq: _*)).as(pay))
+    val grid = left2.select(gridKeys: _*).distinct()
+      .unionByName(right2.select(gridKeys: _*).distinct()).distinct()
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = grid
+      .join(lastPerBucket, keys :+ bkt, "left")
+      .withColumn(prev, last(col(pay), ignoreNulls = true).over(wk))
+      .select(gridKeys :+ col(prev): _*)
+
+    // 3) unmatched left rows take the carry
+    inBucket.join(carries, keys :+ bkt, "left")
+      .select(leftCols.map(col) ++ rightCols.map(c =>
+        when(col(matchedTs).isNotNull, col(c))
+          .otherwise(col(s"$prev.$c")).as(c)): _*)
+  }
 }

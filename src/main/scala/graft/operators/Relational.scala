@@ -286,6 +286,28 @@ object Relational extends QueryRegistry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              |ON e.user_id = p.user_id AND e.ts < p.ts""".stripMargin)),
 
+    // ---- B-JN7c: range-bucketed AS-OF — the 100-TB/skew variant. Same
+    // semantics as b_jn7_asof (and the same DuckDB oracle), but every
+    // sort is bounded by (key, time-bucket) so one hot key cannot
+    // become a straggler task; a per-key grid of bucket carries fills
+    // across empty buckets. Width: 6 h of event time. ----
+    QueryDef(
+      "b_jn17_asof_bucketed",
+      (s, d) => {
+        val e = t(s, d, "events").select("event_id", "user_id", "ts")
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("prior_purchase"))
+        AsOfJoin
+          .leftAsOfBucketed(e, p, Seq("user_id"), "ts", "ts",
+            Seq("prior_purchase"), 21600000000L)
+          .select("event_id", "user_id", "prior_purchase")
+      },
+      Some("""SELECT e.event_id, e.user_id, p.event_id AS prior_purchase
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
     // ---- B-SET1: UNION ALL / UNION DISTINCT ----
     QueryDef(
       "b_set1_union_all",

@@ -52,4 +52,64 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"))
     assert(!physical.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucketed asof matches the window form on the events fixture") {
+    val e = graft.Tables.t(spark, sf0001, "events").select("event_id", "user_id", "ts")
+    val p = graft.Tables.t(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("prior"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "prior").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val reference = canon(AsOfJoin.leftAsOf(
+      e, p, Seq("user_id"), "ts", "ts", Seq("prior")))
+    // narrow buckets (many empty ones, carries span gaps) and wide
+    // buckets (everything lands in one) must both agree exactly
+    for (width <- Seq(3600000000L, 86400000000L * 365)) {
+      val bucketed = canon(AsOfJoin.leftAsOfBucketed(
+        e, p, Seq("user_id"), "ts", "ts", Seq("prior"), width))
+      assert(bucketed === reference, s"width=$width")
+    }
+    // strict direction agrees too (equal-ts rows resolve in-bucket)
+    val strictRef = canon(AsOfJoin.leftAsOf(
+      e, p, Seq("user_id"), "ts", "ts", Seq("prior"), ">"))
+    val strictBkt = canon(AsOfJoin.leftAsOfBucketed(
+      e, p, Seq("user_id"), "ts", "ts", Seq("prior"), 3600000000L, ">"))
+    assert(strictBkt === strictRef)
+  }
+
+  test("bucketed asof carries across empty buckets and keeps null payload fields") {
+    val left = Seq((1L, 100L, "a"), (1L, 5000L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 90L, Some("p90")), (1L, 99L, None: Option[String]))
+      .toDF("k", "rts", "p")
+    // width 10: left "b" at 5000 is ~490 empty buckets after the last
+    // right row — the grid forward-fill must still deliver p=None row
+    // (ts 99 wins over 90) with its LEGITIMATELY null payload
+    val out = AsOfJoin.leftAsOfBucketed(
+      left, right, Seq("k"), "ts", "rts", Seq("p"), 10L)
+      .select("name", "p").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") === None) // matched right row (ts 99) carries null payload
+    assert(out("b") === None) // carried across empty buckets, still the null payload
+    assert(out("c") === None) // key 2 has no right rows at all
+  }
+
+  test("bucketed asof plan: no global sort, windows bounded by (key, bucket)") {
+    val e = graft.Tables.t(spark, sf0001, "events").select("event_id", "user_id", "ts")
+    val p = graft.Tables.t(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("prior"))
+    val df = AsOfJoin.leftAsOfBucketed(
+      e, p, Seq("user_id"), "ts", "ts", Seq("prior"), 3600000000L)
+    val physical = df.queryExecution.executedPlan.toString
+    // a global sort would surface as a range-partitioning exchange
+    assert(!physical.contains("rangepartitioning"), physical)
+    assert(!physical.contains("CartesianProduct"))
+    // the in-bucket window partitions on (user_id, bucket) — the sort
+    // that bounded a hot key's straggler task in the plain window form
+    assert(physical.contains("__asof_bkt"), physical)
+  }
 }
