@@ -17,8 +17,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   quantiles(0.1,0.9)(x)   → percentile(x, array(0.1,0.9))
   *   uniqCombined(12)(x)     → uniqCombined(x)   (precision hint dropped —
   *                             Spark's HLL++ tunes via relativeSD, not 2^p)
+  *   count()                 → count(*)   (CH's zero-arg count never
+  *                             analyzes in Spark, so no working query
+  *                             contains it)
   *   EXPLAIN AST/SYNTAX/...  → EXPLAIN EXTENDED/FORMATTED/COST
   *   trailing `;`            → stripped
+  *   GLOBAL JOIN/LEFT/...    → GLOBAL dropped (a distribution hint in CH;
+  *                             Spark's planner owns distribution. Parses
+  *                             in Spark as a table alias named `global`,
+  *                             so this lives with the ARRAY JOIN residual:
+  *                             an alias literally named `global` directly
+  *                             before a join keyword would be misread)
+  *   FROM t FINAL            → latest-version-per-key dedup subquery, ONLY
+  *                             for tables opted in via `registerFinalKey`
+  *                             (CH FINAL is meaningless without a
+  *                             ReplacingMergeTree key; unregistered tables
+  *                             keep Spark's alias reading untouched)
   *
   * RESCUE (attempted ONLY after Spark's own parser rejected the text, so
   * a working Spark query — including one that merely ends in an alias
@@ -36,6 +50,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   FROM t [LEFT] ARRAY JOIN …  → LATERAL VIEW explode/posexplode (see
   *                                 rewriteArrayJoin; multi-array zips
   *                                 positionally like CH)
+  *   PREWHERE c [WHERE d]        → WHERE (c) AND (d) — PREWHERE is a
+  *                                 scan-order optimization in CH with
+  *                                 plain-AND semantics; Catalyst's own
+  *                                 predicate pushdown plays that role here
+  *   GROUP BY k WITH TOTALS      → GROUP BY GROUPING SETS ((k), ()) — the
+  *                                 totals row carries NULL keys (the
+  *                                 b_agg11 convention); a HAVING applies
+  *                                 to the totals row too (documented
+  *                                 deviation from CH totals_mode)
+  *   LIMIT n [OFFSET o] BY k     → row_number window over (k) filtered to
+  *                                 o+1..o+n, ordered by the query's own
+  *                                 ORDER BY (CH semantics; without one the
+  *                                 pick is arbitrary, as in CH). The
+  *                                 two-phase API form is `LimitBy.limitBy`
+  *   x GLOBAL IN / GLOBAL ANY …  → GLOBAL dropped (these spellings never
+  *                                 parse, so the wide keyword set is safe
+  *                                 here, unlike the always-on join subset)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -132,7 +163,9 @@ object ChSqlRewrite {
     * would misread; every other rewrite here matches shapes no valid
     * Spark SQL can contain. */
   def apply(sql: String): String = {
-    var cur = rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))
+    var cur = rewriteFinal(rewriteGlobal(
+      rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, ""))),
+      globalJoinWords))
     var changed = true
     var guard = 0
     while (changed && guard < 1000) {
@@ -164,8 +197,10 @@ object ChSqlRewrite {
       case Some(h) => injectHint(noSet, h)
       case None => noSet
     }
+    val chClauses = rewriteLimitBy(rewriteWithTotals(rewritePrewhere(
+      rewriteGlobal(hinted, globalWideWords))))
     Rescued(
-      apply(rewriteSample(hinted)),
+      apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
   }
 
@@ -489,6 +524,350 @@ object ChSqlRewrite {
     sql
   }
 
+  // -------------------------------------------------------------- GLOBAL
+
+  /** CH distribution hints (`GLOBAL JOIN` ships the right side to every
+    * node; Spark's planner owns distribution, so the keyword drops).
+    * The join subset parses in Spark as a table alias named `global` —
+    * always-on with the documented ARRAY JOIN-class residual. The wide
+    * set (IN/NOT/ANY/ALL/ASOF/SEMI/ANTI) never parses, so it only runs
+    * in rescue where the text is already rejected. */
+  private val globalJoinWords = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+  private val globalWideWords =
+    globalJoinWords ++ Set("IN", "NOT", "ANY", "ALL", "ASOF", "SEMI", "ANTI")
+
+  private def rewriteGlobal(sql: String, followers: Set[String]): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("GLOBAL")) {
+          val p = skipWs(sql, i)
+          val (next, _) = readWord(sql, p)
+          if (next.nonEmpty && followers.contains(next.toUpperCase))
+            return rewriteGlobal(sql.substring(0, start) + sql.substring(p), followers)
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // --------------------------------------------------------------- FINAL
+
+  /** `FROM t FINAL` (ReplacingMergeTree read-time dedup) needs the
+    * table's dedup key + version order, exactly as SAMPLE needs a
+    * sampling key (both live in the CH table DDL); tables opt in via
+    * [[registerFinalKey]]. Unregistered tables keep Spark's reading of
+    * `FINAL` as a plain alias, so the always-on pass stays safe. */
+  private val finalKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** @param partitionCols SQL text for the dedup key, e.g. "user_id, event_type"
+    * @param versionOrder  SQL sort text picking the SURVIVING row FIRST,
+    *                      e.g. "ts DESC, event_id DESC" */
+  def registerFinalKey(table: String, partitionCols: String, versionOrder: String): Unit =
+    finalKeys.put(table.toLowerCase(java.util.Locale.ROOT), (partitionCols, versionOrder))
+
+  private def rewriteFinal(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("FROM")) {
+          var p = skipWs(sql, i)
+          val identStart = p
+          var lastPart = ""
+          var ok = p < n
+          var done = false
+          while (ok && !done) {
+            if (p < n && sql.charAt(p) == '`') {
+              val e = skipQuoted(sql, p)
+              lastPart = sql.substring(p + 1, e - 1); p = e
+            } else {
+              val (w, after) = readWord(sql, p)
+              if (w.isEmpty) ok = false else { lastPart = w; p = after }
+            }
+            if (ok) { if (p < n && sql.charAt(p) == '.') p += 1 else done = true }
+          }
+          if (ok) {
+            val identEnd = p
+            val (w2, afterW2) = readWord(sql, skipWs(sql, p))
+            if (w2.equalsIgnoreCase("FINAL")) {
+              val keys = finalKeys.get(lastPart.toLowerCase(java.util.Locale.ROOT))
+              if (keys != null) {
+                val (parts, ord) = keys
+                val tableSql = sql.substring(identStart, identEnd)
+                val repl = s"(SELECT * EXCEPT (ch_fin_rn_) FROM (SELECT *, " +
+                  s"row_number() OVER (PARTITION BY $parts ORDER BY $ord) " +
+                  s"AS ch_fin_rn_ FROM $tableSql) ch_fin_i_ " +
+                  s"WHERE ch_fin_rn_ = 1) $lastPart"
+                return rewriteFinal(
+                  sql.substring(0, identStart) + repl + sql.substring(afterW2))
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ------------------------------------------------------------- PREWHERE
+
+  private val clauseStops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+    "QUALIFY")
+
+  /** End of the clause expression starting at `from`: the first stop
+    * keyword at the starting paren depth, or the `)` that closes it.
+    * Returns (endIndex, stopWordUppercased — "" when depth/EOT ended). */
+  private def clauseEnd(sql: String, from: Int): (Int, String) = {
+    val n = sql.length
+    var i = from
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        if (depth == 0) return (i, "") else { depth -= 1; i += 1 }
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val ws = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w = sql.substring(ws, i).toUpperCase
+        if (depth == 0 && clauseStops.contains(w)) return (ws, w)
+      } else i += 1
+    }
+    (n, "")
+  }
+
+  /** CH `PREWHERE c` is a scan-order optimization whose observable
+    * semantics are a plain conjunction with WHERE (ClickHouse docs;
+    * Catalyst's predicate pushdown already plays the physical role).
+    * `PREWHERE c WHERE d` → `WHERE (c) AND (d)`; alone → `WHERE c`. */
+  private def rewritePrewhere(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("PREWHERE")) {
+          val condStart = skipWs(sql, i)
+          val (condEnd, stop) = clauseEnd(sql, condStart)
+          if (stop == "WHERE") {
+            val pre = sql.substring(condStart, condEnd).trim
+            val (_, afterW) = readWord(sql, condEnd)
+            val wStart = skipWs(sql, afterW)
+            val (wEnd, _) = clauseEnd(sql, wStart)
+            val w = sql.substring(wStart, wEnd).trim
+            val sep = if (wEnd < n) " " else ""
+            return rewritePrewhere(sql.substring(0, start) +
+              s"WHERE ($pre) AND ($w)$sep" + sql.substring(wEnd))
+          } else
+            return rewritePrewhere(
+              sql.substring(0, start) + "WHERE" + sql.substring(i))
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ---------------------------------------------------------- WITH TOTALS
+
+  /** `GROUP BY k, ... WITH TOTALS` → `GROUP BY GROUPING SETS ((k, ...),
+    * ())`: the grand-total row CH appends out-of-band becomes an in-band
+    * row with NULL keys (the convention `b_agg11_with_totals`
+    * established). Deviation (documented): a HAVING filters the totals
+    * row too, where CH's default totals_mode recomputes it. */
+  private def rewriteWithTotals(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val (by, afterBy) = readWord(sql, skipWs(sql, i))
+        if (sql.substring(start, i).equalsIgnoreCase("GROUP") &&
+          by.equalsIgnoreCase("BY")) {
+          val listStart = skipWs(sql, afterBy)
+          // walk the grouping list at its own depth, looking for WITH TOTALS
+          var q = listStart
+          var depth = 0
+          var found = -1
+          var afterTotals = -1
+          while (q < n && found < 0) {
+            val ch = sql.charAt(q)
+            if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
+            else if (ch == '-' && q + 1 < n && sql.charAt(q + 1) == '-') q = skipLine(sql, q)
+            else if (ch == '/' && q + 1 < n && sql.charAt(q + 1) == '*') q = skipBlock(sql, q)
+            else if (ch == '(') { depth += 1; q += 1 }
+            else if (ch == ')') { if (depth == 0) q = n else { depth -= 1; q += 1 } }
+            else if (Character.isJavaIdentifierStart(ch)) {
+              val ws = q
+              while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
+              val w = sql.substring(ws, q)
+              if (depth == 0 && w.equalsIgnoreCase("WITH")) {
+                val (w2, aw2) = readWord(sql, skipWs(sql, q))
+                if (w2.equalsIgnoreCase("TOTALS")) { found = ws; afterTotals = aw2 }
+                else q = n // WITH ROLLUP/CUBE — valid Spark, leave alone
+              } else if (depth == 0 && clauseStops.contains(w.toUpperCase)) q = n
+            } else q += 1
+          }
+          if (found >= 0) {
+            val list = sql.substring(listStart, found).trim
+            return rewriteWithTotals(sql.substring(0, start) +
+              s"GROUP BY GROUPING SETS (($list), ())" + sql.substring(afterTotals))
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ------------------------------------------------------------- LIMIT BY
+
+  private def readNum(s: String, start: Int): (String, Int) = {
+    var i = start
+    while (i < s.length && Character.isDigit(s.charAt(i))) i += 1
+    (s.substring(start, i), i)
+  }
+
+  /** Last top-level `ORDER BY` of `body`: (orderTokenStart, listStart). */
+  private def lastOrderBy(body: String): Option[(Int, Int)] = {
+    val n = body.length
+    var i = 0
+    var depth = 0
+    var res: Option[(Int, Int)] = None
+    while (i < n) {
+      val c = body.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(body, i)
+      else if (c == '-' && i + 1 < n && body.charAt(i + 1) == '-') i = skipLine(body, i)
+      else if (c == '/' && i + 1 < n && body.charAt(i + 1) == '*') i = skipBlock(body, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(body.charAt(i))) i += 1
+        if (depth == 0 && body.substring(start, i).equalsIgnoreCase("ORDER")) {
+          val (by, afterBy) = readWord(body, skipWs(body, i))
+          if (by.equalsIgnoreCase("BY")) res = Some((start, skipWs(body, afterBy)))
+        }
+      } else i += 1
+    }
+    res
+  }
+
+  /** CH `LIMIT n [OFFSET o] BY exprs` / `LIMIT o, n BY exprs` (per-group
+    * row slice; B-TOPK1) → a row_number window over the query's own
+    * ORDER BY, filtered to rows o+1..o+n per group, with the ordering
+    * and any trailing plain LIMIT re-applied outside. Without an ORDER
+    * BY the pick is arbitrary — exactly CH's contract. The API form
+    * (`LimitBy.limitBy`) is the two-phase scale shape; this textual
+    * form is the compatibility path. Top-level queries only: a LIMIT BY
+    * inside a subquery keeps the original (loud) parse failure. */
+  private def rewriteLimitBy(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (depth == 0 && sql.substring(start, i).equalsIgnoreCase("LIMIT")) {
+          val (num1, p1) = readNum(sql, skipWs(sql, i))
+          if (num1.nonEmpty) {
+            var k = -1L
+            var off = 0L
+            var afterBy = -1
+            val q = skipWs(sql, p1)
+            if (q < n && sql.charAt(q) == ',') {
+              val (num2, p2) = readNum(sql, skipWs(sql, q + 1))
+              val (w, aw) = readWord(sql, skipWs(sql, p2))
+              if (num2.nonEmpty && w.equalsIgnoreCase("BY")) {
+                off = num1.toLong; k = num2.toLong; afterBy = aw
+              }
+            } else {
+              val (w, aw) = readWord(sql, q)
+              if (w.equalsIgnoreCase("BY")) { k = num1.toLong; afterBy = aw }
+              else if (w.equalsIgnoreCase("OFFSET")) {
+                val (num2, p2) = readNum(sql, skipWs(sql, aw))
+                val (w2, aw2) = readWord(sql, skipWs(sql, p2))
+                if (num2.nonEmpty && w2.equalsIgnoreCase("BY")) {
+                  k = num1.toLong; off = num2.toLong; afterBy = aw2
+                }
+              }
+            }
+            if (k >= 0) {
+              // the grouping expressions run to the next top-level clause
+              val colsStart = skipWs(sql, afterBy)
+              var r = colsStart
+              var d2 = 0
+              var colsEnd = -1
+              while (r < n && colsEnd < 0) {
+                val ch = sql.charAt(r)
+                if (ch == '\'' || ch == '"' || ch == '`') r = skipQuoted(sql, r)
+                else if (ch == '(') { d2 += 1; r += 1 }
+                else if (ch == ')') { d2 -= 1; r += 1 }
+                else if (Character.isJavaIdentifierStart(ch)) {
+                  val ws = r
+                  while (r < n && Character.isJavaIdentifierPart(sql.charAt(r))) r += 1
+                  val w = sql.substring(ws, r).toUpperCase
+                  if (d2 == 0 && (w == "LIMIT" || w == "SETTINGS" || w == "FORMAT" ||
+                    w == "UNION" || w == "INTERSECT" || w == "EXCEPT")) colsEnd = ws
+                } else r += 1
+              }
+              if (colsEnd < 0) colsEnd = n
+              val cols = sql.substring(colsStart, colsEnd).trim
+              val tail = sql.substring(colsEnd)
+              val body = sql.substring(0, start)
+              val (bodyCore, sorts, outerOrder) = lastOrderBy(body) match {
+                case Some((os, ls)) =>
+                  val s0 = body.substring(ls).trim
+                  (body.substring(0, os), s0, s"ORDER BY $s0 ")
+                case None => (body, cols, "")
+              }
+              return s"SELECT * EXCEPT (ch_lb_rn_) FROM (SELECT *, " +
+                s"row_number() OVER (PARTITION BY $cols ORDER BY $sorts) " +
+                s"AS ch_lb_rn_ FROM ($bodyCore) ch_lb_src_) ch_lb_ " +
+                s"WHERE ch_lb_rn_ BETWEEN ${off + 1} AND ${off + k} " +
+                outerOrder + tail
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
   private def readWord(s: String, start: Int): (String, Int) = {
     var i = start
     if (i < s.length && Character.isJavaIdentifierStart(s.charAt(i))) {
@@ -510,6 +889,16 @@ object ChSqlRewrite {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
         val lower = sql.substring(start, i).toLowerCase
+        if (lower == "count") {
+          // CH's zero-arg `count()` — never analyzes in Spark, so the
+          // rewrite cannot touch a working query
+          val j = skipWs(sql, i)
+          if (j < n && sql.charAt(j) == '(') {
+            val e = skipWs(sql, j + 1)
+            if (e < n && sql.charAt(e) == ')')
+              return sql.substring(0, j) + "(*" + sql.substring(e)
+          }
+        }
         if (swapParam.contains(lower) || lower == "quantiles" || lower == "uniqcombined") {
           val j = skipWs(sql, i)
           if (j < n && sql.charAt(j) == '(') {

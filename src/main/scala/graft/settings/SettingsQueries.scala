@@ -366,6 +366,114 @@ object SettingsQueries extends QueryRegistry {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- CH `PREWHERE` (scan-order optimization with plain-AND
+    // semantics; Catalyst's pushdown plays the physical role) merges
+    // into WHERE with both sides parenthesized — the OR on the WHERE
+    // side proves precedence survives. Also exercises CH's zero-arg
+    // `count()` spelling. ----
+    QueryDef(
+      "b_sql13_prewhere",
+      (s, d) => {
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_pw_v")
+        s.sql(
+          """SELECT l_returnflag, count() AS n, round(sum(l_extendedprice), 2) AS rev
+            |FROM lineitem_pw_v
+            |PREWHERE l_tax > 0.03
+            |WHERE l_quantity > 10 OR l_discount > 0.05
+            |GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem
+             |WHERE (l_tax > 0.03) AND (l_quantity > 10 OR l_discount > 0.05)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- CH `FROM t FINAL` (ReplacingMergeTree read-time dedup): the
+    // table opts in with its dedup key + version order (CH likewise
+    // needs the engine's ORDER BY key), then FINAL rewrites to a
+    // latest-version-per-key window subquery. ----
+    QueryDef(
+      "b_sql14_final",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_fin_v")
+        graft.functions.ChSqlRewrite.registerFinalKey(
+          "events_fin_v", "user_id, event_type", "ts DESC, event_id DESC")
+        s.sql(
+          """SELECT user_id, event_type, event_id AS last_event, value AS last_value
+            |FROM events_fin_v FINAL
+            |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type, event_id AS last_event, value AS last_value
+             |FROM (SELECT user_id, event_type, event_id, value,
+             |        row_number() OVER (PARTITION BY user_id, event_type
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- CH `LIMIT n OFFSET o BY expr` in SQL text (B-TOPK1's textual
+    // spelling): rewrites onto a row_number window ordered by the
+    // query's own ORDER BY, with the ordering and the trailing plain
+    // LIMIT re-applied outside. The API form (`LimitBy.limitBy`) is the
+    // two-phase scale shape; this is the compatibility path. ----
+    QueryDef(
+      "b_sql15_limit_by",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_lb_v")
+        s.sql(
+          """SELECT o_orderpriority, o_orderkey, o_totalprice
+            |FROM orders_lb_v
+            |ORDER BY o_totalprice DESC, o_orderkey
+            |LIMIT 3 OFFSET 1 BY o_orderpriority
+            |LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn BETWEEN 2 AND 4
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
+    // ((keys), ()): the totals row carries NULL keys, matching the
+    // convention the API form (b_agg11_with_totals) established. ----
+    QueryDef(
+      "b_sql16_with_totals",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_tot_v")
+        s.sql(
+          """SELECT o_orderpriority AS prio, count() AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM orders_tot_v
+            |GROUP BY o_orderpriority WITH TOTALS""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT NULL AS prio, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders""".stripMargin)),
+
+    // ---- CH `GLOBAL` distribution hints drop (Spark's planner owns
+    // distribution): `GLOBAL LEFT JOIN` strips in the always-on pass
+    // (it parses as an alias otherwise), `GLOBAL IN` in the rescue pass
+    // — this query needs both tiers to compose. ----
+    QueryDef(
+      "b_sql17_global",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_gl_v")
+        Tables.t(s, d, "customer").createOrReplaceTempView("customer_gl_v")
+        s.sql(
+          """SELECT c_mktsegment, count() AS n
+            |FROM orders_gl_v GLOBAL LEFT JOIN customer_gl_v ON o_custkey = c_custkey
+            |WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer_gl_v
+            |                           WHERE c_acctbal > 0)
+            |GROUP BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+             |GROUP BY c_mktsegment""".stripMargin))
   )
 }

@@ -598,4 +598,106 @@ class ChDialectSpec extends SparkSpec {
       .filter(n => builtin.contains(n.toLowerCase) && !allowed.contains(n.toLowerCase))
     assert(clashes.isEmpty, s"dialect aliases shadow Spark builtins: $clashes")
   }
+
+  test("zero-arg count() rewrites to count(*) always-on") {
+    assert(ChSqlRewrite("SELECT count() FROM t") === "SELECT count(*) FROM t")
+    assert(ChSqlRewrite("SELECT count( ) AS n, count(x) FROM t")
+      === "SELECT count(*) AS n, count(x) FROM t")
+    // quoted and argumented forms untouched
+    assert(ChSqlRewrite("SELECT 'count()' AS s, count(*) FROM t")
+      === "SELECT 'count()' AS s, count(*) FROM t")
+    Seq(1, 2, 3).toDF("v").createOrReplaceTempView("chcnt")
+    assert(spark.sql("SELECT count() AS n FROM chcnt").head.getLong(0) === 3L)
+  }
+
+  test("PREWHERE merges into WHERE as a parenthesized conjunction") {
+    def rw(s: String) = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT * FROM t PREWHERE a > 1 WHERE b = 2 OR c = 3 GROUP BY d")
+      === "SELECT * FROM t WHERE (a > 1) AND (b = 2 OR c = 3) GROUP BY d")
+    assert(rw("SELECT * FROM t PREWHERE a IN (SELECT x FROM u) ORDER BY b")
+      === "SELECT * FROM t WHERE a IN (SELECT x FROM u) ORDER BY b")
+    // end-to-end: PREWHERE + WHERE with an OR proves precedence survives
+    Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("a", "b")
+      .createOrReplaceTempView("chpw")
+    val got = spark.sql(
+      "SELECT a FROM chpw PREWHERE a > 1 WHERE b = 20 OR b = 40 ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 4))
+    // without a trailing WHERE the keyword alone swaps
+    assert(spark.sql("SELECT a FROM chpw PREWHERE a >= 3 ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq === Seq(3, 4))
+  }
+
+  test("GROUP BY ... WITH TOTALS becomes GROUPING SETS with a NULL-key totals row") {
+    def rw(s: String) = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
+      === "SELECT k, count(*) AS n FROM t GROUP BY GROUPING SETS ((k), ())")
+    assert(rw("SELECT k, j, sum(v) AS s FROM t GROUP BY k, j WITH TOTALS HAVING s > 0")
+      === "SELECT k, j, sum(v) AS s FROM t GROUP BY GROUPING SETS ((k, j), ()) HAVING s > 0")
+    // WITH ROLLUP / WITH CUBE are valid Spark — untouched by the rewriter
+    val rollup = "SELECT k, count(*) FROM t GROUP BY k WITH ROLLUP"
+    assert(ChSqlRewrite(rollup) === rollup)
+    Seq(("x", 1), ("x", 2), ("y", 3)).toDF("k", "v").createOrReplaceTempView("chtot")
+    val rows = spark.sql(
+      "SELECT k, sum(v) AS s FROM chtot GROUP BY k WITH TOTALS ORDER BY k NULLS LAST")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toSeq
+    assert(rows === Seq("x" -> 3L, "y" -> 3L, (null: String) -> 6L))
+  }
+
+  test("LIMIT n BY rewrites onto a row_number window with order re-applied") {
+    Seq(("a", 3), ("a", 2), ("a", 1), ("b", 9), ("b", 8))
+      .toDF("k", "v").createOrReplaceTempView("chlb")
+    // top-2 per key under the query's ORDER BY
+    val top2 = spark.sql(
+      "SELECT k, v FROM chlb ORDER BY v DESC LIMIT 2 BY k")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(top2.sorted === Seq("a" -> 2, "a" -> 3, "b" -> 8, "b" -> 9))
+    // OFFSET skips the per-group head; trailing plain LIMIT still applies
+    val skip1 = spark.sql(
+      "SELECT k, v FROM chlb ORDER BY v DESC LIMIT 1 OFFSET 1 BY k LIMIT 10")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(skip1.sorted === Seq("a" -> 2, "b" -> 8))
+    // CH's `LIMIT o, n BY` comma form
+    val comma = spark.sql(
+      "SELECT k, v FROM chlb ORDER BY v DESC LIMIT 1, 1 BY k")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(comma.sorted === Seq("a" -> 2, "b" -> 8))
+    // a plain LIMIT is never misread as LIMIT BY
+    assert(spark.sql("SELECT k, v FROM chlb ORDER BY v DESC LIMIT 2")
+      .collect().length === 2)
+  }
+
+  test("GLOBAL distribution hints drop in the right tier") {
+    // always-on: the join subset (parses as an alias otherwise)
+    assert(ChSqlRewrite("SELECT * FROM a GLOBAL JOIN b ON a.x = b.x")
+      === "SELECT * FROM a JOIN b ON a.x = b.x")
+    assert(ChSqlRewrite("SELECT * FROM a GLOBAL LEFT JOIN b ON a.x = b.x")
+      === "SELECT * FROM a LEFT JOIN b ON a.x = b.x")
+    // a column actually named `global` in a non-join position is safe
+    val colUse = "SELECT global FROM t WHERE global = 1"
+    assert(ChSqlRewrite(colUse) === colUse)
+    // rescue-only: GLOBAL IN never parses, so the wide set is safe there
+    assert(ChSqlRewrite.rescue("SELECT * FROM t WHERE x GLOBAL IN (1, 2)").sql
+      === "SELECT * FROM t WHERE x IN (1, 2)")
+    assert(ChSqlRewrite.rescue("SELECT * FROM t WHERE x GLOBAL NOT IN (1, 2)").sql
+      === "SELECT * FROM t WHERE x NOT IN (1, 2)")
+    // end-to-end through the session parser
+    Seq(1, 2, 3).toDF("x").createOrReplaceTempView("chgl")
+    assert(spark.sql("SELECT x FROM chgl WHERE x GLOBAL IN (2, 3) ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq === Seq(2, 3))
+  }
+
+  test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
+    Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
+      .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
+    // unregistered: FINAL keeps Spark's alias reading — no dedup
+    assert(spark.sql("SELECT id, v FROM chfin FINAL").collect().length === 3)
+    ChSqlRewrite.registerFinalKey("chfin", "id, kind", "ver DESC")
+    val rows = spark.sql("SELECT id, v FROM chfin FINAL ORDER BY id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSeq
+    assert(rows === Seq(1 -> 20, 2 -> 30))
+    // qualified references through the FINAL subquery keep the table name
+    assert(spark.sql("SELECT chfin.v FROM chfin FINAL WHERE chfin.id = 1")
+      .head.getInt(0) === 20)
+  }
 }
