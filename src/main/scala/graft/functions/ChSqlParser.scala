@@ -164,7 +164,7 @@ object ChSqlRewrite {
     * Spark SQL can contain. */
   def apply(sql: String): String = {
     var cur = rewriteFinal(rewriteGlobal(
-      rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, ""))),
+      rewriteAsofJoin(rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))),
       globalJoinWords))
     var changed = true
     var guard = 0
@@ -522,6 +522,215 @@ object ChSqlRewrite {
       } else i += 1
     }
     sql
+  }
+
+  // ----------------------------------------------------------- ASOF JOIN
+
+  /** CH `[LEFT] ASOF JOIN r ON equi... AND l.ts >= r.ts` (also spelled
+    * `ASOF LEFT JOIN`): latest right row per left row under the ON
+    * clause's single inequality. Rewrites onto a correlated LATERAL
+    * subquery with ORDER BY + LIMIT 1, which Catalyst decorrelates into
+    * the same window-over-join shape as the API form
+    * (`AsOfJoin.leftAsOf`); an INNER asof becomes CROSS JOIN LATERAL
+    * (an empty probe drops the row — CH inner-asof semantics).
+    *
+    * Always-on of necessity: `FROM l ASOF JOIN r` PARSES in Spark (alias
+    * `asof` + plain join) with silently different semantics, so leaving
+    * the text alone on a malformed ON clause is not an option — a
+    * matched `ASOF ... JOIN ... ON` whose condition lacks exactly one
+    * usable inequality THROWS instead. The residual (a table alias
+    * literally named `asof`/`left` before JOIN ... ON with an
+    * inequality) gets a loud error, never a silent rewrite. */
+  private def rewriteAsofJoin(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w1 = sql.substring(start, i)
+        // accept ASOF [LEFT|INNER] JOIN and LEFT ASOF JOIN
+        var left = false
+        var joinAt = -1
+        if (w1.equalsIgnoreCase("ASOF")) {
+          val (w2, a2) = readWord(sql, skipWs(sql, i))
+          if (w2.equalsIgnoreCase("JOIN")) joinAt = a2
+          else if (w2.equalsIgnoreCase("LEFT") || w2.equalsIgnoreCase("INNER")) {
+            val (w3, a3) = readWord(sql, skipWs(sql, a2))
+            if (w3.equalsIgnoreCase("JOIN")) { left = w2.equalsIgnoreCase("LEFT"); joinAt = a3 }
+          }
+        } else if (w1.equalsIgnoreCase("LEFT")) {
+          val (w2, a2) = readWord(sql, skipWs(sql, i))
+          if (w2.equalsIgnoreCase("ASOF")) {
+            val (w3, a3) = readWord(sql, skipWs(sql, a2))
+            if (w3.equalsIgnoreCase("JOIN")) { left = true; joinAt = a3 }
+          }
+        }
+        if (joinAt > 0) {
+          return rewriteOneAsof(sql, start, joinAt, left)
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  /** Rewrite the single ASOF join whose JOIN keyword ends at `joinEnd`;
+    * `asofStart` is the first keyword of the join phrase. */
+  private def rewriteOneAsof(sql: String, asofStart: Int, joinEnd: Int, left: Boolean): String = {
+    val n = sql.length
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"ASOF JOIN: $why (CH asof needs `ON equi-conds AND one inequality " +
+          "between the two sides' ordering columns`)")
+    // ---- right relation: (subquery) or qualified ident, optional alias
+    var p = skipWs(sql, joinEnd)
+    val relStart = p
+    var lastPart = ""
+    if (p < n && sql.charAt(p) == '(') {
+      val e = matchParen(sql, p)
+      if (e < 0) fail("unbalanced parenthesis in the right relation")
+      p = e
+    } else {
+      var done = false
+      var ok = p < n
+      while (ok && !done) {
+        if (p < n && sql.charAt(p) == '`') {
+          val e = skipQuoted(sql, p)
+          lastPart = sql.substring(p + 1, e - 1); p = e
+        } else {
+          val (w, after) = readWord(sql, p)
+          if (w.isEmpty) ok = false else { lastPart = w; p = after }
+        }
+        if (ok) { if (p < n && sql.charAt(p) == '.') p += 1 else done = true }
+      }
+      if (!ok) fail("could not read the right relation")
+    }
+    // optional [AS] alias
+    var alias = lastPart
+    var relEnd = p
+    val (wa, aa) = readWord(sql, skipWs(sql, p))
+    if (wa.equalsIgnoreCase("AS")) {
+      val (wb, ab) = readWord(sql, skipWs(sql, aa))
+      if (wb.isEmpty) fail("dangling AS after the right relation")
+      alias = wb; relEnd = ab
+    } else if (wa.nonEmpty && !wa.equalsIgnoreCase("ON")) {
+      alias = wa; relEnd = aa
+    }
+    if (alias.isEmpty) fail("a subquery right side needs an alias")
+    val relText = sql.substring(relStart, relEnd)
+    // ---- ON <cond>
+    val (onWord, afterOn) = readWord(sql, skipWs(sql, relEnd))
+    if (!onWord.equalsIgnoreCase("ON")) fail("expected ON after the right relation")
+    val condStart = skipWs(sql, afterOn)
+    val (condEnd, _) = joinCondEnd(sql, condStart)
+    val cond = sql.substring(condStart, condEnd).trim
+    if (cond.isEmpty) fail("empty ON condition")
+    // ---- locate the single top-level inequality and its right-side expr
+    val ineqs = topLevelInequalities(cond)
+    if (ineqs.isEmpty) fail("no inequality in the ON condition")
+    if (ineqs.length > 1) fail("more than one inequality in the ON condition")
+    val (opStart, op) = ineqs.head
+    val (termL, termR) = splitIneqTerm(cond, opStart, op)
+    val aliasDot = alias.toLowerCase(java.util.Locale.ROOT) + "."
+    val lRefs = termL.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
+    val rRefs = termR.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
+    if (lRefs == rRefs)
+      fail(s"exactly one side of `$termL ${op} $termR` must reference the right alias `$alias`")
+    val rightExpr = if (rRefs) termR else termL
+    // backward asof (latest right at-or-before left) sorts the right
+    // ordering column DESC; forward sorts ASC
+    val backward =
+      (rRefs && (op == ">=" || op == ">")) || (lRefs && (op == "<=" || op == "<"))
+    val dir = if (backward) "DESC" else "ASC"
+    val joinKw = if (left) "LEFT JOIN" else "CROSS JOIN"
+    val repl = s"$joinKw LATERAL (SELECT * FROM $relText WHERE $cond " +
+      s"ORDER BY $rightExpr $dir LIMIT 1) $alias"
+    val suffix = if (condEnd < n) " " + sql.substring(condEnd) else ""
+    rewriteAsofJoin(sql.substring(0, asofStart) + repl + suffix)
+  }
+
+  /** End of a join ON condition: first depth-0 clause stop or join
+    * keyword, or the `)` closing the enclosing scope. */
+  // lazy: `clauseStops` is declared further down the object body
+  private lazy val joinStops = clauseStops ++ Set("JOIN", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "ASOF", "ANY", "GLOBAL", "ARRAY", "LATERAL", "ANTI", "SEMI")
+
+  private def joinCondEnd(sql: String, from: Int): (Int, String) = {
+    val n = sql.length
+    var i = from
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        if (depth == 0) return (i, "") else { depth -= 1; i += 1 }
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val ws = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w = sql.substring(ws, i).toUpperCase
+        if (depth == 0 && joinStops.contains(w)) return (ws, w)
+      } else i += 1
+    }
+    (n, "")
+  }
+
+  /** Positions of depth-0 inequality operators (`>=`, `<=`, `>`, `<`) in
+    * `cond`, excluding `<>`, `->` arrows, and shift-like contexts. */
+  private def topLevelInequalities(cond: String): List[(Int, String)] = {
+    val n = cond.length
+    var i = 0
+    var depth = 0
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    while (i < n) {
+      val c = cond.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(cond, i)
+      else if (c == '-' && i + 1 < n && cond.charAt(i + 1) == '-') i = skipLine(cond, i)
+      else if (c == '/' && i + 1 < n && cond.charAt(i + 1) == '*') i = skipBlock(cond, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == '>' || c == '<')) {
+        val prev = if (i > 0) cond.charAt(i - 1) else ' '
+        val next = if (i + 1 < n) cond.charAt(i + 1) else ' '
+        if (prev == '-' || (c == '<' && next == '>')) i += (if (next == '>') 2 else 1)
+        else if (next == '=') { out += ((i, s"$c=")); i += 2 }
+        else { out += ((i, s"$c")); i += 1 }
+      } else i += 1
+    }
+    out.toList
+  }
+
+  /** The two operand texts of the inequality at `opStart`, delimited by
+    * the nearest top-level `AND`s (or the condition's ends). */
+  private def splitIneqTerm(cond: String, opStart: Int, op: String): (String, String) = {
+    // find AND boundaries at depth 0
+    val n = cond.length
+    var i = 0
+    var depth = 0
+    var termStart = 0
+    var termEnd = n
+    while (i < n) {
+      val c = cond.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(cond, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val ws = i
+        while (i < n && Character.isJavaIdentifierPart(cond.charAt(i))) i += 1
+        if (depth == 0 && cond.substring(ws, i).equalsIgnoreCase("AND")) {
+          if (i <= opStart) termStart = i
+          else if (ws >= opStart && termEnd == n) termEnd = ws
+        }
+      } else i += 1
+    }
+    (cond.substring(termStart, opStart).trim,
+      cond.substring(opStart + op.length, termEnd).trim)
   }
 
   // -------------------------------------------------------------- GLOBAL

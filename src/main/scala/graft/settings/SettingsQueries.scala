@@ -474,6 +474,27 @@ object SettingsQueries extends QueryRegistry {
       Some("""SELECT c_mktsegment, count(*) AS n
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
-             |GROUP BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ---- CH `ASOF LEFT JOIN` in SQL text (the reference's users ship
+    // this verbatim; DuckDB shares the spelling, so the oracle is the
+    // SAME query): rewrites onto a correlated LATERAL latest-match
+    // probe that Catalyst decorrelates into the b_jn7 window shape. ----
+    QueryDef(
+      "b_sql18_asof_join",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_asof_v")
+        s.sql(
+          """SELECT e.event_id, e.user_id, p.event_id AS prior_purchase
+            |FROM events_asof_v e
+            |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events_asof_v
+            |                WHERE event_type = 'purchase') p
+            |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)
+      },
+      Some("""SELECT e.event_id, e.user_id, p.event_id AS prior_purchase
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+             |                WHERE event_type = 'purchase') p
+             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin))
   )
 }

@@ -572,7 +572,12 @@ class ChDialectSpec extends SparkSpec {
     // shapes no valid query can contain
     val oracles = graft.SparkEntry.oracleSql.values.toSeq
     assert(oracles.nonEmpty)
-    val changed = oracles.filter(sql => ChSqlRewrite(sql) != sql)
+    // ASOF JOIN is the one spelling shared by the DuckDB oracle dialect
+    // and CH: those texts are a LEGITIMATE rewrite target (never valid
+    // Spark SQL), so they are the only allowed divergence
+    val asof = "(?is).*\\bASOF\\s+(LEFT\\s+|INNER\\s+)?JOIN\\b.*".r
+    val changed = oracles.filter(sql =>
+      !asof.matches(sql) && ChSqlRewrite(sql) != sql)
     assert(changed.isEmpty,
       s"rewriter modified ${changed.size} oracle SQL texts, e.g.:\n${changed.headOption.getOrElse("")}")
   }
@@ -685,6 +690,50 @@ class ChDialectSpec extends SparkSpec {
     Seq(1, 2, 3).toDF("x").createOrReplaceTempView("chgl")
     assert(spark.sql("SELECT x FROM chgl WHERE x GLOBAL IN (2, 3) ORDER BY x")
       .collect().map(_.getInt(0)).toSeq === Seq(2, 3))
+  }
+
+  test("ASOF JOIN rewrites onto a decorrelated LATERAL latest-match probe") {
+    Seq((1, 100L), (1, 200L), (2, 50L)).toDF("k", "ts")
+      .createOrReplaceTempView("chasof_l")
+    Seq((1, 90L, "a"), (1, 150L, "b"), (3, 10L, "c")).toDF("k", "rts", "p")
+      .createOrReplaceTempView("chasof_r")
+    // ASOF LEFT JOIN: latest right at-or-before each left ts; no match → NULL
+    val leftRows = spark.sql(
+      """SELECT l.k, l.ts, r.p FROM chasof_l l
+        |ASOF LEFT JOIN chasof_r r ON l.k = r.k AND l.ts >= r.rts
+        |ORDER BY l.k, l.ts""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(leftRows === Seq((1, 100L, "a"), (1, 200L, "b"), (2, 50L, null)))
+    // inner ASOF drops the unmatched left row; CH's LEFT-first spelling
+    val innerRows = spark.sql(
+      """SELECT l.k, r.p FROM chasof_l l
+        |ASOF JOIN chasof_r r ON l.k = r.k AND l.ts >= r.rts
+        |ORDER BY l.k, l.ts""".stripMargin).collect()
+    assert(innerRows.length === 2)
+    val chSpelling = spark.sql(
+      """SELECT l.k, r.p FROM chasof_l l
+        |LEFT ASOF JOIN chasof_r r ON l.k = r.k AND l.ts >= r.rts
+        |ORDER BY l.k, l.ts""".stripMargin).collect()
+    assert(chSpelling.length === 3)
+    // forward direction: earliest right strictly after the left ts
+    val fwd = spark.sql(
+      """SELECT l.ts, r.rts FROM chasof_l l
+        |ASOF LEFT JOIN chasof_r r ON l.k = r.k AND l.ts < r.rts
+        |ORDER BY l.ts""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(fwd === Seq((50L, -1L), (100L, 150L), (200L, -1L)))
+    // a malformed ON clause fails loudly, never silently joins all matches
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM chasof_l l ASOF JOIN chasof_r r ON l.k = r.k")
+    }
+    assert(e.getMessage.contains("ASOF JOIN"))
+    // no cartesian product in the decorrelated plan
+    val plan = spark.sql(
+      """SELECT l.k, r.p FROM chasof_l l
+        |ASOF LEFT JOIN chasof_r r ON l.k = r.k AND l.ts >= r.rts""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
