@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                             (CH FINAL is meaningless without a
   *                             ReplacingMergeTree key; unregistered tables
   *                             keep Spark's alias reading untouched)
+  *   ASOF/ANY [LEFT] JOIN    → correlated LATERAL LIMIT-1 probe (ASOF
+  *                             ordered by the ON clause's inequality, ANY
+  *                             unordered); always-on of NECESSITY — the
+  *                             phrase parses as an alias + plain join with
+  *                             silently different semantics, so a matched
+  *                             phrase that cannot rewrite THROWS
   *
   * RESCUE (attempted ONLY after Spark's own parser rejected the text, so
   * a working Spark query — including one that merely ends in an alias
@@ -164,7 +170,8 @@ object ChSqlRewrite {
     * Spark SQL can contain. */
   def apply(sql: String): String = {
     var cur = rewriteFinal(rewriteGlobal(
-      rewriteAsofJoin(rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))),
+      rewriteAnyJoin(rewriteAsofJoin(
+        rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, ""))))),
       globalJoinWords))
     var changed = true
     var guard = 0
@@ -578,14 +585,72 @@ object ChSqlRewrite {
     sql
   }
 
+  /** CH `[LEFT] ANY JOIN r ON equi-conds` (also `ANY LEFT JOIN`): at
+    * most ONE right match per left row, the pick arbitrary — exactly a
+    * LATERAL `LIMIT 1` probe without an ordering clause. Shares the
+    * ASOF machinery and its always-on/loud-failure contract (`FROM l
+    * ANY JOIN r` parses in Spark as an alias + plain join, silently
+    * multiplying matched rows). `ANY RIGHT JOIN` (right-side
+    * deduplication against the left) has no lateral analog and fails
+    * loudly. */
+  private def rewriteAnyJoin(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w1 = sql.substring(start, i)
+        var left = false
+        var joinAt = -1
+        if (w1.equalsIgnoreCase("ANY")) {
+          val (w2, a2) = readWord(sql, skipWs(sql, i))
+          if (w2.equalsIgnoreCase("JOIN")) joinAt = a2
+          else if (w2.equalsIgnoreCase("LEFT") || w2.equalsIgnoreCase("INNER")) {
+            val (w3, a3) = readWord(sql, skipWs(sql, a2))
+            if (w3.equalsIgnoreCase("JOIN")) { left = w2.equalsIgnoreCase("LEFT"); joinAt = a3 }
+          } else if (w2.equalsIgnoreCase("RIGHT")) {
+            val (w3, _) = readWord(sql, skipWs(sql, a2))
+            if (w3.equalsIgnoreCase("JOIN"))
+              throw new IllegalArgumentException(
+                "ANY RIGHT JOIN is not supported: spell it as a LEFT-side " +
+                  "ANY join from the other table")
+          }
+        } else if (w1.equalsIgnoreCase("LEFT")) {
+          val (w2, a2) = readWord(sql, skipWs(sql, i))
+          if (w2.equalsIgnoreCase("ANY")) {
+            val (w3, a3) = readWord(sql, skipWs(sql, a2))
+            if (w3.equalsIgnoreCase("JOIN")) { left = true; joinAt = a3 }
+          }
+        }
+        if (joinAt > 0)
+          return rewriteOneLateralJoin(sql, start, joinAt, left, ordered = false)
+      } else i += 1
+    }
+    sql
+  }
+
   /** Rewrite the single ASOF join whose JOIN keyword ends at `joinEnd`;
     * `asofStart` is the first keyword of the join phrase. */
-  private def rewriteOneAsof(sql: String, asofStart: Int, joinEnd: Int, left: Boolean): String = {
+  private def rewriteOneAsof(sql: String, asofStart: Int, joinEnd: Int, left: Boolean): String =
+    rewriteOneLateralJoin(sql, asofStart, joinEnd, left, ordered = true)
+
+  /** Shared LATERAL-probe builder: `ordered = true` is ASOF (single
+    * inequality picks the ordering column + direction), `false` is ANY
+    * (arbitrary single match, no ORDER BY). */
+  private def rewriteOneLateralJoin(
+      sql: String, asofStart: Int, joinEnd: Int, left: Boolean, ordered: Boolean): String = {
     val n = sql.length
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(
-        s"ASOF JOIN: $why (CH asof needs `ON equi-conds AND one inequality " +
-          "between the two sides' ordering columns`)")
+        if (ordered)
+          s"ASOF JOIN: $why (CH asof needs `ON equi-conds AND one inequality " +
+            "between the two sides' ordering columns`)"
+        else s"ANY JOIN: $why")
     // ---- right relation: (subquery) or qualified ident, optional alias
     var p = skipWs(sql, joinEnd)
     val relStart = p
@@ -629,28 +694,33 @@ object ChSqlRewrite {
     val (condEnd, _) = joinCondEnd(sql, condStart)
     val cond = sql.substring(condStart, condEnd).trim
     if (cond.isEmpty) fail("empty ON condition")
-    // ---- locate the single top-level inequality and its right-side expr
-    val ineqs = topLevelInequalities(cond)
-    if (ineqs.isEmpty) fail("no inequality in the ON condition")
-    if (ineqs.length > 1) fail("more than one inequality in the ON condition")
-    val (opStart, op) = ineqs.head
-    val (termL, termR) = splitIneqTerm(cond, opStart, op)
-    val aliasDot = alias.toLowerCase(java.util.Locale.ROOT) + "."
-    val lRefs = termL.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
-    val rRefs = termR.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
-    if (lRefs == rRefs)
-      fail(s"exactly one side of `$termL ${op} $termR` must reference the right alias `$alias`")
-    val rightExpr = if (rRefs) termR else termL
-    // backward asof (latest right at-or-before left) sorts the right
-    // ordering column DESC; forward sorts ASC
-    val backward =
-      (rRefs && (op == ">=" || op == ">")) || (lRefs && (op == "<=" || op == "<"))
-    val dir = if (backward) "DESC" else "ASC"
+    // ---- ASOF: locate the single top-level inequality → ordering clause
+    val orderClause =
+      if (!ordered) ""
+      else {
+        val ineqs = topLevelInequalities(cond)
+        if (ineqs.isEmpty) fail("no inequality in the ON condition")
+        if (ineqs.length > 1) fail("more than one inequality in the ON condition")
+        val (opStart, op) = ineqs.head
+        val (termL, termR) = splitIneqTerm(cond, opStart, op)
+        val aliasDot = alias.toLowerCase(java.util.Locale.ROOT) + "."
+        val lRefs = termL.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
+        val rRefs = termR.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
+        if (lRefs == rRefs)
+          fail(s"exactly one side of `$termL ${op} $termR` must reference the right alias `$alias`")
+        val rightExpr = if (rRefs) termR else termL
+        // backward asof (latest right at-or-before left) sorts the right
+        // ordering column DESC; forward sorts ASC
+        val backward =
+          (rRefs && (op == ">=" || op == ">")) || (lRefs && (op == "<=" || op == "<"))
+        s"ORDER BY $rightExpr ${if (backward) "DESC" else "ASC"} "
+      }
     val joinKw = if (left) "LEFT JOIN" else "CROSS JOIN"
     val repl = s"$joinKw LATERAL (SELECT * FROM $relText WHERE $cond " +
-      s"ORDER BY $rightExpr $dir LIMIT 1) $alias"
+      s"${orderClause}LIMIT 1) $alias"
     val suffix = if (condEnd < n) " " + sql.substring(condEnd) else ""
-    rewriteAsofJoin(sql.substring(0, asofStart) + repl + suffix)
+    val next = sql.substring(0, asofStart) + repl + suffix
+    if (ordered) rewriteAsofJoin(next) else rewriteAnyJoin(next)
   }
 
   /** End of a join ON condition: first depth-0 clause stop or join

@@ -495,6 +495,25 @@ object SettingsQueries extends QueryRegistry {
              |FROM events e
              |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
              |                WHERE event_type = 'purchase') p
-             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin))
+             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
+    // ---- CH `ANY LEFT JOIN` in SQL text: at most one right match per
+    // left row. The right side here is unique per key (c_custkey), so
+    // ANY coincides with the plain join and the oracle is exact; the
+    // arbitrary-pick case is spec-bounded in ChDialectSpec. ----
+    QueryDef(
+      "b_sql19_any_join",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_any_v")
+        Tables.t(s, d, "customer").createOrReplaceTempView("customer_any_v")
+        s.sql(
+          """SELECT o.o_orderkey, c.c_name
+            |FROM orders_any_v o
+            |ANY LEFT JOIN customer_any_v c ON o.o_custkey = c.c_custkey
+            |ORDER BY o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, c.c_name
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY o.o_orderkey""".stripMargin))
   )
 }

@@ -736,6 +736,38 @@ class ChDialectSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ANY JOIN probes at most one right match per left row") {
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+      .createOrReplaceTempView("chany_l")
+    Seq((1, 10), (1, 11), (2, 20)).toDF("k", "w")
+      .createOrReplaceTempView("chany_r")
+    // left ANY: every left row exactly once, matched rows pick ONE right
+    val rows = spark.sql(
+      """SELECT l.k, l.v, r.w FROM chany_l l
+        |ANY LEFT JOIN chany_r r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 3))           // no row multiplication
+    assert(Set(10, 11).contains(rows.head._2))        // one arbitrary match
+    assert(rows(1)._2 === 20)
+    assert(rows(2)._2 === -1)                         // unmatched → NULL
+    // inner ANY drops unmatched left rows; CH's LEFT-first spelling works
+    assert(spark.sql(
+      "SELECT l.k FROM chany_l l ANY JOIN chany_r r ON l.k = r.k").collect()
+      .length === 2)
+    assert(spark.sql(
+      "SELECT l.k FROM chany_l l LEFT ANY JOIN chany_r r ON l.k = r.k").collect()
+      .length === 3)
+    // ANY RIGHT JOIN has no lateral analog — loud failure
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM chany_l l ANY RIGHT JOIN chany_r r ON l.k = r.k")
+    }
+    assert(e.getMessage.contains("ANY RIGHT JOIN"))
+    // quantified comparison ANY (valid Spark) is untouched
+    val quant = "SELECT * FROM t WHERE x > ANY (SELECT y FROM u)"
+    assert(ChSqlRewrite(quant) === quant)
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
