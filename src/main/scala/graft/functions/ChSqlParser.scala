@@ -73,6 +73,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   x GLOBAL IN / GLOBAL ANY …  → GLOBAL dropped (these spellings never
   *                                 parse, so the wide keyword set is safe
   *                                 here, unlike the always-on join subset)
+  *   ORDER BY c WITH FILL …      → sequence-axis FULL OUTER JOIN: grid
+  *                                 gaps in [FROM, TO) materialize, rows
+  *                                 off the grid survive; non-fill columns
+  *                                 are NULL on fill rows (coalesce for
+  *                                 CH's type-default zeros)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -204,8 +209,8 @@ object ChSqlRewrite {
       case Some(h) => injectHint(noSet, h)
       case None => noSet
     }
-    val chClauses = rewriteLimitBy(rewriteWithTotals(rewritePrewhere(
-      rewriteGlobal(hinted, globalWideWords))))
+    val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
+      rewritePrewhere(rewriteGlobal(hinted, globalWideWords)))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -1019,6 +1024,118 @@ object ChSqlRewrite {
             val list = sql.substring(listStart, found).trim
             return rewriteWithTotals(sql.substring(0, start) +
               s"GROUP BY GROUPING SETS (($list), ())" + sql.substring(afterTotals))
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ------------------------------------------------------------ WITH FILL
+
+  /** CH `ORDER BY col WITH FILL [FROM f] [TO t] [STEP s]` → generate
+    * the axis (`sequence` leaf, no scan) FULL OUTER JOIN the query, so
+    * grid gaps materialize as rows and original rows off the grid
+    * survive, like CH. `TO` is exclusive, like CH. Non-fill columns are
+    * NULL on fill rows (CH fills type defaults — documented deviation;
+    * coalesce in the SELECT list for CH's zeros). FROM/TO omitted →
+    * bounds derive from min/max of the query itself (one extra
+    * aggregate pass over the RESULT, not the fact table). Single plain
+    * sort column only; DESC fill and INTERPOLATE fail loudly (the API
+    * forms b_fil1/b_fil2 cover those shapes). */
+  private def rewriteWithFill(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (depth == 0 && sql.substring(start, i).equalsIgnoreCase("ORDER")) {
+          val (by, afterBy) = readWord(sql, skipWs(sql, i))
+          if (by.equalsIgnoreCase("BY")) {
+            // single plain sort column, then WITH FILL
+            val (col, afterCol) = readWord(sql, skipWs(sql, afterBy))
+            var p = afterCol
+            val (maybeAsc, afterAsc) = readWord(sql, skipWs(sql, p))
+            var desc = false
+            if (maybeAsc.equalsIgnoreCase("ASC")) p = afterAsc
+            else if (maybeAsc.equalsIgnoreCase("DESC")) { desc = true; p = afterAsc }
+            val (w1, a1) = readWord(sql, skipWs(sql, p))
+            val (w2, a2) = readWord(sql, skipWs(sql, a1))
+            if (col.nonEmpty && w1.equalsIgnoreCase("WITH") && w2.equalsIgnoreCase("FILL")) {
+              def fail(why: String): Nothing = throw new IllegalArgumentException(
+                s"WITH FILL: $why")
+              if (desc) fail("descending fill is not supported in the text " +
+                "form — generate the axis with the API (b_fil1 shape)")
+              // FROM/TO/STEP expression tail
+              val fillStops = Set("TO", "STEP", "INTERPOLATE", "LIMIT", "OFFSET",
+                "SETTINGS", "FORMAT", "UNION")
+              def readExpr(from: Int): (String, Int, String) = {
+                var q = from
+                var d2 = 0
+                while (q < n) {
+                  val ch = sql.charAt(q)
+                  if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
+                  else if (ch == '(') { d2 += 1; q += 1 }
+                  else if (ch == ')') { d2 -= 1; q += 1 }
+                  else if (Character.isJavaIdentifierStart(ch)) {
+                    val ws = q
+                    while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
+                    val w = sql.substring(ws, q).toUpperCase
+                    if (d2 == 0 && fillStops.contains(w))
+                      return (sql.substring(from, ws).trim, ws, w)
+                  } else q += 1
+                }
+                (sql.substring(from, n).trim, n, "")
+              }
+              var cur = a2
+              var fromE = ""
+              var toE = ""
+              var stepE = "1"
+              var done = false
+              var tailStart = n
+              while (!done) {
+                val (kw, akw) = readWord(sql, skipWs(sql, cur))
+                kw.toUpperCase match {
+                  case "FROM" =>
+                    val (e, end, _) = readExpr(skipWs(sql, akw)); fromE = e; cur = end
+                  case "TO" =>
+                    val (e, end, _) = readExpr(skipWs(sql, akw)); toE = e; cur = end
+                  case "STEP" =>
+                    val (e, end, _) = readExpr(skipWs(sql, akw)); stepE = e; cur = end
+                  case "INTERPOLATE" =>
+                    fail("INTERPOLATE is not supported in the text form — " +
+                      "use the windowed API shape (b_fil2)")
+                  case _ =>
+                    tailStart = if (kw.isEmpty) n else skipWs(sql, cur)
+                    done = true
+                }
+              }
+              if (fromE.isEmpty != toE.isEmpty)
+                fail("FROM and TO must be given together (or both omitted " +
+                  "to derive bounds from the result)")
+              val body = sql.substring(0, start).trim
+              val tail = if (tailStart < n) " " + sql.substring(tailStart) else ""
+              val axis =
+                if (fromE.nonEmpty)
+                  s"SELECT ch_fill_x_ AS $col FROM (SELECT explode(sequence(" +
+                    s"($fromE), ($toE), ($stepE))) AS ch_fill_x_) " +
+                    s"WHERE ch_fill_x_ < ($toE)"
+                else
+                  s"SELECT explode(sequence(ch_fill_f_, ch_fill_t_, ($stepE))) " +
+                    s"AS $col FROM (SELECT min($col) AS ch_fill_f_, " +
+                    s"max($col) AS ch_fill_t_ FROM ($body) ch_fill_mm_)"
+              return s"SELECT * FROM ($axis) ch_fill_ax_ " +
+                s"FULL OUTER JOIN ($body) ch_fill_src_ USING ($col) " +
+                s"ORDER BY $col$tail"
+            }
           }
         }
       } else i += 1

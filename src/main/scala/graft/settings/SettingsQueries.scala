@@ -514,6 +514,31 @@ object SettingsQueries extends QueryRegistry {
       },
       Some("""SELECT o.o_orderkey, c.c_name
              |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-             |ORDER BY o.o_orderkey""".stripMargin))
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---- CH `ORDER BY ... WITH FILL FROM ... TO ...` in SQL text:
+    // daily purchase counts on an integer day axis (day number keeps
+    // the oracle engine-portable — DATE canonicalization differs). Fill
+    // rows carry NULL counts on both engines; TO is exclusive. ----
+    QueryDef(
+      "b_sql20_with_fill",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_fill_v")
+        s.sql(
+          """SELECT dayno, n FROM (
+            |  SELECT CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT) AS dayno,
+            |         count() AS n
+            |  FROM events_fill_v WHERE event_type = 'purchase'
+            |  GROUP BY datediff(to_date(ts), DATE '2024-01-01'))
+            |ORDER BY dayno WITH FILL FROM 0 TO 46""".stripMargin)
+      },
+      Some("""SELECT coalesce(g.x, e.dayno) AS dayno, e.n
+             |FROM generate_series(CAST(0 AS BIGINT), CAST(45 AS BIGINT)) g(x)
+             |FULL JOIN (
+             |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayno,
+             |         count(*) AS n
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1) e
+             |ON e.dayno = g.x
+             |ORDER BY dayno""".stripMargin))
   )
 }

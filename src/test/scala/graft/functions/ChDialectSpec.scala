@@ -768,6 +768,38 @@ class ChDialectSpec extends SparkSpec {
     assert(ChSqlRewrite(quant) === quant)
   }
 
+  test("ORDER BY ... WITH FILL generates the missing grid rows") {
+    Seq((1, 10), (2, 20), (5, 50), (9, 90)).toDF("x", "v")
+      .createOrReplaceTempView("chfill")
+    // explicit [FROM, TO) grid: TO is exclusive; off-grid rows survive
+    val rows = spark.sql(
+      """SELECT x, v FROM chfill WHERE x < 6
+        |ORDER BY x WITH FILL FROM 1 TO 6""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(rows === Seq((1, 10), (2, 20), (3, -1), (4, -1), (5, 50)))
+    // STEP widens the grid stride
+    val stepped = spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 10 STEP 4")
+      .collect().map(_.getInt(0)).toSeq
+    assert(stepped === Seq(1, 2, 5, 9)) // grid 1,5,9 ∪ data 1,2,5,9
+    // omitted bounds derive from the result's own min/max
+    val derived = spark.sql(
+      "SELECT x, v FROM chfill WHERE x >= 2 ORDER BY x WITH FILL")
+      .collect().map(_.getInt(0)).toSeq
+    assert(derived === (2 to 9))
+    // a trailing LIMIT still applies after the fill
+    assert(spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 10 LIMIT 3")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // INTERPOLATE and DESC fail loudly toward the API shapes
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 4 INTERPOLATE (v)"))
+    assert(e1.getMessage.contains("INTERPOLATE"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x DESC WITH FILL FROM 4 TO 1 STEP 1"))
+    assert(e2.getMessage.contains("descending"))
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
