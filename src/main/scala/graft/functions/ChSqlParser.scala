@@ -39,6 +39,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                             phrase parses as an alias + plain join with
   *                             silently different semantics, so a matched
   *                             phrase that cannot rewrite THROWS
+  *   FROM numbers(N)         → `range` TVF with the column renamed to
+  *                             `number` (always-on of necessity: unknown
+  *                             TVFs fail at ANALYSIS, which the rescue
+  *                             tier never sees; Spark has no SQL TVF
+  *                             registration a user query could shadow)
   *
   * RESCUE (attempted ONLY after Spark's own parser rejected the text, so
   * a working Spark query — including one that merely ends in an alias
@@ -78,6 +83,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                 off the grid survive; non-fill columns
   *                                 are NULL on fill rows (coalesce for
   *                                 CH's type-default zeros)
+  *   CAST(x AS UInt64) / x::T    → the §1.2 Spark type mapping applied to
+  *                                 CH type names (unknown types are parse
+  *                                 errors, valid Spark spellings map to
+  *                                 themselves or don't parse as CH)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -175,8 +184,8 @@ object ChSqlRewrite {
     * Spark SQL can contain. */
   def apply(sql: String): String = {
     var cur = rewriteFinal(rewriteGlobal(
-      rewriteAnyJoin(rewriteAsofJoin(
-        rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, ""))))),
+      rewriteAnyJoin(rewriteAsofJoin(rewriteNumbers(
+        rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))))),
       globalJoinWords))
     var changed = true
     var guard = 0
@@ -210,7 +219,7 @@ object ChSqlRewrite {
       case None => noSet
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
-      rewritePrewhere(rewriteGlobal(hinted, globalWideWords)))))
+      rewritePrewhere(rewriteChCasts(rewriteGlobal(hinted, globalWideWords))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -1024,6 +1033,158 @@ object ChSqlRewrite {
             val list = sql.substring(listStart, found).trim
             return rewriteWithTotals(sql.substring(0, start) +
               s"GROUP BY GROUPING SETS (($list), ())" + sql.substring(afterTotals))
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ----------------------------------------------------------- numbers(N)
+
+  /** CH's ubiquitous `numbers(N)` / `numbers(offset, N)` table function
+    * → Spark's `range` TVF with the column renamed to CH's `number`.
+    * Always-on of necessity: the call parses fine and fails only at
+    * ANALYSIS (unknown TVF), which the rescue tier never sees. Spark
+    * has no user-definable SQL TVFs, so no working query contains a
+    * `numbers(...)` relation. */
+  private def rewriteNumbers(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w = sql.substring(start, i)
+        if (w.equalsIgnoreCase("FROM") || w.equalsIgnoreCase("JOIN")) {
+          val p = skipWs(sql, i)
+          val (name, afterName) = readWord(sql, p)
+          if (name.equalsIgnoreCase("numbers")) {
+            val q = skipWs(sql, afterName)
+            if (q < n && sql.charAt(q) == '(') {
+              val e = matchParen(sql, q)
+              if (e > 0) {
+                val args = sql.substring(q + 1, e - 1).trim
+                // split top-level comma: numbers(N) | numbers(offset, N)
+                val parts = {
+                  var d2 = 0
+                  var cut = -1
+                  var r = 0
+                  while (r < args.length && cut < 0) {
+                    val ch = args.charAt(r)
+                    if (ch == '\'' || ch == '"' || ch == '`') r = skipQuoted(args, r)
+                    else {
+                      if (ch == '(') d2 += 1
+                      else if (ch == ')') d2 -= 1
+                      else if (ch == ',' && d2 == 0) cut = r
+                      r += 1
+                    }
+                  }
+                  if (cut < 0) Seq(args) else Seq(args.substring(0, cut), args.substring(cut + 1))
+                }
+                val rangeArgs = parts match {
+                  case Seq(cnt) => s"($cnt)"
+                  case Seq(off, cnt) => s"($off), ($off) + ($cnt)"
+                }
+                // keep a user-supplied alias; otherwise alias as `numbers`
+                val (after, _) = readWord(sql, skipWs(sql, e))
+                val hasUserAlias = after.nonEmpty &&
+                  !joinStops.contains(after.toUpperCase) &&
+                  !after.equalsIgnoreCase("ON") && !after.equalsIgnoreCase("USING") &&
+                  !after.equalsIgnoreCase("SAMPLE")
+                val ownAlias = if (hasUserAlias) "" else " numbers"
+                val repl = s"(SELECT id AS number FROM range($rangeArgs))$ownAlias"
+                return rewriteNumbers(
+                  sql.substring(0, p) + repl + sql.substring(e))
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ------------------------------------------------------- CH types in CAST
+
+  /** CH type names inside `CAST(x AS UInt64)` / `x::LowCardinality(String)`
+    * → the engine's Spark type mapping (§1.2, `types/CHType.scala`).
+    * Rescue-only: an unknown type name is a PARSE error in Spark, and
+    * every valid Spark type spelling stays untouched (the CH parser
+    * rejects it or maps it to itself). */
+  private def rewriteChCasts(sql: String): String = {
+    def chTypeToSpark(text: String): Option[String] =
+      try {
+        val t = graft.types.CHType.parse(text)
+        Some(graft.types.CHType.toSpark(t)._1.sql)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == ':' && i + 1 < n && sql.charAt(i + 1) == ':') {
+        // x::Type — capture ident + optional (...) suffix
+        val tStart = skipWs(sql, i + 2)
+        val (tw, afterT) = readWord(sql, tStart)
+        if (tw.nonEmpty) {
+          var tEnd = afterT
+          val q = skipWs(sql, afterT)
+          if (q < n && sql.charAt(q) == '(') {
+            val e = matchParen(sql, q)
+            if (e > 0) tEnd = e
+          }
+          val typeText = sql.substring(tStart, tEnd)
+          chTypeToSpark(typeText) match {
+            case Some(spark) if spark != typeText =>
+              return rewriteChCasts(
+                sql.substring(0, tStart) + spark + sql.substring(tEnd))
+            case _ => i = tEnd
+          }
+        } else i += 2
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("CAST")) {
+          val j = skipWs(sql, i)
+          if (j < n && sql.charAt(j) == '(') {
+            val e = matchParen(sql, j)
+            if (e > 0) {
+              val inside = sql.substring(j + 1, e - 1)
+              // last top-level ` AS ` splits expression from type text
+              var r = 0
+              var d2 = 0
+              var asAt = -1
+              var asEnd = -1
+              while (r < inside.length) {
+                val ch = inside.charAt(r)
+                if (ch == '\'' || ch == '"' || ch == '`') r = skipQuoted(inside, r)
+                else if (ch == '(') { d2 += 1; r += 1 }
+                else if (ch == ')') { d2 -= 1; r += 1 }
+                else if (Character.isJavaIdentifierStart(ch)) {
+                  val ws = r
+                  while (r < inside.length && Character.isJavaIdentifierPart(inside.charAt(r))) r += 1
+                  if (d2 == 0 && inside.substring(ws, r).equalsIgnoreCase("AS")) {
+                    asAt = ws; asEnd = r
+                  }
+                } else r += 1
+              }
+              if (asAt > 0) {
+                val typeText = inside.substring(asEnd).trim
+                chTypeToSpark(typeText) match {
+                  case Some(spark) if spark != typeText =>
+                    return rewriteChCasts(sql.substring(0, j) + "(" +
+                      inside.substring(0, asEnd) + s" $spark)" + sql.substring(e))
+                  case _ => () // valid Spark or unknown: leave for the parser
+                }
+              }
+            }
           }
         }
       } else i += 1

@@ -539,6 +539,33 @@ object SettingsQueries extends QueryRegistry {
              |         count(*) AS n
              |  FROM events WHERE event_type = 'purchase' GROUP BY 1) e
              |ON e.dayno = g.x
-             |ORDER BY dayno""".stripMargin))
+             |ORDER BY dayno""".stripMargin)),
+
+    // ---- CH `numbers(offset, count)` TVF → `range` with the column
+    // renamed to CH's `number`; [offset, offset+count) half-open on
+    // both engines. ----
+    QueryDef(
+      "b_sql21_numbers_tvf",
+      (s, _) => s.sql(
+        """SELECT number, number * number AS sq FROM numbers(3, 97)
+          |WHERE number % 7 = 0 ORDER BY number""".stripMargin),
+      Some("""SELECT x AS number, x * x AS sq FROM generate_series(3, 99) g(x)
+             |WHERE x % 7 = 0 ORDER BY number""".stripMargin)),
+
+    // ---- CH type names in CAST/:: text → the §1.2 Spark mapping
+    // (UInt32 → BIGINT, LowCardinality(String) → STRING). floor() both
+    // sides: Spark truncates double→int casts, DuckDB rounds. ----
+    QueryDef(
+      "b_sql22_ch_cast",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_cast_v")
+        s.sql(
+          """SELECT o_orderkey, CAST(floor(o_totalprice) AS UInt32) AS price_i,
+            |  o_orderpriority::LowCardinality(String) AS prio
+            |FROM orders_cast_v ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_i,
+             |  CAST(o_orderpriority AS VARCHAR) AS prio
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

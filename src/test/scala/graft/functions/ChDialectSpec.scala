@@ -800,6 +800,41 @@ class ChDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("descending"))
   }
 
+  test("numbers(N) table function maps onto the range TVF") {
+    assert(spark.sql("SELECT count(*) AS n FROM numbers(10)").head.getLong(0) === 10L)
+    // CH column name `number`, qualified reference, offset form
+    assert(spark.sql("SELECT sum(number) AS s FROM numbers(5)").head.getLong(0) === 10L)
+    assert(spark.sql("SELECT max(numbers.number) AS m FROM numbers(5)")
+      .head.getLong(0) === 4L)
+    assert(spark.sql("SELECT min(number) AS m, max(number) AS x FROM numbers(5, 10)")
+      .head.toSeq === Seq(5L, 14L))
+    // a user alias survives
+    assert(spark.sql("SELECT t.number FROM numbers(3) t ORDER BY t.number")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // joins against a real view work
+    Seq(0L, 2L).toDF("k").createOrReplaceTempView("chnum")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM numbers(4) JOIN chnum ON number = k")
+      .head.getLong(0) === 2L)
+  }
+
+  test("CH type names in CAST and :: map onto the engine's Spark types") {
+    def rw(s: String) = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT CAST(x AS UInt32) FROM t PREWHERE a")
+      === "SELECT CAST(x AS BIGINT) FROM t WHERE a")
+    assert(rw("SELECT CAST(x AS LowCardinality(String)) FROM t PREWHERE a")
+      === "SELECT CAST(x AS STRING) FROM t WHERE a")
+    // end-to-end (the CH type alone makes the text unparseable → rescue)
+    assert(spark.sql("SELECT CAST(7 AS UInt64) AS v").head.getDecimal(0).longValue === 7L)
+    assert(spark.sql("SELECT CAST('2024-03-01 10:00:00' AS DateTime64(3)) AS ts")
+      .head.getTimestamp(0).toString.startsWith("2024-03-01"))
+    assert(spark.sql("SELECT 300::UInt8 AS v").head.getShort(0) === 300.toShort)
+    assert(spark.sql("SELECT '5'::Nullable(Int64) AS v").head.getLong(0) === 5L)
+    // valid Spark type spellings never change
+    val ok = "SELECT CAST(x AS DECIMAL(10,2)), y::INT FROM t"
+    assert(ChSqlRewrite(ok) === ok)
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
