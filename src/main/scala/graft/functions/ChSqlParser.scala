@@ -87,6 +87,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                 CH type names (unknown types are parse
   *                                 errors, valid Spark spellings map to
   *                                 themselves or don't parse as CH)
+  *   WITH 5 AS x SELECT …        → scalar WITH items become a one-row
+  *                                 derived relation CROSS JOINed into the
+  *                                 main FROM; real subquery CTEs bail to
+  *                                 Spark untouched
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -219,7 +223,8 @@ object ChSqlRewrite {
       case None => noSet
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
-      rewritePrewhere(rewriteChCasts(rewriteGlobal(hinted, globalWideWords))))))
+      rewritePrewhere(rewriteChCasts(rewriteScalarWith(
+        rewriteGlobal(hinted, globalWideWords)))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -1107,6 +1112,94 @@ object ChSqlRewrite {
       } else i += 1
     }
     sql
+  }
+
+  // ----------------------------------------------------------- scalar WITH
+
+  /** CH's scalar `WITH 5 AS x, expr AS y SELECT ... FROM t` (constants/
+    * expressions named before the query — not Spark's subquery CTEs) →
+    * a one-row derived relation CROSS JOINed into the main FROM:
+    * `SELECT ... FROM (SELECT (5) AS x, (expr) AS y) ch_with_ CROSS JOIN
+    * t`, so every alias resolves unqualified at zero cost (a 1-row
+    * broadcast side). Real CTEs (`name AS (subquery)`) and mixed forms
+    * bail untouched — Spark owns those. Top-level queries only. */
+  private def rewriteScalarWith(sql: String): String = {
+    val n = sql.length
+    val s0 = skipWs(sql, 0)
+    val (w0, afterW0) = readWord(sql, s0)
+    if (!w0.equalsIgnoreCase("WITH")) return sql
+    var p = skipWs(sql, afterW0)
+    val items = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var selectAt = -1
+    var bail = false
+    var more = true
+    while (more && !bail) {
+      // expr runs to the first depth-0 AS
+      val exprStart = p
+      var q = p
+      var depth = 0
+      var asAt = -1
+      var asEnd = -1
+      while (q < n && asAt < 0 && !bail) {
+        val ch = sql.charAt(q)
+        if (ch == '\'' || ch == '"' || ch == '`') q = skipQuoted(sql, q)
+        else if (ch == '-' && q + 1 < n && sql.charAt(q + 1) == '-') q = skipLine(sql, q)
+        else if (ch == '/' && q + 1 < n && sql.charAt(q + 1) == '*') q = skipBlock(sql, q)
+        else if (ch == '(') { depth += 1; q += 1 }
+        else if (ch == ')') { depth -= 1; q += 1 }
+        else if (Character.isJavaIdentifierStart(ch)) {
+          val ws = q
+          while (q < n && Character.isJavaIdentifierPart(sql.charAt(q))) q += 1
+          val w = sql.substring(ws, q)
+          if (depth == 0 && w.equalsIgnoreCase("AS")) { asAt = ws; asEnd = q }
+          else if (depth == 0 && w.equalsIgnoreCase("SELECT")) bail = true
+        } else q += 1
+      }
+      if (asAt < 0) bail = true
+      if (!bail) {
+        val expr = sql.substring(exprStart, asAt).trim
+        val q2 = skipWs(sql, asEnd)
+        if (expr.isEmpty || (q2 < n && sql.charAt(q2) == '(')) bail = true // real CTE
+        else {
+          val (name, afterName) = readWord(sql, q2)
+          if (name.isEmpty) bail = true
+          else {
+            items += (expr -> name)
+            val q3 = skipWs(sql, afterName)
+            if (q3 < n && sql.charAt(q3) == ',') p = skipWs(sql, q3 + 1)
+            else {
+              val (sel, _) = readWord(sql, q3)
+              if (sel.equalsIgnoreCase("SELECT")) { selectAt = q3; more = false }
+              else bail = true
+            }
+          }
+        }
+      }
+    }
+    if (bail || items.isEmpty || selectAt < 0) return sql
+    val itemSql = items.map { case (e, a) => s"($e) AS $a" }.mkString(", ")
+    val rest = sql.substring(selectAt)
+    // inject after the main query's first depth-0 FROM
+    val m = rest.length
+    var i = 0
+    var depth = 0
+    while (i < m) {
+      val c = rest.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(rest, i)
+      else if (c == '-' && i + 1 < m && rest.charAt(i + 1) == '-') i = skipLine(rest, i)
+      else if (c == '/' && i + 1 < m && rest.charAt(i + 1) == '*') i = skipBlock(rest, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val ws = i
+        while (i < m && Character.isJavaIdentifierPart(rest.charAt(i))) i += 1
+        if (depth == 0 && rest.substring(ws, i).equalsIgnoreCase("FROM"))
+          return rest.substring(0, i) +
+            s" (SELECT $itemSql) ch_with_ CROSS JOIN" + rest.substring(i)
+      } else i += 1
+    }
+    // no FROM at all: a pure expression SELECT gains the one-row relation
+    rest + s" FROM (SELECT $itemSql) ch_with_"
   }
 
   // ------------------------------------------------------- CH types in CAST

@@ -566,6 +566,28 @@ object SettingsQueries extends QueryRegistry {
       },
       Some("""SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_i,
              |  CAST(o_orderpriority AS VARCHAR) AS prio
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- CH scalar `WITH expr AS name` (constants named before the
+    // query, not subquery CTEs): rewrites to a one-row derived relation
+    // CROSS JOINed into the FROM, so the names resolve everywhere at
+    // the cost of a 1-row broadcast. ----
+    QueryDef(
+      "b_sql23_scalar_with",
+      (s, d) => {
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_w_v")
+        s.sql(
+          """WITH 0.05 AS min_disc, 30 AS qty_cap
+            |SELECT l_returnflag, count() AS n,
+            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+            |FROM lineitem_w_v
+            |WHERE l_discount >= min_disc AND l_quantity < qty_cap
+            |GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+             |FROM lineitem
+             |WHERE l_discount >= 0.05 AND l_quantity < 30
+             |GROUP BY l_returnflag""".stripMargin))
   )
 }

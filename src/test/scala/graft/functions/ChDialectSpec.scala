@@ -835,6 +835,25 @@ class ChDialectSpec extends SparkSpec {
     assert(ChSqlRewrite(ok) === ok)
   }
 
+  test("scalar WITH items become a one-row cross-joined relation") {
+    def rw(s: String) = ChSqlRewrite.rescue(s).sql
+    assert(rw("WITH 5 AS lim SELECT v FROM t WHERE v < lim")
+      === "SELECT v FROM (SELECT (5) AS lim) ch_with_ CROSS JOIN t WHERE v < lim")
+    // end-to-end: constants, expressions, several items, aggregation
+    Seq(1, 5, 9, 13).toDF("v").createOrReplaceTempView("chw")
+    assert(spark.sql("WITH 8 AS cut SELECT count(*) AS n FROM chw WHERE v < cut")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(
+      "WITH 2 + 3 AS lo, upper('x') AS tag SELECT concat(tag, v - lo) AS s " +
+        "FROM chw WHERE v = 9").head.getString(0) === "X4")
+    // no FROM: the one-row relation alone drives the select
+    assert(spark.sql("WITH 6 * 7 AS ans SELECT ans").head.getInt(0) === 42)
+    // a real subquery CTE is Spark's own and stays untouched
+    val cte = "WITH m AS (SELECT max(v) AS mv FROM chw) SELECT mv FROM m"
+    assert(ChSqlRewrite.rescue(cte).sql === cte)
+    assert(spark.sql(cte).head.getInt(0) === 13)
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
