@@ -213,4 +213,42 @@ object CHValues {
     }
     acc
   }
+
+  // ------------------------------------------------- first-match replace
+
+  /** CH `replaceOne` (string_replace_functions): first occurrence of the
+    * literal needle only; empty needle → unchanged, like CH. */
+  def replaceOne(s: UTF8String, from: UTF8String, to: UTF8String): UTF8String = {
+    val str = s.toString
+    val f = from.toString
+    if (f.isEmpty) return s
+    val i = str.indexOf(f)
+    if (i < 0) s
+    else UTF8String.fromString(
+      str.substring(0, i) + to.toString + str.substring(i + f.length))
+  }
+
+  /** CH `\N` backreferences → Java `$N`; literal `$`/`\` escaped. */
+  private def chReplacementToJava(repl: String): String = {
+    val sb = new java.lang.StringBuilder(repl.length + 8)
+    var i = 0
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\' && i + 1 < repl.length && Character.isDigit(repl.charAt(i + 1))) {
+        sb.append('$').append(repl.charAt(i + 1)); i += 2
+      } else if (c == '\\' && i + 1 < repl.length) {
+        sb.append('\\').append('\\').append(repl.charAt(i + 1)); i += 2
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** CH `replaceRegexpOne`: first regex match only, `\N` backreference
+    * syntax (CH's RE2 dialect is a compatible subset of Java regex for
+    * the common patterns; exotic RE2-isms differ — documented). */
+  def replaceRegexpOne(s: UTF8String, pattern: UTF8String, repl: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.util.regex.Pattern.compile(pattern.toString).matcher(s.toString)
+        .replaceFirst(chReplacementToJava(repl.toString)))
 }

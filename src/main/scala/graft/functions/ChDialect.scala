@@ -443,6 +443,13 @@ object ChDialect {
     fn("editDistance", 2) { a => Levenshtein(a.head, a(1)) },
     fn("regexpQuoteMeta", 1) { a =>
       RegExpReplace(a.head, Literal("([.^$*+?()\\[\\]{}|\\\\])"), Literal("\\\\$1")) },
+    // first-match replace (Spark builtins replace ALL): codegen'd kernels
+    fn("replaceOne", 3) { a => ValueExpressions.ReplaceOne(a.head, a(1), a(2)) },
+    fn("replaceRegexpOne", 3) { a => ValueExpressions.ReplaceRegexpOne(a.head, a(1), a(2)) },
+    // polymorphic emptiness probe (string/binary/array/map)
+    fn("empty", 1) { a => ValueExpressions.ChEmpty(a.head) },
+    fn("notEmpty", 1) { a => Not(ValueExpressions.ChEmpty(a.head)) },
+    fn("bitCount", 1) { a => BitwiseCount(a.head) },
 
     // ---- JSON extraction (CH key args → $.path) ----
     fn("JSONExtractString", 2) { a =>

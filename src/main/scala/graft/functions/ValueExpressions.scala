@@ -110,6 +110,73 @@ object ValueExpressions {
       copy(child = c)
   }
 
+  /** CH `empty`/`notEmpty` are polymorphic over strings, binaries,
+    * arrays and maps — no single builtin covers all four, so this is a
+    * tiny codegen'd expression instead of a dialect alias. */
+  final case class ChEmpty(child: Expression)
+      extends UnaryExpression with Serializable {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "empty"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType | BinaryType | _: ArrayType | _: MapType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"empty expects a string, binary, array or map, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(v: Any): Any = child.dataType match {
+      case StringType => v.asInstanceOf[UTF8String].numBytes() == 0
+      case BinaryType => v.asInstanceOf[Array[Byte]].length == 0
+      case _: ArrayType => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0
+      case _: MapType => v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements() == 0
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val probe = child.dataType match {
+        case StringType => (c: String) => s"($c.numBytes() == 0)"
+        case BinaryType => (c: String) => s"($c.length == 0)"
+        case _ => (c: String) => s"($c.numElements() == 0)"
+      }
+      defineCodeGen(ctx, ev, probe)
+    }
+    override protected def withNewChildInternal(c: Expression): ChEmpty = copy(child = c)
+  }
+
+  /** First-match string replacement (CH `replaceOne` /
+    * `replaceRegexpOne`; Spark's builtins replace ALL matches). */
+  abstract class CHTernaryString(fn: String, kernel: String)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with Serializable {
+    override def dataType: DataType = StringType
+    override def prettyName: String = fn
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.forall(_.dataType == StringType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fn expects three strings")
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      evalKernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
+    protected def evalKernel(a: UTF8String, b: UTF8String, c: UTF8String): UTF8String
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"${callOf(kernel)}($a, $b, $c)")
+  }
+
+  final case class ReplaceOne(first: Expression, second: Expression, third: Expression)
+      extends CHTernaryString("replaceOne", "replaceOne") {
+    protected def evalKernel(a: UTF8String, b: UTF8String, c: UTF8String): UTF8String =
+      CHValues.replaceOne(a, b, c)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ReplaceOne = copy(f, s, t)
+  }
+
+  final case class ReplaceRegexpOne(first: Expression, second: Expression, third: Expression)
+      extends CHTernaryString("replaceRegexpOne", "replaceRegexpOne") {
+    protected def evalKernel(a: UTF8String, b: UTF8String, c: UTF8String): UTF8String =
+      CHValues.replaceRegexpOne(a, b, c)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ReplaceRegexpOne = copy(f, s, t)
+  }
+
   /** (name, builder) pairs for FunctionRegistry injection. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def one(name: String, build: Expression => Expression) =

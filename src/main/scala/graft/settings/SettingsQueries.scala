@@ -588,6 +588,24 @@ object SettingsQueries extends QueryRegistry {
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
              |FROM lineitem
              |WHERE l_discount >= 0.05 AND l_quantity < 30
-             |GROUP BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- CH first-match replace + polymorphic emptiness in SQL text.
+    // DuckDB's regexp_replace is FIRST-match by default — the exact
+    // replaceOne/replaceRegexpOne oracle. ----
+    QueryDef(
+      "b_sql24_replace_one",
+      (s, d) => {
+        Tables.t(s, d, "documents").createOrReplaceTempView("documents_rep_v")
+        s.sql(
+          """SELECT doc_id, replaceOne(text, 'the', '#') AS r1,
+            |  replaceRegexpOne(text, '[0-9]+', 'N') AS r2,
+            |  notEmpty(text) AS ne
+            |FROM documents_rep_v ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, regexp_replace(text, 'the', '#') AS r1,
+             |  regexp_replace(text, '[0-9]+', 'N') AS r2,
+             |  length(text) > 0 AS ne
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

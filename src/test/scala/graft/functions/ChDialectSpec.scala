@@ -854,6 +854,32 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql(cte).head.getInt(0) === 13)
   }
 
+  test("first-match replace, polymorphic empty, bitCount") {
+    // replaceOne: first literal occurrence only; empty needle → unchanged
+    assert(one("replaceOne('aXbXc', 'X', '_')") === "a_bXc")
+    assert(one("replaceOne('abc', '', '_')") === "abc")
+    assert(one("replaceOne('abc', 'z', '_')") === "abc")
+    // replaceRegexpOne: first regex match, CH \\1 backreference syntax
+    assert(one("replaceRegexpOne('a1b2', '([0-9])', '[\\\\1]')") === "a[1]b2")
+    assert(one("replaceRegexpOne('cost: 5$', '\\\\$', ' usd')") === "cost: 5 usd")
+    // empty/notEmpty across strings, arrays and maps
+    assert(one("empty('')") === true)
+    assert(one("empty('x')") === false)
+    assert(one("empty(array())") === true)
+    assert(one("empty(array(1))") === false)
+    assert(one("empty(map())") === true)
+    assert(one("notEmpty('x')") === true)
+    assert(one("empty(CAST(NULL AS STRING))") === null)
+    // bitCount = population count
+    assert(one("bitCount(255)") === 8)
+    assert(one("bitCount(CAST(0 AS BIGINT))") === 0)
+    // whole-stage codegen keeps the kernels inline on a parquet-backed plan
+    val df = graft.Tables.t(spark, sf0001, "documents")
+      .selectExpr("replaceOne(text, 'the', '###') AS r", "empty(text) AS e")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(df.count() > 0)
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")
