@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CH projections: transparent agg → pre-aggregate routing
     // (no-op until graft.plans.Projections.register is called)
     ext.injectOptimizerRule(session => new plans.RouteToProjection(session))
+    // LATERAL best-match probes (the ASOF/ANY JOIN text shape) rewritten
+    // into join + per-left-row argmax BEFORE Spark's decorrelation turns
+    // the inequality correlation into a domain nested-loop join
+    ext.injectPostHocResolutionRule(session => new plans.AsofLateralRule(session))
   }
 }
