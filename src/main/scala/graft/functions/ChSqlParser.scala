@@ -1353,6 +1353,7 @@ object ChSqlRewrite {
               var fromE = ""
               var toE = ""
               var stepE = "1"
+              var interp = Seq.empty[String]
               var done = false
               var tailStart = n
               while (!done) {
@@ -1365,8 +1366,23 @@ object ChSqlRewrite {
                   case "STEP" =>
                     val (e, end, _) = readExpr(skipWs(sql, akw)); stepE = e; cur = end
                   case "INTERPOLATE" =>
-                    fail("INTERPOLATE is not supported in the text form — " +
-                      "use the windowed API shape (b_fil2)")
+                    // bare-column list only: `INTERPOLATE (v, w)` carries
+                    // the previous value forward (CH's default). The
+                    // `col AS expr` form (expression over the previous
+                    // row) has no faithful window rewrite — loud.
+                    val q2 = skipWs(sql, akw)
+                    if (q2 >= n || sql.charAt(q2) != '(')
+                      fail("INTERPOLATE expects a parenthesized column list")
+                    val e2 = matchParen(sql, q2)
+                    if (e2 < 0) fail("unbalanced INTERPOLATE list")
+                    val cols = sql.substring(q2 + 1, e2 - 1).split(",").map(_.trim)
+                    if (cols.exists(c => c.isEmpty ||
+                      !c.forall(ch => Character.isJavaIdentifierPart(ch))))
+                      fail("INTERPOLATE supports plain column names only " +
+                        "(carry-forward); use the windowed API shape (b_fil2) " +
+                        "for `col AS expr` interpolation")
+                    interp = cols.toSeq
+                    cur = e2
                   case _ =>
                     tailStart = if (kw.isEmpty) n else skipWs(sql, cur)
                     done = true
@@ -1386,8 +1402,22 @@ object ChSqlRewrite {
                   s"SELECT explode(sequence(ch_fill_f_, ch_fill_t_, ($stepE))) " +
                     s"AS $col FROM (SELECT min($col) AS ch_fill_f_, " +
                     s"max($col) AS ch_fill_t_ FROM ($body) ch_fill_mm_)"
-              return s"SELECT * FROM ($axis) ch_fill_ax_ " +
-                s"FULL OUTER JOIN ($body) ch_fill_src_ USING ($col) " +
+              if (interp.isEmpty)
+                return s"SELECT * FROM ($axis) ch_fill_ax_ " +
+                  s"FULL OUTER JOIN ($body) ch_fill_src_ USING ($col) " +
+                  s"ORDER BY $col$tail"
+              // INTERPOLATE: fill rows (marker NULL) take the last value an
+              // ORIGINAL row carried; original rows keep their own values.
+              val w = s"OVER (ORDER BY $col ROWS BETWEEN UNBOUNDED " +
+                "PRECEDING AND CURRENT ROW)"
+              val carried = interp.map(c =>
+                s"CASE WHEN ch_fill_orig_ IS NOT NULL THEN $c ELSE " +
+                  s"last(CASE WHEN ch_fill_orig_ IS NOT NULL THEN $c END, true) " +
+                  s"$w END AS $c").mkString(", ")
+              return s"SELECT * EXCEPT (${interp.mkString(", ")}, ch_fill_orig_), " +
+                s"$carried FROM (SELECT * FROM ($axis) ch_fill_ax_ " +
+                s"FULL OUTER JOIN (SELECT *, true AS ch_fill_orig_ FROM ($body) " +
+                s"ch_fill_b_) ch_fill_src_ USING ($col)) ch_fill_j_ " +
                 s"ORDER BY $col$tail"
             }
           }

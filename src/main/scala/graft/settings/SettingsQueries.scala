@@ -606,6 +606,35 @@ object SettingsQueries extends QueryRegistry {
       Some("""SELECT doc_id, regexp_replace(text, 'the', '#') AS r1,
              |  regexp_replace(text, '[0-9]+', 'N') AS r2,
              |  length(text) > 0 AS ne
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- WITH FILL ... INTERPOLATE in SQL text: fill rows carry the
+    // last observed value forward (CH's default interpolation); the
+    // b_fil2 windowed shape, reached from the clause grammar. All
+    // source values are non-null, so last-original == last-non-null
+    // and the DuckDB IGNORE NULLS window is an exact oracle. ----
+    QueryDef(
+      "b_sql25_fill_interpolate",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_fi_v")
+        s.sql(
+          """SELECT dayno, v FROM (
+            |  SELECT CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT) AS dayno,
+            |         round(max(value), 4) AS v
+            |  FROM events_fi_v WHERE event_type = 'purchase'
+            |  GROUP BY datediff(to_date(ts), DATE '2024-01-01'))
+            |ORDER BY dayno WITH FILL FROM 0 TO 46 INTERPOLATE (v)""".stripMargin)
+      },
+      Some("""WITH vals AS (
+             |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayno,
+             |         round(max(value), 4) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT coalesce(g.x, v.dayno) AS dayno,
+             |  last_value(v.v IGNORE NULLS) OVER (
+             |    ORDER BY coalesce(g.x, v.dayno)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM generate_series(CAST(0 AS BIGINT), CAST(45 AS BIGINT)) g(x)
+             |FULL JOIN vals v ON v.dayno = g.x
+             |ORDER BY dayno""".stripMargin))
   )
 }

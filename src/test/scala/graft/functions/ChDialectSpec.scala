@@ -791,9 +791,16 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 10 LIMIT 3")
       .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
-    // INTERPOLATE and DESC fail loudly toward the API shapes
+    // INTERPOLATE (col): fill rows carry the last ORIGINAL value forward;
+    // original rows keep their own values (x=9 stays 90, not a carry)
+    val interp = spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 10 INTERPOLATE (v)")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(interp === Seq((1, 10), (2, 20), (3, 20), (4, 20), (5, 50),
+      (6, 50), (7, 50), (8, 50), (9, 90)))
+    // the `col AS expr` form and DESC fail loudly toward the API shapes
     val e1 = intercept[Exception](spark.sql(
-      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 4 INTERPOLATE (v)"))
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 4 INTERPOLATE (v AS v + 1)"))
     assert(e1.getMessage.contains("INTERPOLATE"))
     val e2 = intercept[Exception](spark.sql(
       "SELECT x, v FROM chfill ORDER BY x DESC WITH FILL FROM 4 TO 1 STEP 1"))
