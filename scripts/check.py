@@ -46,7 +46,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # result schema via DESCRIBE so the drift fails loudly at verify time,
 # with the fix named, instead of as an opaque hash mismatch at the
 # driver.
-_DRIFTY_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)", "UINT64")
+_DRIFTY_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)", "UBIGINT")
 
 
 def lint_oracle_types(con, sql: str):

@@ -626,6 +626,22 @@ object ArrowCodec {
       * read. Owned by this reader, released with the batch (same pattern
       * as dictionary decode).
       */
+    /** tid → child index for a union vector: Arrow permits arbitrary
+      * (non-identity) union discriminators, so child names/branches must
+      * be looked up through the field's typeIds array, never positionally
+      * (the stub happens to use 0..n-1; a real server need not). */
+    private def unionTypeIdMap(
+        duv: org.apache.arrow.vector.complex.DenseUnionVector,
+        nChildren: Int): Map[Int, Int] = {
+      val ids = duv.getField.getType match {
+        case u: org.apache.arrow.vector.types.pojo.ArrowType.Union
+            if u.getTypeIds != null && u.getTypeIds.nonEmpty =>
+          u.getTypeIds.toSeq.map(_.toInt)
+        case _ => (0 until nChildren).toSeq
+      }
+      ids.zipWithIndex.toMap
+    }
+
     private def widenUnsigned(v: FieldVector): FieldVector = {
       val n = v.getValueCount
       def fill[T <: BaseFixedWidthVector](out: T)(set: Int => Unit): T = {
@@ -701,6 +717,9 @@ object ArrowCodec {
             FieldType.nullable(AT.Utf8.INSTANCE), classOf[VarCharVector])
           struct.allocateNew()
           val children = duv.getField.getChildren.asScala.toSeq
+          // union typeIds need not be the identity 0..n-1 (Arrow allows
+          // arbitrary discriminators) — index children THROUGH the map
+          val childIdxByTid = unionTypeIdMap(duv, children.length)
           val nameBytes: IndexedSeq[Array[Byte]] =
             children.map(_.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toIndexedSeq
           var i = 0
@@ -711,7 +730,7 @@ object ArrowCodec {
               val off = duv.getOffset(i)
               struct.setIndexDefined(i)
               if (childVec != null && !childVec.isNull(off)) {
-                tag.setSafe(i, nameBytes(tid))
+                tag.setSafe(i, nameBytes(childIdxByTid(tid)))
                 value.setSafe(i, String.valueOf(childVec.getObject(off))
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               } // NULL dynamic: both fields stay null (dynamicType = NULL in CH)
@@ -738,15 +757,17 @@ object ArrowCodec {
           struct.allocateNew()
           val tagBytes: IndexedSeq[Array[Byte]] =
             children.map(_.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toIndexedSeq
+          val childIdxByTid = unionTypeIdMap(duv, children.length)
           var i = 0
           while (i < n) {
             val tid = duv.getTypeId(i)
             if (tid >= 0) {
+              val ci = childIdxByTid(tid)
               val childVec = duv.getVectorByType(tid)
               val off = duv.getOffset(i)
               if (childVec != null && !childVec.isNull(off))
-                branches(tid).copyFromSafe(off, i, childVec)
-              tag.setSafe(i, tagBytes(tid))
+                branches(ci).copyFromSafe(off, i, childVec)
+              tag.setSafe(i, tagBytes(ci))
               struct.setIndexDefined(i)
             }
             i += 1

@@ -228,7 +228,9 @@ object CHValues {
       str.substring(0, i) + to.toString + str.substring(i + f.length))
   }
 
-  /** CH `\N` backreferences → Java `$N`; literal `$`/`\` escaped. */
+  /** CH `\N` backreferences → Java `$N`; literal `$`/`\` escaped
+    * (a dangling trailing backslash becomes a literal one, like CH,
+    * instead of crashing Matcher.replaceFirst). */
   private def chReplacementToJava(repl: String): String = {
     val sb = new java.lang.StringBuilder(repl.length + 8)
     var i = 0
@@ -238,17 +240,29 @@ object CHValues {
         sb.append('$').append(repl.charAt(i + 1)); i += 2
       } else if (c == '\\' && i + 1 < repl.length) {
         sb.append('\\').append('\\').append(repl.charAt(i + 1)); i += 2
-      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      } else if (c == '\\') { sb.append("\\\\"); i += 1 } // lone trailing \
+      else if (c == '$') { sb.append("\\$"); i += 1 }
       else { sb.append(c); i += 1 }
     }
     sb.toString
   }
 
+  // per-thread single-slot cache: the pattern is almost always a literal
+  // (one distinct value per query), and Pattern.compile per ROW is the
+  // hot-path waste Spark's own RegExpReplace caches away identically
+  private val lastRegex = new ThreadLocal[(String, java.util.regex.Pattern, String, String)]
+
   /** CH `replaceRegexpOne`: first regex match only, `\N` backreference
     * syntax (CH's RE2 dialect is a compatible subset of Java regex for
     * the common patterns; exotic RE2-isms differ — documented). */
-  def replaceRegexpOne(s: UTF8String, pattern: UTF8String, repl: UTF8String): UTF8String =
-    UTF8String.fromString(
-      java.util.regex.Pattern.compile(pattern.toString).matcher(s.toString)
-        .replaceFirst(chReplacementToJava(repl.toString)))
+  def replaceRegexpOne(s: UTF8String, pattern: UTF8String, repl: UTF8String): UTF8String = {
+    val p = pattern.toString
+    val r = repl.toString
+    var cached = lastRegex.get()
+    if (cached == null || cached._1 != p || cached._3 != r) {
+      cached = (p, java.util.regex.Pattern.compile(p), r, chReplacementToJava(r))
+      lastRegex.set(cached)
+    }
+    UTF8String.fromString(cached._2.matcher(s.toString).replaceFirst(cached._4))
+  }
 }

@@ -271,15 +271,20 @@ object ChSqlRewrite {
     val hintText = s"$hint(${rels.mkString(", ")})"
     val n = sql.length
     var i = 0
+    var depth = 0
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
       else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
       else if (Character.isJavaIdentifierStart(c)) {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
-        if (sql.substring(start, i).equalsIgnoreCase("SELECT"))
+        // depth 0: a WITH-CTE query's first SELECT lives inside the CTE
+        // parens — the hint must land on the MAIN query's SELECT
+        if (depth == 0 && sql.substring(start, i).equalsIgnoreCase("SELECT"))
           return sql.substring(0, i) + s" /*+ $hintText */" + sql.substring(i)
       } else i += 1
     }
@@ -564,9 +569,12 @@ object ChSqlRewrite {
     * `asof` + plain join) with silently different semantics, so leaving
     * the text alone on a malformed ON clause is not an option — a
     * matched `ASOF ... JOIN ... ON` whose condition lacks exactly one
-    * usable inequality THROWS instead. The residual (a table alias
-    * literally named `asof`/`left` before JOIN ... ON with an
-    * inequality) gets a loud error, never a silent rewrite. */
+    * usable inequality THROWS instead. Residual (the documented ARRAY
+    * JOIN class): a table alias LITERALLY named `asof`/`any` directly
+    * before JOIN takes the CH reading — rewritten when its ON clause
+    * fits the probe shape, a loud error when it doesn't — because CH
+    * spellings mean what CH means here; rename such an alias to keep
+    * Spark's reading. */
   private def rewriteAsofJoin(sql: String): String = {
     val n = sql.length
     var i = 0
@@ -722,9 +730,8 @@ object ChSqlRewrite {
         if (ineqs.length > 1) fail("more than one inequality in the ON condition")
         val (opStart, op) = ineqs.head
         val (termL, termR) = splitIneqTerm(cond, opStart, op)
-        val aliasDot = alias.toLowerCase(java.util.Locale.ROOT) + "."
-        val lRefs = termL.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
-        val rRefs = termR.toLowerCase(java.util.Locale.ROOT).contains(aliasDot)
+        val lRefs = refersToAlias(termL, alias)
+        val rRefs = refersToAlias(termR, alias)
         if (lRefs == rRefs)
           fail(s"exactly one side of `$termL ${op} $termR` must reference the right alias `$alias`")
         val rightExpr = if (rRefs) termR else termL
@@ -793,6 +800,37 @@ object ChSqlRewrite {
       } else i += 1
     }
     out.toList
+  }
+
+  /** True when `term` contains the alias as a QUALIFIER token — a whole
+    * identifier equal to `alias` immediately followed by `.` — not a
+    * raw-substring hit (alias `p` must not match inside `leap.ts`). */
+  private def refersToAlias(term: String, alias: String): Boolean = {
+    val n = term.length
+    var i = 0
+    while (i < n) {
+      val c = term.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(term, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(term.charAt(i))) i += 1
+        if (term.substring(start, i).equalsIgnoreCase(alias)) {
+          val p = skipWs(term, i)
+          // a qualifier is preceded by nothing ident-like (handled by the
+          // token scan) and followed by a dot
+          if (p < n && term.charAt(p) == '.' &&
+            (start == 0 || term.charAt(start - 1) != '.')) return true
+        }
+        // skip a following qualified chain so `a.p.x` never re-enters at `p`
+        while (i < n && term.charAt(i) == '.') {
+          i += 1
+          if (i < n && Character.isJavaIdentifierStart(term.charAt(i))) {
+            while (i < n && Character.isJavaIdentifierPart(term.charAt(i))) i += 1
+          }
+        }
+      } else i += 1
+    }
+    false
   }
 
   /** The two operand texts of the inequality at `opStart`, delimited by
@@ -1179,10 +1217,13 @@ object ChSqlRewrite {
     if (bail || items.isEmpty || selectAt < 0) return sql
     val itemSql = items.map { case (e, a) => s"($e) AS $a" }.mkString(", ")
     val rest = sql.substring(selectAt)
-    // inject after the main query's first depth-0 FROM
+    // inject after the main query's first depth-0 FROM; for a FROM-less
+    // select, the one-row relation goes BEFORE the first trailing clause
+    // (`WITH 5 AS x SELECT x LIMIT 1` must not end `... LIMIT 1 FROM …`)
     val m = rest.length
     var i = 0
     var depth = 0
+    var clauseAt = -1
     while (i < m) {
       val c = rest.charAt(i)
       if (c == '\'' || c == '"' || c == '`') i = skipQuoted(rest, i)
@@ -1193,13 +1234,18 @@ object ChSqlRewrite {
       else if (Character.isJavaIdentifierStart(c)) {
         val ws = i
         while (i < m && Character.isJavaIdentifierPart(rest.charAt(i))) i += 1
-        if (depth == 0 && rest.substring(ws, i).equalsIgnoreCase("FROM"))
+        val w = rest.substring(ws, i)
+        if (depth == 0 && w.equalsIgnoreCase("FROM"))
           return rest.substring(0, i) +
             s" (SELECT $itemSql) ch_with_ CROSS JOIN" + rest.substring(i)
+        if (depth == 0 && clauseAt < 0 && clauseStops.contains(w.toUpperCase))
+          clauseAt = ws
       } else i += 1
     }
     // no FROM at all: a pure expression SELECT gains the one-row relation
-    rest + s" FROM (SELECT $itemSql) ch_with_"
+    val at = if (clauseAt < 0) m else clauseAt
+    rest.substring(0, at).stripTrailing() +
+      s" FROM (SELECT $itemSql) ch_with_ " + rest.substring(at)
   }
 
   // ------------------------------------------------------- CH types in CAST
@@ -1287,16 +1333,20 @@ object ChSqlRewrite {
 
   // ------------------------------------------------------------ WITH FILL
 
-  /** CH `ORDER BY col WITH FILL [FROM f] [TO t] [STEP s]` → generate
-    * the axis (`sequence` leaf, no scan) FULL OUTER JOIN the query, so
-    * grid gaps materialize as rows and original rows off the grid
-    * survive, like CH. `TO` is exclusive, like CH. Non-fill columns are
-    * NULL on fill rows (CH fills type defaults — documented deviation;
-    * coalesce in the SELECT list for CH's zeros). FROM/TO omitted →
-    * bounds derive from min/max of the query itself (one extra
-    * aggregate pass over the RESULT, not the fact table). Single plain
-    * sort column only; DESC fill and INTERPOLATE fail loudly (the API
-    * forms b_fil1/b_fil2 cover those shapes). */
+  /** CH `ORDER BY col WITH FILL [FROM f] [TO t] [STEP s]
+    * [INTERPOLATE (cols)]` → generate the axis (`sequence` leaf, no
+    * scan) FULL OUTER JOIN the query, so grid gaps materialize as rows
+    * and original rows off the grid survive, like CH. `TO` is
+    * exclusive, like CH. Non-fill columns are NULL on fill rows (CH
+    * fills type defaults — documented deviation; coalesce in the
+    * SELECT list for CH's zeros). FROM/TO omitted → bounds derive from
+    * min/max of the query itself (one extra aggregate pass over the
+    * RESULT, not the fact table). `INTERPOLATE (v)` carries the last
+    * ORIGINAL value onto fill rows; interpolated columns move to the
+    * END of the output (the `* EXCEPT` rebuild — documented deviation;
+    * reference columns by name downstream). Single plain sort column
+    * only; DESC fill and `col AS expr` interpolation fail loudly (the
+    * API forms b_fil1/b_fil2 cover those shapes). */
   private def rewriteWithFill(sql: String): String = {
     val n = sql.length
     var i = 0

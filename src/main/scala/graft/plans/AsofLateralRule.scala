@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, MaxBy, MinBy}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -47,7 +47,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case lj @ LateralJoin(left, sub: LateralSubquery, joinType @ (LeftOuter | Inner), None)
+    // Cross is how `CROSS JOIN LATERAL` (the parser's INNER asof/any
+    // emission) arrives; with the probe's own filter as the join
+    // condition it is exactly an inner join
+    case lj @ LateralJoin(left, sub: LateralSubquery, joinType @ (LeftOuter | Inner | Cross), None)
         if sub.plan.resolved && left.resolved =>
       rewrite(lj, left, sub, joinType == LeftOuter).getOrElse(lj)
   }

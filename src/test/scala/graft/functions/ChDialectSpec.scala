@@ -728,6 +728,15 @@ class ChDialectSpec extends SparkSpec {
       spark.sql("SELECT * FROM chasof_l l ASOF JOIN chasof_r r ON l.k = r.k")
     }
     assert(e.getMessage.contains("ASOF JOIN"))
+    // side detection is token-aware: a LEFT alias ENDING in the right
+    // alias's letters ('leap' contains the substring 'p.') must not be
+    // misread as referencing right alias 'p'
+    val prefix = spark.sql(
+      """SELECT leap.ts, p.p AS pp FROM chasof_l leap
+        |ASOF LEFT JOIN chasof_r p ON leap.k = p.k AND leap.ts >= p.rts
+        |ORDER BY leap.k, leap.ts""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(prefix === Seq((100L, "a"), (200L, "b"), (50L, null)))
     // no cartesian product in the decorrelated plan
     val plan = spark.sql(
       """SELECT l.k, r.p FROM chasof_l l
@@ -842,6 +851,15 @@ class ChDialectSpec extends SparkSpec {
     assert(ChSqlRewrite(ok) === ok)
   }
 
+  test("SETTINGS join hint lands on the MAIN query's SELECT, not a CTE body") {
+    val rw = ChSqlRewrite.rescue(
+      "WITH top AS (SELECT 1 AS a) SELECT * FROM u JOIN top ON u.a = top.a " +
+        "SETTINGS join_algorithm = 'hash'").sql
+    // the hint must follow the depth-0 SELECT that comes after the CTE
+    assert(rw.matches("(?s)WITH top AS \\(SELECT 1 AS a\\) SELECT /\\*\\+ SHUFFLE_HASH.*"), rw)
+    assert(!rw.contains("(SELECT /*+"), rw)
+  }
+
   test("scalar WITH items become a one-row cross-joined relation") {
     def rw(s: String) = ChSqlRewrite.rescue(s).sql
     assert(rw("WITH 5 AS lim SELECT v FROM t WHERE v < lim")
@@ -855,6 +873,8 @@ class ChDialectSpec extends SparkSpec {
         "FROM chw WHERE v = 9").head.getString(0) === "X4")
     // no FROM: the one-row relation alone drives the select
     assert(spark.sql("WITH 6 * 7 AS ans SELECT ans").head.getInt(0) === 42)
+    // ... and trailing clauses stay AFTER the injected FROM
+    assert(spark.sql("WITH 5 AS x SELECT x + 1 AS y LIMIT 1").head.getInt(0) === 6)
     // a real subquery CTE is Spark's own and stays untouched
     val cte = "WITH m AS (SELECT max(v) AS mv FROM chw) SELECT mv FROM m"
     assert(ChSqlRewrite.rescue(cte).sql === cte)
@@ -869,6 +889,8 @@ class ChDialectSpec extends SparkSpec {
     // replaceRegexpOne: first regex match, CH \\1 backreference syntax
     assert(one("replaceRegexpOne('a1b2', '([0-9])', '[\\\\1]')") === "a[1]b2")
     assert(one("replaceRegexpOne('cost: 5$', '\\\\$', ' usd')") === "cost: 5 usd")
+    // a dangling trailing backslash in the replacement is a literal one
+    assert(one("replaceRegexpOne('ab', 'b', 'z\\\\')") === "az\\")
     // empty/notEmpty across strings, arrays and maps
     assert(one("empty('')") === true)
     assert(one("empty('x')") === false)

@@ -27,6 +27,20 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("INNER asof (CROSS JOIN LATERAL) is rescued too") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alri_l")
+    Seq((1, 90L, "a"), (1, 150L, "b")).toDF("k", "rts", "p")
+      .createOrReplaceTempView("alri_r")
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alri_l l
+        |ASOF JOIN alri_r r ON l.k = r.k AND l.ts >= r.rts""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // inner semantics: the unmatched left row (k=2) is dropped
+    assert(df.collect().map(r => r.getInt(0) -> r.getString(1)).toSeq === Seq(1 -> "a"))
+  }
+
   test("forward ASOF uses min_by; ANY probe uses first") {
     Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alr_l")
     Seq((1, 90L, "a"), (1, 150L, "b")).toDF("k", "rts", "p")
