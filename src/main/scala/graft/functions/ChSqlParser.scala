@@ -578,6 +578,8 @@ object ChSqlRewrite {
   private def rewriteAsofJoin(sql: String): String = {
     val n = sql.length
     var i = 0
+    var prevIdent = "" // last plain identifier before the join phrase —
+    //                    the left relation's alias for the USING form
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
@@ -605,9 +607,10 @@ object ChSqlRewrite {
           }
         }
         if (joinAt > 0) {
-          return rewriteOneAsof(sql, start, joinAt, left)
+          return rewriteOneAsof(sql, start, joinAt, left, prevIdent)
         }
-      } else i += 1
+        prevIdent = w1
+      } else { if (!Character.isWhitespace(c)) prevIdent = ""; i += 1 }
     }
     sql
   }
@@ -623,6 +626,7 @@ object ChSqlRewrite {
   private def rewriteAnyJoin(sql: String): String = {
     val n = sql.length
     var i = 0
+    var prevIdent = ""
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
@@ -655,22 +659,28 @@ object ChSqlRewrite {
           }
         }
         if (joinAt > 0)
-          return rewriteOneLateralJoin(sql, start, joinAt, left, ordered = false)
-      } else i += 1
+          return rewriteOneLateralJoin(sql, start, joinAt, left,
+            ordered = false, leftAlias = prevIdent)
+        prevIdent = w1
+      } else { if (!Character.isWhitespace(c)) prevIdent = ""; i += 1 }
     }
     sql
   }
 
   /** Rewrite the single ASOF join whose JOIN keyword ends at `joinEnd`;
     * `asofStart` is the first keyword of the join phrase. */
-  private def rewriteOneAsof(sql: String, asofStart: Int, joinEnd: Int, left: Boolean): String =
-    rewriteOneLateralJoin(sql, asofStart, joinEnd, left, ordered = true)
+  private def rewriteOneAsof(sql: String, asofStart: Int, joinEnd: Int,
+      left: Boolean, leftAlias: String): String =
+    rewriteOneLateralJoin(sql, asofStart, joinEnd, left, ordered = true, leftAlias)
 
   /** Shared LATERAL-probe builder: `ordered = true` is ASOF (single
     * inequality picks the ordering column + direction), `false` is ANY
-    * (arbitrary single match, no ORDER BY). */
+    * (arbitrary single match, no ORDER BY). `leftAlias` (the identifier
+    * directly before the join phrase) qualifies the left side of a
+    * USING list. */
   private def rewriteOneLateralJoin(
-      sql: String, asofStart: Int, joinEnd: Int, left: Boolean, ordered: Boolean): String = {
+      sql: String, asofStart: Int, joinEnd: Int, left: Boolean,
+      ordered: Boolean, leftAlias: String): String = {
     val n = sql.length
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(
@@ -714,13 +724,40 @@ object ChSqlRewrite {
     }
     if (alias.isEmpty) fail("a subquery right side needs an alias")
     val relText = sql.substring(relStart, relEnd)
-    // ---- ON <cond>
+    // ---- ON <cond>  |  USING (k1, ..., ts)
     val (onWord, afterOn) = readWord(sql, skipWs(sql, relEnd))
-    if (!onWord.equalsIgnoreCase("ON")) fail("expected ON after the right relation")
-    val condStart = skipWs(sql, afterOn)
-    val (condEnd, _) = joinCondEnd(sql, condStart)
-    val cond = sql.substring(condStart, condEnd).trim
-    if (cond.isEmpty) fail("empty ON condition")
+    val (cond, condEnd): (String, Int) =
+      if (onWord.equalsIgnoreCase("USING")) {
+        // CH `ASOF JOIN r USING (k1, ..., ts)`: every column but the
+        // LAST is an equality, the last is the `l.ts >= r.ts` match
+        // (for ANY all are equalities). Both sides keep their columns
+        // (CH merges USING columns — documented deviation; select
+        // explicitly). Needs the left relation's alias to qualify.
+        val q = skipWs(sql, afterOn)
+        if (q >= n || sql.charAt(q) != '(') fail("USING expects a column list")
+        val e = matchParen(sql, q)
+        if (e < 0) fail("unbalanced USING list")
+        val cols = sql.substring(q + 1, e - 1).split(",").map(_.trim)
+        if (cols.isEmpty || cols.exists(c => c.isEmpty ||
+          !c.forall(Character.isJavaIdentifierPart)))
+          fail("USING supports plain column names")
+        if (leftAlias.isEmpty || joinStops.contains(
+          leftAlias.toUpperCase(java.util.Locale.ROOT)))
+          fail("USING needs a named/aliased left relation directly before " +
+            "the join — or spell the condition with ON")
+        val eqs = (if (ordered) cols.dropRight(1) else cols)
+          .map(c => s"$leftAlias.$c = $alias.$c")
+        val terms =
+          if (ordered) eqs :+ s"$leftAlias.${cols.last} >= $alias.${cols.last}"
+          else eqs
+        (terms.mkString(" AND "), e)
+      } else {
+        if (!onWord.equalsIgnoreCase("ON")) fail("expected ON or USING after the right relation")
+        val condStart = skipWs(sql, afterOn)
+        val (ce, _) = joinCondEnd(sql, condStart)
+        (sql.substring(condStart, ce).trim, ce)
+      }
+    if (cond.isEmpty) fail("empty join condition")
     // ---- ASOF: locate the single top-level inequality → ordering clause
     val orderClause =
       if (!ordered) ""

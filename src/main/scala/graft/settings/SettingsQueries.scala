@@ -635,6 +635,26 @@ object SettingsQueries extends QueryRegistry {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
              |FROM generate_series(CAST(0 AS BIGINT), CAST(45 AS BIGINT)) g(x)
              |FULL JOIN vals v ON v.dayno = g.x
-             |ORDER BY dayno""".stripMargin))
+             |ORDER BY dayno""".stripMargin)),
+
+    // ---- ASOF JOIN USING spelling: every column but the last is an
+    // equality, the last is the backward (>=) match — DuckDB shares the
+    // clause, so the SAME text is the oracle. ----
+    QueryDef(
+      "b_sql26_asof_using",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_au_v")
+        s.sql(
+          """SELECT e.event_id, p.event_id AS prior_purchase
+            |FROM events_au_v e
+            |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events_au_v
+            |                WHERE event_type = 'purchase') p
+            |USING (user_id, ts)""".stripMargin)
+      },
+      Some("""SELECT e.event_id, p.event_id AS prior_purchase
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+             |                WHERE event_type = 'purchase') p
+             |USING (user_id, ts)""".stripMargin))
   )
 }

@@ -745,6 +745,28 @@ class ChDialectSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ASOF and ANY JOIN accept the USING spelling") {
+    Seq((1, 100L), (1, 200L), (2, 50L)).toDF("k", "ts")
+      .createOrReplaceTempView("chusing_l")
+    Seq((1, 90L, "a"), (1, 150L, "b"), (3, 10L, "c")).toDF("k", "ts", "p")
+      .createOrReplaceTempView("chusing_r")
+    // USING (k, ts): k equality, last column is the >= match
+    val rows = spark.sql(
+      """SELECT l.ts, r.p FROM chusing_l l
+        |ASOF LEFT JOIN chusing_r r USING (k, ts)
+        |ORDER BY l.k, l.ts""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows === Seq((100L, "a"), (200L, "b"), (50L, null)))
+    // ANY USING: all columns equalities
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM chusing_l l ANY LEFT JOIN chusing_r r USING (k)")
+      .head.getLong(0) === 3L)
+    // no nameable left relation -> loud guidance toward ON
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM (SELECT 1 AS k, 2 AS ts) ASOF JOIN chusing_r r USING (k, ts)"))
+    assert(e.getMessage.contains("USING"))
+  }
+
   test("ANY JOIN probes at most one right match per left row") {
     Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
       .createOrReplaceTempView("chany_l")
