@@ -50,6 +50,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * named `format` or `sample` — is provably never altered):
   *   ... FORMAT JSONEachRow      → stripped (output format is a client
   *                                 concern; the result is a DataFrame)
+  *   ... INTO OUTFILE 'p' …      → stripped (file output is client-side
+  *                                 in CH too; write the DataFrame)
   *   ... SETTINGS k = v, ...     → stripped; `join_algorithm` becomes the
   *                                 matching Spark join-strategy hint,
   *                                 other keys apply as session confs
@@ -153,6 +155,16 @@ object ChSqlRewrite {
     * registry `src/settings.rs:81-428`). Values: number/ident or
     * '…'-quoted. Anchored at end-of-text, position re-checked against
     * quote/comment state before use. */
+  /** CH `INTO OUTFILE 'path' [AND STDOUT] [APPEND|TRUNCATE]` — writing
+    * the result to a file is a CLIENT-side behavior in CH (the server
+    * streams normally); here the result IS a DataFrame the caller
+    * writes, so the clause strips like FORMAT. Rescue-only and
+    * end-anchored (it follows the query body; FORMAT tails strip
+    * first). */
+  private val intoOutfile =
+    ("(?is)\\s+INTO\\s+OUTFILE\\s+'(?:[^']|'')*'" +
+      "(?:\\s+(?:AND\\s+STDOUT|APPEND|TRUNCATE))*\\s*$").r
+
   private val settingsValue = "'(?:[^']|'')*'|[A-Za-z0-9_.+-]+"
   private val settingsTail =
     ("(?is)\\s+SETTINGS\\s+([A-Za-z_][A-Za-z0-9_]*\\s*=\\s*(?:" + settingsValue +
@@ -214,7 +226,7 @@ object ChSqlRewrite {
     * text itself — per-query, like CH). */
   def rescue(sqlText: String): Rescued = {
     val semi = trailingSemi.replaceFirstIn(sqlText, "")
-    val noFmt = stripIfOutside(semi, trailingFormat)
+    val noFmt = stripIfOutside(stripIfOutside(semi, trailingFormat), intoOutfile)
     val (noSet, kvs) = stripSettings(noFmt)
     val hinted = kvs.collectFirst {
       case (k, v) if k.equalsIgnoreCase("join_algorithm") => joinHintFor(v)

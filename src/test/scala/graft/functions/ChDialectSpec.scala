@@ -388,6 +388,13 @@ class ChDialectSpec extends SparkSpec {
     // ...and the rescue pass (after a parse failure) removes it
     assert(ChSqlRewrite.rescue("SELECT countIf(x > 0) FROM t FORMAT CSV;").sql
       === "SELECT countIf(x > 0) FROM t")
+    // INTO OUTFILE is likewise a client concern: the clause (with its
+    // modifiers) strips in rescue and the result stays a DataFrame
+    assert(spark.sql("SELECT 4 AS x INTO OUTFILE '/tmp/out.csv' FORMAT CSV")
+      .head.getInt(0) === 4)
+    assert(ChSqlRewrite.rescue(
+      "SELECT 4 AS x INTO OUTFILE '/tmp/out.csv' AND STDOUT APPEND").sql
+      === "SELECT 4 AS x")
     // valid Spark SQL that merely ENDS in format-shaped tokens parses
     // fine and is never rewritten (the parse-first contract)
     Seq(("a", 2), ("b", 1)).toDF("format", "v").createOrReplaceTempView("chfmt")
