@@ -91,14 +91,19 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
         (c, child)
       case _ => return None
     }
-    // sort must order on the probe side only (no outer refs)
-    val sortOrder = sortOpt match {
-      case Some(Seq(so)) =>
-        if (so.child.exists(_.isInstanceOf[OuterReference])) return None
-        if (!so.child.references.subsetOf(inner.outputSet)) return None
-        Some(so)
-      case Some(_) => return None // multi-key probe sort: leave to Spark
-      case None => None
+    // sort must order on the probe side only (no outer refs); multi-key
+    // sorts fold into ONE struct ordering (lexicographic, matching the
+    // row sort) when every key shares the same direction
+    val sortOrder: Option[(Expression, SortDirection)] = sortOpt match {
+      case Some(orders) if orders.nonEmpty =>
+        if (orders.exists(_.child.exists(_.isInstanceOf[OuterReference]))) return None
+        if (!orders.forall(_.child.references.subsetOf(inner.outputSet))) return None
+        if (orders.map(_.direction).distinct.length != 1) return None // mixed: leave to Spark
+        val ord =
+          if (orders.length == 1) orders.head.child
+          else CreateStruct(orders.map(_.child))
+        Some((ord, orders.head.direction))
+      case _ => None
     }
     if (left.output.isEmpty || inner.output.isEmpty) return None
     // the correlated probe condition becomes a plain join condition
@@ -115,8 +120,8 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     // 3) best right row per left row
     val rStruct = CreateStruct(inner.output)
     val bestAgg = sortOrder match {
-      case Some(so) if so.direction == Descending => new MaxBy(rStruct, so.child)
-      case Some(so) => new MinBy(rStruct, so.child)
+      case Some((ord, Descending)) => new MaxBy(rStruct, ord)
+      case Some((ord, _)) => new MinBy(rStruct, ord)
       case None =>
         // ANY probe: an arbitrary row; unmatched left-outer rows carry a
         // struct of NULLs whose fields re-expand to NULL columns

@@ -57,6 +57,24 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(any.contains("ch_asof_lid_"), any.take(2000))
   }
 
+  test("multi-key same-direction probe sorts fold into a struct ordering") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alrm_l")
+    Seq((1, 90L, "a"), (1, 90L, "b"), (1, 150L, "c")).toDF("k", "rts", "p")
+      .createOrReplaceTempView("alrm_r")
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrm_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrm_r r WHERE l.k = r.k AND l.ts >= r.rts
+        |  ORDER BY r.rts DESC, r.p DESC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // tie on rts=90 resolves by the second key: 'b' over 'a'
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows === Seq(1 -> "b", 2 -> null))
+  }
+
   test("rewritten ASOF results match the window-form API on the fixture") {
     val d = sf0001
     graft.Tables.t(spark, d, "events").createOrReplaceTempView("events_alr2_v")
