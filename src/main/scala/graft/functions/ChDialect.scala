@@ -42,6 +42,13 @@ object ChDialect {
       build(args)
     })
 
+  // make_interval zero fields (int positions + the decimal seconds slot,
+  // whose VALUE must carry scale 6 — IntervalUtils asserts it)
+  private val z = Literal(0)
+  private val zd = Literal.create(
+    org.apache.spark.sql.types.Decimal(java.math.BigDecimal.ZERO.setScale(6)),
+    DecimalType(18, 6))
+
   private def litString(e: Expression, fname: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
     case other => throw new IllegalArgumentException(
@@ -443,6 +450,18 @@ object ChDialect {
     fn("editDistance", 2) { a => Levenshtein(a.head, a(1)) },
     fn("regexpQuoteMeta", 1) { a =>
       RegExpReplace(a.head, Literal("([.^$*+?()\\[\\]{}|\\\\])"), Literal("\\\\$1")) },
+    fn("mapFromArrays", 2) { a => MapFromArrays(a.head, a(1)) },
+    fn("toLastDayOfMonth", 1) { a => LastDay(a.head) },
+    // toInterval* constructors -> make_interval fields (CH returns an
+    // interval usable in date arithmetic; same here)
+    fn("toIntervalYear", 1) { a => MakeInterval(a.head, z, z, z, z, z, zd) },
+    fn("toIntervalMonth", 1) { a => MakeInterval(z, a.head, z, z, z, z, zd) },
+    fn("toIntervalWeek", 1) { a => MakeInterval(z, z, a.head, z, z, z, zd) },
+    fn("toIntervalDay", 1) { a => MakeInterval(z, z, z, a.head, z, z, zd) },
+    fn("toIntervalHour", 1) { a => MakeInterval(z, z, z, z, a.head, z, zd) },
+    fn("toIntervalMinute", 1) { a => MakeInterval(z, z, z, z, z, a.head, zd) },
+    fn("toIntervalSecond", 1) { a =>
+      MakeInterval(z, z, z, z, z, z, Cast(a.head, DecimalType(18, 6))) },
     // first-match replace (Spark builtins replace ALL): codegen'd kernels
     fn("replaceOne", 3) { a => ValueExpressions.ReplaceOne(a.head, a(1), a(2)) },
     fn("replaceRegexpOne", 3) { a => ValueExpressions.ReplaceRegexpOne(a.head, a(1), a(2)) },

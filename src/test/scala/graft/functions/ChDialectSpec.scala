@@ -910,6 +910,22 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql(cte).head.getInt(0) === 13)
   }
 
+  test("interval constructors, mapFromArrays, toLastDayOfMonth") {
+    assert(one("CAST(DATE '2024-01-15' + toIntervalDay(3) AS STRING)") === "2024-01-18")
+    assert(one("CAST(DATE '2024-01-15' + toIntervalMonth(2) AS STRING)") === "2024-03-15")
+    assert(one("CAST(TIMESTAMP '2024-01-01 00:00:00' + toIntervalHour(25) AS STRING)")
+      .toString.startsWith("2024-01-02 01"))
+    assert(one("CAST(TIMESTAMP '2024-01-01 00:00:00' + toIntervalSecond(90) AS STRING)")
+      .toString.contains("00:01:30"))
+    assert(one("CAST(toLastDayOfMonth(DATE '2024-02-10') AS STRING)") === "2024-02-29")
+    assert(one("mapFromArrays(array('a', 'b'), array(1, 2))['b']") === 2)
+    // scalar-subquery WITH item (CH allows it) flows through the rewrite
+    Seq(1, 7, 3).toDF("v").createOrReplaceTempView("chsubq")
+    assert(spark.sql(
+      "WITH (SELECT max(v) FROM chsubq) AS mx SELECT count(*) AS n FROM chsubq WHERE v < mx")
+      .head.getLong(0) === 2L)
+  }
+
   test("first-match replace, polymorphic empty, bitCount") {
     // replaceOne: first literal occurrence only; empty needle → unchanged
     assert(one("replaceOne('aXbXc', 'X', '_')") === "a_bXc")
