@@ -589,6 +589,18 @@ class ChDialectSpec extends SparkSpec {
       s"rewriter modified ${changed.size} oracle SQL texts, e.g.:\n${changed.headOption.getOrElse("")}")
   }
 
+  test("the rescue pass never crashes on the oracle corpus") {
+    // rescue only runs after a parse failure in production, but it must
+    // stay total on arbitrary realistic SQL: either a rewritten string
+    // or one of the documented loud contracts, never an internal error
+    val oracles = graft.SparkEntry.oracleSql.values.toSeq
+    assert(oracles.nonEmpty)
+    oracles.foreach { sql =>
+      try { ChSqlRewrite.rescue(sql); () }
+      catch { case _: IllegalArgumentException => () /* loud contract */ }
+    }
+  }
+
   test("ChSqlRewrite is idempotent on its positive cases") {
     val cases = Seq(
       "SELECT quantile(0.9)(x), quantiles(0.1,0.5)(y) FROM t ARRAY JOIN a AS e FORMAT CSV;",
