@@ -93,6 +93,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                 derived relation CROSS JOINed into the
   *                                 main FROM; real subquery CTEs bail to
   *                                 Spark untouched
+  *   * REPLACE (expr AS col)     → `* EXCEPT (col), (expr) AS col` —
+  *                                 Spark's star grammar has EXCEPT but
+  *                                 not REPLACE; replaced columns move to
+  *                                 the end (reference by name)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -235,8 +239,8 @@ object ChSqlRewrite {
       case None => noSet
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
-      rewritePrewhere(rewriteChCasts(rewriteScalarWith(
-        rewriteGlobal(hinted, globalWideWords)))))))
+      rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
+        rewriteGlobal(hinted, globalWideWords))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -1192,6 +1196,86 @@ object ChSqlRewrite {
                 val repl = s"(SELECT id AS number FROM range($rangeArgs))$ownAlias"
                 return rewriteNumbers(
                   sql.substring(0, p) + repl + sql.substring(e))
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  // ------------------------------------------------------------ * REPLACE
+
+  /** CH `[qual.]* [EXCEPT (cols)] REPLACE (expr AS col, ...)` — Spark's
+    * grammar has the EXCEPT star modifier but not REPLACE. Rewrite:
+    * `* EXCEPT (existing ++ replaced-names), (expr) AS col, ...` —
+    * replaced columns move to the END of the projection (documented
+    * deviation, like INTERPOLATE; reference columns by name). */
+  private val replaceItem = java.util.regex.Pattern
+    .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$")
+
+  private def rewriteStarReplace(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '*') {
+        val starAt = i
+        i += 1
+        // optional EXCEPT (cols)
+        var exceptCols = Seq.empty[String]
+        var cursor = i
+        val (w1, a1) = readWord(sql, skipWs(sql, cursor))
+        var afterExcept = cursor
+        if (w1.equalsIgnoreCase("EXCEPT")) {
+          val q = skipWs(sql, a1)
+          if (q < n && sql.charAt(q) == '(') {
+            val e = matchParen(sql, q)
+            if (e > 0) {
+              exceptCols = sql.substring(q + 1, e - 1).split(",").map(_.trim).toSeq
+              afterExcept = e
+            }
+          }
+        }
+        val (w2, a2) = readWord(sql, skipWs(sql, afterExcept))
+        if (w2.equalsIgnoreCase("REPLACE")) {
+          val q = skipWs(sql, a2)
+          if (q < n && sql.charAt(q) == '(') {
+            val e = matchParen(sql, q)
+            if (e > 0) {
+              // split items on top-level commas
+              val inner = sql.substring(q + 1, e - 1)
+              val items = scala.collection.mutable.ListBuffer.empty[(String, String)]
+              var ok = true
+              var s0 = 0
+              var d2 = 0
+              var r = 0
+              def take(endAt: Int): Unit = {
+                val seg = inner.substring(s0, endAt).trim
+                val m = replaceItem.matcher(seg)
+                if (m.matches()) items += (m.group(1) -> m.group(2)) else ok = false
+              }
+              while (r < inner.length && ok) {
+                val ch = inner.charAt(r)
+                if (ch == '\'' || ch == '"' || ch == '`') r = skipQuoted(inner, r)
+                else {
+                  if (ch == '(') d2 += 1
+                  else if (ch == ')') d2 -= 1
+                  else if (ch == ',' && d2 == 0) { take(r); s0 = r + 1 }
+                  r += 1
+                }
+              }
+              if (ok) take(inner.length)
+              if (ok && items.nonEmpty) {
+                val names = exceptCols ++ items.map(_._2)
+                val repl = s"* EXCEPT (${names.mkString(", ")}), " +
+                  items.map { case (ex, nm) => s"($ex) AS $nm" }.mkString(", ")
+                return rewriteStarReplace(
+                  sql.substring(0, starAt) + repl + sql.substring(e))
               }
             }
           }

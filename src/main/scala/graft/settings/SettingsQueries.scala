@@ -655,6 +655,22 @@ object SettingsQueries extends QueryRegistry {
              |FROM events e
              |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
              |                WHERE event_type = 'purchase') p
-             |USING (user_id, ts)""".stripMargin))
+             |USING (user_id, ts)""".stripMargin)),
+
+    // ---- CH `* REPLACE (expr AS col)` star modifier in SQL text →
+    // `* EXCEPT (col), (expr) AS col` (Spark's grammar has EXCEPT but
+    // not REPLACE). DuckDB's native REPLACE keeps column position while
+    // ours moves replaced columns to the end — the oracle harness
+    // compares by name, and users should too. ----
+    QueryDef(
+      "b_sql27_star_replace",
+      (s, d) => {
+        Tables.t(s, d, "nation").createOrReplaceTempView("nation_rep_v")
+        s.sql(
+          """SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey + 100 AS n_regionkey)
+            |FROM nation_rep_v ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey + 100 AS n_regionkey)
+             |FROM nation ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -589,6 +589,24 @@ class ChDialectSpec extends SparkSpec {
       s"rewriter modified ${changed.size} oracle SQL texts, e.g.:\n${changed.headOption.getOrElse("")}")
   }
 
+  test("star REPLACE modifier rewrites onto EXCEPT + trailing aliases") {
+    def rw(s: String) = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT * REPLACE (upper(x) AS x) FROM t")
+      === "SELECT * EXCEPT (x), (upper(x)) AS x FROM t")
+    // combined with an existing EXCEPT list, and multiple items
+    assert(rw("SELECT * EXCEPT (a) REPLACE (x + 1 AS x, lower(y) AS y) FROM t")
+      === "SELECT * EXCEPT (a, x, y), (x + 1) AS x, (lower(y)) AS y FROM t")
+    Seq((1, 2, "ab")).toDF("a", "x", "y").createOrReplaceTempView("chrep")
+    val row = spark.sql(
+      "SELECT * REPLACE (x * 10 AS x, upper(y) AS y) FROM chrep").head
+    assert(row.getAs[Int]("a") === 1)
+    assert(row.getAs[Int]("x") === 20)
+    assert(row.getAs[String]("y") === "AB")
+    // the builtin replace() FUNCTION never matches (no AS items)
+    val fine = "SELECT a * REPLACE(y, 'a', 'b') FROM chrep"
+    assert(ChSqlRewrite.rescue(fine).sql === fine)
+  }
+
   test("the rescue pass never crashes on the oracle corpus") {
     // rescue only runs after a parse failure in production, but it must
     // stay total on arbitrary realistic SQL: either a rewritten string
