@@ -605,6 +605,9 @@ class ChDialectSpec extends SparkSpec {
     // the builtin replace() FUNCTION never matches (no AS items)
     val fine = "SELECT a * REPLACE(y, 'a', 'b') FROM chrep"
     assert(ChSqlRewrite.rescue(fine).sql === fine)
+    // qualified star keeps its qualifier
+    assert(spark.sql("SELECT t.* REPLACE (x + 1 AS x) FROM chrep t")
+      .head.getAs[Int]("x") === 3)
   }
 
   test("the rescue pass never crashes on the oracle corpus") {
@@ -794,10 +797,13 @@ class ChDialectSpec extends SparkSpec {
         |ORDER BY l.k, l.ts""".stripMargin)
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
     assert(rows === Seq((100L, "a"), (200L, "b"), (50L, null)))
-    // ANY USING: all columns equalities
+    // ANY USING: all columns equalities; the inner form drops unmatched
     assert(spark.sql(
       "SELECT count(*) AS n FROM chusing_l l ANY LEFT JOIN chusing_r r USING (k)")
       .head.getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM chusing_l l ANY JOIN chusing_r r USING (k)")
+      .head.getLong(0) === 2L)
     // no nameable left relation -> loud guidance toward ON
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM (SELECT 1 AS k, 2 AS ts) ASOF JOIN chusing_r r USING (k, ts)"))
