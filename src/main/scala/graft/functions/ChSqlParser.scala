@@ -113,8 +113,11 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
       case e: ParseException =>
         val r = ChSqlRewrite.rescue(sqlText)
         if (r.sql == safe) throw e
+        // parse FIRST: a rescue that still fails to parse must not
+        // leave session confs mutated as a side effect
+        val parsed = f(r.sql)
         ChSqlRewrite.applySettings(r.settings)
-        f(r.sql)
+        parsed
     }
   }
 
@@ -1141,9 +1144,23 @@ object ChSqlRewrite {
   /** CH's ubiquitous `numbers(N)` / `numbers(offset, N)` table function
     * → Spark's `range` TVF with the column renamed to CH's `number`.
     * Always-on of necessity: the call parses fine and fails only at
-    * ANALYSIS (unknown TVF), which the rescue tier never sees. Spark
-    * has no user-definable SQL TVFs, so no working query contains a
-    * `numbers(...)` relation. */
+    * ANALYSIS (unknown TVF), which the rescue tier never sees. Gated
+    * on the session catalog NOT having a function named `numbers`
+    * ([[userNumbersTvf]]): built-in Spark has no such TVF, but a user
+    * Python UDTF registered under that name must win. */
+  /** The rewrite's "Spark has no SQL TVFs" premise has one exception:
+    * Python UDTFs (registrable since 3.5) are callable in FROM. If the
+    * active session has a function named `numbers` registered, the
+    * user's one wins and the rewrite stands down. */
+  private def userNumbersTvf: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { sp =>
+      try {
+        val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("numbers")
+        sp.sessionState.tableFunctionRegistry.functionExists(fid) ||
+          sp.sessionState.functionRegistry.functionExists(fid)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   private def rewriteNumbers(sql: String): String = {
     val n = sql.length
     var i = 0
@@ -1159,7 +1176,7 @@ object ChSqlRewrite {
         if (w.equalsIgnoreCase("FROM") || w.equalsIgnoreCase("JOIN")) {
           val p = skipWs(sql, i)
           val (name, afterName) = readWord(sql, p)
-          if (name.equalsIgnoreCase("numbers")) {
+          if (name.equalsIgnoreCase("numbers") && !userNumbersTvf) {
             val q = skipWs(sql, afterName)
             if (q < n && sql.charAt(q) == '(') {
               val e = matchParen(sql, q)
@@ -1718,6 +1735,12 @@ object ChSqlRewrite {
                   (body.substring(0, os), s0, s"ORDER BY $s0 ")
                 case None => (body, cols, "")
               }
+              // ordinal sort/partition items (ORDER BY 2) are only
+              // ordinal-resolved at the TOP level of a query — inside
+              // the window spec they'd become constant literals and the
+              // per-group pick would turn arbitrary. Keep the loud
+              // parse failure instead of a silent wrong answer.
+              if (hasOrdinalItem(sorts) || hasOrdinalItem(cols)) return sql
               return s"SELECT * EXCEPT (ch_lb_rn_) FROM (SELECT *, " +
                 s"row_number() OVER (PARTITION BY $cols ORDER BY $sorts) " +
                 s"AS ch_lb_rn_ FROM ($bodyCore) ch_lb_src_) ch_lb_ " +
@@ -1729,6 +1752,29 @@ object ChSqlRewrite {
       } else i += 1
     }
     sql
+  }
+
+  /** True when any top-level comma-separated item of an ORDER BY /
+    * PARTITION BY list is a bare integer ordinal (optionally with
+    * direction / null-placement suffixes). */
+  private def hasOrdinalItem(list: String): Boolean = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0
+    var s = 0
+    var i = 0
+    while (i < list.length) {
+      val ch = list.charAt(i)
+      if (ch == '\'' || ch == '"' || ch == '`') i = skipQuoted(list, i)
+      else {
+        if (ch == '(') d += 1
+        else if (ch == ')') d -= 1
+        else if (ch == ',' && d == 0) { items += list.substring(s, i); s = i + 1 }
+        i += 1
+      }
+    }
+    items += list.substring(s)
+    val ordinal = "(?is)^\\s*\\d+\\s*(?:ASC|DESC)?\\s*(?:NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+    items.exists(it => ordinal.pattern.matcher(it).matches())
   }
 
   private def readWord(s: String, start: Int): (String, Int) = {

@@ -141,12 +141,18 @@ object AsOfJoin {
     // timestamp columns bucket on their microsecond scale; numeric event
     // times bucket on their own unit (the width is then in that unit)
     def bucketOf(df: DataFrame, ts: String) = {
-      val c = df.schema(ts).dataType match {
+      val base = df.schema(ts).dataType match {
         case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(ts))
-        case _ => col(ts).cast("long")
+             org.apache.spark.sql.types.TimestampNTZType => s"unix_micros(`$ts`)"
+        case _ => s"cast(`$ts` as bigint)"
       }
-      floor(c.cast("double") / bucketWidthMicros).cast("long")
+      // floored division kept in LONG arithmetic: routing through
+      // double loses precision above 2^53 and can put boundary rows in
+      // the wrong bucket, breaking the carry-validity invariant. `div`
+      // truncates toward zero, so step down by one when the remainder
+      // is negative.
+      expr(s"(($base) div ${bucketWidthMicros}L) - " +
+        s"(CASE WHEN ($base) % ${bucketWidthMicros}L < 0 THEN 1 ELSE 0 END)")
     }
 
     val left2 = left.withColumn(bkt, bucketOf(left, leftTs))

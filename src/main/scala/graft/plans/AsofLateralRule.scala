@@ -2,17 +2,18 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{First, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
 
 /** Plan-level rescue for LATERAL "best-match probe" subqueries — the
   * shape [[graft.functions.ChSqlParser]] emits for CH `ASOF JOIN` /
   * `ANY JOIN` text:
   *
-  * {{{ l LEFT JOIN LATERAL (SELECT * FROM r WHERE <cond(l, r)>
-  *     [ORDER BY ord] LIMIT 1) p }}}
+  * {{{ l LEFT JOIN LATERAL (SELECT … FROM r WHERE <cond(l, r)>
+  *     [ORDER BY ord…] LIMIT 1) p }}}
   *
   * Spark's own decorrelation of a LIMIT-1 subquery correlated on an
   * INEQUALITY builds a domain of distinct left ordering values and
@@ -26,11 +27,37 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  2. JOIN the right side on the FULL probe condition (its equi
   *     conjuncts drive a hash/sort-merge join; the inequality rides
   *     along as a residual — never a nested loop over a domain);
-  *  3. per left row, keep the best right row: `max_by(struct(r.*),
-  *     ord)` for a descending probe, `min_by` ascending, `first`
-  *     (arbitrary, like CH ANY) when the probe has no ORDER BY;
-  *  4. re-expand the kept struct to the lateral's output columns,
+  *  3. per left row, keep the best right row with `min_by`/`max_by`
+  *     of `struct(r.*)` over a STRUCT-ENCODED sort key (below), or
+  *     `first` (arbitrary, like CH ANY) when the probe has no ORDER BY;
+  *  4. re-apply the probe's projection over the kept struct's fields,
   *     preserving the original attribute ids.
+  *
+  * '''Null-faithful ordering.''' `max_by`/`min_by` skip rows whose
+  * ordering value is NULL, while Spark's `Sort` ranks them per the
+  * SortOrder's null placement (ASC defaults to NULLS FIRST) — a naive
+  * argmax can silently pick a different row than `ORDER BY … LIMIT 1`,
+  * and a group whose ordering values are all NULL would return NULL
+  * instead of a real row. So each sort key becomes TWO struct fields:
+  * `(nullRank, value)`, where `nullRank` is 0/1 encoding the key's
+  * NULLS FIRST/LAST placement for the chosen aggregate. The struct
+  * itself is never NULL, so no row is ever skipped, and lexicographic
+  * struct comparison reproduces `Sort` exactly — including explicit
+  * non-default null ordering and all-NULL groups. Mixed-direction
+  * multi-key sorts fold into a single `min_by` by order-negating each
+  * DESC key (`~x` for integral/date/timestamp — monotone-decreasing
+  * with no ANSI overflow, unlike `-x`; `-x` for decimals; `NOT x` for
+  * booleans); a DESC key of a non-negatable type (string, float —
+  * NaN breaks negation monotonicity) falls back to Spark.
+  *
+  * '''Projected probes.''' A probe that projects (`SELECT r.v FROM …`)
+  * — including the analyzer's sort-on-missing-attribute shape
+  * `Project(narrow, Sort(…, Project(wide, Filter)))` — is handled by
+  * substituting the projection down to the filtered relation's output
+  * and re-applying it AFTER the argmax, over the kept struct's fields.
+  * For LEFT lateral joins a literal match tag rides in the struct so
+  * non-null-propagating projections (`coalesce(r.v, 0)`, literals)
+  * still yield NULL on unmatched left rows, exactly like the lateral.
   *
   * Join output is bounded by per-key match products (the same bound
   * every window-based asof pays), aggregated down map-side before the
@@ -38,11 +65,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * and `leftAsOfBucketed`) remain the preferred 100-TB shapes; this
   * rule makes the TEXT spelling safe at scale.
   *
-  * The match is conservative: LIMIT 1, lateral condition None, LeftOuter
-  * or Inner, a projection that passes the probe's rows through
-  * unchanged, and a single-key sort (if any) over probe-side attrs
-  * only. Anything else falls back to Spark's own decorrelation —
-  * correct, just slower.
+  * Remaining bail-outs (fall back to Spark's decorrelation — correct,
+  * just slower): LIMIT other than 1, a lateral join condition, outer
+  * references outside the peeled Filter chain, non-deterministic or
+  * subquery-bearing expressions, aggregates/windows inside the probe,
+  * and DESC sort keys of non-negatable types under a mixed-direction
+  * sort.
   */
 class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -55,83 +83,163 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
       rewrite(lj, left, sub, joinType == LeftOuter).getOrElse(lj)
   }
 
-  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
-    case SubqueryAlias(_, child) => stripAlias(child)
-    case other => other
-  }
+  private def hasOuterRef(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
 
-  /** Project that just passes its child's output through (bare attrs,
-    * positionally complete) — `SELECT *` over the probe. */
-  private def passthrough(projList: Seq[NamedExpression], child: LogicalPlan): Boolean =
-    projList.length == child.output.length && projList.zip(child.output).forall {
-      case (a: AttributeReference, b) => a.exprId == b.exprId
+  /** Expression safe to move through the rewrite: deterministic, no
+    * nested subquery plan, no aggregate/window (those change the
+    * probe's cardinality semantics). */
+  private def movable(e: Expression): Boolean =
+    e.deterministic && !e.exists {
+      case _: PlanExpression[_] => true
+      case _: AggregateExpression => true
+      case _: WindowExpression => true
       case _ => false
     }
+
+  /** Order-negation for DESC keys folded into a `min_by`: monotone
+    * strictly-decreasing, total, and overflow-free on the type's whole
+    * domain. Bitwise-not (−x−1) beats unary minus for integrals: it
+    * cannot overflow at MinValue under ANSI. Float/double are excluded
+    * because negation breaks NaN's "largest value" ordering. */
+  private def negateOrder(e: Expression): Option[Expression] = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => Some(BitwiseNot(e))
+    case DateType => Some(BitwiseNot(Cast(e, IntegerType)))
+    case TimestampType | TimestampNTZType => Some(BitwiseNot(Cast(e, LongType)))
+    case _: DecimalType => Some(UnaryMinus(e))
+    case BooleanType => Some(Not(e))
+    case _ => None
+  }
 
   private def rewrite(
       lj: LateralJoin,
       left: LogicalPlan,
       sub: LateralSubquery,
       leftOuter: Boolean): Option[LogicalPlan] = {
-    // ---- unwrap: [Alias] Limit 1 -> [Sort] -> [Alias] [Project(*)] -> Filter
-    val (limited, sortOpt, filtered): (Boolean, Option[Seq[SortOrder]], LogicalPlan) =
-      stripAlias(sub.plan) match {
-        case GlobalLimit(IntegerLiteral(1), LocalLimit(IntegerLiteral(1), body)) =>
-          stripAlias(body) match {
-            case Sort(orders, true, sortChild, _) =>
-              (true, Some(orders), stripAlias(sortChild))
-            case other => (true, None, other)
-          }
-        case _ => (false, None, EmptyRelation(Nil))
-      }
-    if (!limited) return None
-    val (cond0, inner) = filtered match {
-      case Filter(c, child) => (c, child)
-      case Project(projList, Filter(c, child)) if passthrough(projList, child) =>
-        (c, child)
+    // ---- peel: [Alias] Limit 1 over a (Alias|Project|Sort|Filter)*
+    // tower; carry the probe's output projection, captured sort orders
+    // and filter conjuncts down through each Project by substitution,
+    // so they all end up phrased over the filtered relation's output.
+    val afterLimit = sub.plan match {
+      case SubqueryAlias(_, GlobalLimit(IntegerLiteral(1), LocalLimit(IntegerLiteral(1), body))) => body
+      case GlobalLimit(IntegerLiteral(1), LocalLimit(IntegerLiteral(1), body)) => body
       case _ => return None
     }
-    // sort must order on the probe side only (no outer refs); multi-key
-    // sorts fold into ONE struct ordering (lexicographic, matching the
-    // row sort) when every key shares the same direction
-    val sortOrder: Option[(Expression, SortDirection)] = sortOpt match {
-      case Some(orders) if orders.nonEmpty =>
-        if (orders.exists(_.child.exists(_.isInstanceOf[OuterReference]))) return None
-        if (!orders.forall(_.child.references.subsetOf(inner.outputSet))) return None
-        if (orders.map(_.direction).distinct.length != 1) return None // mixed: leave to Spark
-        val ord =
-          if (orders.length == 1) orders.head.child
-          else CreateStruct(orders.map(_.child))
-        Some((ord, orders.head.direction))
-      case _ => None
+    var outExprs: Seq[Expression] = sub.plan.output
+    var orders: Seq[SortOrder] = Nil
+    var conds: Seq[Expression] = Nil
+    var sawSort = false
+    var cur: LogicalPlan = afterLimit
+    var inner: LogicalPlan = null
+    var guard = 0
+    while (inner == null && { guard += 1; guard } < 64) {
+      cur match {
+        case SubqueryAlias(_, c) => cur = c
+        case Project(list, c) =>
+          if (!list.forall(e => movable(e) && !hasOuterRef(e))) return None
+          val m = AttributeMap(list.map {
+            case a @ Alias(child, _) => a.toAttribute -> child
+            case ne => ne.toAttribute -> (ne: Expression)
+          })
+          def subst(e: Expression): Expression = e.transform {
+            case a: Attribute if m.contains(a) => m(a)
+          }
+          outExprs = outExprs.map(subst)
+          orders = orders.map(so => so.copy(child = subst(so.child)))
+          conds = conds.map(subst)
+          cur = c
+        case Sort(os, true, c, _) if !sawSort =>
+          sawSort = true
+          orders = os
+          cur = c
+        case Filter(c, child) =>
+          // keep peeling: a second Filter (or a Project under the
+          // filter) still composes; the loop bottoms out at the
+          // relation via the default case
+          conds = conds :+ c
+          cur = child
+        case other =>
+          inner = other
+      }
     }
+    if (inner == null) return None
+    if (conds.isEmpty) return None // uncorrelated / unfiltered: Spark is fine
+    // no correlation may remain below the peeled tower
+    if (inner.exists(_.expressions.exists(hasOuterRef))) return None
     if (left.output.isEmpty || inner.output.isEmpty) return None
+    if (!outExprs.forall(e => movable(e) && !hasOuterRef(e) &&
+      e.references.subsetOf(inner.outputSet))) return None
+
     // the correlated probe condition becomes a plain join condition
+    val cond0 = conds.reduce(And.apply)
+    if (!movable(cond0)) return None
     val cond = cond0.transform { case OuterReference(a) => a }
     if (!cond.references.subsetOf(left.outputSet ++ inner.outputSet)) return None
-    if (cond.exists(!_.deterministic)) return None
+
+    // ---- the ordering, struct-encoded to be null-faithful (scaladoc)
+    sealed trait Best
+    case object UseFirst extends Best
+    final case class UseAgg(min: Boolean, ord: Expression) extends Best
+    val best: Best =
+      if (orders.isEmpty) UseFirst
+      else {
+        if (orders.exists(so => hasOuterRef(so.child) || !movable(so.child))) return None
+        if (!orders.forall(_.child.references.subsetOf(inner.outputSet))) return None
+        val dirs = orders.map(_.direction).distinct
+        if (dirs.length == 1) {
+          // single direction: min_by for ASC, max_by for DESC, raw key
+          // values; nullRank encodes the (possibly explicit) null
+          // placement so NULL keys land exactly where Sort puts them
+          val asc = dirs.head == Ascending
+          val fields = orders.flatMap { so =>
+            val nullsFirst = so.nullOrdering == NullsFirst
+            // ASC/min_by: smaller rank sorts earlier; DESC/max_by:
+            // larger rank sorts earlier
+            val (nullRank, valRank) =
+              if (asc == nullsFirst) (Literal(0), Literal(1)) else (Literal(1), Literal(0))
+            Seq(If(IsNull(so.child), nullRank, valRank), so.child)
+          }
+          UseAgg(min = asc, CreateStruct(fields))
+        } else {
+          // mixed directions: fold into ONE min_by by order-negating
+          // every DESC key; bail if a DESC key's type has no sound
+          // negation
+          val fields = orders.map { so =>
+            val nullsFirst = so.nullOrdering == NullsFirst
+            val (nullRank, valRank) =
+              if (nullsFirst) (Literal(0), Literal(1)) else (Literal(1), Literal(0))
+            val enc = so.direction match {
+              case Ascending => Some(so.child)
+              case Descending => negateOrder(so.child)
+            }
+            enc.map(e => Seq(If(IsNull(so.child), nullRank, valRank), e))
+          }
+          if (fields.exists(_.isEmpty)) return None
+          UseAgg(min = true, CreateStruct(fields.flatten.flatten))
+        }
+      }
 
     // 1) tag left rows
     val lid = Alias(MonotonicallyIncreasingID(), "ch_asof_lid_")()
     val left2 = Project(left.output :+ lid, left)
+    // match tag: NULL exactly on a left-outer join's null-extended row,
+    // so non-null-propagating projections can be NULL-guarded below
+    val tag = Alias(Literal(1), "ch_asof_tag_")()
+    val inner2 = Project(inner.output :+ tag, inner)
     // 2) one real join on the full condition
-    val joined = Join(left2, inner,
+    val joined = Join(left2, inner2,
       if (leftOuter) LeftOuter else Inner, Some(cond), JoinHint.NONE)
-    // 3) best right row per left row
-    val rStruct = CreateStruct(inner.output)
-    val bestAgg = sortOrder match {
-      case Some((ord, Descending)) => new MaxBy(rStruct, ord)
-      case Some((ord, _)) => new MinBy(rStruct, ord)
-      case None =>
-        // ANY probe: an arbitrary row; unmatched left-outer rows carry a
-        // struct of NULLs whose fields re-expand to NULL columns
-        new First(rStruct, ignoreNulls = false)
+    // 3) best right row per left row. The encoded ordering struct is
+    // never NULL (CreateStruct), so min_by/max_by never skip a row —
+    // including the left-outer null-extended row, whose all-NULL fields
+    // re-expand to NULL columns.
+    val rStruct = CreateStruct((inner.output :+ tag.toAttribute).toSeq)
+    val bestAgg = best match {
+      case UseAgg(true, ord) => new MinBy(rStruct, ord)
+      case UseAgg(false, ord) => new MaxBy(rStruct, ord)
+      case UseFirst => new First(rStruct, ignoreNulls = false)
     }
     val bestName = Alias(bestAgg.toAggregateExpression(), "ch_asof_best_")()
-    // left-outer unmatched rows: the ordered probes see a NULL ordering
-    // value (max_by/min_by ignore it -> NULL best); ANY keeps the
-    // all-NULL struct. Either way the re-expanded fields are NULL.
-    //
     // Group on the lid ALONE (one long — narrow sort/shuffle key, and
     // the map-side partial collapses to |left| rows before the
     // exchange); every left column rides along as first() of its
@@ -140,13 +248,24 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     val carried = left.output.map(a =>
       Alias(new First(a, ignoreNulls = false).toAggregateExpression(), a.name)())
     val agg = Aggregate(Seq(lidAttr), (carried :+ bestName).toSeq, joined)
-    // 4) restore the lateral's output columns and ids
-    val best = bestName.toAttribute
+    // 4) restore the lateral's output columns and ids: re-apply the
+    // probe's (substituted) projection over the kept struct's fields
+    val bestAttr = bestName.toAttribute
+    val fieldOf: Map[ExprId, Expression] = inner.output.zipWithIndex.map {
+      case (a, i) => a.exprId -> (GetStructField(bestAttr, i, Some(a.name)): Expression)
+    }.toMap
+    val tagField = GetStructField(bestAttr, inner.output.length, Some("ch_asof_tag_"))
     val leftCols = left.output.zip(carried).map { case (orig, c) =>
       Alias(c.toAttribute, orig.name)(exprId = orig.exprId)
     }
-    val rightCols = sub.plan.output.zipWithIndex.map { case (out, i) =>
-      Alias(GetStructField(best, i, Some(out.name)), out.name)(exprId = out.exprId)
+    val rightCols = sub.plan.output.zip(outExprs).map { case (out, e) =>
+      val expanded = e.transform { case a: Attribute if fieldOf.contains(a.exprId) => fieldOf(a.exprId) }
+      val guarded = expanded match {
+        case _ if !leftOuter => expanded
+        case g: GetStructField if g.child.semanticEquals(bestAttr) => expanded // bare field: already NULL
+        case _ => If(IsNull(tagField), Literal.create(null, out.dataType), expanded)
+      }
+      Alias(guarded, out.name)(exprId = out.exprId)
     }
     val result = Project((leftCols ++ rightCols).toSeq, agg)
     // sanity: same schema as the node we replace
@@ -154,9 +273,4 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
       lj.output.map(a => (a.name, a.exprId))) return None
     Some(result)
   }
-}
-
-/** Placeholder leaf used only as a never-matching sentinel above. */
-private object EmptyRelation {
-  def apply(out: Seq[Attribute]): LogicalPlan = LocalRelation(out)
 }

@@ -990,6 +990,44 @@ class ChDialectSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("LIMIT BY bails loudly when the captured ORDER BY is ordinal") {
+    Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v").createOrReplaceTempView("chlbord")
+    // ORDER BY 2 only resolves ordinally at the TOP level; inside the
+    // window spec it would become a constant — keep the parse failure
+    val e = intercept[Exception](
+      spark.sql("SELECT k, v FROM chlbord ORDER BY 2 LIMIT 1 BY k").collect())
+    assert(e.getMessage.toLowerCase.contains("syntax") ||
+      e.getMessage.contains("LIMIT"), e.getMessage)
+    // named sorts still rewrite fine
+    val ok = spark.sql("SELECT k, v FROM chlbord ORDER BY v DESC LIMIT 1 BY k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(ok === Map(1 -> 20, 2 -> 30))
+  }
+
+  test("numbers() rewrite stands down when the user registered that name") {
+    assert(spark.sql("SELECT count(*) AS c FROM numbers(5)").head.getLong(0) === 5L)
+    spark.udf.register("numbers", (n: Long) => n * 2)
+    try {
+      // the user's scalar function wins: FROM numbers(…) is no longer
+      // rewritten, and the scalar call resolves to the UDF
+      intercept[Exception](spark.sql("SELECT count(*) FROM numbers(5)").collect())
+      assert(spark.sql("SELECT numbers(4) AS v").head.getLong(0) === 8L)
+    } finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("numbers"))
+    }
+    assert(spark.sql("SELECT count(*) AS c FROM numbers(3)").head.getLong(0) === 3L)
+  }
+
+  test("SETTINGS are not applied when the rescued text still fails to parse") {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      intercept[Exception](
+        spark.sql("SELEC x SETTINGS max_threads = 11").collect())
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === prior)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("FROM t FINAL dedups latest-version-per-key for registered tables only") {
     Seq((1, "a", 10, 100L), (1, "a", 20, 200L), (2, "b", 30, 50L))
       .toDF("id", "kind", "v", "ver").createOrReplaceTempView("chfin")

@@ -79,6 +79,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(strictBkt === strictRef)
   }
 
+  test("bucketed asof keeps exact buckets above 2^53 and below zero") {
+    // long event times whose magnitude exceeds double's 53-bit mantissa:
+    // a double-routed floor/divide would misplace boundary rows
+    val base = 1L << 60
+    val left = Seq((1L, base + 1000L), (1L, base + 999L), (1L, base + 993L), (2L, -15L))
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, base + 1000L, "x"), (1L, base + 999L, "y"), (2L, -17L, "n"))
+      .toDF("k", "rts", "p")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("ts", "p").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .sortBy(_._1).toSeq
+    val reference = canon(AsOfJoin.leftAsOf(
+      left, right, Seq("k"), "ts", "rts", Seq("p")))
+    // width 7 does not divide base, so bucket boundaries land mid-range
+    val bucketed = canon(AsOfJoin.leftAsOfBucketed(
+      left, right, Seq("k"), "ts", "rts", Seq("p"), 7L))
+    assert(bucketed === reference)
+    // base+993 must NOT match the base+999 right row: under a double
+    // round-trip all three timestamps collapse to the same value and a
+    // spurious "y" appears
+    assert(reference === Seq(
+      -15L -> "n", (base + 993L) -> null, (base + 999L) -> "y", (base + 1000L) -> "x"))
+  }
+
   test("bucketed asof carries across empty buckets and keeps null payload fields") {
     val left = Seq((1L, 100L, "a"), (1L, 5000L, "b"), (2L, 50L, "c"))
       .toDF("k", "ts", "name")

@@ -75,6 +75,88 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(rows === Seq(1 -> "b", 2 -> null))
   }
 
+  test("projected probe (SELECT r.v FROM …) is rewritten, not decorrelated") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alrp_l")
+    Seq((1, 90L, "a"), (1, 150L, "b")).toDF("k", "rts", "p")
+      .createOrReplaceTempView("alrp_r")
+    // ORDER BY on a column missing from the select list also exercises
+    // the analyzer's Project(narrow, Sort(…, Project(wide, Filter))) shape
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrp_l l LEFT JOIN LATERAL (
+        |  SELECT r0.p FROM alrp_r r0 WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts DESC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+    assert(plan.contains("ch_asof_lid_"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows === Seq(1 -> "a", 2 -> null))
+  }
+
+  test("projected probe: non-null-propagating exprs stay NULL on unmatched rows") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alrc_l")
+    Seq((1, 90L, "a")).toDF("k", "rts", "p").createOrReplaceTempView("alrc_r")
+    val df = spark.sql(
+      """SELECT l.k, r.c FROM alrc_l l LEFT JOIN LATERAL (
+        |  SELECT coalesce(r0.p, 'none') AS c FROM alrc_r r0
+        |  WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts DESC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ch_asof_lid_"), plan.take(2000))
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    // k=2 has no match: the LATERAL's row is missing entirely, so the
+    // projected coalesce must yield NULL, not 'none'
+    assert(rows === Seq(1 -> "a", 2 -> null))
+  }
+
+  test("mixed-direction multi-key sorts fold into one min_by via order negation") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alrx_l")
+    Seq((1, 90L, 2L, "a"), (1, 90L, 1L, "b"), (1, 80L, 0L, "c"))
+      .toDF("k", "rts", "seq", "p").createOrReplaceTempView("alrx_r")
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrx_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrx_r r0 WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts DESC, r0.seq ASC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("min_by"), plan.take(2000))
+    assert(plan.contains("ch_asof_lid_"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // rts DESC picks the 90-group; seq ASC breaks the tie toward 'b'
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows === Seq(1 -> "b", 2 -> null))
+  }
+
+  test("argmax reproduces Sort's null placement exactly") {
+    Seq((1, 100L), (2, 100L), (3, 100L)).toDF("k", "ts")
+      .createOrReplaceTempView("alrn_l")
+    Seq((1, Some(90L), "a"), (1, None, "n"), (2, None, "m"))
+      .toDF("k", "rts", "p").createOrReplaceTempView("alrn_r")
+    def pick(order: String): Seq[(Int, String)] = {
+      val df = spark.sql(
+        s"""SELECT l.k, r.p FROM alrn_l l LEFT JOIN LATERAL (
+           |  SELECT * FROM alrn_r r0 WHERE l.k = r0.k
+           |  ORDER BY $order LIMIT 1) r
+           |ORDER BY l.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ch_asof_lid_"), s"not rewritten for: $order")
+      df.collect().map(r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    }
+    // ASC default = NULLS FIRST: the NULL-ordered row wins; a group
+    // whose ordering values are ALL null still returns a real row
+    assert(pick("r0.rts ASC") === Seq(1 -> "n", 2 -> "m", 3 -> null))
+    assert(pick("r0.rts ASC NULLS LAST") === Seq(1 -> "a", 2 -> "m", 3 -> null))
+    // DESC default = NULLS LAST
+    assert(pick("r0.rts DESC") === Seq(1 -> "a", 2 -> "m", 3 -> null))
+    assert(pick("r0.rts DESC NULLS FIRST") === Seq(1 -> "n", 2 -> "m", 3 -> null))
+  }
+
   test("rewritten ASOF results match the window-form API on the fixture") {
     val d = sf0001
     graft.Tables.t(spark, d, "events").createOrReplaceTempView("events_alr2_v")
