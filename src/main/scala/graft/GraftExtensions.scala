@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into join + per-left-row argmax BEFORE Spark's decorrelation turns
     // the inequality correlation into a domain nested-loop join
     ext.injectPostHocResolutionRule(session => new plans.AsofLateralRule(session))
+    // CH `* APPLY(f)` star modifier: the rescue tier wraps the star in a
+    // ch_star_apply marker; this rule re-expands it per resolved column
+    ext.injectFunction(plans.ChStarApply.registration)
+    ext.injectPostHocResolutionRule(session => new plans.StarApplyRule(session))
   }
 }

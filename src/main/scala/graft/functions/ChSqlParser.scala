@@ -243,7 +243,7 @@ object ChSqlRewrite {
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
-        rewriteGlobal(hinted, globalWideWords))))))))
+        rewriteStarApply(rewriteGlobal(hinted, globalWideWords)))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -1302,6 +1302,131 @@ object ChSqlRewrite {
     sql
   }
 
+  // -------------------------------------------------------------- * APPLY
+
+  /** CH `[qual.]* [EXCEPT (cols)] [REPLACE (expr AS col, …)] APPLY (f)
+    * [APPLY (g)]…` — the third star modifier. Spark's grammar has no
+    * APPLY, so the clause reaches the rescue tier; no TEXT rewrite can
+    * enumerate the star's columns, so the star travels into a resolver
+    * marker — `ch_star_apply('f,g', 'dropped', [qual.]*)`; star
+    * expansion inside function arguments is standard Spark — that
+    * [[graft.plans.StarApplyRule]] re-expands post-resolution into one
+    * `g(f(col)) AS col` per surviving column. REPLACE items (their
+    * names are in the text) chain the functions textually and keep the
+    * REPLACE rewrite's end-of-projection position. Deviations
+    * (documented): columns keep their ORIGINAL names, not CH's
+    * `f(col)`, and replaced columns move to the end like REPLACE.
+    * Lambda APPLY (`APPLY (x -> …)`) stays a loud parse failure. */
+  private def rewriteStarApply(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '*') {
+        val starAt = i
+        i += 1
+        // a dotted qualifier sits IMMEDIATELY before the star (`t.*`)
+        var qs = starAt
+        if (qs > 0 && sql.charAt(qs - 1) == '.') {
+          qs -= 1
+          while (qs > 0 && (sql.charAt(qs - 1) == '.' || sql.charAt(qs - 1) == '`' ||
+            Character.isJavaIdentifierPart(sql.charAt(qs - 1)))) qs -= 1
+        }
+        val qual = sql.substring(qs, starAt)
+        // optional EXCEPT (cols)
+        var exceptCols = Seq.empty[String]
+        var cursor = starAt + 1
+        val (w1, a1) = readWord(sql, skipWs(sql, cursor))
+        if (w1.equalsIgnoreCase("EXCEPT")) {
+          val q = skipWs(sql, a1)
+          if (q < n && sql.charAt(q) == '(') {
+            val e = matchParen(sql, q)
+            if (e > 0) {
+              exceptCols = sql.substring(q + 1, e - 1).split(",").map(_.trim).toSeq
+              cursor = e
+            }
+          }
+        }
+        // optional REPLACE (expr AS col, …) — consumed only when an
+        // APPLY follows (REPLACE alone belongs to rewriteStarReplace)
+        var replaceItems = Seq.empty[(String, String)]
+        val (w2, a2) = readWord(sql, skipWs(sql, cursor))
+        var afterReplace = cursor
+        if (w2.equalsIgnoreCase("REPLACE")) {
+          val q = skipWs(sql, a2)
+          if (q < n && sql.charAt(q) == '(') {
+            val e = matchParen(sql, q)
+            if (e > 0) {
+              val inner = sql.substring(q + 1, e - 1)
+              val items = scala.collection.mutable.ListBuffer.empty[(String, String)]
+              var ok = true
+              var s0 = 0
+              var d2 = 0
+              var r = 0
+              def take(endAt: Int): Unit = {
+                val seg = inner.substring(s0, endAt).trim
+                val m = replaceItem.matcher(seg)
+                if (m.matches()) items += (m.group(1) -> m.group(2)) else ok = false
+              }
+              while (r < inner.length && ok) {
+                val ch = inner.charAt(r)
+                if (ch == '\'' || ch == '"' || ch == '`') r = skipQuoted(inner, r)
+                else {
+                  if (ch == '(') d2 += 1
+                  else if (ch == ')') d2 -= 1
+                  else if (ch == ',' && d2 == 0) { take(r); s0 = r + 1 }
+                  r += 1
+                }
+              }
+              if (ok) take(inner.length)
+              if (ok && items.nonEmpty) {
+                replaceItems = items.toSeq
+                afterReplace = e
+              }
+            }
+          }
+        }
+        // one or more APPLY (fname)
+        var fns = Seq.empty[String]
+        var cur2 = afterReplace
+        var more = true
+        while (more) {
+          val (wa, aa) = readWord(sql, skipWs(sql, cur2))
+          more = false
+          if (wa.equalsIgnoreCase("APPLY")) {
+            val q = skipWs(sql, aa)
+            if (q < n && sql.charAt(q) == '(') {
+              val e = matchParen(sql, q)
+              if (e > 0) {
+                val fn = sql.substring(q + 1, e - 1).trim
+                if (fn.nonEmpty && fn.forall(ch => Character.isJavaIdentifierPart(ch))) {
+                  fns = fns :+ fn
+                  cur2 = e
+                  more = true
+                }
+              }
+            }
+          }
+        }
+        if (fns.nonEmpty) {
+          val dropped = exceptCols ++ replaceItems.map(_._2)
+          def chain(e: String) = fns.foldLeft(e)((acc, f) => s"$f($acc)")
+          val marker = s"ch_star_apply('${fns.mkString(",")}', " +
+            s"'${dropped.mkString(",")}', $qual*)"
+          val trailing = replaceItems.map { case (ex, nm) =>
+            s"${chain(s"($ex)")} AS $nm"
+          }
+          val repl = (marker +: trailing).mkString(", ")
+          return rewriteStarApply(sql.substring(0, qs) + repl + sql.substring(cur2))
+        }
+      } else i += 1
+    }
+    sql
+  }
+
   // ----------------------------------------------------------- scalar WITH
 
   /** CH's scalar `WITH 5 AS x, expr AS y SELECT ... FROM t` (constants/
@@ -1494,9 +1619,16 @@ object ChSqlRewrite {
     * RESULT, not the fact table). `INTERPOLATE (v)` carries the last
     * ORIGINAL value onto fill rows; interpolated columns move to the
     * END of the output (the `* EXCEPT` rebuild — documented deviation;
-    * reference columns by name downstream). Single plain sort column
-    * only; DESC fill and `col AS expr` interpolation fail loudly (the
-    * API forms b_fil1/b_fil2 cover those shapes). */
+    * reference columns by name downstream). DESC fill generates the
+    * axis downward (STEP defaults to -1, TO stays exclusive at the
+    * bottom, like CH). `INTERPOLATE (col AS expr)` supports CH's
+    * recursive self-affine forms — `col AS col + k`, `col - k`,
+    * `col * k` (each consecutive fill row applies the step again, so
+    * the closed form is carried + n*k resp. carried * k^n over the
+    * fill distance n) — and constant exprs; rows before the first
+    * original stay NULL (type-default deviation above). Single plain
+    * sort column only; an interpolation expression over OTHER columns
+    * fails loudly (use the windowed API shape b_fil2). */
   private def rewriteWithFill(sql: String): String = {
     val n = sql.length
     var i = 0
@@ -1526,8 +1658,6 @@ object ChSqlRewrite {
             if (col.nonEmpty && w1.equalsIgnoreCase("WITH") && w2.equalsIgnoreCase("FILL")) {
               def fail(why: String): Nothing = throw new IllegalArgumentException(
                 s"WITH FILL: $why")
-              if (desc) fail("descending fill is not supported in the text " +
-                "form — generate the axis with the API (b_fil1 shape)")
               // FROM/TO/STEP expression tail
               val fillStops = Set("TO", "STEP", "INTERPOLATE", "LIMIT", "OFFSET",
                 "SETTINGS", "FORMAT", "UNION")
@@ -1552,8 +1682,11 @@ object ChSqlRewrite {
               var cur = a2
               var fromE = ""
               var toE = ""
-              var stepE = "1"
-              var interp = Seq.empty[String]
+              var stepE = if (desc) "-1" else "1"
+              // (column, kind, payload, payload2): kind ∈ carry | affine
+              // (payload = +|-|*, payload2 = numeric literal) | const
+              // (payload = the constant expression)
+              var interp = Seq.empty[(String, String, String, String)]
               var done = false
               var tailStart = n
               while (!done) {
@@ -1566,22 +1699,34 @@ object ChSqlRewrite {
                   case "STEP" =>
                     val (e, end, _) = readExpr(skipWs(sql, akw)); stepE = e; cur = end
                   case "INTERPOLATE" =>
-                    // bare-column list only: `INTERPOLATE (v, w)` carries
-                    // the previous value forward (CH's default). The
-                    // `col AS expr` form (expression over the previous
-                    // row) has no faithful window rewrite — loud.
                     val q2 = skipWs(sql, akw)
                     if (q2 >= n || sql.charAt(q2) != '(')
-                      fail("INTERPOLATE expects a parenthesized column list")
+                      fail("INTERPOLATE expects a parenthesized list")
                     val e2 = matchParen(sql, q2)
                     if (e2 < 0) fail("unbalanced INTERPOLATE list")
-                    val cols = sql.substring(q2 + 1, e2 - 1).split(",").map(_.trim)
-                    if (cols.exists(c => c.isEmpty ||
-                      !c.forall(ch => Character.isJavaIdentifierPart(ch))))
-                      fail("INTERPOLATE supports plain column names only " +
-                        "(carry-forward); use the windowed API shape (b_fil2) " +
-                        "for `col AS expr` interpolation")
-                    interp = cols.toSeq
+                    val items = sql.substring(q2 + 1, e2 - 1).split(",").map(_.trim)
+                    val itemRe = "(?is)^([A-Za-z_][A-Za-z0-9_]*)(?:\\s+AS\\s+(.+))?$".r
+                    val numRe = "-?[0-9]+(?:\\.[0-9]+)?"
+                    interp = items.toSeq.map {
+                      case itemRe(cn, null) => (cn, "carry", "", "")
+                      case itemRe(cn, ex0) =>
+                        val ex = ex0.trim
+                        val affRe = ("(?is)^" + java.util.regex.Pattern.quote(cn) +
+                          "\\s*([+*-])\\s*(" + numRe + ")$").r
+                        ex match {
+                          case e if e.equalsIgnoreCase(cn) => (cn, "carry", "", "")
+                          case affRe(op, lit) => (cn, "affine", op, lit)
+                          case e if e.matches(s"(?is)^(?:$numRe|NULL|'[^']*')$$") =>
+                            (cn, "const", e, "")
+                          case _ => fail(
+                            s"INTERPOLATE ($cn AS $ex): only self-affine " +
+                              "expressions (col ± k, col * k) and constants " +
+                              "have a faithful closed-form rewrite; use the " +
+                              "windowed API shape (b_fil2) for general exprs")
+                        }
+                      case it => fail(s"INTERPOLATE item '$it' is not " +
+                        "`col` or `col AS expr`")
+                    }
                     cur = e2
                   case _ =>
                     tailStart = if (kw.isEmpty) n else skipWs(sql, cur)
@@ -1593,32 +1738,62 @@ object ChSqlRewrite {
                   "to derive bounds from the result)")
               val body = sql.substring(0, start).trim
               val tail = if (tailStart < n) " " + sql.substring(tailStart) else ""
+              // axis: ascending fills upward with TO exclusive above;
+              // descending fills downward with TO exclusive below
+              val toCmp = if (desc) ">" else "<"
               val axis =
                 if (fromE.nonEmpty)
                   s"SELECT ch_fill_x_ AS $col FROM (SELECT explode(sequence(" +
                     s"($fromE), ($toE), ($stepE))) AS ch_fill_x_) " +
-                    s"WHERE ch_fill_x_ < ($toE)"
+                    s"WHERE ch_fill_x_ $toCmp ($toE)"
+                else if (desc)
+                  s"SELECT explode(sequence(ch_fill_t_, ch_fill_f_, ($stepE))) " +
+                    s"AS $col FROM (SELECT min($col) AS ch_fill_f_, " +
+                    s"max($col) AS ch_fill_t_ FROM ($body) ch_fill_mm_)"
                 else
                   s"SELECT explode(sequence(ch_fill_f_, ch_fill_t_, ($stepE))) " +
                     s"AS $col FROM (SELECT min($col) AS ch_fill_f_, " +
                     s"max($col) AS ch_fill_t_ FROM ($body) ch_fill_mm_)"
+              val dir = if (desc) " DESC" else ""
               if (interp.isEmpty)
                 return s"SELECT * FROM ($axis) ch_fill_ax_ " +
                   s"FULL OUTER JOIN ($body) ch_fill_src_ USING ($col) " +
-                  s"ORDER BY $col$tail"
-              // INTERPOLATE: fill rows (marker NULL) take the last value an
-              // ORIGINAL row carried; original rows keep their own values.
-              val w = s"OVER (ORDER BY $col ROWS BETWEEN UNBOUNDED " +
+                  s"ORDER BY $col$dir$tail"
+              // INTERPOLATE: fill rows (marker NULL) derive from the last
+              // ORIGINAL row in output order; original rows keep their own
+              // values. Affine forms need the fill DISTANCE (rows since
+              // that original), so a row_number layer is added on demand.
+              val w = s"OVER (ORDER BY $col$dir ROWS BETWEEN UNBOUNDED " +
                 "PRECEDING AND CURRENT ROW)"
-              val carried = interp.map(c =>
-                s"CASE WHEN ch_fill_orig_ IS NOT NULL THEN $c ELSE " +
-                  s"last(CASE WHEN ch_fill_orig_ IS NOT NULL THEN $c END, true) " +
-                  s"$w END AS $c").mkString(", ")
-              return s"SELECT * EXCEPT (${interp.mkString(", ")}, ch_fill_orig_), " +
-                s"$carried FROM (SELECT * FROM ($axis) ch_fill_ax_ " +
+              def lastOrig(e: String) =
+                s"last(CASE WHEN ch_fill_orig_ IS NOT NULL THEN $e END, true) $w"
+              val needRn = interp.exists(_._2 == "affine")
+              val kDist = s"(ch_fill_rn_ - ${lastOrig("ch_fill_rn_")})"
+              val carried = interp.map { case (cn, kind, p1, p2) =>
+                val fillVal = kind match {
+                  case "carry" => lastOrig(cn)
+                  case "const" => p1
+                  case "affine" => p1 match {
+                    case "+" => s"${lastOrig(cn)} + $kDist * ($p2)"
+                    case "-" => s"${lastOrig(cn)} - $kDist * ($p2)"
+                    case _ => s"${lastOrig(cn)} * pow(($p2), $kDist)"
+                  }
+                }
+                s"CASE WHEN ch_fill_orig_ IS NOT NULL THEN $cn ELSE " +
+                  s"$fillVal END AS $cn"
+              }.mkString(", ")
+              val joined = s"SELECT * FROM ($axis) ch_fill_ax_ " +
                 s"FULL OUTER JOIN (SELECT *, true AS ch_fill_orig_ FROM ($body) " +
-                s"ch_fill_b_) ch_fill_src_ USING ($col)) ch_fill_j_ " +
-                s"ORDER BY $col$tail"
+                s"ch_fill_b_) ch_fill_src_ USING ($col)"
+              val (src, extraExcept) =
+                if (needRn)
+                  (s"SELECT *, row_number() OVER (ORDER BY $col$dir) " +
+                    s"AS ch_fill_rn_ FROM ($joined) ch_fill_j0_", ", ch_fill_rn_")
+                else (joined, "")
+              return s"SELECT * EXCEPT (${interp.map(_._1).mkString(", ")}, " +
+                s"ch_fill_orig_$extraExcept), " +
+                s"$carried FROM ($src) ch_fill_j_ " +
+                s"ORDER BY $col$dir$tail"
             }
           }
         }

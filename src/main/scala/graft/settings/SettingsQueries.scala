@@ -671,6 +671,77 @@ object SettingsQueries extends QueryRegistry {
             |FROM nation_rep_v ORDER BY n_nationkey""".stripMargin)
       },
       Some("""SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey + 100 AS n_regionkey)
-             |FROM nation ORDER BY n_nationkey""".stripMargin))
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- user-written LATERAL best-match probe that PROJECTS columns
+    // (not the parser's SELECT * emission): AsofLateralRule re-applies
+    // the projection after the argmax, so this plans as join +
+    // per-row max_by instead of Spark's O(N²) domain decorrelation.
+    // DuckDB shares the LATERAL spelling (ON true required). The
+    // second sort key makes equal-ts picks deterministic on both
+    // engines and exercises the multi-key struct ordering. ----
+    QueryDef(
+      "b_sql28_asof_projected",
+      (s, d) => {
+        Tables.t(s, d, "events").createOrReplaceTempView("events_ap_v")
+        s.sql(
+          """SELECT e.event_id, p.prior_purchase
+            |FROM events_ap_v e
+            |LEFT JOIN LATERAL (
+            |  SELECT p0.event_id AS prior_purchase
+            |  FROM events_ap_v p0
+            |  WHERE p0.event_type = 'purchase' AND e.user_id = p0.user_id
+            |    AND e.ts >= p0.ts
+            |  ORDER BY p0.ts DESC, p0.event_id DESC LIMIT 1) p
+            |ORDER BY e.event_id""".stripMargin)
+      },
+      Some("""SELECT e.event_id, p.prior_purchase
+             |FROM events e
+             |LEFT JOIN LATERAL (
+             |  SELECT p0.event_id AS prior_purchase
+             |  FROM events p0
+             |  WHERE p0.event_type = 'purchase' AND e.user_id = p0.user_id
+             |    AND e.ts >= p0.ts
+             |  ORDER BY p0.ts DESC, p0.event_id DESC LIMIT 1) p ON true
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- CH `* APPLY(f)` star modifier (with EXCEPT): the rescue tier
+    // wraps the star in a ch_star_apply marker and StarApplyRule
+    // re-expands it per resolved column. Columns keep their ORIGINAL
+    // names (documented deviation from CH's `f(col)` naming), so the
+    // oracle spells the expansion explicitly. ----
+    QueryDef(
+      "b_sql29_star_apply",
+      (s, d) => {
+        Tables.t(s, d, "nation").createOrReplaceTempView("nation_app_v")
+        s.sql(
+          """SELECT * EXCEPT (n_comment) APPLY (toString) FROM nation_app_v
+            |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+             |  CAST(n_name AS VARCHAR) AS n_name,
+             |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- descending WITH FILL with recursive expression interpolation
+    // (the CH docs' primary INTERPOLATE example shape: each consecutive
+    // fill row applies the step again — closed form carried + n*k over
+    // the fill distance). numbers()-driven, so the oracle is a pinned
+    // VALUES table computed from the same semantics. Fill rows before
+    // the first original stay NULL (documented type-default deviation).
+    QueryDef(
+      "b_sql30_fill_desc",
+      (s, _) => s.sql(
+        """SELECT n, inter FROM (
+          |  SELECT CAST(number * 3 AS BIGINT) AS n,
+          |         CAST(number * 10 AS BIGINT) AS inter
+          |  FROM numbers(4))
+          |ORDER BY n DESC WITH FILL FROM 11 TO -1 STEP -1
+          |INTERPOLATE (inter AS inter + 5)""".stripMargin),
+      Some("""SELECT CAST(n AS BIGINT) AS n, CAST(inter AS BIGINT) AS inter
+             |FROM (VALUES
+             |  (11, NULL), (10, NULL), (9, 30), (8, 35), (7, 40), (6, 20),
+             |  (5, 25), (4, 30), (3, 10), (2, 15), (1, 20), (0, 0)) t(n, inter)
+             |ORDER BY n DESC""".stripMargin))
   )
 }

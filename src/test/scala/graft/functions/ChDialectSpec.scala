@@ -872,13 +872,16 @@ class ChDialectSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
     assert(interp === Seq((1, 10), (2, 20), (3, 20), (4, 20), (5, 50),
       (6, 50), (7, 50), (8, 50), (9, 90)))
-    // the `col AS expr` form and DESC fail loudly toward the API shapes
-    val e1 = intercept[Exception](spark.sql(
-      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 4 INTERPOLATE (v AS v + 1)"))
-    assert(e1.getMessage.contains("INTERPOLATE"))
-    val e2 = intercept[Exception](spark.sql(
-      "SELECT x, v FROM chfill ORDER BY x DESC WITH FILL FROM 4 TO 1 STEP 1"))
-    assert(e2.getMessage.contains("descending"))
+    // self-affine `col AS expr`: each fill row applies the step again
+    val aff = spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x WITH FILL FROM 1 TO 4 INTERPOLATE (v AS v + 1)")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(aff === Seq((1, 10), (2, 20), (3, 21), (5, 50), (9, 90)))
+    // DESC fill: axis runs downward, TO exclusive at the bottom
+    val down = spark.sql(
+      "SELECT x, v FROM chfill ORDER BY x DESC WITH FILL FROM 4 TO 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(down === Seq(9, 5, 4, 3, 2, 1))
   }
 
   test("numbers(N) table function maps onto the range TVF") {
@@ -988,6 +991,66 @@ class ChDialectSpec extends SparkSpec {
       .selectExpr("replaceOne(text, 'the', '###') AS r", "empty(text) AS e")
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
     assert(df.count() > 0)
+  }
+
+  test("star APPLY modifier expands per resolved column") {
+    Seq((1, "ab", 5L), (22, "cd", 100L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("chapply")
+    // text tier: the rescue pass wraps the star in the resolver marker
+    assert(ChSqlRewrite.rescue("SELECT * APPLY (toString) FROM chapply").sql
+      === "SELECT ch_star_apply('toString', '', *) FROM chapply")
+    // plain APPLY keeps original column names (documented deviation)
+    val a1 = spark.sql("SELECT * APPLY (toString) FROM chapply ORDER BY k")
+    assert(a1.columns.toSeq === Seq("k", "s", "v"))
+    assert(a1.schema.fields.forall(_.dataType.typeName == "string"))
+    // EXCEPT + chained APPLY + qualified star: length(toString(col))
+    val rows = spark.sql(
+      """SELECT t.* EXCEPT (s) APPLY (toString) APPLY (length)
+        |FROM chapply t ORDER BY v""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows === Seq((1, 1), (2, 3)))
+    // REPLACE + APPLY compose: replaced expr chains the function too
+    val ra = spark.sql(
+      """SELECT * EXCEPT (s) REPLACE (v + 1 AS v) APPLY (toString)
+        |FROM chapply ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ra === Seq(("1", "6"), ("22", "101")))
+    // aggregate list: * APPLY(sum) wraps the AggregateFunction
+    val ag = spark.sql(
+      "SELECT * APPLY (sum) FROM (SELECT k, v FROM chapply)").head
+    assert((ag.getLong(0), ag.getLong(1)) === (23L, 105L))
+    // a bare multiplication star is untouched by the rescue scan
+    assert(ChSqlRewrite.rescue("SELECT 2 * (k) FROM chapply").sql
+      === "SELECT 2 * (k) FROM chapply")
+  }
+
+  test("WITH FILL DESC and expression INTERPOLATE forms") {
+    // descending fill, derived bounds, default STEP -1
+    val d = spark.sql(
+      """SELECT n, v FROM (SELECT CAST(id * 2 AS BIGINT) AS n, id AS v FROM range(3))
+        |ORDER BY n DESC WITH FILL""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(d.toSeq === Seq(4L -> 2L, 3L -> -1L, 2L -> 1L, 1L -> -1L, 0L -> 0L))
+    // multiplicative recursive interpolation: x doubles per fill row
+    val m = spark.sql(
+      """SELECT n, x FROM (SELECT * FROM VALUES (CAST(0 AS BIGINT), 2.0D),
+        |  (CAST(3 AS BIGINT), 16.0D) AS t(n, x))
+        |ORDER BY n WITH FILL FROM 0 TO 6 INTERPOLATE (x AS x * 2)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(m === Seq(0L -> 2.0, 1L -> 4.0, 2L -> 8.0, 3L -> 16.0, 4L -> 32.0, 5L -> 64.0))
+    // constant interpolation
+    val c = spark.sql(
+      """SELECT n, x FROM (SELECT * FROM VALUES (CAST(0 AS BIGINT), 7.5D) AS t(n, x))
+        |ORDER BY n WITH FILL FROM 0 TO 3 INTERPOLATE (x AS 0.5)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(c === Seq(0L -> 7.5, 1L -> 0.5, 2L -> 0.5))
+    // an interpolation expression over OTHER columns has no faithful
+    // closed form — loud failure, not a silent wrong answer
+    val e = intercept[Exception](spark.sql(
+      """SELECT n, x FROM (SELECT * FROM VALUES (CAST(0 AS BIGINT), 1.0D, 2.0D)
+        |  AS t(n, x, y))
+        |ORDER BY n WITH FILL FROM 0 TO 3 INTERPOLATE (x AS y + 1)""".stripMargin))
+    assert(e.getMessage.contains("INTERPOLATE"), e.getMessage)
   }
 
   test("LIMIT BY bails loudly when the captured ORDER BY is ordinal") {
