@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""PySpark smoke for the graft session extension — the Python-binding
+parity check (the reference ships py-clickhouse-arrow; our surface is
+the same library driven from PySpark).
+
+Proves, from Python only:
+  1. the extension jar loads (parser + dialect + rules registered);
+  2. CH SQL dialect spellings resolve (toString, arrayJoin tier);
+  3. CH text-surface clauses parse via the rescue tier (SETTINGS,
+     LIMIT BY, star APPLY) and the always-on tier (numbers(), ASOF);
+  4. the DSv2 connector scans a table end-to-end over HTTP/Arrow
+     against the in-process stub server (constructed through py4j).
+
+Run:  python3 scripts/pyspark_smoke.py  (after `sbt compile`)
+"""
+import glob
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSES = os.path.join(REPO, "target", "scala-2.13", "classes")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+if not glob.glob(os.path.join(CLASSES, "graft", "GraftExtensions.class")):
+    sys.exit(f"compiled classes not found under {CLASSES} — run `sbt compile` first")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("graft-pyspark-smoke")
+    .config("spark.driver.extraClassPath", CLASSES)
+    .config("spark.executor.extraClassPath", CLASSES)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+failures = []
+
+
+def check(name, fn):
+    try:
+        fn()
+        print(f"PASS  {name}")
+    except Exception as e:  # noqa: BLE001
+        failures.append(name)
+        print(f"FAIL  {name}: {e}")
+
+
+# 1+2: dialect spellings resolve through the injected FunctionRegistry
+def dialect():
+    row = spark.sql("SELECT toString(42) AS s, bitCount(255) AS b").head()
+    assert row.s == "42" and row.b == 8, row
+
+
+# 3a: rescue tier — SETTINGS clause strips and applies
+def settings_clause():
+    assert spark.sql("SELECT 1 AS x SETTINGS max_threads = 4").head().x == 1
+
+
+# 3b: rescue tier — LIMIT n BY
+def limit_by():
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "k int, v int"
+    ).createOrReplaceTempView("py_lb")
+    rows = {
+        (r.k, r.v)
+        for r in spark.sql(
+            "SELECT k, v FROM py_lb ORDER BY v DESC LIMIT 1 BY k"
+        ).collect()
+    }
+    assert rows == {(1, 20), (2, 30)}, rows
+
+
+# 3c: rescue tier — star APPLY through the resolver marker
+def star_apply():
+    cols = spark.sql(
+        "SELECT * APPLY (toString) FROM py_lb ORDER BY k"
+    ).dtypes
+    assert cols == [("k", "string"), ("v", "string")], cols
+
+
+# 3d: always-on tier — numbers() TVF
+def numbers_tvf():
+    assert spark.sql("SELECT count(*) AS n FROM numbers(7)").head().n == 7
+
+
+# 3e: always-on tier — ASOF JOIN text (AsofLateralRule plan rescue)
+def asof_text():
+    spark.createDataFrame([(1, 100), (2, 50)], "k int, ts int").createOrReplaceTempView("py_l")
+    spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b")], "k int, rts int, p string"
+    ).createOrReplaceTempView("py_r")
+    df = spark.sql(
+        "SELECT l.k, r.p FROM py_l l ASOF LEFT JOIN py_r r "
+        "ON l.k = r.k AND l.ts >= r.rts ORDER BY l.k"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan, plan[:500]
+    rows = [(r.k, r.p) for r in df.collect()]
+    assert rows == [(1, "a"), (2, None)], rows
+
+
+# 4: DSv2 connector scan over HTTP/Arrow against the in-process stub
+def connector_scan():
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    srv = spark._jvm.graft.connector.StubCHServer()
+    try:
+        srv.load("nation", nation._jdf)
+        out = (
+            spark.read.format("graft-ch")
+            .option("url", srv.url())
+            .option("table", "nation")
+            .load()
+            .select("n_nationkey", "n_name")
+        )
+        assert out.count() == nation.count()
+    finally:
+        srv.stop()
+
+
+check("dialect functions", dialect)
+check("SETTINGS clause", settings_clause)
+check("LIMIT BY", limit_by)
+check("star APPLY", star_apply)
+check("numbers() TVF", numbers_tvf)
+check("ASOF JOIN text", asof_text)
+check("connector scan", connector_scan)
+
+spark.stop()
+if failures:
+    sys.exit(f"{len(failures)} smoke check(s) failed: {', '.join(failures)}")
+print("pyspark smoke: all checks green")

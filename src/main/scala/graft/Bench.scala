@@ -4,21 +4,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional subset run (scale certification reruns only the expensive
+    // queries at sf1) + alternate artifact name so a subset run never
+    // clobbers the full-board bench_full.json
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val spark = Sessions.local(cpus, cpus)
     // untimed warmup: JVM/codegen/FS-cache startup otherwise lands on
     // whichever query happens to run first and skews its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // best-of-2 per query: a single pass is at the mercy of whole-machine
-    // contention and GC timing (observed 1.4s..51s on the same query);
-    // the min of two consecutive runs reports the query's real cost
+    // best-of-3 per query: a single pass is at the mercy of whole-machine
+    // contention and GC timing (observed 1.4s..51s on the same query).
+    // The MIN is the query's real cost; the MEDIAN rides along so a
+    // regression is separable from measurement contention WITHOUT a
+    // rerun (min up + median up = real; min flat + median up = noise).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }
+    val samples = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+      }
+    val results = samples.map { case (name, s) => name -> s.head }
+    val medians = samples.map { case (name, s) => name -> s(1) }
     // The driver parses the JSON line out of the LAST ~2000 chars of
     // stdout, so the artifact must be recoverable three ways:
     //  1. the COMPLETE per-query map is persisted to bench_full.json in
@@ -30,17 +42,19 @@ object Bench {
     //     prefix breaks the parse).
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(qs: Iterable[(String, Double)]): String =
+      qs.map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     def line(qs: Iterable[(String, Double)], extra: String): String = {
-      val m = qs.map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec"$extra,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec"$extra,"queries":${jmap(qs)},"sf":"$sfDir"}"""
     }
-    val fullLine = line(results, s""","n_queries":${results.size}""")
+    val fullLine = line(results,
+      s""","n_queries":${results.size},"runs_per_query":3,"queries_median":${jmap(medians)}""")
     try {
-      val p = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+      val p = java.nio.file.Paths.get(outFile).toAbsolutePath
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"bench full per-query map written to $p")
-    } catch { case e: Throwable => println(s"bench_full.json write failed: $e") }
+    } catch { case e: Throwable => println(s"$outFile write failed: $e") }
     println(fullLine)
     val headline = Set("b_prj1_project", "b_src1_scan", "b_agg1_hash_agg", "b_fnm1_math",
       "b_fnc1_cast", "b_snk1_insert_roundtrip", "b_src4_connector_scan")

@@ -34,7 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a null oracle string (object-init-order bug: a val referenced from
+    // `defs` before its declaration) must not kill the dump after every
+    // query already ran — drop it loudly instead
     val json = SparkEntry.oracleSql
+      .filter { case (k, v) =>
+        if (v == null) System.err.println(s"[verify] $k: NULL oracle sql (init order?) — skipped")
+        v != null
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -195,6 +195,17 @@ object ArrowCodec {
         if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Binary => BinaryType
+      // 64-bit-offset / view layout variants, normalized to the standard
+      // types on ingest like the reference (`README.md:205-209`,
+      // `src/arrow/types.rs:137` normalize_type): externally-built Arrow
+      // data (polars, pyarrow large_* defaults) round-trips transparently
+      case _: ArrowType.LargeUtf8 => StringType
+      case _: ArrowType.LargeBinary => BinaryType
+      case _: ArrowType.Utf8View => StringType
+      case _: ArrowType.BinaryView => BinaryType
+      case _: ArrowType.LargeList =>
+        val elem = fromArrowField(f.getChildren.get(0))
+        ArrayType(elem.dataType, elem.nullable)
       case _: ArrowType.Date => DateType
       case t: ArrowType.Timestamp => if (t.getTimezone == null) TimestampNTZType else TimestampType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
@@ -689,6 +700,42 @@ object ArrowCodec {
           val out = new DecimalVector(v.getName, allocator, 20, 0)
           fill(out)(i => out.setSafe(i,
             new java.math.BigDecimal(java.lang.Long.toUnsignedString(u.get(i)))))
+        // 64-bit-offset / view layouts, normalized to the standard
+        // vectors like the reference's ingest `normalize_type`
+        // (`src/arrow/types.rs:137`): Spark's ArrowColumnVector reads
+        // LargeVarChar/LargeVarBinary natively but has no accessor for
+        // the view vectors or LargeList.
+        case vv: ViewVarCharVector =>
+          val out = new VarCharVector(v.getName, allocator)
+          out.allocateNew()
+          var i = 0
+          while (i < n) { if (!vv.isNull(i)) out.setSafe(i, vv.get(i)); i += 1 }
+          out.setValueCount(n)
+          decoded ::= out
+          out
+        case vv: ViewVarBinaryVector =>
+          val out = new VarBinaryVector(v.getName, allocator)
+          out.allocateNew()
+          var i = 0
+          while (i < n) { if (!vv.isNull(i)) out.setSafe(i, vv.get(i)); i += 1 }
+          out.setValueCount(n)
+          decoded ::= out
+          out
+        case ll: org.apache.arrow.vector.complex.LargeListVector =>
+          val out = org.apache.arrow.vector.complex.ListVector.empty(v.getName, allocator)
+          out.allocateNew()
+          val rd = ll.getReader
+          val wr = out.getWriter
+          var i = 0
+          while (i < n) {
+            rd.setPosition(i)
+            wr.setPosition(i)
+            org.apache.arrow.vector.complex.impl.ComplexCopier.copy(rd, wr)
+            i += 1
+          }
+          out.setValueCount(n)
+          decoded ::= out
+          out
         // FixedSizeBinary (the wire form of UUID/IPv6/FixedString/
         // Int128/256, reference `arrow/types.rs:381-398`): Spark's
         // `ArrowColumnVector` has no FSB accessor, so copy into a

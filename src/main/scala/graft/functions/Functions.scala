@@ -290,17 +290,37 @@ object Functions extends QueryRegistry {
              |FROM documents""".stripMargin)),
 
     // ---- B-FNH1b: engine-native hashes (xxhash64 / murmur3 / crc32 —
-    // Spark-specific seeds, no cross-engine oracle; stability is asserted
-    // in FunctionsSpec) ----
+    // Spark-specific seeds, so no cross-engine SQL oracle exists for
+    // arbitrary text; instead every row hashes one of 8 canonical
+    // strings and the oracle joins golden vectors pinned from a
+    // verified run — a regression vector, like the kernel-stability
+    // rows FunctionsSpec asserts (xxhash64 over full document text is
+    // pinned there too). ----
     QueryDef(
       "b_fnh2_hash_native",
-      (s, d) =>
+      (s, d) => {
+        val key = concat(lit("graft-"), (col("doc_id") % 8).cast("string"))
         t(s, d, "documents").select(
           col("doc_id"),
-          xxhash64(col("text")).as("h_xx"),
-          hash(col("text")).cast("long").as("h_murmur"),
-          crc32(col("text").cast("binary")).as("h_crc")),
-      None),
+          xxhash64(key).as("h_xx"),
+          hash(key).cast("long").as("h_murmur"),
+          crc32(key.cast("binary")).as("h_crc"))
+      },
+      Some("""SELECT doc_id, CAST(v.h_xx AS BIGINT) AS h_xx,
+             |  CAST(v.h_murmur AS BIGINT) AS h_murmur,
+             |  CAST(v.h_crc AS BIGINT) AS h_crc
+             |FROM documents
+             |JOIN (VALUES
+             |  (0, -7835119488856756382, -1592366997, 2055429426),
+             |  (1, 7102959927320239621, 1038620961, 226782628),
+             |  (2, -3197053065351944897, -1922056779, 2492283934),
+             |  (3, 1561785834903755147, 87857088, 3817475208),
+             |  (4, 1720231960346561339, -1161439238, 2112788779),
+             |  (5, 7190316962624289293, -562641184, 183085501),
+             |  (6, -8597478234818142024, 779562745, 2480994311),
+             |  (7, 4827471647138713585, 1398680492, 3840395409)
+             |) v(m, h_xx, h_murmur, h_crc)
+             |ON doc_id % 8 = v.m""".stripMargin)),
 
     // ---- B-FNC1: type conversions ----
     QueryDef(

@@ -269,13 +269,21 @@ object Multimodal extends QueryRegistry {
              |  coalesce(abs(delta) > 0.5, false) AS is_cut
              |FROM d""".stripMargin)),
 
-    // ---- perceptual-hash image dedup: aHash per payload, hash-group,
-    // keep groups of 2+ (exact-duplicate images regardless of filename/
-    // id). Every 9th doc gets a payload-identical twin (the fixture has
-    // no byte dups), so the result is non-empty by construction — the
-    // x_dedup_normalized self-demonstration pattern. Hash kernel
-    // robustness (identity / small-edit Hamming) is MultimodalSpec's
-    // job; rows-only verify here. One shuffle on the 64-bit hash. ----
+    // ---- perceptual-hash image dedup, the production two-stage shape:
+    // aHash is the CANDIDATE key (64-bit, deliberately coarse — at
+    // sf0.01 it collides across ~16 distinct payloads, as a perceptual
+    // hash should for visually-near inputs), and a byte digest CONFIRMS
+    // exact duplicates within each candidate group. Grouping on
+    // (phash, md5) keeps one shuffle — both keys are computed map-side
+    // by the partial aggregate, so payload bytes never cross the wire —
+    // and false-candidate groups dissolve into singletons that the
+    // n_dups>1 filter drops. Every 9th doc gets a payload-identical
+    // twin (the fixture has no byte dups), so the result is non-empty
+    // by construction — the x_dedup_normalized self-demonstration
+    // pattern. Confirmed groups coincide exactly with payload equality,
+    // giving group sizes/keepers an exact SQL oracle; the hash VALUE is
+    // not SQL-computable and its robustness (identity / small-edit
+    // Hamming) is MultimodalSpec's job. ----
     QueryDef(
       "x_mm_phash_dedup",
       (s, d) => {
@@ -286,12 +294,19 @@ object Multimodal extends QueryRegistry {
           docs.where(col("doc_id") % 9 === 0)
             .withColumn("doc_id", col("doc_id") + 20000000L))
         media.union(twins)
-          .map(r => (r.doc_id, aHash(r.media)))
-          .toDF("doc_id", "phash")
-          .groupBy(col("phash"))
+          .map(r => (r.doc_id, aHash(r.media), r.media))
+          .toDF("doc_id", "phash", "media")
+          .groupBy(col("phash"), md5(col("media")).as("digest"))
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
           .where(col("n_dups") > 1)
+          .select(col("n_dups"), col("keeper"))
       },
-      None)
+      Some("""WITH m AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000000, text FROM documents
+             |  WHERE doc_id % 9 = 0)
+             |SELECT count(*) AS n_dups, min(doc_id) AS keeper
+             |FROM m GROUP BY text HAVING count(*) > 1""".stripMargin))
   )
 }

@@ -262,17 +262,19 @@ object Aggregates extends QueryRegistry {
 
     // ---- sumKahan (CH): compensated summation through the mergeable-
     // state Aggregator path (partial per partition, compensation carried
-    // through merge). Float results legitimately differ from a naive
-    // engine sum in the low bits → rows-only verify; the adversarial
-    // case where naive summation is WRONG is pinned in FunctionsSpec. --
+    // through merge). Oracled against DuckDB's own compensated sum
+    // (`fsum`), rounded to cents — two Kahan sums agree to ~1 ulp of
+    // the total, far inside the rounding. The adversarial case where a
+    // NAIVE engine sum is wrong stays pinned in FunctionsSpec. ----
     QueryDef(
       "b_agg39_kahan_sum",
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(graft.functions.StateAggregates.sumKahan(col("l_extendedprice"))
-            .as("ksum")),
-      None),
+          .agg(round(graft.functions.StateAggregates.sumKahan(
+            col("l_extendedprice")), 2).as("ksum")),
+      Some("""SELECT l_returnflag, round(fsum(l_extendedprice), 2) AS ksum
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- quantiles(...) ARRAY form (CH's plural quantiles returns one
     // array per group): exact interpolated percentiles over integer

@@ -1260,11 +1260,14 @@ object Analytics extends QueryRegistry {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- largestTriangleThreeBuckets (CH): per-user downsample of the
-    // value series to 20 visually-representative points. Selection is not
-    // SQL-expressible → rows-only verify (count deterministic:
-    // min(n, 20) per user); the kernel's semantics are asserted in
-    // AnalyticsSpec (endpoints kept, spike retention, pass-through).
-    // One shuffle on user_id; per-series working set = that series only.
+    // value series to 20 visually-representative points, then a summary
+    // row per user exposing the operator's SQL-checkable INVARIANTS:
+    // LTTB always keeps both endpoints and emits min(n, 20) points, so
+    // (n_kept, t_first, t_last) have an exact oracle over the raw
+    // series. Interior selection is not SQL-expressible; its semantics
+    // (spike retention, pass-through, bucket walk) are pinned in
+    // AnalyticsSpec. One shuffle on user_id; per-series working set =
+    // that series only.
     QueryDef(
       "b_fun6_lttb",
       (s, d) => {
@@ -1281,8 +1284,16 @@ object Analytics extends QueryRegistry {
             keep.iterator.map(i => (uid, pts(i)._2, pts(i)._3))
           }
           .toDF("user_id", "t", "value")
+          // summary over the KEPT points: equals the raw-series oracle
+          // only if the kernel kept the endpoints and min(n,20) points
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("t")).as("t_first"), max(col("t")).as("t_last"))
       },
-      None)
+      Some("""SELECT user_id, CAST(least(count(*), 20) AS BIGINT) AS n_kept,
+             |  min(epoch_ns(ts) // 1000) AS t_first,
+             |  max(epoch_ns(ts) // 1000) AS t_last
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 
   /** Largest-Triangle-Three-Buckets downsampling kernel (CH

@@ -201,19 +201,28 @@ object Enrich extends QueryRegistry {
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
     // ---- geohashEncode / geohashDecode (CH geo tier 2): base32 geohash
-    // of the same synthetic coordinates b_geo1 uses, plus the decoded
-    // cell center. Encoding is bit-interleaving — no SQL oracle →
-    // rows-only; EnrichSpec pins public golden vectors (Wikipedia's
-    // u4pruydqqvj) and the encode∘decode fixpoint. Typed map kernel,
-    // pure per-row, zero shuffle. ----
+    // per customer row over an 8-coordinate grid (Wikipedia's u4pruyd
+    // vector among them), plus the decoded cell center. Encoding is
+    // bit-interleaving — not SQL-computable — so the oracle joins the
+    // table against golden vectors generated by an INDEPENDENT
+    // textbook implementation (bisection alg, checked against the
+    // public u4pruyd test vector); EnrichSpec additionally pins the
+    // encode∘decode fixpoint. Typed map kernel, pure per-row, zero
+    // shuffle. ----
     QueryDef(
       "b_geo2_geohash",
       (s, d) => {
         import s.implicits._
-        val lat = (col("c_custkey") * 7 % 17000).cast("double") / 100.0 - 85.0
-        val lon = (col("c_custkey") * 13 % 35000).cast("double") / 100.0 - 175.0
+        val grid = Seq(
+          (57.64911, 10.40744), (0.0, 0.0), (-33.8688, 151.2093),
+          (40.7128, -74.0060), (-89.9, -179.9), (89.9, 179.9),
+          (48.8566, 2.3522), (19.4326, -99.1332))
+        val latArr = array(grid.map(c => lit(c._1)): _*)
+        val lonArr = array(grid.map(c => lit(c._2)): _*)
+        val m = (col("c_custkey") % 8 + 1).cast("int")
         t(s, d, "customer")
-          .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+          .select(col("c_custkey"),
+            element_at(latArr, m).as("lat"), element_at(lonArr, m).as("lon"))
           .as[(Long, Double, Double)]
           .map { case (k, la, lo) =>
             val h = GeoKernel.geohashEncode(la, lo, 7)
@@ -224,7 +233,20 @@ object Enrich extends QueryRegistry {
           }
           .toDF("c_custkey", "geohash", "cell_lat", "cell_lon")
       },
-      None)
+      // golden vectors from the independent reference implementation
+      Some("""SELECT c_custkey, v.geohash, v.cell_lat, v.cell_lon
+             |FROM customer
+             |JOIN (VALUES
+             |  (0, 'u4pruyd', 57.6487, 10.4075),
+             |  (1, 's000000', 0.0007, 0.0007),
+             |  (2, 'r3gx2f7', -33.8688, 151.2096),
+             |  (3, 'dr5regw', 40.7133, -74.006),
+             |  (4, '0000d60', -89.9004, -179.9004),
+             |  (5, 'zzzzmtz', 89.9004, 179.9004),
+             |  (6, 'u09tvw0', 48.8569, 2.3518),
+             |  (7, '9g3w81t', 19.4328, -99.1331)
+             |) v(m, geohash, cell_lat, cell_lon)
+             |ON c_custkey % 8 = v.m""".stripMargin))
   )
 
   /** Geohash codec (public algorithm: interleaved lat/lon bisection,

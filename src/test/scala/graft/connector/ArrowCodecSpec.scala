@@ -82,6 +82,68 @@ class ArrowCodecSpec extends SparkSpec {
       rows(2).getLong(2) === 7L && rows(2).getDecimal(3, 20, 0).toString === "7")
   }
 
+  test("Large/View layouts normalize to the standard types on ingest") {
+    // the reference's ingest normalization (README.md:205-209,
+    // src/arrow/types.rs:137): LargeUtf8 / LargeBinary / LargeList /
+    // Utf8View data built by external producers round-trips as the
+    // standard Spark string / binary / array types
+    import org.apache.arrow.vector.{LargeVarBinaryVector, LargeVarCharVector, ViewVarCharVector}
+    import org.apache.arrow.vector.complex.LargeListVector
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    val allocator = ArrowCodec.rootAllocator.newChildAllocator("large-test", 0, Long.MaxValue)
+
+    val lu = new LargeVarCharVector("lu", allocator)
+    lu.allocateNew()
+    lu.setSafe(0, "alpha".getBytes); lu.setNull(1); lu.setSafe(2, "gamma".getBytes)
+    lu.setValueCount(3)
+
+    val lb = new LargeVarBinaryVector("lb", allocator)
+    lb.allocateNew()
+    lb.setSafe(0, Array[Byte](1, 2)); lb.setSafe(1, Array[Byte]()); lb.setNull(2)
+    lb.setValueCount(3)
+
+    val vv = new ViewVarCharVector("vv", allocator)
+    vv.allocateNew()
+    // one short (inline view) and one long (buffer view) value
+    vv.setSafe(0, "hi".getBytes)
+    vv.setSafe(1, "a-string-well-over-twelve-bytes".getBytes)
+    vv.setNull(2)
+    vv.setValueCount(3)
+
+    val ll = LargeListVector.empty("ll", allocator)
+    ll.allocateNew()
+    val lw = ll.getWriter
+    lw.setPosition(0); lw.startList(); lw.bigInt.writeBigInt(1L); lw.bigInt.writeBigInt(2L); lw.endList()
+    lw.setPosition(1); lw.startList(); lw.endList() // empty list
+    lw.setPosition(2); lw.startList(); lw.bigInt.writeBigInt(7L); lw.endList()
+    ll.setValueCount(3)
+
+    val vectors = List[FieldVector](lu, lb, vv, ll)
+    val root = new VectorSchemaRoot(
+      vectors.map(_.getField).asJava, vectors.asJava, 3)
+    val bos = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, bos)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    root.close()
+    allocator.close()
+
+    val (schema, rows) = ArrowCodec.decode(bos.toByteArray)
+    assert(schema.fields.map(f => f.name -> f.dataType).toSeq === Seq(
+      "lu" -> StringType, "lb" -> BinaryType, "vv" -> StringType,
+      "ll" -> ArrayType(LongType)))
+    assert(rows.length === 3)
+    assert(rows(0).getUTF8String(0).toString === "alpha")
+    assert(rows(1).isNullAt(0) && rows(2).getUTF8String(0).toString === "gamma")
+    assert(rows(0).getBinary(1).toSeq === Seq[Byte](1, 2))
+    assert(rows(1).getBinary(1).isEmpty && rows(2).isNullAt(1))
+    assert(rows(0).getUTF8String(2).toString === "hi")
+    assert(rows(1).getUTF8String(2).toString === "a-string-well-over-twelve-bytes")
+    assert(rows(2).isNullAt(2))
+    assert(rows(0).getArray(3).toLongArray.toSeq === Seq(1L, 2L))
+    assert(rows(1).getArray(3).numElements() === 0)
+    assert(rows(2).getArray(3).toLongArray.toSeq === Seq(7L))
+  }
+
   test("empty stream (schema only) decodes to zero rows") {
     val spark0 = spark // touch the session so codec allocators initialize consistently
     val schema = StructType(Seq(StructField("x", StringType)))
