@@ -59,24 +59,34 @@ object Sessions {
 
 /** Fixture-table loader (TESTDATA.md): every table is one parquet file.
   *
-  * Session requirement: `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (set by [[Sessions]]) — `events.ts` is parquet TIMESTAMP(NANOS), which
-  * Spark's µs TimestampType rejects outright; with the conf the column
-  * arrives as a raw int64 and is truncated ns → µs here (integral DIV — a
-  * double roundtrip would lose precision above 2^53).
+  * `events.ts` normalization is SCHEMA-AWARE because the driver fixture
+  * has shipped the column in two physical forms across rounds:
+  *  - parquet TIMESTAMP(NANOS): Spark's µs TimestampType rejects it
+  *    outright, so `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+  *    [[Sessions]]) lands it as raw int64 and it is truncated ns → µs
+  *    here (integral DIV — a double roundtrip would lose precision
+  *    above 2^53);
+  *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+  *    TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
+  *    wall-clock reading IS the instant and a cast to TimestampType
+  *    yields the same values the nanos-era loader produced.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -215,8 +215,10 @@ object ConnectorQueries extends QueryRegistry {
     // pinned in SystemCatalogSpec. ----
     // ---- Variant transport (dense-union wire form, reference
     // arrow/types.rs:483 + e2e new_types.rs:125): the scan materializes
-    // the §1.2 tagged struct. Wire form has no DuckDB analog →
-    // rows-only; value semantics pinned in VariantTransportSpec. ----
+    // the §1.2 tagged struct. The stub fixture is closed-form (odd rows
+    // carry Int64 i, even rows String "s<i>" — StubCHServer
+    // .loadVariantTable), so the oracle reproduces the Int64 slice by
+    // construction; a wire-decode defect breaks the hash. ----
     QueryDef(
       "b_src22_variant_scan",
       (s, d) => {
@@ -228,7 +230,9 @@ object ConnectorQueries extends QueryRegistry {
           .selectExpr("v.variant_type AS vt", "v.v0 AS s_val", "v.v1 AS i_val")
           .where("v.variant_type = 'Int64'")
       },
-      None),
+      Some("""SELECT 'Int64' AS vt, CAST(NULL AS VARCHAR) AS s_val,
+             |  CAST(2 * i + 1 AS BIGINT) AS i_val
+             |FROM range(10) t(i)""".stripMargin)),
 
     // ---- Enum8 transport (reference `arrow/types.rs:471-474`): the
     // wire is Dictionary(Int8, Utf8) with the declared name↔code map in
@@ -267,9 +271,10 @@ object ConnectorQueries extends QueryRegistry {
 
     // ---- Dynamic transport (runtime-typed column): dense union tagged
     // ch.type=Dynamic; the scan surfaces the reference's observable read
-    // form — stringified value + type name (new_types.rs:242-296). Wire
-    // form has no DuckDB analog → rows-only; semantics pinned in
-    // WireTypesSpec. ----
+    // form — stringified value + type name (new_types.rs:242-296). The
+    // stub fixture is closed-form (i%3==0 → String "dyn<i>", i%3==1 →
+    // Int64 i·10, i%3==2 → NULL — StubCHServer.loadDynamicTable), so the
+    // oracle reproduces the non-null rows by construction. ----
     QueryDef(
       "b_src23_dynamic_scan",
       (s, d) => {
@@ -280,27 +285,39 @@ object ConnectorQueries extends QueryRegistry {
           .selectExpr("dyn.dynamic_type AS dtype", "dyn.value AS v")
           .where("dyn.dynamic_type IS NOT NULL")
       },
-      None),
+      Some("""SELECT CASE WHEN i % 3 = 0 THEN 'String' ELSE 'Int64' END AS dtype,
+             |  CASE WHEN i % 3 = 0 THEN 'dyn' || CAST(i AS VARCHAR)
+             |       ELSE CAST(i * 10 AS VARCHAR) END AS v
+             |FROM range(30) t(i) WHERE i % 3 < 2""".stripMargin)),
 
     // ---- BFloat16 / Time / Time64 transport (`values.rs:105-111`):
     // u16 raw bits widen to Float32, time-of-day vectors widen to
-    // seconds/micros. No DuckDB analog for the wire forms → rows-only;
-    // exact values pinned in WireTypesSpec. ----
+    // seconds/micros. The stub fixture is closed-form (row i: bf16 bits
+    // of i·0.5 — exact in bf16 for i<50 —, i minutes as seconds, same
+    // instant in micros — StubCHServer.loadScalarWireTable), so the
+    // oracle reproduces the decoded values by construction; `aligned`
+    // proves the two clocks agree row-by-row. ----
     QueryDef(
       "b_val7_time_bf16_transport",
       (s, d) => {
         val srv = serverFor(s, d)
         srv.loadScalarWireTable("scalars_q", 50)
-        // `aligned` proves the two clocks agree row-by-row; computed as
-        // a column, not a filter — a filter's inferred IS NOT NULL would
-        // push a WHERE the verbatim raw-Arrow table refuses to evaluate
+        // `aligned` is computed as a column, not a filter — a filter's
+        // inferred IS NOT NULL would push a WHERE the verbatim raw-Arrow
+        // table refuses to evaluate
         s.read.format("graft-ch")
           .option("url", srv.url).option("table", "scalars_q").load()
           .selectExpr("bf", "t", "t64",
             "t64 = CAST(t AS BIGINT) * 1000000 AS aligned")
       },
-      None),
+      Some("""SELECT CAST(i * 0.5 AS FLOAT) AS bf, CAST(i * 60 AS INTEGER) AS t,
+             |  CAST(i * 60000000 AS BIGINT) AS t64, true AS aligned
+             |FROM range(50) t(i)""".stripMargin)),
 
+    // ---- system.tables/columns introspection: the dumped view's schema
+    // is the fixed nation fixture schema, so the catalog listing is
+    // deterministic and pinned as a golden vector (SystemCatalogSpec
+    // covers the wider surface: functions/settings/one/numbers). ----
     QueryDef(
       "b_sys1_system_tables",
       (s, d) => {
@@ -312,6 +329,10 @@ object ConnectorQueries extends QueryRegistry {
             |WHERE t.name = 'nation_sys_v'
             |ORDER BY c.position""".stripMargin)
       },
-      None)
+      Some("""SELECT 'nation_sys_v' AS table_name, col, "type",
+             |  CAST(position AS INTEGER) AS position
+             |FROM (VALUES ('n_nationkey', 'int', 1), ('n_name', 'string', 2),
+             |             ('n_regionkey', 'int', 3)) AS t(col, "type", position)"""
+        .stripMargin))
   )
 }

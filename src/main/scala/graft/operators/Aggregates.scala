@@ -66,14 +66,26 @@ object Aggregates extends QueryRegistry {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- B-AGG3: approximate distinct (HLL++, ClickHouse `uniq`) ----
-    // Approximate → no SQL oracle; bounds asserted in AggregatesSpec.
+    // Oracled as an accuracy contract: the estimate itself is engine-
+    // specific, but |est − exact| ≤ 5%·exact is checkable cross-engine —
+    // DuckDB recomputes the exact side independently and pins the flag.
+    // rsd=0.01 puts the estimate ~50× inside the bound (AggregatesSpec
+    // still asserts the tighter rsd-level accuracy).
     QueryDef(
       "b_agg3_approx_distinct",
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd_part")),
-      None),
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_exact"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("est"))
+          .select(col("l_returnflag"), col("nd_exact"),
+            (abs(col("est") - col("nd_exact"))
+              <= col("nd_exact") * lit(0.05)).as("within_5pct")),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+             |  true AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- B-AGG4: quantiles (exact interpolated percentile) ----
     QueryDef(
@@ -247,18 +259,34 @@ object Aggregates extends QueryRegistry {
              |  bit_or(event_id) AS bor, bit_xor(event_id) AS bxor
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- uniqState/uniqMerge (CH `-State`/`-Merge` combinators) via
+    // Datasketches HLL: partial sketches per (flag, bucket), merged to a
+    // final estimate per flag. Oracled as an accuracy contract (like
+    // b_agg3): DuckDB recomputes the exact distinct count; the merged
+    // estimate must land within 5% (Datasketches lgK=12 ⇒ ~1.6% rse). ----
     QueryDef(
       "b_agg10_hll_state",
-      (s, d) =>
-        t(s, d, "lineitem")
+      (s, d) => {
+        val est = t(s, d, "lineitem")
           // partial per (flag, order-bucket): the "-State" half
           .withColumn("bucket", pmod(col("l_orderkey"), lit(16)))
           .groupBy(col("l_returnflag"), col("bucket"))
           .agg(hll_sketch_agg(col("l_partkey")).as("state"))
           // merge to final per flag: the "-Merge" half
           .groupBy(col("l_returnflag"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("nd_part_est")),
-      None),
+          .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("est"))
+        val exact = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+        est.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("nd_exact"),
+            (abs(col("est") - col("nd_exact"))
+              <= col("nd_exact") * lit(0.05)).as("within_5pct"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+             |  true AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- sumKahan (CH): compensated summation through the mergeable-
     // state Aggregator path (partial per partition, compensation carried
@@ -296,6 +324,36 @@ object Aggregates extends QueryRegistry {
              |    quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
              |                  [0.1, 0.5, 0.9]),
              |    x -> CAST(round(x, 2) AS VARCHAR)), ',') AS q_arr
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- quantileTDigest-style SKETCH quantile (the 100-TB path the
+    // exact Spectrum queries (b_agg31/b_agg40) deliberately don't take):
+    // Spark's ApproximatePercentile is the built-in mergeable
+    // constant-state quantile sketch — partials per partition, merged
+    // state, no corpus-sized shuffle. Oracled as an accuracy contract:
+    // DuckDB pins the exact p50 and the estimates must land inside the
+    // exact [p45,p55] / [p93,p97] rank windows (accuracy=10000 ⇒ rank
+    // error ≤ 0.01 percentile, ~500× inside the bound). ----
+    QueryDef(
+      "b_agg48_sketch_quantile",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("e50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("e95"),
+            expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+            expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+            expr("percentile(l_extendedprice, 0.93)").as("lo95"),
+            expr("percentile(l_extendedprice, 0.97)").as("hi95"))
+          .select(col("l_returnflag"), col("p50_exact"),
+            col("e50").between(col("lo50"), col("hi50")).as("ok50"),
+            col("e95").between(col("lo95"), col("hi95")).as("ok95"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+             |  true AS ok50, true AS ok95
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- Shannon entropy of a column's value distribution (CH

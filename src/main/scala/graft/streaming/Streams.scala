@@ -19,15 +19,16 @@ object Streams {
 
   /** B-STR1: incremental consumption of the events table as a file-source
     * stream. Schema comes from a batch probe of the same path (a stream
-    * source cannot infer), with the same ns → µs timestamp normalization
-    * as `Tables.t`.
+    * source cannot infer), with the same schema-aware ts normalization
+    * as `Tables.t` (the fixture has shipped ts as both TIMESTAMP(NANOS)
+    * and TIMESTAMP(MICROS) across rounds).
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.parquet(path).schema
-    spark.readStream
-      .schema(raw)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(raw)
+        .parquet(path))
   }
 
   /** B-STR2 + B-STR4: tumbling 1-hour event-time window with a 1-hour

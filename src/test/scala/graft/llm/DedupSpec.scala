@@ -21,6 +21,16 @@ class DedupSpec extends SparkSpec {
     assert(extras.size <= exact.size / 2, s"too many false positives: $extras")
   }
 
+  test("band candidates are a recall-1 superset of exact pairs (16x2 banding)") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val exact = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+    val cands = pairsOf(Dedup.minhashBandCandidates(docs, k = 32, bands = 16))
+    assert(exact.nonEmpty)
+    // the x_dedup_minhash oracle depends on this inclusion: verified
+    // candidates == exact pairs only while banding recall stays 1
+    assert((exact -- cands).isEmpty, s"banding missed: ${exact -- cands}")
+  }
+
   test("simhash near-dup pairs are a subset-superset match of exact pairs") {
     val docs = Tables.t(spark, sf001, "documents")
     val exact = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
