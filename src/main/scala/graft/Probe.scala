@@ -1,0 +1,60 @@
+package graft.llm
+
+import graft.{Sessions, Tables}
+
+import org.apache.spark.sql.functions._
+
+/** Temporary threshold-calibration probe for the accuracy-contract
+  * oracles (langid accuracy, ANN recalls, LM separation) — run at
+  * sf0.01, read the numbers, set contract thresholds with margin.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Sessions.local("16", "16")
+    import spark.implicits._
+
+    val docs = Tables.t(spark, d, "documents")
+    val emb = Tables.t(spark, d, "embeddings")
+
+    // langid accuracy per true lang + overall
+    val pred = TextOps.languageId(docs)
+    pred.groupBy("true_lang")
+      .agg(count(lit(1)).as("n"),
+        avg(when(col("pred_lang") === col("true_lang"), 1.0).otherwise(0.0)).as("acc"))
+      .orderBy("true_lang").show(50, false)
+
+    // lm separation: real vs reversed text
+    val real = TextOps.lmScore(docs)
+      .agg(avg("avg_logp")).first().getDouble(0)
+    val gib = TextOps.lmScore(
+      docs.withColumn("text", reverse(col("text"))))
+      .agg(avg("avg_logp")).first().getDouble(0)
+    println(s"PROBE lm real=$real reversed=$gib sep=${real - gib}")
+
+    // ANN recalls vs brute
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, q, 5))
+    def rec(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = pairs(df)
+      println(s"PROBE recall $name = ${(brute intersect p).size.toDouble / brute.size}")
+    }
+    rec("lsh", Similarity.lshTopK(emb, q, k = 5, tables = 8, bits = 6))
+    rec("ivf", Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4))
+    rec("pq", Similarity.pqTopK(emb, q, k = 5, m = 8, ksub = 16))
+
+    // embed LSH + semantic recall vs exact pairs
+    def ppairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ppairs(Similarity.embedDupPairsExact(emb, 0.4))
+    val lshp = ppairs(Similarity.embedDupPairsLsh(emb, 0.4, 16, 5))
+    val semp = ppairs(Similarity.semanticDupPairs(emb, 0.4, 8, 2, 3))
+    println(s"PROBE embed exact=${exact.size} lsh_recall=${(exact intersect lshp).size.toDouble / exact.size} lsh_fp=${(lshp -- exact).size}")
+    println(s"PROBE semantic recall=${(exact intersect semp).size.toDouble / exact.size} fp=${(semp -- exact).size}")
+
+    spark.stop()
+    System.exit(0)
+  }
+}

