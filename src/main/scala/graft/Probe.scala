@@ -4,9 +4,11 @@ import graft.{Sessions, Tables}
 
 import org.apache.spark.sql.functions._
 
-/** Temporary threshold-calibration probe for the accuracy-contract
-  * oracles (langid accuracy, ANN recalls, LM separation) — run at
-  * sf0.01, read the numbers, set contract thresholds with margin.
+/** Threshold-calibration probe for the accuracy-contract oracles
+  * (langid accuracy, ANN recalls, LM separation, pair recalls): prints
+  * the measured metrics at a given fixture dir so contract floors can
+  * be set (and later re-audited) with explicit margin below them.
+  * The floors currently shipped in Similarity/Dedup cite these numbers.
   */
 object Probe {
   def main(args: Array[String]): Unit = {

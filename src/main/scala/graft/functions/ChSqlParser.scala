@@ -97,6 +97,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                 Spark's star grammar has EXCEPT but
   *                                 not REPLACE; replaced columns move to
   *                                 the end (reference by name)
+  *   SELECT [DISTINCT] TOP n …   → `… LIMIT n` (top-level SELECT only;
+  *                                 TOP in a subquery, TOP+LIMIT, and
+  *                                 `WITH TIES` fail loudly instead of
+  *                                 guessing placement)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -243,7 +247,7 @@ object ChSqlRewrite {
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
-        rewriteStarApply(rewriteGlobal(hinted, globalWideWords)))))))))
+        rewriteStarApply(rewriteTop(rewriteGlobal(hinted, globalWideWords))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -927,6 +931,90 @@ object ChSqlRewrite {
   private val globalJoinWords = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
   private val globalWideWords =
     globalJoinWords ++ Set("IN", "NOT", "ANY", "ALL", "ASOF", "SEMI", "ANTI")
+
+  // ----------------------------------------------------------------- TOP
+
+  /** CH `SELECT [DISTINCT] TOP n …` → the same query with ` LIMIT n`
+    * appended. Rescue-tier (the phrase never parses in Spark: an
+    * identifier followed by an integer is not a select list), and
+    * deliberately narrow: only the top-level SELECT is rewritten — a TOP
+    * inside a subquery, a TOP combined with an existing LIMIT, or CH's
+    * `TOP n WITH TIES` fail loudly rather than guess placement (use
+    * LIMIT / the b_lim3 window form). */
+  private def rewriteTop(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("SELECT")) {
+          var p = skipWs(sql, i)
+          val (w1, e1) = readWord(sql, p)
+          if (w1.equalsIgnoreCase("DISTINCT") || w1.equalsIgnoreCase("ALL"))
+            p = skipWs(sql, e1)
+          val (w2, e2) = readWord(sql, p)
+          if (w2.equalsIgnoreCase("TOP")) {
+            val q = skipWs(sql, e2)
+            var e3 = q
+            while (e3 < n && Character.isDigit(sql.charAt(e3))) e3 += 1
+            if (e3 > q) {
+              val limit = sql.substring(q, e3)
+              val after = skipWs(sql, e3)
+              val (w4, e4) = readWord(sql, after)
+              if (w4.equalsIgnoreCase("WITH")) {
+                val (w5, _) = readWord(sql, skipWs(sql, e4))
+                if (w5.equalsIgnoreCase("TIES"))
+                  throw new org.apache.spark.sql.AnalysisException(
+                    errorClass = "_LEGACY_ERROR_TEMP_3100",
+                    messageParameters = Map("message" ->
+                      ("graft: TOP n WITH TIES has no faithful LIMIT rewrite; " +
+                        "use the rank()<=n window form (b_lim3)")))
+              }
+              if (depth > 0)
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_TEMP_3100",
+                  messageParameters = Map("message" ->
+                    "graft: TOP inside a subquery is not supported; use LIMIT"))
+              if (hasKeywordOutside(sql, "LIMIT"))
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_TEMP_3100",
+                  messageParameters = Map("message" ->
+                    "graft: TOP cannot combine with LIMIT (same as ClickHouse)"))
+              return sql.substring(0, p) + sql.substring(skipWs(sql, e3)) +
+                s" LIMIT $limit"
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  /** True when `word` appears as a bare keyword outside quotes/comments. */
+  private def hasKeywordOutside(sql: String, word: String): Boolean = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase(word)) return true
+      } else i += 1
+    }
+    false
+  }
 
   private def rewriteGlobal(sql: String, followers: Set[String]): String = {
     val n = sql.length

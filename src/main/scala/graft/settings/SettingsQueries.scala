@@ -436,6 +436,21 @@ object SettingsQueries extends QueryRegistry {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 10""".stripMargin)),
 
+    // ---- CH `SELECT TOP n` (rescue tier: the phrase never parses in
+    // Spark) → the same query with LIMIT n appended; subquery/WITH TIES/
+    // LIMIT-combined shapes fail loudly (ChDialectSpec). ----
+    QueryDef(
+      "b_sql31_top",
+      (s, d) => {
+        Tables.t(s, d, "nation").createOrReplaceTempView("nation_top_v")
+        s.sql(
+          """SELECT TOP 5 n_name, n_regionkey
+            |FROM nation_top_v
+            |ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, n_regionkey FROM nation
+             |ORDER BY n_name LIMIT 5""".stripMargin)),
+
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the
     // convention the API form (b_agg11_with_totals) established. ----

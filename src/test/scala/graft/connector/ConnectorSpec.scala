@@ -318,6 +318,16 @@ class ConnectorSpec extends SparkSpec {
       spark.sql("ALTER TABLE chtest.altt DROP COLUMN score")
       assert(spark.table("chtest.altt").schema.fieldNames.toSeq === Seq("id", "label"))
 
+      // CTAS: CREATE TABLE ... AS SELECT lands as CH CREATE + an Arrow
+      // insert of the query result (Spark's non-atomic DSv2 CTAS path —
+      // the reference flow `create_table` + `insert_many` as one text
+      // statement)
+      spark.sql(
+        "CREATE TABLE chtest.ctas AS SELECT id, label FROM chtest.altt WHERE id = 1")
+      assert(srv.queries.exists(q => q.startsWith("CREATE TABLE") && q.contains("`ctas`")))
+      assert(spark.table("chtest.ctas").collect().map(_.getString(1)).toSeq === Seq("a"))
+      spark.sql("DROP TABLE chtest.ctas")
+
       // OPTIMIZE TABLE passthrough; DEDUPLICATE collapses full-row dups
       spark.sql("INSERT INTO chtest.altt VALUES (1, 'a'), (1, 'a'), (3, 'c')")
       val before = srv.rowCount("altt")

@@ -424,6 +424,32 @@ class ChDialectSpec extends SparkSpec {
     assert(ChSqlRewrite("EXPLAIN FORMATTED SELECT 1") === "EXPLAIN FORMATTED SELECT 1")
   }
 
+  test("CH SELECT TOP n rewrites to LIMIT; unsafe shapes fail loudly") {
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT TOP 5 a, b FROM t ORDER BY a")
+      === "SELECT a, b FROM t ORDER BY a LIMIT 5")
+    assert(rw("SELECT DISTINCT TOP 3 a FROM t")
+      === "SELECT DISTINCT a FROM t LIMIT 3")
+    // column literally named `top` (no following integer) is untouched
+    assert(rw("SELECT TOP FROM t") === "SELECT TOP FROM t")
+    // the quoted word `limit` in a string must NOT trip the TOP+LIMIT guard
+    assert(rw("SELECT TOP 2 a FROM t WHERE b <> 'limit'")
+      === "SELECT a FROM t WHERE b <> 'limit' LIMIT 2")
+    // loud failures: WITH TIES, subquery placement, TOP combined with LIMIT
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT TOP 3 WITH TIES a FROM t ORDER BY a")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT x FROM (SELECT TOP 3 x FROM t) q")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT TOP 3 a FROM t LIMIT 5")
+    }
+    // end-to-end through spark.sql
+    spark.range(10).selectExpr("id AS a").createOrReplaceTempView("chtop")
+    assert(spark.sql("SELECT TOP 4 a FROM chtop ORDER BY a DESC").count() === 4L)
+  }
+
   test("CH ARRAY JOIN clause rewrites onto LATERAL VIEW explode") {
     def rw(s: String): String = ChSqlRewrite.rescue(s).sql
     assert(rw("SELECT id, x FROM t ARRAY JOIN tags AS x WHERE x <> ''")
