@@ -101,6 +101,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *                                 TOP in a subquery, TOP+LIMIT, and
   *                                 `WITH TIES` fail loudly instead of
   *                                 guessing placement)
+  *   [OFFSET o ROWS] FETCH FIRST m ROWS ONLY (query tail)
+  *                               → `LIMIT m [OFFSET o]`; `WITH TIES`
+  *                                 fails loudly
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -247,7 +250,7 @@ object ChSqlRewrite {
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
-        rewriteStarApply(rewriteTop(rewriteGlobal(hinted, globalWideWords))))))))))
+        rewriteStarApply(rewriteFetchFirst(rewriteTop(rewriteGlobal(hinted, globalWideWords)))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -931,6 +934,34 @@ object ChSqlRewrite {
   private val globalJoinWords = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
   private val globalWideWords =
     globalJoinWords ++ Set("IN", "NOT", "ANY", "ALL", "ASOF", "SEMI", "ANTI")
+
+  // -------------------------------------------------------- FETCH FIRST
+
+  /** Standard-SQL fetch clause, which CH accepts and Spark does not:
+    * `[OFFSET o ROW[S]] FETCH FIRST|NEXT m ROW[S] ONLY` (query tail) →
+    * `LIMIT m [OFFSET o]`. Rescue-tier; `WITH TIES` fails loudly (no
+    * faithful LIMIT form — use the rank()<=n window, b_lim3). */
+  private def rewriteFetchFirst(sql: String): String = {
+    if (!hasKeywordOutside(sql, "FETCH")) return sql
+    fetchTail.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        if (m.group("ties") != null)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3100",
+            messageParameters = Map("message" ->
+              ("graft: FETCH FIRST ... WITH TIES has no faithful LIMIT " +
+                "rewrite; use the rank()<=n window form (b_lim3)")))
+        val off = Option(m.group("off")).map(o => s" OFFSET $o").getOrElse("")
+        sql.substring(0, m.start).replaceAll("\\s+$", "") +
+          s" LIMIT ${m.group("m")}$off"
+      case None => sql
+    }
+  }
+
+  private val fetchTail =
+    ("""(?is)(?:\bOFFSET\s+(?<off>\d+)\s+ROWS?\s+)?""" +
+      """\bFETCH\s+(?:FIRST|NEXT)\s+(?<m>\d+)\s+ROWS?\s+""" +
+      """(?:ONLY|(?<ties>WITH\s+TIES))\s*$""").r
 
   // ----------------------------------------------------------------- TOP
 

@@ -451,6 +451,21 @@ object SettingsQueries extends QueryRegistry {
       Some("""SELECT n_name, n_regionkey FROM nation
              |ORDER BY n_name LIMIT 5""".stripMargin)),
 
+    // ---- standard-SQL `OFFSET ... FETCH FIRST ... ONLY` tail (CH
+    // accepts it; Spark does not) → LIMIT/OFFSET via the rescue tier ----
+    QueryDef(
+      "b_sql32_fetch_first",
+      (s, d) => {
+        Tables.t(s, d, "customer").createOrReplaceTempView("customer_ff_v")
+        s.sql(
+          """SELECT c_custkey, c_name
+            |FROM customer_ff_v
+            |ORDER BY c_custkey
+            |OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)),
+
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the
     // convention the API form (b_agg11_with_totals) established. ----

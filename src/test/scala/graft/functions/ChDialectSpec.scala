@@ -450,6 +450,25 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT TOP 4 a FROM chtop ORDER BY a DESC").count() === 4L)
   }
 
+  test("standard-SQL FETCH FIRST tail rewrites to LIMIT/OFFSET") {
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT a FROM t ORDER BY a FETCH FIRST 7 ROWS ONLY")
+      === "SELECT a FROM t ORDER BY a LIMIT 7")
+    assert(rw("SELECT a FROM t ORDER BY a OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY")
+      === "SELECT a FROM t ORDER BY a LIMIT 7 OFFSET 3")
+    assert(rw("SELECT a FROM t ORDER BY a FETCH FIRST 1 ROW ONLY")
+      === "SELECT a FROM t ORDER BY a LIMIT 1")
+    // not a query tail → untouched (only the CH clause position rewrites)
+    assert(rw("SELECT fetch FROM t") === "SELECT fetch FROM t")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS WITH TIES")
+    }
+    spark.range(10).selectExpr("id AS a").createOrReplaceTempView("chfetch")
+    assert(spark.sql(
+      "SELECT a FROM chfetch ORDER BY a OFFSET 2 ROWS FETCH FIRST 4 ROWS ONLY")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L, 5L))
+  }
+
   test("CH ARRAY JOIN clause rewrites onto LATERAL VIEW explode") {
     def rw(s: String): String = ChSqlRewrite.rescue(s).sql
     assert(rw("SELECT id, x FROM t ARRAY JOIN tags AS x WHERE x <> ''")
