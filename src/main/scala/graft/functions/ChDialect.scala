@@ -330,6 +330,69 @@ object ChDialect {
           LambdaFunction(out, Seq(out))),
         Cast(Size(a.head), DoubleType)) },
     fn("arrayEnumerate", 1) { a => new Sequence(Literal(1), Size(a.head)) },
+    // consecutive-duplicate collapse: keep slot i (0-based lambda index)
+    // iff i == 0 or the element differs from its predecessor (1-based
+    // element_at(i) IS the predecessor); If keeps the element_at branch
+    // unevaluated at i=0, where ANSI element_at(0) would throw
+    fn("arrayCompact", 1) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ac_x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("ac_i"))
+      ArrayFilter(a.head, LambdaFunction(
+        If(EqualTo(i, Literal(0)), Literal(true),
+          Not(EqualNullSafe(x, ElementAt(a.head, i)))), Seq(x, i))) },
+
+    // ---- round-7 coverage-audit tail (common CH spellings) ----
+    fn("timezone", 0) { _ => CurrentTimeZone() },
+    fn("currentDatabase", 0) { _ => CurrentDatabase() },
+    fn("isFinite", 1) { a =>
+      val d = Cast(a.head, DoubleType)
+      And(Not(IsNaN(d)),
+        Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity)))) },
+    fn("isInfinite", 1) { a =>
+      EqualTo(Abs(Cast(a.head, DoubleType)), Literal(Double.PositiveInfinity)) },
+    fn("toISOWeek", 1) { a => WeekOfYear(Cast(a.head, DateType)) },
+    fn("toISOYear", 1) { a => YearOfWeek(Cast(a.head, DateType)) },
+    fn("multiSearchAny", 2) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ms_n"))
+      ArrayExists(a(1), LambdaFunction(Contains(a.head, x), Seq(x))) },
+    fn("multiMatchAny", 2) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("mm_p"))
+      ArrayExists(a(1), LambdaFunction(RLike(a.head, x), Seq(x))) },
+    // first 8 md5 bytes as a UInt64 (big-endian), per CH halfMD5; UInt64
+    // rides the §1.2 widening rule onto Decimal(20,0)
+    fn("halfMD5", 1) { a =>
+      Cast(Conv(Substring(Md5(Cast(a.head, BinaryType)), Literal(1), Literal(16)),
+        Literal(16), Literal(10)), DecimalType(20, 0)) },
+    fn("hiveHash", 1) { a => HiveHash(Seq(a.head)) },
+    // CH toTime: same time-of-day moved to the epoch-adjacent reference
+    // day 1970-01-02
+    fn("toTime", 1) { a =>
+      Cast(Concat(Seq(Literal("1970-01-02 "),
+        DateFormatClass(Cast(a.head, TimestampType), Literal("HH:mm:ss")))),
+        TimestampType) },
+    // CH age('unit', t1, t2): COMPLETE units between the instants
+    // (dateDiff counts unit-boundary crossings instead)
+    fn("age", 3) { a =>
+      val t1 = Cast(a(1), TimestampType)
+      val t2 = Cast(a(2), TimestampType)
+      def whole(divMicros: Long): Expression =
+        Cast(Floor(Divide(
+          Cast(Subtract(UnixMicros(t2), UnixMicros(t1)), DoubleType),
+          Literal(divMicros.toDouble))), LongType)
+      val months = Floor(MonthsBetween(t2, t1, Literal(false)))
+      litString(a.head, "age").toLowerCase(java.util.Locale.ROOT) match {
+        case "second" => whole(1000000L)
+        case "minute" => whole(60L * 1000000L)
+        case "hour" => whole(3600L * 1000000L)
+        case "day" => whole(86400L * 1000000L)
+        case "week" => whole(7L * 86400L * 1000000L)
+        case "month" => Cast(months, LongType)
+        case "quarter" => Cast(Floor(Divide(months, Literal(3.0))), LongType)
+        case "year" => Cast(Floor(Divide(months, Literal(12.0))), LongType)
+        case u => throw new IllegalArgumentException(s"age: unsupported unit '$u'")
+      } },
+    // CH caseWithExpression(x, k1, v1, k2, v2, …[, default])
+    fnVar("caseWithExpression", 3) { a => CaseKeyWhen(a.head, a.tail) },
 
     // ---- more aggregates ----
     fn("argMin", 2) { a => MinBy(a.head, a(1)) },

@@ -104,6 +104,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   [OFFSET o ROWS] FETCH FIRST m ROWS ONLY (query tail)
   *                               → `LIMIT m [OFFSET o]`; `WITH TIES`
   *                                 fails loudly
+  *   dateDiff('unit', s, e)      → toRelative<U>Num(e) − toRelative<U>Num(s)
+  *                                 (CH's own definition — the quoted unit
+  *                                 never parses in Spark's datediff form)
   *
   * All rewrites are textual but quote/comment-aware: content inside '…',
   * "…", `…`, -- line comments and &#47;* block comments is never touched.
@@ -250,7 +253,7 @@ object ChSqlRewrite {
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
-        rewriteStarApply(rewriteFetchFirst(rewriteTop(rewriteGlobal(hinted, globalWideWords)))))))))))
+        rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(hinted, globalWideWords))))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -934,6 +937,82 @@ object ChSqlRewrite {
   private val globalJoinWords = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
   private val globalWideWords =
     globalJoinWords ++ Set("IN", "NOT", "ANY", "ALL", "ASOF", "SEMI", "ANTI")
+
+  // ----------------------------------------------------------- dateDiff
+
+  /** CH `dateDiff('unit', s, e)` / `date_diff('unit', s, e)`: the quoted
+    * unit makes Spark's grammar-level datediff form reject the text, so
+    * this is rescue-reachable. CH defines dateDiff as
+    * `toRelative<Unit>Num(e) − toRelative<Unit>Num(s)` (calendar-BOUNDARY
+    * counting, not elapsed periods) and those primitives are registered
+    * in ChDialect — the rewrite is CH-faithful by construction. A 2-arg
+    * Spark `datediff(a, b)` inside otherwise-failing text is untouched
+    * (the first arg must be a quoted unit literal). */
+  private def rewriteDateDiff(sql: String): String = {
+    val units = Map(
+      "second" -> "Second", "minute" -> "Minute", "hour" -> "Hour",
+      "day" -> "Day", "week" -> "Week", "month" -> "Month",
+      "quarter" -> "Quarter", "year" -> "Year")
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val lower = sql.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+        if (lower == "datediff" || lower == "date_diff") {
+          val j = skipWs(sql, i)
+          if (j < n && sql.charAt(j) == '(') {
+            val e = matchParen(sql, j)
+            if (e > 0) {
+              val args = splitTopLevel(sql.substring(j + 1, e - 1))
+              if (args.length == 3) {
+                val u = args.head.trim
+                if (u.length >= 3 && u.head == '\'' && u.last == '\'') {
+                  units.get(u.substring(1, u.length - 1)
+                      .toLowerCase(java.util.Locale.ROOT)).foreach { cu =>
+                    return rewriteDateDiff(
+                      sql.substring(0, start) +
+                        s"(toRelative${cu}Num(${args(2).trim}) - " +
+                        s"toRelative${cu}Num(${args(1).trim}))" +
+                        sql.substring(e))
+                  }
+                }
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
+  /** Split an argument list at top-level commas (quote/paren aware). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n = s.length
+    var i = 0
+    var depth = 0
+    var last = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(s, i)
+      else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') i = skipLine(s, i)
+      else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') i = skipBlock(s, i)
+      else {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) { out += s.substring(last, i); last = i + 1 }
+        i += 1
+      }
+    }
+    out += s.substring(last)
+    out.result()
+  }
 
   // -------------------------------------------------------- FETCH FIRST
 

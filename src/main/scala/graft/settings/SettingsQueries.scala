@@ -466,6 +466,24 @@ object SettingsQueries extends QueryRegistry {
       Some("""SELECT c_custkey, c_name FROM customer
              |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)),
 
+    // ---- CH `dateDiff('unit', s, e)` in SQL text → rescue rewrite onto
+    // the toRelative*Num primitives (CH's own definition; boundary
+    // counting, which DuckDB's date_diff shares) ----
+    QueryDef(
+      "b_sql33_datediff",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_dd_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  dateDiff('month', o_orderdate, DATE '1998-12-31') AS m_to_end,
+            |  dateDiff('day', o_orderdate, DATE '1998-12-31') AS d_to_end
+            |FROM orders_dd_v FORMAT JSONEachRow""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(date_diff('month', o_orderdate, DATE '1998-12-31') AS INT) AS m_to_end,
+             |  CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS d_to_end
+             |FROM orders""".stripMargin)),
+
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the
     // convention the API form (b_agg11_with_totals) established. ----

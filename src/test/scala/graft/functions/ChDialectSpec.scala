@@ -450,6 +450,57 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT TOP 4 a FROM chtop ORDER BY a DESC").count() === 4L)
   }
 
+  test("round-7 audit spellings: dates, predicates, search, hashes, case") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
+    assert(one("timezone()") === "UTC")
+    assert(one("currentDatabase()") === "default")
+    assert(one("isFinite(1.5)") === true)
+    assert(one("isFinite(CAST('NaN' AS DOUBLE))") === false)
+    assert(one("isFinite(CAST('Infinity' AS DOUBLE))") === false)
+    assert(one("isInfinite(CAST('-Infinity' AS DOUBLE))") === true)
+    assert(one("isInfinite(2.0)") === false)
+    assert(one("toISOWeek(DATE '2024-01-01')") === 1)
+    // 2023-01-01 falls in ISO week 52 of ISO year 2022
+    assert(one("toISOWeek(DATE '2023-01-01')") === 52)
+    assert(one("toISOYear(DATE '2023-01-01')") === 2022)
+    assert(one("multiSearchAny('hello world', array('xx', 'o w'))") === true)
+    assert(one("multiSearchAny('hello', array('xx', 'yy'))") === false)
+    assert(one("multiMatchAny('hello', array('^h.*o$'))") === true)
+    assert(one("multiMatchAny('hello', array('^x'))") === false)
+    // md5('abc') = 900150983cd24fb0…; first 8 bytes big-endian as UInt64
+    assert(one("halfMD5('abc')").toString === "10376663631224000432")
+    // Hive string hash = Java String.hashCode
+    assert(one("hiveHash('abc')") === 96354)
+    assert(one("toTime(TIMESTAMP '2024-01-15 10:30:05')").toString
+      === "1970-01-02 10:30:05.0")
+    assert(one("age('year', TIMESTAMP '2020-06-15 00:00:00', TIMESTAMP '2024-06-14 00:00:00')") === 3L)
+    assert(one("age('day', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 01:00:00')") === 1L)
+    assert(one("age('hour', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:59:00')") === 2L)
+    assert(one("arrayCompact(array(1, 1, 2, 2, 1))") === Seq(1, 2, 1))
+    assert(one("arrayCompact(array(CAST(NULL AS INT), NULL, 1))") === Seq(null, 1))
+    assert(one("caseWithExpression(2, 1, 'a', 2, 'b', 'z')") === "b")
+    assert(one("caseWithExpression(9, 1, 'a', 2, 'b', 'z')") === "z")
+  }
+
+  test("CH dateDiff with a quoted unit rescues onto toRelative*Num") {
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT dateDiff('day', a, b) FROM t")
+      === "SELECT (toRelativeDayNum(b) - toRelativeDayNum(a)) FROM t")
+    assert(rw("SELECT date_diff('month', f(x, 1), g(y)) FROM t")
+      === "SELECT (toRelativeMonthNum(g(y)) - toRelativeMonthNum(f(x, 1))) FROM t")
+    // valid Spark 2-arg datediff inside failing text is untouched
+    assert(rw("SELECT datediff(a, b) FROM t FORMAT CSV")
+      .startsWith("SELECT datediff(a, b)"))
+    // CH boundary-counting semantics end-to-end: Jan-31 → Feb-01 is ONE
+    // month boundary even though no complete month elapsed
+    assert(spark.sql(
+      "SELECT dateDiff('month', DATE '2024-01-31', DATE '2024-02-01')")
+      .head.get(0) === 1)
+    assert(spark.sql(
+      "SELECT dateDiff('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00')")
+      .head.get(0) === 1)
+  }
+
   test("standard-SQL FETCH FIRST tail rewrites to LIMIT/OFFSET") {
     def rw(s: String): String = ChSqlRewrite.rescue(s).sql
     assert(rw("SELECT a FROM t ORDER BY a FETCH FIRST 7 ROWS ONLY")
