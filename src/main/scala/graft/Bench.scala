@@ -24,6 +24,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // a requested-but-unregistered name (typo in bench_sf1.sh) must fail
+    // loudly — silently shrinking a certification run reads as coverage
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_QUERIES names not in the registry: ${unknown.mkString(", ")}")
+    }
     val samples = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * Two columns get content perturbation so scaled data exercises the
   * operators the way a real 10× corpus would, not as a degenerate
   * 10-exact-copies set:
-  *   - `documents.text`: word-rotation by 7·r positions — the exact
-  *     string differs per replica (exact/normalized dedup sees distinct
-  *     docs) while length/vocabulary/language stats are preserved;
+  *   - `documents.text`: word-rotation by an offset drawn from 1..n-1
+  *     (7-stride) — a replica is never byte-identical to its original
+  *     (exact/normalized dedup sees distinct docs; only sub-replica-count
+  *     word counts can repeat a rotation between replicas) while
+  *     length/vocabulary/language stats are preserved;
   *     replicas remain NEAR-duplicates (rotation only changes seam
   *     shingles), which stress-tests the MinHash/SimHash banding at a
   *     ~10-member-per-group dup rate — bounded candidate pairs
@@ -100,20 +102,25 @@ object GenScale {
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), 32)
 
-    // events.ts is TIMESTAMP(NANOS) in the source; with nanosAsLong it
-    // reads (and re-writes) as int64 — Tables.t applies the same
-    // ns→µs truncation to either representation, so downstream loaders
-    // see identical values
+    // events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    // across driver rounds; the raw read/write preserves whichever form
+    // the source carries and Tables.normalizeEventTs handles both on load
     write("events", rep(raw("events")).select(
       shift("event_id", EVT), col("ts"), shift("user_id", USER),
       col("event_type"), col("value"), col("props")), 8)
 
-    // word-rotate text by 7·r: distinct exact strings, preserved stats,
-    // near-duplicate replicas (deliberate dedup stress — see scaladoc)
+    // word-rotate text (deliberate near-dup stress — see scaladoc).
+    // The rotation offset is drawn from 1..n-1 so a replica is NEVER
+    // byte-identical to the original (k = 7r mod n collapses to 0
+    // whenever n divides 7r — measured 459/5000 sf0.1 docs). Docs with
+    // fewer words than replicas can still repeat a rotation BETWEEN
+    // replicas (pigeonhole over n-1 offsets) — short-doc exact dups are
+    // a realistic corpus property the exact-dedup queries then count.
     val d = rep(raw("documents"))
     val w = split(col("text"), " ")
     val n = size(w)
-    val k = pmod(col("_r") * lit(7), greatest(n, lit(1)))
+    val k = when(n >= 2,
+      lit(1) + pmod((col("_r") - 1) * lit(7), n - lit(1))).otherwise(lit(0))
     val rotText = array_join(
       concat(slice(w, k + lit(1), n - k), slice(w, lit(1), k)), " ")
     write("documents", d.select(

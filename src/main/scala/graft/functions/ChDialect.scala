@@ -375,10 +375,14 @@ object ChDialect {
     fn("age", 3) { a =>
       val t1 = Cast(a(1), TimestampType)
       val t2 = Cast(a(2), TimestampType)
-      def whole(divMicros: Long): Expression =
-        Cast(Floor(Divide(
-          Cast(Subtract(UnixMicros(t2), UnixMicros(t1)), DoubleType),
-          Literal(divMicros.toDouble))), LongType)
+      // integral floor-division (a - pmod(a, N)) div N: a double route
+      // would lose precision above 2^53 µs (the AsOfJoin.bucketOf bug
+      // class); pmod keeps the floor semantics for negative spans
+      def whole(divMicros: Long): Expression = {
+        val diff = Subtract(UnixMicros(t2), UnixMicros(t1))
+        val dv = Literal(divMicros)
+        Cast(IntegralDivide(Subtract(diff, Pmod(diff, dv)), dv), LongType)
+      }
       val months = Floor(MonthsBetween(t2, t1, Literal(false)))
       litString(a.head, "age").toLowerCase(java.util.Locale.ROOT) match {
         case "second" => whole(1000000L)

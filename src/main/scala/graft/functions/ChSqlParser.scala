@@ -1093,7 +1093,17 @@ object ChSqlRewrite {
                   errorClass = "_LEGACY_ERROR_TEMP_3100",
                   messageParameters = Map("message" ->
                     "graft: TOP inside a subquery is not supported; use LIMIT"))
-              if (hasKeywordOutside(sql, "LIMIT"))
+              // a set operation makes "append LIMIT at the end" wrong:
+              // CH scopes TOP to its own SELECT arm, the appended LIMIT
+              // would cap the whole union — refuse rather than mis-scope
+              if (Seq("UNION", "INTERSECT", "EXCEPT").exists(hasTopLevelKeyword(sql, _)))
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_TEMP_3100",
+                  messageParameters = Map("message" ->
+                    "graft: TOP in a set-operation arm is not supported; use LIMIT on the arm"))
+              // only a TOP-LEVEL limit conflicts; a derived table's LIMIT
+              // (or a quoted 'limit') must not trip this
+              if (hasTopLevelKeyword(sql, "LIMIT"))
                 throw new org.apache.spark.sql.AnalysisException(
                   errorClass = "_LEGACY_ERROR_TEMP_3100",
                   messageParameters = Map("message" ->
@@ -1109,18 +1119,30 @@ object ChSqlRewrite {
   }
 
   /** True when `word` appears as a bare keyword outside quotes/comments. */
-  private def hasKeywordOutside(sql: String, word: String): Boolean = {
+  private def hasKeywordOutside(sql: String, word: String): Boolean =
+    hasKeywordScan(sql, word, topLevelOnly = false)
+
+  /** Like [[hasKeywordOutside]] but also outside any parentheses — a
+    * keyword inside a derived table or function call does not count. */
+  private def hasTopLevelKeyword(sql: String, word: String): Boolean =
+    hasKeywordScan(sql, word, topLevelOnly = true)
+
+  private def hasKeywordScan(sql: String, word: String, topLevelOnly: Boolean): Boolean = {
     val n = sql.length
     var i = 0
+    var depth = 0
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
       else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
       else if (Character.isJavaIdentifierStart(c)) {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
-        if (sql.substring(start, i).equalsIgnoreCase(word)) return true
+        if ((!topLevelOnly || depth == 0) &&
+          sql.substring(start, i).equalsIgnoreCase(word)) return true
       } else i += 1
     }
     false

@@ -59,9 +59,10 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
     // transformUp visits children first, so the map is populated before
     // a referencing parent is reached.
     val expansions = scala.collection.mutable.Map.empty[ExprId, Seq[NamedExpression]]
-    plan.transformUp {
+    val byMarker = scala.collection.mutable.Map.empty[ChStarApply, Seq[NamedExpression]]
+    val expanded = plan.transformUp {
       case p @ Project(projList, child) =>
-        val l2 = expandList(projList, expansions, aggregate = false)
+        val l2 = expandList(projList, expansions, byMarker, aggregate = false)
         if (l2 eq projList) p
         // `SELECT * APPLY(sum) FROM t` without GROUP BY: the marker hid
         // the aggregates from the analyzer, so the node is a Project —
@@ -71,8 +72,38 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
           Aggregate(Nil, l2, child)
         else Project(l2, child)
       case a @ Aggregate(grouping, aggList, child, hint) =>
-        val l2 = expandList(aggList, expansions, aggregate = true)
+        val l2 = expandList(aggList, expansions, byMarker, aggregate = true)
         if (l2 eq aggList) a else Aggregate(grouping, l2, child, hint)
+    }
+    if (expansions.isEmpty && byMarker.isEmpty) return expanded
+    // Second pass: the analyzer may have planted marker references in
+    // nodes OTHER than the projection lists — `ORDER BY 1` resolves the
+    // ordinal onto the marker itself (or its alias attr) inside a Sort.
+    // CH's ordinal points at the first result column, so a Sort
+    // reference maps to the expansion's first attribute; anything else
+    // (GROUP BY/HAVING on the star) has no faithful 1→N reading and
+    // fails with the feature named instead of a dangling-attribute
+    // internal error.
+    def lingering(e: Expression): Boolean = e.exists {
+      case m: ChStarApply => byMarker.contains(m)
+      case a: AttributeReference => expansions.contains(a.exprId)
+      case _ => false
+    }
+    expanded.transformUp {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.order.exists(lingering) =>
+        s.transformExpressions {
+          case m: ChStarApply if byMarker.contains(m) =>
+            byMarker(m).head.toAttribute
+          case a: AttributeReference if expansions.contains(a.exprId) =>
+            expansions(a.exprId).head.toAttribute
+        }
+      case node if node.expressions.exists(lingering) &&
+          !node.isInstanceOf[Project] && !node.isInstanceOf[Aggregate] =>
+        throw new IllegalArgumentException(
+          s"* APPLY: the expanded star is referenced from ${node.nodeName} " +
+            "(e.g. GROUP BY/HAVING on the star) — reference result columns " +
+            "by name instead")
     }
   }
 
@@ -82,6 +113,7 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def expandList(
       list: Seq[NamedExpression],
       expansions: scala.collection.mutable.Map[ExprId, Seq[NamedExpression]],
+      byMarker: scala.collection.mutable.Map[ChStarApply, Seq[NamedExpression]],
       aggregate: Boolean): Seq[NamedExpression] = {
     val changed = list.exists {
       case Alias(_: ChStarApply, _) => true
@@ -93,6 +125,7 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(m: ChStarApply, _) =>
         val ex = expand(m, aggregate)
         expansions(al.exprId) = ex
+        byMarker(m) = ex
         ex
       case a: AttributeReference if expansions.contains(a.exprId) =>
         expansions(a.exprId).map(_.toAttribute)

@@ -1118,6 +1118,21 @@ class ChDialectSpec extends SparkSpec {
     // a bare multiplication star is untouched by the rescue scan
     assert(ChSqlRewrite.rescue("SELECT 2 * (k) FROM chapply").sql
       === "SELECT 2 * (k) FROM chapply")
+    // ORDER BY ordinal onto the star: CH's ordinal points at the first
+    // result column — the rule maps the marker reference accordingly
+    // instead of leaving a dangling attribute
+    val ord = spark.sql("SELECT * APPLY (toString) FROM chapply ORDER BY 1 DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(ord === Seq("22", "1"))
+    // GROUP BY onto the star: Spark's analyzer already rejects the
+    // star-with-ordinal-grouping shape with its own clear error (the
+    // rule's second-pass loud failure backstops any shape that slips
+    // through to a non-Sort reference)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * APPLY (toString) FROM chapply GROUP BY 1").collect()
+    }
+    assert(ex.getMessage.contains("STAR_GROUP_BY_POS")
+      || ex.getMessage.contains("* APPLY"), s"got: ${ex.getMessage}")
   }
 
   test("WITH FILL DESC and expression INTERPOLATE forms") {
