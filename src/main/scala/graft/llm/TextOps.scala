@@ -91,6 +91,11 @@ object TextOps extends QueryRegistry {
     * TextOpsSpec asserts natural text outscores gibberish.
     */
   def lmScore(docs: DataFrame, maxFeatures: Int = 1 << 16): DataFrame = {
+    val (model, floor) = lmModel(docs, maxFeatures)
+    lmScoreAgainst(model, floor, docs)
+  }
+
+  private def docTrigrams(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     def trigrams(text: String): Array[String] = {
@@ -98,22 +103,32 @@ object TextOps extends QueryRegistry {
       if (t.length < 3) Array.empty[String]
       else Array.tabulate(t.length - 2)(i => t.substring(i, i + 3))
     }
-    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => trigrams(text).iterator.map(g => (id, g)) }
       .toDF("doc_id", "g")
+  }
+
+  /** Laplace-smoothed trigram model: (g, lp) frame + the unseen floor.
+    * Split out so a FIXED model can score a corpus it was not trained on
+    * (the separation contract in `x_text_lm_score`). */
+  def lmModel(train: DataFrame, maxFeatures: Int = 1 << 16): (DataFrame, Double) = {
+    val grams = docTrigrams(train)
     val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g").asc).limit(maxFeatures)
     val total = grams.count().toDouble
     val vocab = counts.count().toDouble
     val logp = counts.select(col("g"),
       log((col("c") + 1.0) / (total + vocab)).as("lp"))
-    val floor = math.log(1.0 / (total + vocab))
-    grams.join(broadcast(logp), Seq("g"), "left")
+    (logp, math.log(1.0 / (total + vocab)))
+  }
+
+  /** Score `docs` against an already-trained model. */
+  def lmScoreAgainst(model: DataFrame, floor: Double, docs: DataFrame): DataFrame =
+    docTrigrams(docs).join(broadcast(model), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(
         round(avg(coalesce(col("lp"), lit(floor))), 6).as("avg_logp"),
         count(lit(1)).as("n_grams"))
-  }
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
@@ -123,11 +138,38 @@ object TextOps extends QueryRegistry {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- language ID (model output → no SQL oracle; rows-only) ----
+    // ---- language ID, recovery-certified. The fixture text carries NO
+    // language signal (probe-measured per-lang accuracy ≈ chance), so —
+    // like x_text_redact plants PII before redacting — the query plants
+    // a known phrase per labeled language and the classifier must
+    // recover the planted label on the held-out docs (languageId trains
+    // on the doc_id%5==0 slice). Per-lang doc counts are recomputed
+    // independently by the oracle; the flag is the accuracy contract. ----
     QueryDef(
       "x_text_langid",
-      (s, d) => languageId(t(s, d, "documents")),
-      None),
+      (s, d) => {
+        val phrase = element_at(map(
+          lit("en"), lit("the quick brown fox jumps over the lazy dog and runs away today"),
+          lit("de"), lit("der schnelle braune fuchs springt ueber den faulen hund und laeuft heute weg"),
+          lit("es"), lit("el rapido zorro marron salta sobre el perro perezoso y se escapa hoy mismo"),
+          lit("fr"), lit("le renard brun rapide saute par dessus le chien paresseux et il part"),
+          lit("zh"), lit("敏捷 的 棕色 狐狸 跳过 懒狗 然后 跑 开 了 今天")), col("lang"))
+        val planted = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            coalesce(phrase, col("text")).as("text"))
+        languageId(planted)
+          .groupBy(col("true_lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            avg(when(col("pred_lang") === col("true_lang"), 1.0)
+              .otherwise(0.0)).as("acc"))
+          .select(col("true_lang"), col("n_docs"),
+            (col("acc") >= lit(0.9)).as("acc_ok"))
+          .orderBy(col("true_lang"))
+      },
+      Some("""SELECT lang AS true_lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  true AS acc_ok
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- quality scoring: length/punctuation/stopword/word-shape ----
     QueryDef(
@@ -213,12 +255,30 @@ object TextOps extends QueryRegistry {
              |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
              |FROM documents""".stripMargin)),
 
-    // ---- char-trigram LM quality score (perplexity proxy; model op →
-    // rows-only, natural-vs-gibberish separation asserted in TextOpsSpec)
+    // ---- char-trigram LM quality score, separation-certified: the
+    // model trains ONCE on the real corpus, then scores both the real
+    // docs and their character-reversed forms — reversed trigrams fall
+    // outside the learned distribution, so real text must outscore the
+    // gibberish by a wide margin (the quality-filter property the op
+    // exists for). Doc count cross-checked by the oracle; per-doc scores
+    // remain available via `lmScore` (TextOpsSpec pins the kernel). ----
     QueryDef(
       "x_text_lm_score",
-      (s, d) => lmScore(t(s, d, "documents")),
-      None),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (model, floor) = lmModel(docs)
+        val realMean = lmScoreAgainst(model, floor, docs)
+          .agg(avg(col("avg_logp")).as("m_real"))
+        val gibMean = lmScoreAgainst(model, floor,
+            docs.withColumn("text", reverse(col("text"))))
+          .agg(avg(col("avg_logp")).as("m_gib"))
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(realMean).crossJoin(gibMean)
+          .select(col("n_docs"),
+            (col("m_real") > col("m_gib")).as("separation_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS separation_ok
+             |FROM documents""".stripMargin)),
 
     // ---- intra-document repetition (Gopher-style quality filter: the
     // fraction of word trigrams that are repeats of an earlier trigram in
