@@ -375,24 +375,26 @@ object ChDialect {
     fn("age", 3) { a =>
       val t1 = Cast(a(1), TimestampType)
       val t2 = Cast(a(2), TimestampType)
-      // integral floor-division (a - pmod(a, N)) div N: a double route
-      // would lose precision above 2^53 µs (the AsOfJoin.bucketOf bug
-      // class); pmod keeps the floor semantics for negative spans
+      // CH age truncates the whole-unit count TOWARD ZERO, making it
+      // symmetric: age(s,e) = -age(e,s) (a -1.5-day span is -1, not the
+      // floored -2). IntegralDivide is Java `/` (truncation), so no pmod
+      // adjustment — and the all-LONG route still avoids double
+      // precision loss above 2^53 µs (the AsOfJoin.bucketOf bug class).
       def whole(divMicros: Long): Expression = {
         val diff = Subtract(UnixMicros(t2), UnixMicros(t1))
-        val dv = Literal(divMicros)
-        Cast(IntegralDivide(Subtract(diff, Pmod(diff, dv)), dv), LongType)
+        IntegralDivide(diff, Literal(divMicros))
       }
-      val months = Floor(MonthsBetween(t2, t1, Literal(false)))
+      // Cast(double → long) also truncates toward zero, per SQL cast
+      val months = Cast(MonthsBetween(t2, t1, Literal(false)), LongType)
       litString(a.head, "age").toLowerCase(java.util.Locale.ROOT) match {
         case "second" => whole(1000000L)
         case "minute" => whole(60L * 1000000L)
         case "hour" => whole(3600L * 1000000L)
         case "day" => whole(86400L * 1000000L)
         case "week" => whole(7L * 86400L * 1000000L)
-        case "month" => Cast(months, LongType)
-        case "quarter" => Cast(Floor(Divide(months, Literal(3.0))), LongType)
-        case "year" => Cast(Floor(Divide(months, Literal(12.0))), LongType)
+        case "month" => months
+        case "quarter" => IntegralDivide(months, Literal(3L))
+        case "year" => IntegralDivide(months, Literal(12L))
         case u => throw new IllegalArgumentException(s"age: unsupported unit '$u'")
       } },
     // CH caseWithExpression(x, k1, v1, k2, v2, …[, default])

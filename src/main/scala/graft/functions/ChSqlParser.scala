@@ -1023,6 +1023,11 @@ object ChSqlRewrite {
   private def rewriteFetchFirst(sql: String): String = {
     if (!hasKeywordOutside(sql, "FETCH")) return sql
     fetchTail.findFirstMatchIn(sql) match {
+      // The regex is end-anchored, but the matched tail could still sit
+      // inside a trailing comment/string while a real FETCH token exists
+      // elsewhere — confirm the match region with the scanner before
+      // splicing (unmatched FETCH then fails loudly in Spark's parser).
+      case Some(m) if !outsideQuotesComments(sql, m.start) => sql
       case Some(m) =>
         if (m.group("ties") != null)
           throw new org.apache.spark.sql.AnalysisException(
@@ -2253,6 +2258,27 @@ object ChSqlRewrite {
     var i = start + 2
     while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
     math.min(i + 2, s.length)
+  }
+
+  /** True when index `pos` lies outside every quoted literal and comment
+    * (scanned from the start with the same skip rules as the keyword
+    * scanner). */
+  private def outsideQuotesComments(s: String, pos: Int): Boolean = {
+    val n = s.length
+    var i = 0
+    while (i < n && i <= pos) {
+      val c = s.charAt(i)
+      val e =
+        if (c == '\'' || c == '"' || c == '`') skipQuoted(s, i)
+        else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') skipLine(s, i)
+        else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') skipBlock(s, i)
+        else -1
+      if (e >= 0) {
+        if (pos >= i && pos < e) return false
+        i = e
+      } else i += 1
+    }
+    true
   }
 
   private def skipWs(s: String, start: Int): Int = {

@@ -566,20 +566,18 @@ object Similarity extends QueryRegistry {
     * measures the APPROXIMATE path after run 1 — the quadratic baseline
     * cost lands on the queries that declare it (`x_sim_topk_brute`,
     * `x_dedup_embed`), not on every contract that compares against it. */
-  private val bruteCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+  private val bruteCache = new SessionMemo[(String, Int)]
   private def bruteTopKFor(s: SparkSession, d: String, k: Int): DataFrame =
-    bruteCache.computeIfAbsent((System.identityHashCode(s), d, k), { _ =>
+    bruteCache.getOrCompute(s, (d, k)) {
       val emb = t(s, d, "embeddings")
       bruteForceTopK(emb, queriesOf(emb), k).localCheckpoint()
-    })
+    }
 
-  private val exactPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val exactPairCache = new SessionMemo[String]
   private def exactPairsFor(s: SparkSession, d: String): DataFrame =
-    exactPairCache.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+    exactPairCache.getOrCompute(s, d) {
       embedDupPairsExact(t(s, d, "embeddings"), tau = 0.4).localCheckpoint()
-    })
+    }
 
   /** Recall certification for an ANN top-k against the exact baseline,
     * as ONE declarative plan: |approx ∩ brute| / |brute| ≥ `minRecall`.

@@ -59,7 +59,15 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
     // transformUp visits children first, so the map is populated before
     // a referencing parent is reached.
     val expansions = scala.collection.mutable.Map.empty[ExprId, Seq[NamedExpression]]
-    val byMarker = scala.collection.mutable.Map.empty[ChStarApply, Seq[NamedExpression]]
+    // Keyed by marker INSTANCE, not case-class equality: two textually
+    // identical `* APPLY(f)` markers (e.g. one per UNION branch) are
+    // structurally equal but must map to their own branch's expansion —
+    // a hash map on equality would collide last-wins and let the Sort
+    // ordinal pass bind to the wrong branch. Instance keying is sound
+    // here because the Sort's ordinal reference shares the original
+    // projection's expression tree (the first transformUp pass never
+    // rebuilds the Sort node, so the instance survives).
+    val byMarker = new java.util.IdentityHashMap[ChStarApply, Seq[NamedExpression]]()
     val expanded = plan.transformUp {
       case p @ Project(projList, child) =>
         val l2 = expandList(projList, expansions, byMarker, aggregate = false)
@@ -85,7 +93,7 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
     // fails with the feature named instead of a dangling-attribute
     // internal error.
     def lingering(e: Expression): Boolean = e.exists {
-      case m: ChStarApply => byMarker.contains(m)
+      case m: ChStarApply => byMarker.containsKey(m)
       case a: AttributeReference => expansions.contains(a.exprId)
       case _ => false
     }
@@ -93,8 +101,8 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
       case s: org.apache.spark.sql.catalyst.plans.logical.Sort
           if s.order.exists(lingering) =>
         s.transformExpressions {
-          case m: ChStarApply if byMarker.contains(m) =>
-            byMarker(m).head.toAttribute
+          case m: ChStarApply if byMarker.containsKey(m) =>
+            byMarker.get(m).head.toAttribute
           case a: AttributeReference if expansions.contains(a.exprId) =>
             expansions(a.exprId).head.toAttribute
         }
@@ -113,7 +121,7 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def expandList(
       list: Seq[NamedExpression],
       expansions: scala.collection.mutable.Map[ExprId, Seq[NamedExpression]],
-      byMarker: scala.collection.mutable.Map[ChStarApply, Seq[NamedExpression]],
+      byMarker: java.util.IdentityHashMap[ChStarApply, Seq[NamedExpression]],
       aggregate: Boolean): Seq[NamedExpression] = {
     val changed = list.exists {
       case Alias(_: ChStarApply, _) => true
@@ -125,7 +133,7 @@ class StarApplyRule(session: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(m: ChStarApply, _) =>
         val ex = expand(m, aggregate)
         expansions(al.exprId) = ex
-        byMarker(m) = ex
+        byMarker.put(m, ex)
         ex
       case a: AttributeReference if expansions.contains(a.exprId) =>
         expansions(a.exprId).map(_.toAttribute)

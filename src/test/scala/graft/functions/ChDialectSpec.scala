@@ -476,6 +476,12 @@ class ChDialectSpec extends SparkSpec {
     assert(one("age('year', TIMESTAMP '2020-06-15 00:00:00', TIMESTAMP '2024-06-14 00:00:00')") === 3L)
     assert(one("age('day', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 01:00:00')") === 1L)
     assert(one("age('hour', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:59:00')") === 2L)
+    // negative spans: CH age truncates toward zero (symmetric), so a
+    // -1.5-day span is -1 (a floor route would give -2)
+    assert(one("age('day', TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2024-01-01 00:00:00')") === -1L)
+    assert(one("age('hour', TIMESTAMP '2024-01-01 02:59:00', TIMESTAMP '2024-01-01 00:00:00')") === -2L)
+    assert(one("age('year', TIMESTAMP '2024-06-14 00:00:00', TIMESTAMP '2020-06-15 00:00:00')") === -3L)
+    assert(one("age('month', TIMESTAMP '2024-03-10 00:00:00', TIMESTAMP '2024-01-25 00:00:00')") === -1L)
     assert(one("arrayCompact(array(1, 1, 2, 2, 1))") === Seq(1, 2, 1))
     assert(one("arrayCompact(array(CAST(NULL AS INT), NULL, 1))") === Seq(null, 1))
     assert(one("caseWithExpression(2, 1, 'a', 2, 'b', 'z')") === "b")
@@ -511,6 +517,11 @@ class ChDialectSpec extends SparkSpec {
       === "SELECT a FROM t ORDER BY a LIMIT 1")
     // not a query tail → untouched (only the CH clause position rewrites)
     assert(rw("SELECT fetch FROM t") === "SELECT fetch FROM t")
+    // a FETCH-shaped tail inside a trailing comment is NOT spliced even
+    // though a bare `fetch` token exists elsewhere — the scanner confirms
+    // the match region sits outside quotes/comments before rewriting
+    assert(rw("SELECT fetch FROM t -- FETCH FIRST 5 ROWS ONLY")
+      === "SELECT fetch FROM t -- FETCH FIRST 5 ROWS ONLY")
     intercept[org.apache.spark.sql.AnalysisException] {
       rw("SELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS WITH TIES")
     }
@@ -1124,6 +1135,15 @@ class ChDialectSpec extends SparkSpec {
     val ord = spark.sql("SELECT * APPLY (toString) FROM chapply ORDER BY 1 DESC")
       .collect().map(_.getString(0)).toSeq
     assert(ord === Seq("22", "1"))
+    // two structurally IDENTICAL markers (one per UNION branch) must each
+    // keep their own branch's expansion — the rule keys by marker
+    // instance, so equality collisions can't last-wins across branches
+    val un = spark.sql(
+      """SELECT * APPLY (toString) FROM chapply WHERE k = 1
+        |UNION ALL SELECT * APPLY (toString) FROM chapply WHERE k = 22
+        |ORDER BY 1 DESC""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(un === Seq(("22", "cd", "100"), ("1", "ab", "5")))
     // GROUP BY onto the star: Spark's analyzer already rejects the
     // star-with-ordinal-grouping shape with its own clear error (the
     // rule's second-pass loud failure backstops any shape that slips
