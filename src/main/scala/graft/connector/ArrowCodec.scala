@@ -604,7 +604,9 @@ object ArrowCodec {
     * anyway. Decoded vectors are owned by this reader and released with
     * the batch.
     */
-  final class BatchReader(in: InputStream) extends AutoCloseable {
+  final class BatchReader(
+      in: InputStream,
+      conv: ReadConversions.Spec = ReadConversions.none) extends AutoCloseable {
     private val allocator =
       rootAllocator.newChildAllocator(s"graft-read-${System.identityHashCode(this)}", 0, Long.MaxValue)
     private val reader = new ArrowStreamReader(in, allocator)
@@ -826,6 +828,67 @@ object ArrowCodec {
       }
     }
 
+    /** Read-path [[ReadConversions]] (the reference's query-time
+      * `SchemaConversions`/`ArrowOptions`): enum-target validation and
+      * the strings-as-binary mode, applied AFTER dictionary decode and
+      * unsigned widening so the vector is already in its plain form. */
+    private def convertForRead(v: FieldVector): FieldVector = {
+      if (conv.isNoop) return v
+      import graft.types.CHType
+      val declared = Option(v.getField.getMetadata)
+        .flatMap(m => Option(m.get(CHTypeKey))).getOrElse("")
+      conv.parsed.get(v.getName.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(CHType.Enum8(vs)) => validateEnum(v, vs, "Enum8")
+        case Some(CHType.Enum16(vs)) => validateEnum(v, vs, "Enum16")
+        case Some(CHType.Date) | Some(CHType.Date32) => v match {
+          case _: DateDayVector | _: DateMilliVector => v
+          case other => throw new IllegalArgumentException(
+            s"graft-ch: schema.${v.getName}: expected Date or Date32 on " +
+              s"the wire, found ${other.getField.getType}")
+        }
+        // geo targets: shape fixed at schema time; the wire struct/list
+        // already matches (reference preserves geo, types.rs:111-114)
+        case Some(_) => v
+        case None => v match {
+          case vc: VarCharVector if !conv.stringsAsStrings &&
+              ReadConversions.isPlainString(StringType, declared) =>
+            val out = new VarBinaryVector(v.getName, allocator)
+            out.allocateNew()
+            val n = vc.getValueCount
+            var i = 0
+            while (i < n) { if (!vc.isNull(i)) out.setSafe(i, vc.get(i)); i += 1 }
+            out.setValueCount(n)
+            decoded ::= out
+            out
+          case _ => v
+        }
+      }
+    }
+
+    /** Every non-null value must be a declared enum name — an unknown
+      * element fails the scan loudly, like CH's Enum insert/convert
+      * error (reference convert_to_enum, arrow/types.rs:40-68). */
+    private def validateEnum(
+        v: FieldVector, values: Seq[(String, Int)], kind: String): FieldVector = v match {
+      case vc: VarCharVector =>
+        val names = values.map(_._1).toSet
+        val n = vc.getValueCount
+        var i = 0
+        while (i < n) {
+          if (!vc.isNull(i)) {
+            val s = new String(vc.get(i), java.nio.charset.StandardCharsets.UTF_8)
+            if (!names.contains(s)) throw new IllegalArgumentException(
+              s"graft-ch: schema.${v.getName}: unknown element '$s' for " +
+                s"$kind(${values.map { case (nm, c) => s"'$nm'=$c" }.mkString(",")})")
+          }
+          i += 1
+        }
+        vc
+      case other => throw new IllegalArgumentException(
+        s"graft-ch: schema.${v.getName}: expected LowCardinality(String) " +
+          s"or String/Binary on the wire, found ${other.getField.getType}")
+    }
+
     def next(): Boolean =
       if (reader.loadNextBatch()) {
         decoded.foreach(_.close())
@@ -842,7 +905,7 @@ object ArrowCodec {
               decoded ::= dv
               dv
             }
-          new ArrowColumnVector(widenUnsigned(plain))
+          new ArrowColumnVector(convertForRead(widenUnsigned(plain)))
         }.toArray[org.apache.spark.sql.vectorized.ColumnVector]
         current = new ColumnarBatch(cols, root.getRowCount)
         true

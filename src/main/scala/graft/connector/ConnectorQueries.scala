@@ -314,6 +314,55 @@ object ConnectorQueries extends QueryRegistry {
              |  CAST(i * 60000000 AS BIGINT) AS t64, true AS aligned
              |FROM range(50) t(i)""".stripMargin)),
 
+    // ---- read-path SchemaConversions + ArrowOptions (the reference's
+    // query-time per-column overrides, arrow/types.rs:81-116, and
+    // strings_as_strings, client/options.rs:284-290): one scan overrides
+    // region.r_name to Enum8 (names validated in the reader; declared
+    // codes exposed through the ch.enumValues metadata the query maps
+    // through), the other reads the same table in binary string mode
+    // (CH String → BinaryType — the reference's DEFAULT Arrow mapping)
+    // and proves the bytes round-trip to the same text. The in-query
+    // `require`s are the schema contract: if either option silently
+    // stopped applying, the scan fails rather than degrading. ----
+    QueryDef(
+      "b_src24_schema_override",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        val reg = s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "region")
+          .option("schema.r_name",
+            "Enum8('AFRICA'=1,'AMERICA'=2,'ASIA'=3,'EUROPE'=4,'MIDDLE EAST'=5)")
+          .load()
+        require(reg.schema("r_name").metadata.getString(ArrowCodec.CHTypeKey) == "Enum8",
+          "schema.r_name override must mark the column Enum8")
+        val codePairs = reg.schema("r_name").metadata
+          .getString(ArrowCodec.EnumValuesKey).split(",").toSeq.map { kv =>
+            val i = kv.lastIndexOf('='); (kv.substring(0, i), kv.substring(i + 1).toInt)
+          }
+        val codeMap = map(codePairs.flatMap { case (nm, c) => Seq(lit(nm), lit(c)) }: _*)
+        val bin = s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "region")
+          .option("stringsAsStrings", "false")
+          .load()
+        require(bin.schema("r_name").dataType ==
+          org.apache.spark.sql.types.BinaryType,
+          "stringsAsStrings=false must surface CH String as BinaryType")
+        val e = reg.select(col("r_regionkey"), col("r_name"),
+          element_at(codeMap, col("r_name")).cast("int").as("code"))
+        val b = bin.select(col("r_regionkey"),
+          length(col("r_name")).cast("int").as("name_bytes"),
+          col("r_name").cast("string").as("name_rt"))
+        e.join(b, Seq("r_regionkey"))
+          .select(col("r_regionkey"), col("r_name"), col("code"), col("name_bytes"),
+            (col("name_rt") === col("r_name")).as("bytes_match"))
+      },
+      Some("""SELECT r_regionkey, r_name,
+             |  CAST(CASE r_name WHEN 'AFRICA' THEN 1 WHEN 'AMERICA' THEN 2
+             |       WHEN 'ASIA' THEN 3 WHEN 'EUROPE' THEN 4 ELSE 5 END AS INT) AS code,
+             |  CAST(strlen(r_name) AS INT) AS name_bytes,
+             |  TRUE AS bytes_match
+             |FROM region""".stripMargin)),
+
     // ---- system.tables/columns introspection: the dumped view's schema
     // is the fixed nation fixture schema, so the catalog listing is
     // deterministic and pinned as a golden vector (SystemCatalogSpec

@@ -53,8 +53,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CHHttp.fetchSchema(
-      opt(options, "url"), opt(options, "table"), Option(options.get("database")))
+    // server schema is authoritative, then the user's per-column
+    // `schema.<col>` overrides + string mode rewrite it (the reference's
+    // query-time SchemaConversions/ArrowOptions)
+    ReadConversions.applySchema(
+      CHHttp.fetchSchema(
+        opt(options, "url"), opt(options, "table"), Option(options.get("database"))),
+      ReadConversions.fromOptions(options))
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
@@ -268,7 +273,8 @@ final class CHScanBuilder(
 }
 
 final case class CHInputPartition(
-    sql: String, codec: String, settings: Seq[(String, String)] = Nil) extends InputPartition
+    sql: String, codec: String, settings: Seq[(String, String)] = Nil,
+    conv: ReadConversions.Spec = ReadConversions.none) extends InputPartition
 
 /** Per-query server settings from `settings.*` options — the connector's
   * A15 surface: `option("settings.max_threads", "8")` reaches the server
@@ -324,6 +330,7 @@ final class CHScan(
 
   private val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
   private val settings = CHSettings.from(options)
+  private val conv = ReadConversions.fromOptions(options)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new CHRowsReadMetric, new CHBatchesReadMetric, new CHServerReadRowsMetric)
@@ -452,10 +459,10 @@ final class CHScan(
             if (i == 0) s"${CHSql.ident(pc)} < $hi"
             else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
             else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
-          CHInputPartition(sqlFor(pushedWhere :+ range), codec, settings)
+          CHInputPartition(sqlFor(pushedWhere :+ range), codec, settings, conv)
         }.toArray[InputPartition]
       case None =>
-        Array(CHInputPartition(sqlFor(pushedWhere), codec, settings))
+        Array(CHInputPartition(sqlFor(pushedWhere), codec, settings, conv))
     }
   }
 
@@ -471,7 +478,7 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
     new PartitionReader[ColumnarBatch] {
       private val (stream, summary) =
         CHHttp.queryArrowWithSummary(url, p.sql, p.codec, p.settings)
-      private val reader = new ArrowCodec.BatchReader(stream)
+      private val reader = new ArrowCodec.BatchReader(stream, p.conv)
       private var rows = 0L
       private var batches = 0L
       override def next(): Boolean = {

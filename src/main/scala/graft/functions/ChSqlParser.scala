@@ -117,6 +117,11 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
     * (CH-only clause forms). The original error is rethrown when rescue
     * changes nothing, so pure Spark syntax errors surface untouched. */
   private def parseRescuing[A](sqlText: String)(f: String => A): A = {
+    // a prior query's per-query SETTINGS scope ends, at the latest, when
+    // the next statement arrives (the synchronous half of the CH
+    // per-query scoping — see ChSqlRewrite.applySettings)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(ChSqlRewrite.drainPendingSettings)
     val safe = ChSqlRewrite(sqlText)
     try f(safe)
     catch {
@@ -263,15 +268,72 @@ object ChSqlRewrite {
     * GraftSettings name mapping (CH `max_threads` → shuffle partitions,
     * etc.). Best-effort like the reference's passthrough: a key Spark
     * rejects (static conf, bad value) is skipped, never fails the query.
-    * Deviation (documented): CH settings scope to the one query; Spark
-    * session confs persist like SQL `SET` until changed. */
+    *
+    * Scope matches CH's per-query settings (`src/query.rs:71-166`): the
+    * touched confs are SNAPSHOTTED here and restored when that query's
+    * execution completes (one-shot [[QueryExecutionListener]]) — and, as
+    * the synchronous backstop, at the NEXT statement's parse
+    * ([[drainPendingSettings]]), which also unwinds a query whose
+    * ANALYSIS failed after the rescued parse applied its settings (no
+    * execution ever starts there, so no listener would fire). Either
+    * path wins; both are idempotent through the one-shot flag.
+    * Residual deviation (documented): between the rescued query's parse
+    * and its execution end, the confs are visible session-wide — Spark
+    * has no per-query conf context to attach them to. */
   def applySettings(kvs: Seq[(String, String)]): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { sp =>
-      kvs.foreach { case (k, v) =>
-        try sp.conf.set(graft.settings.GraftSettings.sparkKey(k), v)
-        catch { case scala.util.control.NonFatal(_) => () }
+      drainPendingSettings(sp) // the previous query's scope ends here at the latest
+      if (kvs.isEmpty) return
+      val touched = kvs.flatMap { case (k, v) =>
+        val key = graft.settings.GraftSettings.sparkKey(k)
+        val old = sp.conf.getOption(key)
+        try { sp.conf.set(key, v); Some(key -> old) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      if (touched.nonEmpty) {
+        val snap = new SettingsSnapshot(sp, touched)
+        pendingSettings.synchronized { pendingSettings.put(sp, snap) }
+        sp.listenerManager.register(snap.listener)
       }
     }
+
+  /** One rescued query's conf snapshot + its one-shot restore. */
+  private final class SettingsSnapshot(
+      sp: org.apache.spark.sql.SparkSession,
+      touched: Seq[(String, Option[String])]) {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = restore()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = restore()
+      }
+    def restore(): Unit = if (done.compareAndSet(false, true)) {
+      touched.foreach { case (key, old) =>
+        try old match {
+          case Some(v) => sp.conf.set(key, v)
+          case None => sp.conf.unset(key)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      try sp.listenerManager.unregister(listener)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Session → latest unrestored SETTINGS snapshot. Weak keys: a
+    * stopped-and-collected session drops its pending snapshot. */
+  private val pendingSettings =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, SettingsSnapshot]()
+
+  /** Synchronously close any still-open per-query settings scope — called
+    * from every statement parse, so a SETTINGS conf never survives into
+    * the next statement even when no execution listener fired (failed
+    * analysis, async listener lag). */
+  def drainPendingSettings(sp: org.apache.spark.sql.SparkSession): Unit = {
+    val snap = pendingSettings.synchronized { pendingSettings.remove(sp) }
+    if (snap != null) snap.restore()
+  }
 
   /** CH `join_algorithm` values → the Spark join-strategy hint that picks
     * the same physical shape (the `b_jn11`/`b_jn15` lever). */

@@ -45,6 +45,84 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("read-path schema conversions: Enum8 override validates and annotates") {
+    val srv = freshServer()
+    try {
+      Seq((1L, "red"), (2L, "green"), (3L, "red"), (4L, null))
+        .toDF("id", "c")
+        .write.format("graft-ch").option("url", srv.url).option("table", "tc")
+        .mode("append").save()
+      // happy path: values ⊆ declared names; schema carries type + codes
+      val ok = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "tc")
+        .option("schema.C", "Enum8('red'=1,'green'=2,'blue'=5)") // case-insensitive col match
+        .load()
+      assert(ok.schema("c").dataType === StringType)
+      assert(ok.schema("c").metadata.getString(ArrowCodec.CHTypeKey) === "Enum8")
+      assert(ok.schema("c").metadata.getString(ArrowCodec.EnumValuesKey)
+        === "red=1,green=2,blue=5")
+      assert(ok.orderBy("id").collect().map(r =>
+        if (r.isNullAt(1)) null else r.getString(1)).toSeq
+        === Seq("red", "green", "red", null))
+      // unknown element → the scan fails loudly (CH enum semantics)
+      val badScan = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "tc")
+        .option("schema.c", "Enum8('red'=1)")
+        .load()
+      val ex = intercept[Exception] { badScan.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("unknown element 'green'")))
+      // unsupported conversion target → schema-time error, CH-style
+      val unsupported = intercept[Exception] {
+        spark.read.format("graft-ch")
+          .option("url", srv.url).option("table", "tc")
+          .option("schema.c", "UInt64")
+          .load()
+      }
+      assert(msgs(unsupported).exists(_.contains("unsupported read conversion target")))
+      // Date target over a non-date column → schema-time mismatch error
+      val mismatch = intercept[Exception] {
+        spark.read.format("graft-ch")
+          .option("url", srv.url).option("table", "tc")
+          .option("schema.c", "Date")
+          .load()
+      }
+      assert(msgs(mismatch).exists(_.contains("expected Date or Date32")))
+    } finally srv.stop()
+  }
+
+  test("stringsAsStrings=false surfaces CH String as binary, bytes intact") {
+    val srv = freshServer()
+    try {
+      Seq((1L, "plain", "2024-05-17"), (2L, "wörld ‰", "2023-01-01"))
+        .toDF("id", "s", "ds")
+        .select(col("id"), col("s"), col("ds").cast(DateType).as("dt"))
+        .write.format("graft-ch").option("url", srv.url).option("table", "tb")
+        .mode("append").save()
+      val back = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "tb")
+        .option("stringsAsStrings", "false")
+        .load()
+      // only the String column flips; other types are untouched
+      assert(back.schema("s").dataType === BinaryType)
+      assert(back.schema("id").dataType === LongType)
+      assert(back.schema("dt").dataType === DateType)
+      val bytes = back.orderBy("id").collect()
+        .map(r => new String(r.getAs[Array[Byte]]("s"), java.nio.charset.StandardCharsets.UTF_8))
+      assert(bytes.toSeq === Seq("plain", "wörld ‰"))
+      // a Date override composes with binary mode on the same scan
+      val both = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "tb")
+        .option("stringsAsStrings", "false")
+        .option("schema.dt", "Date32")
+        .load()
+      assert(both.schema("dt").metadata.getString(ArrowCodec.CHTypeKey) === "Date32")
+      assert(both.schema("s").dataType === BinaryType)
+      assert(both.select(count(lit(1))).head.getLong(0) === 2L)
+    } finally srv.stop()
+  }
+
   test("nulls survive the round trip") {
     val srv = freshServer()
     try {

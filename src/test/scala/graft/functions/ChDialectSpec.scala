@@ -618,11 +618,36 @@ class ChDialectSpec extends SparkSpec {
       hinted.queryExecution.executedPlan.toString)
     assert(hinted.count() === 100)
 
-    // non-hint keys land on the session through the A15 mapping
+    // non-hint keys land on the session through the A15 mapping — and
+    // scope to the ONE query, like CH (src/query.rs:71-166): applied at
+    // the rescued parse, restored when that query's execution completes
+    // (or at the next statement, whichever first)
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.sql("SELECT 1 AS x SETTINGS max_threads = 7").collect()
+      val q = spark.sql("SELECT 1 AS x SETTINGS max_threads = 7")
+      // between parse and execution the conf is live (this is where the
+      // planner reads it)
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
+      q.collect()
+      // the next statement closes the scope synchronously even if the
+      // async execution-end listener hasn't fired yet
+      spark.sql("SELECT 1").collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === prior)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
+  test("SETTINGS scope unwinds after a FAILED analysis too") {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.range(3).selectExpr("id AS k").createOrReplaceTempView("chsetfail")
+      // the rescued parse succeeds and applies the conf; ANALYSIS then
+      // fails (unknown column) so no execution listener will ever fire
+      intercept[Exception] {
+        spark.sql("SELECT no_such_col FROM chsetfail SETTINGS max_threads = 11")
+      }
+      // the next statement's parse drains the pending scope
+      spark.sql("SELECT 1").collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === prior)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
