@@ -363,6 +363,68 @@ object ConnectorQueries extends QueryRegistry {
              |  TRUE AS bytes_match
              |FROM region""".stripMargin)),
 
+    // ---- geo type transport e2e (§1.2 geo ↔ reference
+    // native/types/geo.rs:11): Point/Ring/Polygon/MultiPolygon are
+    // aliases of Tuple/Array shapes, so they ride the recursive
+    // struct/list serde BOTH ways — a deterministic geo fixture built
+    // from nation keys writes through the connector, reads back with
+    // `schema.<col>` geo targets (the preserve arm of
+    // schema_conversion), and scalarizes every level: point coords,
+    // ring vertex count + x-sum, polygon ring count + y-sum,
+    // multipolygon count + x-sum. The `require`s pin the declared geo
+    // identity on the read schema. ----
+    QueryDef(
+      "b_val8_geo_transport",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        val tbl = s"geo_rt_${writeSeq.incrementAndGet()}"
+        def pt(ex: org.apache.spark.sql.Column, ey: org.apache.spark.sql.Column) =
+          struct(ex.cast("double").as("x"), ey.cast("double").as("y"))
+        val id = col("id")
+        Tables.t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+          .select(id,
+            pt(id, id * 2).as("p"),
+            array(pt(id, id), pt(id + 1, id), pt(id, id + 1)).as("ring"),
+            array(array(pt(id, lit(0)), pt(id + 2, lit(0)), pt(id, lit(2)))).as("poly"),
+            array(
+              array(array(pt(lit(0), lit(0)), pt(id + 1, lit(1)), pt(lit(1), id + 1))),
+              array(array(pt(id, id), pt(id + 3, id), pt(id, id + 3)))).as("mpoly"))
+          .write.format("graft-ch").option("url", srv.url).option("table", tbl)
+          .mode("append").save()
+        val back = s.read.format("graft-ch")
+          .option("url", srv.url).option("table", tbl)
+          .option("schema.p", "Point").option("schema.ring", "Ring")
+          .option("schema.poly", "Polygon").option("schema.mpoly", "MultiPolygon")
+          .load()
+        Seq("p" -> "Point", "ring" -> "Ring", "poly" -> "Polygon",
+          "mpoly" -> "MultiPolygon").foreach { case (c, t) =>
+          require(back.schema(c).metadata.getString(ArrowCodec.CHTypeKey) == t,
+            s"geo column $c must read back declared as $t")
+        }
+        back.select(col("id"),
+          col("p.x").as("px"), col("p.y").as("py"),
+          size(col("ring")).cast("int").as("ring_n"),
+          round(expr("aggregate(ring, CAST(0 AS DOUBLE), (a, q) -> a + q.x)"), 4)
+            .as("ring_sx"),
+          size(col("poly")).cast("int").as("poly_rings"),
+          round(expr("aggregate(flatten(poly), CAST(0 AS DOUBLE), (a, q) -> a + q.y)"), 4)
+            .as("poly_sy"),
+          size(col("mpoly")).cast("int").as("mp_n"),
+          round(expr("aggregate(flatten(flatten(mpoly)), CAST(0 AS DOUBLE), (a, q) -> a + q.x)"), 4)
+            .as("mp_sx"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
+             |  CAST(n_nationkey AS DOUBLE) AS px,
+             |  CAST(n_nationkey * 2 AS DOUBLE) AS py,
+             |  CAST(3 AS INT) AS ring_n,
+             |  round(CAST(3 * n_nationkey + 1 AS DOUBLE), 4) AS ring_sx,
+             |  CAST(1 AS INT) AS poly_rings,
+             |  round(CAST(2 AS DOUBLE), 4) AS poly_sy,
+             |  CAST(2 AS INT) AS mp_n,
+             |  round(CAST(4 * n_nationkey + 5 AS DOUBLE), 4) AS mp_sx
+             |FROM nation""".stripMargin)),
+
     // ---- system.tables/columns introspection: the dumped view's schema
     // is the fixed nation fixture schema, so the catalog listing is
     // deterministic and pinned as a golden vector (SystemCatalogSpec

@@ -95,6 +95,17 @@ object ReadConversions {
     })
   }
 
+  /** Structural shape with every nullability flag erased (the wire
+    * arrives with nullable children; the geo alias declares them
+    * non-null — same shape either way). */
+  private def shapeOf(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, shapeOf(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(shapeOf(a.elementType), containsNull = true)
+    case m: MapType => MapType(shapeOf(m.keyType), shapeOf(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def fmtEnum(vs: Seq[(String, Int)]): String =
     vs.map { case (n, c) => s"$n=$c" }.mkString(",")
 
@@ -125,9 +136,13 @@ object ReadConversions {
           .putString(ArrowCodec.CHTypeKey, CHType.format(target)).build())
       case Point | Ring | Polygon | MultiPolygon =>
         // "For schemas, preserve geo types" (types.rs:111-114): declare
-        // the Struct/Array shape §1.2 maps the geo type onto
+        // the Struct/Array shape §1.2 maps the geo type onto (same
+        // normalization as the reference's normalize_geo_type,
+        // native/types/geo.rs:11 — Point = Tuple(F64,F64), Ring =
+        // Array(Point), …). Shape compare ignores nullability: the wire
+        // struct arrives with nullable children.
         val (dt, _) = CHType.toSpark(target)
-        if (f.dataType != dt)
+        if (shapeOf(f.dataType) != shapeOf(dt))
           bad(s"geo target ${CHType.format(target)} expects wire shape ${dt.simpleString}, found ${f.dataType.simpleString}")
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putString(ArrowCodec.CHTypeKey, CHType.format(target)).build())

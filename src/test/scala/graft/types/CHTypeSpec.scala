@@ -151,6 +151,21 @@ class CHTypeSpec extends AnyFunSuite {
     assert(normalize(Polygon) === Arr(Arr(Point)))
   }
 
+  test("geo types normalize to the reference's Tuple/Array aliases (geo.rs:11)") {
+    import org.apache.spark.sql.types._
+    // Point = Tuple(Float64, Float64); each level wraps an Array — the
+    // Spark mapping must equal the mapping of the NORMALIZED form, the
+    // invariant the reference's normalize_geo_type test pins
+    val pointShape = StructType(Seq(
+      StructField("x", DoubleType, false), StructField("y", DoubleType, false)))
+    assert(toSpark(Point)._1 === pointShape)
+    assert(toSpark(Ring)._1 === toSpark(Arr(Point))._1)
+    assert(toSpark(Polygon)._1 === toSpark(Arr(Ring))._1)
+    assert(toSpark(MultiPolygon)._1 === toSpark(Arr(Polygon))._1)
+    assert(toSpark(MultiPolygon)._1 ===
+      ArrayType(ArrayType(ArrayType(pointShape, false), false), false))
+  }
+
   test("Date32 epoch rebase constant (1900-01-01 → 1970-01-01)") {
     val d0 = java.time.LocalDate.of(1900, 1, 1)
     val d1 = java.time.LocalDate.of(1970, 1, 1)
