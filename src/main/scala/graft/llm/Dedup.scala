@@ -454,17 +454,35 @@ object Dedup extends QueryRegistry {
     * *text* never does, so the driver holds exactly what it must
     * broadcast anyway, never an OOM-sized intermediate.
     */
-  def contamination(docs: DataFrame, benchMod: Int = 97, minOverlap: Int = 3): DataFrame = {
+  def contamination(docs: DataFrame, benchMod: Int = 97, minOverlap: Int = 3,
+                    benchDfCap: Int = 64, maxIndexEntries: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val typed = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-    val postings: Array[(String, Array[Long])] = typed
+    val capped = typed
       .filter(_._1 % benchMod == 0)
       .flatMap { case (id, text) => DedupKernels.shingles(text).iterator.map(s => (s, id)) }
       .toDF("s", "bench_id")
       .groupBy("s").agg(collect_list(col("bench_id")).as("ids"))
-      .as[(String, Array[Long])]
-      .collect()
+      // posting-list df-cap: a shingle shared by more than `benchDfCap`
+      // bench docs is boilerplate (the jaccard df-cap rationale) — it
+      // would dominate every training doc's counts AND is exactly the
+      // list that makes the index driver-sized instead of bench-sized
+      .where(size(col("ids")) <= benchDfCap)
+    // enforce the bench-side-is-small CONTRACT before anything reaches
+    // the driver: a mis-carved "bench" set (someone flips benchMod to 2
+    // at 100 TB) must die here with the budget named, not OOM the
+    // driver inside collect(). One extra bench-sized agg job — the
+    // 100-TB training side is untouched.
+    val entries = capped.agg(coalesce(sum(size(col("ids"))), lit(0L)))
+      .as[Long].head()
+    require(entries <= maxIndexEntries,
+      s"contamination: bench inverted index carries $entries postings, over " +
+        s"the $maxIndexEntries budget — the broadcast-index design assumes a " +
+        "bench-sized eval set; shrink it or raise maxIndexEntries with " +
+        "driver memory to match")
+    val postings: Array[(String, Array[Long])] =
+      capped.as[(String, Array[Long])].collect()
     val bc = spark.sparkContext.broadcast(postings.toMap)
     typed.filter(_._1 % benchMod != 0)
       .flatMap { case (id, text) =>
@@ -563,11 +581,16 @@ object Dedup extends QueryRegistry {
     QueryDef(
       "x_dedup_contaminate",
       (s, d) => contamination(t(s, d, "documents")),
+      // the oracle mirrors the bench-side df-cap (HAVING count <= 64):
+      // both engines drop the same boilerplate shingles, so overlap
+      // counts stay exactly equal
       Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
              |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
              |  ELSE [] END)) AS s FROM docs),
-             |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+             |b0 AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+             |bkeep AS (SELECT s FROM b0 GROUP BY s HAVING count(*) <= 64),
+             |b AS (SELECT bench_id, b0.s FROM b0 JOIN bkeep ON b0.s = bkeep.s),
              |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
              |SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
              |FROM t JOIN b ON t.s = b.s

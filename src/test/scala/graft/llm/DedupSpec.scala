@@ -78,4 +78,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keep === Set(1L, 10L, 20L, 99L))
   }
+
+  test("contamination broadcast index enforces its size budget and df-cap") {
+    val docs = Tables.t(spark, sf001, "documents")
+    // over-budget: the assert fires BEFORE collect/broadcast, naming it
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.contamination(docs, maxIndexEntries = 10L).collect()
+    }
+    assert(ex.getMessage.contains("over the 10 budget"))
+    // a binding df-cap drops boilerplate posting lists but still runs;
+    // capped results are a subset of the uncapped scan's pairs
+    val uncapped = Dedup.contamination(docs)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Dedup.contamination(docs, benchDfCap = 1)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(uncapped))
+  }
 }
