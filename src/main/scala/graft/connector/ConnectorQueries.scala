@@ -363,6 +363,42 @@ object ConnectorQueries extends QueryRegistry {
              |  TRUE AS bytes_match
              |FROM region""".stripMargin)),
 
+    // ---- harvested from the reference test corpus: `dynamicType(d)` /
+    // `variantType(v)` (tests/new_types.rs:242-296) — the dialect maps
+    // both onto the §1.2 tagged-struct projections, so the reference's
+    // own introspection queries run verbatim over connector scans ----
+    QueryDef(
+      "b_sql38_dynamic_type",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadDynamicTable("dynamics_sql", 30)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "dynamics_sql")
+          .load().createOrReplaceTempView("dyn_sql_v")
+        s.sql(
+          """SELECT dynamicType(dyn) AS dtype, dyn.value AS v
+            |FROM dyn_sql_v WHERE dynamicType(dyn) IS NOT NULL""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN i % 3 = 0 THEN 'String' ELSE 'Int64' END AS dtype,
+             |  CASE WHEN i % 3 = 0 THEN 'dyn' || CAST(i AS VARCHAR)
+             |       ELSE CAST(i * 10 AS VARCHAR) END AS v
+             |FROM range(30) t(i) WHERE i % 3 < 2""".stripMargin)),
+
+    QueryDef(
+      "b_sql39_variant_type",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        srv.loadVariantTable("variants_sql", 20)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "variants_sql")
+          .load().createOrReplaceTempView("var_sql_v")
+        s.sql(
+          """SELECT variantType(v) AS vt, v.v1 AS i_val
+            |FROM var_sql_v WHERE variantType(v) = 'Int64'""".stripMargin)
+      },
+      Some("""SELECT 'Int64' AS vt, CAST(2 * i + 1 AS BIGINT) AS i_val
+             |FROM range(10) t(i)""".stripMargin)),
+
     // ---- geo type transport e2e (§1.2 geo ↔ reference
     // native/types/geo.rs:11): Point/Ring/Polygon/MultiPolygon are
     // aliases of Tuple/Array shapes, so they ride the recursive

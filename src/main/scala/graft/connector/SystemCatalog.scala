@@ -71,7 +71,9 @@ class SystemCatalog extends TableCatalog {
 
 object SystemCatalog {
   val tableNames: Seq[String] =
-    Seq("tables", "columns", "functions", "settings", "one", "numbers")
+    // numbers_mt is CH's multithreaded spelling of the same unbounded
+    // sequence (the reference test corpus queries it) — one table here
+    Seq("tables", "columns", "functions", "settings", "one", "numbers", "numbers_mt")
 
   /** `system.numbers` is unbounded in CH (clients always LIMIT it); a
     * Spark batch scan must be finite, so an un-pushed read caps here. */
@@ -98,7 +100,7 @@ object SystemCatalog {
       StructField("value", StringType, nullable = false)))
     case "one" => StructType(Seq(
       StructField("dummy", ByteType, nullable = false)))
-    case "numbers" => StructType(Seq(
+    case "numbers" | "numbers_mt" => StructType(Seq(
       StructField("number", LongType, nullable = false)))
   }
 
@@ -159,11 +161,11 @@ class SystemTable(kind: String) extends Table with SupportsRead {
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var limit: Option[Int] = None
       override def pushLimit(n: Int): Boolean =
-        if (kind == "numbers") { limit = Some(n); true } else false
+        if (kind.startsWith("numbers")) { limit = Some(n); true } else false
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = SystemCatalog.schemaOf(kind)
         override def rows(): Array[InternalRow] =
-          if (kind == "numbers") {
+          if (kind.startsWith("numbers")) {
             val n = limit.getOrElse(SystemCatalog.NumbersDefaultCap)
             Array.tabulate(n)(i => new GenericInternalRow(Array[Any](i.toLong)))
           } else SystemCatalog.rowsOf(kind)

@@ -399,6 +399,12 @@ object ChDialect {
       } },
     // CH caseWithExpression(x, k1, v1, k2, v2, …[, default])
     fnVar("caseWithExpression", 3) { a => CaseKeyWhen(a.head, a.tail) },
+    // Variant/Dynamic introspection (the reference test corpus queries
+    // `dynamicType(d)` / `variantType(v)`, tests/new_types.rs:242-296):
+    // §1.2 maps both wire unions onto tagged structs, so the spellings
+    // project the tag field — NULL dynamics carry a NULL tag, like CH
+    fn("dynamicType", 1) { a => UnresolvedExtractValue(a.head, Literal("dynamic_type")) },
+    fn("variantType", 1) { a => UnresolvedExtractValue(a.head, Literal("variant_type")) },
 
     // ---- more aggregates ----
     fn("argMin", 2) { a => MinBy(a.head, a(1)) },

@@ -258,7 +258,8 @@ object ChSqlRewrite {
     }
     val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
-        rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(hinted, globalWideWords))))))))))))
+        rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(
+          rewriteBraceParams(hinted), globalWideWords))))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -625,7 +626,19 @@ object ChSqlRewrite {
                   if (items.length == 1) {
                     val (e0, a0) = items.head
                     val fn = if (left) "explode_outer" else "explode"
-                    s"LATERAL VIEW $fn($e0) ch_aj_ AS $a0 "
+                    // CH ARRAY JOIN over a MAP: the element is a
+                    // (key, value) tuple read as `m.key`/`m.value`
+                    // (reference tests/arrow.rs map case). Spark's map
+                    // explode emits exactly those two columns — when
+                    // the query reads the alias THAT way, emit the bare
+                    // generator alias so key/value surface under it;
+                    // the bare-alias array reading keeps the AS form.
+                    val bare = a0.stripPrefix("`").stripSuffix("`")
+                    val usesKv = java.util.regex.Pattern.compile(
+                      "(?is)\\b" + java.util.regex.Pattern.quote(bare) +
+                        "\\s*\\.\\s*(key|value)\\b").matcher(sql).find()
+                    if (usesKv) s"LATERAL VIEW $fn($e0) $a0 "
+                    else s"LATERAL VIEW $fn($e0) ch_aj_ AS $a0 "
                   } else {
                     val (e0, a0) = items.head
                     val fn = if (left) "posexplode_outer" else "posexplode"
@@ -2320,6 +2333,55 @@ object ChSqlRewrite {
     var i = start + 2
     while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
     math.min(i + 2, s.length)
+  }
+
+  // ------------------------------------------------ {name:Type} params
+
+  private val braceInner =
+    java.util.regex.Pattern.compile("(?s)^\\s*([A-Za-z_]\\w*)\\s*:\\s*(\\S[^}]*?)\\s*$")
+
+  /** CH's parameter marker `{name:Type}` — the reference's PRIMARY bind
+    * spelling (`src/query.rs:71-166`, e.g. `WHERE id = {id:UInt64}`,
+    * `{ids:Array(Int32)} IN`) → Spark's named marker `:name`. The type
+    * annotation drops: Spark types the binding from the bound value,
+    * the engine half of the same contract. `{name:Identifier}` cannot
+    * become a value binding — CH substitutes identifiers CLIENT-side —
+    * so it must pre-substitute through `graft.settings.Params.sql`;
+    * one reaching this rewrite un-substituted fails loudly with that
+    * pointer. Quote/comment-aware; a braced form without `name:Type`
+    * shape (string formatting remnants like `{table}`) is left alone. */
+  private def rewriteBraceParams(sql: String): String = {
+    val n = sql.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    var changed = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      val e =
+        if (c == '\'' || c == '"' || c == '`') skipQuoted(sql, i)
+        else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') skipLine(sql, i)
+        else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') skipBlock(sql, i)
+        else -1
+      if (e >= 0) { sb.append(sql.substring(i, e)); i = e }
+      else if (c == '{') {
+        val close = sql.indexOf('}', i)
+        val m = if (close > i) braceInner.matcher(sql.substring(i + 1, close)) else null
+        if (m != null && m.matches()) {
+          if (m.group(2).equalsIgnoreCase("Identifier"))
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3100",
+              messageParameters = Map("message" ->
+                (s"graft: {${m.group(1)}:Identifier} substitutes client-side " +
+                  "in ClickHouse — run the statement through " +
+                  "graft.settings.Params.sql, which binds identifier params " +
+                  "into the text before value binding")))
+          sb.append(':').append(m.group(1))
+          i = close + 1
+          changed = true
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    if (changed) sb.toString else sql
   }
 
   /** True when index `pos` lies outside every quoted literal and comment

@@ -58,11 +58,46 @@ object GraftSettings {
   * `src/query.rs:71-166`, Spark-native form). */
 object Params {
 
+  private val identParam =
+    java.util.regex.Pattern.compile("(?s)\\{\\s*([A-Za-z_]\\w*)\\s*:\\s*Identifier\\s*\\}")
+
+  /** CH `{name:Identifier}` params substitute CLIENT-side (the reference
+    * binds identifiers into the text, `src/query.rs` — a server value
+    * binding cannot name a table/column). Substituted here: validated,
+    * backtick-quoted per dot-part, and removed from the value-binding
+    * map; the remaining `{name:Type}` value params ride to the engine
+    * binding through the rescue rewrite. */
+  private def bindIdentifiers(
+      sqlText: String, args: Map[String, Any]): (String, Map[String, Any]) = {
+    val m = identParam.matcher(sqlText)
+    val used = scala.collection.mutable.Set.empty[String]
+    val sb = new StringBuffer
+    while (m.find()) {
+      val k = m.group(1)
+      val v = args.getOrElse(k, throw new IllegalArgumentException(
+        s"Params: no value bound for identifier param {$k:Identifier}")).toString
+      val quoted = v.split('.').map { part =>
+        require(part.nonEmpty && !part.contains('`'),
+          s"Params: invalid identifier '$v' for {$k:Identifier}")
+        s"`$part`"
+      }.mkString(".")
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(quoted))
+      used += k
+    }
+    m.appendTail(sb)
+    (sb.toString, args -- used)
+  }
+
   /** Run SQL with named parameters bound engine-side (never string
-    * interpolation — same injection-safety the reference gets from
-    * server-side binding). */
-  def sql(spark: SparkSession, sqlText: String, args: Map[String, Any]): DataFrame =
-    spark.sql(sqlText, args)
+    * interpolation for VALUES — same injection-safety the reference
+    * gets from server-side binding; identifier params are the one
+    * documented exception, quoted + validated client-side like the
+    * reference). Accepts both Spark's `:name` markers and CH's
+    * `{name:Type}` spelling (rewritten by the rescue tier). */
+  def sql(spark: SparkSession, sqlText: String, args: Map[String, Any]): DataFrame = {
+    val (text, rest) = bindIdentifiers(sqlText, args)
+    spark.sql(text, rest)
+  }
 
   /** Positional variant. */
   def sql(spark: SparkSession, sqlText: String, args: Array[Any]): DataFrame =

@@ -1,6 +1,7 @@
 package graft.settings
 
 import graft.{QueryDef, QueryRegistry, Tables}
+import org.apache.spark.sql.functions.{col, lit, map}
 
 /** Declared A15 capability: a query whose predicate arrives as a BOUND
   * parameter (never interpolated into the SQL text), oracle-checked. */
@@ -483,6 +484,72 @@ object SettingsQueries extends QueryRegistry {
              |  CAST(date_diff('month', o_orderdate, DATE '1998-12-31') AS INT) AS m_to_end,
              |  CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS d_to_end
              |FROM orders""".stripMargin)),
+
+    // ---- harvested from the reference test corpus (tests/tests/*.rs):
+    // CH's PRIMARY param spelling `{name:Type}` (params.rs, query.rs) —
+    // the rescue tier rewrites it onto Spark's named markers and the
+    // engine binds the values; the SAME harvested predicate shapes
+    // (`id = {filter_id:Int32}`, `name LIKE {pattern:String}`). ----
+    QueryDef(
+      "b_sql34_param_braces",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_bp_v")
+        Params.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_bp_v
+            |WHERE o_totalprice > {min_total:Float64}
+            |  AND o_orderpriority LIKE {pattern:String}
+            |ORDER BY o_orderkey""".stripMargin,
+          Map("min_total" -> 250000.0, "pattern" -> "1-%"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 250000.0 AND o_orderpriority LIKE '1-%'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- harvested: `SELECT * FROM {table:Identifier}` (query.rs) —
+    // identifier params substitute CLIENT-side (validated + quoted),
+    // value params still bind engine-side in the same statement ----
+    QueryDef(
+      "b_sql35_param_identifier",
+      (s, d) => {
+        Tables.t(s, d, "supplier").createOrReplaceTempView("supplier_ip_v")
+        Params.sql(s,
+          """SELECT s_suppkey, s_name, s_acctbal FROM {t:Identifier}
+            |WHERE s_acctbal > {min_bal:Float64} ORDER BY s_suppkey""".stripMargin,
+          Map("t" -> "supplier_ip_v", "min_bal" -> 0.0))
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |WHERE s_acctbal > 0.0 ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- harvested: `SELECT id, m.key, m.value FROM t ARRAY JOIN
+    // metrics AS m` (arrow.rs map case) — map ARRAY JOIN reads the
+    // element as a (key, value) tuple; the rewrite emits the bare
+    // generator alias so Spark's map explode surfaces exactly those
+    // columns under it ----
+    QueryDef(
+      "b_sql36_map_array_join",
+      (s, d) => {
+        Tables.t(s, d, "nation")
+          .select(col("n_nationkey").as("id"),
+            map(lit("name"), col("n_name"),
+              lit("region"), col("n_regionkey").cast("string")).as("metrics"))
+          .createOrReplaceTempView("nation_mj_v")
+        s.sql(
+          """SELECT id, m.key, m.value FROM nation_mj_v
+            |ARRAY JOIN metrics AS m
+            |ORDER BY id, m.key""".stripMargin)
+      },
+      Some("""SELECT id, k AS "key", v AS "value" FROM (
+             |  SELECT n_nationkey AS id, 'name' AS k, n_name AS v FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation)
+             |ORDER BY id, k""".stripMargin)),
+
+    // ---- harvested: `SELECT number FROM system.numbers_mt LIMIT n`
+    // (native.rs) — CH's multithreaded numbers spelling, same sequence ----
+    QueryDef(
+      "b_sql37_numbers_mt",
+      (s, d) => s.sql("SELECT number FROM system.numbers_mt LIMIT 10"),
+      Some("SELECT CAST(x AS BIGINT) AS number FROM range(10) t(x)")),
 
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the

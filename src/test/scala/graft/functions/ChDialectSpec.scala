@@ -636,6 +636,54 @@ class ChDialectSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  test("CH {name:Type} params rewrite to named markers; Identifier pre-binds") {
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT * FROM t WHERE id = {id:UInt64} AND name LIKE {p:String}")
+      === "SELECT * FROM t WHERE id = :id AND name LIKE :p")
+    assert(rw("SELECT {xs:Array(Int32)} AS a") === "SELECT :xs AS a")
+    // a braced form inside a string literal is untouched
+    assert(rw("SELECT '{id:UInt64}' AS s") === "SELECT '{id:UInt64}' AS s")
+    // a brace without the name:Type shape (format remnant) is untouched
+    assert(rw("SELECT 1 AS x -- {db} braces in comment")
+      === "SELECT 1 AS x -- {db} braces in comment")
+    // Identifier params never become value bindings — loud pointer
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT * FROM {t:Identifier}")
+    }
+    assert(e.getMessage.contains("Params.sql"))
+    // end-to-end: identifier substitutes client-side, value binds engine-side
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("chbp")
+    val rows = graft.settings.Params.sql(spark,
+      "SELECT k FROM {t:Identifier} WHERE k >= {lo:Int64} ORDER BY k",
+      Map("t" -> "chbp", "lo" -> 3L)).collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(3L, 4L))
+    // invalid identifier values fail validation, never splice
+    intercept[IllegalArgumentException] {
+      graft.settings.Params.sql(spark,
+        "SELECT k FROM {t:Identifier}", Map("t" -> "chbp` WHERE 1=1 --"))
+    }
+  }
+
+  test("ARRAY JOIN over a map surfaces key/value under the alias") {
+    Seq((1L, Map("a" -> "x", "b" -> "y")), (2L, Map("c" -> "z")))
+      .toDF("id", "metrics").createOrReplaceTempView("chmapaj")
+    val rows = spark.sql(
+      """SELECT id, m.key, m.value FROM chmapaj ARRAY JOIN metrics AS m
+        |ORDER BY id, m.key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, "a", "x"), (1L, "b", "y"), (2L, "c", "z")))
+    // dialect introspection spellings resolve on tagged structs
+    assert(spark.sql(
+      "SELECT dynamicType(named_struct('dynamic_type', 'Int64', 'value', '42'))")
+      .head.getString(0) === "Int64")
+    assert(spark.sql(
+      "SELECT variantType(named_struct('variant_type', 'String', 'v0', 'a'))")
+      .head.getString(0) === "String")
+    // numbers_mt mirrors numbers
+    assert(spark.sql("SELECT number FROM system.numbers_mt LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("SETTINGS scope unwinds after a FAILED analysis too") {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     try {
