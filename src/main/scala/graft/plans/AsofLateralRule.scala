@@ -44,11 +44,14 @@ import org.apache.spark.sql.types._
   * itself is never NULL, so no row is ever skipped, and lexicographic
   * struct comparison reproduces `Sort` exactly — including explicit
   * non-default null ordering and all-NULL groups. Mixed-direction
-  * multi-key sorts fold into a single `min_by` by order-negating each
-  * DESC key (`~x` for integral/date/timestamp — monotone-decreasing
-  * with no ANSI overflow, unlike `-x`; `-x` for decimals; `NOT x` for
-  * booleans); a DESC key of a non-negatable type (string, float —
-  * NaN breaks negation monotonicity) falls back to Spark.
+  * multi-key sorts fold into a single aggregate by order-negating the
+  * counter-direction keys (`~x` for integral/date/timestamp —
+  * monotone-decreasing with no ANSI overflow, unlike `-x`; `-x` for
+  * decimals; `NOT x` for booleans); BOTH aggregate directions are
+  * tried, so a DESC key of a non-negatable type (string; float — NaN
+  * breaks negation monotonicity) folds into `max_by` with the ASC
+  * keys negated instead. Only a sort carrying non-negatable keys in
+  * both directions still falls back to Spark.
   *
   * '''Projected probes.''' A probe that projects (`SELECT r.v FROM …`)
   * — including the analyzer's sort-on-missing-attribute shape
@@ -69,8 +72,8 @@ import org.apache.spark.sql.types._
   * just slower): LIMIT other than 1, a lateral join condition, outer
   * references outside the peeled Filter chain, non-deterministic or
   * subquery-bearing expressions, aggregates/windows inside the probe,
-  * and DESC sort keys of non-negatable types under a mixed-direction
-  * sort.
+  * and a mixed-direction sort with non-negatable key types in BOTH
+  * directions (e.g. one ASC string and one DESC string).
   */
 class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -185,38 +188,40 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
       else {
         if (orders.exists(so => hasOuterRef(so.child) || !movable(so.child))) return None
         if (!orders.forall(_.child.references.subsetOf(inner.outputSet))) return None
-        val dirs = orders.map(_.direction).distinct
-        if (dirs.length == 1) {
-          // single direction: min_by for ASC, max_by for DESC, raw key
-          // values; nullRank encodes the (possibly explicit) null
-          // placement so NULL keys land exactly where Sort puts them
-          val asc = dirs.head == Ascending
-          val fields = orders.flatMap { so =>
-            val nullsFirst = so.nullOrdering == NullsFirst
-            // ASC/min_by: smaller rank sorts earlier; DESC/max_by:
-            // larger rank sorts earlier
-            val (nullRank, valRank) =
-              if (asc == nullsFirst) (Literal(0), Literal(1)) else (Literal(1), Literal(0))
-            Seq(If(IsNull(so.child), nullRank, valRank), so.child)
-          }
-          UseAgg(min = asc, CreateStruct(fields))
-        } else {
-          // mixed directions: fold into ONE min_by by order-negating
-          // every DESC key; bail if a DESC key's type has no sound
-          // negation
+        // ONE aggregate must carry every key: encode for min_by (keys
+        // in sort direction ride raw, counter-direction keys order-
+        // negate), and if a counter-direction key has no sound negation
+        // try the OTHER direction — max_by with the ASC keys negated
+        // instead. A mixed sort with a DESC string key (the one
+        // commonly-typed shape that used to bail) thus folds into
+        // max_by as long as its ASC keys negate; only non-negatable
+        // keys in BOTH directions still fall back to Spark. nullRank
+        // encodes the (possibly explicit) null placement RELATIVE to
+        // the chosen aggregate so NULL keys land exactly where Sort
+        // puts them: min_by keeps the smallest encoding, so NULLS FIRST
+        // ranks 0; max_by keeps the largest, so NULLS FIRST ranks 1.
+        def encode(d: SortDirection): Option[Expression] = {
           val fields = orders.map { so =>
             val nullsFirst = so.nullOrdering == NullsFirst
             val (nullRank, valRank) =
-              if (nullsFirst) (Literal(0), Literal(1)) else (Literal(1), Literal(0))
-            val enc = so.direction match {
-              case Ascending => Some(so.child)
-              case Descending => negateOrder(so.child)
-            }
+              if ((d == Ascending) == nullsFirst) (Literal(0), Literal(1))
+              else (Literal(1), Literal(0))
+            val enc =
+              if (so.direction == d) Some(so.child) else negateOrder(so.child)
             enc.map(e => Seq(If(IsNull(so.child), nullRank, valRank), e))
           }
-          if (fields.exists(_.isEmpty)) return None
-          UseAgg(min = true, CreateStruct(fields.flatten.flatten))
+          if (fields.exists(_.isEmpty)) None
+          else Some(CreateStruct(fields.flatten.flatten))
         }
+        // try the sort's dominant direction first so single-direction
+        // sorts keep their raw-key encoding (all-DESC → plain max_by,
+        // no negation casts), falling back to the flipped aggregate
+        val primary =
+          if (orders.forall(_.direction == Descending)) Descending else Ascending
+        val secondary = if (primary == Ascending) Descending else Ascending
+        encode(primary).map(e => UseAgg(min = primary == Ascending, e))
+          .orElse(encode(secondary).map(e => UseAgg(min = secondary == Ascending, e)))
+          .getOrElse(return None)
       }
 
     // 1) tag left rows

@@ -132,6 +132,54 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(rows === Seq(1 -> "b", 2 -> null))
   }
 
+  test("DESC string key under a mixed sort folds into max_by (no bail)") {
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("alrs_l")
+    Seq((1, 90L, "zed", "a"), (1, 90L, "alp", "b"), (1, 80L, "zzz", "c"))
+      .toDF("k", "rts", "name", "p").createOrReplaceTempView("alrs_r")
+    // rts ASC (negatable) + name DESC (string, non-negatable): min_by
+    // cannot carry it, so the rule flips to max_by with rts negated
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrs_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrs_r r0 WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts ASC, r0.name DESC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+    assert(plan.contains("ch_asof_lid_"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // rts ASC picks the 80-group ('c'); with equal rts, name DESC picks 'zed'
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows === Seq(1 -> "c", 2 -> null))
+    // equal-rts tiebreak on the string: drop the 80 row from the probe
+    val tie = spark.sql(
+      """SELECT l.k, r.p FROM alrs_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrs_r r0 WHERE l.k = r0.k AND r0.rts = 90
+        |  ORDER BY r0.rts ASC, r0.name DESC LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    assert(tie.queryExecution.executedPlan.toString.contains("ch_asof_lid_"))
+    assert(tie.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      === Seq(1 -> "a", 2 -> null))
+    // NULL placement still exact under the flipped aggregate
+    Seq((1, Some("x"), "real"), (1, Option.empty[String], "nul"))
+      .toDF("k", "s", "p").createOrReplaceTempView("alrs_rn")
+    def pick(order: String): String = {
+      val d = spark.sql(
+        s"""SELECT l.k, r.p FROM alrs_l l LEFT JOIN LATERAL (
+           |  SELECT * FROM alrs_rn r0 WHERE l.k = r0.k
+           |  ORDER BY $order LIMIT 1) r
+           |WHERE l.k = 1""".stripMargin)
+      assert(d.queryExecution.executedPlan.toString.contains("ch_asof_lid_"),
+        s"not rewritten for: $order")
+      d.collect().head.getString(1)
+    }
+    // string DESC + a second ASC key forces the max_by path; DESC
+    // default NULLS LAST → real row wins; NULLS FIRST → null row wins
+    assert(pick("r0.s DESC, r0.k ASC") === "real")
+    assert(pick("r0.s DESC NULLS FIRST, r0.k ASC") === "nul")
+  }
+
   test("argmax reproduces Sort's null placement exactly") {
     Seq((1, 100L), (2, 100L), (3, 100L)).toDF("k", "ts")
       .createOrReplaceTempView("alrn_l")
