@@ -1,0 +1,35 @@
+#!/bin/bash
+# sf10 spot-certification of the PAIR-GROWTH dedup families (VERDICT r07
+# next-#4): the sf1 cert showed their cost rides candidate-pair count
+# (C(g,2) per g-member near-dup group); this run scales the HAZARD
+# VARIABLE — dup-group size g — by 100 instead of 10, at a tractable
+# total size, by replicating sf0.01 with GenScale factor 100 (50k docs,
+# 500 rotation groups of 100 → C(100,2)=4950 candidate pairs per group,
+# 110x the per-group pairs of the sf1 cert). Prove: per-query cost stays
+# linear in candidate pairs, the shingle df-cap keeps the inverted index
+# bounded (per-shingle df = group size = 100, under the 500 cap), and no
+# query goes super-linear beyond its pair growth.
+#
+# x_sim_topk_brute is excluded (declared quadratic); x_dedup_semantic
+# runs with its corpus-scaled blocking (k ∝ N/250).
+set -e
+cd "$(dirname "$0")/.."
+
+if [ ! -d testdata_sf10 ]; then
+  sbt -batch "runMain graft.GenScale /root/testdata/sf0.01 testdata_sf10 100"
+fi
+
+QUERIES=b_src1_scan,x_dedup_exact,x_dedup_fuzzy,x_dedup_ngram_jaccard,x_dedup_containment,x_dedup_minhash,x_dedup_simhash,x_dedup_semantic
+
+# denominators: the same queries on the UNSCALED source fixture
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_QUERIES="$QUERIES" \
+SPARK_GRAFT_BENCH_OUT=BENCH_sf10_base.json \
+  sbt -batch "runMain graft.Bench"
+
+SPARK_GRAFT_SF_DIR="$(pwd)/testdata_sf10" \
+SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_QUERIES="$QUERIES" \
+SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
+  sbt -batch "runMain graft.Bench"

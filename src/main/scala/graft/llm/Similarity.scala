@@ -1135,9 +1135,16 @@ object Similarity extends QueryRegistry {
       "x_dedup_semantic",
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        // blocking factor SCALES WITH THE CORPUS (k ∝ N/250, the
+        // Σ|block|² bound that keeps in-block verify ~N·250 instead of
+        // quadratic): a pinned k at 100× the fixture would make block
+        // size — not the plan — the bottleneck. At the sf0.01 oracle
+        // fixture (2000 vectors) this is exactly the k=8 the recall
+        // floor was probe-calibrated on.
+        val k = math.max(8, (emb.count() / 250).toInt)
         pairRecallContract(
           exactPairsFor(s, d),
-          semanticDupPairs(emb, tau = 0.4, k = 8, nprobe = 2, iters = 3),
+          semanticDupPairs(emb, tau = 0.4, k = k, nprobe = 2, iters = 3),
           minRecall = 0.7)
       },
       Some(embedExactPairCountOracle)),
