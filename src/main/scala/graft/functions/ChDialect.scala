@@ -753,5 +753,149 @@ object ChDialect {
       tryCast(new ParseToDate(Cast(a.head, StringType), Literal("yyyyMMdd")), DateType) },
     fn("YYYYMMDDhhmmssToDateTime", 1) { a =>
       tryCast(new ParseToTimestamp(Cast(a.head, StringType), Literal("yyyyMMddHHmmss")),
-        TimestampType) })
+        TimestampType) },
+
+    // ---- round-8 tail: common CH spellings still unmapped after the
+    // corpus harvest (sub-day add/subtract arithmetic, number theory,
+    // bit tests/rotates, array folds, readable formatters, URL domain
+    // heuristics, type introspection). All composites over builtin
+    // codegen'd expressions except gcd/lcm (StaticInvoke kernels) and
+    // toTypeName (foldable constant). `transform` and `monthname` are
+    // NOT aliased — Spark owns those names. ----
+    fn("addHours", 2) { a =>
+      TimestampAdd("HOUR", a(1), Cast(a.head, TimestampType)) },
+    fn("subtractHours", 2) { a =>
+      TimestampAdd("HOUR", UnaryMinus(a(1)), Cast(a.head, TimestampType)) },
+    fn("addMinutes", 2) { a =>
+      TimestampAdd("MINUTE", a(1), Cast(a.head, TimestampType)) },
+    fn("subtractMinutes", 2) { a =>
+      TimestampAdd("MINUTE", UnaryMinus(a(1)), Cast(a.head, TimestampType)) },
+    fn("addSeconds", 2) { a =>
+      TimestampAdd("SECOND", a(1), Cast(a.head, TimestampType)) },
+    fn("subtractSeconds", 2) { a =>
+      TimestampAdd("SECOND", UnaryMinus(a(1)), Cast(a.head, TimestampType)) },
+    fn("addQuarters", 2) { a => AddMonths(a.head, Multiply(a(1), Literal(3))) },
+    fn("subtractQuarters", 2) { a => AddMonths(a.head, Multiply(a(1), Literal(-3))) },
+    fn("subtractWeeks", 2) { a => DateAdd(a.head, Multiply(a(1), Literal(-7))) },
+    fn("toYYYYMMDDhhmmss", 1) { a =>
+      Cast(DateFormatClass(Cast(a.head, TimestampType), Literal("yyyyMMddHHmmss")),
+        LongType) },
+    // CH dateName('unit', d): the unit's calendar NAME (month/weekday)
+    // or its number rendered as a string (everything else)
+    fn("dateName", 2) { a =>
+      val t = Cast(a(1), TimestampType)
+      def fmt(p: String) = DateFormatClass(t, Literal(p))
+      litString(a.head, "dateName").toLowerCase(java.util.Locale.ROOT) match {
+        case "year" => fmt("yyyy")
+        case "quarter" => Cast(Quarter(t), StringType)
+        case "month" => fmt("MMMM")
+        case "week" => Cast(WeekOfYear(Cast(t, DateType)), StringType)
+        case "dayofyear" => fmt("D")
+        case "day" => fmt("d")
+        case "weekday" => fmt("EEEE")
+        case "hour" => fmt("H")
+        case "minute" => fmt("m")
+        case "second" => fmt("s")
+        case u => throw new IllegalArgumentException(s"dateName: unsupported unit '$u'")
+      } },
+    // arrayProduct returns Float64, like CH
+    fn("arrayProduct", 1) { a =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("ch_acc_"))
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      val out = UnresolvedNamedLambdaVariable(Seq("ch_out_"))
+      ArrayAggregate(a.head, Literal(1.0d),
+        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction(out, Seq(out))) },
+    // running sum clamped at zero (CH: negative partial sums reset to 0)
+    fn("arrayCumSumNonNegative", 1) { a =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("ch_acc_"))
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      val out = UnresolvedNamedLambdaVariable(Seq("ch_out_"))
+      ArrayAggregate(a.head, Slice(a.head, Literal(1), Literal(0)),
+        LambdaFunction(
+          Concat(Seq(acc, CreateArray(Seq(Greatest(Seq(Literal(0), Add(
+            Coalesce(Seq(ElementAt(acc, Literal(-1), None, failOnError = false), Literal(0))),
+            x))))))),
+          Seq(acc, x)),
+        LambdaFunction(out, Seq(out))) },
+    fn("countEqual", 2) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      Cast(Size(ArrayFilter(a.head,
+        LambdaFunction(EqualNullSafe(x, a(1)), Seq(x)))), LongType) },
+    fnVar("bitTestAll", 2) { a =>
+      a.tail.map(p => EqualTo(BitwiseAnd(ShiftRight(a.head, Cast(p, IntegerType)),
+        Literal(1L)), Literal(1L))).reduce(And.apply) },
+    fnVar("bitTestAny", 2) { a =>
+      a.tail.map(p => EqualTo(BitwiseAnd(ShiftRight(a.head, Cast(p, IntegerType)),
+        Literal(1L)), Literal(1L))).reduce(Or.apply) },
+    // 64-bit rotates (Java shift semantics mask the count mod 64, the
+    // same wraparound CH's UInt64 rotate has)
+    fn("bitRotateLeft", 2) { a =>
+      val x = Cast(a.head, LongType)
+      val n = Cast(a(1), IntegerType)
+      BitwiseOr(ShiftLeft(x, n), ShiftRightUnsigned(x, Subtract(Literal(64), n))) },
+    fn("bitRotateRight", 2) { a =>
+      val x = Cast(a.head, LongType)
+      val n = Cast(a(1), IntegerType)
+      BitwiseOr(ShiftRightUnsigned(x, n), ShiftLeft(x, Subtract(Literal(64), n))) },
+    // largest power of two <= x (0 below 1), exact in integer space
+    fn("roundToExp2", 1) { a =>
+      val d = Cast(a.head, DoubleType)
+      If(LessThan(d, Literal(1.0)), Literal(0L),
+        ShiftLeft(Literal(1L), Cast(Floor(Log2(d)), IntegerType))) },
+    fn("gcd", 2) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        MathKernels.getClass, LongType, "gcd",
+        Seq(Cast(a.head, LongType), Cast(a(1), LongType)), Seq(LongType, LongType)) },
+    fn("lcm", 2) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        MathKernels.getClass, LongType, "lcm",
+        Seq(Cast(a.head, LongType), Cast(a(1), LongType)), Seq(LongType, LongType)) },
+    // CH display formatters: IEC byte ladder / SI quantity ladder, two
+    // decimals, matching formatReadableSize/Quantity's rendering
+    fn("formatReadableSize", 1) { a =>
+      val d = Cast(a.head, DoubleType)
+      def r(div: Double, unit: String) =
+        Concat(Seq(FormatString(Literal("%.2f") +: Seq(Divide(d, Literal(div))): _*),
+          Literal(unit)))
+      CaseWhen(Seq(
+        (LessThan(d, Literal(1024.0)), r(1, " B")),
+        (LessThan(d, Literal(1048576.0)), r(1024.0, " KiB")),
+        (LessThan(d, Literal(1073741824.0)), r(1048576.0, " MiB")),
+        (LessThan(d, Literal(1099511627776.0)), r(1073741824.0, " GiB"))),
+        r(1099511627776.0, " TiB")) },
+    fn("formatReadableQuantity", 1) { a =>
+      val d = Cast(a.head, DoubleType)
+      def r(div: Double, unit: String) =
+        Concat(Seq(FormatString(Literal("%.2f") +: Seq(Divide(d, Literal(div))): _*),
+          Literal(unit)))
+      CaseWhen(Seq(
+        (LessThan(d, Literal(1000.0)), r(1, "")),
+        (LessThan(d, Literal(1000000.0)), r(1000.0, " thousand")),
+        (LessThan(d, Literal(1000000000.0)), r(1000000.0, " million")),
+        (LessThan(d, Literal(1000000000000.0)), r(1000000000.0, " billion"))),
+        r(1000000000000.0, " trillion")) },
+    // netloc: the authority part (everything between the scheme and the
+    // first /?#), scheme optional — reference users feed both forms
+    fn("netloc", 1) { a =>
+      RegExpExtract(a.head,
+        Literal("^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*).*"), Literal(1)) },
+    // firstSignificantSubdomain: the label left of the public suffix,
+    // with CH's own short-suffix heuristic (com/net/org/co/edu/gov
+    // before a 2-letter cctld count as part of the suffix). NAIVE vs a
+    // full public-suffix list, like CH's documented behavior.
+    fn("firstSignificantSubdomain", 1) { a =>
+      val host = ParseUrl(Seq(
+        If(RLike(a.head, Literal("^[a-zA-Z][a-zA-Z0-9+.-]*://")), a.head,
+          Concat(Seq(Literal("http://"), a.head))), Literal("HOST")), failOnError = false)
+      val ls = StringSplit(host, Literal("[.]"), Literal(-1))
+      val n = Size(ls)
+      val secondLast = ElementAt(ls, Subtract(n, Literal(1)), None, failOnError = false)
+      val penult = In(secondLast,
+        Seq("com", "net", "org", "co", "edu", "gov", "mil", "ac").map(Literal(_)))
+      If(And(GreaterThanOrEqual(n, Literal(3)), penult),
+        ElementAt(ls, Subtract(n, Literal(2)), None, failOnError = false),
+        If(GreaterThanOrEqual(n, Literal(2)),
+          ElementAt(ls, Subtract(n, Literal(1)), None, failOnError = false), host)) },
+    fn("toTypeName", 1) { a => ChTypeName(a.head) })
 }

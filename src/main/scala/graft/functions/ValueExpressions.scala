@@ -222,3 +222,27 @@ object EnumCodec {
     case other => throw new IllegalArgumentException(s"not an Enum type: $other")
   }
 }
+
+/** CH `toTypeName(x)` — the §1.2 canonical ClickHouse type name of the
+  * argument's resolved Spark type (via [[graft.types.CHType.fromSpark]]).
+  * Foldable: the name is a per-plan constant, so `ConstantFolding`
+  * replaces the node with a string literal before execution — it never
+  * reaches runtime codegen (the `doGenCode` below exists for the
+  * pathological non-folded path only).
+  */
+case class ChTypeName(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def prettyName: String = "toTypeName"
+
+  private lazy val name: UTF8String = UTF8String.fromString(
+    graft.types.CHType.format(
+      graft.types.CHType.fromSpark(child.dataType, child.nullable)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = name
+
+  override protected def withNewChildInternal(newChild: Expression): ChTypeName =
+    copy(child = newChild)
+}

@@ -551,6 +551,43 @@ object SettingsQueries extends QueryRegistry {
       (s, d) => s.sql("SELECT number FROM system.numbers_mt LIMIT 10"),
       Some("SELECT CAST(x AS BIGINT) AS number FROM range(10) t(x)")),
 
+    // ---- round-8 dialect tail, the DuckDB-expressible subset (the
+    // formatters/URL heuristics/bit rotates are spec-pinned instead —
+    // printf half-even vs Java half-up rounding would make a float-
+    // format oracle flaky): sub-day time arithmetic, yyyyMMddHHmmss
+    // rendering, calendar names, gcd/lcm (StaticInvoke kernels),
+    // power-of-2 floor, array fold + filter-count ----
+    QueryDef(
+      "b_sql40_dialect_tail",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_dt_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  addHours(CAST(o_orderdate AS TIMESTAMP), 5) AS plus5h,
+            |  subtractMinutes(CAST(o_orderdate AS TIMESTAMP), 90) AS minus90m,
+            |  toYYYYMMDDhhmmss(CAST(o_orderdate AS TIMESTAMP)) AS ymdhms,
+            |  dateName('weekday', o_orderdate) AS wd,
+            |  dateName('month', o_orderdate) AS mn,
+            |  gcd(o_orderkey, 36) AS g,
+            |  lcm(o_orderkey % 7 + 1, 6) AS l,
+            |  roundToExp2(o_orderkey % 1000 + 1) AS exp2,
+            |  countEqual(array(1, CAST(o_custkey % 3 AS INT), 1), 1) AS ceq,
+            |  arrayProduct(array(CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE))) AS aprod
+            |FROM orders_dt_v WHERE o_orderkey % 17 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 HOUR AS plus5h,
+             |  CAST(o_orderdate AS TIMESTAMP) - INTERVAL 90 MINUTE AS minus90m,
+             |  CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms,
+             |  dayname(CAST(o_orderdate AS DATE)) AS wd,
+             |  monthname(CAST(o_orderdate AS DATE)) AS mn,
+             |  gcd(o_orderkey, 36) AS g,
+             |  lcm(o_orderkey % 7 + 1, 6) AS l,
+             |  CAST(1 AS BIGINT) << CAST(floor(log2(o_orderkey % 1000 + 1)) AS INT) AS exp2,
+             |  CAST(len(list_filter([1, CAST(o_custkey % 3 AS INT), 1], y -> y = 1)) AS BIGINT) AS ceq,
+             |  list_product([CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE)]) AS aprod
+             |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin)),
+
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the
     // convention the API form (b_agg11_with_totals) established. ----

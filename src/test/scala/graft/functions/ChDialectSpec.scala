@@ -636,6 +636,54 @@ class ChDialectSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  test("round-8 dialect tail: time arithmetic, bit ops, folds, formatters") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
+    assert(one("addHours(TIMESTAMP '2024-01-01 10:00:00', 3)").toString
+      === "2024-01-01 13:00:00.0")
+    assert(one("subtractHours(TIMESTAMP '2024-01-01 10:00:00', 11)").toString
+      === "2023-12-31 23:00:00.0")
+    assert(one("addMinutes(TIMESTAMP '2024-01-01 10:00:00', 90)").toString
+      === "2024-01-01 11:30:00.0")
+    assert(one("subtractSeconds(TIMESTAMP '2024-01-01 00:00:00', 1)").toString
+      === "2023-12-31 23:59:59.0")
+    assert(one("addQuarters(DATE '2024-01-15', 2)").toString === "2024-07-15")
+    assert(one("subtractWeeks(DATE '2024-01-15', 2)").toString === "2024-01-01")
+    assert(one("toYYYYMMDDhhmmss(TIMESTAMP '2024-03-05 07:08:09')") === 20240305070809L)
+    assert(one("dateName('month', DATE '2024-04-10')") === "April")
+    assert(one("dateName('weekday', DATE '2024-04-10')") === "Wednesday")
+    assert(one("dateName('year', DATE '2024-04-10')") === "2024")
+    assert(one("arrayProduct(array(2, 3, 4))") === 24.0)
+    assert(one("arrayCumSumNonNegative(array(1, 1, -4, 1))") === Seq(1, 2, 0, 1))
+    assert(one("countEqual(array(1, 2, 1, 1), 1)") === 3L)
+    assert(one("bitTestAll(7, 0, 1, 2)") === true)
+    assert(one("bitTestAll(5, 0, 1)") === false)
+    assert(one("bitTestAny(4, 0, 2)") === true)
+    assert(one("bitTestAny(4, 0, 1)") === false)
+    assert(one("bitRotateLeft(1, 1)") === 2L)
+    assert(one("bitRotateRight(1, 1)") === java.lang.Long.MIN_VALUE)
+    assert(one("roundToExp2(100)") === 64L)
+    assert(one("roundToExp2(0.5)") === 0L)
+    assert(one("gcd(12, 18)") === 6L)
+    assert(one("gcd(0, 0)") === 0L)
+    assert(one("gcd(-12, 18)") === 6L)
+    assert(one("lcm(4, 6)") === 12L)
+    assert(one("formatReadableSize(1024)") === "1.00 KiB")
+    assert(one("formatReadableSize(123)") === "123.00 B")
+    assert(one("formatReadableSize(5242880)") === "5.00 MiB")
+    assert(one("formatReadableQuantity(1234567)") === "1.23 million")
+    assert(one("formatReadableQuantity(42)") === "42.00")
+    assert(one("netloc('https://user@example.com:8080/path?q=1')")
+      === "user@example.com:8080")
+    assert(one("netloc('example.com/path')") === "example.com")
+    assert(one("firstSignificantSubdomain('https://news.clickhouse.com.tr/story')")
+      === "clickhouse")
+    assert(one("firstSignificantSubdomain('https://www.example.org/x')")
+      === "example")
+    assert(one("toTypeName(CAST(1 AS BIGINT))") === "Int64")
+    assert(one("toTypeName(array(CAST(1.5 AS DOUBLE)))") === "Array(Float64)")
+    assert(one("toTypeName('x')") === "String")
+  }
+
   test("CH {name:Type} params rewrite to named markers; Identifier pre-binds") {
     def rw(s: String): String = ChSqlRewrite.rescue(s).sql
     assert(rw("SELECT * FROM t WHERE id = {id:UInt64} AND name LIKE {p:String}")
