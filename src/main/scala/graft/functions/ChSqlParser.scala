@@ -2283,6 +2283,29 @@ object ChSqlRewrite {
               return sql.substring(0, j) + "(*" + sql.substring(e)
           }
         }
+        if (lower == "transform") {
+          // CH transform(x, from, to[, default]): dimension decode over
+          // parallel literal arrays. Spark OWNS `transform` (the 2-arg
+          // array HOF), so no registry alias is possible — but the 3/4-
+          // arg CH shape only fails at ANALYSIS (wrong arity), making
+          // this always-on rewrite safe: a working Spark query can
+          // never contain it. Unmatched (incl. NULL under a default)
+          // maps via try_element_at → coalesce, matching CH's
+          // unmatched→x / unmatched→default semantics.
+          val j = skipWs(sql, i)
+          if (j < n && sql.charAt(j) == '(') {
+            val e = matchParen(sql, j)
+            if (e > 0) {
+              val parts = splitTopLevel(sql.substring(j + 1, e - 1)).map(_.trim)
+              if (parts.length == 3 || parts.length == 4) {
+                val x = parts(0); val from = parts(1); val to = parts(2)
+                val dflt = if (parts.length == 4) parts(3) else x
+                val repl = s"coalesce(try_element_at(map_from_arrays(($from), ($to)), ($x)), ($dflt))"
+                return sql.substring(0, start) + repl + sql.substring(e)
+              }
+            }
+          }
+        }
         if (swapParam.contains(lower) || lower == "quantiles" || lower == "uniqcombined") {
           val j = skipWs(sql, i)
           if (j < n && sql.charAt(j) == '(') {

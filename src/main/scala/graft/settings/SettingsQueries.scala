@@ -572,7 +572,8 @@ object SettingsQueries extends QueryRegistry {
             |  lcm(o_orderkey % 7 + 1, 6) AS l,
             |  roundToExp2(o_orderkey % 1000 + 1) AS exp2,
             |  countEqual(array(1, CAST(o_custkey % 3 AS INT), 1), 1) AS ceq,
-            |  arrayProduct(array(CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE))) AS aprod
+            |  arrayProduct(array(CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE))) AS aprod,
+            |  transform(CAST(o_orderkey % 3 AS INT), array(0, 1), array('zero', 'one'), 'many') AS tr
             |FROM orders_dt_v WHERE o_orderkey % 17 = 0""".stripMargin)
       },
       Some("""SELECT o_orderkey,
@@ -585,7 +586,8 @@ object SettingsQueries extends QueryRegistry {
              |  lcm(o_orderkey % 7 + 1, 6) AS l,
              |  CAST(1 AS BIGINT) << CAST(floor(log2(o_orderkey % 1000 + 1)) AS INT) AS exp2,
              |  CAST(len(list_filter([1, CAST(o_custkey % 3 AS INT), 1], y -> y = 1)) AS BIGINT) AS ceq,
-             |  list_product([CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE)]) AS aprod
+             |  list_product([CAST(2 AS DOUBLE), CAST(o_orderkey % 5 + 1 AS DOUBLE)]) AS aprod,
+             |  CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS tr
              |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin)),
 
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS

@@ -682,6 +682,12 @@ class ChDialectSpec extends SparkSpec {
     assert(one("toTypeName(CAST(1 AS BIGINT))") === "Int64")
     assert(one("toTypeName(array(CAST(1.5 AS DOUBLE)))") === "Array(Float64)")
     assert(one("toTypeName('x')") === "String")
+    // CH transform(x, from, to[, default]) — always-on rewrite (Spark
+    // owns the 2-arg `transform` HOF, which must stay untouched)
+    assert(one("transform(2, array(1, 2, 3), array('a', 'b', 'c'), 'zz')") === "b")
+    assert(one("transform(9, array(1, 2, 3), array('a', 'b', 'c'), 'zz')") === "zz")
+    assert(one("transform(9, array(1, 2), array(11, 22))") === 9)
+    assert(one("transform(array(1, 2), x -> x * 10)") === Seq(10, 20))
   }
 
   test("CH {name:Type} params rewrite to named markers; Identifier pre-binds") {
