@@ -68,12 +68,20 @@ import org.apache.spark.sql.types._
   * and `leftAsOfBucketed`) remain the preferred 100-TB shapes; this
   * rule makes the TEXT spelling safe at scale.
   *
+  * '''LIMIT k > 1 probes''' (top-k matches per left row) and LIMIT-1
+  * sorts with non-negatable keys in both directions take a WINDOW path
+  * over the same join instead: `row_number()` partitioned by the left
+  * row id, ordered by the probe's OWN sort (windows carry mixed
+  * directions and null placement natively — no encoding, no
+  * negation limits), filtered to rank <= k. Costlier than the argmax
+  * (a full sort of the joined set vs a map-side partial) but still
+  * never the domain nested loop.
+  *
   * Remaining bail-outs (fall back to Spark's decorrelation — correct,
-  * just slower): LIMIT other than 1, a lateral join condition, outer
-  * references outside the peeled Filter chain, non-deterministic or
-  * subquery-bearing expressions, aggregates/windows inside the probe,
-  * and a mixed-direction sort with non-negatable key types in BOTH
-  * directions (e.g. one ASC string and one DESC string).
+  * just slower): LIMIT k > 1 with no ORDER BY (no deterministic window
+  * order), a lateral join condition, outer references outside the
+  * peeled Filter chain, non-deterministic or subquery-bearing
+  * expressions, and aggregates/windows inside the probe.
   */
 class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -123,9 +131,11 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     // tower; carry the probe's output projection, captured sort orders
     // and filter conjuncts down through each Project by substitution,
     // so they all end up phrased over the filtered relation's output.
-    val afterLimit = sub.plan match {
-      case SubqueryAlias(_, GlobalLimit(IntegerLiteral(1), LocalLimit(IntegerLiteral(1), body))) => body
-      case GlobalLimit(IntegerLiteral(1), LocalLimit(IntegerLiteral(1), body)) => body
+    val (afterLimit, limitK) = sub.plan match {
+      case SubqueryAlias(_, GlobalLimit(IntegerLiteral(k), LocalLimit(IntegerLiteral(k2), body)))
+          if k == k2 && k >= 1 => (body, k)
+      case GlobalLimit(IntegerLiteral(k), LocalLimit(IntegerLiteral(k2), body))
+          if k == k2 && k >= 1 => (body, k)
       case _ => return None
     }
     var outExprs: Seq[Expression] = sub.plan.output
@@ -180,14 +190,24 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!cond.references.subsetOf(left.outputSet ++ inner.outputSet)) return None
 
     // ---- the ordering, struct-encoded to be null-faithful (scaladoc)
+    if (orders.exists(so => hasOuterRef(so.child) || !movable(so.child))) return None
+    if (orders.nonEmpty && !orders.forall(_.child.references.subsetOf(inner.outputSet)))
+      return None
     sealed trait Best
     case object UseFirst extends Best
     final case class UseAgg(min: Boolean, ord: Expression) extends Best
+    case object UseWindow extends Best
     val best: Best =
-      if (orders.isEmpty) UseFirst
+      if (limitK > 1) {
+        // LIMIT k probes (top-k per left row) can't fold into one
+        // argmax; rank the matches with the probe's OWN sort instead —
+        // windows take mixed directions and null placement natively, so
+        // no encoding and no bail-outs. A k>1 probe with no ORDER BY
+        // has no deterministic window order — Spark keeps it.
+        if (orders.isEmpty) return None else UseWindow
+      }
+      else if (orders.isEmpty) UseFirst
       else {
-        if (orders.exists(so => hasOuterRef(so.child) || !movable(so.child))) return None
-        if (!orders.forall(_.child.references.subsetOf(inner.outputSet))) return None
         // ONE aggregate must carry every key: encode for min_by (keys
         // in sort direction ride raw, counter-direction keys order-
         // negate), and if a counter-direction key has no sound negation
@@ -221,7 +241,10 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
         val secondary = if (primary == Ascending) Descending else Ascending
         encode(primary).map(e => UseAgg(min = primary == Ascending, e))
           .orElse(encode(secondary).map(e => UseAgg(min = secondary == Ascending, e)))
-          .getOrElse(return None)
+          // non-negatable keys in BOTH directions: the window path
+          // still beats decorrelation (full sort of the joined set vs
+          // a domain nested loop) — LIMIT 1 via rank-1 filter
+          .getOrElse(UseWindow)
       }
 
     // 1) tag left rows
@@ -234,6 +257,33 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     // 2) one real join on the full condition
     val joined = Join(left2, inner2,
       if (leftOuter) LeftOuter else Inner, Some(cond), JoinHint.NONE)
+
+    // ---- window path: rank matches per left row by the probe's sort,
+    // keep rank <= k. The per-lid partitions are bounded by the join's
+    // per-key match product (the same bound the aggregate path and any
+    // window asof pays); the left-outer null-extended row ranks 1 in
+    // its singleton partition and survives. Used for LIMIT k > 1 and as
+    // the LIMIT-1 fallback when no sort encoding exists.
+    if (best == UseWindow) {
+      val rn = Alias(WindowExpression(RowNumber(),
+        WindowSpecDefinition(Seq(lid.toAttribute), orders,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+        "ch_asof_rn_")()
+      val windowed = Window(Seq(rn), Seq(lid.toAttribute), orders, joined, None)
+      val filtered = Filter(LessThanOrEqual(rn.toAttribute, Literal(limitK)), windowed)
+      val rightCols = sub.plan.output.zip(outExprs).map { case (out, e) =>
+        val guarded = e match {
+          case _ if !leftOuter => e
+          case a: Attribute => a // join already null-extends bare columns
+          case _ => If(IsNull(tag.toAttribute), Literal.create(null, out.dataType), e)
+        }
+        Alias(guarded, out.name)(exprId = out.exprId)
+      }
+      val result = Project((left.output ++ rightCols).toSeq, filtered)
+      if (result.output.map(a => (a.name, a.exprId)) !=
+        lj.output.map(a => (a.name, a.exprId))) return None
+      return Some(result)
+    }
     // 3) best right row per left row. The encoded ordering struct is
     // never NULL (CreateStruct), so min_by/max_by never skip a row —
     // including the left-outer null-extended row, whose all-NULL fields

@@ -180,6 +180,49 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(pick("r0.s DESC NULLS FIRST, r0.k ASC") === "nul")
   }
 
+  test("LIMIT k probes take the window path (rank <= k, no nested loop)") {
+    Seq((1, 100L), (2, 85L), (3, 10L)).toDF("k", "ts").createOrReplaceTempView("alrk_l")
+    Seq((1, 90L, "a"), (1, 80L, "b"), (1, 70L, "c"), (1, 60L, "d"), (2, 50L, "e"))
+      .toDF("k", "rts", "p").createOrReplaceTempView("alrk_r")
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrk_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrk_r r0 WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts DESC LIMIT 3) r
+        |ORDER BY l.k, r.p""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ch_asof_rn_"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    // k=1: top-3 of 4 matches by rts DESC; k=2: its one match; k=3: none
+    assert(rows === Seq(1 -> "a", 1 -> "b", 1 -> "c", 2 -> "e", 3 -> null))
+    // inner form drops unmatched left rows
+    val innerForm = spark.sql(
+      """SELECT l.k, r.p FROM alrk_l l, LATERAL (
+        |  SELECT * FROM alrk_r r0 WHERE l.k = r0.k AND l.ts >= r0.rts
+        |  ORDER BY r0.rts DESC LIMIT 2) r
+        |ORDER BY l.k, r.p""".stripMargin).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(innerForm === Seq(1 -> "a", 1 -> "b", 2 -> "e"))
+  }
+
+  test("LIMIT-1 sort with non-negatable keys both directions uses the window path") {
+    Seq((1, 100L)).toDF("k", "ts").createOrReplaceTempView("alrw_l")
+    Seq((1, "alpha", "zed", "a"), (1, "alpha", "abc", "b"), (1, "beta", "zzz", "c"))
+      .toDF("k", "s1", "s2", "p").createOrReplaceTempView("alrw_r")
+    // ASC string + DESC string: no aggregate encoding exists in either
+    // direction — the window path carries the sort natively
+    val df = spark.sql(
+      """SELECT l.k, r.p FROM alrw_l l LEFT JOIN LATERAL (
+        |  SELECT * FROM alrw_r r0 WHERE l.k = r0.k
+        |  ORDER BY r0.s1 ASC, r0.s2 DESC LIMIT 1) r""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ch_asof_rn_"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // s1 ASC picks 'alpha'; s2 DESC breaks the tie toward 'zed' → 'a'
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("a"))
+  }
+
   test("argmax reproduces Sort's null placement exactly") {
     Seq((1, 100L), (2, 100L), (3, 100L)).toDF("k", "ts")
       .createOrReplaceTempView("alrn_l")
