@@ -590,6 +590,35 @@ object SettingsQueries extends QueryRegistry {
              |  CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS tr
              |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin)),
 
+    // ---- LATERAL LIMIT-k probe (top-k matches per left row): the
+    // AsofLateralRule window path — row_number over one equi-driven
+    // join, never Spark's domain-nested-loop decorrelation. The sort is
+    // deliberately mixed-direction (price DESC, linenumber ASC) and
+    // unique per order, so both engines pick identical rows. ----
+    QueryDef(
+      "b_sql41_lateral_topk",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_lk_v")
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_lk_v")
+        s.sql(
+          """SELECT o.o_orderkey, r.l_linenumber, r.l_extendedprice
+            |FROM orders_lk_v o
+            |LEFT JOIN LATERAL (
+            |  SELECT l_linenumber, l_extendedprice FROM lineitem_lk_v l0
+            |  WHERE l0.l_orderkey = o.o_orderkey
+            |  ORDER BY l0.l_extendedprice DESC, l0.l_linenumber ASC LIMIT 2) r
+            |WHERE o.o_orderkey % 13 = 0
+            |ORDER BY o.o_orderkey, r.l_linenumber""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, l_linenumber, l_extendedprice FROM (
+             |  SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice,
+             |    row_number() OVER (PARTITION BY o.o_orderkey
+             |      ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC) AS rn
+             |  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_orderkey % 13 = 0)
+             |WHERE rn <= 2
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+
     // ---- CH `GROUP BY ... WITH TOTALS` in SQL text → GROUPING SETS
     // ((keys), ()): the totals row carries NULL keys, matching the
     // convention the API form (b_agg11_with_totals) established. ----
