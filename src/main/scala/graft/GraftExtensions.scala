@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CH projections: transparent agg → pre-aggregate routing
     // (no-op until graft.plans.Projections.register is called)
     ext.injectOptimizerRule(session => new plans.RouteToProjection(session))
+    // CH alias-in-WHERE: `SELECT x+1 AS s … WHERE s > 3` resolves like
+    // ClickHouse by inlining the alias body into the filter (only for
+    // names that do NOT resolve against the scan — a real column wins)
+    ext.injectResolutionRule(session => new plans.AliasInWhereRule(session))
     // LATERAL best-match probes (the ASOF/ANY JOIN text shape) rewritten
     // into join + per-left-row argmax BEFORE Spark's decorrelation turns
     // the inequality correlation into a domain nested-loop join

@@ -265,4 +265,100 @@ object CHValues {
     }
     UTF8String.fromString(cached._2.matcher(s.toString).replaceFirst(cached._4))
   }
+
+  // ------------------------------------------------------------ hashing
+
+  /** SipHash-2-4 (Aumasson & Bernstein, the published algorithm; core
+    * pinned against the paper's test vectors in ChDialectSpec). CH's
+    * `sipHash64` is this with a zero key over the value's bytes
+    * (ClickHouse SQL reference, hash functions — the keyed spelling
+    * `sipHash64Keyed` exposes the same core with explicit (k0, k1)). */
+  def sipHash24(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    var v0 = k0 ^ 0x736f6d6570736575L
+    var v1 = k1 ^ 0x646f72616e646f6dL
+    var v2 = k0 ^ 0x6c7967656e657261L
+    var v3 = k1 ^ 0x7465646279746573L
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = java.lang.Long.rotateLeft(v1, 13); v1 ^= v0
+      v0 = java.lang.Long.rotateLeft(v0, 32)
+      v2 += v3; v3 = java.lang.Long.rotateLeft(v3, 16); v3 ^= v2
+      v0 += v3; v3 = java.lang.Long.rotateLeft(v3, 21); v3 ^= v0
+      v2 += v1; v1 = java.lang.Long.rotateLeft(v1, 17); v1 ^= v2
+      v2 = java.lang.Long.rotateLeft(v2, 32)
+    }
+
+    val n = data.length
+    val full = n - (n % 8)
+    var i = 0
+    while (i < full) {
+      var m = 0L
+      var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var last = (n.toLong & 0xffL) << 56
+    var j = n - 1
+    while (j >= full) { last |= (data(j) & 0xffL) << (8 * (j - full)); j -= 1 }
+    v3 ^= last; round(); round(); v0 ^= last
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  /** CH `sipHash64(x)`: zero-key SipHash-2-4 over the raw bytes. */
+  def sipHash64(data: Array[Byte]): Long = sipHash24(0L, 0L, data)
+
+  // ------------------------------------------------------- UTF-8 tools
+
+  /** CH `normalizeUTF8NFC/NFD/NFKC/NFKD` — Unicode normalization via
+    * java.text.Normalizer (same UAX#15 forms CH implements via ICU). */
+  def normalizeUtf8(s: UTF8String, form: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.valueOf(form.toString)))
+
+  /** CH `isValidUTF8(s)`: strict UTF-8 validation over the raw bytes —
+    * rejects truncated sequences, bad continuations, overlong forms,
+    * surrogate code points and values past U+10FFFF. */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      val len =
+        if (c < 0x80) 1
+        else if ((c & 0xe0) == 0xc0) 2
+        else if ((c & 0xf0) == 0xe0) 3
+        else if ((c & 0xf8) == 0xf0) 4
+        else return false
+      if (len > 1) {
+        if (i + len > n) return false
+        var j = 1
+        while (j < len) {
+          if ((b(i + j) & 0xc0) != 0x80) return false
+          j += 1
+        }
+        val cp = len match {
+          case 2 => ((c & 0x1f) << 6) | (b(i + 1) & 0x3f)
+          case 3 => ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+          case _ => ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+            ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        }
+        if (len == 2 && cp < 0x80) return false
+        if (len == 3 && (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF))) return false
+        if (len == 4 && (cp < 0x10000 || cp > 0x10FFFF)) return false
+      }
+      i += len
+    }
+    true
+  }
+
+  /** CH `toValidUTF8(s)`: invalid byte sequences become U+FFFD. */
+  def toValidUtf8(b: Array[Byte]): UTF8String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+  }
 }

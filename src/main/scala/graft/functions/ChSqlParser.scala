@@ -104,6 +104,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   [OFFSET o ROWS] FETCH FIRST m ROWS ONLY (query tail)
   *                               → `LIMIT m [OFFSET o]`; `WITH TIES`
   *                                 fails loudly
+  *   LIMIT o, n                  → `LIMIT n OFFSET o` (the CH/MySQL
+  *                                 comma form; any nesting depth)
   *   dateDiff('unit', s, e)      → toRelative<U>Num(e) − toRelative<U>Num(s)
   *                                 (CH's own definition — the quoted unit
   *                                 never parses in Spark's datediff form)
@@ -256,10 +258,10 @@ object ChSqlRewrite {
       case Some(h) => injectHint(noSet, h)
       case None => noSet
     }
-    val chClauses = rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
+    val chClauses = rewriteLimitComma(rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
       rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
         rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(
-          rewriteBraceParams(hinted), globalWideWords))))))))))))
+          rewriteBraceParams(hinted), globalWideWords)))))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -2252,6 +2254,42 @@ object ChSqlRewrite {
     items.exists(it => ordinal.pattern.matcher(it).matches())
   }
 
+  /** CH/MySQL `LIMIT offset, count` → `LIMIT count OFFSET offset`.
+    * Rescue-tier: the comma form never parses in Spark. Splices at ANY
+    * nesting depth — the replacement is purely local. A trailing `BY`
+    * belongs to [[rewriteLimitBy]] (which runs first in the chain), so
+    * that shape is left untouched here. */
+  private def rewriteLimitComma(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (sql.substring(start, i).equalsIgnoreCase("LIMIT")) {
+          val (num1, p1) = readNum(sql, skipWs(sql, i))
+          if (num1.nonEmpty) {
+            val q = skipWs(sql, p1)
+            if (q < n && sql.charAt(q) == ',') {
+              val (num2, p2) = readNum(sql, skipWs(sql, q + 1))
+              val (w, _) = readWord(sql, skipWs(sql, p2))
+              if (num2.nonEmpty && !w.equalsIgnoreCase("BY")) {
+                // restart: the spliced site no longer matches (no comma)
+                return rewriteLimitComma(sql.substring(0, start) +
+                  s"LIMIT $num2 OFFSET $num1" + sql.substring(p2))
+              }
+            }
+          }
+        }
+      } else i += 1
+    }
+    sql
+  }
+
   private def readWord(s: String, start: Int): (String, Int) = {
     var i = start
     if (i < s.length && Character.isJavaIdentifierStart(s.charAt(i))) {
@@ -2306,7 +2344,9 @@ object ChSqlRewrite {
             }
           }
         }
-        if (swapParam.contains(lower) || lower == "quantiles" || lower == "uniqcombined") {
+        if (swapParam.contains(lower) || lower == "quantiles" ||
+            lower == "quantilesexact" || lower == "quantilestdigest" ||
+            lower == "uniqcombined") {
           val j = skipWs(sql, i)
           if (j < n && sql.charAt(j) == '(') {
             val e1 = matchParen(sql, j)
@@ -2318,7 +2358,10 @@ object ChSqlRewrite {
                 val params = sql.substring(j + 1, e1 - 1)
                 val args = sql.substring(k + 1, e2 - 1)
                 val repl =
-                  if (lower == "quantiles") s"percentile($args, array($params))"
+                  if (lower == "quantiles" || lower == "quantilesexact")
+                    s"percentile($args, array($params))"
+                  else if (lower == "quantilestdigest")
+                    s"approx_percentile($args, array($params))"
                   else if (lower == "uniqcombined") s"$name($args)"
                   else s"$name($args, $params)"
                 return sql.substring(0, start) + repl + sql.substring(e2)

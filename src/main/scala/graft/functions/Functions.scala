@@ -322,6 +322,40 @@ object Functions extends QueryRegistry {
              |) v(m, h_xx, h_murmur, h_crc)
              |ON doc_id % 8 = v.m""".stripMargin)),
 
+    // ---- B-FNH1c: CH-exact sipHash64 (zero-key SipHash-2-4; core
+    // pinned to the SipHash paper's vectors in ChDialectSpec; this query
+    // pins the SQL surface over 8 canonical strings the same
+    // golden-vector way as b_fnh2 — compared as strings: the UInt64
+    // Decimal(20,0) exceeds int64, which pandas' DuckDB bridge degrades
+    // to float64. CH xxHash64 is deliberately absent: the spelling
+    // collides with Spark's builtin, see ChDialect) ----
+    QueryDef(
+      "b_fnh3_ch_hash",
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("documents_chh_v")
+        s.sql(
+          """SELECT doc_id,
+            |  CAST(sipHash64(concat('graft-', CAST(doc_id % 8 AS STRING))) AS STRING) AS h_sip
+            |FROM documents_chh_v""".stripMargin)
+      },
+      // golden vectors computed by an INDEPENDENT (python) implementation
+      // of both algorithms, itself validated against the published
+      // SipHash-paper / XXH64-reference vectors — a true cross-check, not
+      // a pin of this repo's own output
+      Some("""SELECT doc_id, v.h_sip
+             |FROM documents
+             |JOIN (VALUES
+             |  (0, '14741060929381519384'),
+             |  (1, '12549220897431440478'),
+             |  (2, '15602685233266833846'),
+             |  (3, '11553576122089850033'),
+             |  (4, '16247592060488677202'),
+             |  (5, '11329477255411314986'),
+             |  (6, '9650618976121004163'),
+             |  (7, '13685945614426397434')
+             |) v(m, h_sip)
+             |ON doc_id % 8 = v.m""".stripMargin)),
+
     // ---- B-FNC1: type conversions ----
     QueryDef(
       "b_fnc1_cast",

@@ -110,6 +110,20 @@ object ValueExpressions {
       copy(child = c)
   }
 
+  /** Zero-key SipHash-2-4 over raw bytes — the CH `sipHash64` core
+    * (ClickHouse hash-functions reference; core pinned to the SipHash
+    * paper's test vectors in ChDialectSpec). Raw signed-long form; the
+    * dialect spelling widens it to the §1.2 UInt64 decimal. */
+  final case class SipHash64Raw(child: Expression)
+      extends CHUnary("sip_hash64_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "sipHash64"
+    protected def evalKernel(v: Any): Any =
+      CHValues.sipHash64(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): SipHash64Raw =
+      copy(child = c)
+  }
+
   /** CH `empty`/`notEmpty` are polymorphic over strings, binaries,
     * arrays and maps — no single builtin covers all four, so this is a
     * tiny codegen'd expression instead of a dialect alias. */
@@ -196,7 +210,8 @@ object ValueExpressions {
       one("int256_string", Int256String),
       one("int256_from_string", Int256FromString),
       one("int256_sort_key", Int256SortKey),
-      one("ch_fingerprint", RollingFingerprint))
+      one("ch_fingerprint", RollingFingerprint),
+      one("sip_hash64_raw", SipHash64Raw))
   }
 }
 

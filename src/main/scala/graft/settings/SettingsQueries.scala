@@ -925,6 +925,94 @@ object SettingsQueries extends QueryRegistry {
              |FROM (VALUES
              |  (11, NULL), (10, NULL), (9, 30), (8, 35), (7, 40), (6, 20),
              |  (5, 25), (4, 30), (3, 10), (2, 15), (1, 20), (0, 0)) t(n, inter)
-             |ORDER BY n DESC""".stripMargin))
+             |ORDER BY n DESC""".stripMargin)),
+
+    // ---- CH expression-alias substitution: WHERE references a SELECT
+    // alias (everyday CH text; Spark alone fails UNRESOLVED_COLUMN).
+    // Resolved by [[graft.plans.AliasInWhereRule]] inlining the alias
+    // body into the filter. The oracle spells the expression out, so it
+    // certifies the inlined semantics, not DuckDB's own alias support.
+    QueryDef(
+      "b_sql42_alias_where",
+      (s, d) => {
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_aw_v")
+        s.sql(
+          """SELECT l_orderkey, l_linenumber,
+            |  l_extendedprice * (1 - l_discount) AS net
+            |FROM lineitem_aw_v
+            |WHERE net > 90000
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) AS net
+             |FROM lineitem
+             |WHERE l_extendedprice * (1 - l_discount) > 90000
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- CH/MySQL `LIMIT offset, count` comma form (rescue splice to
+    // LIMIT/OFFSET — ClickHouse SELECT docs, LIMIT clause) ----
+    QueryDef(
+      "b_sql43_limit_comma",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_lc_v")
+        s.sql(
+          """SELECT o_orderkey, o_totalprice FROM orders_lc_v
+            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5, 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin)),
+
+    // ---- CH multi-quantile parameterized aggregates: quantilesExact
+    // maps onto percentile's array form (linear interpolation — the
+    // same documented deviation as the scalar quantileExact mapping) ----
+    QueryDef(
+      "b_sql44_quantiles_multi",
+      (s, d) => {
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_qm_v")
+        s.sql(
+          """SELECT element_at(qs, 1) AS q25, element_at(qs, 2) AS q50,
+            |  element_at(qs, 3) AS q75
+            |FROM (SELECT quantilesExact(0.25, 0.5, 0.75)(l_quantity) AS qs
+            |      FROM lineitem_qm_v)""".stripMargin)
+      },
+      Some("""SELECT quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.5) AS q50,
+             |  quantile_cont(l_quantity, 0.75) AS q75
+             |FROM lineitem""".stripMargin)),
+
+    // ---- round-8 second-harvest dialect tail (array search/rotate,
+    // year-zero/MJD day counts, countMatches, substringIndex, erf/tgamma
+    // specials) — every spelling oracle-recomputed by DuckDB ----
+    QueryDef(
+      "b_sql45_dialect_tail2",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_dt2_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  arrayRotateLeft(array(1, CAST(o_orderkey % 5 AS INT), 3), 1) AS rot,
+            |  arrayFirstIndex(x -> x > 2, array(1, CAST(o_orderkey % 5 AS INT), 3)) AS fidx,
+            |  hasSubstr(array(1, CAST(o_orderkey % 5 AS INT), 3),
+            |            array(1, 2)) AS hsub,
+            |  arrayEnumerateDense(array(1, CAST(o_orderkey % 2 AS INT), 1)) AS dense,
+            |  toDaysSinceYearZero(o_orderdate) AS dsz,
+            |  toModifiedJulianDay(o_orderdate) AS mjd,
+            |  countMatches(o_orderstatus, 'O|F') AS cm,
+            |  substringIndex(o_orderpriority, '-', 1) AS pri,
+            |  lgamma(o_totalprice / 1000.0) AS e1,
+            |  tgamma(CAST(o_orderkey % 5 + 2 AS DOUBLE)) AS tg
+            |FROM orders_dt2_v WHERE o_orderkey % 23 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  [CAST(o_orderkey % 5 AS INT), 3, 1] AS rot,
+             |  CAST(coalesce(list_position(list_transform([1, CAST(o_orderkey % 5 AS INT), 3], x -> x > 2), true), 0) AS BIGINT) AS fidx,
+             |  o_orderkey % 5 = 2 AS hsub,
+             |  CASE WHEN o_orderkey % 2 = 1 THEN [1, 1, 1] ELSE [1, 2, 1] END AS dense,
+             |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS dsz,
+             |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 40587 AS BIGINT) AS mjd,
+             |  CAST(len(regexp_extract_all(o_orderstatus, 'O|F')) AS BIGINT) AS cm,
+             |  split_part(o_orderpriority, '-', 1) AS pri,
+             |  lgamma(o_totalprice / 1000.0) AS e1,
+             |  gamma(CAST(o_orderkey % 5 + 2 AS DOUBLE)) AS tg
+             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin))
   )
 }

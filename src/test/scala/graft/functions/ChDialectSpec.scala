@@ -507,6 +507,154 @@ class ChDialectSpec extends SparkSpec {
       .head.get(0) === 1)
   }
 
+  test("round-8 harvest: array search/rotate/shift and arrayReduce") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head.get(0)
+    assert(one("arrayLast(x -> x < 4, array(1, 5, 2, 9))") === 2)
+    assert(one("arrayLast(x -> x > 100, array(1, 5))") === null)
+    assert(one("arrayFirstIndex(x -> x > 3, array(1, 5, 2, 9))") === 2L)
+    assert(one("arrayLastIndex(x -> x > 3, array(1, 5, 2, 9))") === 4L)
+    assert(one("arrayFirstIndex(x -> x > 99, array(1, 5))") === 0L)
+    assert(one("arrayEnumerateDense(array(10, 20, 10, 30))")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(1, 2, 1, 3))
+    assert(one("hasSubstr(array(1, 2, 3, 4), array(2, 3))") === true)
+    assert(one("hasSubstr(array(1, 2, 3, 4), array(2, 4))") === false)
+    assert(one("hasSubstr(array(1, 2), array())") === true)
+    assert(one("arrayRotateLeft(array(1, 2, 3, 4, 5), 2)")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(3, 4, 5, 1, 2))
+    assert(one("arrayRotateRight(array(1, 2, 3, 4, 5), 1)")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(5, 1, 2, 3, 4))
+    assert(one("arrayRotateLeft(array(1, 2, 3), -1)")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(3, 1, 2))
+    assert(one("arrayShiftLeft(array(1, 2, 3, 4), 2, 0)")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(3, 4, 0, 0))
+    assert(one("arrayShiftRight(array(1, 2, 3, 4), 1, 9)")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(9, 1, 2, 3))
+    assert(one("arrayShiftLeft(array(1, 2), 1)")
+      .asInstanceOf[scala.collection.Seq[Any]] === Seq(2, null))
+    assert(one("arrayPartialSort(2, array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(1, 2, 3))
+    assert(one("arrayReduce('sum', array(1, 2, 3))") === 6.0) // arraySum returns Float64, like CH's arraySum on wide ints
+    assert(one("arrayReduce('max', array(1, 7, 3))") === 7)
+    assert(one("arrayReduce('count', array(1, 7, 3))") === 3L)
+    assert(one("arrayReduce('uniq', array(1, 1, 3))") === 2L)
+    intercept[Exception] { one("arrayReduce('nope', array(1))") }
+  }
+
+  test("round-8 harvest: sub-second/year-zero date math") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head.get(0)
+    assert(one("toMillisecond(TIMESTAMP '2024-03-05 10:20:30.456')") === 456)
+    assert(one("CAST(toStartOfSecond(TIMESTAMP '2024-03-05 10:20:30.456') AS STRING)")
+      === "2024-03-05 10:20:30")
+    assert(one("CAST(addMilliseconds(TIMESTAMP '2024-03-05 10:20:30', 1500) AS STRING)")
+      === "2024-03-05 10:20:31.5")
+    // CH docs: toDaysSinceYearZero('2023-09-08') = 739136,
+    // toModifiedJulianDay('2020-01-01') = 58849
+    assert(one("toDaysSinceYearZero(DATE '2023-09-08')") === 739136L)
+    assert(one("CAST(fromDaysSinceYearZero(739136) AS STRING)") === "2023-09-08")
+    assert(one("toModifiedJulianDay(DATE '2020-01-01')") === 58849L)
+    assert(one("CAST(fromModifiedJulianDay(58849) AS STRING)") === "2020-01-01")
+    assert(one("toUnixTimestamp64Milli(TIMESTAMP '1970-01-01 00:00:01.5')") === 1500L)
+    assert(one("toUnixTimestamp64Nano(TIMESTAMP '1970-01-01 00:00:00.000001')") === 1000L)
+    assert(one("CAST(fromUnixTimestamp64Milli(1500) AS STRING)")
+      === "1970-01-01 00:00:01.5")
+    assert(one("CAST(fromUnixTimestamp64Nano(1500000000) AS STRING)")
+      === "1970-01-01 00:00:01.5")
+    val slots = spark.sql(
+      "SELECT timeSlots(TIMESTAMP '2024-01-01 10:17:00', 3000) AS v")
+      .head.getSeq[java.sql.Timestamp](0)
+    assert(slots.map(_.toString) === Seq(
+      "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", "2024-01-01 11:00:00.0"))
+  }
+
+  test("round-8 harvest: UTF-8 tools, specials, aggregate tail") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head.get(0)
+    assert(one("countMatches('aaa', 'aa')") === 1L)
+    assert(one("countMatches('a1b22c333', '[0-9]+')") === 3L)
+    assert(one("substringIndex('www.example.com', '.', 2)") === "www.example")
+    // NFC composes e + combining acute into é; NFD decomposes back
+    assert(one("length(normalizeUTF8NFC('e\\u0301'))") === 1)
+    assert(one("length(normalizeUTF8NFD('\\u00e9'))") === 2)
+    assert(one("isValidUTF8('plain ascii')") === true)
+    assert(one("isValidUTF8(unhex('FF'))") === false)
+    assert(one("isValidUTF8(unhex('C3A9'))") === true) // é
+    assert(one("isValidUTF8(unhex('C0AF'))") === false) // overlong '/'
+    assert(one("toValidUTF8(unhex('61FF62'))") === "a�b")
+    assert(math.abs(one("erf(1.0)").asInstanceOf[Double] - 0.8427007929497149) < 1e-12)
+    assert(math.abs(one("erfc(1.0)").asInstanceOf[Double] - 0.15729920705028513) < 1e-12)
+    assert(math.abs(one("tgamma(5.0)").asInstanceOf[Double] - 24.0) < 1e-9)
+    assert(math.abs(one("lgamma(5.0)").asInstanceOf[Double] - math.log(24.0)) < 1e-12)
+    spark.range(101).selectExpr("CAST(id AS DOUBLE) AS v", "id % 2 = 0 AS even")
+      .createOrReplaceTempView("chr8agg")
+    assert(one("(SELECT medianExact(v) FROM chr8agg)") === 50.0)
+    val sc = spark.sql("SELECT sumCount(v) AS s FROM chr8agg").head.getStruct(0)
+    assert(sc.getDouble(0) === 5050.0 && sc.getLong(1) === 101L)
+    assert(one("(SELECT argMaxIf(v, v, even) FROM chr8agg)") === 100.0)
+    assert(one("(SELECT argMinIf(v, v, NOT even) FROM chr8agg)") === 1.0)
+    assert(one("(SELECT corrStable(v, v * -2 + 1) FROM chr8agg)") === -1.0)
+    assert(one("(SELECT stddevPopStable(v) FROM chr8agg)").asInstanceOf[Double] > 0)
+    assert(one("""JSONExtractKeys('{"a":1,"b":2}')""")
+      .asInstanceOf[scala.collection.Seq[String]] === Seq("a", "b"))
+  }
+
+  test("SipHash-2-4 core matches the paper's test vectors") {
+    // Aumasson & Bernstein, "SipHash: a fast short-input PRF", Appendix A:
+    // key = 00 01 … 0f (k0/k1 little-endian), 15-byte message 00 01 … 0e
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    assert(CHValues.sipHash24(k0, k1, Array.emptyByteArray)
+      === 0x726fdb47dd0e0e31L)
+    assert(CHValues.sipHash24(k0, k1, Array.tabulate(15)(_.toByte))
+      === 0xa129ca6149be45e5L)
+    // zero-key wrapper = the CH sipHash64 spelling; plumbing consistency
+    val viaSql = spark.sql("SELECT sipHash64('abc') AS h").head.getDecimal(0)
+    val raw = CHValues.sipHash64("abc".getBytes("UTF-8"))
+    val expected = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(raw).add(
+        if (raw < 0) java.math.BigInteger.ONE.shiftLeft(64) else java.math.BigInteger.ZERO))
+    assert(viaSql.compareTo(expected) === 0)
+  }
+
+  test("Spark's XxHash64 kernel is spec-XXH64 (why CH xxHash64 is NOT aliased)") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // published XXH64 vectors (xxHash reference implementation test
+    // suite) at CH's seed 0 — the kernel is conformant, but the CH
+    // spelling collides case-insensitively with Spark's builtin
+    // `xxhash64` (seed 42), so no dialect alias is possible without
+    // shadowing; the builtin must keep winning:
+    assert(XxHash64(Seq(Literal("abc")), 0L).eval(null) === 0x44bc2cf5ad770999L)
+    assert(XxHash64(Seq(Literal("")), 0L).eval(null) === 0xef46db3751d8e999L)
+    assert(spark.sql("SELECT xxHash64('abc') AS h").head.getLong(0) ===
+      spark.sql("SELECT xxhash64('abc') AS h").head.getLong(0))
+  }
+
+  test("CH LIMIT offset, count comma form rewrites to LIMIT/OFFSET") {
+    def rw(s: String): String = ChSqlRewrite.rescue(s).sql
+    assert(rw("SELECT a FROM t ORDER BY a LIMIT 3, 7")
+      === "SELECT a FROM t ORDER BY a LIMIT 7 OFFSET 3")
+    // nested: the splice is local, both levels rewrite
+    assert(rw("SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 1, 2) u LIMIT 0, 1")
+      === "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 2 OFFSET 1) u LIMIT 1 OFFSET 0")
+    // LIMIT o, n BY k belongs to the LIMIT BY rewrite, not this one
+    assert(rw("SELECT a FROM t ORDER BY a LIMIT 1, 2 BY a").contains("row_number()"))
+    // quoted comma forms are never touched
+    assert(rw("SELECT 'LIMIT 1, 2' FROM t x JOIN u") ===
+      "SELECT 'LIMIT 1, 2' FROM t x JOIN u")
+    spark.range(10).selectExpr("id AS a").createOrReplaceTempView("chlimc")
+    assert(spark.sql("SELECT a FROM chlimc ORDER BY a LIMIT 4, 3")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L, 5L, 6L))
+  }
+
+  test("quantilesExact / quantilesTDigest multi-quantile forms") {
+    spark.range(101).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("chqm")
+    val exact = spark.sql("SELECT quantilesExact(0.1, 0.5, 0.9)(v) AS q FROM chqm")
+      .head.getSeq[Double](0)
+    assert(exact === Seq(10.0, 50.0, 90.0))
+    val td = spark.sql("SELECT quantilesTDigest(0.5)(v) AS q FROM chqm")
+      .head.getSeq[Double](0)
+    assert(td.length == 1 && math.abs(td.head - 50.0) <= 1.0)
+  }
+
   test("standard-SQL FETCH FIRST tail rewrites to LIMIT/OFFSET") {
     def rw(s: String): String = ChSqlRewrite.rescue(s).sql
     assert(rw("SELECT a FROM t ORDER BY a FETCH FIRST 7 ROWS ONLY")
