@@ -1095,7 +1095,170 @@ object ChDialect {
       MaxBy(a.head, If(a(2), a(1), Literal(null, NullType))) },
     fn("argMinIf", 3) { a =>
       MinBy(a.head, If(a(2), a(1), Literal(null, NullType))) },
-    fn("JSONExtractKeys", 1) { a => JsonObjectKeys(a.head) })
+    fn("JSONExtractKeys", 1) { a => JsonObjectKeys(a.head) },
+
+    // ---- operator-function spellings (CH exposes every operator as a
+    // named function and generated SQL uses them: `equals(a, b)`,
+    // `less(x, 3)` …; `plus`/`minus`/`divide`/`modulo` are mapped
+    // above) ----
+    fn("equals", 2) { a => EqualTo(a.head, a(1)) },
+    fn("notEquals", 2) { a => Not(EqualTo(a.head, a(1))) },
+    fn("less", 2) { a => LessThan(a.head, a(1)) },
+    fn("greater", 2) { a => GreaterThan(a.head, a(1)) },
+    fn("lessOrEquals", 2) { a => LessThanOrEqual(a.head, a(1)) },
+    fn("greaterOrEquals", 2) { a => GreaterThanOrEqual(a.head, a(1)) },
+    fnVar("xor", 2) { a =>
+      a.map(e => Cast(e, BooleanType)).reduceLeft[Expression](
+        (x, y) => Not(EqualTo(x, y))) },
+    fn("notLike", 2) { a => Not(new Like(a.head, a(1))) },
+    fn("notILike", 2) { a => Not(new ILike(a.head, a(1))) },
+
+    // ---- combinator tail ----
+    // collect_list/set skip NULLs, matching CH's groupArray NULL rule
+    fn("groupArrayIf", 2) { a =>
+      CollectList(If(a(1), a.head, Literal(null, NullType))) },
+    fn("groupUniqArrayIf", 2) { a =>
+      CollectSet(If(a(1), a.head, Literal(null, NullType))) },
+    fn("uniqCombined64", 1) { a => new HyperLogLogPlusPlus(a.head) },
+
+    // ---- casts and best-effort parsing ----
+    fn("toDate32", 1) { a => Cast(a.head, DateType) },
+    fn("toDate32OrNull", 1) { a => tryCast(a.head, DateType) },
+    fnVar("toDateTime64", 1) { a => Cast(a.head, TimestampType) },
+    // accurateCast[OrNull](x, 'CHType'): the §1.2 type mapping applied
+    // to a literal CH type name (same table the CAST/:: rescue uses)
+    fn("accurateCast", 2) { a => chNamedCast(a, orNull = false) },
+    fn("accurateCastOrNull", 2) { a => chNamedCast(a, orNull = true) },
+    fn("parseDateTimeBestEffort", 1) { a => Cast(a.head, TimestampType) },
+    fn("parseDateTimeBestEffortOrNull", 1) { a => tryCast(a.head, TimestampType) },
+    fn("parseDateTime32BestEffort", 1) { a => Cast(a.head, TimestampType) },
+    fn("parseDateTime32BestEffortOrNull", 1) { a => tryCast(a.head, TimestampType) },
+
+    // ---- Map-family aggregates: sumMap/minMap/maxMap over parallel
+    // (keys, values) arrays or a map column → (sorted keys, per-key
+    // aggregate). Composed over collect_list like quantileExact: the
+    // group's pairs are collected exactly, so per-group memory is the
+    // group's pair count (metric-map cardinalities; the same documented
+    // bound as the exact-quantile path). ----
+    fnVar("sumMap", 1) { a => mapAggregate(a, "sum") },
+    fnVar("minMap", 1) { a => mapAggregate(a, "min") },
+    fnVar("maxMap", 1) { a => mapAggregate(a, "max") },
+
+    // ---- CH vector-distance family over the §4.2 static kernels (the
+    // embedding fixtures are Array(Float32); the cast widens to the
+    // kernels' array<double> input) ----
+    fn("dotProduct", 2) { a =>
+      VecExpressions.VecDot(vecArg(a.head), vecArg(a(1))) },
+    fn("L2Norm", 1) { a => VecExpressions.VecNorm(vecArg(a.head)) },
+    fn("L1Norm", 1) { a => VecExpressions.VecUnaryK(vecArg(a.head), "l1Norm") },
+    fn("LinfNorm", 1) { a => VecExpressions.VecUnaryK(vecArg(a.head), "linfNorm") },
+    fn("L1Distance", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "l1Dist") },
+    fn("L2Distance", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "l2Dist") },
+    fn("L2SquaredDistance", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "l2SqDist") },
+    fn("LinfDistance", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "linfDist") },
+    fn("cosineDistance", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "cosineDistance") },
+
+    // ---- third-pass tail: whitespace split, occurrence enumeration,
+    // dateTrunc spelling, lambda-first map HOFs, Jaccard ----
+    fn("splitByWhitespace", 1) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_w_"))
+      ArrayFilter(StringSplit(a.head, Literal("\\s+"), Literal(-1)),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x))) },
+    // 1-based occurrence rank of each element among its equals so far
+    fn("arrayEnumerateUniq", 1) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ch_x_"))
+      val i = UnresolvedNamedLambdaVariable(Seq("ch_i_"))
+      val y = UnresolvedNamedLambdaVariable(Seq("ch_y_"))
+      ArrayTransform(a.head, LambdaFunction(
+        Size(ArrayFilter(
+          Slice(a.head, Literal(1), Add(i, Literal(1))),
+          LambdaFunction(EqualNullSafe(y, x), Seq(y)))),
+        Seq(x, i))) },
+    // CH dateTrunc('unit', ts) — same order as Spark's date_trunc, only
+    // the camelCase spelling differs
+    fn("dateTrunc", 2) { a => TruncTimestamp(a.head, Cast(a(1), TimestampType)) },
+    // CH map HOFs put the lambda FIRST; mapFilter lands on the builtin
+    // (its root IS the higher-order function, as the analyzer requires)
+    fn("mapFilter", 2) { a => MapFilter(a(1), a.head) },
+    fn("mapExists", 2) { a => mapPredicate(a, all = false) },
+    fn("mapAll", 2) { a => mapPredicate(a, all = true) },
+    fn("arrayJaccardIndex", 2) { a =>
+      val inter = Cast(Size(ArrayIntersect(a.head, a(1))), DoubleType)
+      val union = Cast(Size(ArrayDistinct(Concat(Seq(a.head, a(1))))), DoubleType)
+      If(EqualTo(union, Literal(0.0d)), Literal(Double.NaN), Divide(inter, union)) })
+
+  private def vecArg(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  /** CH `mapExists`/`mapAll`((k, v) -> p, m): the (k, v) lambda is
+    * rebound over map_entries structs so the built root is the
+    * higher-order ArrayExists/ArrayForAll the analyzer requires. */
+  private def mapPredicate(a: Seq[Expression], all: Boolean): Expression = {
+    val (body, vars) = userLambda(a.head, if (all) "mapAll" else "mapExists")
+    require(vars.length == 2, "map predicate lambda expects (key, value)")
+    val e = UnresolvedNamedLambdaVariable(Seq("ch_me_"))
+    val rebound = body.transformUp {
+      case u: UnresolvedNamedLambdaVariable if u == vars(0) =>
+        UnresolvedExtractValue(e, Literal("key"))
+      case u: UnresolvedNamedLambdaVariable if u == vars(1) =>
+        UnresolvedExtractValue(e, Literal("value"))
+    }
+    val lam = LambdaFunction(rebound, Seq(e))
+    if (all) ArrayForAll(MapEntries(a(1)), lam)
+    else ArrayExists(MapEntries(a(1)), lam)
+  }
+
+  /** accurateCast[OrNull](x, 'CHType'): resolve the literal CH type
+    * name through the §1.2 table and cast (TRY mode for OrNull). */
+  private def chNamedCast(a: Seq[Expression], orNull: Boolean): Expression = {
+    val name = litString(a(1), "accurateCast")
+    val (dt, _) = graft.types.CHType.toSpark(graft.types.CHType.parse(name))
+    if (orNull) tryCast(a.head, dt) else Cast(a.head, dt)
+  }
+
+  /** sumMap/minMap/maxMap core: collect all (k, v) pairs of the group,
+    * then per distinct sorted key reduce the matching values. Accepts
+    * (keysArr, valsArr) or a single map column. */
+  private def mapAggregate(a: Seq[Expression], op: String): Expression = {
+    val (pairsPerRow, kf, vf) = a match {
+      case Seq(m) => (MapEntries(m), "key", "value")
+      case Seq(k, v) =>
+        (ArraysZip(Seq(k, v), Seq(Literal("k"), Literal("v"))), "k", "v")
+      case _ => throw new IllegalArgumentException(
+        s"${op}Map expects (keys, values) arrays or one map column")
+    }
+    val pairs = Flatten(CollectList(pairsPerRow).toAggregateExpression())
+    val p = UnresolvedNamedLambdaVariable(Seq("ch_mp_"))
+    val keys = new SortArray(
+      ArrayDistinct(ArrayTransform(pairs,
+        LambdaFunction(UnresolvedExtractValue(p, Literal(kf)), Seq(p)))),
+      Literal(true))
+    val kk = UnresolvedNamedLambdaVariable(Seq("ch_mk_"))
+    val q = UnresolvedNamedLambdaVariable(Seq("ch_mq_"))
+    val r = UnresolvedNamedLambdaVariable(Seq("ch_mr_"))
+    val matching = ArrayTransform(
+      ArrayFilter(pairs, LambdaFunction(
+        EqualNullSafe(UnresolvedExtractValue(q, Literal(kf)), kk), Seq(q))),
+      LambdaFunction(UnresolvedExtractValue(r, Literal(vf)), Seq(r)))
+    val acc = UnresolvedNamedLambdaVariable(Seq("ch_ma_"))
+    val x = UnresolvedNamedLambdaVariable(Seq("ch_mx_"))
+    val out = UnresolvedNamedLambdaVariable(Seq("ch_mo_"))
+    val reduced = op match {
+      case "sum" => ArrayAggregate(matching, Literal(0.0d),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction(out, Seq(out)))
+      case "min" => ArrayMin(matching)
+      case "max" => ArrayMax(matching)
+    }
+    CreateNamedStruct(Seq(
+      Literal("keys"), keys,
+      Literal("values"), ArrayTransform(keys, LambdaFunction(reduced, Seq(kk)))))
+  }
 
   /** 1-based first/last match index, 0 when no element satisfies f.
     * A single fold whose accumulator carries (position, hit): the root

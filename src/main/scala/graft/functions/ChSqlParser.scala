@@ -2346,7 +2346,7 @@ object ChSqlRewrite {
         }
         if (swapParam.contains(lower) || lower == "quantiles" ||
             lower == "quantilesexact" || lower == "quantilestdigest" ||
-            lower == "uniqcombined") {
+            lower == "uniqcombined" || lower == "uniqcombined64") {
           val j = skipWs(sql, i)
           if (j < n && sql.charAt(j) == '(') {
             val e1 = matchParen(sql, j)
@@ -2362,7 +2362,7 @@ object ChSqlRewrite {
                     s"percentile($args, array($params))"
                   else if (lower == "quantilestdigest")
                     s"approx_percentile($args, array($params))"
-                  else if (lower == "uniqcombined") s"$name($args)"
+                  else if (lower == "uniqcombined" || lower == "uniqcombined64") s"$name($args)"
                   else s"$name($args, $params)"
                 return sql.substring(0, start) + repl + sql.substring(e2)
               }

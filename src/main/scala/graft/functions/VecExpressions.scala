@@ -45,6 +45,60 @@ object VecMath {
     val d = norm(a) * norm(b)
     if (d == 0.0) 0.0 else dot(a, b) / d
   }
+
+  // CH vector-distance family (ClickHouse SQL reference, distance
+  // functions): same null-as-0 convention as above.
+
+  def l1Norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (!a.isNullAt(i)) s += math.abs(a.getDouble(i)); i += 1 }
+    s
+  }
+
+  def linfNorm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i)) s = math.max(s, math.abs(a.getDouble(i)))
+      i += 1
+    }
+    s
+  }
+
+  @inline private def el(a: ArrayData, i: Int): Double =
+    if (i < a.numElements() && !a.isNullAt(i)) a.getDouble(i) else 0.0
+
+  def l1Dist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.max(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += math.abs(el(a, i) - el(b, i)); i += 1 }
+    s
+  }
+
+  def l2SqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.max(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = el(a, i) - el(b, i); s += d * d; i += 1 }
+    s
+  }
+
+  def l2Dist(a: ArrayData, b: ArrayData): Double = math.sqrt(l2SqDist(a, b))
+
+  def linfDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.max(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s = math.max(s, math.abs(el(a, i) - el(b, i))); i += 1 }
+    s
+  }
+
+  /** CH cosineDistance = 1 − cosine similarity. */
+  def cosineDistance(a: ArrayData, b: ArrayData): Double = 1.0 - cosine(a, b)
 }
 
 object VecExpressions {
@@ -95,6 +149,38 @@ object VecExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.norm($c)")
     override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+  }
+
+  /** Generic kernel-dispatched forms for the CH distance family — one
+    * class per arity, kernel chosen by name (all static VecMath calls,
+    * codegen'd like the named expressions above). */
+  final case class VecBinaryK(left: Expression, right: Expression, k: String)
+      extends VecBinary(k) {
+    protected def kernel = k
+    protected def evalKernel(a: ArrayData, b: ArrayData): Double = k match {
+      case "l1Dist" => VecMath.l1Dist(a, b)
+      case "l2Dist" => VecMath.l2Dist(a, b)
+      case "l2SqDist" => VecMath.l2SqDist(a, b)
+      case "linfDist" => VecMath.linfDist(a, b)
+      case "cosineDistance" => VecMath.cosineDistance(a, b)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecBinaryK =
+      copy(left = l, right = r)
+  }
+
+  final case class VecUnaryK(child: Expression, k: String)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = k
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArr(k, Seq(child.dataType))
+    override protected def nullSafeEval(v: Any): Any = k match {
+      case "l1Norm" => VecMath.l1Norm(v.asInstanceOf[ArrayData])
+      case "linfNorm" => VecMath.linfNorm(v.asInstanceOf[ArrayData])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.$k($c)")
+    override protected def withNewChildInternal(c: Expression): VecUnaryK = copy(child = c)
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {

@@ -1013,6 +1013,67 @@ object SettingsQueries extends QueryRegistry {
              |  split_part(o_orderpriority, '-', 1) AS pri,
              |  lgamma(o_totalprice / 1000.0) AS e1,
              |  gamma(CAST(o_orderkey % 5 + 2 AS DOUBLE)) AS tg
-             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin)),
+
+    // ---- CH Map-family aggregates (sumMap/minMap over parallel arrays
+    // → key-sorted keys + per-key reductions; emitted as joined strings
+    // with integral rounding so both engines render identically) ----
+    QueryDef(
+      "b_sql46_map_aggregates",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_ma_v")
+        s.sql(
+          """SELECT st,
+            |  array_join(sm.keys, ',') AS ks,
+            |  array_join(transform(sm.values, v -> CAST(round(v) AS BIGINT)), ',') AS sums,
+            |  array_join(transform(mn.values, v -> CAST(round(v) AS BIGINT)), ',') AS mins
+            |FROM (SELECT o_orderstatus AS st,
+            |        sumMap(array(o_orderpriority), array(o_totalprice)) AS sm,
+            |        minMap(array(o_orderpriority), array(o_totalprice)) AS mn
+            |      FROM orders_ma_v GROUP BY o_orderstatus)
+            |ORDER BY st""".stripMargin)
+      },
+      Some("""SELECT st,
+             |  array_to_string(list(pri ORDER BY pri), ',') AS ks,
+             |  array_to_string(list(CAST(round(s) AS BIGINT) ORDER BY pri), ',') AS sums,
+             |  array_to_string(list(CAST(round(m) AS BIGINT) ORDER BY pri), ',') AS mins
+             |FROM (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             |        sum(o_totalprice) AS s, min(o_totalprice) AS m
+             |      FROM orders GROUP BY 1, 2) t
+             |GROUP BY st ORDER BY st""".stripMargin)),
+
+    // ---- CH vector-distance spellings (dotProduct / Lp norms and
+    // distances / cosineDistance) — 2-d vectors from scalar columns so
+    // the DuckDB oracle is the closed-form arithmetic ----
+    QueryDef(
+      "b_sql47_vector_distances",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_vd_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  dotProduct(array(x, y), array(y, 1.0)) AS dp,
+            |  L1Norm(array(x, -y)) AS n1,
+            |  L2Norm(array(x, y)) AS n2,
+            |  L1Distance(array(x, y), array(y, x)) AS d1,
+            |  L2Distance(array(x, y), array(y, x)) AS d2,
+            |  L2SquaredDistance(array(x, y), array(y, x)) AS d2s,
+            |  LinfDistance(array(x, y), array(y, x)) AS dinf,
+            |  cosineDistance(array(x, y), array(y, x)) AS cd
+            |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
+            |        CAST(o_orderkey % 7 + 1 AS DOUBLE) AS y
+            |      FROM orders_vd_v WHERE o_orderkey % 19 = 0)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  x * y + y * 1.0 AS dp,
+             |  abs(x) + abs(y) AS n1,
+             |  sqrt(x * x + y * y) AS n2,
+             |  2 * abs(x - y) AS d1,
+             |  sqrt(2 * (x - y) * (x - y)) AS d2,
+             |  2 * (x - y) * (x - y) AS d2s,
+             |  abs(x - y) AS dinf,
+             |  1.0 - (2 * x * y) / (x * x + y * y) AS cd
+             |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
+             |        CAST(o_orderkey % 7 + 1 AS DOUBLE) AS y
+             |      FROM orders WHERE o_orderkey % 19 = 0) t""".stripMargin))
   )
 }

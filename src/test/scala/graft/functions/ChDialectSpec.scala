@@ -596,6 +596,97 @@ class ChDialectSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[String]] === Seq("a", "b"))
   }
 
+  test("operator spellings, combinator tail, best-effort casts") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head.get(0)
+    assert(one("equals(2, 2)") === true)
+    assert(one("notEquals(2, 3)") === true)
+    assert(one("less(1, 2)") === true)
+    assert(one("greaterOrEquals(2, 2)") === true)
+    assert(one("xor(true, false)") === true)
+    assert(one("xor(true, true, true)") === true)
+    assert(one("xor(1, 1)") === false)
+    assert(one("notLike('abc', 'a%')") === false)
+    assert(one("notILike('ABC', 'a%')") === false)
+    spark.range(10).selectExpr("id", "id % 2 = 0 AS even")
+      .createOrReplaceTempView("chcomb")
+    assert(spark.sql("SELECT sort_array(groupArrayIf(id, even)) AS v FROM chcomb")
+      .head.getSeq[Long](0) === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(spark.sql("SELECT size(groupUniqArrayIf(id % 3, even)) AS v FROM chcomb")
+      .head.getInt(0) === 3)
+    assert(spark.sql("SELECT uniqCombined64(id) AS v FROM chcomb").head.getLong(0) === 10L)
+    // parameterized precision form strips like uniqCombined
+    assert(spark.sql("SELECT uniqCombined64(14)(id) AS v FROM chcomb").head.getLong(0) === 10L)
+    assert(one("CAST(toDate32('2021-02-03') AS STRING)") === "2021-02-03")
+    assert(one("toDate32OrNull('nope')") === null)
+    assert(one("CAST(toDateTime64('2021-02-03 04:05:06.789', 3) AS STRING)")
+      === "2021-02-03 04:05:06.789")
+    assert(one("accurateCast('123', 'UInt8')") === 123)
+    assert(one("accurateCastOrNull('999', 'Int8')") === null)
+    assert(one("CAST(parseDateTimeBestEffort('2021-02-03T04:05:06') AS STRING)")
+      === "2021-02-03 04:05:06")
+    assert(one("parseDateTimeBestEffortOrNull('garbage')") === null)
+  }
+
+  test("sumMap / minMap / maxMap aggregate parallel arrays and maps") {
+    import spark.implicits._
+    Seq(
+      (1, Seq("a", "b"), Seq(1.0, 2.0)),
+      (1, Seq("b", "c"), Seq(10.0, 5.0)),
+      (2, Seq("a"), Seq(7.0)))
+      .toDF("g", "ks", "vs").createOrReplaceTempView("chmapagg")
+    val rows = spark.sql(
+      """SELECT g, sumMap(ks, vs) AS sm, minMap(ks, vs) AS mn, maxMap(ks, vs) AS mx
+        |FROM chmapagg GROUP BY g ORDER BY g""".stripMargin).collect()
+    val sm1 = rows(0).getStruct(1)
+    assert(sm1.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(sm1.getSeq[Double](1) === Seq(1.0, 12.0, 5.0))
+    val mn1 = rows(0).getStruct(2)
+    assert(mn1.getSeq[Double](1) === Seq(1.0, 2.0, 5.0))
+    val mx1 = rows(0).getStruct(3)
+    assert(mx1.getSeq[Double](1) === Seq(1.0, 10.0, 5.0))
+    assert(rows(1).getStruct(1).getSeq[Double](1) === Seq(7.0))
+    // single-map-column form
+    val viaMap = spark.sql(
+      """SELECT sumMap(map_from_arrays(ks, vs)) AS sm
+        |FROM chmapagg WHERE g = 1""".stripMargin).head.getStruct(0)
+    assert(viaMap.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(viaMap.getSeq[Double](1) === Seq(1.0, 12.0, 5.0))
+  }
+
+  test("CH vector-distance family over the codegen'd vec kernels") {
+    def one(sql: String): Double =
+      spark.sql(s"SELECT $sql AS v").head.getDouble(0)
+    assert(one("dotProduct(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0))") === 32.0)
+    assert(one("L1Norm(array(1.0, -2.0, 3.0))") === 6.0)
+    assert(one("L2Norm(array(3.0, 4.0))") === 5.0)
+    assert(one("LinfNorm(array(1.0, -7.0, 3.0))") === 7.0)
+    assert(one("L1Distance(array(1.0, 2.0), array(4.0, 6.0))") === 7.0)
+    assert(one("L2Distance(array(1.0, 2.0), array(4.0, 6.0))") === 5.0)
+    assert(one("L2SquaredDistance(array(1.0, 2.0), array(4.0, 6.0))") === 25.0)
+    assert(one("LinfDistance(array(1.0, 2.0), array(4.0, 6.0))") === 4.0)
+    assert(math.abs(one("cosineDistance(array(1.0, 0.0), array(0.0, 1.0))") - 1.0) < 1e-12)
+    assert(math.abs(one("cosineDistance(array(2.0, 0.0), array(5.0, 0.0))")) < 1e-12)
+    // float32 inputs widen through the cast (the embeddings fixture shape)
+    assert(one("L2Distance(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(4.0, 6.0))") === 5.0)
+  }
+
+  test("third-pass tail: whitespace split, enumerate, map HOFs, Jaccard") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head.get(0)
+    assert(one("splitByWhitespace('  a  bb\\tc ')")
+      .asInstanceOf[scala.collection.Seq[String]] === Seq("a", "bb", "c"))
+    assert(one("arrayEnumerateUniq(array(10, 20, 10, 10))")
+      .asInstanceOf[scala.collection.Seq[Int]] === Seq(1, 1, 2, 3))
+    assert(one("CAST(dateTrunc('month', TIMESTAMP '2024-03-15 10:20:30') AS STRING)")
+      === "2024-03-01 00:00:00")
+    assert(one("map_keys(mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)))")
+      .asInstanceOf[scala.collection.Seq[String]] === Seq("b"))
+    assert(one("mapExists((k, v) -> k = 'a' AND v = 1, map('a', 1))") === true)
+    assert(one("mapAll((k, v) -> v > 0, map('a', 1, 'b', 0))") === false)
+    assert(one("arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4))") === 0.5)
+    assert(one("arrayJaccardIndex(array(), array())")
+      .asInstanceOf[Double].isNaN)
+  }
+
   test("SipHash-2-4 core matches the paper's test vectors") {
     // Aumasson & Bernstein, "SipHash: a fast short-input PRF", Appendix A:
     // key = 00 01 … 0f (k0/k1 little-endian), 15-byte message 00 01 … 0e
