@@ -67,6 +67,29 @@ private[llm] object DedupKernels extends Serializable {
     sig
   }
 
+  /** Hashes of every consecutive `n`-token window of `ws` (one per start
+    * position 0..len-n). Token hashes are computed once, window hashes fold
+    * the n token hashes order-sensitively — O(n·len) integer ops, no
+    * window-string materialization. Engine-internal (the oracle compares
+    * final outputs, never these hashes); a 64-bit collision merging two
+    * distinct windows has probability ~(#grams)²/2⁶⁵ — negligible at any
+    * bench scale and vanishing relative to data noise at corpus scale.
+    */
+  def gramHashes(ws: Array[String], n: Int): Array[Long] = {
+    if (ws.length < n) Array.empty[Long]
+    else {
+      val th = new Array[Long](ws.length)
+      var i = 0
+      while (i < ws.length) { th(i) = hash64(ws(i)); i += 1 }
+      Array.tabulate(ws.length - n + 1) { p =>
+        var h = 0x9e3779b97f4a7c15L
+        var j = p
+        while (j < p + n) { h = (h ^ th(j)) * 0x100000001b3L; h ^= (h >>> 29); j += 1 }
+        h
+      }
+    }
+  }
+
   /** 64-bit SimHash: per bit j, sign of the sum of +/-1 votes from each
     * shingle hash's bit j. One pass, O(64*|sh|) integer ops per doc.
     */
@@ -503,6 +526,76 @@ object Dedup extends QueryRegistry {
       .toDF("doc_id", "bench_id", "overlap")
   }
 
+  /** Exact-substring dedup (token-level ExactSubstr, after Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): find every
+    * `n`-token window whose exact text occurs in ≥ 2 distinct documents,
+    * assign ownership of each such window to the lowest doc_id containing
+    * it, and in every non-owner doc mark the window's token span as
+    * duplicated. Output per doc: token count, |union of duplicated spans|,
+    * duplicated fraction, and the md5 of the EXCISED text (duplicated
+    * spans removed, remaining tokens re-joined) — detection and removal in
+    * one pass, both oracle-checked.
+    *
+    * Unlike the shingle-set families above (document-level similarity from
+    * n-gram SETS), this is span-level and shift-invariant: a copied run of
+    * ≥ n tokens is caught at any offset because every start position emits
+    * a window.
+    *
+    * Scale shape: window hashing is a JIT'd kernel ([[DedupKernels.gramHashes]],
+    * O(n·len) per doc, no window strings); ownership is one groupBy on the
+    * window hash; marking is a hash join back on the same key (AQE handles
+    * boilerplate-window skew; a df-cap like [[ngramJaccardPairs]]'s can
+    * drop stop-windows first at corpus scale); span union + excision are
+    * per-doc array ops bounded by document length. Input `toks` must carry
+    * (doc_id, ws: array<string>).
+    */
+  def substrDedup(toks: DataFrame, n: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val grams = toks.select(col("doc_id"), col("ws")).as[(Long, Array[String])]
+      .flatMap { case (id, ws) =>
+        val gh = DedupKernels.gramHashes(ws, n)
+        Iterator.tabulate(gh.length)(p => (id, p, gh(p)))
+      }
+      .toDF("doc_id", "p", "g")
+    val owners = grams.groupBy("g")
+      .agg(min(col("doc_id")).as("owner"), countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+    val dupSpans = grams.join(owners, Seq("g")).where(col("doc_id") =!= col("owner"))
+    val covered = dupSpans
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("cps"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cps", coalesce(col("cps"), expr("CAST(array() AS array<int>)")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cps")).cast("long").as("dup_tokens"),
+        round(size(col("cps")) / size(col("ws")).cast("double"), 6).as("dup_frac"),
+        md5(concat_ws(" ",
+          expr("filter(ws, (x, i) -> NOT array_contains(cps, i))")).cast("binary"))
+          .as("clean_hash"))
+  }
+
+  /** Tokenized corpus for [[substrDedup]] with planted shifted twins: every
+    * 9th doc gets a copy that drops its first 5 tokens and prepends 3 junk
+    * tokens, so the shared run sits at a DIFFERENT offset in the twin —
+    * byte-level alignment tricks can't find it, per-position windows must.
+    * (The base fixture's word-salad text makes natural 8-token cross-doc
+    * repeats astronomically unlikely, so without planting the op would be
+    * exercised on an all-zero output.)
+    */
+  private def substrToks(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+    val aug = base.where(col("doc_id") % 9 === 0 && size(col("ws")) >= 6)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(array(lit("aug"), lit("aug"), lit("aug")),
+          expr("slice(ws, 6, size(ws))")).as("ws"))
+    base.unionByName(aug)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: group by content hash, keep min doc_id ----
@@ -748,6 +841,41 @@ object Dedup extends QueryRegistry {
       (s, d) => clusterKeepers(t(s, d, "documents"), ccClustersFor(s, d)),
       Some(s"""$ccOracleCtes
              |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
-             |WHERE cc.id IS NULL OR cc.cluster = d.doc_id""".stripMargin))
+             |WHERE cc.id IS NULL OR cc.cluster = d.doc_id""".stripMargin)),
+
+    // ---- exact-substring dedup (span-level, shift-invariant): duplicated
+    // 8-token windows across docs → per-doc dup fraction + excised text.
+    // The oracle independently re-derives windows, ownership, span union
+    // AND the excised string, so detection and removal are both gated. ----
+    QueryDef(
+      "x_dedup_substr",
+      (s, d) => substrDedup(substrToks(s, d), n = 8),
+      Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+             |aug AS (SELECT doc_id + 20000000 AS doc_id,
+             |    list_concat(['aug','aug','aug'], ws[6:]) AS ws
+             |  FROM base WHERE doc_id % 9 = 0 AND len(ws) >= 6),
+             |toks AS (SELECT doc_id, ws FROM base UNION ALL SELECT doc_id, ws FROM aug),
+             |starts AS (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 8
+             |    THEN generate_series(1, len(ws) - 7) ELSE CAST([] AS BIGINT[]) END) AS i
+             |  FROM toks),
+             |grams AS (SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+7], ' ') AS g
+             |  FROM starts),
+             |own AS (SELECT g, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+             |  FROM grams GROUP BY g),
+             |dup AS (SELECT doc_id, p FROM grams JOIN own USING (g)
+             |  WHERE nd >= 2 AND doc_id <> owner),
+             |cpos AS (SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos FROM dup),
+             |covset AS (SELECT DISTINCT doc_id, pos FROM cpos),
+             |covagg AS (SELECT doc_id, list(pos ORDER BY pos) AS cps FROM covset GROUP BY doc_id),
+             |fin AS (SELECT t.doc_id, t.ws, coalesce(c.cps, CAST([] AS BIGINT[])) AS cps
+             |  FROM toks t LEFT JOIN covagg c USING (doc_id))
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_tokens,
+             |  CAST(len(cps) AS BIGINT) AS dup_tokens,
+             |  round(len(cps) / CAST(len(ws) AS DOUBLE), 6) AS dup_frac,
+             |  md5(coalesce(array_to_string(
+             |    [ws[k + 1] for k in generate_series(0, len(ws) - 1)
+             |     if NOT list_contains(cps, k)], ' '), '')) AS clean_hash
+             |FROM fin""".stripMargin))
   )
 }

@@ -130,6 +130,54 @@ object TextOps extends QueryRegistry {
         round(avg(coalesce(col("lp"), lit(floor))), 6).as("avg_logp"),
         count(lit(1)).as("n_grams"))
 
+  /** BM25 retrieval: score every corpus document against each query
+    * document's term set (Okapi BM25, Robertson idf with the +1 floor),
+    * return the top `k` per query. The classic sparse-retrieval primitive
+    * a training-data pipeline runs for decontamination probes, hard-negative
+    * mining and quality triage — and the lexical baseline next to
+    * [[Similarity]]'s dense ANN operators.
+    *
+    * Scale shape: one tokenize pass feeds tf, dl and df as plain
+    * aggregations (df/avgdl are corpus-wide — each one shuffle, no
+    * broadcast of anything corpus-sized); the query term set is
+    * BROADCAST-joined into the postings (query sets are bench-sized, same
+    * contract as [[Dedup.contamination]]'s index), so the only per-corpus
+    * work after tokenization is one shuffle on term and the final
+    * (query_id, doc_id) partial-agg + per-query top-k window. Ranking ties
+    * are broken on the 6-dp ROUNDED score then doc_id, so rank order is
+    * engine-portable.
+    *
+    * `isQuery` selects query docs by doc_id; query docs never score
+    * themselves.
+    */
+  def bm25TopK(docs: DataFrame, isQuery: org.apache.spark.sql.Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val q = tf.where(isQuery).select(col("doc_id").as("query_id"), col("term"))
+    val scored = tf
+      .join(broadcast(q), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (col("dl") * b / col("avgdl") + (1.0 - b))))
+        .as("s0"))
+      .select(col("query_id"), col("doc_id"), round(col("s0"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -404,6 +452,34 @@ object TextOps extends QueryRegistry {
              |  CASE WHEN len(toks) = 0 THEN 0.0
              |       ELSE round(len(list_filter(toks, x -> NOT list_contains(vlist, x)))
              |                  / CAST(len(toks) AS DOUBLE), 6) END AS oov_rate
-             |FROM ws CROSS JOIN v""".stripMargin))
+             |FROM ws CROSS JOIN v""".stripMargin)),
+
+    // ---- BM25 top-k retrieval (Okapi, k1=1.2 b=0.75; every 50th doc is
+    // a query, scored over the rest of the corpus; rank ties broken on
+    // rounded score then doc_id so order is engine-portable) ----
+    QueryDef(
+      "x_text_bm25",
+      (s, d) => bm25TopK(t(s, d, "documents"), col("doc_id") % 50 === 0, k = 5),
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+             |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id
+             |  JOIN dft ON dft.term = q.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |FROM scored
+             |QUALIFY rank <= 5""".stripMargin))
   )
 }

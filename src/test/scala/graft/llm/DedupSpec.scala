@@ -96,4 +96,44 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight.subsetOf(uncapped))
   }
+
+  test("substring dedup marks shifted copied runs and excises exactly them") {
+    // b copies a's tokens 2..11 at a DIFFERENT offset (after 2 junk tokens):
+    // shift-invariance is the point. n=4 windows cover b's positions 2..11;
+    // a (the owner) stays untouched; c shares nothing.
+    val a = (1 to 12).map(i => s"t$i")
+    val b = Seq("x1", "x2") ++ a.slice(1, 11)
+    val c = Seq("u1", "u2", "u3", "u4", "u5")
+    val toks = Seq((10L, a.toArray), (20L, b.toArray), (30L, c.toArray))
+      .toDF("doc_id", "ws")
+    val out = Dedup.substrDedup(toks, n = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out(10L) == ((12L, 0L, md5Of(a.mkString(" ")))))
+    assert(out(30L)._2 == 0L)
+    // b: positions 2..11 covered (10 tokens), clean text = the junk prefix
+    assert(out(20L) == ((12L, 10L, md5Of("x1 x2"))))
+  }
+
+  test("substring dedup on the fixture agrees with the jaccard near-dup pairs") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+    val frac = Dedup.substrDedup(toks, n = 8)
+      .select("doc_id", "dup_frac").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every planted jaccard≈0.98 near-dup pair must surface as heavy span
+    // coverage on its higher-id (non-owner) side...
+    val pairs = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, b) =>
+      assert(frac(b) > 0.5, s"near-dup doc $b has dup_frac ${frac(b)}")
+    }
+    // ...while the word-salad bulk of the corpus stays unmarked
+    assert(frac.values.count(_ == 0.0) > frac.size / 2, "over-marking")
+  }
+
+  private def md5Of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 }

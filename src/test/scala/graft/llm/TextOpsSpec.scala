@@ -60,4 +60,28 @@ class TextOpsSpec extends SparkSpec {
     val gibAvg = gibber.map(x => scored(x._1)).sum / gibber.size
     assert(natAvg > gibAvg + 1.0, s"natural $natAvg vs gibberish $gibAvg")
   }
+
+  test("bm25 ranks term-matching docs first and matches a hand-computed score") {
+    // doc 0 is the query ("cat mat"); doc 1 shares both terms, doc 2 one,
+    // doc 3 none. Expected order: 1, 2 (3 scores nothing, never appears).
+    val docs = Seq(
+      (0L, "cat mat"),
+      (1L, "cat mat cat"),
+      (2L, "cat dog bird fish"),
+      (3L, "dog bird fish worm")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, col("doc_id") === 0, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), s"rank order: ${out.toSeq}")
+    // hand-check doc 1's score: N=4, avgdl=13/4; cat df=3, mat df=2
+    val n = 4.0; val avgdl = 13.0 / 4.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expect = BigDecimal(w(2, 3, 3) + w(1, 3, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._2 === expect, s"doc 1 score ${out(0)._2} != $expect")
+    // query doc never scores itself
+    assert(!out.map(_._1).contains(0L))
+  }
 }
