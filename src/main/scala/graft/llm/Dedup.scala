@@ -236,13 +236,16 @@ object Dedup extends QueryRegistry {
       }
       .toDF("doc_id", "sig", "band", "bkey")
     banded.groupBy("band", "bkey")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      // canonical sorted member set + dedupe before expansion — same
+      // B×C(g,2) redundancy cut as [[minhashBandCandidates]]
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"))
+      .dropDuplicates("ds")
       .as[Seq[(Long, Array[Long])]]
       .flatMap { ds =>
         // in-bucket ordered pairs, scored by signature agreement
-        val arr = ds.sortBy(_._1).toArray
+        val arr = ds.toArray
         for {
           i <- Iterator.range(0, arr.length - 1)
           j <- Iterator.range(i + 1, arr.length)
@@ -283,11 +286,22 @@ object Dedup extends QueryRegistry {
       }
       .toDF("doc_id", "band", "bkey")
       .groupBy("band", "bkey")
-      .agg(collect_list(col("doc_id")).as("ds"))
+      // canonical (sorted) member set, deduped BEFORE pair expansion: a
+      // g-member dup group lands the identical bucket in most of the B
+      // bands, and expanding it per band emits B×C(g,2) rows only for
+      // dropDuplicates to throw B−1 of each away — at the sf10 cert
+      // (g=100, B=16) that was 39.6M pair rows for 2.5M distinct ones.
+      // Deduping the member-set ARRAY first costs one tiny shuffle over
+      // #buckets rows and cuts the expansion to ~C(g,2) per group; the
+      // pair-level dropDuplicates still catches partially-overlapping
+      // buckets from different bands.
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(col("ds")).as[Seq[Long]]
+      .select(col("ds"))
+      .dropDuplicates("ds")
+      .as[Seq[Long]]
       .flatMap { ds =>
-        val arr = ds.sorted.toArray
+        val arr = ds.toArray
         for {
           i <- Iterator.range(0, arr.length - 1)
           j <- Iterator.range(i + 1, arr.length)
