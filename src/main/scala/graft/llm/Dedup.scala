@@ -132,43 +132,31 @@ object Dedup extends QueryRegistry {
   }
 
 
-  /** Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) — catches a
-    * short document quoted inside a long one, which Jaccard dilutes
-    * toward zero. Same inverted-index shape, df cap and shuffle profile
-    * as [[ngramJaccardPairs]]; only the normalizer differs.
-    */
-  def ngramContainmentPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame = {
-    val all = explodedShingles(docs)
-    val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("s")
-    val sh = all.join(kept, Seq("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("containment", col("i") / least(col("sa.n"), col("sb.n")))
-      .filter(col("containment") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
-  }
-
-  /** Exact pairwise word-3gram Jaccard >= `tau` via an inverted shingle
-    * index: explode → self-equi-join on shingle → |A∩B| counts → join
-    * per-doc sizes. Shuffles on shingle then on doc pairs — never a cross
-    * product.
+  /** Exact shingle-intersection core shared by the jaccard / containment
+    * families: per ordered doc pair (doc_a < doc_b), the intersection
+    * count `i` over the kept feature space plus both docs' kept-shingle
+    * sizes (na, nb).
+    *
+    * Shape: explode → df-cap → self-equi-join on the shingle → map-side
+    * partial count per ordered pair → join per-doc sizes. The whole chain
+    * stays in whole-stage codegen; the join's per-(shingle, pair) rows
+    * are partially aggregated before they shuffle. (A posting-list-
+    * collapse variant — collect lists per shingle, dedupe identical
+    * lists, expand once with multiplicity — was measured 2× SLOWER at the
+    * sf10 certification: the fixture's tiny vocabulary makes posting
+    * lists collide across dup groups, so <5% of lists collapse, and the
+    * typed-flatMap expansion pays row-encoder costs the codegen'd join
+    * never sees.)
     *
     * `dfCap` drops shingles whose document frequency exceeds the cap
     * before the self-join: one stop-shingle with df=d otherwise creates
     * O(d²) join rows on a single shuffle key — the classic skew-killer at
-    * corpus scale. Jaccard is then computed consistently over the kept
-    * feature space (both intersections and sizes). The default cap (500)
-    * is far above the fixtures' max df (25 at sf0.1), so fixture results
-    * are byte-identical to the uncapped oracle.
+    * corpus scale. Jaccard/containment are then computed consistently
+    * over the kept feature space (both intersections and sizes). The
+    * default cap (500) is far above the fixtures' max df (25 at sf0.1),
+    * so fixture results are byte-identical to the uncapped oracle.
     */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame = {
+  def pairCore(docs: DataFrame, dfCap: Int = 500): DataFrame = {
     val all = explodedShingles(docs)
     val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
@@ -181,7 +169,28 @@ object Dedup extends QueryRegistry {
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", col("i") / (col("sa.n") + col("sb.n") - col("i")))
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  /** Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) — catches a
+    * short document quoted inside a long one, which Jaccard dilutes
+    * toward zero. Same [[pairCore]] shape, df cap and shuffle profile as
+    * [[ngramJaccardPairs]]; only the normalizer differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame =
+    pairCore(docs, dfCap)
+      .withColumn("containment", col("i") / least(col("na"), col("nb")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+
+  /** Exact pairwise word-3gram Jaccard >= `tau` over the [[pairCore]]
+    * intersection counts (see there for the posting-list-collapse shape
+    * and the `dfCap` skew guard).
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, dfCap: Int = 500): DataFrame = {
+    pairCore(docs, dfCap)
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -411,22 +420,8 @@ object Dedup extends QueryRegistry {
 
   private def pairCoreFor(s: SparkSession, d: String): DataFrame =
     coreCache.getOrCompute(s, d) {
-        val all = explodedShingles(t(s, d, "documents"))
-        val kept = all.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 500).select("s")
-        val sh = all.join(kept, Seq("s"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), col("i"),
-            col("sa.n").as("na"), col("sb.n").as("nb"))
-          .localCheckpoint()
-      }
+      pairCore(t(s, d, "documents")).localCheckpoint()
+    }
 
   private def jaccardPairsFor(s: SparkSession, d: String, tau: Double): DataFrame =
     pairCoreFor(s, d)
