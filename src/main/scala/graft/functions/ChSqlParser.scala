@@ -258,10 +258,10 @@ object ChSqlRewrite {
       case Some(h) => injectHint(noSet, h)
       case None => noSet
     }
-    val chClauses = rewriteLimitComma(rewriteLimitBy(rewriteWithFill(rewriteWithTotals(
-      rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
+    val chClauses = rewriteLimitComma(rewriteLimitBy(rewriteQualify(rewriteWithFill(
+      rewriteWithTotals(rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
         rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(
-          rewriteBraceParams(hinted), globalWideWords)))))))))))))
+          rewriteBraceParams(hinted), globalWideWords))))))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -2145,6 +2145,57 @@ object ChSqlRewrite {
     * (`LimitBy.limitBy`) is the two-phase scale shape; this textual
     * form is the compatibility path. Top-level queries only: a LIMIT BY
     * inside a subquery keeps the original (loud) parse failure. */
+  /** CH `QUALIFY` (post-window filter, may reference SELECT aliases and
+    * window expressions; ClickHouse evaluates it after the select list's
+    * windows). Spark has no QUALIFY clause, so the query only reaches
+    * this rescue after a guaranteed parse failure — the rewrite can
+    * never touch a working Spark query. Everything before QUALIFY wraps
+    * as a subquery (select aliases materialize as real columns), the
+    * predicate becomes a hidden boolean projection over it (window
+    * functions are legal there and see post-aggregation rows — CH's
+    * evaluation order), then the outer query filters on the helper and
+    * drops it:
+    *
+    *   SELECT ... QUALIFY p [ORDER/LIMIT tail]
+    *   → SELECT * EXCEPT (ch_q_ok_) FROM (
+    *       SELECT *, (p) AS ch_q_ok_ FROM (<body>) ch_q_src_) ch_q_i_
+    *     WHERE ch_q_ok_ [ORDER/LIMIT tail]
+    *
+    * Documented deviations (both fail loudly at analysis, never
+    * silently): a predicate referencing source columns the SELECT list
+    * does not project (CH also resolves those against the source), and
+    * a predicate using a named window from the body's WINDOW clause
+    * (out of scope in the outer projection).
+    */
+  private def rewriteQualify(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') i = skipLine(sql, i)
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(sql, i)
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        if (depth == 0 && sql.substring(start, i).equalsIgnoreCase("QUALIFY")) {
+          val predStart = skipWs(sql, i)
+          val (predEnd, _) = clauseEnd(sql, predStart)
+          val pred = sql.substring(predStart, predEnd).trim
+          val body = sql.substring(0, start).trim
+          val tail = sql.substring(predEnd)
+          if (pred.isEmpty || body.isEmpty) return sql
+          return s"SELECT * EXCEPT (ch_q_ok_) FROM (SELECT *, ($pred) AS ch_q_ok_ " +
+            s"FROM ($body) ch_q_src_) ch_q_i_ WHERE ch_q_ok_ " + tail
+        }
+      } else i += 1
+    }
+    sql
+  }
+
   private def rewriteLimitBy(sql: String): String = {
     val n = sql.length
     var i = 0

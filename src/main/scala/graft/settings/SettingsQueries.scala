@@ -1074,6 +1074,31 @@ object SettingsQueries extends QueryRegistry {
              |  1.0 - (2 * x * y) / (x * x + y * y) AS cd
              |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
              |        CAST(o_orderkey % 7 + 1 AS DOUBLE) AS y
-             |      FROM orders WHERE o_orderkey % 19 = 0) t""".stripMargin))
+             |      FROM orders WHERE o_orderkey % 19 = 0) t""".stripMargin)),
+
+    // ---- CH QUALIFY clause: post-window filter referencing both a
+    // SELECT alias and a raw window expression; ORDER BY survives in
+    // the rewritten outer query ----
+    QueryDef(
+      "b_sql48_qualify",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_q_v")
+        s.sql(
+          """SELECT o_custkey,
+            |  o_orderkey,
+            |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            |FROM orders_q_v
+            |QUALIFY rn <= 2
+            |  AND count(*) OVER (PARTITION BY o_custkey) >= 3
+            |ORDER BY o_custkey, rn""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS c
+             |  FROM orders) t
+             |WHERE rn <= 2 AND c >= 3
+             |ORDER BY o_custkey, rn""".stripMargin))
   )
 }

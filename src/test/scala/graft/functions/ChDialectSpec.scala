@@ -1601,4 +1601,27 @@ class ChDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT chfin.v FROM chfin FINAL WHERE chfin.id = 1")
       .head.getInt(0) === 20)
   }
+
+  test("QUALIFY filters on select aliases, raw windows, and keeps ORDER BY/LIMIT") {
+    Seq((1, 10), (1, 20), (1, 30), (2, 5), (2, 50))
+      .toDF("g", "v").createOrReplaceTempView("chq")
+    // alias reference: top-1 per group
+    val top1 = spark.sql(
+      """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |FROM chq QUALIFY rn = 1 ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSeq
+    assert(top1 === Seq(1 -> 30, 2 -> 50))
+    // raw window expression in the predicate (no alias in the select list)
+    val big = spark.sql(
+      """SELECT g, v FROM chq
+        |QUALIFY sum(v) OVER (PARTITION BY g) > 55 ORDER BY v""".stripMargin)
+      .collect().map(_.getInt(1)).toSeq
+    assert(big === Seq(10, 20, 30))
+    // trailing LIMIT survives in the rewritten outer query
+    val lim = spark.sql(
+      """SELECT g, v, rank() OVER (ORDER BY v DESC) AS r FROM chq
+        |QUALIFY r <= 3 ORDER BY r LIMIT 2""".stripMargin)
+      .collect().map(_.getInt(1)).toSeq
+    assert(lim === Seq(50, 30))
+  }
 }
