@@ -200,6 +200,52 @@ object Curation extends QueryRegistry {
              |  FROM documents)
              |WHERE bkt < keep_threshold""".stripMargin)),
 
+    // ---- domain-mixture resampling: downsample every source to the
+    // smallest source's share so the output mixture is (near-)uniform
+    // across domains — the balancing step of a training-data mixing
+    // recipe. Keep-probability per source = min_n / n_src, applied
+    // through the same deterministic md5 bucket rule as x_smp4 (so the
+    // keep set is stable under retries/re-runs). Scale shape: per-source
+    // counts are one aggregation over a bounded domain set, broadcast
+    // back; the corpus itself is filtered in one map-side pass — no
+    // corpus shuffle. 256-bucket granularity means realized shares match
+    // targets to ±1/256, the documented tradeoff for a stateless rule.
+    // The fixture's sources are exactly uniform (min_n/n_src = 1 would
+    // make the op a no-op), so the query PLANTS skew first — 2/3 of the
+    // corpus collapses into one dominant 'web' domain — and the rule
+    // must pull that domain down to the small-domain share. ----
+    QueryDef(
+      "x_smp9_mixture",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("source",
+            when(col("doc_id") % 3 =!= 0, lit("web")).otherwise(col("source")))
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val minN = counts.agg(min(col("n_src")).as("min_n"))
+        val bucket = conv(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+          .cast("long")
+        docs.join(broadcast(counts), Seq("source"))
+          .crossJoin(broadcast(minN))
+          .withColumn("keep_threshold",
+            floor(col("min_n") * lit(256.0) / col("n_src")).cast("long"))
+          .where(bucket < col("keep_threshold"))
+          .select(col("doc_id"), col("source"), col("keep_threshold"))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 <> 0 THEN 'web' ELSE source END AS source
+             |  FROM documents),
+             |c AS (SELECT source, count(*) AS n_src FROM docs GROUP BY source),
+             |m AS (SELECT min(n_src) AS min_n FROM c)
+             |SELECT doc_id, source, keep_threshold FROM (
+             |  SELECT d.doc_id, d.source,
+             |    CAST(floor(m.min_n * 256.0 / c.n_src) AS BIGINT) AS keep_threshold,
+             |    CAST((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |       + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+             |      AS BIGINT) AS bkt
+             |  FROM docs d JOIN c USING (source) CROSS JOIN m)
+             |WHERE bkt < keep_threshold""".stripMargin)),
+
     // ---- shard packing: bin documents into shards by token budget ----
     // Two-level so it scales: a hash bucket bounds each packing window
     // (16 here; 4096 at corpus scale), then a per-bucket cumulative

@@ -48,4 +48,23 @@ class CurationSpec extends SparkSpec {
         assert(chunks(0)._3.takeRight(50) == chunks(1)._3.take(50))
     }
   }
+
+  test("mixture resampling pulls the dominant domain down to the small-domain share") {
+    val out = SparkEntry.queries("x_smp9_mixture")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // planted skew: 'web' holds ~333 of 500 docs, the small domains ~8
+    // each; after resampling every surviving domain should sit near the
+    // smallest domain's size (md5-bucket granularity allows slack)
+    val small = kept.filter(_._1 != "web").values
+    assert(small.nonEmpty)
+    assert(kept.contains("web"), "dominant domain must not be wiped out")
+    val smallMax = small.max
+    assert(kept("web") <= 3 * smallMax,
+      s"web still dominant: ${kept("web")} vs small max $smallMax")
+    // determinism: the keep set is a pure function of doc_id
+    val again = SparkEntry.queries("x_smp9_mixture")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
 }
