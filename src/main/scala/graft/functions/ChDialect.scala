@@ -232,7 +232,12 @@ object ChDialect {
     fn("has", 2) { a => ArrayContains(a.head, a(1)) },
     fn("indexOf", 2) { a => ArrayPosition(a.head, a(1)) },
     fn("arrayDistinct", 1) { a => ArrayDistinct(a.head) },
-    fn("arraySort", 1) { a => new SortArray(a.head) },
+    // CH arraySort([f,] arr): the optional key lambda comes FIRST. The
+    // keyed form sorts by struct(key, element) — CH's sort is stable,
+    // this one breaks key ties by element value instead (deterministic,
+    // documented deviation).
+    fnVar("arraySort", 1) { a =>
+      if (a.length == 1) new SortArray(a.head) else arraySortBy(a, asc = true) },
     fn("arrayReverse", 1) { a => Reverse(a.head) },
     fn("arrayConcat", 2) { a => Concat(a) },
     fn("arrayStringConcat", 2) { a => ArrayJoin(a.head, a(1), None) },
@@ -320,7 +325,9 @@ object ChDialect {
       If(LessThanOrEqual(n, Literal(0L)),
         Slice(new Sequence(Literal(0L), Literal(0L)), Literal(1), Literal(0)),
         new Sequence(Literal(0L), Subtract(n, Literal(1L)))) },
-    fn("arrayReverseSort", 1) { a => new SortArray(a.head, Literal(false)) },
+    fnVar("arrayReverseSort", 1) { a =>
+      if (a.length == 1) new SortArray(a.head, Literal(false))
+      else arraySortBy(a, asc = false) },
     fn("arrayWithConstant", 2) { a => ArrayRepeat(a(1), a.head) },
     fnVar("arrayResize", 2) { a =>
       // grow pads with the fill value (third arg; NULL default), shrink
@@ -588,7 +595,7 @@ object ChDialect {
     // ---- math spellings ----
     fn("exp2", 1) { a => Pow(Literal(2.0), Cast(a.head, DoubleType)) },
     fn("exp10", 1) { a => Pow(Literal(10.0), Cast(a.head, DoubleType)) },
-    fn("roundBankers", 2) { a => BRound(a.head, a(1)) },
+    fnVar("roundBankers", 1) { a => BRound(a.head, a.lift(1).getOrElse(Literal(0))) },
     fn("negate", 1) { a => UnaryMinus(a.head) },
     // BFloat16 rides the wire as UInt16 raw bits (reference
     // arrow/types.rs:527-529: "Arrow doesn't have BFloat16 natively");
@@ -1190,7 +1197,110 @@ object ChDialect {
     fn("arrayJaccardIndex", 2) { a =>
       val inter = Cast(Size(ArrayIntersect(a.head, a(1))), DoubleType)
       val union = Cast(Size(ArrayDistinct(Concat(Seq(a.head, a(1))))), DoubleType)
-      If(EqualTo(union, Literal(0.0d)), Literal(Double.NaN), Divide(inter, union)) })
+      If(EqualTo(union, Literal(0.0d)), Literal(Double.NaN), Divide(inter, union)) },
+
+    // ---- fourth-pass audit tail (89-spelling probe, round 8): keyed
+    // array sorts above, forward-fill, flat-JSON extractors, IP
+    // validation, canonical rand, deterministic quantile, bar render ----
+
+    // arrayFill(f, arr): where f(x) is false, repeat the previous kept
+    // element (the first element always stays); arrayReverseFill scans
+    // right-to-left (implemented as reverse ∘ fill ∘ reverse — valid
+    // because f sees only the element itself)
+    fn("arrayFill", 2) { a => arrayFillExpr(a.head, a(1), reversed = false) },
+    fn("arrayReverseFill", 2) { a => arrayFillExpr(a.head, a(1), reversed = true) },
+    // CH randCanonical(): uniform [0, 1) — Spark's rand semantics
+    // exactly (CH's rand() itself returns UInt32 and is NOT aliased:
+    // Spark owns that name with different semantics)
+    fn("randCanonical", 0) { _ =>
+      new Rand(Literal(scala.util.Random.nextLong()), hideSeed = true) },
+    // quantileDeterministic(p)(x, det): the determinism tag only seeds
+    // CH's reservoir sampling; the exact percentile is already
+    // deterministic, so the tag drops (parameter swap puts p last)
+    fn("quantileDeterministic", 3) { a =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("quantileExact"), Seq(a.head, a(2)), isDistinct = false) },
+    fn("medianDeterministic", 2) { a =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("quantileExact"), Seq(a.head, Literal(0.5d)), isDistinct = false) },
+    // IP-literal validation via the native parse expressions in TRY mode
+    fn("isIPv4String", 1) { a =>
+      IsNotNull(TryEval(ValueExpressions.Ipv4Binary(a.head))) },
+    fn("isIPv6String", 1) { a =>
+      IsNotNull(TryEval(ValueExpressions.Ipv6Binary(a.head))) },
+    // flat-document JSON accessors (simpleJSON* / legacy visitParam*):
+    // CH restricts them to top-level fields — $.key on the builtin JSON
+    // path engine is a superset of that contract. ExtractRaw returns
+    // get_json_object's rendering (objects raw, strings unquoted —
+    // documented nearest equivalent).
+    fn("simpleJSONExtractString", 2) { a => flatJson(a) },
+    fn("visitParamExtractString", 2) { a => flatJson(a) },
+    fn("simpleJSONExtractRaw", 2) { a => flatJson(a) },
+    fn("visitParamExtractRaw", 2) { a => flatJson(a) },
+    fn("simpleJSONExtractInt", 2) { a => Cast(flatJson(a), LongType) },
+    fn("visitParamExtractInt", 2) { a => Cast(flatJson(a), LongType) },
+    fn("simpleJSONExtractUInt", 2) { a => Cast(flatJson(a), LongType) },
+    fn("simpleJSONExtractFloat", 2) { a => Cast(flatJson(a), DoubleType) },
+    fn("visitParamExtractFloat", 2) { a => Cast(flatJson(a), DoubleType) },
+    fn("simpleJSONExtractBool", 2) { a => Cast(flatJson(a), BooleanType) },
+    fn("visitParamExtractBool", 2) { a => Cast(flatJson(a), BooleanType) },
+    fn("simpleJSONHas", 2) { a => IsNotNull(flatJson(a)) },
+    fn("visitParamHas", 2) { a => IsNotNull(flatJson(a)) },
+    // bar(x, min, max[, width=80]): unicode bar of length
+    // width·(x−min)/(max−min), clamped; the fractional char uses the
+    // eighth-block glyphs like CH's renderer
+    fnVar("bar", 3) { a =>
+      val widthD = Cast(a.lift(3).getOrElse(Literal(80)), DoubleType)
+      val x = Cast(a.head, DoubleType)
+      val lo = Cast(a(1), DoubleType)
+      val hi = Cast(a(2), DoubleType)
+      val w = Multiply(Divide(Subtract(x, lo), Subtract(hi, lo)), widthD)
+      val clamped = Least(Seq(Greatest(Seq(w, Literal(0.0d))), widthD))
+      val whole = Cast(Floor(clamped), IntegerType)
+      val fracIdx = Cast(Floor(Multiply(
+        Subtract(clamped, Floor(clamped)), Literal(8.0d))), IntegerType)
+      Concat(Seq(
+        StringRepeat(Literal("█"), whole),
+        If(GreaterThan(fracIdx, Literal(0)),
+          Substring(Literal("▏▎▍▌▋▊▉"), fracIdx, Literal(1)),
+          Literal("")))) })
+
+  /** get_json_object over a top-level key (the simpleJSON/visitParam
+    * contract): path = '$.' + key. */
+  private def flatJson(a: Seq[Expression]): Expression =
+    GetJsonObject(a.head, Concat(Seq(Literal("$."), Cast(a(1), StringType))))
+
+  /** Keyed array sort (CH `arraySort(f, arr)`): decorate with
+    * struct(key, element), sort, strip — struct ordering sorts by the
+    * key first; CH's stable tie order becomes element-value tie order. */
+  private def arraySortBy(a: Seq[Expression], asc: Boolean): Expression = {
+    val (body, vars) = userLambda(a.head, "arraySort")
+    val s = UnresolvedNamedLambdaVariable(Seq("ch_srt_"))
+    val decorated = ArrayTransform(a(1),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("k"), body, Literal("v"), vars.head)), vars))
+    ArrayTransform(new SortArray(decorated, Literal(asc)),
+      LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+  }
+
+  /** arrayFill / arrayReverseFill core: left-to-right fold that repeats
+    * the last kept element wherever the predicate fails. */
+  private def arrayFillExpr(f: Expression, arr0: Expression, reversed: Boolean): Expression = {
+    val (body, vars) = userLambda(f, "arrayFill")
+    val arr = if (reversed) Reverse(arr0) else arr0
+    val acc = UnresolvedNamedLambdaVariable(Seq("ch_fl_acc_"))
+    val out = UnresolvedNamedLambdaVariable(Seq("ch_fl_out_"))
+    val keepX = Concat(Seq(acc, CreateArray(Seq(vars.head))))
+    val repeatPrev = Concat(Seq(acc,
+      CreateArray(Seq(ElementAt(acc, Literal(-1), None, failOnError = false)))))
+    // the built root must BE the higher-order function (analyzer rule),
+    // so the un-reverse of the reversed scan happens in the finish lambda
+    ArrayAggregate(arr, Slice(arr, Literal(1), Literal(0)),
+      LambdaFunction(
+        If(Or(body, EqualTo(Size(acc), Literal(0))), keepX, repeatPrev),
+        Seq(acc) ++ vars),
+      LambdaFunction(if (reversed) Reverse(out) else out, Seq(out)))
+  }
 
   private def vecArg(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))

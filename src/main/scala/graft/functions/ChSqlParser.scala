@@ -164,7 +164,8 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object ChSqlRewrite {
   /** name(P)(A) → name(A, P) */
-  private val swapParam = Set("quantile", "quantileexact", "quantiletdigest", "uniqupto")
+  private val swapParam = Set("quantile", "quantileexact", "quantiletdigest", "uniqupto",
+    "quantiledeterministic")
 
   /** CH queries routinely end `... FORMAT JSONEachRow;` — the output
     * format is a CLIENT concern in CH (a DataFrame here). Rescue-only:

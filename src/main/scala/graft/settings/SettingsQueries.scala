@@ -1099,6 +1099,51 @@ object SettingsQueries extends QueryRegistry {
              |    count(*) OVER (PARTITION BY o_custkey) AS c
              |  FROM orders) t
              |WHERE rn <= 2 AND c >= 3
-             |ORDER BY o_custkey, rn""".stripMargin))
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- fourth audit-tail pass: keyed arraySort, forward-fill,
+    // banker's rounding, flat-JSON extraction, IP validation, unicode
+    // bar render (DuckDB's bar uses the same eighth-block glyphs).
+    // Arrays cross the oracle as joined strings to dodge list-dtype
+    // bridge drift. ----
+    QueryDef(
+      "b_sql49_audit_tail",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_at_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  concat_ws('-', transform(arraySort(x -> -x, array(v1, v2, v3)),
+            |    y -> CAST(y AS STRING))) AS srt,
+            |  concat_ws('-', transform(arrayFill(x -> x > 2, array(v1, v2, v3)),
+            |    y -> CAST(y AS STRING))) AS fil,
+            |  roundBankers(o_totalprice / 100) AS rb,
+            |  simpleJSONExtractString(j, 'k') AS js,
+            |  isIPv4String(ip) AS ip4,
+            |  bar(v1, 0, 8, 10) AS bbar
+            |FROM (SELECT o_orderkey, o_totalprice,
+            |        CAST(o_orderkey % 9 AS INT) AS v1,
+            |        CAST(o_orderkey % 5 AS INT) AS v2,
+            |        CAST(o_orderkey % 7 AS INT) AS v3,
+            |        concat('{"k":"v', CAST(o_orderkey % 3 AS STRING), '"}') AS j,
+            |        concat(CAST(o_orderkey % 300 AS STRING), '.2.3.4') AS ip
+            |      FROM orders_at_v WHERE o_orderkey % 17 = 0)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  array_to_string(list_sort([v1, v2, v3], 'DESC'), '-') AS srt,
+             |  array_to_string([v1,
+             |    CASE WHEN v2 > 2 THEN v2 ELSE v1 END,
+             |    CASE WHEN v3 > 2 THEN v3
+             |         WHEN v2 > 2 THEN v2 ELSE v1 END], '-') AS fil,
+             |  round_even(o_totalprice / 100, 0) AS rb,
+             |  json_extract_string(j, '$.k') AS js,
+             |  (o_orderkey % 300) <= 255 AS ip4,
+             |  rtrim(bar(v1, 0, 8, 10)) AS bbar
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |        CAST(o_orderkey % 9 AS INT) AS v1,
+             |        CAST(o_orderkey % 5 AS INT) AS v2,
+             |        CAST(o_orderkey % 7 AS INT) AS v3,
+             |        concat('{"k":"v', CAST(o_orderkey % 3 AS VARCHAR), '"}') AS j,
+             |        concat(CAST(o_orderkey % 300 AS VARCHAR), '.2.3.4') AS ip
+             |      FROM orders WHERE o_orderkey % 17 = 0) t""".stripMargin))
   )
 }

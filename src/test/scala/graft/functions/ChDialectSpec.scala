@@ -1624,4 +1624,28 @@ class ChDialectSpec extends SparkSpec {
       .collect().map(_.getInt(1)).toSeq
     assert(lim === Seq(50, 30))
   }
+
+  test("fourth audit-tail spellings: keyed sorts, fills, JSON, IP, quantile") {
+    def one(q: String) = spark.sql(q).head.get(0)
+    assert(one("SELECT arraySort(x -> -x, array(1,3,2))") ===
+      Seq(3, 2, 1))
+    assert(one("SELECT arrayReverseSort(x -> x % 3, array(1,2,3,4))") ===
+      Seq(2, 4, 1, 3))
+    assert(one("SELECT arrayFill(x -> x > 0, array(5,0,0,3,0))") ===
+      Seq(5, 5, 5, 3, 3))
+    // reverse fill: nothing to the right of the last element, it stays
+    assert(one("SELECT arrayReverseFill(x -> x > 0, array(0,2,0,3,0))") ===
+      Seq(2, 2, 3, 3, 0))
+    assert(one("SELECT quantileDeterministic(0.5)(c, 42) FROM (SELECT id AS c FROM range(5))")
+      === 2.0)
+    assert(one("SELECT isIPv6String('::1')") === true)
+    assert(one("SELECT isIPv6String('1.2.3.4')") === false)
+    assert(one("""SELECT simpleJSONExtractInt('{"a":7}', 'a')""") === 7L)
+    assert(one("""SELECT visitParamHas('{"a":1}', 'b')""") === false)
+    // literal 3.5 is decimal-typed; BRound keeps the decimal family
+    assert(one("SELECT roundBankers(3.5)").toString.toDouble === 4.0)
+    val r = one("SELECT randCanonical()").asInstanceOf[Double]
+    assert(r >= 0.0 && r < 1.0)
+    assert(one("SELECT bar(3, 0, 8, 4)") === "█▌")
+  }
 }
