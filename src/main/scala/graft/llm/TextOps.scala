@@ -137,33 +137,50 @@ object TextOps extends QueryRegistry {
     * mining and quality triage — and the lexical baseline next to
     * [[Similarity]]'s dense ANN operators.
     *
-    * Scale shape: one tokenize pass feeds tf, dl and df as plain
-    * aggregations (df/avgdl are corpus-wide — each one shuffle, no
-    * broadcast of anything corpus-sized); the query term set is
-    * BROADCAST-joined into the postings (query sets are bench-sized, same
-    * contract as [[Dedup.contamination]]'s index), so the only per-corpus
-    * work after tokenization is one shuffle on term and the final
-    * (query_id, doc_id) partial-agg + per-query top-k window. Ranking ties
-    * are broken on the 6-dp ROUNDED score then doc_id, so rank order is
-    * engine-portable.
+    * Scale shape: per-doc (term, tf, dl) tuples come out of ONE
+    * tokenize kernel (JIT'd per-doc hash count — no corpus explode, no
+    * tf groupBy); df is the only corpus-wide shuffle; idf is joined onto
+    * the BENCH-SIZED query term set, and that tiny (query, term, df)
+    * table broadcasts into the postings ([[Dedup.contamination]]'s
+    * bounded-index contract), so scoring is a map-side join + one
+    * (query_id, doc_id) partial-agg + the per-query top-k window — three
+    * corpus shuffles total. Ranking ties are broken on the 6-dp ROUNDED
+    * score then doc_id, so rank order is engine-portable.
     *
     * `isQuery` selects query docs by doc_id; query docs never score
     * themselves.
     */
   def bm25TopK(docs: DataFrame, isQuery: org.apache.spark.sql.Column, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ", -1)).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val counts = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i < ws.length) {
+          counts.merge(ws(i), 1L, (a, c) => a + c); i += 1
+        }
+        val dl = ws.length.toLong
+        val it = counts.entrySet().iterator()
+        new Iterator[(Long, String, Long, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, String, Long, Long) = {
+            val e = it.next(); (id, e.getKey, e.getValue, dl)
+          }
+        }
+      }
+      .toDF("doc_id", "term", "tf", "dl")
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val stats = docs
+      .select(size(split(col("text"), " ", -1)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val q = tf.where(isQuery).select(col("doc_id").as("query_id"), col("term"))
+    val qIdf = dfT.join(broadcast(q), Seq("term"))
     val scored = tf
-      .join(broadcast(q), Seq("term"))
+      .join(broadcast(qIdf), Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
-      .join(dfT, Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(
