@@ -2189,6 +2189,16 @@ object ChSqlRewrite {
           val body = sql.substring(0, start).trim
           val tail = sql.substring(predEnd)
           if (pred.isEmpty || body.isEmpty) return sql
+          // a top-level set operator BEFORE this QUALIFY means the clause
+          // binds to the union's LAST branch in CH, but wrapping `body`
+          // would filter the whole union — bail to the loud parse
+          // failure instead of a silently different result. (EXCEPT only
+          // counts when followed by SELECT/ALL/DISTINCT — `* EXCEPT (…)`
+          // is the star modifier, not a set op.)
+          if (hasTopLevelKeyword(body, "UNION") ||
+            hasTopLevelKeyword(body, "INTERSECT") ||
+            "(?is)\\bEXCEPT\\s+(?:SELECT|ALL|DISTINCT)\\b".r
+              .findFirstIn(body).isDefined) return sql
           return s"SELECT * EXCEPT (ch_q_ok_) FROM (SELECT *, ($pred) AS ch_q_ok_ " +
             s"FROM ($body) ch_q_src_) ch_q_i_ WHERE ch_q_ok_ " + tail
         }

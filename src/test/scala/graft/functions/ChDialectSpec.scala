@@ -1623,6 +1623,19 @@ class ChDialectSpec extends SparkSpec {
         |QUALIFY r <= 3 ORDER BY r LIMIT 2""".stripMargin)
       .collect().map(_.getInt(1)).toSeq
     assert(lim === Seq(50, 30))
+    // QUALIFY after a top-level UNION binds to the LAST branch in CH;
+    // wrapping the whole union would silently differ — must fail loudly
+    intercept[Exception](spark.sql(
+      """SELECT g, v FROM chq UNION ALL
+        |SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM chq
+        |QUALIFY rn = 1""".stripMargin).collect())
+    // ...while a parenthesized union INSIDE the body is fine
+    val sub = spark.sql(
+      """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        |FROM (SELECT * FROM chq UNION ALL SELECT * FROM chq) u
+        |QUALIFY rn = 1 ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSeq
+    assert(sub === Seq(1 -> 10, 2 -> 5))
   }
 
   test("fourth audit-tail spellings: keyed sorts, fills, JSON, IP, quantile") {
