@@ -471,6 +471,45 @@ object TextOps extends QueryRegistry {
              |                  / CAST(len(toks) AS DOUBLE), 6) END AS oov_rate
              |FROM ws CROSS JOIN v""".stripMargin)),
 
+    // ---- tf-idf keyword extraction: top-3 terms per doc by
+    // tf·ln(N/df) — the tagging/clustering primitive next to BM25's
+    // retrieval. Same scale shape as bm25TopK's statistics (df is the
+    // one corpus shuffle; scoring rides the per-doc tf rows); rank ties
+    // break on the rounded score then the term so order is
+    // engine-portable. ----
+    QueryDef(
+      "x_text_keywords",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+        tf.join(dfT, Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+              .as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    round(tf * ln(CAST(n.n AS DOUBLE) / dft.df), 6) AS score
+             |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, score,
+             |  CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS BIGINT) AS rank
+             |FROM scored
+             |QUALIFY rank <= 3""".stripMargin)),
+
     // ---- BM25 top-k retrieval (Okapi, k1=1.2 b=0.75; every 50th doc is
     // a query, scored over the rest of the corpus; rank ties broken on
     // rounded score then doc_id so order is engine-portable) ----

@@ -84,4 +84,17 @@ class TextOpsSpec extends SparkSpec {
     // query doc never scores itself
     assert(!out.map(_._1).contains(0L))
   }
+
+  test("tf-idf keywords rank rare heavy terms first") {
+    Seq((1L, "a a b c"), (2L, "b c c c"), (3L, "a d d d"))
+      .toDF("doc_id", "text").createOrReplaceTempView("kwdocs")
+    val dir = java.nio.file.Files.createTempDirectory("kw").toString
+    spark.table("kwdocs").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x_text_keywords")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // doc 3: 'd' (tf=3, df=1) far outscores 'a' (tf=1, df=2)
+    assert(out.filter(_._1 == 3L).sortBy(_._3).map(_._2).toSeq === Seq("d", "a"))
+    // every doc yields at most 3 keywords
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+  }
 }
