@@ -361,4 +361,72 @@ object CHValues {
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
   }
+
+  /** CH `formatReadableTimeDelta(sec)`: "1 hour, 1 minute, 1 second"
+    * (largest-to-smallest units, zero units skipped, seconds carry any
+    * fractional remainder like CH's default second-precision mode). */
+  def formatReadableTimeDelta(secs: Double): UTF8String = {
+    val neg = secs < 0
+    var rest = math.abs(secs)
+    val units = Seq(
+      ("year", 365.0 * 86400), ("month", 30.44 * 86400), ("day", 86400.0),
+      ("hour", 3600.0), ("minute", 60.0))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, span) <- units) {
+      val k = math.floor(rest / span).toLong
+      if (k > 0) { parts += s"$k $name" + (if (k > 1) "s" else ""); rest -= k * span }
+    }
+    if (parts.isEmpty || rest > 1e-9) {
+      val s =
+        if (rest == math.floor(rest)) rest.toLong.toString
+        else BigDecimal(rest).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying().stripTrailingZeros().toPlainString
+      parts += s"$s second" + (if (s == "1") "" else "s")
+    }
+    UTF8String.fromString((if (neg) "-" else "") + parts.mkString(", "))
+  }
+
+  /** CH `stringJaccardIndex(a, b)`: Jaccard similarity of the two
+    * strings' BYTE sets. */
+  def stringJaccardIndex(a: UTF8String, b: UTF8String): Double = {
+    val sa = new java.util.BitSet(256)
+    val sb = new java.util.BitSet(256)
+    a.getBytes.foreach(x => sa.set(x & 0xff))
+    b.getBytes.foreach(x => sb.set(x & 0xff))
+    val inter = { val t = sa.clone().asInstanceOf[java.util.BitSet]; t.and(sb); t.cardinality() }
+    val union = { val t = sa.clone().asInstanceOf[java.util.BitSet]; t.or(sb); t.cardinality() }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Damerau–Levenshtein (optimal string alignment form — the variant
+    * CH implements: adjacent transposition counts 1, no substring
+    * re-edits). O(|a|·|b|) two-row DP plus the transposition row. */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    var prev2 = new Array[Int](n + 1)
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var best = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+          a.charAt(i - 2) == b.charAt(j - 1))
+          best = math.min(best, prev2(j - 2) + 1)
+        cur(j) = best
+        j += 1
+      }
+      val t = prev2; prev2 = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
 }

@@ -1263,7 +1263,74 @@ object ChDialect {
         StringRepeat(Literal("█"), whole),
         If(GreaterThan(fracIdx, Literal(0)),
           Substring(Literal("▏▎▍▌▋▊▉"), fracIdx, Literal(1)),
-          Literal("")))) })
+          Literal("")))) },
+
+    // ---- fifth-pass probe batch (windows, aggregates, casts, dates) ----
+    fn("denseRank", 0) { _ => new DenseRank() },
+    // Kahan compensation is about float summation error; Spark's Sum over
+    // doubles is the same result contract (partial-merge order already
+    // unspecified in CH too)
+    fn("sumKahan", 1) { a => Sum(Cast(a.head, DoubleType)) },
+    // CH sums integers with wraparound; Spark's non-ANSI Sum over longs
+    // is the nearest semantic (documented: widths differ past Int64)
+    fn("sumWithOverflow", 1) { a => Sum(a.head) },
+    fn("uniqTheta", 1) { a => new HyperLogLogPlusPlus(a.head) },
+    // deterministic any() (pinned to min) — the -If form keeps the pin
+    fn("anyIf", 2) { a => Min(If(a(1), a.head, Literal(null, NullType))) },
+    fn("anyLastIf", 2) { a =>
+      Last(If(a(1), a.head, Literal(null, NullType)), ignoreNulls = true) },
+    // Spark aggregates already return NULL over an empty/all-null input —
+    // exactly the -OrNull contract (CH's plain sum returns 0 instead)
+    fn("sumOrNull", 1) { a => Sum(a.head) },
+    fn("avgOrNull", 1) { a => Average(a.head) },
+    fn("minOrNull", 1) { a => Min(a.head) },
+    fn("maxOrNull", 1) { a => Max(a.head) },
+    // slope between the min-x and max-x points of the group
+    fn("boundingRatio", 2) { a =>
+      val x = Cast(a.head, DoubleType)
+      val y = Cast(a(1), DoubleType)
+      Divide(
+        Subtract(MaxBy(y, x).toAggregateExpression(),
+          MinBy(y, x).toAggregateExpression()),
+        Subtract(Max(x).toAggregateExpression(),
+          Min(x).toAggregateExpression())) },
+    fn("concatAssumeInjective", 2) { a => Concat(a) },
+    // string prefix up to the first NUL byte
+    fn("toStringCutToZero", 1) { a =>
+      ElementAt(StringSplit(a.head, Literal(" "), Literal(2)),
+        Literal(1), None, failOnError = false) },
+    fn("makeDate", 3) { a => MakeDate(a.head, a(1), a(2)) },
+    fnVar("makeDateTime", 6) { a =>
+      MakeTimestamp(a.head, a(1), a(2), a(3), a(4),
+        Cast(a(5), DecimalType(8, 6)), a.lift(6)) },
+    // ISO week numbering both fields (CH default mode 0 counts Sunday
+    // weeks — documented deviation toward the ISO forms Spark ships)
+    fn("toYearWeek", 1) { a =>
+      val d = Cast(a.head, DateType)
+      Add(Multiply(Cast(YearOfWeek(d), IntegerType), Literal(100)),
+        WeekOfYear(d)) },
+    fn("addInterval", 2) { a => Add(Cast(a.head, TimestampType), a(1)) },
+    fn("widthBucket", 4) { a => WidthBucket(Cast(a.head, DoubleType),
+      Cast(a(1), DoubleType), Cast(a(2), DoubleType), Cast(a(3), LongType)) },
+    fn("isNotDistinctFrom", 2) { a => EqualNullSafe(a.head, a(1)) },
+    fn("isDistinctFrom", 2) { a => Not(EqualNullSafe(a.head, a(1))) },
+    fn("toUUIDOrNull", 1) { a =>
+      TryEval(ValueExpressions.UuidString(ValueExpressions.UuidBinary(a.head))) },
+    fn("formatReadableTimeDelta", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, StringType, "formatReadableTimeDelta",
+        Seq(Cast(a.head, DoubleType)), Seq(DoubleType)) },
+    // CH stringJaccardIndex: Jaccard over the two strings' BYTE sets
+    fn("stringJaccardIndex", 2) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, DoubleType, "stringJaccardIndex",
+        Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+        Seq(StringType, StringType)) },
+    fn("damerauLevenshteinDistance", 2) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, IntegerType, "damerauLevenshtein",
+        Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+        Seq(StringType, StringType)) })
 
   /** get_json_object over a top-level key (the simpleJSON/visitParam
     * contract): path = '$.' + key. */

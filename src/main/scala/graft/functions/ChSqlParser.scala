@@ -262,7 +262,7 @@ object ChSqlRewrite {
     val chClauses = rewriteLimitComma(rewriteLimitBy(rewriteQualify(rewriteWithFill(
       rewriteWithTotals(rewritePrewhere(rewriteChCasts(rewriteScalarWith(rewriteStarReplace(
         rewriteStarApply(rewriteDateDiff(rewriteFetchFirst(rewriteTop(rewriteGlobal(
-          rewriteBraceParams(hinted), globalWideWords))))))))))))))
+          rewriteBracketArrays(rewriteBraceParams(hinted)), globalWideWords))))))))))))))
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
@@ -2146,6 +2146,68 @@ object ChSqlRewrite {
     * (`LimitBy.limitBy`) is the two-phase scale shape; this textual
     * form is the compatibility path. Top-level queries only: a LIMIT BY
     * inside a subquery keeps the original (loud) parse failure. */
+  /** CH bracket ARRAY LITERALS (`[1, 2, 3]`, `[[1], [2]]`, `['a']` —
+    * pervasive in CH SQL) → `array(...)`. Spark parses `expr[i]`
+    * INDEXING but not bracket literals, so this is rescue-tier: a
+    * working Spark query never reaches it, and inside the rescue the
+    * only `[` that must stay is indexing. Discrimination is by the
+    * preceding significant token: after an identifier that is NOT a
+    * keyword, `)`, or `]`, the bracket indexes; after start-of-text,
+    * `(`, `,`, an operator, a keyword (SELECT/WHERE/IN/THEN/…), or
+    * another literal `[`, it opens a literal. Nested literals work via
+    * the per-bracket decision stack; `[]` becomes `array()`.
+    */
+  private val bracketLiteralKeywords = Set(
+    "SELECT", "DISTINCT", "ALL", "WHERE", "AND", "OR", "NOT", "IN", "IS",
+    "WHEN", "THEN", "ELSE", "CASE", "END", "AS", "BY", "ON", "HAVING",
+    "VALUES", "BETWEEN", "LIKE", "ILIKE", "ARRAY", "RETURN", "SET",
+    "OVER", "PARTITION", "ROWS", "RANGE", "INTERPOLATE", "USING", "JOIN",
+    "FROM", "IF", "LIMIT", "OFFSET", "TOTALS", "FILL", "TO", "STEP")
+  private def rewriteBracketArrays(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val n = sql.length
+    val out = new StringBuilder(n + 16)
+    // per-open-bracket: true = literal (emitted as `array(`), false = index
+    var stack = List.empty[Boolean]
+    // preceding significant token kind: 0 = opener/operator/start (literal
+    // position), 1 = value-ish (identifier/close/quote — indexing position)
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = skipQuoted(sql, i); out.append(sql.substring(i, e)); i = e; prev = 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = skipLine(sql, i); out.append(sql.substring(i, e)); i = e
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = skipBlock(sql, i); out.append(sql.substring(i, e)); i = e
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        out.append(sql.substring(start, i))
+        prev = if (bracketLiteralKeywords.contains(
+          sql.substring(start, i).toUpperCase(java.util.Locale.ROOT))) 0 else 1
+      } else if (c == '[') {
+        val literal = prev == 0
+        stack = literal :: stack
+        out.append(if (literal) "array(" else "[")
+        prev = 0
+        i += 1
+      } else if (c == ']') {
+        val literal = stack.headOption.getOrElse(false)
+        if (stack.nonEmpty) stack = stack.tail
+        out.append(if (literal) ")" else "]")
+        prev = 1
+        i += 1
+      } else {
+        out.append(c)
+        if (!Character.isWhitespace(c)) prev = if (c == ')') 1 else 0
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   /** CH `QUALIFY` (post-window filter, may reference SELECT aliases and
     * window expressions; ClickHouse evaluates it after the select list's
     * windows). Spark has no QUALIFY clause, so the query only reaches

@@ -1144,6 +1144,38 @@ object SettingsQueries extends QueryRegistry {
              |        CAST(o_orderkey % 7 AS INT) AS v3,
              |        concat('{"k":"v', CAST(o_orderkey % 3 AS VARCHAR), '"}') AS j,
              |        concat(CAST(o_orderkey % 300 AS VARCHAR), '.2.3.4') AS ip
-             |      FROM orders WHERE o_orderkey % 17 = 0) t""".stripMargin))
+             |      FROM orders WHERE o_orderkey % 17 = 0) t""".stripMargin)),
+
+    // ---- CH bracket array literals + fifth-pass spellings. DuckDB
+    // parses brackets natively; Spark reaches them through the
+    // rescue-tier literal-vs-indexing rewrite. damerau runs on 1–2 char
+    // statuses where the OSA (CH/ours) and full-DL (DuckDB) variants
+    // provably agree. ----
+    QueryDef(
+      "b_sql50_bracket_arrays",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_ba_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  round(arraySum([x, y, 1.0]), 6) AS asum,
+            |  has([1, 3, 5], CAST(o_orderkey % 7 AS INT)) AS h,
+            |  round(stringJaccardIndex(o_orderpriority, o_orderstatus), 6) AS sj,
+            |  damerauLevenshteinDistance(o_orderstatus, 'FO') AS dd,
+            |  isNotDistinctFrom(CAST(o_orderkey % 3 AS INT), CAST(o_orderkey % 5 AS INT)) AS ind
+            |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
+            |        CAST(o_orderkey % 5 AS DOUBLE) AS y,
+            |        o_orderpriority, o_orderstatus
+            |      FROM orders_ba_v WHERE o_orderkey % 23 = 0)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(CAST(list_sum([x, y, 1.0]) AS DOUBLE), 6) AS asum,
+             |  list_contains([1, 3, 5], CAST(o_orderkey % 7 AS INT)) AS h,
+             |  round(jaccard(o_orderpriority, o_orderstatus), 6) AS sj,
+             |  CAST(damerau_levenshtein(o_orderstatus, 'FO') AS INT) AS dd,
+             |  (CAST(o_orderkey % 3 AS INT) IS NOT DISTINCT FROM CAST(o_orderkey % 5 AS INT)) AS ind
+             |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
+             |        CAST(o_orderkey % 5 AS DOUBLE) AS y,
+             |        o_orderpriority, o_orderstatus
+             |      FROM orders WHERE o_orderkey % 23 = 0) t""".stripMargin))
   )
 }

@@ -1661,4 +1661,40 @@ class ChDialectSpec extends SparkSpec {
     assert(r >= 0.0 && r < 1.0)
     assert(one("SELECT bar(3, 0, 8, 4)") === "█▌")
   }
+
+  test("bracket array literals rewrite; indexing brackets stay untouched") {
+    def one(q: String) = spark.sql(q).head.get(0)
+    assert(one("SELECT [1,2,3]") === Seq(1, 2, 3))
+    assert(one("SELECT [[1],[2,3]]") === Seq(Seq(1), Seq(2, 3)))
+    // a literal immediately indexed: first bracket is a literal (follows
+    // SELECT), second indexes the value
+    assert(one("SELECT [10,20][1]") === 20)
+    // indexing an identifier-rooted value must NOT rewrite
+    assert(one("SELECT array(7,8)[1]") === 8)
+    // literals after keywords, commas, operators and inside calls
+    assert(one("SELECT arraySum([1.0, 2.5])") === 3.5)
+    assert(one("SELECT transform(2, [1,2], ['a','b'], 'z')") === "b")
+    assert(one("SELECT CASE WHEN has([1,3], 3) THEN 'y' ELSE 'n' END") === "y")
+    // bracket inside a string literal is untouched
+    assert(one("SELECT 'a[1]'") === "a[1]")
+  }
+
+  test("fifth-pass spellings: aggregates, dates, string kernels") {
+    def one(q: String) = spark.sql(q).head.get(0)
+    spark.sql("SELECT 1 AS id, 3.5 AS x UNION ALL SELECT 2, 1.5 UNION ALL SELECT 3, 9.0")
+      .createOrReplaceTempView("fp")
+    assert(one("SELECT anyIf(id, x > 2) FROM fp") === 1)
+    // boundingRatio: slope between the min-x and max-x points
+    val br = one("SELECT round(boundingRatio(x, id), 4) FROM fp").asInstanceOf[Double]
+    assert(math.abs(br - (3.0 - 2.0) / (9.0 - 1.5)) < 1e-4, s"boundingRatio $br")
+    assert(one("SELECT toYearWeek(toDate('2020-01-15'))") === 202003)
+    assert(one("SELECT formatReadableTimeDelta(90061.5)")
+      === "1 day, 1 hour, 1 minute, 1.5 seconds")
+    assert(one("SELECT stringJaccardIndex('abc', 'abd')") === 0.5)
+    // OSA: one transposition; and the classic OSA-vs-full-DL case is 3
+    assert(one("SELECT damerauLevenshteinDistance('abc', 'acb')") === 1)
+    assert(one("SELECT damerauLevenshteinDistance('ca', 'abc')") === 3)
+    assert(one("SELECT toUUIDOrNull('bad')") === null)
+    assert(one("SELECT toStringCutToZero(concat('ab', char(0), 'cd'))") === "ab")
+  }
 }
