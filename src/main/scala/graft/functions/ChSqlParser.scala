@@ -2167,10 +2167,13 @@ object ChSqlRewrite {
     if (!sql.contains('[')) return sql
     val n = sql.length
     val out = new StringBuilder(n + 16)
-    // per-open-bracket: true = literal (emitted as `array(`), false = index
-    var stack = List.empty[Boolean]
+    // per-open-bracket: 0 = index (kept), 1 = array literal, 2 = IN-list
+    // (CH `x IN [1,2]` — a bracketed TUPLE: emit plain parens, Spark's IN
+    // wants `(…)`, `IN array(…)` never parses)
+    var stack = List.empty[Int]
     // preceding significant token kind: 0 = opener/operator/start (literal
-    // position), 1 = value-ish (identifier/close/quote — indexing position)
+    // position), 1 = value-ish (identifier/close/quote — indexing
+    // position), 2 = the keyword IN
     var prev = 0
     var i = 0
     while (i < n) {
@@ -2184,19 +2187,26 @@ object ChSqlRewrite {
       } else if (Character.isJavaIdentifierStart(c)) {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
-        out.append(sql.substring(start, i))
-        prev = if (bracketLiteralKeywords.contains(
-          sql.substring(start, i).toUpperCase(java.util.Locale.ROOT))) 0 else 1
+        val w = sql.substring(start, i)
+        out.append(w)
+        val u = w.toUpperCase(java.util.Locale.ROOT)
+        prev = if (u == "IN") 2
+        else if (bracketLiteralKeywords.contains(u)) 0
+        else 1
       } else if (c == '[') {
-        val literal = prev == 0
-        stack = literal :: stack
-        out.append(if (literal) "array(" else "[")
+        val kind = if (prev == 2) 2 else if (prev == 0) 1 else 0
+        stack = kind :: stack
+        out.append(kind match {
+          case 1 => "array("
+          case 2 => "("
+          case _ => "["
+        })
         prev = 0
         i += 1
       } else if (c == ']') {
-        val literal = stack.headOption.getOrElse(false)
+        val kind = stack.headOption.getOrElse(0)
         if (stack.nonEmpty) stack = stack.tail
-        out.append(if (literal) ")" else "]")
+        out.append(if (kind == 0) "]" else ")")
         prev = 1
         i += 1
       } else {

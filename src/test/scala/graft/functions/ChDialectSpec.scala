@@ -1677,6 +1677,11 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT CASE WHEN has([1,3], 3) THEN 'y' ELSE 'n' END") === "y")
     // bracket inside a string literal is untouched
     assert(one("SELECT 'a[1]'") === "a[1]")
+    // CH `x IN [..]` is a bracketed tuple, not an array argument
+    assert(spark.sql("SELECT x FROM (SELECT 2 AS x) WHERE x IN [1, 2, 3]")
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(spark.sql("SELECT x FROM (SELECT 9 AS x) WHERE x NOT IN [1, 2]")
+      .collect().map(_.getInt(0)).toSeq === Seq(9))
   }
 
   test("fifth-pass spellings: aggregates, dates, string kernels") {
