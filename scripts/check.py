@@ -49,29 +49,63 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 _DRIFTY_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)", "UBIGINT")
 
 
+def _is_list_type(duck_type: str) -> bool:
+    """DuckDB spells list results as `T[]` (or `LIST(...)` / `T[n]` for
+    fixed arrays). The driver's pandas canonicalizer materializes them as
+    numpy arrays and then dies at sort_values with `unhashable type:
+    'numpy.ndarray'` (this killed b_sql45 in r08) — a LIST-typed result
+    column is gate-incompatible by construction."""
+    t = duck_type.upper().strip()
+    return t.endswith("]") or t.startswith("LIST") or t.startswith("ARRAY")
+
+
 def lint_oracle_types(con, sql: str):
-    """Return [(column, duck_type), ...] for result columns whose DuckDB
-    type is known to drift through pandas. Empty list = clean."""
+    """Return [(column, duck_type, fix), ...] for result columns whose
+    DuckDB type is known to break the driver's gate. Empty list = clean."""
     try:
         desc = con.execute("DESCRIBE " + sql).fetchall()
     except Exception:
         return []  # the main path will surface the SQL error itself
-    return [(row[0], row[1]) for row in desc
-            if any(row[1].upper().startswith(t) for t in _DRIFTY_TYPES)]
+    hits = []
+    for row in desc:
+        col, typ = row[0], row[1]
+        if any(typ.upper().startswith(t) for t in _DRIFTY_TYPES):
+            hits.append((col, typ,
+                         "pandas will widen it to float64 while Spark returns "
+                         "int64; wrap it in CAST(... AS BIGINT) in the oracle SQL"))
+        elif _is_list_type(typ):
+            hits.append((col, typ,
+                         "raw-array result columns cannot be sorted by the "
+                         "driver's pandas gate (unhashable numpy.ndarray); "
+                         "serialize with array_to_string(..., ',') in the oracle "
+                         "and array_join(transform(..., x -> CAST(x AS STRING)), "
+                         "',') on the Spark side"))
+    return hits
 
 
 def _lint_demo(con):
-    """--lint-demo: seed a violating oracle (un-cast sum over BIGINT) and
-    show the guard catches it."""
+    """--lint-demo: seed violating oracles (un-cast sum over BIGINT; a raw
+    LIST result column) and show the guard catches both, then exit 1 so the
+    demo proves the gate actually fails a run."""
     con.execute("CREATE OR REPLACE VIEW _demo AS SELECT CAST(i AS BIGINT) x "
                 "FROM range(10) t(i)")
     bad = "SELECT sum(x) AS tokens FROM _demo"
     good = "SELECT CAST(sum(x) AS BIGINT) AS tokens FROM _demo"
     hits = lint_oracle_types(con, bad)
-    assert hits == [("tokens", "HUGEINT")], hits
+    assert [h[:2] for h in hits] == [("tokens", "HUGEINT")], hits
     assert lint_oracle_types(con, good) == []
-    print(f"LINT-DEMO seeded violation caught: {bad!r} -> {hits}")
+    print(f"LINT-DEMO seeded violation caught: {bad!r} -> {hits[0][:2]}")
     print(f"LINT-DEMO cast form passes clean:  {good!r}")
+    # the b_sql45 class: raw-array result column
+    bad_list = "SELECT [x, x + 1] AS pair FROM _demo"
+    good_list = "SELECT array_to_string([x, x + 1], ',') AS pair FROM _demo"
+    hits = lint_oracle_types(con, bad_list)
+    assert hits and _is_list_type(hits[0][1]), hits
+    assert lint_oracle_types(con, good_list) == []
+    print(f"LINT-DEMO seeded LIST violation caught: {bad_list!r} -> {hits[0][:2]}")
+    print(f"LINT-DEMO array_to_string form passes clean: {good_list!r}")
+    print("LINT-DEMO exiting 1 (a violating corpus must fail the gate)")
+    sys.exit(1)
 
 
 def main():
@@ -97,10 +131,8 @@ def main():
         drifty = lint_oracle_types(con, oracle[name])
         if drifty:
             n_fail += 1
-            for col, typ in drifty:
-                print(f"FAIL    {name}: oracle column {col!r} is {typ} — "
-                      f"pandas will widen it to float64 while Spark returns "
-                      f"int64; wrap it in CAST(... AS BIGINT) in the oracle SQL")
+            for col, typ, fix in drifty:
+                print(f"FAIL    {name}: oracle column {col!r} is {typ} — {fix}")
             continue
         try:
             duck_df = con.execute(oracle[name]).df()

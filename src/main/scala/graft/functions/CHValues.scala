@@ -369,7 +369,9 @@ object CHValues {
     val neg = secs < 0
     var rest = math.abs(secs)
     val units = Seq(
-      ("year", 365.0 * 86400), ("month", 30.44 * 86400), ("day", 86400.0),
+      // month = 30.5 days, matching ClickHouse's formatReadableTimeDelta
+      // unit table (reference behavior; was 30.44 — a silent deviation)
+      ("year", 365.0 * 86400), ("month", 30.5 * 86400), ("day", 86400.0),
       ("hour", 3600.0), ("minute", 60.0))
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, span) <- units) {

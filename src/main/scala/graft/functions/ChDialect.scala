@@ -264,7 +264,7 @@ object ChDialect {
     fn("positionUTF8", 2) { a => new StringLocate(a(1), a.head) },
     fn("leftPad", 3) { a => new StringLPad(a.head, a(1), a(2)) },
     fn("rightPad", 3) { a => new StringRPad(a.head, a(1), a(2)) },
-    fn("toFixedString", 2) { a => new StringRPad(a.head, a(1), Literal(" ")) },
+    fn("toFixedString", 2) { a => new StringRPad(a.head, a(1), Literal("\u0000")) },
 
     // ---- higher-order array functions: CH takes the LAMBDA FIRST
     // (`arrayMap(x -> x + 1, arr)`); Spark's builtins take it last.
@@ -1294,10 +1294,11 @@ object ChDialect {
           MinBy(y, x).toAggregateExpression()),
         Subtract(Max(x).toAggregateExpression(),
           Min(x).toAggregateExpression())) },
-    fn("concatAssumeInjective", 2) { a => Concat(a) },
+    // variadic in CH; extra arguments pass straight through to Concat
+    fnVar("concatAssumeInjective", 2) { a => Concat(a) },
     // string prefix up to the first NUL byte
     fn("toStringCutToZero", 1) { a =>
-      ElementAt(StringSplit(a.head, Literal(" "), Literal(2)),
+      ElementAt(StringSplit(a.head, Literal("\u0000"), Literal(2)),
         Literal(1), None, failOnError = false) },
     fn("makeDate", 3) { a => MakeDate(a.head, a(1), a(2)) },
     fnVar("makeDateTime", 6) { a =>
@@ -1309,7 +1310,11 @@ object ChDialect {
       val d = Cast(a.head, DateType)
       Add(Multiply(Cast(YearOfWeek(d), IntegerType), Literal(100)),
         WeekOfYear(d)) },
-    fn("addInterval", 2) { a => Add(Cast(a.head, TimestampType), a(1)) },
+    // CH addDate(ts, interval) / subDate(ts, interval) do timestamp
+    // arithmetic; CH's addInterval combines two intervals into a tuple
+    // (no Spark analog) and stays unmapped/loud.
+    fn("addDate", 2) { a => Add(Cast(a.head, TimestampType), a(1)) },
+    fn("subDate", 2) { a => Subtract(Cast(a.head, TimestampType), a(1)) },
     fn("widthBucket", 4) { a => WidthBucket(Cast(a.head, DoubleType),
       Cast(a(1), DoubleType), Cast(a(2), DoubleType), Cast(a(3), LongType)) },
     fn("isNotDistinctFrom", 2) { a => EqualNullSafe(a.head, a(1)) },
@@ -1341,6 +1346,14 @@ object ChDialect {
     * struct(key, element), sort, strip — struct ordering sorts by the
     * key first; CH's stable tie order becomes element-value tie order. */
   private def arraySortBy(a: Seq[Expression], asc: Boolean): Expression = {
+    // CH's multi-array form arraySort(f, a1, a2, ...) zips the extra
+    // arrays into the key lambda; a 2-param lambda here would silently
+    // bind its second var to ArrayTransform's element INDEX instead of
+    // the second array's element. Fail loudly until the zipped form is
+    // implemented (same policy as other unmapped spellings).
+    require(a.length <= 2,
+      s"arraySort/arrayReverseSort: the multi-array zipped form " +
+        s"(${a.length - 1} arrays) is not implemented; pass one array")
     val (body, vars) = userLambda(a.head, "arraySort")
     val s = UnresolvedNamedLambdaVariable(Seq("ch_srt_"))
     val decorated = ArrayTransform(a(1),

@@ -2162,7 +2162,12 @@ object ChSqlRewrite {
     "WHEN", "THEN", "ELSE", "CASE", "END", "AS", "BY", "ON", "HAVING",
     "VALUES", "BETWEEN", "LIKE", "ILIKE", "ARRAY", "RETURN", "SET",
     "OVER", "PARTITION", "ROWS", "RANGE", "INTERPOLATE", "USING", "JOIN",
-    "FROM", "IF", "LIMIT", "OFFSET", "TOTALS", "FILL", "TO", "STEP")
+    "FROM", "IF", "LIMIT", "OFFSET", "TOTALS", "FILL", "TO", "STEP",
+    // scalar-CTE / set-op / star-modifier positions: `WITH [1,2] AS arr`,
+    // `... UNION ALL SELECT [..]`, `* EXCEPT (..)` neighborhoods — these
+    // are keywords, never array bases being indexed
+    "WITH", "GROUP", "UNION", "INTERSECT", "EXCEPT", "REPLACE", "APPLY",
+    "PREWHERE", "QUALIFY", "SAMPLE")
   private def rewriteBracketArrays(sql: String): String = {
     if (!sql.contains('[')) return sql
     val n = sql.length

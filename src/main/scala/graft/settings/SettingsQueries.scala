@@ -982,18 +982,25 @@ object SettingsQueries extends QueryRegistry {
 
     // ---- round-8 second-harvest dialect tail (array search/rotate,
     // year-zero/MJD day counts, countMatches, substringIndex, erf/tgamma
-    // specials) — every spelling oracle-recomputed by DuckDB ----
+    // specials) — every spelling oracle-recomputed by DuckDB. Array
+    // results (`rot`, `dense`) are serialized with array_join on BOTH
+    // engine sides (the b_sql46 pattern): the driver's pandas
+    // canonicalizer cannot sort raw-array columns, so a LIST-typed
+    // result column is gate-incompatible by construction (and now
+    // linted at verify time by scripts/check.py). ----
     QueryDef(
       "b_sql45_dialect_tail2",
       (s, d) => {
         Tables.t(s, d, "orders").createOrReplaceTempView("orders_dt2_v")
         s.sql(
           """SELECT o_orderkey,
-            |  arrayRotateLeft(array(1, CAST(o_orderkey % 5 AS INT), 3), 1) AS rot,
+            |  array_join(transform(arrayRotateLeft(array(1, CAST(o_orderkey % 5 AS INT), 3), 1),
+            |                       x -> CAST(x AS STRING)), ',') AS rot,
             |  arrayFirstIndex(x -> x > 2, array(1, CAST(o_orderkey % 5 AS INT), 3)) AS fidx,
             |  hasSubstr(array(1, CAST(o_orderkey % 5 AS INT), 3),
             |            array(1, 2)) AS hsub,
-            |  arrayEnumerateDense(array(1, CAST(o_orderkey % 2 AS INT), 1)) AS dense,
+            |  array_join(transform(arrayEnumerateDense(array(1, CAST(o_orderkey % 2 AS INT), 1)),
+            |                       x -> CAST(x AS STRING)), ',') AS dense,
             |  toDaysSinceYearZero(o_orderdate) AS dsz,
             |  toModifiedJulianDay(o_orderdate) AS mjd,
             |  countMatches(o_orderstatus, 'O|F') AS cm,
@@ -1003,10 +1010,10 @@ object SettingsQueries extends QueryRegistry {
             |FROM orders_dt2_v WHERE o_orderkey % 23 = 0""".stripMargin)
       },
       Some("""SELECT o_orderkey,
-             |  [CAST(o_orderkey % 5 AS INT), 3, 1] AS rot,
+             |  array_to_string([CAST(o_orderkey % 5 AS INT), 3, 1], ',') AS rot,
              |  CAST(coalesce(list_position(list_transform([1, CAST(o_orderkey % 5 AS INT), 3], x -> x > 2), true), 0) AS BIGINT) AS fidx,
              |  o_orderkey % 5 = 2 AS hsub,
-             |  CASE WHEN o_orderkey % 2 = 1 THEN [1, 1, 1] ELSE [1, 2, 1] END AS dense,
+             |  CASE WHEN o_orderkey % 2 = 1 THEN '1,1,1' ELSE '1,2,1' END AS dense,
              |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS dsz,
              |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 40587 AS BIGINT) AS mjd,
              |  CAST(len(regexp_extract_all(o_orderstatus, 'O|F')) AS BIGINT) AS cm,

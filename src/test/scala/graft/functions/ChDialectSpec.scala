@@ -1702,4 +1702,29 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT toUUIDOrNull('bad')") === null)
     assert(one("SELECT toStringCutToZero(concat('ab', char(0), 'cd'))") === "ab")
   }
+
+  test("round-9 advisor closures: loud multi-array sort, addDate, variadic concat") {
+    def one(q: String) = spark.sql(q).head.get(0)
+    // multi-array keyed sort must fail loudly (zip semantics unimplemented),
+    // not silently bind the second lambda var to the element index
+    val err = intercept[Exception] {
+      spark.sql("SELECT arraySort((x, y) -> y, array(1,2), array(9,8))").collect()
+    }
+    assert(err.getMessage.contains("multi-array"), err.getMessage)
+    // addDate/subDate carry CH's timestamp-arithmetic semantics
+    // (addInterval — interval-tuple composition — stays unmapped/loud)
+    assert(one("SELECT CAST(addDate(toDateTime('2020-01-01 00:00:00'), INTERVAL 1 DAY) AS STRING)")
+      .toString.startsWith("2020-01-02"))
+    assert(one("SELECT CAST(subDate(toDateTime('2020-01-02 00:00:00'), INTERVAL 1 DAY) AS STRING)")
+      .toString.startsWith("2020-01-01"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT addInterval(INTERVAL 1 DAY, INTERVAL 1 HOUR)").collect()
+    }.getMessage.toLowerCase.contains("addinterval"))
+    // concatAssumeInjective is variadic in CH
+    assert(one("SELECT concatAssumeInjective('a', 'b', 'c', 'd')") === "abcd")
+    // WITH scalar-CTE position opens a bracket literal
+    assert(one("WITH [1,2,3] AS arr SELECT arraySum(arr)") === 6.0)
+    // month formatting uses CH's 30.5-day month constant: 61 d = exactly 2 mo
+    assert(one("SELECT formatReadableTimeDelta(5270400)") === "2 months")
+  }
 }
