@@ -42,9 +42,20 @@ object TextOps extends QueryRegistry {
       .localCheckpoint()
     val train = wc.filter(col("doc_id") % 5 === 0)
 
-    val langs = train.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq // tiny: #languages values
-    val vocab = train.select("w").distinct().count().toDouble
+    // ONE driver action learns ALL the scalar model state: the rollup's
+    // per-lang rows carry token totals (#languages rows — tiny) and its
+    // grand-total row carries the global distinct-word count (the NB
+    // smoothing constant — per-lang distincts don't sum to it, the
+    // rollup's null level IS the global set). Previously langs-distinct,
+    // vocab-count and totals were three separate jobs; per-job overhead
+    // was most of this operator's fixture-scale cost.
+    val lt = train.rollup("lang")
+      .agg(sum(col("k")).as("tot"), countDistinct(col("w")).as("nw"))
+      .collect()
+    val langs = lt.filter(!_.isNullAt(0)).map(_.getString(0)).sorted.toSeq
+    val totals = lt.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
+    val vocab = lt.find(_.isNullAt(0)).get.getLong(2).toDouble
 
     // top-N training words by frequency — bounds the broadcast profile
     val kept = train.groupBy("w").agg(sum(col("k")).as("c"))
@@ -52,9 +63,7 @@ object TextOps extends QueryRegistry {
       .limit(maxFeatures)
       .select("w")
 
-    // per-(lang): total tokens; per-(word,lang): counts → pivoted log-probs
-    val totals = train.groupBy("lang").agg(sum(col("k")).as("tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
+    // per-(word,lang): counts → pivoted log-probs
     val profile = train.join(kept, Seq("w")).groupBy("w").pivot("lang", langs).agg(sum(col("k")))
     val scoredCols = langs.map { l =>
       val tot = totals(l).toDouble
