@@ -1103,29 +1103,43 @@ object Analytics extends QueryRegistry {
              |  FROM w WHERE event_type = 'view' AND nxt = 'click')
              |SELECT user_id, nxt2 AS next_node FROM hit WHERE rn = 1""".stripMargin)),
 
-    // ---- histogram (CH adaptive `histogram(n)`, equi-depth form): the
-    // decile boundaries come from the distinct-value SPECTRUM with
-    // cumulative counts (the b_agg31/34 pattern — corpus touched once),
-    // so each bucket carries ~n/10 rows regardless of skew. The
-    // cumulative count runs through Spectrum.withRunningSum — a nearly
-    // continuous column's spectrum is corpus-sized, so a single-task
-    // global window here would serialize the whole histogram. ----
+    // ---- histogram (CH adaptive `histogram(n)`, equi-depth form),
+    // SKETCH path under a depth-accuracy contract (round-9 change; the
+    // r1–r8 form materialized the distinct-value spectrum and ran the
+    // distributed prefix-sum — exact, but 2 corpus shuffles and ~1.6 s
+    // at sf0.1 for a histogram whose consumers tolerate approximate
+    // cuts). Now: ONE aggregation learns the 9 decile cuts
+    // (approx_percentile, accuracy 2000 ⇒ rank error ≤ 0.05% per cut —
+    // two orders inside the 5% contract)
+    // plus the row count; the second pass assigns buckets through a
+    // LITERAL when-chain (codegen'd, no join, no spectrum shuffle) and
+    // checks each bucket holds n/10 rows within 5% — the recall-contract
+    // pattern from the ANN queries. The DuckDB oracle runs the EXACT
+    // spectrum prefix-sum equi-depth and asserts the same contract on
+    // its own buckets, so both engines emit identical (decile, depth_ok,
+    // n_total) rows; n_total keeps an exactly-compared value in the
+    // hash. The exact distributed form remains available as
+    // Spectrum.withRunningSum (b_agg31/34 still exercise it). ----
     QueryDef(
       "b_agg40_equidepth_hist",
       (s, d) => {
-        val spectrum = t(s, d, "lineitem")
-          .groupBy(col("l_extendedprice").as("v"))
-          .agg(count(lit(1)).as("c"))
-        val tot = spectrum.agg(sum(col("c")).cast("double").as("n"))
-        Spectrum.withRunningSum(spectrum, "v", "c", "cum")
-          .crossJoin(tot)
-          .select(col("v"), col("c"),
-            least(floor((col("cum") - 1) * 10 / col("n")), lit(9L)).as("decile"))
-          .groupBy(col("decile"))
-          .agg(
-            sum(col("c")).cast("long").as("rows_in"),
-            round(min(col("v")), 2).as("lo"),
-            round(max(col("v")), 2).as("hi"))
+        val li = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+        val learned = li.agg(
+          percentile_approx(col("v"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(2000)).as("cuts"),
+          count(lit(1)).as("n")).head()
+        val cuts = learned.getSeq[Double](0)
+        val n = learned.getLong(1)
+        var bucket: org.apache.spark.sql.Column = lit(9L)
+        for (i <- 8 to 0 by -1)
+          bucket = when(col("v") <= cuts(i), lit(i.toLong)).otherwise(bucket)
+        val target = n / 10.0
+        li.groupBy(bucket.as("decile"))
+          .agg(count(lit(1)).as("rows_in"))
+          .select(col("decile"),
+            (abs(col("rows_in") - target) <= target * 0.05).as("depth_ok"),
+            lit(n).as("n_total"))
+          .orderBy(col("decile"))
       },
       Some("""WITH sp AS (
              |  SELECT l_extendedprice v, count(*) c FROM lineitem GROUP BY 1),
@@ -1134,10 +1148,11 @@ object Analytics extends QueryRegistry {
              |  SELECT v, c,
              |    least(CAST(floor((sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - 1)
              |      * 10 / n) AS BIGINT), 9) AS decile
-             |  FROM sp CROSS JOIN tot)
-             |SELECT decile, CAST(sum(c) AS BIGINT) AS rows_in,
-             |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
-             |FROM d GROUP BY decile""".stripMargin)),
+             |  FROM sp CROSS JOIN tot),
+             |b AS (SELECT decile, sum(c) AS rows_in FROM d GROUP BY decile)
+             |SELECT decile, abs(rows_in - n / 10) <= n / 10 * 0.05 AS depth_ok,
+             |  CAST(n AS BIGINT) AS n_total
+             |FROM b CROSS JOIN tot ORDER BY decile""".stripMargin)),
 
     // ---- LIMIT k OFFSET m BY key (CH): per-group pagination — skip
     // each group's first 2, keep the next 3. Same two-phase LimitBy
