@@ -251,6 +251,13 @@ object ChSqlRewrite {
     * text itself — per-query, like CH). */
   def rescue(sqlText: String): Rescued = {
     val semi = trailingSemi.replaceFirstIn(sqlText, "")
+    // CH DDL routes exclusively: its SETTINGS tail is storage knobs
+    // (index_granularity …), never session confs, and the SELECT-oriented
+    // rewrites below have no business inside a column list
+    rewriteCreateTable(semi) match {
+      case Some(ddl) => return Rescued(ddl, Nil)
+      case None => ()
+    }
     val noFmt = stripIfOutside(stripIfOutside(semi, trailingFormat), intoOutfile)
     val (noSet, kvs) = stripSettings(noFmt)
     val hinted = kvs.collectFirst {
@@ -266,6 +273,285 @@ object ChSqlRewrite {
     Rescued(
       apply(rewriteSample(chClauses)),
       kvs.filterNot(_._1.equalsIgnoreCase("join_algorithm")))
+  }
+
+  // ------------------------------------------------------------- CH DDL
+
+  /** CH `CREATE TABLE [IF NOT EXISTS] name (cols) ENGINE = E[(args)]
+    * [ORDER BY …] [PRIMARY KEY …] [PARTITION BY …] [SAMPLE BY …]
+    * [SETTINGS …] [COMMENT …]` → Spark DDL. This is the DDL text the
+    * reference's users hand to `execute()` verbatim (the test suites
+    * under `clickhouse-arrow/tests/` — "CREATE TABLE … ENGINE = Memory"
+    * and "ENGINE = MergeTree() ORDER BY id" — and `py-clickhouse-arrow/
+    * README`'s "CREATE TABLE test (id UInt64, name String) ENGINE =
+    * Memory").
+    *
+    * Mapping (Spark-first): column types go through the §1.2 CHType
+    * table (`Nullable(T)` → nullable T, `LowCardinality` unwraps); the
+    * storage tail becomes `USING parquet` — engine choice is a storage
+    * concern the lake format owns; `PARTITION BY ident` →
+    * `PARTITIONED BY (ident)`. ORDER BY / PRIMARY KEY (the CH primary
+    * index) have no Spark DDL analog and drop — EXCEPT that a
+    * `ReplacingMergeTree(ver) … ORDER BY k` registers (k, "ver DESC")
+    * as the table's FINAL key and `SAMPLE BY k` registers the sampling
+    * key, so `FROM t FINAL` / `SAMPLE 0.1` work on tables created via
+    * CH DDL exactly as the registry contract requires. `SETTINGS`
+    * (index_granularity …) are storage knobs and drop. Semantics-bearing
+    * constructs with no Spark analog (MATERIALIZED / ALIAS / EPHEMERAL
+    * columns, TTL, expression PARTITION BY) THROW rather than silently
+    * change behavior — the ASOF loud-failure policy.
+    *
+    * Rescue-only AND gated on a top-level `ENGINE` clause in the tail:
+    * no valid Spark DDL contains one, so Spark-intended text that failed
+    * to parse surfaces its own error untouched (returns None). */
+  private val ddlTailWords =
+    Set("ENGINE", "ORDER", "PRIMARY", "PARTITION", "SAMPLE", "TTL",
+      "SETTINGS", "COMMENT", "AS")
+  private val ddlColModWords =
+    Set("DEFAULT", "MATERIALIZED", "EPHEMERAL", "ALIAS", "CODEC", "TTL",
+      "COMMENT", "NOT", "NULL")
+
+  private def rewriteCreateTable(sql: String): Option[String] = {
+    val n = sql.length
+    val (w1, a1) = readWord(sql, skipWs(sql, 0))
+    if (!w1.equalsIgnoreCase("CREATE")) return None
+    var j = skipWs(sql, a1)
+    var (w2, a2) = readWord(sql, j)
+    var orReplace = false
+    if (w2.equalsIgnoreCase("OR")) {
+      val (w3, a3) = readWord(sql, skipWs(sql, a2))
+      if (!w3.equalsIgnoreCase("REPLACE")) return None
+      orReplace = true
+      j = skipWs(sql, a3)
+      val t = readWord(sql, j); w2 = t._1; a2 = t._2
+    }
+    if (!w2.equalsIgnoreCase("TABLE")) return None
+    var k = skipWs(sql, a2)
+    var ifNotExists = false
+    val (wIf, aIf) = readWord(sql, k)
+    if (wIf.equalsIgnoreCase("IF")) {
+      val (wn, an) = readWord(sql, skipWs(sql, aIf))
+      val (we, ae) = readWord(sql, skipWs(sql, an))
+      if (wn.equalsIgnoreCase("NOT") && we.equalsIgnoreCase("EXISTS")) {
+        ifNotExists = true; k = skipWs(sql, ae)
+      } else return None
+    }
+    // qualified, possibly backquoted table name, verbatim up to '('
+    var p = k
+    while (p < n && sql.charAt(p) != '(') {
+      val c = sql.charAt(p)
+      if (c == '`' || c == '"') p = skipQuoted(sql, p) else p += 1
+    }
+    if (p >= n) return None // no column list (CH CTAS puts ENGINE before AS — out of scope)
+    val nameText = sql.substring(k, p).trim
+    if (nameText.isEmpty || nameText.exists(Character.isWhitespace)) return None
+    val colsEnd = matchParen(sql, p)
+    if (colsEnd < 0) return None
+
+    // ---- tail clauses; bail (None) unless a top-level ENGINE exists ----
+    val tail = sql.substring(colsEnd)
+    var engineName: Option[String] = None
+    var engineArgs: Seq[String] = Nil
+    var orderCols: Option[String] = None
+    var sampleCol: Option[String] = None
+    var partitionIdent: Option[String] = None
+    var tableComment: Option[String] = None
+    // expression text from `at` to the next top-level DDL clause word
+    def clauseExpr(at: Int): (String, Int) = {
+      var i = at
+      while (i < tail.length) {
+        val c = tail.charAt(i)
+        if (c == '\'' || c == '"' || c == '`') i = skipQuoted(tail, i)
+        else if (c == '(') { val e = matchParen(tail, i); if (e < 0) return (tail.substring(at, tail.length).trim, tail.length); i = e }
+        else if (Character.isJavaIdentifierStart(c)) {
+          val (w, aw) = readWord(tail, i)
+          if (ddlTailWords.contains(w.toUpperCase(java.util.Locale.ROOT)))
+            return (tail.substring(at, i).trim, i)
+          i = aw
+        } else i += 1
+      }
+      (tail.substring(at).trim, tail.length)
+    }
+    var t0 = skipWs(tail, 0)
+    while (t0 < tail.length) {
+      val (w, aw) = readWord(tail, t0)
+      if (w.isEmpty) return None
+      w.toUpperCase(java.util.Locale.ROOT) match {
+        case "ENGINE" =>
+          var q = skipWs(tail, aw)
+          if (q < tail.length && tail.charAt(q) == '=') q = skipWs(tail, q + 1)
+          val (en, ae) = readWord(tail, q)
+          if (en.isEmpty) return None
+          engineName = Some(en)
+          var after = ae
+          val qa = skipWs(tail, ae)
+          if (qa < tail.length && tail.charAt(qa) == '(') {
+            val e2 = matchParen(tail, qa)
+            if (e2 < 0) return None
+            engineArgs = splitTopLevel(tail.substring(qa + 1, e2 - 1))
+              .map(_.trim).filter(_.nonEmpty)
+            after = e2
+          }
+          t0 = skipWs(tail, after)
+        case "ORDER" | "PRIMARY" | "PARTITION" | "SAMPLE" =>
+          val (kw2, a2b) = readWord(tail, skipWs(tail, aw))
+          val expected = if (w.equalsIgnoreCase("PRIMARY")) "KEY" else "BY"
+          if (!kw2.equalsIgnoreCase(expected)) return None
+          val (expText, after) = clauseExpr(skipWs(tail, a2b))
+          if (expText.isEmpty) return None
+          val unTupled = {
+            val e = expText.trim
+            if (e.startsWith("(") && e.endsWith(")")) e.substring(1, e.length - 1).trim else e
+          }
+          w.toUpperCase(java.util.Locale.ROOT) match {
+            case "ORDER" => orderCols = Some(unTupled)
+            case "PRIMARY" => () // prefix of ORDER BY in CH; index concern, drops
+            case "PARTITION" =>
+              if (!unTupled.forall(ch => Character.isJavaIdentifierPart(ch)))
+                throw new IllegalArgumentException(
+                  s"CH DDL: expression PARTITION BY ($unTupled) has no Spark " +
+                    "USING-table analog; partition on a column, or create the " +
+                    "expression as a generated column first")
+              partitionIdent = Some(unTupled)
+            case _ => sampleCol = Some(unTupled)
+          }
+          t0 = after
+        case "SETTINGS" => // index_granularity etc. — storage knobs, drop
+          val (_, after) = clauseExpr(skipWs(tail, aw))
+          t0 = after
+        case "COMMENT" =>
+          val q = skipWs(tail, aw)
+          if (q >= tail.length || tail.charAt(q) != '\'') return None
+          val e = skipQuoted(tail, q)
+          tableComment = Some(tail.substring(q, e))
+          t0 = skipWs(tail, e)
+        case "TTL" =>
+          throw new IllegalArgumentException(
+            "CH DDL: TTL has no Spark analog (no background expiry); run the " +
+              "expiry as a maintenance DELETE/overwrite job instead")
+        case _ => return None // unknown tail — not CH DDL we understand
+      }
+    }
+    if (engineName.isEmpty) return None // the CH gate: Spark DDL never has ENGINE
+
+    // ---- column list ----
+    val cols = splitTopLevel(sql.substring(p + 1, colsEnd - 1))
+      .map(_.trim).filter(_.nonEmpty).map(mapDdlColumn)
+
+    // FINAL / SAMPLE registry wiring (the CH-DDL contract these rewrites document)
+    val plainTable = {
+      val segs = nameText.split('.')
+      val last = segs.last.trim
+      if (last.startsWith("`") && last.endsWith("`") && last.length >= 2)
+        last.substring(1, last.length - 1)
+      else last
+    }
+    if (engineName.exists(_.equalsIgnoreCase("ReplacingMergeTree")) && engineArgs.nonEmpty)
+      orderCols.foreach { oc =>
+        registerFinalKey(plainTable, oc, engineArgs.head + " DESC")
+      }
+    sampleCol.foreach(sc => registerSampleKey(plainTable, sc))
+
+    val header = "CREATE " + (if (orReplace) "OR REPLACE " else "") + "TABLE " +
+      (if (ifNotExists) "IF NOT EXISTS " else "") + nameText
+    Some(header + " (" + cols.mkString(", ") + ") USING parquet" +
+      partitionIdent.map(c => s" PARTITIONED BY ($c)").getOrElse("") +
+      tableComment.map(c => s" COMMENT $c").getOrElse(""))
+  }
+
+  /** One CH column definition → Spark: `name CHType [modifiers]`.
+    * DEFAULT passes through (Spark supports column defaults for
+    * USING-parquet tables), NOT NULL passes through, `NULL` (CH's
+    * explicit Nullable marker) drops, CODEC/COMMENT per-column keep or
+    * drop per Spark support; MATERIALIZED/ALIAS/EPHEMERAL throw. */
+  private def mapDdlColumn(cd: String): String = {
+    val n = cd.length
+    var ci = 0
+    val name =
+      if (cd.charAt(0) == '`' || cd.charAt(0) == '"') {
+        val e = skipQuoted(cd, 0); ci = e; cd.substring(0, e)
+      } else {
+        val (nm, an) = readWord(cd, 0)
+        if (nm.isEmpty)
+          throw new IllegalArgumentException(s"CH DDL: unparseable column definition '$cd'")
+        ci = an; nm
+      }
+    // type text: up to the first TOP-LEVEL modifier keyword
+    var i = skipWs(cd, ci)
+    val typeStart = i
+    var typeEnd = n
+    var modAt = -1
+    while (i < n && modAt < 0) {
+      val c = cd.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(cd, i)
+      else if (c == '(') { val e = matchParen(cd, i); i = if (e < 0) n else e }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val (w, aw) = readWord(cd, i)
+        if (ddlColModWords.contains(w.toUpperCase(java.util.Locale.ROOT)) && i > typeStart) {
+          modAt = i; typeEnd = i
+        } else i = aw
+      } else i += 1
+    }
+    val typeText = cd.substring(typeStart, typeEnd).trim
+    val sparkType =
+      try {
+        val t = graft.types.CHType.parse(typeText)
+        graft.types.CHType.toSpark(t)._1.sql
+      } catch { case scala.util.control.NonFatal(_) => typeText } // let Spark's parser judge
+    val sb = new StringBuilder(name + " " + sparkType)
+    // modifiers
+    var m = if (modAt < 0) n else modAt
+    while (m < n) {
+      val (w, aw) = readWord(cd, skipWs(cd, m))
+      if (w.isEmpty) { m = n }
+      else w.toUpperCase(java.util.Locale.ROOT) match {
+        case "NOT" =>
+          val (w2, a2) = readWord(cd, skipWs(cd, aw))
+          if (!w2.equalsIgnoreCase("NULL"))
+            throw new IllegalArgumentException(s"CH DDL: unexpected NOT in '$cd'")
+          sb ++= " NOT NULL"; m = a2
+        case "NULL" => m = aw // CH explicit-nullable marker; Spark default
+        case "DEFAULT" =>
+          // expression until the next top-level modifier keyword
+          var e = skipWs(cd, aw)
+          var stop = -1
+          while (e < n && stop < 0) {
+            val c = cd.charAt(e)
+            if (c == '\'' || c == '"' || c == '`') e = skipQuoted(cd, e)
+            else if (c == '(') { val p2 = matchParen(cd, e); e = if (p2 < 0) n else p2 }
+            else if (Character.isJavaIdentifierStart(c)) {
+              val (w2, a2) = readWord(cd, e)
+              if (ddlColModWords.contains(w2.toUpperCase(java.util.Locale.ROOT)) &&
+                  !w2.equalsIgnoreCase("NULL")) stop = e
+              else e = a2
+            } else e += 1
+          }
+          val end = if (stop < 0) n else stop
+          sb ++= " DEFAULT " + cd.substring(skipWs(cd, aw), end).trim
+          m = end
+        case "CODEC" => // per-column compression: storage knob, drop
+          val q = skipWs(cd, aw)
+          m = if (q < n && cd.charAt(q) == '(') {
+            val e = matchParen(cd, q); if (e < 0) n else e
+          } else aw
+        case "COMMENT" =>
+          val q = skipWs(cd, aw)
+          if (q >= n || cd.charAt(q) != '\'')
+            throw new IllegalArgumentException(s"CH DDL: COMMENT expects a string in '$cd'")
+          val e = skipQuoted(cd, q)
+          sb ++= " COMMENT " + cd.substring(q, e)
+          m = e
+        case bad @ ("MATERIALIZED" | "ALIAS" | "EPHEMERAL" | "TTL") =>
+          throw new IllegalArgumentException(
+            s"CH DDL: $bad columns have no Spark analog — compute the " +
+              s"expression in the writing query instead ('$cd')")
+        case other =>
+          throw new IllegalArgumentException(
+            s"CH DDL: unsupported column modifier '$other' in '$cd'")
+      }
+      m = skipWs(cd, m)
+    }
+    sb.toString
   }
 
   /** Apply captured SETTINGS pairs to the active session through the A15

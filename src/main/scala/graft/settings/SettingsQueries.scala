@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions.{col, lit, map}
   * parameter (never interpolated into the SQL text), oracle-checked. */
 object SettingsQueries extends QueryRegistry {
 
+  /** Drop a managed test table AND its warehouse directory: the
+    * in-memory catalog forgets tables across JVMs while the managed
+    * location persists, so a bare `DROP TABLE IF EXISTS` in a fresh
+    * session no-ops and the next CREATE dies with
+    * LOCATION_ALREADY_EXISTS. Only ever pointed at the ch_ddl_* names
+    * these queries own. */
+  private def resetManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = java.nio.file.Paths.get(
+      if (wh.getScheme == null) wh.toString else wh.getPath).resolve(name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "a15_params_bound",
@@ -1183,6 +1201,59 @@ object SettingsQueries extends QueryRegistry {
              |FROM (SELECT o_orderkey, o_totalprice / 1000.0 AS x,
              |        CAST(o_orderkey % 5 AS DOUBLE) AS y,
              |        o_orderpriority, o_orderstatus
-             |      FROM orders WHERE o_orderkey % 23 = 0) t""".stripMargin))
+             |      FROM orders WHERE o_orderkey % 23 = 0) t""".stripMargin)),
+
+    // ---- round-9 harvest pass 6 (reference docs/examples/py surface).
+    // CH CREATE TABLE text is what reference users hand to execute()
+    // verbatim (py-clickhouse-arrow README "CREATE TABLE test (id
+    // UInt64, name String) ENGINE = Memory"; tests "ENGINE = MergeTree()
+    // ORDER BY id" + SETTINGS index_granularity): DDL round-trip —
+    // create via CH DDL, insert fixture rows, read back. ----
+    QueryDef(
+      "b_sql51_ch_ddl_roundtrip",
+      (s, d) => {
+        resetManagedTable(s, "ch_ddl_rt")
+        s.sql("""CREATE TABLE ch_ddl_rt (r_regionkey Int64, r_name String)
+                |ENGINE = MergeTree() ORDER BY r_regionkey
+                |SETTINGS index_granularity = 8192""".stripMargin)
+        Tables.t(s, d, "region").createOrReplaceTempView("region_ddl_v")
+        s.sql("INSERT INTO ch_ddl_rt SELECT r_regionkey, r_name FROM region_ddl_v")
+        s.sql("SELECT r_regionkey, r_name FROM ch_ddl_rt ORDER BY r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // ---- the DDL→registry wiring end-to-end: ReplacingMergeTree(ver)
+    // ORDER BY k registers the FINAL key at parse time, so `FROM t
+    // FINAL` dedups to the max-version row per key — the read-time
+    // semantics a reference user gets from this exact DDL + query pair.
+    // ver = o_orderkey (unique) keeps the pick deterministic. ----
+    QueryDef(
+      "b_sql52_ddl_replacing_final",
+      (s, d) => {
+        resetManagedTable(s, "ch_ddl_fin")
+        s.sql("""CREATE TABLE ch_ddl_fin (ck Int64, ver Int64, pr String)
+                |ENGINE = ReplacingMergeTree(ver) ORDER BY ck""".stripMargin)
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_ddl_v")
+        s.sql("""INSERT INTO ch_ddl_fin
+                |SELECT o_custkey, o_orderkey, o_orderpriority
+                |FROM orders_ddl_v WHERE o_orderkey % 11 = 0""".stripMargin)
+        s.sql("SELECT ck, pr FROM ch_ddl_fin FINAL ORDER BY ck")
+      },
+      Some("""SELECT ck, pr FROM (
+             |  SELECT o_custkey AS ck, o_orderpriority AS pr,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderkey DESC) AS rn
+             |  FROM orders WHERE o_orderkey % 11 = 0) t
+             |WHERE rn = 1 ORDER BY ck""".stripMargin)),
+
+    // ---- the reference's connection handshake probes `SELECT
+    // version()` (py-clickhouse-arrow tests; client.rs) and its
+    // Python README smoke runs `SELECT 1 AS value` — the version
+    // string itself is engine-specific, so the portable assertion is
+    // its presence. ----
+    QueryDef(
+      "b_sql53_version_probe",
+      (s, d) => s.sql("SELECT 1 AS value, length(version()) > 0 AS has_version"),
+      Some("SELECT 1 AS value, true AS has_version"))
   )
 }

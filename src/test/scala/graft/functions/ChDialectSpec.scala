@@ -1727,4 +1727,63 @@ class ChDialectSpec extends SparkSpec {
     // month formatting uses CH's 30.5-day month constant: 61 d = exactly 2 mo
     assert(one("SELECT formatReadableTimeDelta(5270400)") === "2 months")
   }
+
+  test("CH CREATE TABLE DDL: types map, ENGINE tail drops, FINAL/SAMPLE keys register") {
+    import org.apache.spark.sql.types._
+    // the py-clickhouse-arrow README DDL, verbatim
+    spark.sql("CREATE TABLE ch_ddl_t1 (id UInt64, name String) ENGINE = Memory")
+    try {
+      val sch = spark.table("ch_ddl_t1").schema
+      assert(sch("id").dataType === DecimalType(20, 0))
+      assert(sch("name").dataType === StringType)
+      spark.sql("INSERT INTO ch_ddl_t1 VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM ch_ddl_t1").head.getLong(0) === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t1")
+
+    // tests-suite shape: IF NOT EXISTS, Nullable column, MergeTree ORDER BY,
+    // storage SETTINGS tail
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS ch_ddl_t2 (
+        |  id Int32,
+        |  name Nullable(String)
+        |) ENGINE = MergeTree() ORDER BY id SETTINGS index_granularity = 8192""".stripMargin)
+    try {
+      assert(spark.table("ch_ddl_t2").schema("id").dataType === IntegerType)
+      assert(spark.table("ch_ddl_t2").schema("name").nullable)
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t2")
+
+    // ReplacingMergeTree(ver) ORDER BY k registers the FINAL key: read-time
+    // dedup picks the max-version row per key
+    spark.sql(
+      "CREATE TABLE ch_ddl_t3 (k Int32, ver Int32, v String) " +
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+    try {
+      spark.sql("INSERT INTO ch_ddl_t3 VALUES (1, 1, 'old'), (1, 2, 'new'), (2, 1, 'only')")
+      val rows = spark.sql("SELECT k, v FROM ch_ddl_t3 FINAL ORDER BY k")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq(1 -> "new", 2 -> "only"))
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t3")
+
+    // SAMPLE BY registers the sampling key; SAMPLE k then works on the table
+    spark.sql(
+      "CREATE TABLE ch_ddl_t4 (id Int64) ENGINE = MergeTree() ORDER BY id SAMPLE BY id")
+    try {
+      spark.sql("INSERT INTO ch_ddl_t4 SELECT id FROM range(100)")
+      val sampled = spark.sql("SELECT count(*) AS n FROM ch_ddl_t4 SAMPLE 0.5").head.getLong(0)
+      assert(sampled > 0 && sampled < 100, s"sampled $sampled")
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t4")
+
+    // semantics-bearing constructs with no Spark analog fail loudly
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE ch_ddl_bad1 (id Int32, d Date MATERIALIZED today()) ENGINE = Memory")
+    }.getMessage.contains("MATERIALIZED"))
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE ch_ddl_bad2 (id Int32, ts DateTime) ENGINE = MergeTree() ORDER BY id TTL ts + INTERVAL 1 DAY")
+    }.getMessage.contains("TTL"))
+    // Spark-intended DDL that fails keeps ITS OWN error (no ENGINE => untouched)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE ch_ddl_bad3 (id NOSUCHTYPE) USING parquet")
+    }
+    assert(!e.getMessage.contains("CH DDL"), e.getMessage)
+  }
 }
