@@ -9,7 +9,13 @@ Proves, from Python only:
   3. CH text-surface clauses parse via the rescue tier (SETTINGS,
      LIMIT BY, star APPLY) and the always-on tier (numbers(), ASOF);
   4. the DSv2 connector scans a table end-to-end over HTTP/Arrow
-     against the in-process stub server (constructed through py4j).
+     against the in-process stub server (constructed through py4j);
+  5. the WRITE path works from Python — connector insert round-trip
+     (the reference's Python surface does insert too:
+     py-clickhouse-arrow/src/client.rs query/insert/execute) and CH
+     CREATE TABLE DDL + INSERT + read-back;
+  6. bound parameters flow from Python's spark.sql(args=...) through
+     the CH brace-marker rewrite ({k:Int32} -> named marker).
 
 Run:  python3 scripts/pyspark_smoke.py  (after `sbt compile`)
 """
@@ -123,6 +129,48 @@ def connector_scan():
         srv.stop()
 
 
+# 5a: connector INSERT from Python (write path), value-checked round trip
+def connector_insert():
+    supplier = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    srv = spark._jvm.graft.connector.StubCHServer()
+    try:
+        (supplier.write.format("graft-ch")
+            .option("url", srv.url()).option("table", "py_ins")
+            .mode("append").save())
+        back = (spark.read.format("graft-ch")
+                .option("url", srv.url()).option("table", "py_ins").load())
+        assert back.count() == supplier.count()
+        a = {r.s_suppkey for r in back.select("s_suppkey").collect()}
+        b = {r.s_suppkey for r in supplier.select("s_suppkey").collect()}
+        assert a == b, (sorted(a)[:5], sorted(b)[:5])
+    finally:
+        srv.stop()
+
+
+# 5b: CH CREATE TABLE DDL text from Python + INSERT + read-back
+def ch_ddl():
+    import shutil
+    leftover = os.path.join(os.getcwd(), "spark-warehouse", "py_ddl_t")
+    if os.path.isdir(leftover):  # a crashed prior run leaks the location
+        shutil.rmtree(leftover)
+    spark.sql("DROP TABLE IF EXISTS py_ddl_t")
+    spark.sql("CREATE TABLE py_ddl_t (id UInt64, name String) ENGINE = Memory")
+    try:
+        spark.sql("INSERT INTO py_ddl_t VALUES (1, 'a'), (2, 'b')")
+        assert spark.sql("SELECT count(*) AS n FROM py_ddl_t").head().n == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS py_ddl_t")
+
+
+# 6: bound params — PySpark args dict through the CH {name:Type} markers
+def bound_params():
+    rows = spark.sql(
+        "SELECT k, v FROM py_lb WHERE k = {k:Int32} ORDER BY v",
+        args={"k": 1},
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (1, 20)], rows
+
+
 check("dialect functions", dialect)
 check("SETTINGS clause", settings_clause)
 check("LIMIT BY", limit_by)
@@ -130,6 +178,9 @@ check("star APPLY", star_apply)
 check("numbers() TVF", numbers_tvf)
 check("ASOF JOIN text", asof_text)
 check("connector scan", connector_scan)
+check("connector insert", connector_insert)
+check("CH DDL round trip", ch_ddl)
+check("bound params", bound_params)
 
 spark.stop()
 if failures:
