@@ -1346,19 +1346,36 @@ object ChDialect {
     * struct(key, element), sort, strip — struct ordering sorts by the
     * key first; CH's stable tie order becomes element-value tie order. */
   private def arraySortBy(a: Seq[Expression], asc: Boolean): Expression = {
-    // CH's multi-array form arraySort(f, a1, a2, ...) zips the extra
-    // arrays into the key lambda; a 2-param lambda here would silently
-    // bind its second var to ArrayTransform's element INDEX instead of
-    // the second array's element. Fail loudly until the zipped form is
-    // implemented (same policy as other unmapped spellings).
-    require(a.length <= 2,
-      s"arraySort/arrayReverseSort: the multi-array zipped form " +
-        s"(${a.length - 1} arrays) is not implemented; pass one array")
+    // CH arraySort([f,] arr1, arr2, ...): the multi-array form zips the
+    // arrays positionally and binds the lambda's parameters to the
+    // zipped elements; the SORTED array is always the FIRST one. The
+    // lambda's arity must match the array count — a mismatch would
+    // otherwise silently bind a parameter to ArrayTransform's element
+    // INDEX. Ties on the key break by the first array's element value
+    // (the same documented stable-sort deviation as the 1-array form).
     val (body, vars) = userLambda(a.head, "arraySort")
+    val arrays = a.tail
+    require(vars.length == arrays.length,
+      s"arraySort/arrayReverseSort: lambda takes ${vars.length} parameter(s) " +
+        s"but ${arrays.length} array(s) were given — CH zips them positionally")
     val s = UnresolvedNamedLambdaVariable(Seq("ch_srt_"))
-    val decorated = ArrayTransform(a(1),
-      LambdaFunction(CreateNamedStruct(Seq(
-        Literal("k"), body, Literal("v"), vars.head)), vars))
+    val decorated =
+      if (arrays.length == 1)
+        ArrayTransform(arrays.head,
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("k"), body, Literal("v"), vars.head)), vars))
+      else {
+        val zipped = ArraysZip(arrays, arrays.indices.map(i => Literal(s"a$i")))
+        val ev = UnresolvedNamedLambdaVariable(Seq("ch_srtz_"))
+        val rebound = body.transformUp {
+          case u: UnresolvedNamedLambdaVariable if vars.indexOf(u) >= 0 =>
+            UnresolvedExtractValue(ev, Literal(s"a${vars.indexOf(u)}"))
+        }
+        ArrayTransform(zipped,
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("k"), rebound,
+            Literal("v"), UnresolvedExtractValue(ev, Literal("a0")))), Seq(ev)))
+      }
     ArrayTransform(new SortArray(decorated, Literal(asc)),
       LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
   }

@@ -249,8 +249,16 @@ object ChSqlRewrite {
     * text. Returns the rewritten SQL plus the captured SETTINGS pairs
     * (minus `join_algorithm`, which becomes a join-strategy hint in the
     * text itself — per-query, like CH). */
+  /** CH `DROP DATABASE/TABLE … SYNC` (harvested: the reference's tests
+    * issue `DROP DATABASE IF EXISTS my_db SYNC`) — SYNC forces CH to
+    * wait for the drop instead of scheduling it; Spark drops are always
+    * synchronous, so the modifier strips. Rescue-only, end-anchored. */
+  private val dropSync =
+    "(?is)^(\\s*DROP\\s+(?:DATABASE|SCHEMA|TABLE|VIEW)\\s+.+?)\\s+SYNC\\s*$".r
+
   def rescue(sqlText: String): Rescued = {
-    val semi = trailingSemi.replaceFirstIn(sqlText, "")
+    val semi0 = trailingSemi.replaceFirstIn(sqlText, "")
+    val semi = dropSync.replaceFirstIn(semi0, "$1")
     // CH DDL routes exclusively: its SETTINGS tail is storage knobs
     // (index_granularity …), never session confs, and the SELECT-oriented
     // rewrites below have no business inside a column list

@@ -77,11 +77,23 @@ import org.apache.spark.sql.types._
   * (a full sort of the joined set vs a map-side partial) but still
   * never the domain nested loop.
   *
+  * '''Outer references in the projection / ORDER BY''' (round 9): the
+  * "nearest match" spelling `ORDER BY abs(l.ts - r.rts) LIMIT 1` and
+  * delta projections `SELECT l.ts - r.rts AS lag` strip their
+  * `OuterReference` wrappers and ride the rewrite — after the join both
+  * the argmax's ordering input and the window's sort evaluate over the
+  * joined row, where the left columns are in scope; in the aggregate
+  * path the re-applied projection resolves left columns to the
+  * first()-carried aggregates, and left-referencing outputs are
+  * tag-guarded so unmatched left-outer rows stay NULL exactly like an
+  * empty probe.
+  *
   * Remaining bail-outs (fall back to Spark's decorrelation — correct,
   * just slower): LIMIT k > 1 with no ORDER BY (no deterministic window
-  * order), a lateral join condition, outer references outside the
-  * peeled Filter chain, non-deterministic or subquery-bearing
-  * expressions, and aggregates/windows inside the probe.
+  * order), a lateral join condition, outer references below the peeled
+  * tower (inside the probe's own relation), non-deterministic or
+  * subquery-bearing expressions, and aggregates/windows inside the
+  * probe.
   */
 class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -149,7 +161,7 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
       cur match {
         case SubqueryAlias(_, c) => cur = c
         case Project(list, c) =>
-          if (!list.forall(e => movable(e) && !hasOuterRef(e))) return None
+          if (!list.forall(movable)) return None
           val m = AttributeMap(list.map {
             case a @ Alias(child, _) => a.toAttribute -> child
             case ne => ne.toAttribute -> (ne: Expression)
@@ -180,8 +192,18 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     // no correlation may remain below the peeled tower
     if (inner.exists(_.expressions.exists(hasOuterRef))) return None
     if (left.output.isEmpty || inner.output.isEmpty) return None
-    if (!outExprs.forall(e => movable(e) && !hasOuterRef(e) &&
-      e.references.subsetOf(inner.outputSet))) return None
+    // outer references in the probe's PROJECTION and ORDER BY — the
+    // "nearest match" spelling `ORDER BY abs(l.ts - r.rts) LIMIT 1` and
+    // delta projections `SELECT l.ts - r.rts AS lag …` — become plain
+    // left-column references once the lateral is a real join (both the
+    // argmax's ordering input and the window's sort evaluate over the
+    // joined row, where the left columns are in scope)
+    def stripOuter(e: Expression): Expression =
+      e.transform { case OuterReference(a) => a }
+    outExprs = outExprs.map(stripOuter)
+    orders = orders.map(so => so.copy(child = stripOuter(so.child)))
+    if (!outExprs.forall(e => movable(e) &&
+      e.references.subsetOf(inner.outputSet ++ left.outputSet))) return None
 
     // the correlated probe condition becomes a plain join condition
     val cond0 = conds.reduce(And.apply)
@@ -190,8 +212,9 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!cond.references.subsetOf(left.outputSet ++ inner.outputSet)) return None
 
     // ---- the ordering, struct-encoded to be null-faithful (scaladoc)
-    if (orders.exists(so => hasOuterRef(so.child) || !movable(so.child))) return None
-    if (orders.nonEmpty && !orders.forall(_.child.references.subsetOf(inner.outputSet)))
+    if (orders.exists(so => !movable(so.child))) return None
+    if (orders.nonEmpty && !orders.forall(
+      _.child.references.subsetOf(inner.outputSet ++ left.outputSet)))
       return None
     sealed trait Best
     case object UseFirst extends Best
@@ -274,7 +297,10 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
       val rightCols = sub.plan.output.zip(outExprs).map { case (out, e) =>
         val guarded = e match {
           case _ if !leftOuter => e
-          case a: Attribute => a // join already null-extends bare columns
+          // join null-extends bare RIGHT columns; a bare left column (or
+          // any left-referencing expression) must be tag-guarded to stay
+          // NULL on unmatched rows like the lateral's empty probe
+          case a: Attribute if inner.outputSet.contains(a) => a
           case _ => If(IsNull(tag.toAttribute), Literal.create(null, out.dataType), e)
         }
         Alias(guarded, out.name)(exprId = out.exprId)
@@ -313,8 +339,16 @@ class AsofLateralRule(session: SparkSession) extends Rule[LogicalPlan] {
     val leftCols = left.output.zip(carried).map { case (orig, c) =>
       Alias(c.toAttribute, orig.name)(exprId = orig.exprId)
     }
+    // left columns referenced by the probe's projection resolve to the
+    // same first()-carried aggregates the left output rides on
+    val leftFieldOf: Map[ExprId, Expression] = left.output.zip(carried).map {
+      case (a, c) => a.exprId -> (c.toAttribute: Expression)
+    }.toMap
     val rightCols = sub.plan.output.zip(outExprs).map { case (out, e) =>
-      val expanded = e.transform { case a: Attribute if fieldOf.contains(a.exprId) => fieldOf(a.exprId) }
+      val expanded = e.transform {
+        case a: Attribute if fieldOf.contains(a.exprId) => fieldOf(a.exprId)
+        case a: Attribute if leftFieldOf.contains(a.exprId) => leftFieldOf(a.exprId)
+      }
       val guarded = expanded match {
         case _ if !leftOuter => expanded
         case g: GetStructField if g.child.semanticEquals(bestAttr) => expanded // bare field: already NULL

@@ -1254,6 +1254,43 @@ object SettingsQueries extends QueryRegistry {
     QueryDef(
       "b_sql53_version_probe",
       (s, d) => s.sql("SELECT 1 AS value, length(version()) > 0 AS has_version"),
-      Some("SELECT 1 AS value, true AS has_version"))
+      Some("SELECT 1 AS value, true AS has_version")),
+
+    // ---- nearest-match lateral probe (round-9 AsofLateralRule
+    // closure): ORDER BY abs(l.x - r.x) LIMIT 1 carries OUTER
+    // references in both the sort and the projection — previously a
+    // bail-out into Spark's domain nested loop, now the equi-join +
+    // min_by plan (AsofLateralRuleSpec pins the shape). DuckDB runs
+    // the same lateral natively as the oracle. ----
+    QueryDef(
+      "b_sql54_nearest_lateral",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_na_v")
+        s.sql(
+          """SELECT l.o_orderkey, r.rk, r.delta
+            |FROM (SELECT o_orderkey, o_custkey, o_totalprice
+            |      FROM orders_na_v WHERE o_orderkey % 37 = 0) l
+            |LEFT JOIN LATERAL (
+            |  SELECT r0.o_orderkey AS rk,
+            |    round(abs(l.o_totalprice - r0.o_totalprice), 2) AS delta
+            |  FROM (SELECT o_orderkey, o_custkey, o_totalprice
+            |        FROM orders_na_v WHERE o_orderkey % 23 = 0) r0
+            |  WHERE l.o_custkey = r0.o_custkey
+            |  ORDER BY abs(l.o_totalprice - r0.o_totalprice), r0.o_orderkey
+            |  LIMIT 1) r
+            |ORDER BY l.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT l.o_orderkey, r.rk, r.delta
+             |FROM (SELECT o_orderkey, o_custkey, o_totalprice
+             |      FROM orders WHERE o_orderkey % 37 = 0) l
+             |LEFT JOIN LATERAL (
+             |  SELECT r0.o_orderkey AS rk,
+             |    round(abs(l.o_totalprice - r0.o_totalprice), 2) AS delta
+             |  FROM (SELECT o_orderkey, o_custkey, o_totalprice
+             |        FROM orders WHERE o_orderkey % 23 = 0) r0
+             |  WHERE l.o_custkey = r0.o_custkey
+             |  ORDER BY abs(l.o_totalprice - r0.o_totalprice), r0.o_orderkey
+             |  LIMIT 1) r ON true
+             |ORDER BY l.o_orderkey""".stripMargin))
   )
 }

@@ -1705,12 +1705,21 @@ class ChDialectSpec extends SparkSpec {
 
   test("round-9 advisor closures: loud multi-array sort, addDate, variadic concat") {
     def one(q: String) = spark.sql(q).head.get(0)
-    // multi-array keyed sort must fail loudly (zip semantics unimplemented),
-    // not silently bind the second lambda var to the element index
+    // multi-array keyed sort zips positionally like CH: the FIRST array
+    // sorts by keys computed over all of them
+    assert(one("SELECT arraySort((x, y) -> y, array(30,10,20), array(3,1,2))") ===
+      Seq(10, 20, 30))
+    assert(one("SELECT arrayReverseSort((x, y) -> y, array(30,10,20), array(3,1,2))") ===
+      Seq(30, 20, 10))
+    // three arrays, key mixes them
+    assert(one("SELECT arraySort((x, y, z) -> y + z, array(7,8,9), array(5,0,0), array(0,0,1))") ===
+      Seq(8, 9, 7))
+    // lambda arity must match the array count — a mismatch would bind a
+    // parameter to the element index, silently diverging from CH
     val err = intercept[Exception] {
-      spark.sql("SELECT arraySort((x, y) -> y, array(1,2), array(9,8))").collect()
+      spark.sql("SELECT arraySort((x, y) -> y, array(1,2))").collect()
     }
-    assert(err.getMessage.contains("multi-array"), err.getMessage)
+    assert(err.getMessage.contains("zips them positionally"), err.getMessage)
     // addDate/subDate carry CH's timestamp-arithmetic semantics
     // (addInterval — interval-tuple composition — stays unmapped/loud)
     assert(one("SELECT CAST(addDate(toDateTime('2020-01-01 00:00:00'), INTERVAL 1 DAY) AS STRING)")
@@ -1785,5 +1794,11 @@ class ChDialectSpec extends SparkSpec {
       spark.sql("CREATE TABLE ch_ddl_bad3 (id NOSUCHTYPE) USING parquet")
     }
     assert(!e.getMessage.contains("CH DDL"), e.getMessage)
+
+    // harvested: CH's synchronous-drop modifier strips (Spark drops are
+    // always synchronous); both the database and table forms
+    spark.sql("CREATE DATABASE IF NOT EXISTS ch_ddl_db")
+    spark.sql("DROP DATABASE IF EXISTS ch_ddl_db SYNC")
+    spark.sql("DROP TABLE IF EXISTS ch_ddl_nope SYNC")
   }
 }

@@ -272,4 +272,51 @@ class AsofLateralRuleSpec extends SparkSpec {
     // compare on the non-tied rows — which is all of them in the fixture
     assert(sqlRows === apiRows)
   }
+
+  test("nearest-match probe: outer refs in ORDER BY and projection are rescued") {
+    Seq((1, 100L), (2, 500L), (3, 7L)).toDF("k", "ts").createOrReplaceTempView("alro_l")
+    Seq((1, 90L, "a"), (1, 108L, "b"), (1, 200L, "c"), (2, 498L, "d"))
+      .toDF("k", "rts", "p").createOrReplaceTempView("alro_r")
+    // ORDER BY abs(l.ts - r.rts): the closest event either side — the
+    // classic nearest-asof a window form can't express directly
+    val df = spark.sql(
+      """SELECT l.k, r.p, r.delta FROM alro_l l LEFT JOIN LATERAL (
+        |  SELECT r0.p, abs(l.ts - r0.rts) AS delta
+        |  FROM alro_r r0 WHERE l.k = r0.k
+        |  ORDER BY abs(l.ts - r0.rts) ASC, r0.p LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ch_asof_lid_"), plan.take(2000))
+    assert(plan.contains("min_by"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val rows = df.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // k=1: |100-108|=8 beats |100-90|=10; k=3 unmatched stays NULL —
+    // including the projected delta, which references a LEFT column
+    assert(rows === Seq((1, "b", 8L), (2, "d", 2L), (3, null, -1L)))
+
+    // window path with outer-ref sort: LIMIT k > 1 nearest matches
+    val topk = spark.sql(
+      """SELECT l.k, r.p FROM alro_l l LEFT JOIN LATERAL (
+        |  SELECT r0.p FROM alro_r r0 WHERE l.k = r0.k
+        |  ORDER BY abs(l.ts - r0.rts) ASC, r0.p LIMIT 2) r
+        |ORDER BY l.k, r.p""".stripMargin)
+    assert(topk.queryExecution.executedPlan.toString.contains("ch_asof_rn_"))
+    assert(topk.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      === Seq(1 -> "a", 1 -> "b", 2 -> "d", 3 -> null))
+
+    // a probe output that is PURELY a left reference still nulls on
+    // unmatched rows (the lateral produced no row there)
+    val pureLeft = spark.sql(
+      """SELECT l.k, r.echo FROM alro_l l LEFT JOIN LATERAL (
+        |  SELECT l.ts AS echo FROM alro_r r0 WHERE l.k = r0.k
+        |  ORDER BY r0.rts LIMIT 1) r
+        |ORDER BY l.k""".stripMargin)
+    assert(pureLeft.queryExecution.executedPlan.toString.contains("ch_asof_lid_"))
+    assert(pureLeft.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      === Seq(1 -> 100L, 2 -> 500L, 3 -> -1L))
+  }
 }
