@@ -429,21 +429,28 @@ object Aggregates extends QueryRegistry {
     // ---- quantileExactWeighted / weighted median (CH): the classic
     // "median price weighted by quantity". Phase 1 collapses to the
     // per-(group, DISTINCT value) weight spectrum — the only pass over
-    // the corpus; phase 2's cumulative window walks the spectrum, whose
-    // cardinality (not the row count) bounds the per-group sort. ----
+    // the corpus; phase 2 walks it with Spectrum's range-partitioned
+    // prefix sum (round 9; a nearly-continuous value makes the spectrum
+    // corpus-sized, and the previous partition-by-group window
+    // serialized each group into ONE task — 3 tasks for 600k rows at
+    // sf0.1, and a scale hazard at 100 TB). Group totals are a tiny
+    // per-group aggregate broadcast back, not a second window pass.
+    // Deliberate local-cost tradeoff, measured: the 3-task window form
+    // benched 1.0 s at sf0.1 vs ~1.5 s for this shape (range exchange +
+    // offsets pass) — but its per-group task would serialize ~2 B
+    // distinct values per flag at 100 TB, while every stage here stays
+    // width-parallel (the b_agg34 spearman precedent). ----
     QueryDef(
       "b_agg33_weighted_median",
       (s, d) => {
-        val cumW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_returnflag")).orderBy(col("v"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val totW = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
-        t(s, d, "lineitem")
+        val spectrum = t(s, d, "lineitem")
           .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(sum(col("l_quantity").cast("double")).as("w"))
-          .select(col("l_returnflag"), col("v"),
-            sum(col("w")).over(cumW).as("cum"),
-            sum(col("w")).over(totW).as("tot"))
+          .localCheckpoint() // one corpus pass feeds totals + prefix sum + range sampling
+        val tot = spectrum.groupBy(col("l_returnflag"))
+          .agg(sum(col("w")).as("tot"))
+        Spectrum.withRunningSum(spectrum, Seq("l_returnflag"), "v", "w", "cum")
+          .join(broadcast(tot), "l_returnflag")
           .where(col("cum") >= col("tot") / 2)
           .groupBy(col("l_returnflag"))
           .agg(min(col("v")).as("wmedian"))

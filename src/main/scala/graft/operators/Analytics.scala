@@ -934,28 +934,45 @@ object Analytics extends QueryRegistry {
     QueryDef(
       "b_agg34_spearman",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
+        // ONE corpus aggregate; the joint spectrum is checkpointed
+        // because three consumers walk it (two marginal ranks + the
+        // moment join)
         val pairs = t(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("f"),
             col("l_quantity").cast("double").as("q"),
             col("l_extendedprice").as("v"))
           .agg(count(lit(1)).cast("double").as("c"))
-        // the cumulative walks ride the f-partitioned window: parallelism
-        // equals the GROUP BY key's cardinality, which is the operator's
-        // contract (a keyless spectrum walk would use
-        // Spectrum.withRunningSum instead — measured here, the extra
-        // range shuffle costs more than 3-way parallelism loses)
-        def avgRank(valueCol: String, cntName: String, rankName: String) = {
-          val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
-            .rowsBetween(W.unboundedPreceding, 0)
-          pairs.groupBy(col("f"), col(valueCol)).agg(sum(col("c")).as(cntName))
-            .select(col("f"), col(valueCol),
+          .localCheckpoint()
+        // cumulative-walk policy (round 9, shared with b_agg33): a
+        // corpus-sized spectrum (l_extendedprice — nearly continuous)
+        // rides Spectrum's range-partitioned prefix sum, because an
+        // f-partitioned window caps that walk at |f| = 3 tasks — fine at
+        // sf0.1, a serialization hazard at 100 TB. A DOMAIN-BOUNDED
+        // spectrum (l_quantity — ~50 integer values ⇒ ≤150 spectrum rows
+        // at ANY corpus size) keeps the plain window: its partitions
+        // never grow with the data, and the Spectrum machinery would be
+        // pure overhead.
+        def avgRank(valueCol: String, cntName: String, rankName: String,
+            corpusSized: Boolean) = {
+          val grouped = pairs.groupBy(col("f"), col(valueCol))
+            .agg(sum(col("c")).as(cntName))
+          if (corpusSized)
+            Spectrum.withRunningSum(grouped, Seq("f"), valueCol, cntName, "ch_cum_")
+              .select(col("f"), col(valueCol),
+                (col("ch_cum_") - col(cntName) + (col(cntName) + 1) / 2.0)
+                  .as(rankName))
+          else {
+            val W = org.apache.spark.sql.expressions.Window
+            val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
+              .rowsBetween(W.unboundedPreceding, 0)
+            grouped.select(col("f"), col(valueCol),
               (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
                 .as(rankName))
+          }
         }
         pairs
-          .join(avgRank("q", "cq", "rq"), Seq("f", "q"))
-          .join(avgRank("v", "cv", "rv"), Seq("f", "v"))
+          .join(avgRank("q", "cq", "rq", corpusSized = false), Seq("f", "q"))
+          .join(avgRank("v", "cv", "rv", corpusSized = true), Seq("f", "v"))
           .groupBy(col("f").as("l_returnflag"))
           .agg(
             sum(col("c")).as("n"),

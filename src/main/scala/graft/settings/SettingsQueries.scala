@@ -1291,6 +1291,39 @@ object SettingsQueries extends QueryRegistry {
              |  WHERE l.o_custkey = r0.o_custkey
              |  ORDER BY abs(l.o_totalprice - r0.o_totalprice), r0.o_orderkey
              |  LIMIT 1) r ON true
-             |ORDER BY l.o_orderkey""".stripMargin))
+             |ORDER BY l.o_orderkey""".stripMargin)),
+
+    // ---- round-9 advisor-closure spellings, driver-gated: multi-array
+    // zip sort (keys m+10 > 2 > 0 are always distinct, so the result is
+    // closed-form), addDate/subDate timestamp arithmetic, variadic
+    // concatAssumeInjective, scalar-WITH bracket literal, and the
+    // 30.5-day-month formatReadableTimeDelta constant. ----
+    QueryDef(
+      "b_sql55_advisor_closures",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_ac_v")
+        s.sql(
+          """WITH [1, 2, 3] AS warr
+            |SELECT o_orderkey,
+            |  array_join(transform(
+            |    arraySort((x, y) -> y,
+            |      array(10 * CAST(o_orderkey % 5 AS INT), 20, 30),
+            |      array(CAST(o_orderkey % 5 AS INT) + 10, 2, 0)),
+            |    x -> CAST(x AS STRING)), ',') AS zsort,
+            |  CAST(CAST(addDate(CAST(o_orderdate AS DATE), INTERVAL 10 DAY) AS DATE) AS STRING) AS d10,
+            |  CAST(CAST(subDate(CAST(o_orderdate AS DATE), INTERVAL 1 DAY) AS DATE) AS STRING) AS dm1,
+            |  concatAssumeInjective(o_orderstatus, '-', o_orderpriority, '!') AS cai,
+            |  round(arraySum(warr), 1) AS wsum,
+            |  formatReadableTimeDelta(5270400) AS ftd
+            |FROM orders_ac_v WHERE o_orderkey % 29 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  '30,20,' || CAST(10 * (o_orderkey % 5) AS VARCHAR) AS zsort,
+             |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 10 DAY AS DATE) AS VARCHAR) AS d10,
+             |  CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 DAY AS DATE) AS VARCHAR) AS dm1,
+             |  o_orderstatus || '-' || o_orderpriority || '!' AS cai,
+             |  CAST(6.0 AS DOUBLE) AS wsum,
+             |  '2 months' AS ftd
+             |FROM orders WHERE o_orderkey % 29 = 0""".stripMargin))
   )
 }
