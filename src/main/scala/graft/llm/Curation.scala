@@ -509,18 +509,30 @@ object Curation extends QueryRegistry {
     QueryDef(
       "x_pipe_curate",
       (s, d) => {
+        // round-9 shuffle-payload fix: the quality gates (n_words,
+        // avg word length) are pure functions of the canon text, so
+        // they are CONSTANT within a dedup group — the filter commutes
+        // with the dedup and runs BEFORE the window (fewer rows
+        // shuffle); and the window partitions on md5(canon), a 16-byte
+        // key, instead of the raw canon text, so the exchange carries
+        // (doc_id, lang, hash, nw) rows instead of kilobyte strings.
+        // (Measured at sf0.1 the two shapes tie — the fixture's docs are
+        // small, so the regex canonicalization dominates; the payload
+        // cut is the 100-TB win, where multi-KB documents would ride
+        // the dedup exchange.)
         val W = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("canon")).orderBy(col("doc_id"))
+          .partitionBy(col("ck")).orderBy(col("doc_id"))
         val canon = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
         t(s, d, "documents")
-          .withColumn("canon", canon)
-          .withColumn("rn", row_number().over(W))
-          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), canon.as("canon"))
           .withColumn("nw", size(split(col("canon"), " ")).cast("double"))
           .where(col("nw") >= 20 &&
             (length(regexp_replace(col("canon"), " ", "")) / col("nw"))
               .between(3.0, 12.0))
+          .select(col("doc_id"), col("lang"), md5(col("canon")).as("ck"), col("nw"))
+          .withColumn("rn", row_number().over(W))
+          .where(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("nw").cast("long").as("n_words"))
       },
       Some("""WITH c AS (
