@@ -1800,5 +1800,15 @@ class ChDialectSpec extends SparkSpec {
     spark.sql("CREATE DATABASE IF NOT EXISTS ch_ddl_db")
     spark.sql("DROP DATABASE IF EXISTS ch_ddl_db SYNC")
     spark.sql("DROP TABLE IF EXISTS ch_ddl_nope SYNC")
+
+    // CH INSERT ... VALUES with bracket array literals rides the same
+    // rescue (bracket rewrite inside the VALUES tuple)
+    spark.sql("CREATE TABLE ch_ddl_t5 (id Int32, xs Array(Int32)) ENGINE = Memory")
+    try {
+      spark.sql("INSERT INTO ch_ddl_t5 VALUES (1, [10, 20]), (2, [])")
+      val rows = spark.sql("SELECT id, size(xs) AS n FROM ch_ddl_t5 ORDER BY id")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toSeq
+      assert(rows === Seq(1 -> 2, 2 -> 0))
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t5")
   }
 }

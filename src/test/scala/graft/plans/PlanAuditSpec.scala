@@ -71,4 +71,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p6.contains("CartesianProduct"), s"b_sql6 went cartesian:\n$p6")
     assert("Exchange".r.findAllIn(p6).length <= 1, s"b_sql6 over-shuffles:\n$p6")
   }
+
+  test("few-group spectrum walks stay width-parallel (round-9 policy)") {
+    // b_agg33/b_agg34's corpus-sized spectrum walks must ride Spectrum's
+    // RANGE partitioning — a window partitioned only on l_returnflag
+    // would cap the walk at 3 tasks, the 100-TB serialization hazard the
+    // round-9 change removed. The range exchange carries the ordering
+    // column; the per-group window that remains runs inside the range
+    // partitions (partition spec includes __pid).
+    for (q <- Seq("b_agg33_weighted_median", "b_agg34_spearman")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q lost the range-partitioned prefix sum:\n$p")
+      assert(p.contains("__pid"),
+        s"$q lost the partition-offset composition:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 }
