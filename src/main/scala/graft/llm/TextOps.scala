@@ -204,6 +204,44 @@ object TextOps extends QueryRegistry {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: candidates that are
+    * LEXICALLY similar to the query (BM25 top-`kCand`) but SEMANTICALLY
+    * dissimilar (embedding cosine below `tau`) — the negatives that
+    * actually teach a retriever, vs random negatives it already
+    * separates. Composes [[bm25TopK]] with one cosine pass.
+    *
+    * Scale shape: the candidate set is |queries| × kCand rows (bounded
+    * by the bench-sized-query contract bm25TopK already carries), so it
+    * BROADCASTS into two embedding scans — query-side and doc-side
+    * vectors attach with broadcast hash joins, no corpus shuffle beyond
+    * BM25's own three. Cosine runs in double (`zip_with` + `aggregate`
+    * folds, codegen'd) and is ROUNDED to 6 dp before the threshold and
+    * the rank, so the cut is engine-portable.
+    */
+  def hardNegatives(docs: DataFrame, emb: DataFrame,
+      isQuery: org.apache.spark.sql.Column, kCand: Int, k: Int,
+      tau: Double): DataFrame = {
+    val cands = bm25TopK(docs, isQuery, kCand)
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val de = emb.select(col("vec_id").as("doc_id"), col("embedding").as("de"))
+    val withQ = qe.join(broadcast(cands), Seq("query_id"))
+    val scored = de.join(broadcast(withQ), Seq("doc_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, de, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
+      .withColumn("nq", expr(
+        "sqrt(aggregate(qe, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nd", expr(
+        "sqrt(aggregate(de, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("cos", round(col("dot") / (col("nq") * col("nd")), 6))
+      .where(col("cos") < tau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("hn_rank", row_number().over(w).cast("long"))
+      .where(col("hn_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("cos"), col("hn_rank"))
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -545,6 +583,50 @@ object TextOps extends QueryRegistry {
              |  CAST(row_number() OVER (PARTITION BY query_id
              |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
              |FROM scored
-             |QUALIFY rank <= 5""".stripMargin))
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // ---- hard-negative mining: BM25 top-20 lexical candidates per
+    // query, kept only where embedding cosine < 0 (similar words,
+    // different meaning), re-ranked by BM25 — the contrastive-training
+    // negative set. DuckDB recomputes BM25 AND the cosine filter
+    // independently (list_cosine_similarity over DOUBLE[]). ----
+    QueryDef(
+      "x_retr_hard_negatives",
+      (s, d) => hardNegatives(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        col("doc_id") % 50 === 0, kCand = 20, k = 5, tau = 0.0),
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+             |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id
+             |  JOIN dft ON dft.term = q.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY 1, 2),
+             |cands AS (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored QUALIFY rank <= 20),
+             |withcos AS (
+             |  SELECT c.query_id, c.doc_id, c.score,
+             |    round(list_cosine_similarity(
+             |      qe.embedding::DOUBLE[], de.embedding::DOUBLE[]), 6) AS cos
+             |  FROM cands c
+             |  JOIN embeddings qe ON qe.vec_id = c.query_id
+             |  JOIN embeddings de ON de.vec_id = c.doc_id)
+             |SELECT query_id, doc_id, score, cos,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS BIGINT) AS hn_rank
+             |FROM withcos WHERE cos < 0.0
+             |QUALIFY hn_rank <= 5""".stripMargin))
   )
 }

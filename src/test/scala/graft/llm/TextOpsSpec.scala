@@ -97,4 +97,27 @@ class TextOpsSpec extends SparkSpec {
     // every doc yields at most 3 keywords
     assert(out.groupBy(_._1).forall(_._2.length <= 3))
   }
+
+  test("hard negatives are lexically similar but semantically below tau") {
+    // docs: 1/2 share the query's words; 3 shares none. Embeddings: doc 1
+    // points WITH the query (cos +1 — an easy positive, excluded), doc 2
+    // points AGAINST it (cos -1 — the hard negative, kept).
+    val docs = Seq(
+      (0L, "cat mat rug"),
+      (1L, "cat mat rug rug"),
+      (2L, "cat mat rug mat"),
+      (3L, "dog bird fish")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(-0.8f, -0.2f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = TextOps.hardNegatives(docs, emb, col("doc_id") === 0,
+      kCand = 3, k = 2, tau = 0.0).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getLong(4)))
+    // only doc 2 survives: lexical match (BM25 candidate) AND cos < 0;
+    // doc 1 is a positive (cos > 0), doc 3 never scores lexically
+    assert(out.map(_._1).toSeq === Seq(2L), out.toSeq.toString)
+    assert(out.head._2 < 0.0 && out.head._3 === 1L)
+  }
 }
