@@ -594,13 +594,13 @@ object TextOps extends QueryRegistry {
       "x_retr_hard_negatives",
       (s, d) => hardNegatives(
         t(s, d, "documents"), t(s, d, "embeddings"),
-        col("doc_id") % 50 === 0, kCand = 20, k = 5, tau = 0.0),
+        col("doc_id") % 100 === 0, kCand = 15, k = 5, tau = 0.0),
       Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
              |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 100 = 0),
              |scored AS (
              |  SELECT q.query_id, tf.doc_id,
              |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
@@ -615,7 +615,7 @@ object TextOps extends QueryRegistry {
              |  SELECT query_id, doc_id, score,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score DESC, doc_id) AS rank
-             |  FROM scored QUALIFY rank <= 20),
+             |  FROM scored QUALIFY rank <= 15),
              |withcos AS (
              |  SELECT c.query_id, c.doc_id, c.score,
              |    round(list_cosine_similarity(
