@@ -344,26 +344,39 @@ object ChSqlRewrite {
         ifNotExists = true; k = skipWs(sql, ae)
       } else return None
     }
-    // qualified, possibly backquoted table name, verbatim up to '('
+    // qualified, possibly backquoted table name (dot-joined segments)
     var p = k
-    while (p < n && sql.charAt(p) != '(') {
-      val c = sql.charAt(p)
-      if (c == '`' || c == '"') p = skipQuoted(sql, p) else p += 1
+    var nameOk = p < n
+    var nameDone = false
+    while (nameOk && !nameDone) {
+      if (p < n && (sql.charAt(p) == '`' || sql.charAt(p) == '"')) p = skipQuoted(sql, p)
+      else {
+        val (w, after) = readWord(sql, p)
+        if (w.isEmpty) nameOk = false else p = after
+      }
+      if (nameOk) { if (p < n && sql.charAt(p) == '.') p += 1 else nameDone = true }
     }
-    if (p >= n) return None // no column list (CH CTAS puts ENGINE before AS — out of scope)
+    if (!nameOk) return None
     val nameText = sql.substring(k, p).trim
-    if (nameText.isEmpty || nameText.exists(Character.isWhitespace)) return None
-    val colsEnd = matchParen(sql, p)
-    if (colsEnd < 0) return None
+    if (nameText.isEmpty) return None
+    // column list is OPTIONAL: CH CTAS is `CREATE TABLE t ENGINE = … AS SELECT …`
+    val afterName = skipWs(sql, p)
+    val (colsInsideOpt, tailStart) =
+      if (afterName < n && sql.charAt(afterName) == '(') {
+        val colsEnd = matchParen(sql, afterName)
+        if (colsEnd < 0) return None
+        (Some(sql.substring(afterName + 1, colsEnd - 1)), colsEnd)
+      } else (None, afterName)
 
     // ---- tail clauses; bail (None) unless a top-level ENGINE exists ----
-    val tail = sql.substring(colsEnd)
+    val tail = sql.substring(tailStart)
     var engineName: Option[String] = None
     var engineArgs: Seq[String] = Nil
     var orderCols: Option[String] = None
     var sampleCol: Option[String] = None
     var partitionIdent: Option[String] = None
     var tableComment: Option[String] = None
+    var ctasBody: Option[String] = None
     // expression text from `at` to the next top-level DDL clause word
     def clauseExpr(at: Int): (String, Int) = {
       var i = at
@@ -437,14 +450,23 @@ object ChSqlRewrite {
           throw new IllegalArgumentException(
             "CH DDL: TTL has no Spark analog (no background expiry); run the " +
               "expiry as a maintenance DELETE/overwrite job instead")
+        case "AS" => // CH CTAS: the rest is the populating query
+          ctasBody = Some(tail.substring(skipWs(tail, aw)))
+          t0 = tail.length
         case _ => return None // unknown tail — not CH DDL we understand
       }
     }
     if (engineName.isEmpty) return None // the CH gate: Spark DDL never has ENGINE
+    if (ctasBody.exists(_.trim.isEmpty)) return None
+    if (ctasBody.isDefined && colsInsideOpt.isDefined)
+      throw new IllegalArgumentException(
+        "CH DDL: CREATE TABLE (schema) ... AS SELECT declares an explicit " +
+          "schema on a CTAS, which Spark cannot express — drop the column " +
+          "list (types come from the query) or CREATE then INSERT ... SELECT")
 
     // ---- column list ----
-    val cols = splitTopLevel(sql.substring(p + 1, colsEnd - 1))
-      .map(_.trim).filter(_.nonEmpty).map(mapDdlColumn)
+    val cols = colsInsideOpt.toSeq.flatMap(inside =>
+      splitTopLevel(inside).map(_.trim).filter(_.nonEmpty).map(mapDdlColumn))
 
     // FINAL / SAMPLE registry wiring (the CH-DDL contract these rewrites document)
     val plainTable = {
@@ -462,9 +484,15 @@ object ChSqlRewrite {
 
     val header = "CREATE " + (if (orReplace) "OR REPLACE " else "") + "TABLE " +
       (if (ifNotExists) "IF NOT EXISTS " else "") + nameText
-    Some(header + " (" + cols.mkString(", ") + ") USING parquet" +
+    Some(header +
+      (if (cols.nonEmpty) " (" + cols.mkString(", ") + ")" else "") +
+      " USING parquet" +
       partitionIdent.map(c => s" PARTITIONED BY ($c)").getOrElse("") +
-      tableComment.map(c => s" COMMENT $c").getOrElse(""))
+      tableComment.map(c => s" COMMENT $c").getOrElse("") +
+      // the CTAS body gets the always-on CH rewrite pass (numbers(),
+      // ASOF, arrayJoin …); rescue-tier clause forms inside a CTAS body
+      // stay loud — rare, and silence would be worse
+      ctasBody.map(b => " AS " + apply(b)).getOrElse(""))
   }
 
   /** One CH column definition → Spark: `name CHType [modifiers]`.

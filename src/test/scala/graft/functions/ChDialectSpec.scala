@@ -1801,6 +1801,19 @@ class ChDialectSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS ch_ddl_db SYNC")
     spark.sql("DROP TABLE IF EXISTS ch_ddl_nope SYNC")
 
+    // CH CTAS: ENGINE tail before AS SELECT, no column list
+    spark.sql("DROP TABLE IF EXISTS ch_ctas1")
+    spark.sql(
+      "CREATE TABLE ch_ctas1 ENGINE = MergeTree() ORDER BY id " +
+        "AS SELECT id, id * 2 AS v FROM range(5)")
+    try {
+      assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) AS s FROM ch_ctas1").head.getLong(0) === 20L)
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ctas1")
+    // schema + CTAS cannot be expressed in Spark: loud, with guidance
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE ch_ctas_bad (id Int32) ENGINE = Memory AS SELECT 1 AS id")
+    }.getMessage.contains("CTAS"))
+
     // CH INSERT ... VALUES with bracket array literals rides the same
     // rescue (bracket rewrite inside the VALUES tuple)
     spark.sql("CREATE TABLE ch_ddl_t5 (id Int32, xs Array(Int32)) ENGINE = Memory")
