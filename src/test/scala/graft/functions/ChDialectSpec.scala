@@ -1814,6 +1814,39 @@ class ChDialectSpec extends SparkSpec {
       spark.sql("CREATE TABLE ch_ctas_bad (id Int32) ENGINE = Memory AS SELECT 1 AS id")
     }.getMessage.contains("CTAS"))
 
+    // every §1.2 CH type spelling in ONE wide CREATE maps to exactly what
+    // CHType.toSpark declares (the DDL path reuses the same table, but a
+    // scanner bug could truncate a parenthesized type — pin each field)
+    val chTypes = Seq(
+      "UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16", "Int32",
+      "Int64", "Int128", "Float32", "Float64", "String", "FixedString(4)",
+      "Date", "Date32", "DateTime", "DateTime64(3)", "Decimal(10, 2)",
+      "UUID", "Bool", "IPv4", "IPv6", "LowCardinality(String)",
+      "Nullable(Int32)", "Array(Int32)", "Map(String, Int64)",
+      "Tuple(Int32, String)", "Enum8('a' = 1, 'b' = 2)", "BFloat16")
+    val colDefs = chTypes.zipWithIndex
+      .map { case (t0, i) => s"c$i $t0" }.mkString(", ")
+    spark.sql("DROP TABLE IF EXISTS ch_ddl_types")
+    spark.sql(s"CREATE TABLE ch_ddl_types ($colDefs) ENGINE = Memory")
+    try {
+      val sch = spark.table("ch_ddl_types").schema
+      // Spark DDL normalizes container-element nullability (ARRAY<INT>
+      // elements become nullable), which the write-side mapping doesn't —
+      // the TYPE SHAPE must match exactly, nullability normalized away
+      def norm(dt: DataType): DataType = dt match {
+        case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+        case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+        case StructType(fs) => StructType(fs.map(f =>
+          f.copy(dataType = norm(f.dataType), nullable = true)))
+        case other => other
+      }
+      chTypes.zipWithIndex.foreach { case (t0, i) =>
+        val expect = graft.types.CHType.toSpark(graft.types.CHType.parse(t0))._1
+        assert(norm(sch(s"c$i").dataType) === norm(expect),
+          s"$t0 mapped to ${sch(s"c$i").dataType}")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_types")
+
     // CH INSERT ... VALUES with bracket array literals rides the same
     // rescue (bracket rewrite inside the VALUES tuple)
     spark.sql("CREATE TABLE ch_ddl_t5 (id Int32, xs Array(Int32)) ENGINE = Memory")
