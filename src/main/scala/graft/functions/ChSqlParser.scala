@@ -359,8 +359,20 @@ object ChSqlRewrite {
     if (!nameOk) return None
     val nameText = sql.substring(k, p).trim
     if (nameText.isEmpty) return None
+    // `ON CLUSTER x` (distributed DDL) sits between name and column
+    // list; Spark's one-catalog DDL is cluster-wide by construction, so
+    // the clause drops
+    var afterName = skipWs(sql, p)
+    val (wOn, aOn) = readWord(sql, afterName)
+    if (wOn.equalsIgnoreCase("ON")) {
+      val (wCl, aCl) = readWord(sql, skipWs(sql, aOn))
+      if (!wCl.equalsIgnoreCase("CLUSTER")) return None
+      var c = skipWs(sql, aCl)
+      if (c < n && (sql.charAt(c) == '`' || sql.charAt(c) == '\'')) c = skipQuoted(sql, c)
+      else { val (wid, aid) = readWord(sql, c); if (wid.isEmpty) return None; c = aid }
+      afterName = skipWs(sql, c)
+    }
     // column list is OPTIONAL: CH CTAS is `CREATE TABLE t ENGINE = … AS SELECT …`
-    val afterName = skipWs(sql, p)
     val (colsInsideOpt, tailStart) =
       if (afterName < n && sql.charAt(afterName) == '(') {
         val colsEnd = matchParen(sql, afterName)

@@ -1801,6 +1801,12 @@ class ChDialectSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS ch_ddl_db SYNC")
     spark.sql("DROP TABLE IF EXISTS ch_ddl_nope SYNC")
 
+    // ON CLUSTER drops (Spark's one-catalog DDL is cluster-wide already)
+    spark.sql("DROP TABLE IF EXISTS ch_ddl_oc")
+    spark.sql("CREATE TABLE ch_ddl_oc ON CLUSTER prod (id Int32) ENGINE = Memory")
+    try assert(spark.table("ch_ddl_oc").schema("id").dataType === IntegerType)
+    finally spark.sql("DROP TABLE IF EXISTS ch_ddl_oc")
+
     // CH CTAS: ENGINE tail before AS SELECT, no column list
     spark.sql("DROP TABLE IF EXISTS ch_ctas1")
     spark.sql(
