@@ -431,4 +431,113 @@ object CHValues {
     }
     prev(n)
   }
+
+  /** CH `roundDuration(x)`: largest of CH's fixed duration buckets ≤ x
+    * (0 below 1). The bucket table is CH's documented set. */
+  private val durationBuckets = Array(1L, 10, 30, 60, 120, 180, 240, 300,
+    600, 1200, 1800, 3600, 7200, 18000, 36000)
+  def roundDuration(x: Long): Long = {
+    if (x < 1) return 0L
+    var best = 1L
+    var i = 0
+    while (i < durationBuckets.length) {
+      if (durationBuckets(i) <= x) best = durationBuckets(i)
+      i += 1
+    }
+    best
+  }
+
+  /** CH `roundAge(x)`: the documented demographic buckets
+    * (0, 17, 18, 25, 35, 45, 55). */
+  def roundAge(x: Long): Long =
+    if (x < 1) 0L
+    else if (x <= 17) 17L
+    else if (x <= 24) 18L
+    else if (x <= 34) 25L
+    else if (x <= 44) 35L
+    else if (x <= 54) 45L
+    else 55L
+
+  /** CH `javaHash(s)`: Java's `String.hashCode` (UTF-16 based), Int32. */
+  def javaHash(s: UTF8String): Int = s.toString.hashCode
+
+  private val b58Alphabet =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val b58Index: Array[Int] = {
+    val m = Array.fill(128)(-1)
+    b58Alphabet.zipWithIndex.foreach { case (c, i) => m(c) = i }
+    m
+  }
+
+  /** CH `base58Encode` (Bitcoin alphabet; leading zero bytes → '1's). */
+  def base58Encode(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var zeros = 0
+    while (zeros < in.length && in(zeros) == 0) zeros += 1
+    var num = BigInt(1, in)
+    val sb = new StringBuilder
+    while (num > 0) {
+      val (q, r) = num /% 58
+      sb.append(b58Alphabet(r.toInt))
+      num = q
+    }
+    (0 until zeros).foreach(_ => sb.append('1'))
+    UTF8String.fromString(sb.reverse.toString)
+  }
+
+  /** CH `base58Decode` — throws on a non-alphabet character, like CH. */
+  def base58Decode(s: UTF8String): UTF8String = {
+    val in = s.toString
+    var ones = 0
+    while (ones < in.length && in.charAt(ones) == '1') ones += 1
+    var num = BigInt(0)
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      val v = if (c < 128) b58Index(c) else -1
+      if (v < 0) throw new IllegalArgumentException(
+        s"base58Decode: invalid character '$c'")
+      num = num * 58 + v
+      i += 1
+    }
+    val body = if (num == 0) Array.empty[Byte] else {
+      val b = num.toByteArray
+      if (b.length > 1 && b(0) == 0) b.tail else b // strip BigInt sign byte
+    }
+    UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
+  }
+
+  /** CH `isIPAddressInRange(addr, 'cidr/prefix')`: prefix-bit compare,
+    * IPv4 and IPv6. Inputs are validated as literal addresses BEFORE the
+    * InetAddress parse so no hostname ever triggers a DNS lookup; an
+    * unparseable address or CIDR returns false (CH throws on malformed
+    * CIDR — documented deviation toward null-safety). */
+  def isIpInRange(addr: UTF8String, cidr: UTF8String): Boolean = {
+    val a = addr.toString.trim
+    val c = cidr.toString.trim
+    val slash = c.lastIndexOf('/')
+    if (slash < 0) return false
+    val base = c.substring(0, slash).trim
+    val prefix = try c.substring(slash + 1).trim.toInt catch { case _: NumberFormatException => return false }
+    def looksLikeIp(s: String): Boolean =
+      s.nonEmpty && s.forall(ch => ch.isDigit || ch == '.' || ch == ':' ||
+        ('a' <= ch && ch <= 'f') || ('A' <= ch && ch <= 'F'))
+    if (!looksLikeIp(a) || !looksLikeIp(base)) return false
+    val (ab, bb) =
+      try (java.net.InetAddress.getByName(a).getAddress,
+        java.net.InetAddress.getByName(base).getAddress)
+      catch { case _: java.net.UnknownHostException => return false }
+    if (ab.length != bb.length) return false
+    if (prefix < 0 || prefix > ab.length * 8) return false
+    var bits = prefix
+    var i = 0
+    while (bits > 0) {
+      val take = math.min(8, bits)
+      val mask = (0xff << (8 - take)) & 0xff
+      if ((ab(i) & mask) != (bb(i) & mask)) return false
+      bits -= take
+      i += 1
+    }
+    true
+  }
 }

@@ -1296,6 +1296,82 @@ object ChDialect {
           Min(x).toAggregateExpression())) },
     // variadic in CH; extra arguments pass straight through to Concat
     fnVar("concatAssumeInjective", 2) { a => Concat(a) },
+
+    // ---- round-9 probe pass (126-spelling functional audit): string
+    // search, demographic rounding, array set ops, map arithmetic,
+    // base58, CIDR membership — all composites over builtin codegen'd
+    // expressions or StaticInvoke kernels ----
+    // leftmost match position among the needles, 0 when none
+    fn("multiSearchFirstPosition", 2) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ms_fp"))
+      val p = UnresolvedNamedLambdaVariable(Seq("ms_pp"))
+      Coalesce(Seq(
+        ArrayMin(ArrayFilter(
+          ArrayTransform(a(1),
+            LambdaFunction(new StringLocate(x, a.head), Seq(x))),
+          LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))),
+        Literal(0))) },
+    fn("roundDuration", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, LongType, "roundDuration",
+        Seq(Cast(a.head, LongType)), Seq(LongType)) },
+    fn("roundAge", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, LongType, "roundAge",
+        Seq(Cast(a.head, LongType)), Seq(LongType)) },
+    fn("javaHash", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, IntegerType, "javaHash",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
+    fn("base58Encode", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, StringType, "base58Encode",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
+    fn("base58Decode", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, StringType, "base58Decode",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
+    fn("isIPAddressInRange", 2) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, BooleanType, "isIpInRange",
+        Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+        Seq(StringType, StringType)) },
+    fn("arrayDotProduct", 2) { a =>
+      VecExpressions.VecDot(vecArg(a.head), vecArg(a(1))) },
+    fn("arrayAUC", 2) { a =>
+      VecExpressions.VecBinaryK(vecArg(a.head), vecArg(a(1)), "auc") },
+    // distinct union, like CH
+    fnVar("arrayUnion", 2) { a => ArrayDistinct(Concat(a)) },
+    // two-array form: distinct elements not present in both
+    fn("arraySymmetricDifference", 2) { a =>
+      ArrayDistinct(Concat(Seq(
+        ArrayExcept(a.head, a(1)), ArrayExcept(a(1), a.head)))) },
+    // CH arrayElement: 1-based, negative = from end; OOB → NULL
+    // (documented deviation: CH returns the type default)
+    fn("arrayElement", 2) { a =>
+      ElementAt(a.head, a(1), None, failOnError = false) },
+    // zip with NULL padding to the longest array
+    fnVar("arrayZipUnaligned", 2) { a =>
+      val g = Greatest(a.map(arr => Cast(Size(arr), LongType)))
+      val axis = If(LessThanOrEqual(g, Literal(0L)),
+        Slice(new Sequence(Literal(0L), Literal(0L)), Literal(1), Literal(0)),
+        new Sequence(Literal(1L), g))
+      val i = UnresolvedNamedLambdaVariable(Seq("ch_zu_"))
+      ArrayTransform(axis, LambdaFunction(
+        CreateStruct(a.map(arr => ElementAt(arr, Cast(i, IntegerType), None,
+          failOnError = false))), Seq(i))) },
+    fn("mid", 3) { a => Substring(a.head, a(1), a(2)) },
+    fnVar("caseWithExpr", 3) { a => CaseKeyWhen(a.head, a.tail) },
+    fn("nanOrZero", 1) { a =>
+      val d = Cast(a.head, DoubleType)
+      If(IsNaN(d), Literal(0.0), d) },
+    fn("toIPv4", 1) { a =>
+      Cast(Conv(Hex(ValueExpressions.Ipv4Binary(a.head)), Literal(16), Literal(10)), LongType) },
+    // map arithmetic over the key UNION (MapZipWith): absent keys count 0
+    fn("mapAdd", 2) { a => mapMerge(a.head, a(1), "add") },
+    fn("mapSubtract", 2) { a => mapMerge(a.head, a(1), "sub") },
+    // m2 overrides m1 on shared keys, union otherwise
+    fn("mapUpdate", 2) { a => mapMerge(a.head, a(1), "update") },
     // string prefix up to the first NUL byte
     fn("toStringCutToZero", 1) { a =>
       ElementAt(StringSplit(a.head, Literal("\u0000"), Literal(2)),
@@ -1335,7 +1411,36 @@ object ChDialect {
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         CHValues.getClass, IntegerType, "damerauLevenshtein",
         Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
-        Seq(StringType, StringType)) })
+        Seq(StringType, StringType)) }) ++ emptyArrays
+
+  /** CH `emptyArray<Type>()` constructors — typed empty-array literals
+    * (the §1.2 widening: UInt8→short, UInt32→long, UInt64→decimal(20,0)). */
+  private def emptyArrays
+      : Seq[(FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, FunctionBuilder)] =
+    Seq(
+      "UInt8" -> ShortType, "UInt16" -> IntegerType, "UInt32" -> LongType,
+      "UInt64" -> DecimalType(20, 0), "Int8" -> ByteType, "Int16" -> ShortType,
+      "Int32" -> IntegerType, "Int64" -> LongType, "Float32" -> FloatType,
+      "Float64" -> DoubleType, "String" -> StringType, "Date" -> DateType,
+      "DateTime" -> TimestampType).map { case (chName, t) =>
+      fn(s"emptyArray$chName", 0) { _ =>
+        Literal.create(Seq.empty[Any], ArrayType(t)) }
+    }
+
+  /** CH map arithmetic over the key UNION via MapZipWith: `add`/`sub`
+    * treat an absent key as 0; `update` keeps m2's value on shared keys
+    * (CH mapUpdate). */
+  private def mapMerge(m1: Expression, m2: Expression, op: String): Expression = {
+    val k = UnresolvedNamedLambdaVariable(Seq("ch_mm_k"))
+    val v1 = UnresolvedNamedLambdaVariable(Seq("ch_mm_a"))
+    val v2 = UnresolvedNamedLambdaVariable(Seq("ch_mm_b"))
+    val body = op match {
+      case "add" => Add(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
+      case "sub" => Subtract(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
+      case _ => Coalesce(Seq(v2, v1))
+    }
+    MapZipWith(m1, m2, LambdaFunction(body, Seq(k, v1, v2)))
+  }
 
   /** get_json_object over a top-level key (the simpleJSON/visitParam
     * contract): path = '$.' + key. */

@@ -99,6 +99,34 @@ object VecMath {
 
   /** CH cosineDistance = 1 − cosine similarity. */
   def cosineDistance(a: ArrayData, b: ArrayData): Double = 1.0 - cosine(a, b)
+
+  /** CH `arrayAUC(scores, labels)`: ROC area from per-row score/label
+    * arrays — rank-sum form with AVERAGE ranks on score ties (the exact
+    * Mann–Whitney identity); labels > 0 count positive. NaN when one
+    * class is absent, like CH. */
+  def auc(scores: ArrayData, labels: ArrayData): Double = {
+    val n = math.min(scores.numElements(), labels.numElements())
+    val s = Array.tabulate(n)(i => scores.getDouble(i))
+    val pos = Array.tabulate(n)(i => labels.getDouble(i) > 0)
+    val order = Array.tabulate(n)(identity).sortBy(s(_))
+    val rank = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && s(order(j + 1)) == s(order(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // 1-based average rank across the tie run
+      var t = i
+      while (t <= j) { rank(order(t)) = avg; t += 1 }
+      i = j + 1
+    }
+    var p = 0L
+    var sumPos = 0.0
+    i = 0
+    while (i < n) { if (pos(i)) { p += 1; sumPos += rank(i) }; i += 1 }
+    val ng = n - p
+    if (p == 0 || ng == 0) Double.NaN
+    else (sumPos - p * (p + 1) / 2.0) / (p.toDouble * ng)
+  }
 }
 
 object VecExpressions {
@@ -163,6 +191,7 @@ object VecExpressions {
       case "l2SqDist" => VecMath.l2SqDist(a, b)
       case "linfDist" => VecMath.linfDist(a, b)
       case "cosineDistance" => VecMath.cosineDistance(a, b)
+      case "auc" => VecMath.auc(a, b)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecBinaryK =
       copy(left = l, right = r)

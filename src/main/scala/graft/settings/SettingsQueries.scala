@@ -1324,6 +1324,63 @@ object SettingsQueries extends QueryRegistry {
              |  o_orderstatus || '-' || o_orderpriority || '!' AS cai,
              |  CAST(6.0 AS DOUBLE) AS wsum,
              |  '2 months' AS ftd
-             |FROM orders WHERE o_orderkey % 29 = 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 29 = 0""".stripMargin)),
+
+    // ---- round-9 probe-pass dialect tail (126-spelling functional
+    // audit): multiSearch position, demographic rounding, array set
+    // ops + 1-based arrayElement, javaHash (single-char hashCode = the
+    // code point, so the oracle is a CASE), base58 round-trip, CIDR
+    // membership — every spelling recomputed independently by DuckDB.
+    QueryDef(
+      "b_sql56_dialect_probe_pass",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_pp_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  CAST(multiSearchFirstPosition(o_orderpriority, ['URGENT', 'HIGH']) AS BIGINT) AS msp,
+            |  roundDuration(o_orderkey % 700) AS rd,
+            |  roundAge(o_orderkey % 90) AS ra,
+            |  array_join(transform(arraySort(arrayUnion(
+            |    array(1, CAST(o_orderkey % 5 AS INT)), array(2, 3))),
+            |    x -> CAST(x AS STRING)), ',') AS au,
+            |  CAST(arrayElement(array(10, 20, 30), CAST(o_orderkey % 3 + 1 AS INT)) AS BIGINT) AS ae,
+            |  mid(o_orderpriority, 3, 4) AS md,
+            |  CAST(javaHash(o_orderstatus) AS BIGINT) AS jh,
+            |  base58Decode(base58Encode(o_orderpriority)) = o_orderpriority AS b58_ok,
+            |  isIPAddressInRange(concat('10.', CAST(o_orderkey % 256 AS STRING), '.0.1'),
+            |                     '10.0.0.0/8') AS ipr,
+            |  isIPAddressInRange('192.168.1.1', '10.0.0.0/8') AS ipr2
+            |FROM orders_pp_v WHERE o_orderkey % 31 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(coalesce(least(nullif(strpos(o_orderpriority, 'URGENT'), 0),
+             |    nullif(strpos(o_orderpriority, 'HIGH'), 0)), 0) AS BIGINT) AS msp,
+             |  CAST(CASE WHEN o_orderkey % 700 < 1 THEN 0
+             |    WHEN o_orderkey % 700 < 10 THEN 1
+             |    WHEN o_orderkey % 700 < 30 THEN 10
+             |    WHEN o_orderkey % 700 < 60 THEN 30
+             |    WHEN o_orderkey % 700 < 120 THEN 60
+             |    WHEN o_orderkey % 700 < 180 THEN 120
+             |    WHEN o_orderkey % 700 < 240 THEN 180
+             |    WHEN o_orderkey % 700 < 300 THEN 240
+             |    WHEN o_orderkey % 700 < 600 THEN 300
+             |    ELSE 600 END AS BIGINT) AS rd,
+             |  CAST(CASE WHEN o_orderkey % 90 < 1 THEN 0
+             |    WHEN o_orderkey % 90 <= 17 THEN 17
+             |    WHEN o_orderkey % 90 <= 24 THEN 18
+             |    WHEN o_orderkey % 90 <= 34 THEN 25
+             |    WHEN o_orderkey % 90 <= 44 THEN 35
+             |    WHEN o_orderkey % 90 <= 54 THEN 45
+             |    ELSE 55 END AS BIGINT) AS ra,
+             |  array_to_string(list_sort(list_distinct(list_concat(
+             |    [1, CAST(o_orderkey % 5 AS INT)], [2, 3]))), ',') AS au,
+             |  CAST(list_extract([10, 20, 30], o_orderkey % 3 + 1) AS BIGINT) AS ae,
+             |  substr(o_orderpriority, 3, 4) AS md,
+             |  CAST(CASE o_orderstatus WHEN 'O' THEN 79 WHEN 'F' THEN 70
+             |    WHEN 'P' THEN 80 END AS BIGINT) AS jh,
+             |  true AS b58_ok,
+             |  true AS ipr,
+             |  false AS ipr2
+             |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin))
   )
 }

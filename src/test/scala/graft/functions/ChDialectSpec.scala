@@ -1737,6 +1737,52 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT formatReadableTimeDelta(5270400)") === "2 months")
   }
 
+  test("round-9 probe-pass spellings: search, rounding, array/map ops, base58, CIDR") {
+    def one(q: String) = spark.sql(q).head.get(0)
+    assert(one("SELECT multiSearchFirstPosition('hello world', ['world', 'xyz'])") === 7)
+    assert(one("SELECT multiSearchFirstPosition('hello', ['xyz'])") === 0)
+    assert(one("SELECT roundDuration(95)") === 60L)
+    assert(one("SELECT roundDuration(0)") === 0L)
+    assert(one("SELECT roundDuration(40000)") === 36000L)
+    assert(one("SELECT roundAge(35)") === 35L)
+    assert(one("SELECT roundAge(3)") === 17L)
+    assert(one("SELECT arrayDotProduct([1.0, 2.0], [3.0, 4.0])") === 11.0)
+    // the classic ROC fixture: AUC = 0.75
+    assert(one("SELECT arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])") === 0.75)
+    assert(one("SELECT arraySort(arrayUnion([1, 2], [2, 3]))") === Seq(1, 2, 3))
+    assert(one("SELECT arraySort(arraySymmetricDifference([1, 2], [2, 3]))") === Seq(1, 3))
+    // 1-based, negative from end, OOB → NULL (documented deviation from
+    // CH's type default)
+    assert(one("SELECT arrayElement([10, 20], 2)") === 20)
+    assert(one("SELECT arrayElement([10, 20], -1)") === 20)
+    assert(one("SELECT arrayElement([10, 20], 5)") === null)
+    val zu = one("SELECT arrayZipUnaligned([1, 2], [30])")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(zu.map(r => (r.get(0), r.get(1))) === Seq((1, 30), (2, null)))
+    assert(one("SELECT mid('hello', 2, 3)") === "ell")
+    assert(one("SELECT caseWithExpr(2, 1, 'a', 2, 'b', 'z')") === "b")
+    assert(one("SELECT nanOrZero(CAST('NaN' AS DOUBLE))") === 0.0)
+    assert(one("SELECT toIPv4('1.2.3.4')") === 16909060L)
+    assert(one("SELECT element_at(mapAdd(map('a', 1), map('a', 2, 'b', 5)), 'a')") === 3)
+    assert(one("SELECT element_at(mapAdd(map('a', 1), map('a', 2, 'b', 5)), 'b')") === 5)
+    assert(one("SELECT element_at(mapSubtract(map('a', 3), map('a', 1)), 'a')") === 2)
+    assert(one("SELECT element_at(mapUpdate(map('a', 1, 'b', 2), map('b', 9)), 'b')") === 9)
+    assert(one("SELECT size(emptyArrayInt32())") === 0)
+    assert(one("SELECT size(emptyArrayString())") === 0)
+    // javaHash IS String.hashCode
+    assert(one("SELECT javaHash('abc')") === 96354)
+    // base58: round trip + the leading-zero-byte → '1' rule
+    assert(one("SELECT base58Decode(base58Encode('hello world'))") === "hello world")
+    assert(one("SELECT substring(base58Encode(concat(char(0), 'a')), 1, 1)") === "1")
+    assert(intercept[Exception] {
+      spark.sql("SELECT base58Decode('0OIl')").collect() // not in the alphabet
+    }.getMessage.contains("invalid character"))
+    assert(one("SELECT isIPAddressInRange('127.0.0.1', '127.0.0.0/8')") === true)
+    assert(one("SELECT isIPAddressInRange('128.0.0.1', '127.0.0.0/8')") === false)
+    assert(one("SELECT isIPAddressInRange('2001:db8::1', '2001:db8::/32')") === true)
+    assert(one("SELECT isIPAddressInRange('2001:db9::1', '2001:db8::/32')") === false)
+  }
+
   test("CH CREATE TABLE DDL: types map, ENGINE tail drops, FINAL/SAMPLE keys register") {
     import org.apache.spark.sql.types._
     // the py-clickhouse-arrow README DDL, verbatim
