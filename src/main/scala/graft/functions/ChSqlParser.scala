@@ -2506,19 +2506,40 @@ object ChSqlRewrite {
     if (!sql.contains('[')) return sql
     val n = sql.length
     val out = new StringBuilder(n + 16)
-    // per-open-bracket: 0 = index (kept), 1 = array literal, 2 = IN-list
+    // per-open-bracket: 0 = index, 1 = array literal, 2 = IN-list
     // (CH `x IN [1,2]` — a bracketed TUPLE: emit plain parens, Spark's IN
-    // wants `(…)`, `IN array(…)` never parses)
+    // wants `(…)`, `IN array(…)` never parses).
+    // INDEX brackets rewrite to `try_element_at(base, idx)` because CH
+    // indexing is 1-BASED (and negative counts from the end) while
+    // Spark's bracket is 0-based — keeping the bracket would silently
+    // shift every rescued CH index by one. try_element_at carries CH's
+    // map lookup too; OOB/missing-key → NULL (documented deviation from
+    // CH's type default, the same one arrayElement declares). The BASE
+    // expression's output start is tracked (`prim` + a stack restored at
+    // every close) so the wrap inserts before `arr`, `t.arr`, `f(x)`,
+    // `(expr)`, a string literal, or a chained `…[i]` alike.
     var stack = List.empty[Int]
+    var primStack = List.empty[Int]
+    var prim = 0 // output index where the current primary expression starts
     // preceding significant token kind: 0 = opener/operator/start (literal
     // position), 1 = value-ish (identifier/close/quote — indexing
     // position), 2 = the keyword IN
     var prev = 0
+    // whether a following '(' is a CALL on the current primary (an
+    // identifier — including the callable keywords array/if/range/
+    // replace — or a close) vs a grouping paren that starts its own
+    var callable = false
     var i = 0
+    def popPrim(): Unit = primStack match {
+      case h :: t => prim = h; primStack = t
+      case Nil => ()
+    }
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') {
-        val e = skipQuoted(sql, i); out.append(sql.substring(i, e)); i = e; prev = 1
+        val e = skipQuoted(sql, i)
+        prim = out.length
+        out.append(sql.substring(i, e)); i = e; prev = 1; callable = false
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val e = skipLine(sql, i); out.append(sql.substring(i, e)); i = e
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
@@ -2527,30 +2548,61 @@ object ChSqlRewrite {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
         val w = sql.substring(start, i)
+        // a dotted continuation (t.col) keeps the chain's primary start
+        if (out.isEmpty || out.charAt(out.length - 1) != '.') prim = out.length
         out.append(w)
         val u = w.toUpperCase(java.util.Locale.ROOT)
         prev = if (u == "IN") 2
         else if (bracketLiteralKeywords.contains(u)) 0
         else 1
+        callable = !bracketLiteralKeywords.contains(u) ||
+          u == "ARRAY" || u == "IF" || u == "RANGE" || u == "REPLACE"
       } else if (c == '[') {
         val kind = if (prev == 2) 2 else if (prev == 0) 1 else 0
         stack = kind :: stack
-        out.append(kind match {
-          case 1 => "array("
-          case 2 => "("
-          case _ => "["
-        })
+        kind match {
+          case 1 =>
+            primStack = out.length :: primStack
+            prim = out.length
+            out.append("array(")
+          case 2 =>
+            primStack = out.length :: primStack
+            prim = out.length
+            out.append("(")
+          case _ =>
+            // wrap the base: BASE[ → try_element_at(BASE,
+            primStack = prim :: primStack
+            out.insert(prim, "try_element_at(")
+            out.append(", ")
+        }
         prev = 0
+        callable = false
         i += 1
       } else if (c == ']') {
         val kind = stack.headOption.getOrElse(0)
         if (stack.nonEmpty) stack = stack.tail
-        out.append(if (kind == 0) "]" else ")")
+        out.append(")")
+        popPrim()
         prev = 1
+        callable = true
+        i += 1
+      } else if (c == '(') {
+        // a call keeps the callee's primary start; grouping starts its own
+        if (callable) primStack = prim :: primStack
+        else { primStack = out.length :: primStack; prim = out.length }
+        out.append(c)
+        prev = 0
+        callable = false
+        i += 1
+      } else if (c == ')') {
+        out.append(c)
+        popPrim()
+        prev = 1
+        callable = true
         i += 1
       } else {
         out.append(c)
-        if (!Character.isWhitespace(c)) prev = if (c == ')') 1 else 0
+        if (!Character.isWhitespace(c)) { prev = 0; callable = false }
         i += 1
       }
     }

@@ -1667,10 +1667,20 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT [1,2,3]") === Seq(1, 2, 3))
     assert(one("SELECT [[1],[2,3]]") === Seq(Seq(1), Seq(2, 3)))
     // a literal immediately indexed: first bracket is a literal (follows
-    // SELECT), second indexes the value
-    assert(one("SELECT [10,20][1]") === 20)
-    // indexing an identifier-rooted value must NOT rewrite
+    // SELECT), second indexes the value — with CH's 1-BASED semantics
+    // (round 9: rescued CH text indexes like CH; keeping Spark's 0-based
+    // bracket would silently shift every rescued index by one)
+    assert(one("SELECT [10,20][1]") === 10)
+    assert(one("SELECT [10,20][-1]") === 20) // negative counts from the end
+    assert(one("SELECT [10,20][9]") === null) // OOB → NULL (doc'd deviation)
+    // Spark-VALID text never reaches the rescue: native 0-based stands
     assert(one("SELECT array(7,8)[1]") === 8)
+    // rescued indexing wraps dotted/call/paren bases and maps too
+    assert(one("SELECT map('k', 5)['k'] SETTINGS max_threads = 4") === 5)
+    assert(one("SELECT array(7,8,9)[2] SETTINGS max_threads = 4") === 8)
+    assert(one("SELECT (array(1,2))[2] SETTINGS max_threads = 4") === 2)
+    assert(one("SELECT sort_array(array(3,1))[1] SETTINGS max_threads = 4") === 1)
+    assert(one("SELECT [[1],[2,3]][2][1] SETTINGS max_threads = 4") === 2)
     // literals after keywords, commas, operators and inside calls
     assert(one("SELECT arraySum([1.0, 2.5])") === 3.5)
     assert(one("SELECT transform(2, [1,2], ['a','b'], 'z')") === "b")
