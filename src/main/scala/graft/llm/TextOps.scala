@@ -242,6 +242,161 @@ object TextOps extends QueryRegistry {
       .select(col("query_id"), col("doc_id"), col("score"), col("cos"), col("hn_rank"))
   }
 
+  // ---------------------------------------------------------------- BPE
+
+  /** Symbol-sequence encoding shared by the BPE learner, the encoder and
+    * the generated DuckDB oracle: a word's symbols joined by TWO spaces
+    * with one leading/trailing space (`" l  o  w "`). A merge of (l, r)
+    * is then the literal replace `" l  r " -> " lr "`: because the
+    * replacement re-emits both boundary spaces, a left-to-right
+    * replace-all pass merges greedily left exactly like the reference
+    * BPE algorithm (`[a,a,a] -> [aa,a]`), and the double-space separator
+    * keeps adjacent matches from consuming each other's boundary
+    * (`[a,a,a,a] -> [aa,aa]`, which a single-space encoding gets wrong).
+    * Both engines' `replace` share these semantics, so the oracle can
+    * replay every merge step exactly.
+    */
+  private def bpeSeq(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), array_join(split(word, "(?!^)"), "  "), lit(" "))
+
+  private def bpeWordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(regexp_replace(col("text"), "[^a-z ]", " ")), " +")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+
+  /** Byte-pair-encoding merge learning, distributed (Sennrich et al.
+    * 2016). The classic scale decomposition: BPE statistics live on the
+    * WORD-COUNT table, not the corpus — so the corpus is tokenized and
+    * aggregated ONCE (the only corpus-sized shuffle), the resulting
+    * vocabulary frame is materialized (`localCheckpoint`, vocab-sized:
+    * sub-linear in corpus size — ~10^6-10^7 rows at 100 TB, trivially
+    * distributed), and each of the `nMerges` iterations is a pair-count
+    * aggregation + argmax over that small frame followed by a map-side
+    * literal replace. The driver holds exactly one (l, r, count) row per
+    * iteration — the k-means-centroid precedent for bounded driver state.
+    *
+    * Returns (merge table, final per-word symbol frame). Ties on pair
+    * count break on (left, right) ascending so the merge sequence is
+    * engine-portable. The reference exposes tokenization only as server
+    * SQL (`clickhouse-arrow` ships text verbatim); this operator is part
+    * of the training-data surface beyond it.
+    */
+  def learnBpe(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeWordCounts(docs)
+      .groupBy("word").agg(sum(col("k")).as("cnt"))
+      .select(col("word"), bpeSeq(col("word")).as("seq"), col("cnt"))
+      .localCheckpoint() // cut the corpus: iterations below touch only this
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val best = vocab
+        .select(col("cnt"), split(trim(col("seq")), "  ").as("sy"))
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), (l, r) -> struct(l, r))")).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i, l, r, c))
+        vocab = vocab.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** The learned merge table as a DataFrame (rank, left_sym, right_sym,
+    * merged, pair_count). */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _) = learnBpe(docs, nMerges)
+    merges.map { case (i, l, r, c) => (i, l, r, l + r, c) }
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** Encode the corpus with the learned merges: per-doc token counts via
+    * a BROADCAST join from per-doc word counts to the final vocabulary's
+    * symbol counts — the batch shape real tokenizers use (the merge
+    * table/vocab is the small side; the corpus never re-shuffles).
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (_, vocab) = learnBpe(docs, nMerges)
+    val symCounts = vocab.select(col("word"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_sym"))
+    bpeWordCounts(docs)
+      .join(broadcast(symCounts), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("k") * col("n_sym")).as("bpe_tokens"),
+        sum(col("k") * length(col("word"))).as("base_chars"))
+      .select(col("doc_id"), col("bpe_tokens"), col("base_chars"),
+        round(col("base_chars") / col("bpe_tokens").cast("double"), 6).as("compression"))
+  }
+
+  /** DuckDB replay of [[learnBpe]]: `nMerges` chained MATERIALIZED CTE
+    * stages (pair-count -> argmax -> literal replace), sharing the
+    * double-space encoding so every merge step is replayed exactly.
+    * MATERIALIZED is load-bearing: each stage references its predecessor
+    * four times, so inlined CTEs would re-evaluate the corpus scan
+    * exponentially.
+    */
+  private def bpeOracleCtes(nMerges: Int, withDocs: Boolean): String = {
+    val base =
+      if (withDocs)
+        """wd AS MATERIALIZED (
+          |  SELECT doc_id, word, count(*) AS k FROM (
+          |    SELECT doc_id, unnest(str_split_regex(
+          |      lower(regexp_replace(text, '[^a-z ]', ' ', 'g')), ' +')) AS word
+          |    FROM documents)
+          |  WHERE word <> '' GROUP BY 1, 2),
+          |wc AS MATERIALIZED (SELECT word, sum(k) AS cnt FROM wd GROUP BY 1),
+          |v0 AS MATERIALIZED (
+          |  SELECT word, ' ' || array_to_string(str_split(word, ''), '  ') || ' ' AS seq, cnt FROM wc)""".stripMargin
+      else
+        """wc AS MATERIALIZED (
+          |  SELECT word, count(*) AS cnt FROM (
+          |    SELECT unnest(str_split_regex(
+          |      lower(regexp_replace(text, '[^a-z ]', ' ', 'g')), ' +')) AS word
+          |    FROM documents)
+          |  WHERE word <> '' GROUP BY word),
+          |v0 AS MATERIALIZED (
+          |  SELECT word, ' ' || array_to_string(str_split(word, ''), '  ') || ' ' AS seq, cnt FROM wc)""".stripMargin
+    val stages = (0 until nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr, cnt FROM (
+         |      SELECT str_split_regex(trim(seq), '  ') AS syms, cnt FROM v$i))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |v${i + 1} AS MATERIALIZED (
+         |  SELECT word, replace(seq,
+         |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+         |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS seq, cnt FROM v$i)""".stripMargin
+    }
+    "WITH " + (base +: stages).mkString(",\n")
+  }
+
+  private def bpeLearnOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges, withDocs = false) + "\n" +
+      (0 until nMerges).map { i =>
+        s"""SELECT ${i + 1} AS rank, l AS left_sym, r AS right_sym,
+           |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
+      }.mkString(" UNION ALL ") + " ORDER BY rank"
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges, withDocs = true) +
+      s""",
+         |nsym AS (SELECT word, CAST(len(str_split_regex(trim(seq), '  ')) AS BIGINT) AS n_sym FROM v$nMerges)
+         |SELECT wd.doc_id,
+         |  CAST(sum(wd.k * nsym.n_sym) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(wd.k * length(wd.word)) AS BIGINT) AS base_chars,
+         |  round(sum(wd.k * length(wd.word)) / CAST(sum(wd.k * nsym.n_sym) AS DOUBLE), 6) AS compression
+         |FROM wd JOIN nsym USING (word) GROUP BY 1""".stripMargin
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
