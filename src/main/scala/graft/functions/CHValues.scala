@@ -458,8 +458,17 @@ object CHValues {
     else if (x <= 54) 45L
     else 55L
 
-  /** CH `javaHash(s)`: Java's `String.hashCode` (UTF-16 based), Int32. */
-  def javaHash(s: UTF8String): Int = s.toString.hashCode
+  /** CH `javaHash(s)`: `h = 31*h + b` over the RAW UTF-8 bytes (signed),
+    * matching ClickHouse's JavaHashImpl — NOT Java `String.hashCode`,
+    * which iterates UTF-16 chars and diverges on non-ASCII input (the
+    * two agree on pure-ASCII strings). Int32. */
+  def javaHash(s: UTF8String): Int = {
+    val b = s.getBytes
+    var h = 0
+    var i = 0
+    while (i < b.length) { h = 31 * h + b(i); i += 1 }
+    h
+  }
 
   private val b58Alphabet =
     "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
@@ -507,11 +516,107 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** Strict IPv4 dotted-quad parse: exactly four decimal octets 0-255.
+    * Returns null on anything else — never consults a resolver. */
+  private def parseIpv4Literal(s: String): Array[Byte] = {
+    val parts = s.split("\\.", -1)
+    if (parts.length != 4) return null
+    val out = new Array[Byte](4)
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      if (p.isEmpty || p.length > 3) return null
+      var v = 0
+      var j = 0
+      while (j < p.length) {
+        val ch = p.charAt(j)
+        if (ch < '0' || ch > '9') return null
+        v = v * 10 + (ch - '0')
+        j += 1
+      }
+      if (v > 255) return null
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Strict RFC-4291 IPv6 literal parse (one optional `::`, 1-4 hex
+    * digits per group, optional embedded dotted-quad as the final
+    * group). Returns the 16-byte address or null. Never touches DNS. */
+  private def parseIpv6Literal(s: String): Array[Byte] = {
+    val dbl = s.indexOf("::")
+    if (dbl >= 0 && s.indexOf("::", dbl + 1) >= 0) return null
+    val (headS, tailS) =
+      if (dbl >= 0) (s.substring(0, dbl), s.substring(dbl + 2))
+      else {
+        if (s.startsWith(":") || s.endsWith(":")) return null
+        (s, "")
+      }
+    def groups(p: String): Array[String] =
+      if (p.isEmpty) Array.empty[String] else p.split(":", -1)
+    val head = groups(headS)
+    val tail = groups(tailS)
+    if (head.exists(_.isEmpty) || tail.exists(_.isEmpty)) return null
+    // Embedded IPv4 is only legal as the FINAL group of the address.
+    val buf = new java.io.ByteArrayOutputStream(16)
+    def emit(gs: Array[String], mayEndInV4: Boolean): Boolean = {
+      var i = 0
+      while (i < gs.length) {
+        val g = gs(i)
+        if (g.indexOf('.') >= 0) {
+          if (!(mayEndInV4 && i == gs.length - 1)) return false
+          val v4 = parseIpv4Literal(g)
+          if (v4 == null) return false
+          buf.write(v4, 0, 4)
+        } else {
+          if (g.length > 4) return false
+          var v = 0
+          var j = 0
+          while (j < g.length) {
+            val d = Character.digit(g.charAt(j), 16)
+            if (d < 0) return false
+            v = (v << 4) | d
+            j += 1
+          }
+          buf.write(v >> 8)
+          buf.write(v & 0xff)
+        }
+        i += 1
+      }
+      true
+    }
+    if (!emit(head, mayEndInV4 = dbl < 0 || tail.isEmpty)) return null
+    val headLen = buf.size
+    if (!emit(tail, mayEndInV4 = true)) return null
+    val total = buf.size
+    if (dbl < 0) {
+      if (total != 16) return null
+      buf.toByteArray
+    } else {
+      if (total > 14) return null // '::' must cover at least one group
+      val out = new Array[Byte](16)
+      val bytes = buf.toByteArray
+      System.arraycopy(bytes, 0, out, 0, headLen)
+      System.arraycopy(bytes, headLen, out, 16 - (total - headLen), total - headLen)
+      out
+    }
+  }
+
+  /** Strict literal address parse (4- or 16-byte result, or null). The
+    * dispatcher: dotted-only → IPv4, contains ':' → IPv6, else null —
+    * by construction no string can ever reach a hostname resolver. */
+  private def parseIpLiteral(s: String): Array[Byte] =
+    if (s.indexOf(':') >= 0) parseIpv6Literal(s)
+    else if (s.indexOf('.') >= 0) parseIpv4Literal(s)
+    else null
+
   /** CH `isIPAddressInRange(addr, 'cidr/prefix')`: prefix-bit compare,
-    * IPv4 and IPv6. Inputs are validated as literal addresses BEFORE the
-    * InetAddress parse so no hostname ever triggers a DNS lookup; an
-    * unparseable address or CIDR returns false (CH throws on malformed
-    * CIDR — documented deviation toward null-safety). */
+    * IPv4 and IPv6. Both addresses are parsed by the strict in-process
+    * literal parsers above (never `InetAddress.getByName`, so no string
+    * can trigger a data-driven DNS lookup); an unparseable address or
+    * CIDR returns false (CH throws on malformed CIDR — documented
+    * deviation toward null-safety). */
   def isIpInRange(addr: UTF8String, cidr: UTF8String): Boolean = {
     val a = addr.toString.trim
     val c = cidr.toString.trim
@@ -519,15 +624,9 @@ object CHValues {
     if (slash < 0) return false
     val base = c.substring(0, slash).trim
     val prefix = try c.substring(slash + 1).trim.toInt catch { case _: NumberFormatException => return false }
-    def looksLikeIp(s: String): Boolean =
-      s.nonEmpty && s.forall(ch => ch.isDigit || ch == '.' || ch == ':' ||
-        ('a' <= ch && ch <= 'f') || ('A' <= ch && ch <= 'F'))
-    if (!looksLikeIp(a) || !looksLikeIp(base)) return false
-    val (ab, bb) =
-      try (java.net.InetAddress.getByName(a).getAddress,
-        java.net.InetAddress.getByName(base).getAddress)
-      catch { case _: java.net.UnknownHostException => return false }
-    if (ab.length != bb.length) return false
+    val ab = parseIpLiteral(a)
+    val bb = parseIpLiteral(base)
+    if (ab == null || bb == null || ab.length != bb.length) return false
     if (prefix < 0 || prefix > ab.length * 8) return false
     var bits = prefix
     var i = 0

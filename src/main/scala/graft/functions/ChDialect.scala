@@ -1428,8 +1428,11 @@ object ChDialect {
     }
 
   /** CH map arithmetic over the key UNION via MapZipWith: `add`/`sub`
-    * treat an absent key as 0; `update` keeps m2's value on shared keys
-    * (CH mapUpdate). */
+    * treat an absent key as 0; `update` takes m2's value whenever the KEY
+    * is present in m2 (CH mapUpdate) — guarded by MapContainsKey rather
+    * than Coalesce, because inside MapZipWith a NULL v2 conflates "key
+    * absent in m2" with "key present, value NULL" and CH keeps m2's NULL
+    * in the latter case. */
   private def mapMerge(m1: Expression, m2: Expression, op: String): Expression = {
     val k = UnresolvedNamedLambdaVariable(Seq("ch_mm_k"))
     val v1 = UnresolvedNamedLambdaVariable(Seq("ch_mm_a"))
@@ -1437,7 +1440,7 @@ object ChDialect {
     val body = op match {
       case "add" => Add(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
       case "sub" => Subtract(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
-      case _ => Coalesce(Seq(v2, v1))
+      case _ => If(MapContainsKey(m2, k), v2, v1)
     }
     MapZipWith(m1, m2, LambdaFunction(body, Seq(k, v1, v2)))
   }

@@ -49,13 +49,17 @@ object TextOps extends QueryRegistry {
     // rollup's null level IS the global set). Previously langs-distinct,
     // vocab-count and totals were three separate jobs; per-job overhead
     // was most of this operator's fixture-scale cost.
+    // grouping("lang") distinguishes the rollup's grand-total row from a
+    // genuine NULL-lang group — isNullAt alone would conflate the two and
+    // could pick the wrong global vocab count for NB smoothing.
     val lt = train.rollup("lang")
-      .agg(sum(col("k")).as("tot"), countDistinct(col("w")).as("nw"))
+      .agg(sum(col("k")).as("tot"), countDistinct(col("w")).as("nw"),
+        grouping(col("lang")).as("g"))
       .collect()
-    val langs = lt.filter(!_.isNullAt(0)).map(_.getString(0)).sorted.toSeq
-    val totals = lt.filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
-    val vocab = lt.find(_.isNullAt(0)).get.getLong(2).toDouble
+    val perLang = lt.filter(r => r.getByte(3) == 0 && !r.isNullAt(0))
+    val langs = perLang.map(_.getString(0)).sorted.toSeq
+    val totals = perLang.map(r => r.getString(0) -> r.getLong(1)).toMap // #languages scalars
+    val vocab = lt.find(_.getByte(3) == 1).get.getLong(2).toDouble
 
     // top-N training words by frequency — bounds the broadcast profile
     val kept = train.groupBy("w").agg(sum(col("k")).as("c"))
@@ -782,6 +786,25 @@ object TextOps extends QueryRegistry {
              |  CAST(row_number() OVER (PARTITION BY query_id
              |    ORDER BY score DESC, doc_id) AS BIGINT) AS hn_rank
              |FROM withcos WHERE cos < 0.0
-             |QUALIFY hn_rank <= 5""".stripMargin))
+             |QUALIFY hn_rank <= 5""".stripMargin)),
+
+    // ---- BPE merge learning (Sennrich et al. 2016): the first 8
+    // learned merges over the corpus vocabulary. The oracle REPLAYS the
+    // learner step-by-step — 8 chained MATERIALIZED CTE stages, each a
+    // pair-count + argmax + literal replace sharing the double-space
+    // symbol encoding — so rank order, merge pair, AND pair count are
+    // all independently recomputed. ----
+    QueryDef(
+      "x_text_bpe_learn",
+      (s, d) => learnBpeMerges(t(s, d, "documents"), nMerges = 8),
+      Some(bpeLearnOracle(8))),
+
+    // ---- BPE encoding: per-doc token counts under the 6-merge vocab,
+    // via a broadcast join from per-doc word counts to the final
+    // symbol-count table (corpus never re-shuffles). ----
+    QueryDef(
+      "x_text_bpe_encode",
+      (s, d) => bpeEncode(t(s, d, "documents"), nMerges = 6),
+      Some(bpeEncodeOracle(6)))
   )
 }

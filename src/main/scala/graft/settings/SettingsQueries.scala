@@ -20,8 +20,11 @@ object SettingsQueries extends QueryRegistry {
       if (wh.getScheme == null) wh.toString else wh.getPath).resolve(name)
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // Files.walk holds directory handles until the stream closes —
+      // collect inside Using so no descriptor leaks per ch_ddl_* run.
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

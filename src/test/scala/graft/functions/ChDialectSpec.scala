@@ -1777,10 +1777,15 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT element_at(mapAdd(map('a', 1), map('a', 2, 'b', 5)), 'b')") === 5)
     assert(one("SELECT element_at(mapSubtract(map('a', 3), map('a', 1)), 'a')") === 2)
     assert(one("SELECT element_at(mapUpdate(map('a', 1, 'b', 2), map('b', 9)), 'b')") === 9)
+    // mapUpdate keeps m2's explicit NULL on a shared key (MapContainsKey
+    // guard — a Coalesce would silently fall back to m1's value)
+    assert(one("SELECT element_at(mapUpdate(map('a', 1), map('a', CAST(NULL AS INT))), 'a')") === null)
     assert(one("SELECT size(emptyArrayInt32())") === 0)
     assert(one("SELECT size(emptyArrayString())") === 0)
-    // javaHash IS String.hashCode
+    // javaHash: 31*h + signed UTF-8 byte (CH JavaHashImpl). Agrees with
+    // String.hashCode on ASCII; diverges on multi-byte chars.
     assert(one("SELECT javaHash('abc')") === 96354)
+    assert(one("SELECT javaHash('ы')") === 31 * (0xD1 - 256) + (0x8B - 256)) // -1574, from raw bytes
     // base58: round trip + the leading-zero-byte → '1' rule
     assert(one("SELECT base58Decode(base58Encode('hello world'))") === "hello world")
     assert(one("SELECT substring(base58Encode(concat(char(0), 'a')), 1, 1)") === "1")
@@ -1791,6 +1796,14 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT isIPAddressInRange('128.0.0.1', '127.0.0.0/8')") === false)
     assert(one("SELECT isIPAddressInRange('2001:db8::1', '2001:db8::/32')") === true)
     assert(one("SELECT isIPAddressInRange('2001:db9::1', '2001:db8::/32')") === false)
+    // strict-literal parse: hostname-shaped / malformed strings are
+    // rejected in-process and can NEVER reach a DNS resolver
+    assert(one("SELECT isIPAddressInRange('cafe', '10.0.0.0/8')") === false)
+    assert(one("SELECT isIPAddressInRange('abc.def', '10.0.0.0/8')") === false)
+    assert(one("SELECT isIPAddressInRange('999.1.1.1', '10.0.0.0/8')") === false)
+    assert(one("SELECT isIPAddressInRange('1.2.3', '10.0.0.0/8')") === false)
+    assert(one("SELECT isIPAddressInRange('2001:db8::1::2', '2001:db8::/32')") === false)
+    assert(one("SELECT isIPAddressInRange('::ffff:192.168.0.1', '::ffff:192.168.0.0/112')") === true)
   }
 
   test("CH CREATE TABLE DDL: types map, ENGINE tail drops, FINAL/SAMPLE keys register") {

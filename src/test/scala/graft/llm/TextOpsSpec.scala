@@ -120,4 +120,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(2L), out.toSeq.toString)
     assert(out.head._2 < 0.0 && out.head._3 === 1L)
   }
+
+  test("BPE learns the classic merge sequence (greedy-left, count ties break lexically)") {
+    // "low" ×5, "lower" ×2, "aaaa" ×3 — pins three behaviors:
+    //  1. pair stats count OVERLAPPING positions: [a,a,a,a] has THREE
+    //     (a,a) pairs, so (a,a)=9 beats (l,o)=7 for merge 1;
+    //  2. the merge pass is greedy-left: [a,a,a,a] → [aa,aa] in one
+    //     pass (not [aa,a,a]), leaving (aa,aa)=3 for a later merge;
+    //  3. a merged symbol participates in later pairs (lo+w → low).
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val (merges, vocab) = TextOps.learnBpe(docs, nMerges = 4)
+    assert(merges.map(m => (m._2, m._3)) ===
+      Seq(("a", "a"), ("l", "o"), ("lo", "w"), ("aa", "aa")),
+      merges.toString)
+    assert(merges.map(_._4) === Seq(9L, 7L, 7L, 3L), merges.toString)
+    val seqs = vocab.collect().map(r => r.getString(0) -> r.getString(1).trim).toMap
+    assert(seqs("low") === "low")
+    assert(seqs("aaaa") === "aaaa")
+    assert(seqs("lower") === "low  e  r") // low merged; e,r untouched
+    // encode: token count per doc under the learned vocab
+    val enc = TextOps.bpeEncode(docs, nMerges = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc(1L) === 5L)  // 5 × [low]
+    assert(enc(2L) === 6L)  // 2 × [low,e,r]
+    assert(enc(3L) === 3L)  // 3 × [aaaa]
+  }
 }
