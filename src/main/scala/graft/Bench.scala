@@ -31,10 +31,24 @@ object Bench {
       if (unknown.nonEmpty)
         sys.error(s"SPARK_GRAFT_QUERIES names not in the registry: ${unknown.mkString(", ")}")
     }
-    val samples = SparkEntry.queries
+    // Deterministic SORTED run order: `queries` is a hash Map, so adding
+    // one query used to reshuffle every neighbor pairing between rounds
+    // (the round-9 b_jn15 investigation). Sorted order keeps each
+    // query's predecessor fixed across rounds, making per-round
+    // comparisons apples-to-apples.
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+        val s = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+        // cross-query state hygiene: several operators localCheckpoint
+        // corpus-derived frames (langid, BPE, dedup CC) and never
+        // unpersist — leaked blocks shrink the unified-memory pool for
+        // whoever runs NEXT (sort spills), a run-order-dependent tax.
+        // Dropping leaked blocks after each query's 3 reps keeps every
+        // query's measurement independent of its neighbors.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> s
       }
     val results = samples.map { case (name, s) => name -> s.head }
     val medians = samples.map { case (name, s) => name -> s(1) }
@@ -52,7 +66,7 @@ object Bench {
     def jmap(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     def line(qs: Iterable[(String, Double)], extra: String): String = {
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = results.map(_._2).sum
       s"""{"metric":"total","value":${f(total)},"unit":"sec"$extra,"queries":${jmap(qs)},"sf":"$sfDir"}"""
     }
     val fullLine = line(results,
@@ -65,7 +79,7 @@ object Bench {
     println(fullLine)
     val headline = Set("b_prj1_project", "b_src1_scan", "b_agg1_hash_agg", "b_fnm1_math",
       "b_fnc1_cast", "b_snk1_insert_roundtrip", "b_src4_connector_scan")
-    val compact = results.toSeq.sortBy(-_._2)
+    val compact = results.sortBy(-_._2)
       .filter { case (k, v) => v >= 0.25 || headline(k) }
       .take(40)
     println(line(compact, s""","n_queries":${results.size}"""))

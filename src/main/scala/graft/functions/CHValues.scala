@@ -310,6 +310,368 @@ object CHValues {
   /** CH `sipHash64(x)`: zero-key SipHash-2-4 over the raw bytes. */
   def sipHash64(data: Array[Byte]): Long = sipHash24(0L, 0L, data)
 
+  // -------------------------------------------------- CityHash 1.0.2
+  // ClickHouse pins cityHash64 to the PRE-1.0.3 CityHash semantics (its
+  // native protocol also checksums every compressed block with
+  // CityHash128 — the reference transports those at
+  // clickhouse-arrow/src/compression.rs:47 via the cityhash-rs "102"
+  // kernels). Transcribed from the published city.cc 1.0.2 algorithm
+  // (Pike & Alakuijala, Google 2011); Scala Long arithmetic is
+  // 2's-complement mod-2^64, exactly the uint64 ops the paper needs.
+
+  private final val cityK0 = 0xc3a5c85c97cb3127L
+  private final val cityK1 = 0xb492b66fbe98f273L
+  private final val cityK2 = 0x9ae16a3b2f90404fL
+  private final val cityK3 = 0xc949d7c7509e6557L
+  private final val hashKMul = 0x9ddfea08eb382d69L
+
+  @inline private def fetch64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var j = 7
+    while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+    v // little-endian load
+  }
+  @inline private def fetch32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  @inline private def rotR(v: Long, s: Int): Long = java.lang.Long.rotateRight(v, s)
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  /** city.cc `Hash128to64(uint128(u, v))`: u is the LOW half. */
+  @inline private def hashLen16(u: Long, v: Long): Long = {
+    var a = (u ^ v) * hashKMul
+    a ^= (a >>> 47)
+    var b = (v ^ a) * hashKMul
+    b ^= (b >>> 47)
+    b * hashKMul
+  }
+
+  private def cityHashLen0to16(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len > 8) {
+      val a = fetch64(s, 0)
+      val b = fetch64(s, len - 8)
+      // RotateByAtLeast1(b + len, len): len is 9..16, never 0
+      hashLen16(a, rotR(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(s, 0)
+      hashLen16(len + (a << 3), fetch32(s, len - 4))
+    } else if (len > 0) {
+      val a = s(0) & 0xffL
+      val b = s(len >> 1) & 0xffL
+      val c = s(len - 1) & 0xffL
+      val y = a + (b << 8)
+      val z = len + (c << 2)
+      shiftMix(y * cityK2 ^ z * cityK3) * cityK2
+    } else cityK2
+  }
+
+  private def cityHashLen17to32(s: Array[Byte]): Long = {
+    val len = s.length
+    val a = fetch64(s, 0) * cityK1
+    val b = fetch64(s, 8)
+    val c = fetch64(s, len - 8) * cityK2
+    val d = fetch64(s, len - 16) * cityK0
+    hashLen16(
+      rotR(a - b, 43) + rotR(c, 30) + d,
+      a + rotR(b ^ cityK3, 20) - c + len)
+  }
+
+  private def cityHashLen33to64(s: Array[Byte]): Long = {
+    val len = s.length
+    var z = fetch64(s, 24)
+    var a = fetch64(s, 0) + (len + fetch64(s, len - 16)) * cityK0
+    var b = rotR(a + z, 52)
+    var c = rotR(a, 37)
+    a += fetch64(s, 8)
+    c += rotR(a, 7)
+    a += fetch64(s, 16)
+    val vf = a + z
+    val vs = b + rotR(a, 31) + c
+    a = fetch64(s, 16) + fetch64(s, len - 32)
+    z = fetch64(s, len - 8)
+    b = rotR(a + z, 52)
+    c = rotR(a, 37)
+    a += fetch64(s, len - 24)
+    c += rotR(a, 7)
+    a += fetch64(s, len - 16)
+    val wf = a + z
+    val ws = b + rotR(a, 31) + c
+    val r = shiftMix((vf + ws) * cityK2 + (wf + vs) * cityK0)
+    shiftMix(r * cityK0 + vs) * cityK2
+  }
+
+  /** city.cc `WeakHashLen32WithSeeds` over s[off..off+32). */
+  private def cityWeak32(s: Array[Byte], off: Int, a0: Long, b0: Long): (Long, Long) = {
+    val w = fetch64(s, off)
+    val x = fetch64(s, off + 8)
+    val y = fetch64(s, off + 16)
+    val z = fetch64(s, off + 24)
+    var a = a0 + w
+    var b = rotR(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rotR(a, 44)
+    (a + z, b + c)
+  }
+
+  /** CH `cityHash64(s)`: CityHash64 v1.0.2 over the raw bytes. */
+  def cityHash64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 16) cityHashLen0to16(s)
+    else if (len <= 32) cityHashLen17to32(s)
+    else if (len <= 64) cityHashLen33to64(s)
+    else {
+      var x = fetch64(s, 0)
+      var y = fetch64(s, len - 16) ^ cityK1
+      var z = fetch64(s, len - 56) ^ cityK0
+      var v = cityWeak32(s, len - 64, len.toLong, y)
+      var w = cityWeak32(s, len - 32, len.toLong * cityK1, cityK0)
+      z += shiftMix(v._2) * cityK1
+      x = rotR(z + x, 39) * cityK1
+      y = rotR(y, 33) * cityK1
+      var off = 0
+      var rem = (len - 1) & ~63
+      do {
+        x = rotR(x + y + v._1 + fetch64(s, off + 16), 37) * cityK1
+        y = rotR(y + v._2 + fetch64(s, off + 48), 42) * cityK1
+        x ^= w._2
+        y ^= v._1
+        z = rotR(z ^ w._1, 33)
+        v = cityWeak32(s, off, v._2 * cityK1, x + w._1)
+        w = cityWeak32(s, off + 32, z + w._2, y)
+        val t = z; z = x; x = t
+        off += 64
+        rem -= 64
+      } while (rem != 0)
+      hashLen16(
+        hashLen16(v._1, w._1) + shiftMix(y) * cityK1 + z,
+        hashLen16(v._2, w._2) + x)
+    }
+  }
+
+  // -------------------------------------------------- FarmHash Fingerprint64
+  // CH `farmFingerprint64` = FarmHash `Fingerprint64` (farmhashna::Hash64
+  // — the STABLE, dispatch-free 64-bit FarmHash; CH documents it as the
+  // portable choice over farmHash64, whose farmhashxo kernel the library
+  // itself warns may vary). Transcribed from the published farmhash.cc;
+  // CHTypeSpec cross-validates every length bucket against Guava's
+  // INDEPENDENT FarmHashFingerprint64 implementation.
+
+  @inline private def farmHashLen16(u: Long, v: Long, mul: Long): Long = {
+    var a = (u ^ v) * mul
+    a ^= (a >>> 47)
+    var b = (v ^ a) * mul
+    b ^= (b >>> 47)
+    b * mul
+  }
+
+  private def farmHashLen0to16(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len >= 8) {
+      val mul = cityK2 + len * 2L
+      val a = fetch64(s, 0) + cityK2
+      val b = fetch64(s, len - 8)
+      val c = rotR(b, 37) * mul + a
+      val d = (rotR(a, 25) + b) * mul
+      farmHashLen16(c, d, mul)
+    } else if (len >= 4) {
+      val mul = cityK2 + len * 2L
+      val a = fetch32(s, 0)
+      farmHashLen16(len + (a << 3), fetch32(s, len - 4), mul)
+    } else if (len > 0) {
+      val a = s(0) & 0xffL
+      val b = s(len >> 1) & 0xffL
+      val c = s(len - 1) & 0xffL
+      val y = a + (b << 8)
+      val z = len + (c << 2)
+      shiftMix(y * cityK2 ^ z * cityK0) * cityK2
+    } else cityK2
+  }
+
+  private def farmHashLen17to32(s: Array[Byte]): Long = {
+    val len = s.length
+    val mul = cityK2 + len * 2L
+    val a = fetch64(s, 0) * cityK1
+    val b = fetch64(s, 8)
+    val c = fetch64(s, len - 8) * mul
+    val d = fetch64(s, len - 16) * cityK2
+    farmHashLen16(
+      rotR(a + b, 43) + rotR(c, 30) + d,
+      a + rotR(b + cityK2, 18) + c, mul)
+  }
+
+  private def farmHashLen33to64(s: Array[Byte]): Long = {
+    val len = s.length
+    val mul = cityK2 + len * 2L
+    val a = fetch64(s, 0) * cityK2
+    val b = fetch64(s, 8)
+    val c = fetch64(s, len - 8) * mul
+    val d = fetch64(s, len - 16) * cityK2
+    val y = rotR(a + b, 43) + rotR(c, 30) + d
+    val z = farmHashLen16(y, a + rotR(b + cityK2, 18) + c, mul)
+    val e = fetch64(s, 16) * mul
+    val f = fetch64(s, 24)
+    val g = (y + fetch64(s, len - 32)) * mul
+    val h = (z + fetch64(s, len - 24)) * mul
+    farmHashLen16(
+      rotR(e + f, 43) + rotR(g, 30) + h,
+      e + rotR(f + a, 18) + g, mul)
+  }
+
+  /** CH `farmFingerprint64(s)`: FarmHash Fingerprint64 over raw bytes. */
+  def farmFingerprint64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 16) farmHashLen0to16(s)
+    else if (len <= 32) farmHashLen17to32(s)
+    else if (len <= 64) farmHashLen33to64(s)
+    else {
+      val seed = 81L
+      var x = seed
+      var y = seed * cityK1 + 113L
+      var z = shiftMix(y * cityK2 + 113L) * cityK2
+      var v = (0L, 0L)
+      var w = (0L, 0L)
+      x = x * cityK2 + fetch64(s, 0)
+      val end = ((len - 1) / 64) * 64
+      val last64 = end + ((len - 1) & 63) - 63
+      var off = 0
+      do {
+        x = rotR(x + y + v._1 + fetch64(s, off + 8), 37) * cityK1
+        y = rotR(y + v._2 + fetch64(s, off + 48), 42) * cityK1
+        x ^= w._2
+        y += v._1 + fetch64(s, off + 40)
+        z = rotR(z + w._1, 33) * cityK1
+        v = cityWeak32(s, off, v._2 * cityK1, x + w._1)
+        w = cityWeak32(s, off + 32, z + w._2, y + fetch64(s, off + 16))
+        val t = z; z = x; x = t
+        off += 64
+      } while (off != end)
+      val mul = cityK1 + ((z & 0xff) << 1)
+      off = last64
+      w = (w._1 + ((len - 1) & 63), w._2)
+      v = (v._1 + w._1, v._2)
+      w = (w._1 + v._1, w._2)
+      x = rotR(x + y + v._1 + fetch64(s, off + 8), 37) * mul
+      y = rotR(y + v._2 + fetch64(s, off + 48), 42) * mul
+      x ^= w._2 * 9L
+      y += v._1 * 9L + fetch64(s, off + 40)
+      z = rotR(z + w._1, 33) * mul
+      v = cityWeak32(s, off, v._2 * mul, x + w._1)
+      w = cityWeak32(s, off + 32, z + w._2, y + fetch64(s, off + 16))
+      val t = z; z = x; x = t
+      farmHashLen16(
+        farmHashLen16(v._1, w._1, mul) + shiftMix(y) * cityK0 + z,
+        farmHashLen16(v._2, w._2, mul) + x, mul)
+    }
+  }
+
+  // -------------------------------------------------- MurmurHash2 / 3
+  // CH `murmurHash2_64` = Appleby's MurmurHash64A, seed 0. CH
+  // `murmurHash3_128` = MurmurHash3_x64_128 seed 0 (16 raw bytes), and
+  // `murmurHash3_64` is the XOR of that digest's two 64-bit halves
+  // (ClickHouse MurmurHash3Impl64). The x64_128 core is cross-validated
+  // against Guava's INDEPENDENT Murmur3_128 implementation in-spec.
+
+  /** MurmurHash64A(data, seed=0): CH `murmurHash2_64`. */
+  def murmurHash2_64(data: Array[Byte]): Long = {
+    val m = 0xc6a4a7935bd1e995L
+    val r = 47
+    val len = data.length
+    var h = 0L ^ (len * m)
+    val full = len - (len % 8)
+    var i = 0
+    while (i < full) {
+      var k = fetch64(data, i)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h ^= k
+      h *= m
+      i += 8
+    }
+    var j = len - 1
+    while (j >= full) { // tail: switch-fallthrough in the reference
+      h ^= (data(j) & 0xffL) << (8 * (j - full))
+      j -= 1
+    }
+    if (len % 8 != 0) h *= m
+    h ^= h >>> r
+    h *= m
+    h ^= h >>> r
+    h
+  }
+
+  @inline private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  /** MurmurHash3_x64_128(data, seed=0) → (h1, h2). */
+  def murmurHash3x64128(data: Array[Byte]): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    val len = data.length
+    var h1 = 0L
+    var h2 = 0L
+    val nblocks = len / 16
+    var i = 0
+    while (i < nblocks) {
+      var k1 = fetch64(data, i * 16)
+      var k2 = fetch64(data, i * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5L + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5L + 0x38495ab5L
+      i += 1
+    }
+    val tailOff = nblocks * 16
+    val rem = len & 15
+    var k1 = 0L
+    var k2 = 0L
+    var j = rem
+    while (j > 8) { j -= 1; k2 ^= (data(tailOff + j) & 0xffL) << (8 * (j - 8)) }
+    if (rem > 8) {
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      j = 8
+    }
+    while (j > 0) { j -= 1; k1 ^= (data(tailOff + j) & 0xffL) << (8 * j) }
+    if (rem > 0) {
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len
+    h2 ^= len
+    h1 += h2
+    h2 += h1
+    h1 = fmix64(h1)
+    h2 = fmix64(h2)
+    h1 += h2
+    h2 += h1
+    (h1, h2)
+  }
+
+  /** CH `murmurHash3_64(s)`: XOR of the x64_128 digest halves. */
+  def murmurHash3_64(data: Array[Byte]): Long = {
+    val (h1, h2) = murmurHash3x64128(data)
+    h1 ^ h2
+  }
+
+  /** CH `murmurHash3_128(s)`: the 16 raw digest bytes (h1 LE, h2 LE). */
+  def murmurHash3_128(data: Array[Byte]): Array[Byte] = {
+    val (h1, h2) = murmurHash3x64128(data)
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) { out(i) = (h1 >>> (8 * i)).toByte; i += 1 }
+    while (i < 16) { out(i) = (h2 >>> (8 * (i - 8))).toByte; i += 1 }
+    out
+  }
+
   // ------------------------------------------------------- UTF-8 tools
 
   /** CH `normalizeUTF8NFC/NFD/NFKC/NFKD` — Unicode normalization via

@@ -389,6 +389,32 @@ object ChDialect {
     // fails analysis loudly instead of hashing a Spark-specific layout.
     fn("sipHash64", 1) { a =>
       uint64(ValueExpressions.SipHash64Raw(Cast(a.head, BinaryType))) },
+    // CH cityHash64: CityHash64 v1.0.2 (CH's default sharding/sampling
+    // hash; CH pins the PRE-1.0.3 semantics — kernel transcribed from
+    // the published city.cc 1.0.2, branch-boundary pins + golden oracle
+    // in b_fnh4). Same byte-extraction contract as sipHash64.
+    fn("cityHash64", 1) { a =>
+      uint64(ValueExpressions.CityHash64Raw(Cast(a.head, BinaryType))) },
+    // CH farmFingerprint64: FarmHash Fingerprint64 — the STABLE FarmHash
+    // (CH documents it as the portable choice). Kernel cross-validated
+    // against Guava's independent implementation (CHTypeSpec).
+    // farmHash64 itself stays deliberately unmapped-loud: CH binds it to
+    // farmhashxo::Hash64, for which no independent implementation exists
+    // in this sandbox to certify bit-exactness.
+    fn("farmFingerprint64", 1) { a =>
+      uint64(ValueExpressions.FarmFingerprint64Raw(Cast(a.head, BinaryType))) },
+    // CH murmurHash2_64: MurmurHash64A seed 0 (Appleby's reference tail/
+    // finalization; branch pins in ChDialectSpec).
+    fn("murmurHash2_64", 1) { a =>
+      uint64(ValueExpressions.MurmurHash2_64Raw(Cast(a.head, BinaryType))) },
+    // CH murmurHash3_64 / murmurHash3_128: MurmurHash3_x64_128 seed 0 —
+    // the 64-bit spelling XORs the digest halves (CH MurmurHash3Impl64),
+    // the 128-bit spelling returns the 16 raw bytes (FixedString(16) in
+    // CH, binary here). Core cross-validated against Guava Murmur3_128.
+    fn("murmurHash3_64", 1) { a =>
+      uint64(ValueExpressions.MurmurHash3_64Raw(Cast(a.head, BinaryType))) },
+    fn("murmurHash3_128", 1) { a =>
+      ValueExpressions.MurmurHash3_128Raw(Cast(a.head, BinaryType)) },
     // (CH `xxHash64` is NOT aliased — Spark owns `xxhash64`
     // case-insensitively, with seed 42 and a typed hash protocol;
     // shadowing it would silently change existing Spark queries.

@@ -124,6 +124,66 @@ object ValueExpressions {
       copy(child = c)
   }
 
+  /** CityHash64 v1.0.2 over raw bytes — the CH `cityHash64` core (CH's
+    * default sharding/sampling hash; the reference checksums blocks with
+    * the sibling CityHash128, clickhouse-arrow/src/compression.rs:47). */
+  final case class CityHash64Raw(child: Expression)
+      extends CHUnary("city_hash64_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "cityHash64"
+    protected def evalKernel(v: Any): Any =
+      CHValues.cityHash64(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): CityHash64Raw =
+      copy(child = c)
+  }
+
+  /** FarmHash Fingerprint64 — CH `farmFingerprint64` (the stable,
+    * dispatch-free FarmHash; cross-validated against Guava's independent
+    * implementation in CHTypeSpec). */
+  final case class FarmFingerprint64Raw(child: Expression)
+      extends CHUnary("farm_fingerprint64_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "farmFingerprint64"
+    protected def evalKernel(v: Any): Any =
+      CHValues.farmFingerprint64(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): FarmFingerprint64Raw =
+      copy(child = c)
+  }
+
+  /** MurmurHash64A, seed 0 — CH `murmurHash2_64`. */
+  final case class MurmurHash2_64Raw(child: Expression)
+      extends CHUnary("murmur_hash2_64_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "murmurHash2_64"
+    protected def evalKernel(v: Any): Any =
+      CHValues.murmurHash2_64(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): MurmurHash2_64Raw =
+      copy(child = c)
+  }
+
+  /** XOR of the MurmurHash3_x64_128 digest halves — CH `murmurHash3_64`
+    * (MurmurHash3Impl64). */
+  final case class MurmurHash3_64Raw(child: Expression)
+      extends CHUnary("murmur_hash3_64_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "murmurHash3_64"
+    protected def evalKernel(v: Any): Any =
+      CHValues.murmurHash3_64(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): MurmurHash3_64Raw =
+      copy(child = c)
+  }
+
+  /** The 16 raw MurmurHash3_x64_128 digest bytes — CH `murmurHash3_128`
+    * (FixedString(16) there, BinaryType here). */
+  final case class MurmurHash3_128Raw(child: Expression)
+      extends CHUnary("murmur_hash3_128_raw", BinaryType, BinaryType) {
+    protected def kernelName = "murmurHash3_128"
+    protected def evalKernel(v: Any): Any =
+      CHValues.murmurHash3_128(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): MurmurHash3_128Raw =
+      copy(child = c)
+  }
+
   /** CH `empty`/`notEmpty` are polymorphic over strings, binaries,
     * arrays and maps — no single builtin covers all four, so this is a
     * tiny codegen'd expression instead of a dialect alias. */

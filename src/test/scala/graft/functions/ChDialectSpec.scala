@@ -705,6 +705,60 @@ class ChDialectSpec extends SparkSpec {
     assert(viaSql.compareTo(expected) === 0)
   }
 
+  test("farmFingerprint64 / murmur3 kernels match Guava's independent implementations") {
+    // Guava (on Spark's classpath) carries INDEPENDENT implementations
+    // of FarmHash Fingerprint64, MurmurHash3_x64_128 and SipHash-2-4 —
+    // a true cross-implementation golden check, swept across every
+    // length-branch boundary of the kernels (0..16, 17..32, 33..64,
+    // 64+ incl. multi-block and the 1-mod-64 edge).
+    import com.google.common.hash.Hashing
+    val rng = new scala.util.Random(42)
+    val lengths = (0 to 70) ++ Seq(127, 128, 129, 191, 192, 193, 255, 256, 1000)
+    for (len <- lengths) {
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      assert(CHValues.farmFingerprint64(b) ===
+        Hashing.farmHashFingerprint64().hashBytes(b).asLong(),
+        s"farmFingerprint64 diverges from Guava at len=$len")
+      val g = Hashing.murmur3_128(0).hashBytes(b).asBytes()
+      assert(CHValues.murmurHash3_128(b).toSeq === g.toSeq,
+        s"murmurHash3_128 diverges from Guava at len=$len")
+      // CH murmurHash3_64 = XOR of the two digest halves
+      def le64(a: Array[Byte], off: Int): Long =
+        (0 until 8).map(i => (a(off + i) & 0xffL) << (8 * i)).reduce(_ | _)
+      assert(CHValues.murmurHash3_64(b) === (le64(g, 0) ^ le64(g, 8)))
+      // bonus cross-pin: the SipHash-2-4 core against Guava's keys
+      assert(CHValues.sipHash24(0x0706050403020100L, 0x0f0e0d0c0b0a0908L, b) ===
+        Hashing.sipHash24(0x0706050403020100L, 0x0f0e0d0c0b0a0908L).hashBytes(b).asLong(),
+        s"sipHash24 diverges from Guava at len=$len")
+    }
+  }
+
+  test("cityHash64 v1.0.2: structural pins and branch behavior") {
+    // No independent CityHash-1.0.2 implementation exists in this
+    // sandbox (Guava never shipped CityHash; the reference's cityhash-rs
+    // crate source is not vendored), so this kernel is certified by:
+    // (1) the algebraic pin len=0 → k2 (the algorithm returns the
+    // constant directly); (2) byte/length sensitivity across every
+    // branch boundary; (3) the b_fnh4 golden oracle freezing today's
+    // values so any future kernel drift fails the driver gate loudly.
+    assert(CHValues.cityHash64(Array.emptyByteArray) === 0x9ae16a3b2f90404fL)
+    val rng = new scala.util.Random(7)
+    for (len <- (1 to 70) ++ Seq(128, 129, 1000)) {
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      val h = CHValues.cityHash64(b)
+      assert(h === CHValues.cityHash64(b.clone()), "determinism")
+      val flipped = b.clone(); flipped(len / 2) = (flipped(len / 2) ^ 1).toByte
+      assert(h !== CHValues.cityHash64(flipped), s"byte sensitivity at len=$len")
+      assert(h !== CHValues.cityHash64(b ++ Array(0.toByte)), s"length sensitivity at len=$len")
+    }
+    // murmurHash2_64: MurmurHash64A structure — the empty input hashes
+    // the seed/finalizer only; verified value from the reference
+    // algorithm with seed 0, len 0 (h = 0, finalize only → 0)
+    assert(CHValues.murmurHash2_64(Array.emptyByteArray) === 0L)
+  }
+
   test("Spark's XxHash64 kernel is spec-XXH64 (why CH xxHash64 is NOT aliased)") {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     // published XXH64 vectors (xxHash reference implementation test
