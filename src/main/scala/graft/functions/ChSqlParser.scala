@@ -225,8 +225,8 @@ object ChSqlRewrite {
     * Spark SQL can contain. */
   def apply(sql: String): String = {
     var cur = rewriteFinal(rewriteGlobal(
-      rewriteAnyJoin(rewriteAsofJoin(rewriteNumbers(
-        rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, "")))))),
+      rewriteAnyJoin(rewriteAsofJoin(rewriteNumbers(rewriteUntuple(
+        rewriteArrayJoin(mapExplain(trailingSemi.replaceFirstIn(sql, ""))))))),
       globalJoinWords))
     var changed = true
     var guard = 0
@@ -1797,6 +1797,57 @@ object ChSqlRewrite {
           sp.sessionState.functionRegistry.functionExists(fid)
       } catch { case scala.util.control.NonFatal(_) => false }
     }
+
+  /** CH `untuple(t)` expands a tuple column's fields into top-level
+    * result columns. Spark's analog is struct star expansion (`t.*`) —
+    * SYNTAX, not a function, so no injectFunction mapping can express
+    * it; and `untuple(x)` PARSES fine as a call (dying only at
+    * analysis), so the rewrite must be always-on, like ARRAY JOIN.
+    * Only a bare or dot-qualified identifier argument rewrites; any
+    * other argument shape (CH allows arbitrary tuple expressions) is
+    * left verbatim and still fails loudly — Spark cannot star-expand a
+    * computed expression. */
+  private def rewriteUntuple(sql: String): String = {
+    val n = sql.length
+    val out = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val j = skipQuoted(sql, i); out.append(sql.substring(i, j)); i = j
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = skipLine(sql, i); out.append(sql.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = skipBlock(sql, i); out.append(sql.substring(i, j)); i = j
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(sql.charAt(i))) i += 1
+        val w = sql.substring(start, i)
+        var rewritten = false
+        if (w.equalsIgnoreCase("untuple")) {
+          var j = i
+          while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+          if (j < n && sql.charAt(j) == '(') {
+            j += 1
+            while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+            val argStart = j
+            if (j < n && Character.isJavaIdentifierStart(sql.charAt(j))) {
+              while (j < n && (Character.isJavaIdentifierPart(sql.charAt(j)) || sql.charAt(j) == '.')) j += 1
+              val argEnd = j
+              while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+              if (j < n && sql.charAt(j) == ')' && sql.charAt(argEnd - 1) != '.') {
+                out.append(sql.substring(argStart, argEnd)).append(".*")
+                i = j + 1
+                rewritten = true
+              }
+            }
+          }
+        }
+        if (!rewritten) out.append(w)
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   private def rewriteNumbers(sql: String): String = {
     val n = sql.length

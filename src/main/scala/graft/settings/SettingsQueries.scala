@@ -1384,6 +1384,26 @@ object SettingsQueries extends QueryRegistry {
              |  true AS b58_ok,
              |  true AS ipr,
              |  false AS ipr2
-             |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin)),
+
+    // ---- probe pass 8 (round 10): untuple → star expansion. The CH
+    // spelling parses as a call in Spark SQL, so the always-on text
+    // pass rewrites a bare/qualified-identifier argument to `t.*`
+    // (ChSqlParser.rewriteUntuple); the expanded COLUMN NAMES are the
+    // tuple's field names, which the oracle reproduces directly. ----
+    QueryDef(
+      "b_sql57_untuple",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_ut_v")
+        s.sql(
+          """SELECT o_orderkey, untuple(t)
+            |FROM (SELECT o_orderkey,
+            |        named_struct('prio', o_orderpriority,
+            |                     'price_cents', CAST(round(o_totalprice * 100) AS BIGINT)) AS t
+            |      FROM orders_ut_v) WHERE o_orderkey % 17 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority AS prio,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin))
   )
 }

@@ -70,6 +70,34 @@ object StreamingBatch extends QueryRegistry {
       (s, d) => Streams.dedup(t(s, d, "events")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // ---- B-STR4 under the hard gate: LIVE watermark/late-data replay.
+    // Unlike the other b_str* batch anchors, this runs the actual
+    // streaming engine (MemoryStream → withWatermark → windowed agg →
+    // APPEND sink) on a deterministic two-batch schedule; the oracle
+    // replays the engine's observable semantics — the batch-2 late rows
+    // whose window closed before wm1 are dropped, and only windows
+    // closed by the final watermark are emitted. ----
+    QueryDef(
+      "b_str9_watermark_replay",
+      (s, d) => Streams.watermarkReplay(s, t(s, d, "events")),
+      Some("""WITH e AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+             |), wm1 AS (
+             |  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e WHERE event_id % 3 <> 0
+             |), wm2 AS (
+             |  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+             |), kept AS (
+             |  SELECT ts, event_type, value FROM e WHERE event_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT ts, event_type, value FROM e, wm1
+             |  WHERE event_id % 3 = 0 AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm1.w
+             |)
+             |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sv
+             |FROM kept, wm2
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm2.w
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- stream-stream interval join, batch anchor ----
     // Same transform as Streams.intervalJoin (watermarks are no-ops in
     // batch): click → purchase attribution within 10 minutes per user.

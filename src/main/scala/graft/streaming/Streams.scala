@@ -82,6 +82,64 @@ object Streams {
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  private val wmReplaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** B-STR4 under the HARD gate: drives the LIVE streaming engine —
+    * `withWatermark` + tumbling window + APPEND mode over a MemoryStream
+    * fed a deterministic two-batch schedule — and returns the memory
+    * sink's final table for the DuckDB oracle to reproduce.
+    *
+    * Schedule: rows with `event_id % 3 != 0` arrive in batch 1; the rest
+    * arrive in batch 2, i.e. LATE. The engine's observable semantics are
+    * then fully deterministic:
+    *   wm1 = max(ts in batch 1) - 30 min        (watermark after batch 1)
+    *   a batch-2 row is DROPPED iff its window end <= wm1 (closed window)
+    *   wm2 = max(all ts) - 30 min               (final watermark)
+    *   a window is EMITTED iff its end <= wm2   (append-mode close)
+    * which is exactly the replay the oracle runs. Within a batch no row
+    * is ever late (the watermark only advances BETWEEN batches), so the
+    * result is independent of intra-batch ordering.
+    *
+    * The collect is the certification harness feeding the stream, not
+    * the operator: the transform itself (watermark + windowed agg) holds
+    * per-window state only and runs unbounded in production; at 100 TB
+    * the feed is Kafka/files, never a driver collect.
+    */
+  def watermarkReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    val (late, onTime) = rows.partition(_._1 % 3 == 0)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(
+        unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sv"))
+    val name = s"wm_replay_${wmReplaySeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(onTime.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // materialize off the transient memory-sink view: the sink's rows
+    // are driver-local and window-count-bounded
+    val out = spark.table(name).cache()
+    out.count()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Stream-stream interval join: click → purchase attribution within
     * `maxGap` per user. In streaming mode BOTH sides carry watermarks and
     * the join condition is time-bounded, so Spark can expire join state

@@ -1411,6 +1411,25 @@ class ChDialectSpec extends SparkSpec {
     assert(down === Seq(9, 5, 4, 3, 2, 1))
   }
 
+  test("untuple(t) expands a tuple column via star expansion") {
+    Seq((1, (10, "a")), (2, (20, "b"))).toDF("id", "t")
+      .createOrReplaceTempView("untuple_v")
+    val out = spark.sql("SELECT id, untuple(t) FROM untuple_v ORDER BY id")
+    assert(out.columns.toSeq === Seq("id", "_1", "_2"))
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+      === Seq((1, 10, "a"), (2, 20, "b")))
+    // qualified argument form
+    assert(spark.sql("SELECT untuple(u.t) FROM untuple_v u WHERE id = 1")
+      .collect().head.getInt(0) === 10)
+    // a computed-expression argument stays verbatim and fails LOUDLY
+    // (Spark cannot star-expand a non-column expression)
+    intercept[Exception] {
+      spark.sql("SELECT untuple(named_struct('a', 1)) FROM untuple_v").collect()
+    }
+    // the spelling inside a string literal is never touched
+    assert(spark.sql("SELECT 'untuple(x)' AS s").head.getString(0) === "untuple(x)")
+  }
+
   test("numbers(N) table function maps onto the range TVF") {
     assert(spark.sql("SELECT count(*) AS n FROM numbers(10)").head.getLong(0) === 10L)
     // CH column name `number`, qualified reference, offset form
