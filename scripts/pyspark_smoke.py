@@ -171,7 +171,18 @@ def bound_params():
     assert [(r.k, r.v) for r in rows] == [(1, 10), (1, 20)], rows
 
 
+# 11: round-10 surface — CH-exact hash kernels + untuple star expansion
+def r10_surface():
+    row = spark.sql(
+        "SELECT CAST(cityHash64('') AS STRING) AS c, untuple(t) "
+        "FROM (SELECT named_struct('a', 1, 'b', 'x') AS t)"
+    ).head()
+    # cityHash64('') = k2 of CityHash 1.0.2 (algebraic pin)
+    assert row.c == "11160318154034397263" and row.a == 1 and row.b == "x", row
+
+
 check("dialect functions", dialect)
+check("round-10 hashes + untuple", r10_surface)
 check("SETTINGS clause", settings_clause)
 check("LIMIT BY", limit_by)
 check("star APPLY", star_apply)

@@ -656,6 +656,39 @@ object CHValues {
     (h1, h2)
   }
 
+  /** CH `murmurHash3_32(s)`: MurmurHash3_x86_32 seed 0, as UInt32
+    * (returned zero-extended in a Long — CH's UInt32 rides the §1.2
+    * widening onto BIGINT). Cross-validated against Guava murmur3_32. */
+  def murmurHash3_32(data: Array[Byte]): Long = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    val len = data.length
+    var h1 = 0
+    val nblocks = len / 4
+    var i = 0
+    while (i < nblocks) {
+      var k1 = (data(i * 4) & 0xff) | ((data(i * 4 + 1) & 0xff) << 8) |
+        ((data(i * 4 + 2) & 0xff) << 16) | ((data(i * 4 + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tailOff = nblocks * 4
+    var j = len & 3
+    while (j > 0) { j -= 1; k1 ^= (data(tailOff + j) & 0xff) << (8 * j) }
+    if ((len & 3) > 0) {
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1 & 0xffffffffL
+  }
+
   /** CH `murmurHash3_64(s)`: XOR of the x64_128 digest halves. */
   def murmurHash3_64(data: Array[Byte]): Long = {
     val (h1, h2) = murmurHash3x64128(data)

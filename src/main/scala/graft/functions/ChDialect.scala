@@ -415,6 +415,10 @@ object ChDialect {
       uint64(ValueExpressions.MurmurHash3_64Raw(Cast(a.head, BinaryType))) },
     fn("murmurHash3_128", 1) { a =>
       ValueExpressions.MurmurHash3_128Raw(Cast(a.head, BinaryType)) },
+    // CH murmurHash3_32: MurmurHash3_x86_32 seed 0 → UInt32 (fits a
+    // BIGINT zero-extended; Guava-cross-validated like the 128 core)
+    fn("murmurHash3_32", 1) { a =>
+      ValueExpressions.MurmurHash3_32Raw(Cast(a.head, BinaryType)) },
     // (CH `xxHash64` is NOT aliased — Spark owns `xxhash64`
     // case-insensitively, with seed 42 and a typed hash protocol;
     // shadowing it would silently change existing Spark queries.

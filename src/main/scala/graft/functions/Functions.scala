@@ -374,24 +374,26 @@ object Functions extends QueryRegistry {
             |  CAST(farmFingerprint64(concat('graft-', CAST(doc_id % 8 AS STRING))) AS STRING) AS h_farm,
             |  CAST(murmurHash2_64(concat('graft-', CAST(doc_id % 8 AS STRING))) AS STRING) AS h_mm2,
             |  CAST(murmurHash3_64(concat('graft-', CAST(doc_id % 8 AS STRING))) AS STRING) AS h_mm3,
+            |  murmurHash3_32(concat('graft-', CAST(doc_id % 8 AS STRING))) AS h_mm332,
             |  CAST(cityHash64(substring(repeat('graft-', 20), 1, 48)) AS STRING) AS h_city48,
             |  CAST(farmFingerprint64(substring(repeat('graft-', 20), 1, 100)) AS STRING) AS h_farm100
             |FROM documents_chh4_v""".stripMargin)
       },
       Some("""SELECT doc_id, v.h_city, v.h_farm, v.h_mm2, v.h_mm3,
+             |  CAST(v.h_mm332 AS BIGINT) AS h_mm332,
              |  '13143209125338545875' AS h_city48,
              |  '8350063884095639780' AS h_farm100
              |FROM documents
              |JOIN (VALUES
-             |  (0, '4473359914463220727', '15370556460507379858', '7019289059763183720', '16207230472271503085'),
-             |  (1, '6252444007478766661', '14436089875940455547', '12131811513065963324', '9374264692655420198'),
-             |  (2, '13295349409837935334', '12014930375657851153', '8664671578182088841', '17682232873472795401'),
-             |  (3, '17449523772470675439', '10716845700431820237', '8482483021015396222', '8535841904173093602'),
-             |  (4, '16428975465549811263', '3412085737754246602', '17424539168323206691', '9151333638633219956'),
-             |  (5, '5200343875559146976', '10628921857201259031', '13145155397273927316', '690205436840057786'),
-             |  (6, '5183137872438093812', '10575817881174816697', '16260145770195834352', '12914502424750042890'),
-             |  (7, '18425937707050688089', '10443747594406866365', '10584991537798977811', '1993892985989733841')
-             |) v(m, h_city, h_farm, h_mm2, h_mm3)
+             |  (0, '4473359914463220727', '15370556460507379858', '7019289059763183720', '16207230472271503085', 471485026),
+             |  (1, '6252444007478766661', '14436089875940455547', '12131811513065963324', '9374264692655420198', 2599087965),
+             |  (2, '13295349409837935334', '12014930375657851153', '8664671578182088841', '17682232873472795401', 183302821),
+             |  (3, '17449523772470675439', '10716845700431820237', '8482483021015396222', '8535841904173093602', 420930066),
+             |  (4, '16428975465549811263', '3412085737754246602', '17424539168323206691', '9151333638633219956', 892786454),
+             |  (5, '5200343875559146976', '10628921857201259031', '13145155397273927316', '690205436840057786', 1111065604),
+             |  (6, '5183137872438093812', '10575817881174816697', '16260145770195834352', '12914502424750042890', 2947168226),
+             |  (7, '18425937707050688089', '10443747594406866365', '10584991537798977811', '1993892985989733841', 4094709846)
+             |) v(m, h_city, h_farm, h_mm2, h_mm3, h_mm332)
              |ON doc_id % 8 = v.m""".stripMargin)),
 
     // ---- B-FNC1: type conversions ----

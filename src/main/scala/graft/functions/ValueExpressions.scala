@@ -161,6 +161,18 @@ object ValueExpressions {
       copy(child = c)
   }
 
+  /** MurmurHash3_x86_32 seed 0, UInt32 zero-extended into a Long — CH
+    * `murmurHash3_32` (Guava-cross-validated). */
+  final case class MurmurHash3_32Raw(child: Expression)
+      extends CHUnary("murmur_hash3_32_raw", BinaryType,
+        org.apache.spark.sql.types.LongType) {
+    protected def kernelName = "murmurHash3_32"
+    protected def evalKernel(v: Any): Any =
+      CHValues.murmurHash3_32(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): MurmurHash3_32Raw =
+      copy(child = c)
+  }
+
   /** XOR of the MurmurHash3_x64_128 digest halves — CH `murmurHash3_64`
     * (MurmurHash3Impl64). */
   final case class MurmurHash3_64Raw(child: Expression)

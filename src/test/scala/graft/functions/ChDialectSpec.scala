@@ -727,6 +727,10 @@ class ChDialectSpec extends SparkSpec {
       def le64(a: Array[Byte], off: Int): Long =
         (0 until 8).map(i => (a(off + i) & 0xffL) << (8 * i)).reduce(_ | _)
       assert(CHValues.murmurHash3_64(b) === (le64(g, 0) ^ le64(g, 8)))
+      // murmurHash3_32 (x86_32, seed 0) — Guava murmur3_32 zero-extended
+      assert(CHValues.murmurHash3_32(b) ===
+        (Hashing.murmur3_32_fixed().hashBytes(b).asInt() & 0xffffffffL),
+        s"murmurHash3_32 diverges from Guava at len=$len")
       // bonus cross-pin: the SipHash-2-4 core against Guava's keys
       assert(CHValues.sipHash24(0x0706050403020100L, 0x0f0e0d0c0b0a0908L, b) ===
         Hashing.sipHash24(0x0706050403020100L, 0x0f0e0d0c0b0a0908L).hashBytes(b).asLong(),

@@ -180,6 +180,34 @@ class AsofLateralRuleSpec extends SparkSpec {
     assert(pick("r0.s DESC NULLS FIRST, r0.k ASC") === "nul")
   }
 
+  test("multi-inequality (range-bounded) lateral rewrites: both bounds ride as join residuals") {
+    // `l.ts >= r.rts AND l.ts < r.rts2` — the range-asof shape. The CH
+    // ASOF TEXT form rejects >1 inequality by design (CH itself allows
+    // exactly one closest-match condition — the loud parser fail is
+    // faithful); the direct LATERAL spelling is the supported route and
+    // must rewrite to equi-join + argmax with BOTH inequalities as
+    // residual conditions, never a domain nested loop.
+    Seq((1, 100L), (2, 50L)).toDF("k", "ts").createOrReplaceTempView("mi_l")
+    Seq((1, 90L, 95L, "a"), (1, 150L, 160L, "b"), (1, 80L, 200L, "c"))
+      .toDF("k", "rts", "rts2", "p").createOrReplaceTempView("mi_r")
+    val df = spark.sql(
+      """SELECT l.k, l.ts, p.p FROM mi_l l
+        |LEFT JOIN LATERAL (
+        |  SELECT r.p FROM mi_r r
+        |  WHERE l.k = r.k AND l.ts >= r.rts AND l.ts < r.rts2
+        |  ORDER BY r.rts DESC LIMIT 1) p""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+    assert(plan.contains("(ts") && plan.contains(">= rts") && plan.contains("< rts2"),
+      "both inequalities must ride the hash join as residuals: " + plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+    // row 1: only (80,200) contains ts=100; (90,95) misses the upper
+    // bound. row 2: no match -> NULL (left outer preserved)
+    assert(df.collect().map(r => (r.getInt(0), if (r.isNullAt(2)) null else r.getString(2))).toSet
+      === Set((1, "c"), (2, null)))
+  }
+
   test("LIMIT k probes take the window path (rank <= k, no nested loop)") {
     Seq((1, 100L), (2, 85L), (3, 10L)).toDF("k", "ts").createOrReplaceTempView("alrk_l")
     Seq((1, 90L, "a"), (1, 80L, "b"), (1, 70L, "c"), (1, 60L, "d"), (2, 50L, "e"))
