@@ -911,6 +911,71 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** Jaro similarity (Jaro 1989), character-based. Matches within the
+    * standard window max(|s|,|t|)/2 - 1; transpositions are half the
+    * count of order-mismatched matched characters. ASCII-exact against
+    * DuckDB's independent `jaro_similarity` (the b_sql58 oracle);
+    * non-ASCII compares UTF-16 chars, noted as the byte-vs-char
+    * ambiguity in CH's own doc ("byte strings"). */
+  def jaroSimilarity(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString.toCharArray
+    val t = b.toString.toCharArray
+    val n = s.length
+    val m = t.length
+    // empty input → 0, including empty-vs-empty (DuckDB's convention,
+    // which the oracle pins; the textbook 1.0 for two empties is the
+    // other common choice)
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s(i) == t(j)) {
+          sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var trans = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s(i) != t(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    (mm / n + mm / m + (mm - trans / 2.0) / mm) / 3.0
+  }
+
+  /** Jaro-Winkler: the Jaro score boosted by the common prefix (max 4
+    * chars, scaling 0.1) ONLY when Jaro exceeds the original Winkler
+    * boost threshold 0.7 — measured to be DuckDB's variant too
+    * ('abcdef'/'abczzz': jaro 0.667 stays unboosted), so the oracle
+    * pins it. */
+  def jaroWinklerSimilarity(a: UTF8String, b: UTF8String): Double = {
+    val j = jaroSimilarity(a, b)
+    if (j <= 0.7) return j
+    val s = a.toString
+    val t = b.toString
+    val max = math.min(4, math.min(s.length, t.length))
+    var l = 0
+    while (l < max && s.charAt(l) == t.charAt(l)) l += 1
+    j + l * 0.1 * (1 - j)
+  }
+
   /** Strict IPv4 dotted-quad parse: exactly four decimal octets 0-255.
     * Returns null on anything else — never consults a resolver. */
   private def parseIpv4Literal(s: String): Array[Byte] = {

@@ -581,10 +581,24 @@ object ChDialect {
     fn("rightUTF8", 2) { a => Right(a.head, a(1)) },
     fn("base64Encode", 1) { a => Base64(Cast(a.head, BinaryType)) },
     fn("base64Decode", 1) { a => Cast(UnBase64(a.head), StringType) },
-    fn("encodeURLComponent", 1) { a => new UrlEncode(a.head) },
-    fn("decodeURLComponent", 1) { a => new UrlDecode(a.head) },
+    // CH encodeURLComponent percent-encodes space as %20; Java/Spark's
+    // UrlEncode is the FORM variant (space → '+'). A literal '+' in the
+    // input encodes to %2B first, so post-replacing '+' → %20 is exact.
+    // Symmetrically, CH decodeURLComponent leaves '+' alone while
+    // UrlDecode would turn it into a space — pre-escaping '+' → %2B
+    // preserves it. The Form-variant spellings map directly.
+    fn("encodeURLComponent", 1) { a =>
+      StringReplace(new UrlEncode(a.head), Literal("+"), Literal("%20")) },
+    fn("decodeURLComponent", 1) { a =>
+      new UrlDecode(StringReplace(a.head, Literal("+"), Literal("%2B"))) },
+    fn("encodeURLFormComponent", 1) { a => new UrlEncode(a.head) },
+    fn("decodeURLFormComponent", 1) { a => new UrlDecode(a.head) },
     fn("levenshteinDistance", 2) { a => Levenshtein(a.head, a(1)) },
     fn("editDistance", 2) { a => Levenshtein(a.head, a(1)) },
+    // jaro family: CHValues kernels, DuckDB-oracled (b_sql58); CH docs
+    // say "byte strings" — these compare chars, ASCII-identical
+    fn("jaroSimilarity", 2) { a => ValueExpressions.JaroSim(a.head, a(1)) },
+    fn("jaroWinklerSimilarity", 2) { a => ValueExpressions.JaroWinklerSim(a.head, a(1)) },
     fn("regexpQuoteMeta", 1) { a =>
       RegExpReplace(a.head, Literal("([.^$*+?()\\[\\]{}|\\\\])"), Literal("\\\\$1")) },
     fn("mapFromArrays", 2) { a => MapFromArrays(a.head, a(1)) },
@@ -621,6 +635,17 @@ object ChDialect {
     fn("JSONHas", 2) { a =>
       IsNotNull(GetJsonObject(a.head, Literal("$." + litString(a(1), "JSONHas")))) },
     fn("JSONLength", 1) { a => LengthOfJsonArray(a.head) },
+    // SQL-standard JSON spellings CH also accepts: the PATH argument is
+    // already JSONPath ('$.a[0]'), passed through verbatim. JSON_QUERY
+    // returns the raw JSON of objects/arrays — GetJsonObject's native
+    // behavior; JSON_EXISTS is the null-test over the same extraction.
+    fn("JSON_VALUE", 2) { a =>
+      GetJsonObject(a.head, Cast(a(1), StringType)) },
+    fn("JSON_QUERY", 2) { a =>
+      GetJsonObject(a.head, Cast(a(1), StringType)) },
+    fn("JSON_EXISTS", 2) { a =>
+      IsNotNull(GetJsonObject(a.head, Cast(a(1), StringType))) },
+    fn("JSONArrayLength", 1) { a => LengthOfJsonArray(a.head) },
 
     // ---- math spellings ----
     fn("exp2", 1) { a => Pow(Literal(2.0), Cast(a.head, DoubleType)) },
@@ -1341,6 +1366,31 @@ object ChDialect {
             LambdaFunction(new StringLocate(x, a.head), Seq(x))),
           LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))),
         Literal(0))) },
+    // ---- round-10 probe pass 8 ----
+    // per-needle first position (1-based, 0 when absent), as UInt64s
+    fn("multiSearchAllPositions", 2) { a =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ms_ap"))
+      ArrayTransform(a(1),
+        LambdaFunction(Cast(new StringLocate(x, a.head), LongType), Seq(x))) },
+    // any map KEY matching the LIKE pattern
+    fn("mapContainsKeyLike", 2) { a =>
+      val k = UnresolvedNamedLambdaVariable(Seq("mk_like"))
+      ArrayExists(MapKeys(a.head),
+        LambdaFunction(new Like(k, a(1)), Seq(k))) },
+    fn("bitNot", 1) { a => BitwiseNot(a.head) },
+    fn("bitHammingDistance", 2) { a =>
+      BitwiseCount(BitwiseXor(a.head, a(1))) },
+    // CH parseDateTime(str, fmt): MySQL-style %-format — shares the
+    // formatDateTime specifier table; unknown specifiers throw rather
+    // than parse wrong
+    fn("parseDateTime", 2) { a =>
+      new ParseToTimestamp(Cast(a.head, StringType),
+        Literal(chFormatToJava(litString(a(1), "parseDateTime")))) },
+    fn("parseDateTimeOrNull", 2) { a =>
+      // the 5-arg ctor's failOnError=false IS try_to_timestamp
+      new ParseToTimestamp(Cast(a.head, StringType),
+        Some(Literal(chFormatToJava(litString(a(1), "parseDateTimeOrNull")))),
+        TimestampType, None, false) },
     fn("roundDuration", 1) { a =>
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         CHValues.getClass, LongType, "roundDuration",

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen-able Catalyst expressions over the [[CHValues]] kernels
@@ -122,6 +122,44 @@ object ValueExpressions {
       CHValues.sipHash64(v.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): SipHash64Raw =
       copy(child = c)
+  }
+
+  /** Two-string → double kernels (jaro family): codegen'd static call,
+    * same contract as CHUnary. */
+  abstract class StrSimBinary(fn: String) extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = fn
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fn expects two strings, got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    protected def kernelName: String
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      evalKernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    protected def evalKernel(a: UTF8String, b: UTF8String): Double
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"${callOf(kernelName)}($a, $b)")
+  }
+
+  /** Jaro similarity — CH `jaroSimilarity` (DuckDB-oracled). */
+  final case class JaroSim(left: Expression, right: Expression)
+      extends StrSimBinary("jaro_similarity") {
+    protected def kernelName = "jaroSimilarity"
+    protected def evalKernel(a: UTF8String, b: UTF8String): Double =
+      CHValues.jaroSimilarity(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
+      copy(left = l, right = r)
+  }
+
+  /** Jaro-Winkler similarity — CH `jaroWinklerSimilarity`. */
+  final case class JaroWinklerSim(left: Expression, right: Expression)
+      extends StrSimBinary("jaro_winkler_similarity") {
+    protected def kernelName = "jaroWinklerSimilarity"
+    protected def evalKernel(a: UTF8String, b: UTF8String): Double =
+      CHValues.jaroWinklerSimilarity(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+      copy(left = l, right = r)
   }
 
   /** CityHash64 v1.0.2 over raw bytes — the CH `cityHash64` core (CH's

@@ -1404,6 +1404,49 @@ object SettingsQueries extends QueryRegistry {
       },
       Some("""SELECT o_orderkey, o_orderpriority AS prio,
              |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-             |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin)),
+
+    // ---- probe pass 8 (round 10): jaro similarity pair (DuckDB has
+    // both natively — a true independent oracle for the kernels),
+    // MySQL-format parseDateTime (shared specifier translator),
+    // SQL-standard JSON spellings, map-key LIKE, per-needle search
+    // positions, bit tail, and the %20-exact URL component codec. ----
+    QueryDef(
+      "b_sql58_probe_pass8",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_pp8_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  round(jaroSimilarity(o_orderpriority, o_orderstatus), 6) AS jaro,
+            |  round(jaroWinklerSimilarity(o_orderpriority, substring(o_orderpriority, 1, 4)), 6) AS jw,
+            |  parseDateTime(CAST(CAST(o_orderdate AS DATE) AS STRING), '%Y-%m-%d') AS pdt,
+            |  parseDateTimeOrNull(o_orderpriority, '%Y-%m-%d') AS pdt_null,
+            |  CAST(JSON_VALUE(concat('{"k": ', CAST(o_orderkey % 7 AS STRING), '}'), '$.k') AS BIGINT) AS jv,
+            |  JSON_EXISTS(concat('{"k": ', CAST(o_orderkey % 7 AS STRING), '}'), '$.m') AS je,
+            |  JSONArrayLength(concat('[1, 2, ', CAST(o_orderkey % 3 AS STRING), ']')) AS jal,
+            |  mapContainsKeyLike(map(o_orderpriority, 1), '1-%') AS mkl,
+            |  array_join(transform(multiSearchAllPositions(o_orderpriority, array('URGENT', 'zz', '-')), x -> CAST(x AS STRING)), ',') AS msap,
+            |  CAST(bitNot(o_orderkey % 16) AS BIGINT) AS bn,
+            |  CAST(bitHammingDistance(o_orderkey % 16, 255) AS BIGINT) AS bhd,
+            |  encodeURLComponent(concat(o_orderpriority, ' ', o_orderstatus)) AS urlenc,
+            |  decodeURLFormComponent(encodeURLFormComponent(concat(o_orderpriority, ' x'))) AS urlrt
+            |FROM orders_pp8_v WHERE o_orderkey % 23 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(jaro_similarity(o_orderpriority, o_orderstatus), 6) AS jaro,
+             |  round(jaro_winkler_similarity(o_orderpriority, substr(o_orderpriority, 1, 4)), 6) AS jw,
+             |  strptime(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '%Y-%m-%d') AS pdt,
+             |  CAST(NULL AS TIMESTAMP) AS pdt_null,
+             |  CAST(o_orderkey % 7 AS BIGINT) AS jv,
+             |  false AS je,
+             |  CAST(3 AS BIGINT) AS jal,
+             |  o_orderpriority LIKE '1-%' AS mkl,
+             |  concat(CAST(strpos(o_orderpriority, 'URGENT') AS VARCHAR), ',0,',
+             |    CAST(strpos(o_orderpriority, '-') AS VARCHAR)) AS msap,
+             |  CAST(-(o_orderkey % 16) - 1 AS BIGINT) AS bn,
+             |  CAST(bit_count(xor(o_orderkey % 16, 255)) AS BIGINT) AS bhd,
+             |  replace(concat(o_orderpriority, ' ', o_orderstatus), ' ', '%20') AS urlenc,
+             |  concat(o_orderpriority, ' x') AS urlrt
+             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin))
   )
 }

@@ -1078,8 +1078,14 @@ class ChDialectSpec extends SparkSpec {
   }
 
   test("URL encoding, edit distance, array constructors") {
-    assert(one("encodeURLComponent('a b&c')") === "a+b%26c")
-    assert(one("decodeURLComponent('a+b%26c')") === "a b&c")
+    // CH percent-encodes space (%20) and leaves '+' alone on decode;
+    // the FORM variants are the '+' flavor (round-10 exactness fix)
+    assert(one("encodeURLComponent('a b&c')") === "a%20b%26c")
+    assert(one("decodeURLComponent('a+b%26c')") === "a+b&c")
+    assert(one("decodeURLComponent('a%20b%2Bc')") === "a b+c")
+    assert(one("encodeURLFormComponent('a b&c')") === "a+b%26c")
+    assert(one("decodeURLFormComponent('a+b%26c')") === "a b&c")
+    assert(one("decodeURLComponent(encodeURLComponent('x + y/z?'))") === "x + y/z?")
     assert(one("levenshteinDistance('kitten', 'sitting')") === 3)
     assert(one("editDistance('abc', 'abd')") === 1)
     assert(one("regexpQuoteMeta('a.b*c')") === "a\\.b\\*c")
@@ -1413,6 +1419,36 @@ class ChDialectSpec extends SparkSpec {
       "SELECT x, v FROM chfill ORDER BY x DESC WITH FILL FROM 4 TO 1")
       .collect().map(_.getInt(0)).toSeq
     assert(down === Seq(9, 5, 4, 3, 2, 1))
+  }
+
+  test("probe pass 8: jaro, parseDateTime, JSON_VALUE family, map key LIKE, multi-positions, bit tail, URL %20") {
+    // jaro family — classic textbook vectors, DuckDB-portable variant
+    // (empty/empty → 0, Winkler boost only above the 0.7 threshold)
+    assert(math.abs(one("jaroSimilarity('DWAYNE', 'DUANE')").asInstanceOf[Double] - 0.822222) < 1e-6)
+    assert(math.abs(one("jaroWinklerSimilarity('MARTHA', 'MARHTA')").asInstanceOf[Double] - 0.961111) < 1e-6)
+    assert(one("jaroSimilarity('', '')") === 0.0)
+    assert(one("jaroSimilarity('ab', 'ba')") === 0.0) // window 0: no matches
+    // below the 0.7 boost threshold the prefix does NOT boost
+    assert(math.abs(one("jaroWinklerSimilarity('abcdef', 'abczzz')").asInstanceOf[Double] - 0.666667) < 1e-6)
+    // parseDateTime: MySQL %-format through the shared translator
+    assert(one("parseDateTime('2024-03-05 12:30:00', '%Y-%m-%d %H:%i:%s')").toString
+      === "2024-03-05 12:30:00.0")
+    assert(one("parseDateTimeOrNull('garbage', '%Y-%m-%d')") === null)
+    intercept[Exception] { spark.sql("SELECT parseDateTime('x', '%q')").collect() }
+    // SQL-standard JSON spellings over JSONPath
+    assert(one("""JSON_VALUE('{"a": {"b": 7}}', '$.a.b')""") === "7")
+    assert(one("""JSON_QUERY('{"a": [1, 2]}', '$.a')""") === "[1,2]")
+    assert(one("""JSON_EXISTS('{"a": 1}', '$.b')""") === false)
+    assert(one("""JSONArrayLength('[1, 2, 3]')""") === 3)
+    // map key LIKE
+    assert(one("mapContainsKeyLike(map('prefix_a', 1, 'other', 2), 'prefix%')") === true)
+    assert(one("mapContainsKeyLike(map('x', 1), 'prefix%')") === false)
+    // per-needle positions (1-based, 0 absent)
+    assert(one("multiSearchAllPositions('hello world', array('world', 'zzz', 'h'))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq === Seq(7L, 0L, 1L))
+    // bit tail
+    assert(one("bitNot(0)") === -1)
+    assert(one("bitHammingDistance(0, 255)") === 8)
   }
 
   test("untuple(t) expands a tuple column via star expansion") {
