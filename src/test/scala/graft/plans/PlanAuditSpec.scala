@@ -54,6 +54,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-10 kernel queries stay inside codegen, no shuffle, no UDF (100-TB shape)") {
+    // the hash kernels (b_fnh4) and probe-pass-8 scalars (b_sql58) are
+    // per-row projections: at 100 TB they must be a single codegen'd
+    // scan-project — any Exchange, UDF, or codegen fallback is a plan
+    // regression
+    for (q <- Seq("b_fnh4_ch_hash_kernels", "b_sql58_probe_pass8")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$q left WholeStageCodegen:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q fell out of codegen into a UDF:\n$p")
+    }
+  }
+
   test("CH dialect queries plan identically to native Spark spellings") {
     // the dialect is pure name mapping, so the aggregate shape must match
     // what the native spelling produces: map-side partials, one hash
