@@ -911,6 +911,118 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** Strict RFC-8259 JSON document validation — CH `isValidJSON`.
+    * Whole-input parse (trailing garbage invalid), strings require
+    * valid escapes and no raw control chars, numbers follow the RFC
+    * grammar (no leading zeros, no bare '.'), top-level scalars are
+    * valid documents (the DuckDB `json_valid` convention the b_sql58
+    * oracle pins; older simdjson builds rejected bare scalars — CH's
+    * behavior there is version-dependent, documented deviation).
+    * Nesting capped at 512 (the simdjson-class DoS guard). */
+  def isValidJson(s: UTF8String): Boolean = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var depth = 0
+    def ws(): Unit = {
+      while (i < n && (str.charAt(i) == ' ' || str.charAt(i) == '\t' ||
+        str.charAt(i) == '\n' || str.charAt(i) == '\r')) i += 1
+    }
+    def lit(w: String): Boolean =
+      str.regionMatches(i, w, 0, w.length) && { i += w.length; true }
+    def string(): Boolean = {
+      i += 1 // opening quote
+      while (i < n) {
+        val c = str.charAt(i)
+        if (c == '"') { i += 1; return true }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) return false
+          str.charAt(i) match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
+            case 'u' =>
+              if (i + 4 >= n) return false
+              var k = 1
+              while (k <= 4) {
+                if (Character.digit(str.charAt(i + k), 16) < 0) return false
+                k += 1
+              }
+              i += 5
+            case _ => return false
+          }
+        } else if (c < 0x20) return false
+        else i += 1
+      }
+      false
+    }
+    def number(): Boolean = {
+      if (str.charAt(i) == '-') i += 1
+      if (i >= n) return false
+      if (str.charAt(i) == '0') i += 1
+      else if (str.charAt(i) >= '1' && str.charAt(i) <= '9') {
+        while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+      } else return false
+      if (i < n && str.charAt(i) == '.') {
+        i += 1
+        if (i >= n || str.charAt(i) < '0' || str.charAt(i) > '9') return false
+        while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+      }
+      if (i < n && (str.charAt(i) == 'e' || str.charAt(i) == 'E')) {
+        i += 1
+        if (i < n && (str.charAt(i) == '+' || str.charAt(i) == '-')) i += 1
+        if (i >= n || str.charAt(i) < '0' || str.charAt(i) > '9') return false
+        while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+      }
+      true
+    }
+    def value(): Boolean = {
+      ws()
+      if (i >= n) return false
+      str.charAt(i) match {
+        case '{' => composite(isObj = true)
+        case '[' => composite(isObj = false)
+        case '"' => string()
+        case 't' => lit("true")
+        case 'f' => lit("false")
+        case 'n' => lit("null")
+        case c if c == '-' || (c >= '0' && c <= '9') => number()
+        case _ => false
+      }
+    }
+    def composite(isObj: Boolean): Boolean = {
+      depth += 1
+      if (depth > 512) return false
+      val close = if (isObj) '}' else ']'
+      i += 1
+      ws()
+      if (i < n && str.charAt(i) == close) { i += 1; depth -= 1; return true }
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        if (isObj) {
+          ws()
+          if (i >= n || str.charAt(i) != '"' || !string()) ok = false
+          else {
+            ws()
+            if (i >= n || str.charAt(i) != ':') ok = false
+            else { i += 1; ok = value() }
+          }
+        } else ok = value()
+        if (ok) {
+          ws()
+          if (i < n && str.charAt(i) == ',') i += 1
+          else if (i < n && str.charAt(i) == close) { i += 1; done = true }
+          else ok = false
+        }
+      }
+      if (ok) depth -= 1
+      ok
+    }
+    val ok = value()
+    ws()
+    ok && i == n
+  }
+
   /** Jaro similarity (Jaro 1989), character-based. Matches within the
     * standard window max(|s|,|t|)/2 - 1; transpositions are half the
     * count of order-mismatched matched characters. ASCII-exact against

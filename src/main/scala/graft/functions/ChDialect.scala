@@ -646,6 +646,12 @@ object ChDialect {
     fn("JSON_EXISTS", 2) { a =>
       IsNotNull(GetJsonObject(a.head, Cast(a(1), StringType))) },
     fn("JSONArrayLength", 1) { a => LengthOfJsonArray(a.head) },
+    // strict RFC-8259 whole-document validation (CHValues kernel;
+    // DuckDB json_valid is the independent oracle)
+    fn("isValidJSON", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, BooleanType, "isValidJson",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
 
     // ---- math spellings ----
     fn("exp2", 1) { a => Pow(Literal(2.0), Cast(a.head, DoubleType)) },

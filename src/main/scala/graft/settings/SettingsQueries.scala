@@ -1424,6 +1424,8 @@ object SettingsQueries extends QueryRegistry {
             |  CAST(JSON_VALUE(concat('{"k": ', CAST(o_orderkey % 7 AS STRING), '}'), '$.k') AS BIGINT) AS jv,
             |  JSON_EXISTS(concat('{"k": ', CAST(o_orderkey % 7 AS STRING), '}'), '$.m') AS je,
             |  JSONArrayLength(concat('[1, 2, ', CAST(o_orderkey % 3 AS STRING), ']')) AS jal,
+            |  isValidJSON(concat('{"k": [', CAST(o_orderkey % 7 AS STRING), ', null]}')) AS jok,
+            |  isValidJSON(o_orderpriority) AS jbad,
             |  mapContainsKeyLike(map(o_orderpriority, 1), '1-%') AS mkl,
             |  array_join(transform(multiSearchAllPositions(o_orderpriority, array('URGENT', 'zz', '-')), x -> CAST(x AS STRING)), ',') AS msap,
             |  CAST(bitNot(o_orderkey % 16) AS BIGINT) AS bn,
@@ -1440,6 +1442,8 @@ object SettingsQueries extends QueryRegistry {
              |  CAST(o_orderkey % 7 AS BIGINT) AS jv,
              |  false AS je,
              |  CAST(3 AS BIGINT) AS jal,
+             |  json_valid(concat('{"k": [', CAST(o_orderkey % 7 AS VARCHAR), ', null]}')) AS jok,
+             |  json_valid(o_orderpriority) AS jbad,
              |  o_orderpriority LIKE '1-%' AS mkl,
              |  concat(CAST(strpos(o_orderpriority, 'URGENT') AS VARCHAR), ',0,',
              |    CAST(strpos(o_orderpriority, '-') AS VARCHAR)) AS msap,

@@ -1440,6 +1440,16 @@ class ChDialectSpec extends SparkSpec {
     assert(one("""JSON_QUERY('{"a": [1, 2]}', '$.a')""") === "[1,2]")
     assert(one("""JSON_EXISTS('{"a": 1}', '$.b')""") === false)
     assert(one("""JSONArrayLength('[1, 2, 3]')""") === 3)
+    // isValidJSON: strict RFC-8259 whole-document validation
+    assert(one("""isValidJSON('{"a": [1, 2.5e3, "x\\n", null, true]}')""") === true)
+    assert(one("isValidJSON('[]')") === true)
+    assert(one("isValidJSON('42')") === true)       // bare scalar (DuckDB convention)
+    assert(one("isValidJSON('01')") === false)      // leading zero
+    assert(one("""isValidJSON('{"a": 1,}')""") === false) // trailing comma
+    assert(one("""isValidJSON('{"a" 1}')""") === false)   // missing colon
+    assert(one("""isValidJSON('{"a": 1} x')""") === false) // trailing garbage
+    assert(one("""isValidJSON('"\\q"')""") === false)      // bad escape
+    assert(one("isValidJSON('not json')") === false)
     // map key LIKE
     assert(one("mapContainsKeyLike(map('prefix_a', 1, 'other', 2), 'prefix%')") === true)
     assert(one("mapContainsKeyLike(map('x', 1), 'prefix%')") === false)
