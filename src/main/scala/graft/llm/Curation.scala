@@ -137,6 +137,50 @@ object Curation extends QueryRegistry {
              |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
              |      FROM documents)""".stripMargin)),
 
+    // ---- leak-safe train/val/test split ----
+    // Splitting on doc_id hash (x_smp3) leaks: near-duplicate documents
+    // can straddle train and val, inflating eval. Here the split key is
+    // the CANONICALIZED-CONTENT hash (the x_dedup_normalized canon), so
+    // formatting-variant duplicates co-assign by construction — every
+    // 7th doc gets a mangled twin (uppercased, double-spaced) as
+    // planted evidence, and the oracle recomputes both the grouping and
+    // the assignment. 100-TB shape: the group key is a pure per-row
+    // function of content, so co-assignment needs NO dedup-group join
+    // and NO shuffle — a map-only pass (vs the naive join against a
+    // dedup table, a full corpus shuffle). ----
+    QueryDef(
+      "x_smp10_leak_safe_split",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val mangled = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            regexp_replace(upper(col("text")), " ", "  ").as("text"))
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        val h = substring(md5(md5(canon.cast("binary")).cast("binary")), 1, 2)
+        docs.unionByName(mangled)
+          .select(
+            col("doc_id"),
+            md5(canon.cast("binary")).as("group_key"),
+            when(h < "cc", "train").when(h < "e6", "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, replace(upper(text), ' ', '  ')
+             |  FROM documents WHERE doc_id % 7 = 0
+             |), keyed AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS group_key
+             |  FROM u
+             |)
+             |SELECT doc_id, group_key,
+             |  CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, group_key, substr(md5(group_key), 1, 2) AS h
+             |      FROM keyed)""".stripMargin)),
+
     // ---- URL canonicalization + dedup (crawl hygiene) ----
     // Lowercase scheme+host, strip utm_* tracking params, fragments, and
     // trailing slashes, then group by the canonical form — the standard

@@ -35,6 +35,28 @@ class CurationSpec extends SparkSpec {
     assert(train > 0.7 && train < 0.9, s"train fraction $train")
   }
 
+  test("leak-safe split co-assigns every near-duplicate pair; plan is map-only") {
+    val rows = SparkEntry.queries("x_smp10_leak_safe_split")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // every planted mangled twin (doc_id + 10M) shares its original's
+    // group AND split — the leakage guarantee x_smp3 cannot give
+    val byId = rows.map(r => r._1 -> r).toMap
+    val twins = rows.filter(_._1 >= 10000000L)
+    assert(twins.nonEmpty)
+    twins.foreach { case (id, g, s) =>
+      val (_, g0, s0) = byId(id - 10000000L)
+      assert(g == g0, s"twin $id changed group")
+      assert(s == s0, s"twin $id leaked across the split: $s vs $s0")
+    }
+    // distribution still ~80/10/10 over GROUPS
+    val n = rows.length.toDouble
+    val train = rows.count(_._3 == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    // 100-TB shape: pure per-row map, no shuffle
+    val p = plan("x_smp10_leak_safe_split")
+    assert(!p.contains("Exchange"), s"leak-safe split should be map-only:\n$p")
+  }
+
   test("chunks reassemble to the original prefix structure") {
     import spark.implicits._
     val chunks = SparkEntry.queries("x_text_chunk")(spark, sf0001)
