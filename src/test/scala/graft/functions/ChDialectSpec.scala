@@ -376,6 +376,29 @@ class ChDialectSpec extends SparkSpec {
       === "SELECT quantile(a, 0.1), ')(', quantile(b, 0.2) FROM t")
   }
 
+  test("always-on pass is identity on marker-ADJACENT valid Spark SQL (generated)") {
+    // names that CONTAIN rewrite-trigger substrings without being them:
+    // the scanners must match whole tokens/shapes only. 2k generated
+    // queries over these must come back byte-identical.
+    val idents = Seq("untupled", "my_untuple", "numbers_tbl", "number",
+      "final_score", "finally", "sample_rate", "sampler", "globals",
+      "asof_ts", "anyval", "array_col", "qualify_flag", "settings_v")
+    val rng = new scala.util.Random(11)
+    def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.size))
+    (1 to 2000).foreach { _ =>
+      val c1 = pick(idents); val c2 = pick(idents); val t = pick(idents)
+      val sql = rng.nextInt(4) match {
+        case 0 => s"SELECT $c1, $c2 FROM $t WHERE $c1 > 5"
+        case 1 => s"SELECT $c1 AS x FROM $t GROUP BY $c1 HAVING count(*) > ${rng.nextInt(9)}"
+        case 2 => s"SELECT t1.$c1 FROM $t t1 JOIN ${pick(idents)} t2 ON t1.$c1 = t2.$c2"
+        case 3 => s"SELECT $c1, '$c2 untuple(x) numbers(5)' AS s FROM $t ORDER BY $c1 LIMIT ${1 + rng.nextInt(99)}"
+      }
+      assert(ChSqlRewrite(sql) === sql, s"always-on pass mutated valid SQL: $sql")
+    }
+    // bare column literally named untuple (no parens) survives too
+    assert(ChSqlRewrite("SELECT untuple FROM t") === "SELECT untuple FROM t")
+  }
+
   test("trailing FORMAT clause and semicolon are stripped like a CH client") {
     assert(spark.sql("SELECT 1 AS x FORMAT JSONEachRow").head.getInt(0) === 1)
     assert(spark.sql("SELECT 2 AS x FORMAT Pretty;").head.getInt(0) === 2)
