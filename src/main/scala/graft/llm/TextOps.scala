@@ -716,18 +716,22 @@ object TextOps extends QueryRegistry {
              |FROM scored
              |QUALIFY rank <= 3""".stripMargin)),
 
-    // ---- BM25 top-k retrieval (Okapi, k1=1.2 b=0.75; every 50th doc is
-    // a query, scored over the rest of the corpus; rank ties broken on
-    // rounded score then doc_id so order is engine-portable) ----
+    // ---- BM25 top-k retrieval (Okapi, k1=1.2 b=0.75; every 50th doc
+    // WITHIN THE sf0.1 ID RANGE is a query — the `< 5000` cap keeps the
+    // query SET fixed as the corpus scales (a no-op at sf0.1 and below),
+    // matching the bench-sized-query contract: sf1 measures corpus
+    // growth against a fixed probe set, the production shape. Rank ties
+    // broken on rounded score then doc_id so order is engine-portable) ----
     QueryDef(
       "x_text_bm25",
-      (s, d) => bm25TopK(t(s, d, "documents"), col("doc_id") % 50 === 0, k = 5),
+      (s, d) => bm25TopK(t(s, d, "documents"),
+        col("doc_id") % 50 === 0 && col("doc_id") < 5000, k = 5),
       Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
              |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0 AND doc_id < 5000),
              |scored AS (
              |  SELECT q.query_id, tf.doc_id,
              |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
@@ -745,21 +749,23 @@ object TextOps extends QueryRegistry {
              |QUALIFY rank <= 5""".stripMargin)),
 
     // ---- hard-negative mining: BM25 top-20 lexical candidates per
-    // query, kept only where embedding cosine < 0 (similar words,
-    // different meaning), re-ranked by BM25 — the contrastive-training
-    // negative set. DuckDB recomputes BM25 AND the cosine filter
+    // query (query set capped at the sf0.1 id range like x_text_bm25 —
+    // fixed probe set as the corpus scales), kept only where embedding
+    // cosine < 0 (similar words, different meaning), re-ranked by BM25 —
+    // the contrastive-training negative set. DuckDB recomputes BM25 AND
+    // the cosine filter
     // independently (list_cosine_similarity over DOUBLE[]). ----
     QueryDef(
       "x_retr_hard_negatives",
       (s, d) => hardNegatives(
         t(s, d, "documents"), t(s, d, "embeddings"),
-        col("doc_id") % 100 === 0, kCand = 15, k = 5, tau = 0.0),
+        col("doc_id") % 100 === 0 && col("doc_id") < 5000, kCand = 15, k = 5, tau = 0.0),
       Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
              |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 100 = 0),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 100 = 0 AND doc_id < 5000),
              |scored AS (
              |  SELECT q.query_id, tf.doc_id,
              |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
