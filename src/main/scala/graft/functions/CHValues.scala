@@ -337,14 +337,11 @@ object CHValues {
   @inline private def rotR(v: Long, s: Int): Long = java.lang.Long.rotateRight(v, s)
   @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
 
-  /** city.cc `Hash128to64(uint128(u, v))`: u is the LOW half. */
-  @inline private def hashLen16(u: Long, v: Long): Long = {
-    var a = (u ^ v) * hashKMul
-    a ^= (a >>> 47)
-    var b = (v ^ a) * hashKMul
-    b ^= (b >>> 47)
-    b * hashKMul
-  }
+  /** city.cc `Hash128to64(uint128(u, v))`: u is the LOW half — the
+    * farmhash mix with `mul` fixed to kMul (one transcription, not two:
+    * the dual-transcription selfcheck exists to catch copy drift). */
+  @inline private def hashLen16(u: Long, v: Long): Long =
+    farmHashLen16(u, v, hashKMul)
 
   private def cityHashLen0to16(s: Array[Byte]): Long = {
     val len = s.length
@@ -911,6 +908,14 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** ASCII-only hex digit (Character.digit also accepts Unicode digits
+    * and fullwidth hex letters, which RFC 8259 / RFC 4291 reject). */
+  @inline private def asciiHexDigit(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
   /** Strict RFC-8259 JSON document validation — CH `isValidJSON`.
     * Whole-input parse (trailing garbage invalid), strings require
     * valid escapes and no raw control chars, numbers follow the RFC
@@ -944,7 +949,7 @@ object CHValues {
               if (i + 4 >= n) return false
               var k = 1
               while (k <= 4) {
-                if (Character.digit(str.charAt(i + k), 16) < 0) return false
+                if (asciiHexDigit(str.charAt(i + k)) < 0) return false
                 k += 1
               }
               i += 5
@@ -1146,7 +1151,7 @@ object CHValues {
           var v = 0
           var j = 0
           while (j < g.length) {
-            val d = Character.digit(g.charAt(j), 16)
+            val d = asciiHexDigit(g.charAt(j))
             if (d < 0) return false
             v = (v << 4) | d
             j += 1
@@ -1158,7 +1163,10 @@ object CHValues {
       }
       true
     }
-    if (!emit(head, mayEndInV4 = dbl < 0 || tail.isEmpty)) return null
+    // RFC 4291: the dotted-quad may only BE the final 32 bits of the
+    // full address — so the head may end in one only when there is no
+    // '::' at all ('1.2.3.4::' is invalid; inet_pton rejects it too)
+    if (!emit(head, mayEndInV4 = dbl < 0)) return null
     val headLen = buf.size
     if (!emit(tail, mayEndInV4 = true)) return null
     val total = buf.size

@@ -581,17 +581,30 @@ object ChDialect {
     fn("rightUTF8", 2) { a => Right(a.head, a(1)) },
     fn("base64Encode", 1) { a => Base64(Cast(a.head, BinaryType)) },
     fn("base64Decode", 1) { a => Cast(UnBase64(a.head), StringType) },
-    // CH encodeURLComponent percent-encodes space as %20; Java/Spark's
-    // UrlEncode is the FORM variant (space → '+'). A literal '+' in the
-    // input encodes to %2B first, so post-replacing '+' → %20 is exact.
-    // Symmetrically, CH decodeURLComponent leaves '+' alone while
-    // UrlDecode would turn it into a space — pre-escaping '+' → %2B
-    // preserves it. The Form-variant spellings map directly.
+    // CH encodeURLComponent keeps the RFC-3986 unreserved set
+    // (A-Za-z0-9 - _ . ~) and percent-encodes everything else, space as
+    // %20. Java/Spark's UrlEncode is the FORM flavor: space → '+',
+    // '~' → %7E, '*' kept raw. All three deltas post-correct
+    // unambiguously: an output '+' can only come from an input space
+    // (input '+' encodes to %2B), output '%7E' only from input '~'
+    // (input "%7E" text encodes to %257E), and output '*' only from
+    // input '*'. Symmetrically, CH decodeURLComponent leaves '+' alone
+    // while UrlDecode would turn it into a space — pre-escaping '+' →
+    // %2B preserves it. The Form-variant spellings keep Java's form
+    // semantics for space/plus but get the same ~/* unreserved-set fix.
     fn("encodeURLComponent", 1) { a =>
-      StringReplace(new UrlEncode(a.head), Literal("+"), Literal("%20")) },
+      StringReplace(StringReplace(StringReplace(
+        new UrlEncode(a.head),
+        Literal("+"), Literal("%20")),
+        Literal("%7E"), Literal("~")),
+        Literal("*"), Literal("%2A")) },
     fn("decodeURLComponent", 1) { a =>
       new UrlDecode(StringReplace(a.head, Literal("+"), Literal("%2B"))) },
-    fn("encodeURLFormComponent", 1) { a => new UrlEncode(a.head) },
+    fn("encodeURLFormComponent", 1) { a =>
+      StringReplace(StringReplace(
+        new UrlEncode(a.head),
+        Literal("%7E"), Literal("~")),
+        Literal("*"), Literal("%2A")) },
     fn("decodeURLFormComponent", 1) { a => new UrlDecode(a.head) },
     fn("levenshteinDistance", 2) { a => Levenshtein(a.head, a(1)) },
     fn("editDistance", 2) { a => Levenshtein(a.head, a(1)) },
@@ -636,9 +649,14 @@ object ChDialect {
       IsNotNull(GetJsonObject(a.head, Literal("$." + litString(a(1), "JSONHas")))) },
     fn("JSONLength", 1) { a => LengthOfJsonArray(a.head) },
     // SQL-standard JSON spellings CH also accepts: the PATH argument is
-    // already JSONPath ('$.a[0]'), passed through verbatim. JSON_QUERY
-    // returns the raw JSON of objects/arrays — GetJsonObject's native
-    // behavior; JSON_EXISTS is the null-test over the same extraction.
+    // already JSONPath ('$.a[0]'), passed through verbatim, evaluated by
+    // GetJsonObject. DOCUMENTED DEVIATIONS from CH's exact output shape:
+    // CH JSON_QUERY wraps matches in a JSON array ('["world"]') and both
+    // CH spellings return '' (empty string) on a miss where these return
+    // NULL; and JSON_EXISTS cannot distinguish a key holding JSON null
+    // from an absent key (GetJsonObject returns NULL for both — CH
+    // returns 1 for the former; same limitation as the JSONHas mapping).
+    // The extraction semantics (which value a path selects) match.
     fn("JSON_VALUE", 2) { a =>
       GetJsonObject(a.head, Cast(a(1), StringType)) },
     fn("JSON_QUERY", 2) { a =>
@@ -1373,7 +1391,11 @@ object ChDialect {
           LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))),
         Literal(0))) },
     // ---- round-10 probe pass 8 ----
-    // per-needle first position (1-based, 0 when absent), as UInt64s
+    // per-needle first position (1-based, 0 when absent), as UInt64s.
+    // Positions are CHARACTER-based (StringLocate) where CH counts
+    // BYTES — identical on ASCII, documented deviation on multi-byte
+    // text (the same note as the jaro mappings; CH's own *UTF8 variants
+    // are the character-based spellings).
     fn("multiSearchAllPositions", 2) { a =>
       val x = UnresolvedNamedLambdaVariable(Seq("ms_ap"))
       ArrayTransform(a(1),
@@ -1388,10 +1410,14 @@ object ChDialect {
       BitwiseCount(BitwiseXor(a.head, a(1))) },
     // CH parseDateTime(str, fmt): MySQL-style %-format — shares the
     // formatDateTime specifier table; unknown specifiers throw rather
-    // than parse wrong
+    // than parse wrong. failOnError=true: CH parseDateTime THROWS on
+    // unparseable input (the OrNull spelling below is the null-safe
+    // one); the default ctor would return NULL under ANSI-off and
+    // silently collapse the two spellings.
     fn("parseDateTime", 2) { a =>
       new ParseToTimestamp(Cast(a.head, StringType),
-        Literal(chFormatToJava(litString(a(1), "parseDateTime")))) },
+        Some(Literal(chFormatToJava(litString(a(1), "parseDateTime")))),
+        TimestampType, None, true) },
     fn("parseDateTimeOrNull", 2) { a =>
       // the 5-arg ctor's failOnError=false IS try_to_timestamp
       new ParseToTimestamp(Cast(a.head, StringType),
@@ -1526,7 +1552,10 @@ object ChDialect {
     val body = op match {
       case "add" => Add(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
       case "sub" => Subtract(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0))))
-      case _ => If(MapContainsKey(m2, k), v2, v1)
+      // short-circuit: the MapContainsKey scan of m2 only runs for keys
+      // whose zipped v2 is NULL (ambiguous absent-vs-null) — the common
+      // non-null case takes v2 directly, keeping the merge linear
+      case _ => If(And(IsNull(v2), Not(MapContainsKey(m2, k))), v1, v2)
     }
     MapZipWith(m1, m2, LambdaFunction(body, Seq(k, v1, v2)))
   }

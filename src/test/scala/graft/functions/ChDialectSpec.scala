@@ -1109,6 +1109,11 @@ class ChDialectSpec extends SparkSpec {
     assert(one("encodeURLFormComponent('a b&c')") === "a+b%26c")
     assert(one("decodeURLFormComponent('a+b%26c')") === "a b&c")
     assert(one("decodeURLComponent(encodeURLComponent('x + y/z?'))") === "x + y/z?")
+    // RFC-3986 unreserved set: '~' stays raw, '*' percent-encodes
+    // (Java's form flavor has both backwards — post-corrected)
+    assert(one("encodeURLComponent('a~b*c')") === "a~b%2Ac")
+    assert(one("encodeURLFormComponent('a~b*c d')") === "a~b%2Ac+d")
+    assert(one("decodeURLComponent(encodeURLComponent('~*~ %7E'))") === "~*~ %7E")
     assert(one("levenshteinDistance('kitten', 'sitting')") === 3)
     assert(one("editDistance('abc', 'abd')") === 1)
     assert(one("regexpQuoteMeta('a.b*c')") === "a\\.b\\*c")
@@ -1458,6 +1463,11 @@ class ChDialectSpec extends SparkSpec {
       === "2024-03-05 12:30:00.0")
     assert(one("parseDateTimeOrNull('garbage', '%Y-%m-%d')") === null)
     intercept[Exception] { spark.sql("SELECT parseDateTime('x', '%q')").collect() }
+    // CH parseDateTime THROWS on unparseable input (the OrNull spelling
+    // is the null-safe one — the two must stay distinguishable)
+    intercept[Exception] {
+      spark.sql("SELECT parseDateTime('garbage', '%Y-%m-%d')").collect()
+    }
     // SQL-standard JSON spellings over JSONPath
     assert(one("""JSON_VALUE('{"a": {"b": 7}}', '$.a.b')""") === "7")
     assert(one("""JSON_QUERY('{"a": [1, 2]}', '$.a')""") === "[1,2]")
@@ -1473,6 +1483,12 @@ class ChDialectSpec extends SparkSpec {
     assert(one("""isValidJSON('{"a": 1} x')""") === false) // trailing garbage
     assert(one("""isValidJSON('"\\q"')""") === false)      // bad escape
     assert(one("isValidJSON('not json')") === false)
+    // \u escape digits must be ASCII hex — a Unicode digit (U+0663,
+    // Arabic-Indic THREE) in the escape is invalid JSON per RFC 8259
+    // (Character.digit would have accepted it)
+    val uniEscape = "\"\\" + "u12" + '٣' + "4\""
+    assert(graft.functions.CHValues.isValidJson(
+      org.apache.spark.unsafe.types.UTF8String.fromString(uniEscape)) === false)
     // map key LIKE
     assert(one("mapContainsKeyLike(map('prefix_a', 1, 'other', 2), 'prefix%')") === true)
     assert(one("mapContainsKeyLike(map('x', 1), 'prefix%')") === false)
@@ -1950,6 +1966,15 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT isIPAddressInRange('1.2.3', '10.0.0.0/8')") === false)
     assert(one("SELECT isIPAddressInRange('2001:db8::1::2', '2001:db8::/32')") === false)
     assert(one("SELECT isIPAddressInRange('::ffff:192.168.0.1', '::ffff:192.168.0.0/112')") === true)
+    // RFC 4291: the dotted-quad may only be the FINAL 32 bits — a head
+    // v4 before '::' is invalid (inet_pton rejects '1.2.3.4::' too)
+    assert(one("SELECT isIPAddressInRange('1.2.3.4::', '102:304::/32')") === false)
+    // only ASCII hex digits form IPv6 groups (Character.digit would
+    // accept Unicode digits / fullwidth hex letters)
+    val uniGroup = "٣٣::1" // Arabic-Indic THREEs
+    assert(graft.functions.CHValues.isIpInRange(
+      org.apache.spark.unsafe.types.UTF8String.fromString(uniGroup),
+      org.apache.spark.unsafe.types.UTF8String.fromString("::/0")) === false)
   }
 
   test("CH CREATE TABLE DDL: types map, ENGINE tail drops, FINAL/SAMPLE keys register") {
