@@ -255,6 +255,49 @@ object ChDialect {
     fn("lowerUTF8", 1) { a => Lower(a.head) },
     fn("upperUTF8", 1) { a => Upper(a.head) },
     fn("lengthUTF8", 1) { a => Length(a.head) },
+    fn("initcapUTF8", 1) { a => new InitCap(a.head) },
+    // CH format('{} and {n}', args...): positional fmt-style braces →
+    // format_string's printf form. Literal formats only; any brace
+    // content beyond '' or digits (fmt specs like {:.2f}, which CH
+    // itself rejects) fails loudly at translation.
+    fnVar("format", 2) { a =>
+      val fmt = litString(a.head, "format")
+      val out = new StringBuilder
+      var i = 0
+      var auto = 0
+      var manual = false
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') {
+          out += '{'; i += 2 // '{{' is a literal '{' (fmt rules, like CH)
+        } else if (c == '{') {
+          val close = fmt.indexOf('}', i)
+          require(close >= 0, s"format: unbalanced brace in '$fmt'")
+          val inner = fmt.substring(i + 1, close)
+          val idx =
+            if (inner.isEmpty) { auto += 1; auto }
+            else {
+              require(inner.forall(ch => ch >= '0' && ch <= '9'),
+                s"format: unsupported brace content '{$inner}' (only {} and {n})")
+              manual = true
+              inner.toInt + 1
+            }
+          out ++= s"%$idx$$s"
+          i = close + 1
+        } else if (c == '}') {
+          // CH: '}}' is a literal '}'
+          require(i + 1 < fmt.length && fmt.charAt(i + 1) == '}',
+            s"format: stray '}' in '$fmt'")
+          out += '}'
+          i += 2
+        } else if (c == '%') { out ++= "%%"; i += 1 }
+        else { out += c; i += 1 }
+      }
+      // fmt (and therefore CH) forbids mixing automatic {} with manual
+      // {n} indexing in one format string — stay loud, not looser
+      require(!(manual && auto > 0),
+        s"format: cannot mix automatic {} and manual {n} indexing in '$fmt'")
+      FormatString((Literal(out.toString) +: a.tail): _*) },
     fn("match", 2) { a => RLike(a.head, a(1)) },
     fn("replaceAll", 3) { a => StringReplace(a.head, a(1), a(2)) },
     fn("replaceRegexpAll", 3) { a => RegExpReplace(a.head, a(1), a(2)) },

@@ -1431,7 +1431,9 @@ object SettingsQueries extends QueryRegistry {
             |  CAST(bitNot(o_orderkey % 16) AS BIGINT) AS bn,
             |  CAST(bitHammingDistance(o_orderkey % 16, 255) AS BIGINT) AS bhd,
             |  encodeURLComponent(concat(o_orderpriority, ' ', o_orderstatus)) AS urlenc,
-            |  decodeURLFormComponent(encodeURLFormComponent(concat(o_orderpriority, ' x'))) AS urlrt
+            |  decodeURLFormComponent(encodeURLFormComponent(concat(o_orderpriority, ' x'))) AS urlrt,
+            |  format('{1}/{0}', o_orderstatus, o_orderpriority) AS fmt,
+            |  initcapUTF8(lower(o_orderpriority)) AS icap
             |FROM orders_pp8_v WHERE o_orderkey % 23 = 0""".stripMargin)
       },
       Some("""SELECT o_orderkey,
@@ -1450,7 +1452,10 @@ object SettingsQueries extends QueryRegistry {
              |  CAST(-(o_orderkey % 16) - 1 AS BIGINT) AS bn,
              |  CAST(bit_count(xor(o_orderkey % 16, 255)) AS BIGINT) AS bhd,
              |  replace(concat(o_orderpriority, ' ', o_orderstatus), ' ', '%20') AS urlenc,
-             |  concat(o_orderpriority, ' x') AS urlrt
+             |  concat(o_orderpriority, ' x') AS urlrt,
+             |  format('{1}/{0}', o_orderstatus, o_orderpriority) AS fmt,
+             |  list_aggregate(list_transform(str_split(lower(o_orderpriority), ' '),
+             |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS icap
              |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin))
   )
 }

@@ -1498,6 +1498,14 @@ class ChDialectSpec extends SparkSpec {
     // bit tail
     assert(one("bitNot(0)") === -1)
     assert(one("bitHammingDistance(0, 255)") === 8)
+    // CH format(): auto {} and positional {n} braces, {{ }} escapes
+    assert(one("format('{} - {}', 'a', 'b')") === "a - b")
+    assert(one("format('{1} {0} {1}', 'x', 'y')") === "y x y")
+    assert(one("format('100{{}}%', 'unused')") === "100{}%")
+    intercept[Exception] { spark.sql("SELECT format('{:.2f}', 1.0)").collect() }
+    // fmt/CH forbid mixing {} with {n}
+    intercept[Exception] { spark.sql("SELECT format('{} {1}', 'a', 'b')").collect() }
+    assert(one("initcapUTF8('hello world')") === "Hello World")
   }
 
   test("untuple(t) expands a tuple column via star expansion") {
