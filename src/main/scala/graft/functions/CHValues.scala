@@ -908,6 +908,52 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** CH `decodeXMLComponent`: the five predefined XML entities plus
+    * numeric character references (`&#65;`, `&#x41;`). An unrecognized
+    * or unterminated `&...` sequence passes through verbatim (CH's
+    * lenient behavior). */
+  def decodeXmlComponent(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('&') < 0) return s
+    val out = new StringBuilder(str.length)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c != '&') { out += c; i += 1 }
+      else {
+        val semi = str.indexOf(';', i + 1)
+        val handled = semi > i && (semi - i) <= 10 && {
+          val body = str.substring(i + 1, semi)
+          body match {
+            case "lt" => out += '<'; true
+            case "gt" => out += '>'; true
+            case "amp" => out += '&'; true
+            case "quot" => out += '"'; true
+            case "apos" => out += '\''; true
+            case _ if body.length > 1 && body.charAt(0) == '#' =>
+              val (digits, radix) =
+                if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+                  (body.substring(2), 16)
+                else (body.substring(1), 10)
+              val ok = digits.nonEmpty && digits.forall(ch =>
+                if (radix == 10) ch >= '0' && ch <= '9' else asciiHexDigit(ch) >= 0)
+              if (ok) {
+                val cp = java.lang.Long.parseLong(digits, radix)
+                if (cp >= 0 && cp <= 0x10FFFF) {
+                  out.appendAll(Character.toChars(cp.toInt)); true
+                } else false
+              } else false
+            case _ => false
+          }
+        }
+        if (handled) i = semi + 1
+        else { out += '&'; i += 1 }
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** ASCII-only hex digit (Character.digit also accepts Unicode digits
     * and fullwidth hex letters, which RFC 8259 / RFC 4291 reject). */
   @inline private def asciiHexDigit(c: Char): Int =

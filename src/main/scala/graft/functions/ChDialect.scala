@@ -655,6 +655,42 @@ object ChDialect {
     // say "byte strings" — these compare chars, ASCII-identical
     fn("jaroSimilarity", 2) { a => ValueExpressions.JaroSim(a.head, a(1)) },
     fn("jaroWinklerSimilarity", 2) { a => ValueExpressions.JaroWinklerSim(a.head, a(1)) },
+    // CH encodeXMLComponent: the five predefined XML entities ('&'
+    // FIRST, or the replacement chain double-escapes)
+    fn("encodeXMLComponent", 1) { a =>
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+        "\"" -> "&quot;", "'" -> "&apos;")
+        .foldLeft(Cast(a.head, StringType): Expression) { case (e, (from, to)) =>
+          StringReplace(e, Literal(from), Literal(to)) } },
+    // decode: named + numeric character references, lenient passthrough
+    fn("decodeXMLComponent", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, StringType, "decodeXmlComponent",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
+    // CH hostName() reports the SERVER host — constant per query, so a
+    // plan-time literal of the JVM's hostname is the faithful analog
+    fn("hostName", 0) { _ =>
+      Literal(java.net.InetAddress.getLocalHost.getHostName) },
+    // mapPopulateSeries(m): integer-keyed map gap-fill — keys become the
+    // dense range [min(keys) .. max(keys)], missing values 0 (CH's
+    // default-value fill); the optional max bound extends the range
+    fnVar("mapPopulateSeries", 1) { a =>
+      // normalize keys to LONG first so the dense range's lookups and
+      // the map's keys share one type regardless of the input width
+      val mk = UnresolvedNamedLambdaVariable(Seq("mps_mk"))
+      val mv = UnresolvedNamedLambdaVariable(Seq("mps_mv"))
+      val m = TransformKeys(a.head, LambdaFunction(Cast(mk, LongType), Seq(mk, mv)))
+      val keys = MapKeys(m)
+      val mn = Cast(ArrayMin(keys), LongType)
+      val mx = a.lift(1).map(e => Cast(e, LongType))
+        .getOrElse(Cast(ArrayMax(keys), LongType))
+      val k = UnresolvedNamedLambdaVariable(Seq("mps_k"))
+      val dense = new Sequence(mn, mx)
+      MapFromArrays(dense,
+        ArrayTransform(dense,
+          LambdaFunction(Coalesce(Seq(
+            ElementAt(m, k, None, failOnError = false),
+            Literal(0))), Seq(k)))) },
     fn("regexpQuoteMeta", 1) { a =>
       RegExpReplace(a.head, Literal("([.^$*+?()\\[\\]{}|\\\\])"), Literal("\\\\$1")) },
     fn("mapFromArrays", 2) { a => MapFromArrays(a.head, a(1)) },
@@ -887,6 +923,27 @@ object ChDialect {
       RegExpExtractAll(a.head, Literal("[A-Za-z]+"), Literal(0)) },
     fn("tokens", 1) { a =>
       RegExpExtractAll(a.head, Literal("[\\p{L}\\p{N}_]+"), Literal(0)) },
+    // hasToken(h, 'tok'): whole-token containment under the SAME
+    // tokenizer as `tokens` above. CH requires a constant token with no
+    // separator chars — enforced loudly at build time.
+    fn("hasToken", 2) { a =>
+      val tok = litString(a(1), "hasToken")
+      require(tok.nonEmpty && tok.forall(c =>
+        Character.isLetterOrDigit(c) || c == '_'),
+        s"hasToken: token '$tok' must be non-empty with no separator characters")
+      ArrayContains(
+        RegExpExtractAll(a.head, Literal("[\\p{L}\\p{N}_]+"), Literal(0)),
+        a(1)) },
+    // ngrams(s, n): character n-grams, 1-based sliding window; shorter-
+    // than-n input yields an empty array (the Slice-empty range() trick)
+    fn("ngrams", 2) { a =>
+      val i = UnresolvedNamedLambdaVariable(Seq("ng_i"))
+      val last = Subtract(Add(Length(a.head), Literal(1)), Cast(a(1), IntegerType))
+      ArrayTransform(
+        If(LessThan(last, Literal(1)),
+          Slice(new Sequence(Literal(1), Literal(1)), Literal(1), Literal(0)),
+          new Sequence(Literal(1), last)),
+        LambdaFunction(Substring(a.head, i, Cast(a(1), IntegerType)), Seq(i))) },
     // CH extractAll uses capture group 1 when the pattern has one; this
     // alias extracts the WHOLE match — spell the group explicitly if needed
     fn("extractAll", 2) { a => RegExpExtractAll(a.head, a(1), Literal(0)) },

@@ -1456,6 +1456,38 @@ object SettingsQueries extends QueryRegistry {
              |  format('{1}/{0}', o_orderstatus, o_orderpriority) AS fmt,
              |  list_aggregate(list_transform(str_split(lower(o_orderpriority), ' '),
              |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS icap
-             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin)),
+
+    // ---- probe pass 9 (round 10): XML component codec (encode chain
+    // replayed literally by the oracle; decode certified as the
+    // round-trip inverse), whole-token search under the tokens()
+    // tokenizer, character n-grams, and integer-map gap-fill
+    // (mapPopulateSeries values serialized for the gate). hostName()
+    // is machine-dependent — spec-gated only. ----
+    QueryDef(
+      "b_sql59_probe_pass9",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("orders_pp9_v")
+        s.sql(
+          """SELECT o_orderkey,
+            |  encodeXMLComponent(concat(o_orderpriority, '<&>"')) AS xenc,
+            |  decodeXMLComponent(encodeXMLComponent(concat(o_orderstatus, '&<x>'))) AS xrt,
+            |  hasToken(o_orderpriority, 'URGENT') AS htok,
+            |  array_join(ngrams(o_orderpriority, 3), ',') AS ng3,
+            |  array_join(transform(map_values(mapPopulateSeries(
+            |    map(1, CAST(o_orderkey % 90 AS INT), 4, 7))), x -> CAST(x AS STRING)), ',') AS mps
+            |FROM orders_pp9_v WHERE o_orderkey % 29 = 0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  replace(replace(replace(replace(replace(
+             |    concat(o_orderpriority, '<&>"'),
+             |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+             |    '"', '&quot;'), '''', '&apos;') AS xenc,
+             |  concat(o_orderstatus, '&<x>') AS xrt,
+             |  list_contains(regexp_extract_all(o_orderpriority, '[a-zA-Z0-9_]+'), 'URGENT') AS htok,
+             |  list_aggregate(list_transform(range(1, length(o_orderpriority) - 3 + 2),
+             |    i -> substr(o_orderpriority, i::INT, 3)), 'string_agg', ',') AS ng3,
+             |  concat(CAST(o_orderkey % 90 AS VARCHAR), ',0,0,7') AS mps
+             |FROM orders WHERE o_orderkey % 29 = 0""".stripMargin))
   )
 }

@@ -1508,6 +1508,29 @@ class ChDialectSpec extends SparkSpec {
     assert(one("initcapUTF8('hello world')") === "Hello World")
   }
 
+  test("probe pass 9: XML codec, hasToken, ngrams, mapPopulateSeries, hostName") {
+    assert(one("encodeXMLComponent(\"a<b>&'c\\\"\")") === "a&lt;b&gt;&amp;&apos;c&quot;")
+    assert(one("decodeXMLComponent('a&lt;b&gt;&amp;&apos;c&quot;')") === "a<b>&'c\"")
+    assert(one("decodeXMLComponent('&#65;&#x42;&#x1F600;')") === "AB😀")
+    // lenient: unknown/unterminated references pass through
+    assert(one("decodeXMLComponent('a &nope; &amp b &')") === "a &nope; &amp b &")
+    assert(one("decodeXMLComponent(encodeXMLComponent('x < 1 && y > \"2\"'))")
+      === "x < 1 && y > \"2\"")
+    // hasToken: whole tokens only, same tokenizer as tokens()
+    assert(one("hasToken('select * from t_1 where x', 't_1')") === true)
+    assert(one("hasToken('select * from t_1 where x', 't')") === false)
+    intercept[Exception] { spark.sql("SELECT hasToken('a b', 'a b')").collect() }
+    // ngrams: sliding char windows; short input -> empty
+    assert(one("array_join(ngrams('abcd', 3), ',')") === "abc,bcd")
+    assert(one("size(ngrams('ab', 3))") === 0)
+    // mapPopulateSeries: dense [min..max] with 0-fill (+ explicit max)
+    assert(one("array_join(map_values(mapPopulateSeries(map(1, 10, 4, 40))), ',')")
+      === "10,0,0,40")
+    assert(one("array_join(map_values(mapPopulateSeries(map(1, 10), 3)), ',')")
+      === "10,0,0")
+    assert(one("length(hostName()) > 0") === true)
+  }
+
   test("untuple(t) expands a tuple column via star expansion") {
     Seq((1, (10, "a")), (2, (20, "b"))).toDF("id", "t")
       .createOrReplaceTempView("untuple_v")
