@@ -908,6 +908,30 @@ object CHValues {
     UTF8String.fromBytes(Array.fill[Byte](ones)(0) ++ body)
   }
 
+  /** CH `initcap`/`initcapUTF8`: first letter of each word uppercased,
+    * the rest lowercased — where a WORD is a maximal alphanumeric run,
+    * so ANY non-alphanumeric character starts a new word ('1-urgent' →
+    * '1-Urgent'; Spark's InitCap splits on whitespace only and would
+    * leave it untouched). */
+  def chInitcap(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = new StringBuilder(str.length)
+    var wordStart = true
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        out += (if (wordStart) Character.toUpperCase(c) else Character.toLowerCase(c))
+        wordStart = false
+      } else {
+        out += c
+        wordStart = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** CH `decodeXMLComponent`: the five predefined XML entities plus
     * numeric character references (`&#65;`, `&#x41;`). An unrecognized
     * or unterminated `&...` sequence passes through verbatim (CH's
@@ -938,9 +962,12 @@ object CHValues {
                 else (body.substring(1), 10)
               val ok = digits.nonEmpty && digits.forall(ch =>
                 if (radix == 10) ch >= '0' && ch <= '9' else asciiHexDigit(ch) >= 0)
-              if (ok) {
+              if (ok && digits.length <= 7) {
                 val cp = java.lang.Long.parseLong(digits, radix)
-                if (cp >= 0 && cp <= 0x10FFFF) {
+                // surrogate code points (D800-DFFF) are not scalar
+                // values — toChars would emit a lone surrogate the
+                // UTF-8 encoder mangles to '?'; pass through instead
+                if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
                   out.appendAll(Character.toChars(cp.toInt)); true
                 } else false
               } else false

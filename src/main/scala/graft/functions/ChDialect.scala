@@ -95,6 +95,15 @@ object ChDialect {
   private def tryCast(e: Expression, t: DataType): Expression =
     Cast(e, t, None, EvalMode.TRY)
 
+  /** JVM hostname, resolved once; env fallback so an unresolvable
+    * hostname (common in containers) never fails query planning. */
+  private lazy val cachedHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch {
+      case _: java.net.UnknownHostException =>
+        sys.env.getOrElse("HOSTNAME", "localhost")
+    }
+
   /** §1.2 UInt64 widening: a raw signed-64 hash reinterpreted as the
     * unsigned value on Decimal(20,0) — x < 0 ? x + 2⁶⁴ : x. */
   private def uint64(e: Expression): Expression = {
@@ -255,7 +264,12 @@ object ChDialect {
     fn("lowerUTF8", 1) { a => Lower(a.head) },
     fn("upperUTF8", 1) { a => Upper(a.head) },
     fn("lengthUTF8", 1) { a => Length(a.head) },
-    fn("initcapUTF8", 1) { a => new InitCap(a.head) },
+    // CH-exact word boundaries: ANY non-alphanumeric starts a new word
+    // ('1-urgent' → '1-Urgent'); Spark's InitCap splits on spaces only
+    fn("initcapUTF8", 1) { a =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        CHValues.getClass, StringType, "chInitcap",
+        Seq(Cast(a.head, StringType)), Seq(StringType)) },
     // CH format('{} and {n}', args...): positional fmt-style braces →
     // format_string's printf form. Literal formats only; any brace
     // content beyond '' or digits (fmt specs like {:.2f}, which CH
@@ -669,8 +683,10 @@ object ChDialect {
         Seq(Cast(a.head, StringType)), Seq(StringType)) },
     // CH hostName() reports the SERVER host — constant per query, so a
     // plan-time literal of the JVM's hostname is the faithful analog
-    fn("hostName", 0) { _ =>
-      Literal(java.net.InetAddress.getLocalHost.getHostName) },
+    // (resolved ONCE via the cached lazy below: a per-translation
+    // InetAddress lookup would hit the resolver on every query and
+    // fail planning entirely on hosts whose name doesn't resolve)
+    fn("hostName", 0) { _ => Literal(cachedHostName) },
     // mapPopulateSeries(m): integer-keyed map gap-fill — keys become the
     // dense range [min(keys) .. max(keys)], missing values 0 (CH's
     // default-value fill); the optional max bound extends the range
@@ -685,7 +701,16 @@ object ChDialect {
       val mx = a.lift(1).map(e => Cast(e, LongType))
         .getOrElse(Cast(ArrayMax(keys), LongType))
       val k = UnresolvedNamedLambdaVariable(Seq("mps_k"))
-      val dense = new Sequence(mn, mx)
+      // guards: an empty input map (ArrayMin → NULL) and an explicit
+      // max below min(keys) both yield the EMPTY map, never NULL and
+      // never Sequence's implicit step -1 walking DOWNWARD; step is
+      // pinned to +1
+      val emptyLongs = Slice(new Sequence(Literal(0L), Literal(0L)),
+        Literal(1), Literal(0))
+      val dense = If(
+        Or(EqualTo(Size(keys), Literal(0)), LessThan(mx, mn)),
+        emptyLongs,
+        new Sequence(mn, mx, Some(Literal(1L))))
       MapFromArrays(dense,
         ArrayTransform(dense,
           LambdaFunction(Coalesce(Seq(
@@ -924,8 +949,14 @@ object ChDialect {
     fn("tokens", 1) { a =>
       RegExpExtractAll(a.head, Literal("[\\p{L}\\p{N}_]+"), Literal(0)) },
     // hasToken(h, 'tok'): whole-token containment under the SAME
-    // tokenizer as `tokens` above. CH requires a constant token with no
-    // separator chars — enforced loudly at build time.
+    // tokenizer as `tokens` above — [\p{L}\p{N}_]+, i.e. Unicode
+    // letters/digits plus underscore. DOCUMENTED DEVIATION: CH's token
+    // alphabet is ASCII-alphanumeric only (underscore and non-ASCII
+    // letters are separators there; CH would even reject a needle
+    // containing '_'); this library keeps ONE tokenizer across
+    // tokens()/hasToken rather than two subtly different ones. The
+    // constant-needle / no-separator-chars rule is enforced loudly
+    // against OUR alphabet.
     fn("hasToken", 2) { a =>
       val tok = litString(a(1), "hasToken")
       require(tok.nonEmpty && tok.forall(c =>

@@ -1455,7 +1455,8 @@ object SettingsQueries extends QueryRegistry {
              |  concat(o_orderpriority, ' x') AS urlrt,
              |  format('{1}/{0}', o_orderstatus, o_orderpriority) AS fmt,
              |  list_aggregate(list_transform(str_split(lower(o_orderpriority), ' '),
-             |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS icap
+             |    w -> list_aggregate(list_transform(str_split(w, '-'),
+             |      p -> upper(p[1:1]) || lower(p[2:])), 'string_agg', '-')), 'string_agg', ' ') AS icap
              |FROM orders WHERE o_orderkey % 23 = 0""".stripMargin)),
 
     // ---- probe pass 9 (round 10): XML component codec (encode chain

@@ -1516,7 +1516,9 @@ class ChDialectSpec extends SparkSpec {
     assert(one("decodeXMLComponent('a &nope; &amp b &')") === "a &nope; &amp b &")
     assert(one("decodeXMLComponent(encodeXMLComponent('x < 1 && y > \"2\"'))")
       === "x < 1 && y > \"2\"")
-    // hasToken: whole tokens only, same tokenizer as tokens()
+    // hasToken: whole tokens only, same tokenizer as tokens() —
+    // '_' is a TOKEN char here (documented deviation: CH's alphabet is
+    // ASCII-alnum and treats '_' as a separator)
     assert(one("hasToken('select * from t_1 where x', 't_1')") === true)
     assert(one("hasToken('select * from t_1 where x', 't')") === false)
     intercept[Exception] { spark.sql("SELECT hasToken('a b', 'a b')").collect() }
@@ -1528,6 +1530,15 @@ class ChDialectSpec extends SparkSpec {
       === "10,0,0,40")
     assert(one("array_join(map_values(mapPopulateSeries(map(1, 10), 3)), ',')")
       === "10,0,0")
+    // guards: explicit max below min(keys) and an empty input both give
+    // the EMPTY map — never NULL, never a descending -1-step series
+    assert(one("size(map_values(mapPopulateSeries(map(5, 10), 3)))") === 0)
+    assert(one("size(map_values(mapPopulateSeries(map_filter(map(1, 2), (k, v) -> false))))") === 0)
+    // decode: surrogate-range numeric refs pass through, not '?'
+    assert(one("decodeXMLComponent('&#xD800;')") === "&#xD800;")
+    // CH initcap word boundaries: any non-alnum starts a word
+    assert(one("initcapUTF8('1-urgent and 4-not specified')") === "1-Urgent And 4-Not Specified")
+    assert(one("initcapUTF8('hELLo-wORLD')") === "Hello-World")
     assert(one("length(hostName()) > 0") === true)
   }
 
