@@ -1147,7 +1147,12 @@ object CHValues {
       i += 1
     }
     val mm = matches.toDouble
-    (mm / n + mm / m + (mm - trans / 2.0) / mm) / 3.0
+    // transpositions = FLOOR(mismatched-order count / 2): the integer-
+    // division variant DuckDB implements (found by the randomized golden
+    // corpus — 3 order-mismatches count as 1 transposition, not 1.5);
+    // both round the same way on even counts, where all the textbook
+    // vectors live
+    (mm / n + mm / m + (mm - (trans / 2).toDouble) / mm) / 3.0
   }
 
   /** Jaro-Winkler: the Jaro score boosted by the common prefix (max 4

@@ -761,6 +761,38 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("isValidJson / jaro kernels match DuckDB golden corpora (randomized, 900 cases)") {
+    // corpora generated by scripts: random JSON-ish strings / string
+    // pairs with DuckDB's json_valid / jaro(_winkler)_similarity
+    // verdicts — an INDEPENDENT-implementation check over randomized
+    // inputs, far beyond the hand-picked vectors. Base64 keeps control
+    // chars and tabs intact in the TSV.
+    import org.apache.spark.unsafe.types.UTF8String
+    def b64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val jsonLines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_json_valid.tsv"), "UTF-8").getLines().toSeq
+    assert(jsonLines.size >= 500)
+    jsonLines.foreach { line =>
+      val Array(enc, verdict) = line.split("\t")
+      val s = b64(enc)
+      assert(CHValues.isValidJson(UTF8String.fromString(s)) === (verdict == "1"),
+        s"isValidJson disagrees with DuckDB on: $s")
+    }
+    val jaroLines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_jaro.tsv"), "UTF-8").getLines().toSeq
+    assert(jaroLines.size >= 250)
+    jaroLines.foreach { line =>
+      val Array(ea, eb, j, w) = line.split("\t")
+      val (a, b) = (b64(ea), b64(eb))
+      assert(math.abs(CHValues.jaroSimilarity(
+        UTF8String.fromString(a), UTF8String.fromString(b)) - j.toDouble) < 1e-9,
+        s"jaro disagrees with DuckDB on ('$a', '$b')")
+      assert(math.abs(CHValues.jaroWinklerSimilarity(
+        UTF8String.fromString(a), UTF8String.fromString(b)) - w.toDouble) < 1e-9,
+        s"jaroWinkler disagrees with DuckDB on ('$a', '$b')")
+    }
+  }
+
   test("cityHash64 v1.0.2: structural pins and branch behavior") {
     // No independent CityHash-1.0.2 implementation exists in this
     // sandbox (Guava never shipped CityHash; the reference's cityhash-rs
