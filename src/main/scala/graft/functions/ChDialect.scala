@@ -61,33 +61,61 @@ object ChDialect {
       s"$fname expects a lambda as its first argument, got $other")
   }
 
-  /** Translate a CH/MySQL-style `formatDateTime` pattern (`%Y-%m-%d`) to a
-    * java.time pattern for `date_format`. Unknown specifiers throw — better
-    * than silently formatting wrong. */
-  private def chFormatToJava(fmt: String): String = {
-    val out = new StringBuilder
+  /** A CH/MySQL `%`-format split into parts: `Right(javaPattern)` for a
+    * specifier, `Left(rawText)` for literal text. Unknown specifiers
+    * throw — better than silently formatting wrong. */
+  private def chFormatParts(fmt: String): Seq[scala.util.Either[String, String]] = {
+    val parts = Seq.newBuilder[scala.util.Either[String, String]]
+    val lit = new StringBuilder
+    def flush(): Unit =
+      if (lit.nonEmpty) { parts += scala.util.Left(lit.toString); lit.clear() }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
-        fmt.charAt(i + 1) match {
-          case 'Y' => out ++= "yyyy";     case 'y' => out ++= "yy"
-          case 'm' => out ++= "MM";       case 'd' => out ++= "dd"
-          case 'H' => out ++= "HH";       case 'i' => out ++= "mm"
-          case 'S' => out ++= "ss";       case 's' => out ++= "ss"
-          case 'F' => out ++= "yyyy-MM-dd"
-          case 'T' => out ++= "HH:mm:ss"
-          case 'p' => out ++= "a";        case 'j' => out ++= "DDD"
-          case 'Q' => out ++= "QQ";       case '%' => out += '%'
+        val spec = fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy";     case 'y' => "yy"
+          case 'm' => "MM";       case 'd' => "dd"
+          case 'H' => "HH";       case 'i' => "mm"
+          case 'S' => "ss";       case 's' => "ss"
+          case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"
+          case 'p' => "a";        case 'j' => "DDD"
+          case 'Q' => "QQ";       case '%' => ""
           case u => throw new IllegalArgumentException(
             s"formatDateTime: unsupported specifier %$u")
         }
+        if (spec.isEmpty) lit += '%' // '%%' is a literal percent
+        else { flush(); parts += scala.util.Right(spec) }
         i += 2
-      } else {
-        // bare literal chars: quote letters so java.time doesn't eat them
-        if (c.isLetter) { out += '\''; out += c; out += '\'' } else out += c
-        i += 1
-      }
+      } else { lit += c; i += 1 }
+    }
+    flush()
+    parts.result()
+  }
+
+  /** One merged java.time pattern from [[chFormatParts]] — the PARSE
+    * side form (parsing needs a single pattern). Adjacent specifiers
+    * whose pattern letters touch with the SAME letter would silently
+    * merge into one longer field ('%y%Y' → "yyyyyy", a 6-digit year) —
+    * no java.time pattern can express that boundary, so it throws. The
+    * FORMAT side never hits this: it renders per-segment (see the
+    * formatDateTime builder). */
+  private def chFormatToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var prevSpecLast: Char = 0
+    chFormatParts(fmt).foreach {
+      case scala.util.Right(spec) =>
+        require(prevSpecLast != spec.charAt(0),
+          s"formatDateTime/parseDateTime: adjacent specifiers merge ambiguously in '$fmt'")
+        out ++= spec
+        prevSpecLast = spec.last
+      case scala.util.Left(text) =>
+        // quote letters so java.time doesn't read them as pattern fields
+        text.foreach { c =>
+          if (c.isLetter) { out += '\''; out += c; out += '\'' } else out += c
+        }
+        prevSpecLast = 0
     }
     out.toString
   }
@@ -612,9 +640,20 @@ object ChDialect {
     fn("yesterday", 0) { _ => DateSub(CurrentDate(), Literal(1)) },
     fn("toUnixTimestamp", 1) { a => Cast(Cast(a.head, TimestampType), LongType) },
     fn("fromUnixTimestamp", 1) { a => Cast(a.head, TimestampType) },
+    // formatDateTime renders SEGMENT-WISE (one date_format per
+    // specifier, literals as plain strings, concatenated): a single
+    // merged pattern would fuse adjacent same-letter specifiers into
+    // one long field ('%y%F' → "yyyyyy-MM-dd" = a 6-digit year —
+    // caught by the randomized strftime golden corpus)
     fn("formatDateTime", 2) { a =>
-      DateFormatClass(Cast(a.head, TimestampType),
-        Literal(chFormatToJava(litString(a(1), "formatDateTime")))) },
+      val ts = Cast(a.head, TimestampType)
+      val segs = chFormatParts(litString(a(1), "formatDateTime")).map {
+        case scala.util.Right(spec) => DateFormatClass(ts, Literal(spec)): Expression
+        case scala.util.Left(text) => Literal(text): Expression
+      }
+      if (segs.isEmpty) Literal("")
+      else if (segs.size == 1) segs.head
+      else Concat(segs) },
 
     // ---- conditionals / null handling ----
     fnVar("multiIf", 3) { a =>

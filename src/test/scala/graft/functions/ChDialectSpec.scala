@@ -793,6 +793,27 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("formatDateTime specifier translation matches DuckDB strftime (randomized, 400 cases)") {
+    // golden corpus: random timestamps x random CH %-format strings,
+    // rendered by DuckDB's strftime through the per-specifier twin table
+    // (%i→%M etc.) — independently certifies chFormatToJava's Java
+    // pattern semantics (zero padding, 2-digit years, %j day-of-year,
+    // %p AM/PM...) beyond hand-picked formats. %Q has no DuckDB twin
+    // and keeps its hand pin.
+    def b64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_formatdatetime.tsv"), "UTF-8").getLines().toSeq
+    assert(lines.size >= 350)
+    lines.foreach { line =>
+      val Array(ets, efmt, eres) = line.split("\t")
+      val (ts, fmt, expected) = (b64(ets), b64(efmt), b64(eres))
+      val got = spark.sql(
+        s"SELECT formatDateTime(TIMESTAMP '$ts', '$fmt') AS r").head.getString(0)
+      assert(got === expected,
+        s"formatDateTime('$ts', '$fmt') = '$got', DuckDB strftime says '$expected'")
+    }
+  }
+
   test("cityHash64 v1.0.2: structural pins and branch behavior") {
     // No independent CityHash-1.0.2 implementation exists in this
     // sandbox (Guava never shipped CityHash; the reference's cityhash-rs
