@@ -55,6 +55,15 @@ object ChDialect {
       s"$fname expects a string literal, got $other")
   }
 
+  private def litLong(e: Expression, fname: String): Long = e match {
+    case Literal(v: Byte, _) => v.toLong
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fname expects an integer literal, got $other")
+  }
+
   private def userLambda(e: Expression, fname: String): (Expression, Seq[NamedExpression]) = e match {
     case LambdaFunction(body, args, _) => (body, args)
     case other => throw new IllegalArgumentException(
@@ -243,7 +252,19 @@ object ChDialect {
 
     // ---- date/time helpers ----
     fn("toStartOfMonth", 1) { a => TruncDate(a.head, Literal("month")) },
-    fn("toStartOfWeek", 1) { a => TruncDate(a.head, Literal("week")) },
+    // CH toStartOfWeek DEFAULT (mode 0) starts weeks on SUNDAY — the
+    // most recent Sunday at-or-before d; mode 1 is the Monday form
+    // (= toMonday / trunc-week). Other CH modes stay loud. The old
+    // Monday-only mapping silently shifted six days of every week.
+    fnVar("toStartOfWeek", 1) { a =>
+      val d = Cast(a.head, DateType)
+      val mode = a.lift(1).map(litLong(_, "toStartOfWeek")).getOrElse(0L)
+      mode match {
+        case 0L => DateSub(d, Subtract(DayOfWeek(d), Literal(1)))
+        case 1L | 3L => TruncDate(d, Literal("week"))
+        case m => throw new IllegalArgumentException(
+          s"toStartOfWeek: unsupported mode $m (0 = Sunday, 1/3 = Monday)")
+      } },
     fn("toStartOfDay", 1) { a =>
       TruncTimestamp(Literal("day"), Cast(a.head, TimestampType)) },
     fn("toYYYYMM", 1) { a =>

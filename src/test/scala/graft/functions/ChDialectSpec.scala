@@ -814,6 +814,23 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("date/week spellings match DuckDB goldens (randomized, 500 cases, edge-heavy)") {
+    // random dates biased to year boundaries (week numbering) and
+    // month ends (clamping): toStartOfWeek Sunday/Monday modes,
+    // toMonday, toISOWeek, toYearWeek, quarter/last-day trunc,
+    // addMonths clamping, day-of-year — each vs its DuckDB twin.
+    def b64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_dates.tsv"), "UTF-8").getLines().toSeq
+    assert(lines.size >= 450)
+    lines.foreach { line =>
+      val Array(eexpr, eres) = line.split("\t")
+      val (expr, expected) = (b64(eexpr), b64(eres))
+      val got = String.valueOf(spark.sql(s"SELECT $expr AS r").head.get(0))
+      assert(got === expected, s"$expr = '$got', DuckDB says '$expected'")
+    }
+  }
+
   test("cityHash64 v1.0.2: structural pins and branch behavior") {
     // No independent CityHash-1.0.2 implementation exists in this
     // sandbox (Guava never shipped CityHash; the reference's cityhash-rs
