@@ -792,36 +792,45 @@ object CHValues {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** Damerau–Levenshtein (optimal string alignment form — the variant
-    * CH implements: adjacent transposition counts 1, no substring
-    * re-edits). O(|a|·|b|) two-row DP plus the transposition row. */
+  /** TRUE Damerau–Levenshtein (Lowrance–Wagner, with the last-occurrence
+    * table) — transpositions may span edits, so dl('ba','acb') = 2 where
+    * the restricted/OSA two-row variant (which this kernel previously
+    * implemented, mislabeled as CH's) says 3. The randomized DuckDB
+    * golden corpus separates the two variants and pins this one —
+    * DuckDB's native damerau_levenshtein agrees. O(|a|·|b|) matrix. */
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
     val b = ub.toString
-    val m = a.length
-    val n = b.length
-    if (m == 0) return n
+    val n = a.length
+    val m = b.length
     if (n == 0) return m
-    var prev2 = new Array[Int](n + 1)
-    var prev = Array.tabulate(n + 1)(identity)
-    var cur = new Array[Int](n + 1)
-    var i = 1
-    while (i <= m) {
-      cur(0) = i
-      var j = 1
-      while (j <= n) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        var best = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
-        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
-          a.charAt(i - 2) == b.charAt(j - 1))
-          best = math.min(best, prev2(j - 2) + 1)
-        cur(j) = best
+    if (m == 0) return n
+    val maxDist = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = maxDist
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = maxDist; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = maxDist; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Char, Int]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = da.getOrDefault(b.charAt(j - 1), 0)
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1,
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
         j += 1
       }
-      val t = prev2; prev2 = prev; prev = cur; cur = t
+      da.put(a.charAt(i - 1), i)
       i += 1
     }
-    prev(n)
+    d(n + 1)(m + 1)
   }
 
   /** CH `roundDuration(x)`: largest of CH's fixed duration buckets ≤ x

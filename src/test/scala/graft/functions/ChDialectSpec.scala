@@ -814,6 +814,26 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance kernels match DuckDB goldens (randomized, 300 pairs)") {
+    // levenshteinDistance (Spark's builtin) and the
+    // damerauLevenshteinDistance kernel vs DuckDB's native functions;
+    // the corpus includes the ('ca','abc') class separating TRUE
+    // Damerau-Levenshtein (2) from the restricted/OSA variant (3)
+    def b64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_editdist.tsv"), "UTF-8").getLines().toSeq
+    assert(lines.size >= 250)
+    lines.foreach { line =>
+      val Array(ea, eb, lev, dam) = line.split("\t")
+      val (a, b) = (b64(ea), b64(eb))
+      val row = spark.sql(
+        s"SELECT levenshteinDistance('$a', '$b') AS l, " +
+          s"damerauLevenshteinDistance('$a', '$b') AS d").head
+      assert(row.getInt(0) === lev.toInt, s"levenshtein('$a','$b')")
+      assert(row.getInt(1) === dam.toInt, s"damerauLevenshtein('$a','$b')")
+    }
+  }
+
   test("date/week spellings match DuckDB goldens (randomized, 500 cases, edge-heavy)") {
     // random dates biased to year boundaries (week numbering) and
     // month ends (clamping): toStartOfWeek Sunday/Monday modes,
@@ -1980,9 +2000,11 @@ class ChDialectSpec extends SparkSpec {
     assert(one("SELECT formatReadableTimeDelta(90061.5)")
       === "1 day, 1 hour, 1 minute, 1.5 seconds")
     assert(one("SELECT stringJaccardIndex('abc', 'abd')") === 0.5)
-    // OSA: one transposition; and the classic OSA-vs-full-DL case is 3
+    // true Damerau-Levenshtein (Lowrance-Wagner): one transposition;
+    // and the classic OSA-vs-full-DL discriminator 'ca'->'abc' is 2
+    // (OSA would say 3) -- matches DuckDB's damerau_levenshtein
     assert(one("SELECT damerauLevenshteinDistance('abc', 'acb')") === 1)
-    assert(one("SELECT damerauLevenshteinDistance('ca', 'abc')") === 3)
+    assert(one("SELECT damerauLevenshteinDistance('ca', 'abc')") === 2)
     assert(one("SELECT toUUIDOrNull('bad')") === null)
     assert(one("SELECT toStringCutToZero(concat('ab', char(0), 'cd'))") === "ab")
   }
