@@ -19,9 +19,20 @@ object Bench {
     // The MIN is the query's real cost; the MEDIAN rides along so a
     // regression is separable from measurement contention WITHOUT a
     // rerun (min up + median up = real; min flat + median up = noise).
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A rep that throws must be LOUD, not a silently-recorded elapsed
+    // time: the round-10 artifact benchmarked exception paths for eight
+    // queries (unpersist sweep had poisoned memoized checkpoints) and
+    // nothing in the output said so. Failures are collected, printed,
+    // surfaced in the JSON line, and fail the process.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          println(s"BENCH FAILURE $name: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // a requested-but-unregistered name (typo in bench_sf1.sh) must fail
@@ -39,7 +50,7 @@ object Bench {
     val samples = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val s = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+        val s = Seq(timeOnce(name, fn), timeOnce(name, fn), timeOnce(name, fn)).sorted
         // cross-query state hygiene: several operators localCheckpoint
         // corpus-derived frames (langid, BPE, dedup CC) and never
         // unpersist — leaked blocks shrink the unified-memory pool for
@@ -69,8 +80,11 @@ object Bench {
       val total = results.map(_._2).sum
       s"""{"metric":"total","value":${f(total)},"unit":"sec"$extra,"queries":${jmap(qs)},"sf":"$sfDir"}"""
     }
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullLine = line(results,
-      s""","n_queries":${results.size},"runs_per_query":3,"queries_median":${jmap(medians)}""")
+      s""","n_queries":${results.size},"runs_per_query":3$failedJson,"queries_median":${jmap(medians)}""")
     try {
       val p = java.nio.file.Paths.get(outFile).toAbsolutePath
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -82,9 +96,13 @@ object Bench {
     val compact = results.sortBy(-_._2)
       .filter { case (k, v) => v >= 0.25 || headline(k) }
       .take(40)
-    println(line(compact, s""","n_queries":${results.size}"""))
+    println(line(compact, s""","n_queries":${results.size}$failedJson"""))
+    if (failed.nonEmpty) {
+      println(s"BENCH HAD ${failed.size} FAILING QUERIES — timings for these are exception paths, NOT query costs:")
+      failed.foreach { case (n, e) => println(s"  $n -> $e") }
+    }
     spark.stop()
     // see Verify: a leaked stub-server dispatcher must not block JVM exit
-    System.exit(0)
+    System.exit(if (failed.nonEmpty) 1 else 0)
   }
 }

@@ -257,6 +257,11 @@ object ChDialect {
     // (= toMonday / trunc-week). Other CH modes stay loud. The old
     // Monday-only mapping silently shifted six days of every week.
     fnVar("toStartOfWeek", 1) { a =>
+      // CH also accepts a third timezone argument — unsupported here;
+      // silently ignoring it would return session-timezone results, so
+      // fail loudly per the repo policy
+      require(a.length <= 2,
+        s"toStartOfWeek supports (date[, mode]) — the timezone argument is not supported (got ${a.length} args)")
       val d = Cast(a.head, DateType)
       val mode = a.lift(1).map(litLong(_, "toStartOfWeek")).getOrElse(0L)
       mode match {
@@ -668,13 +673,21 @@ object ChDialect {
     // caught by the randomized strftime golden corpus)
     fn("formatDateTime", 2) { a =>
       val ts = Cast(a.head, TimestampType)
-      val segs = chFormatParts(litString(a(1), "formatDateTime")).map {
+      val parts = chFormatParts(litString(a(1), "formatDateTime"))
+      val segs = parts.map {
         case scala.util.Right(spec) => DateFormatClass(ts, Literal(spec)): Expression
         case scala.util.Left(text) => Literal(text): Expression
       }
-      if (segs.isEmpty) Literal("")
-      else if (segs.size == 1) segs.head
-      else Concat(segs) },
+      val rendered =
+        if (segs.isEmpty) Literal("")
+        else if (segs.size == 1) segs.head
+        else Concat(segs)
+      // a specifier-free format is all Literals, which would lose NULL
+      // propagation (formatDateTime(NULL, 'abc') must be NULL, not
+      // 'abc') — anchor on the input when no DateFormatClass segment
+      // carries it
+      if (parts.exists(_.isRight)) rendered
+      else If(IsNull(ts), Literal(null, StringType), rendered) },
 
     // ---- conditionals / null handling ----
     fnVar("multiIf", 3) { a =>
@@ -751,6 +764,8 @@ object ChDialect {
     // dense range [min(keys) .. max(keys)], missing values 0 (CH's
     // default-value fill); the optional max bound extends the range
     fnVar("mapPopulateSeries", 1) { a =>
+      require(a.length <= 2,
+        s"mapPopulateSeries supports (map[, max]) — got ${a.length} args")
       // normalize keys to LONG first so the dense range's lookups and
       // the map's keys share one type regardless of the input width
       val mk = UnresolvedNamedLambdaVariable(Seq("mps_mk"))

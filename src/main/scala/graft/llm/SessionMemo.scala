@@ -17,8 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Locking: the outer WeakHashMap is touched only under `synchronized`
   * (cheap — map lookup, no Spark work); the per-session inner map is a
-  * ConcurrentHashMap so a long-running `computeIfAbsent` (localCheckpoint
-  * runs a job) blocks only same-key callers, as before.
+  * ConcurrentHashMap so a long-running compute (localCheckpoint runs a
+  * job) blocks only same-key callers, as before.
+  *
+  * Liveness: a memoized frame is only reused while its checkpoint
+  * blocks are still persisted. An external `unpersist()` sweep (the
+  * Bench cross-query hygiene, or any caller mopping up cached RDDs)
+  * drops the blocks out from under the entry, and a localCheckpointed
+  * DataFrame CANNOT be recomputed after that — first use throws
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. So `getOrCompute` re-checks the
+  * storage level of every LogicalRDD leaf in the memoized plan and
+  * recomputes when any has been dropped, instead of handing back a
+  * poisoned frame.
   */
 final class SessionMemo[K] {
   private val perSession =
@@ -34,6 +44,18 @@ final class SessionMemo[K] {
     m
   }
 
+  /** True iff every checkpoint-backed leaf of the plan still has its
+    * blocks persisted (plan walk + storage-level read — no Spark job).
+    */
+  private def alive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+
   def getOrCompute(s: SparkSession, key: K)(compute: => DataFrame): DataFrame =
-    mapFor(s).computeIfAbsent(key, _ => compute)
+    // compute (not computeIfAbsent): the remapping runs under the
+    // per-key lock, so the alive() re-check and the recompute are
+    // atomic with respect to same-key callers
+    mapFor(s).compute(key, (_, prev) =>
+      if (prev != null && alive(prev)) prev else compute)
 }

@@ -106,14 +106,27 @@ object Streams {
     * the feed is Kafka/files, never a driver collect.
     */
   def watermarkReplay(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .as[(Long, java.sql.Timestamp, String, Double)]
-      .collect()
+    val rows = {
+      import spark.implicits._
+      events
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)]
+        .collect()
+    }
     val (late, onTime) = rows.partition(_._1 % 3 == 0)
+    // The stateful agg keys on (1h window, event_type) — a handful of
+    // state rows — so the session's 32 shuffle partitions would spin up
+    // 32 state-store instances per micro-batch for near-empty state.
+    // Run the replay in a cloned session (shared SparkContext, private
+    // conf/catalog) pinned to 4 partitions: the windowed-agg result is
+    // partition-count independent, and the per-store fixed cost is the
+    // whole replay's latency at bench scale. (Production streams size
+    // this to the real key cardinality instead.)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
     val agg = stream
@@ -133,10 +146,15 @@ object Streams {
       q.processAllAvailable()
     } finally q.stop()
     // materialize off the transient memory-sink view: the sink's rows
-    // are driver-local and window-count-bounded
-    val out = spark.table(name).cache()
-    out.count()
-    spark.catalog.dropTempView(name)
+    // are already driver-local and window-count-bounded, so snapshot
+    // them directly — a cache() here would leak one cached DataFrame
+    // per invocation in library use (nothing ever unpersists it).
+    // The snapshot is rebased onto the CALLER's session: the clone (and
+    // its catalog entry) is garbage once this returns.
+    val snap = ss.table(name)
+    val sinkRows = java.util.Arrays.asList(snap.collect(): _*)
+    val out = spark.createDataFrame(sinkRows, snap.schema)
+    ss.catalog.dropTempView(name)
     out
   }
 

@@ -2237,4 +2237,20 @@ class ChDialectSpec extends SparkSpec {
       assert(rows === Seq(1 -> 2, 2 -> 0))
     } finally spark.sql("DROP TABLE IF EXISTS ch_ddl_t5")
   }
+
+  test("round-10 advisor closures: formatDateTime NULL anchor, extra-arg guards") {
+    // specifier-free formats must still propagate NULL (the segment-wise
+    // renderer made them pure Literals, losing the input anchor)
+    assert(one("formatDateTime(CAST(NULL AS TIMESTAMP), 'abc')") === null)
+    assert(one("formatDateTime(CAST(NULL AS TIMESTAMP), '')") === null)
+    assert(one("formatDateTime(toDateTime('2024-05-17 13:42:57'), 'abc')") === "abc")
+    assert(one("formatDateTime(toDateTime('2024-05-17 13:42:57'), '')") === "")
+    // NULL propagation with specifiers was already correct — pin it
+    assert(one("formatDateTime(CAST(NULL AS TIMESTAMP), '%Y')") === null)
+    // CH accepts a timezone 3rd arg on toStartOfWeek and a different
+    // signature on mapPopulateSeries — both must fail loudly, not
+    // silently return session-timezone / truncated results
+    intercept[Exception](one("toStartOfWeek(toDate('2024-05-17'), 1, 'UTC')"))
+    intercept[Exception](one("mapPopulateSeries(map(1, 10), 3, 99)"))
+  }
 }
