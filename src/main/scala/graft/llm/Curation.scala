@@ -594,6 +594,116 @@ object Curation extends QueryRegistry {
              |SELECT doc_id, lang, CAST(nw AS BIGINT) AS n_words
              |FROM k
              |WHERE nw >= 20
-             |  AND length(replace(canon, ' ', '')) / nw BETWEEN 3.0 AND 12.0""".stripMargin))
+             |  AND length(replace(canon, ' ', '')) / nw BETWEEN 3.0 AND 12.0""".stripMargin)),
+
+    // ---- DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every corpus doc by how target-like its hashed-feature distribution
+    // is. Features are md5-bucketed unigrams (256 buckets — the paper's
+    // hashed n-grams); the target here is the English subset; both the
+    // target and source bucket models come out of ONE corpus aggregate
+    // (count + conditional count per bucket), Laplace-smoothed; each
+    // doc's log importance weight is the sum over its token OCCURRENCES
+    // of log p_target(bucket) - log p_source(bucket).
+    //
+    // Scale shape: the model is a 256-row frame (bounded regardless of
+    // corpus size) built with map-side partials and joined back as a
+    // BROADCAST; the only corpus-wide shuffles are that one bucket
+    // aggregate and the per-doc weight aggregate. At 100 TB the model
+    // pass and the scoring pass stream; nothing is ever corpus-sized on
+    // the driver. ----
+    QueryDef(
+      "x_sel_dsir",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("w").cast("binary")), 1, 2).as("b"))
+        val model = words.groupBy("b").agg(
+          count(lit(1)).as("cs"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+        val totals = model.agg(
+          sum(col("cs")).cast("double").as("stot"),
+          sum(col("ct")).cast("double").as("ttot"))
+        val ratios = model.crossJoin(broadcast(totals))
+          .select(col("b"),
+            (log((col("ct") + 1.0) / (col("ttot") + 256.0)) -
+             log((col("cs") + 1.0) / (col("stot") + 256.0))).as("lr"))
+        words.join(broadcast(ratios), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("logw"))
+      },
+      Some("""WITH ww AS (
+             |  SELECT doc_id, lang, substring(md5(w), 1, 2) AS b
+             |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE w <> ''),
+             |m AS (
+             |  SELECT b, count(*) AS cs,
+             |    count(*) FILTER (lang = 'en') AS ct
+             |  FROM ww GROUP BY b),
+             |tot AS (SELECT CAST(sum(cs) AS DOUBLE) stot,
+             |               CAST(sum(ct) AS DOUBLE) ttot FROM m),
+             |r AS (
+             |  SELECT b, ln((ct + 1.0) / (ttot + 256.0))
+             |           - ln((cs + 1.0) / (stot + 256.0)) AS lr
+             |  FROM m, tot)
+             |SELECT doc_id, count(*) AS n_toks, round(sum(lr), 6) AS logw
+             |FROM ww JOIN r USING (b)
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ---- fixed-context sequence packing: concatenate the corpus in
+    // doc_id order and split it into training sequences of exactly CTX
+    // tokens, emitting one row per (doc, sequence) SPAN — including docs
+    // that straddle a sequence boundary, which per-shard packing
+    // (x_pack_shards) never splits. This is the table a trainer's data
+    // loader actually consumes: for each sequence, which doc bytes fill
+    // it and at what offset.
+    //
+    // Scale shape: the global token offset is a corpus-sized running
+    // sum, so it rides Spectrum.withRunningSums (range-partition +
+    // per-partition prefix + broadcast offsets — operators/Spectrum
+    // .scala), NEVER an unpartitioned window; the span explode is
+    // per-row (a doc yields ceil(toks/CTX)+1 spans at most); nothing
+    // else shuffles. ----
+    QueryDef(
+      "x_pack_sequences",
+      (s, d) => {
+        val ctx = 128L
+        val base = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        graft.operators.Spectrum
+          .withRunningSums(base, Nil, "doc_id", Seq("toks" -> "cum"))
+          .withColumn("st", col("cum") - col("toks"))
+          .withColumn("seq_id",
+            explode(sequence(expr(s"st div $ctx"),
+              expr(s"(st + toks - 1) div $ctx"))))
+          .select(col("doc_id"), col("seq_id"),
+            greatest(col("seq_id") * ctx - col("st"), lit(0L)).as("doc_off"),
+            greatest(col("st") - col("seq_id") * ctx, lit(0L)).as("seq_off"),
+            (least((col("seq_id") + 1) * ctx, col("st") + col("toks")) -
+             greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    CAST(sum(toks) OVER (ORDER BY doc_id) - toks AS BIGINT) AS st
+             |  FROM t),
+             |e AS (
+             |  SELECT doc_id, toks, st,
+             |    unnest(range(st // 128, (st + toks - 1) // 128 + 1)) AS seq
+             |  FROM c)
+             |SELECT doc_id, CAST(seq AS BIGINT) AS seq_id,
+             |  CAST(greatest(seq * 128 - st, 0) AS BIGINT) AS doc_off,
+             |  CAST(greatest(st - seq * 128, 0) AS BIGINT) AS seq_off,
+             |  CAST(least((seq + 1) * 128, st + toks)
+             |     - greatest(seq * 128, st) AS BIGINT) AS span_len
+             |FROM e""".stripMargin))
   )
 }

@@ -89,4 +89,51 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSet == again.toSet)
   }
+
+  test("DSIR weights separate the target language from the rest") {
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("x_sel_dsir")(spark, sf001)
+    val docs = graft.Tables.t(spark, sf001, "documents").select("doc_id", "lang")
+    val byLang = w.join(docs, "doc_id").groupBy(col("lang") === "en")
+      .agg(avg(col("logw") / col("n_toks")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // target = en: English docs must score strictly higher per-token
+    // importance than the rest — the whole point of the method
+    assert(byLang(true) > byLang(false),
+      s"en ${byLang(true)} should exceed non-en ${byLang(false)}")
+    // every doc is scored exactly once
+    assert(w.count() === docs.count())
+  }
+
+  test("sequence packing: spans tile the token stream exactly") {
+    import org.apache.spark.sql.functions._
+    val ctx = 128L
+    val spans = SparkEntry.queries("x_pack_sequences")(spark, sf001).cache()
+    try {
+      // per-doc: spans cover the doc's tokens exactly once, contiguously
+      val docs = graft.Tables.t(spark, sf001, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(sum(col("span_len")).as("covered"), min(col("doc_off")).as("first"))
+        .join(docs, "doc_id")
+      assert(perDoc.where(col("covered") =!= col("toks") || col("first") =!= 0).count() === 0)
+      // per-sequence: every sequence except the LAST is exactly ctx full,
+      // and within a sequence offsets+lengths tile [0, fill)
+      val perSeq = spans.groupBy("seq_id")
+        .agg(sum(col("span_len")).as("fill"), min(col("seq_off")).as("s0"))
+      val maxSeq = perSeq.agg(max(col("seq_id"))).head.getLong(0)
+      assert(perSeq.where(col("seq_id") < maxSeq && col("fill") =!= ctx).count() === 0)
+      assert(perSeq.where(col("s0") =!= 0).count() === 0)
+      // no span exceeds the context or is empty
+      assert(spans.where(col("span_len") <= 0 || col("span_len") > ctx).count() === 0)
+    } finally spans.unpersist()
+  }
+
+  test("sequence packing rides Spectrum, not an unpartitioned window") {
+    val p = plan("x_pack_sequences")
+    // the global running sum must be the range-partitioned prefix-sum
+    // shape: a range shuffle present, no single-partition global Window
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.toLowerCase.contains("range"), p.take(2000))
+  }
 }
