@@ -15,11 +15,18 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# sf10 churns multi-GB shuffle/build state for the dedup family inside
+# ONE 32-thread JVM; the 8g default heap OOM'd the full-list run (Spark
+# exit 52) under cumulative pressure even though each query passes solo.
+# 24g matches what a real per-executor allocation would be at this
+# per-core data share.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g}
+
 if [ ! -d testdata_sf10 ]; then
   sbt -batch "runMain graft.GenScale /root/testdata/sf0.01 testdata_sf10 100"
 fi
 
-QUERIES=b_src1_scan,x_dedup_exact,x_dedup_fuzzy,x_dedup_ngram_jaccard,x_dedup_containment,x_dedup_minhash,x_dedup_simhash,x_dedup_semantic
+QUERIES=b_src1_scan,x_dedup_exact,x_dedup_fuzzy,x_dedup_ngram_jaccard,x_dedup_containment,x_dedup_minhash,x_dedup_simhash,x_dedup_semantic,x_sel_dsir,x_pack_sequences
 
 # denominators: the same queries on the UNSCALED source fixture
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \

@@ -24,6 +24,56 @@ object Curation extends QueryRegistry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** DSIR hashed-feature log importance weight per document (shared by
+    * `x_sel_dsir` and the `x_sel_dsir_resample` selection step): md5
+    * unigram buckets (256), a single corpus aggregate builds both the
+    * target (en) and source models, Laplace-smoothed log-ratios
+    * broadcast back, per-doc weight = one more aggregate. */
+  private def dsirLogWeights(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("w").cast("binary")), 1, 2).as("b"))
+    val model = words.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = model.agg(
+      sum(col("cs")).cast("double").as("stot"),
+      sum(col("ct")).cast("double").as("ttot"))
+    val ratios = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1.0) / (col("ttot") + 256.0)) -
+         log((col("cs") + 1.0) / (col("stot") + 256.0))).as("lr"))
+    words.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("logw"))
+  }
+
+  /** Shared oracle CTE prefix recomputing [[dsirLogWeights]] in DuckDB. */
+  private val dsirOracleCtes =
+    """WITH ww AS (
+      |  SELECT doc_id, lang, substring(md5(w), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |m AS (
+      |  SELECT b, count(*) AS cs,
+      |    count(*) FILTER (lang = 'en') AS ct
+      |  FROM ww GROUP BY b),
+      |tot AS (SELECT CAST(sum(cs) AS DOUBLE) stot,
+      |               CAST(sum(ct) AS DOUBLE) ttot FROM m),
+      |r AS (
+      |  SELECT b, ln((ct + 1.0) / (ttot + 256.0))
+      |           - ln((cs + 1.0) / (stot + 256.0)) AS lr
+      |  FROM m, tot),
+      |w AS (
+      |  SELECT doc_id, count(*) AS n_toks, round(sum(lr), 6) AS logw
+      |  FROM ww JOIN r USING (b)
+      |  GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PII redaction: email/phone scrubbing before training ----
@@ -614,46 +664,35 @@ object Curation extends QueryRegistry {
     // the driver. ----
     QueryDef(
       "x_sel_dsir",
+      (s, d) => dsirLogWeights(t(s, d, "documents")),
+      Some(dsirOracleCtes + "\nSELECT doc_id, n_toks, logw FROM w")),
+
+    // ---- DSIR selection step: Gumbel-top-k resampling without
+    // replacement, proportional to the per-token importance weight.
+    // key = logw/n_toks - ln(-ln(u)) with a DETERMINISTIC uniform u
+    // (the x_smp6 Knuth multiplicative hash — no RNG state, re-runs
+    // pick the same set); top-k is Spark's TopN (per-partition heads +
+    // merge — the corpus never globally sorts). ----
+    QueryDef(
+      "x_sel_dsir_resample",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val words = docs
-          .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("w"))
-          .where(col("w") =!= "")
-          .select(col("doc_id"), col("lang"),
-            substring(md5(col("w").cast("binary")), 1, 2).as("b"))
-        val model = words.groupBy("b").agg(
-          count(lit(1)).as("cs"),
-          count(when(col("lang") === "en", 1)).as("ct"))
-        val totals = model.agg(
-          sum(col("cs")).cast("double").as("stot"),
-          sum(col("ct")).cast("double").as("ttot"))
-        val ratios = model.crossJoin(broadcast(totals))
-          .select(col("b"),
-            (log((col("ct") + 1.0) / (col("ttot") + 256.0)) -
-             log((col("cs") + 1.0) / (col("stot") + 256.0))).as("lr"))
-        words.join(broadcast(ratios), Seq("b"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("logw"))
+        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) / 1000004.0
+        dsirLogWeights(t(s, d, "documents"))
+          .select(col("doc_id"),
+            (col("logw") / col("n_toks") - log(-log(u))).as("key"))
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), round(col("key"), 6).as("key"))
       },
-      Some("""WITH ww AS (
-             |  SELECT doc_id, lang, substring(md5(w), 1, 2) AS b
-             |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
-             |        FROM documents)
-             |  WHERE w <> ''),
-             |m AS (
-             |  SELECT b, count(*) AS cs,
-             |    count(*) FILTER (lang = 'en') AS ct
-             |  FROM ww GROUP BY b),
-             |tot AS (SELECT CAST(sum(cs) AS DOUBLE) stot,
-             |               CAST(sum(ct) AS DOUBLE) ttot FROM m),
-             |r AS (
-             |  SELECT b, ln((ct + 1.0) / (ttot + 256.0))
-             |           - ln((cs + 1.0) / (stot + 256.0)) AS lr
-             |  FROM m, tot)
-             |SELECT doc_id, count(*) AS n_toks, round(sum(lr), 6) AS logw
-             |FROM ww JOIN r USING (b)
-             |GROUP BY doc_id""".stripMargin)),
+      Some(dsirOracleCtes +
+        """
+          |SELECT doc_id, round(k, 6) AS key FROM (
+          |  SELECT doc_id,
+          |    logw / n_toks
+          |      - ln(-ln((doc_id * 2654435761 % 1000003 + 1) / 1000004.0)) AS k
+          |  FROM w)
+          |ORDER BY k DESC, doc_id
+          |LIMIT 50""".stripMargin)),
 
     // ---- fixed-context sequence packing: concatenate the corpus in
     // doc_id order and split it into training sequences of exactly CTX

@@ -105,6 +105,23 @@ class CurationSpec extends SparkSpec {
     assert(w.count() === docs.count())
   }
 
+  test("DSIR resampling is deterministic and biased toward high-importance docs") {
+    import org.apache.spark.sql.functions._
+    def pick() = SparkEntry.queries("x_sel_dsir_resample")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val sel = pick()
+    assert(sel === pick(), "gumbel keys must be a pure function of doc_id")
+    assert(sel.size === 50)
+    val w = SparkEntry.queries("x_sel_dsir")(spark, sf001)
+      .select(col("doc_id"), (col("logw") / col("n_toks")).as("pt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val selMean = sel.toSeq.map(w).sum / sel.size
+    val allMean = w.values.sum / w.size
+    // importance resampling must pull the selected set toward the
+    // target distribution (higher mean per-token weight than the corpus)
+    assert(selMean > allMean, s"selected mean $selMean <= corpus mean $allMean")
+  }
+
   test("sequence packing: spans tile the token stream exactly") {
     import org.apache.spark.sql.functions._
     val ctx = 128L
