@@ -47,20 +47,40 @@ object Bench {
     // (the round-9 b_jn15 investigation). Sorted order keeps each
     // query's predecessor fixed across rounds, making per-round
     // comparisons apples-to-apples.
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
+    val board = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val s = Seq(timeOnce(name, fn), timeOnce(name, fn), timeOnce(name, fn)).sorted
+    // REP-MAJOR passes (round-11 verdict #1): run the 3 reps as 3 full
+    // sorted passes over the board instead of back-to-back triples. A
+    // whole-machine contention window then lands on DIFFERENT queries
+    // each pass, so min-of-3 stays robust — the r11 driver artifact had
+    // one window cover all 3 back-to-back reps of ~14 contiguous b_jn*
+    // queries, inflating min AND median 4-6x with nothing in the output
+    // able to tell. Sorted order within a pass keeps the r10
+    // comparability win.
+    val passes = (1 to 3).map { _ =>
+      board.map { case (name, fn) =>
+        val t = timeOnce(name, fn)
         // cross-query state hygiene: several operators localCheckpoint
         // corpus-derived frames (langid, BPE, dedup CC) and never
         // unpersist — leaked blocks shrink the unified-memory pool for
         // whoever runs NEXT (sort spills), a run-order-dependent tax.
-        // Dropping leaked blocks after each query's 3 reps keeps every
-        // query's measurement independent of its neighbors.
+        // Dropping leaked blocks after every timing keeps each
+        // measurement independent of its neighbors. (This also forces
+        // the SessionMemo-backed dedup/ANN queries to re-build their
+        // memoized core EVERY rep — the committed numbers deliberately
+        // include that recompute; the library path pays it once.)
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        name -> s
-      }
+        name -> t
+      }.toMap
+    }
+    // a query that failed ANY rep is excluded from the totals and the
+    // per-query maps entirely (exception-path elapsed times are not
+    // query costs — the round-10 lesson); it is reported only via the
+    // "failed" array + exit code, so a consumer that ignores the flag
+    // still never ingests contaminated numbers.
+    val ok = board.map(_._1).filterNot(failed.contains)
+    val samples = ok.map { name => name -> passes.map(_(name)).sorted }
     val results = samples.map { case (name, s) => name -> s.head }
     val medians = samples.map { case (name, s) => name -> s(1) }
     // The driver parses the JSON line out of the LAST ~2000 chars of

@@ -557,7 +557,11 @@ object Curation extends QueryRegistry {
     QueryDef(
       "x_smp6_reservoir",
       (s, d) => {
-        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) / 1000004.0
+        // reduce doc_id mod p BEFORE the Knuth multiply: the raw product
+        // wraps silently in Spark (non-ANSI) above doc_id ~3.4e9 while
+        // DuckDB raises on BIGINT overflow — the reduced form computes
+        // the same uniform ((a % p) * c % p == a * c % p) at any doc_id
+        val u = ((col("doc_id") % 1000003L) * 2654435761L % 1000003L + 1L) / 1000004.0
         t(s, d, "documents")
           .select(col("doc_id"), col("n_chars"),
             pow(u, lit(1.0) / col("n_chars")).as("prio"))
@@ -566,10 +570,10 @@ object Curation extends QueryRegistry {
           .select(col("doc_id"), col("n_chars"), round(col("prio"), 9).as("prio"))
       },
       Some("""SELECT doc_id, n_chars,
-             |  round(pow((doc_id * 2654435761 % 1000003 + 1) / 1000004.0,
+             |  round(pow((doc_id % 1000003 * 2654435761 % 1000003 + 1) / 1000004.0,
              |            1.0 / n_chars), 9) AS prio
              |FROM documents
-             |ORDER BY pow((doc_id * 2654435761 % 1000003 + 1) / 1000004.0,
+             |ORDER BY pow((doc_id % 1000003 * 2654435761 % 1000003 + 1) / 1000004.0,
              |             1.0 / n_chars) DESC, doc_id
              |LIMIT 20""".stripMargin)),
 
@@ -676,7 +680,8 @@ object Curation extends QueryRegistry {
     QueryDef(
       "x_sel_dsir_resample",
       (s, d) => {
-        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) / 1000004.0
+        // mod-p-first Knuth uniform — see x_smp6_reservoir's overflow note
+        val u = ((col("doc_id") % 1000003L) * 2654435761L % 1000003L + 1L) / 1000004.0
         dsirLogWeights(t(s, d, "documents"))
           .select(col("doc_id"),
             (col("logw") / col("n_toks") - log(-log(u))).as("key"))
@@ -689,7 +694,7 @@ object Curation extends QueryRegistry {
           |SELECT doc_id, round(k, 6) AS key FROM (
           |  SELECT doc_id,
           |    logw / n_toks
-          |      - ln(-ln((doc_id * 2654435761 % 1000003 + 1) / 1000004.0)) AS k
+          |      - ln(-ln((doc_id % 1000003 * 2654435761 % 1000003 + 1) / 1000004.0)) AS k
           |  FROM w)
           |ORDER BY k DESC, doc_id
           |LIMIT 50""".stripMargin)),
@@ -712,9 +717,14 @@ object Curation extends QueryRegistry {
       "x_pack_sequences",
       (s, d) => {
         val ctx = 128L
+        // NULL-text guard: size(split(NULL)) is -1 under Spark's legacy
+        // sizeOfNull, which would corrupt the running-sum offsets for
+        // every subsequent doc (DuckDB yields NULL → divergence).
+        // coalesce to '' — split('') is [''] in BOTH engines, so a null/
+        // empty doc counts as exactly 1 token on both sides.
         val base = t(s, d, "documents")
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("toks"))
+            size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("toks"))
         graft.operators.Spectrum
           .withRunningSums(base, Nil, "doc_id", Seq("toks" -> "cum"))
           .withColumn("st", col("cum") - col("toks"))
@@ -728,7 +738,8 @@ object Curation extends QueryRegistry {
              greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
       },
       Some("""WITH t AS (
-             |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+             |  SELECT doc_id,
+             |    CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS toks
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, toks,

@@ -46,11 +46,22 @@ final class SessionMemo[K] {
 
   /** True iff every checkpoint-backed leaf of the plan still has its
     * blocks persisted (plan walk + storage-level read — no Spark job).
+    *
+    * Only LOCALLY-checkpointed leaves are liveness-gated: their lineage
+    * is truncated, so dropped blocks mean CHECKPOINT_RDD_BLOCK_ID_NOT_
+    * FOUND on next use. A plain never-persisted LogicalRDD (storage
+    * NONE but full lineage) is recomputable and must NOT be treated as
+    * dead — doing so would silently recompute that shape on every
+    * access, defeating the memo. A reliably-checkpointed RDD keeps its
+    * data on stable storage regardless of block storage level.
+    * (`isCheckpointed` + no checkpoint FILE is the public spelling of
+    * locally-checkpointed: reliable checkpoints carry a file path.)
     */
   private def alive(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    }.forall(r => !(r.isCheckpointed && r.getCheckpointFile.isEmpty &&
+      r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE))
 
   def getOrCompute(s: SparkSession, key: K)(compute: => DataFrame): DataFrame =
     // compute (not computeIfAbsent): the remapping runs under the

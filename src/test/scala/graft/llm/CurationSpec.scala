@@ -149,8 +149,18 @@ class CurationSpec extends SparkSpec {
   test("sequence packing rides Spectrum, not an unpartitioned window") {
     val p = plan("x_pack_sequences")
     // the global running sum must be the range-partitioned prefix-sum
-    // shape: a range shuffle present, no single-partition global Window
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
-      || p.toLowerCase.contains("range"), p.take(2000))
+    // shape: the corpus-sized cumsum rides a RangePartitioning exchange
+    // (no vacuous substring match — 'rangepartitioning' specifically)
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(2000))
+    // and the only SinglePartition exchange allowed is Spectrum's
+    // #partitions-sized offsets pass — its Window must consume __pid
+    // aggregates, never the corpus rows. If a corpus-sized global window
+    // sneaks back in, it shows up as a Window over a sort on the order
+    // column (doc_id) under a SinglePartition exchange.
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    windows.foreach { w =>
+      assert(w.contains("__pid") || !w.contains("doc_id"),
+        s"corpus-sized global window detected: $w")
+    }
   }
 }
