@@ -71,6 +71,21 @@ object Bench {
         // include that recompute; the library path pays it once.)
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // diagnostic mode (SPARK_GRAFT_HEAP_LOG=1): after each timing +
+        // sweep, force a full GC and log what SURVIVES — used heap,
+        // persistent-RDD count, storage memory — to locate cross-query
+        // retention (the sf10 full-list OOM investigation; r11 verdict
+        // wrong-#2). GC per timing distorts latencies, so the mode is
+        // never on for committed artifacts.
+        if (sys.env.contains("SPARK_GRAFT_HEAP_LOG")) {
+          System.gc(); Thread.sleep(200); System.gc()
+          val rt = Runtime.getRuntime
+          val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+          val stor = spark.sparkContext.env.blockManager.master.getMemoryStatus
+            .values.map { case (max, free) => max - free }.sum / (1024 * 1024)
+          println(s"HEAPLOG $name used=${usedMb}MB persistentRDDs=" +
+            s"${spark.sparkContext.getPersistentRDDs.size} storageUsed=${stor}MB")
+        }
         name -> t
       }.toMap
     }

@@ -52,6 +52,45 @@ object Curation extends QueryRegistry {
       .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("logw"))
   }
 
+  /** Fixed-context span table over a per-doc token-count frame
+    * (doc_id, toks): concatenate docs in doc_id order, split at every
+    * `ctx` tokens, emit one row per (doc, sequence) span. The global
+    * token offset rides [[graft.operators.Spectrum.withRunningSums]]
+    * (range-partitioned prefix sums + broadcast offsets — never an
+    * unpartitioned window); the span explode is per-row. Shared by
+    * `x_pack_sequences` (whitespace counts) and `x_pack_sequences_bpe`
+    * (learned-BPE counts — what a trainer's loader actually packs). */
+  def packSpans(perDoc: org.apache.spark.sql.DataFrame, ctx: Long): org.apache.spark.sql.DataFrame =
+    graft.operators.Spectrum
+      .withRunningSums(perDoc, Nil, "doc_id", Seq("toks" -> "cum"))
+      .withColumn("st", col("cum") - col("toks"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $ctx"),
+          expr(s"(st + toks - 1) div $ctx"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * ctx - col("st"), lit(0L)).as("doc_off"),
+        greatest(col("st") - col("seq_id") * ctx, lit(0L)).as("seq_off"),
+        (least((col("seq_id") + 1) * ctx, col("st") + col("toks")) -
+         greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
+
+  /** DuckDB replay of [[packSpans]] given a CTE named `bt` with
+    * (doc_id, toks) rows: window-cumsum + range unnest + span math. */
+  private def packOracleSuffix(ctx: Int): String =
+    s"""c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(sum(toks) OVER (ORDER BY doc_id) - toks AS BIGINT) AS st
+       |  FROM bt),
+       |e AS (
+       |  SELECT doc_id, toks, st,
+       |    unnest(range(st // $ctx, (st + toks - 1) // $ctx + 1)) AS seq
+       |  FROM c)
+       |SELECT doc_id, CAST(seq AS BIGINT) AS seq_id,
+       |  CAST(greatest(seq * $ctx - st, 0) AS BIGINT) AS doc_off,
+       |  CAST(greatest(st - seq * $ctx, 0) AS BIGINT) AS seq_off,
+       |  CAST(least((seq + 1) * $ctx, st + toks)
+       |     - greatest(seq * $ctx, st) AS BIGINT) AS span_len
+       |FROM e""".stripMargin
+
   /** Shared oracle CTE prefix recomputing [[dsirLogWeights]] in DuckDB. */
   private val dsirOracleCtes =
     """WITH ww AS (
@@ -716,7 +755,6 @@ object Curation extends QueryRegistry {
     QueryDef(
       "x_pack_sequences",
       (s, d) => {
-        val ctx = 128L
         // NULL-text guard: size(split(NULL)) is -1 under Spark's legacy
         // sizeOfNull, which would corrupt the running-sum offsets for
         // every subsequent doc (DuckDB yields NULL → divergence).
@@ -725,35 +763,37 @@ object Curation extends QueryRegistry {
         val base = t(s, d, "documents")
           .select(col("doc_id"),
             size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("toks"))
-        graft.operators.Spectrum
-          .withRunningSums(base, Nil, "doc_id", Seq("toks" -> "cum"))
-          .withColumn("st", col("cum") - col("toks"))
-          .withColumn("seq_id",
-            explode(sequence(expr(s"st div $ctx"),
-              expr(s"(st + toks - 1) div $ctx"))))
-          .select(col("doc_id"), col("seq_id"),
-            greatest(col("seq_id") * ctx - col("st"), lit(0L)).as("doc_off"),
-            greatest(col("st") - col("seq_id") * ctx, lit(0L)).as("seq_off"),
-            (least((col("seq_id") + 1) * ctx, col("st") + col("toks")) -
-             greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
+        packSpans(base, ctx = 128L)
       },
-      Some("""WITH t AS (
+      Some("""WITH bt AS (
              |  SELECT doc_id,
              |    CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS toks
              |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, toks,
-             |    CAST(sum(toks) OVER (ORDER BY doc_id) - toks AS BIGINT) AS st
-             |  FROM t),
-             |e AS (
-             |  SELECT doc_id, toks, st,
-             |    unnest(range(st // 128, (st + toks - 1) // 128 + 1)) AS seq
-             |  FROM c)
-             |SELECT doc_id, CAST(seq AS BIGINT) AS seq_id,
-             |  CAST(greatest(seq * 128 - st, 0) AS BIGINT) AS doc_off,
-             |  CAST(greatest(st - seq * 128, 0) AS BIGINT) AS seq_off,
-             |  CAST(least((seq + 1) * 128, st + toks)
-             |     - greatest(seq * 128, st) AS BIGINT) AS span_len
-             |FROM e""".stripMargin))
+             |""".stripMargin + packOracleSuffix(128))),
+
+    // ---- tokenizer-true sequence packing (round-11 verdict next-#4):
+    // the same span table, but over LEARNED-BPE token counts instead of
+    // whitespace counts — bpeEncode's per-doc bpe_tokens feeds packSpans
+    // directly, so the packing table is sized in the units the trainer's
+    // loader actually consumes. Composition cost on top of the BPE
+    // encode: ONE range shuffle of a (doc_id, toks) frame — the corpus
+    // text is never touched again. Docs with no alphabetic words carry
+    // no BPE tokens and are absent, exactly as the tokenizer sees them.
+    // The oracle replays the full 6-merge BPE chain (the
+    // x_text_bpe_encode CTEs) and then the packing cumsum. ----
+    QueryDef(
+      "x_pack_sequences_bpe",
+      (s, d) =>
+        packSpans(
+          TextOps.bpeEncode(t(s, d, "documents"), nMerges = 6)
+            .select(col("doc_id"), col("bpe_tokens").as("toks")),
+          ctx = 128L),
+      Some(TextOps.bpeOracleCtes(6, withDocs = true) +
+        """,
+          |nsym AS (SELECT word, CAST(len(str_split_regex(trim(seq), '  ')) AS BIGINT) AS n_sym FROM v6),
+          |bt AS (
+          |  SELECT wd.doc_id, CAST(sum(wd.k * nsym.n_sym) AS BIGINT) AS toks
+          |  FROM wd JOIN nsym USING (word) GROUP BY 1),
+          |""".stripMargin + packOracleSuffix(128)))
   )
 }

@@ -348,7 +348,7 @@ object TextOps extends QueryRegistry {
     * four times, so inlined CTEs would re-evaluate the corpus scan
     * exponentially.
     */
-  private def bpeOracleCtes(nMerges: Int, withDocs: Boolean): String = {
+  private[llm] def bpeOracleCtes(nMerges: Int, withDocs: Boolean): String = {
     val base =
       if (withDocs)
         """wd AS MATERIALIZED (
@@ -391,7 +391,7 @@ object TextOps extends QueryRegistry {
            |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
       }.mkString(" UNION ALL ") + " ORDER BY rank"
 
-  private def bpeEncodeOracle(nMerges: Int): String =
+  private[llm] def bpeEncodeOracle(nMerges: Int): String =
     bpeOracleCtes(nMerges, withDocs = true) +
       s""",
          |nsym AS (SELECT word, CAST(len(str_split_regex(trim(seq), '  ')) AS BIGINT) AS n_sym FROM v$nMerges)

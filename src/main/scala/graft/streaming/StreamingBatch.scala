@@ -98,6 +98,20 @@ object StreamingBatch extends QueryRegistry {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm2.w
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- B-STR1 + B-STR6 under the hard gate: LIVE incremental
+    // file-source consumption + progress-listener telemetry. The even
+    // half of events is staged before start, the odd half after batch 0
+    // completes; the listener's per-batch numInputRows must equal the
+    // exact half-counts the oracle recomputes. ----
+    QueryDef(
+      "b_str10_progress_log",
+      (s, d) => Streams.progressReplay(s, t(s, d, "events")),
+      Some("""SELECT CAST(0 AS BIGINT) AS batch_id, count(*) AS input_rows
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), count(*)
+             |FROM events WHERE event_id % 2 <> 0""".stripMargin)),
+
     // ---- stream-stream interval join, batch anchor ----
     // Same transform as Streams.intervalJoin (watermarks are no-ops in
     // batch): click → purchase attribution within 10 minutes per user.

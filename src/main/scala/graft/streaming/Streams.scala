@@ -158,6 +158,72 @@ object Streams {
     out
   }
 
+  /** B-STR1 + B-STR6 under the HARD gate: drives the LIVE file-source
+    * streaming engine and returns its PROGRESS TELEMETRY for the oracle
+    * to reproduce — the `b_str9` pattern applied to incremental
+    * consumption + the progress listener.
+    *
+    * Schedule: the events rows split on `event_id % 2`; the even half is
+    * staged as parquet before the query starts (batch 0), the odd half
+    * is staged after the first `processAllAvailable` (batch 1) — so the
+    * file source must DISCOVER the new files incrementally (B-STR1) and
+    * the [[ProgressCapture]] listener's per-batch `numInputRows`
+    * (B-STR6) must equal the exact half-counts DuckDB recomputes from
+    * the table. Listener delivery is async, so the harness polls until
+    * the captured total reaches the expected row count.
+    *
+    * The staging writes + collect-free pass-through are the
+    * certification harness, not the operator: production points the
+    * same `readStream` at an arriving directory/Kafka and reads the
+    * same listener. Batch-count-bounded rows cross the driver (one per
+    * micro-batch), never data.
+    */
+  def progressReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_str10_")
+    val srcDir = tmp.resolve("in").toString
+    val half = events.select(col("event_id"), col("value"))
+    val even = half.where(pmod(col("event_id"), lit(2)) === 0)
+    val odd = half.where(pmod(col("event_id"), lit(2)) =!= 0)
+    val expected = events.count()
+    even.write.mode("append").parquet(srcDir)
+    // pass-through plan, no shuffle: the gate is consumption+telemetry
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val capture = new ProgressCapture
+    ss.streams.addListener(capture)
+    val name = s"progress_replay_${wmReplaySeq.incrementAndGet()}"
+    val q = ss.readStream.schema(even.schema).parquet(srcDir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      odd.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+      while (capture.totalInputRows < expected && System.nanoTime() < deadline)
+        Thread.sleep(25)
+    } finally {
+      q.stop()
+      ss.streams.removeListener(capture)
+    }
+    ss.catalog.dropTempView(name)
+    // best-effort temp cleanup (staging files only)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    val rows = capture.progresses.filter(_.inputRows > 0)
+      .map(p => org.apache.spark.sql.Row(p.batchId, p.inputRows))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("input_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Stream-stream interval join: click → purchase attribution within
     * `maxGap` per user. In streaming mode BOTH sides carry watermarks and
     * the join condition is time-bounded, so Spark can expire join state

@@ -146,6 +146,24 @@ class CurationSpec extends SparkSpec {
     } finally spans.unpersist()
   }
 
+  test("BPE packing tiles exactly the tokenizer's per-doc counts") {
+    import org.apache.spark.sql.functions._
+    val ctx = 128L
+    val spans = SparkEntry.queries("x_pack_sequences_bpe")(spark, sf001)
+    val toks = TextOps.bpeEncode(
+      graft.Tables.t(spark, sf001, "documents"), nMerges = 6)
+      .select(col("doc_id"), col("bpe_tokens").as("toks"))
+    // per-doc: span coverage equals the BPE token count exactly — the
+    // packing is sized in tokenizer units, not whitespace words
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("span_len")).as("covered")).join(toks, "doc_id")
+    assert(perDoc.where(col("covered") =!= col("toks")).count() === 0)
+    // every non-final sequence is exactly ctx-full
+    val perSeq = spans.groupBy("seq_id").agg(sum(col("span_len")).as("fill"))
+    val maxSeq = perSeq.agg(max(col("seq_id"))).head.getLong(0)
+    assert(perSeq.where(col("seq_id") < maxSeq && col("fill") =!= ctx).count() === 0)
+  }
+
   test("sequence packing rides Spectrum, not an unpartitioned window") {
     val p = plan("x_pack_sequences")
     // the global running sum must be the range-partitioned prefix-sum

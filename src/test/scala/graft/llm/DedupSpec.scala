@@ -97,6 +97,38 @@ class DedupSpec extends SparkSpec {
     assert(tight.subsetOf(uncapped))
   }
 
+  test("incremental dedup probes the persisted corpus index, never rebuilds it") {
+    // the standing index must be built once per (session, fixture):
+    // the memo hands back the SAME materialized frame on every probe
+    val i1 = Dedup.corpusBandIndexFor(spark, sf001)
+    val i2 = Dedup.corpusBandIndexFor(spark, sf001)
+    assert(i1 eq i2, "corpus index was rebuilt on the second probe")
+    // and it IS a materialization (checkpoint scan), not a live plan —
+    // the probe-side join reads stored blocks, corpus text never re-runs
+    val leaves = i1.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(leaves.nonEmpty && leaves.forall(_.isCheckpointed),
+      "index should be a checkpointed materialization")
+
+    // probe recall: band candidates from the index must contain every
+    // exact batch-vs-corpus near-dup pair (same 16x2 recall contract as
+    // whole-corpus banding — the x_dedup_incremental oracle equality
+    // rests on this inclusion)
+    val docs = Tables.t(spark, sf001, "documents")
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val cands = Dedup.incrementalCandidates(batch, i1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }
+    assert(exact.nonEmpty, "fixture should contain batch-corpus near-dups")
+    assert((exact -- cands).isEmpty, s"index probe missed: ${exact -- cands}")
+    // and no candidate pairs a batch doc with another batch doc — the
+    // corpus side comes exclusively from the standing index
+    assert(cands.forall { case (b2, c) => b2 % 5 == 0 && c % 5 != 0 })
+  }
+
   test("substring dedup marks shifted copied runs and excises exactly them") {
     // b copies a's tokens 2..11 at a DIFFERENT offset (after 2 junk tokens):
     // shift-invariance is the point. n=4 windows cover b's positions 2..11;
