@@ -81,7 +81,7 @@ object Bench {
           System.gc(); Thread.sleep(200); System.gc()
           val rt = Runtime.getRuntime
           val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
-          val stor = spark.sparkContext.env.blockManager.master.getMemoryStatus
+          val stor = spark.sparkContext.getExecutorMemoryStatus
             .values.map { case (max, free) => max - free }.sum / (1024 * 1024)
           println(s"HEAPLOG $name used=${usedMb}MB persistentRDDs=" +
             s"${spark.sparkContext.getPersistentRDDs.size} storageUsed=${stor}MB")
