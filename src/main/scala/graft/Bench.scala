@@ -69,8 +69,18 @@ object Bench {
         // the SessionMemo-backed dedup/ANN queries to re-build their
         // memoized core EVERY rep — the committed numbers deliberately
         // include that recompute; the library path pays it once.)
+        // BLOCKING unpersist (r12 sf10 OOM root cause): blocking=false
+        // removes the blocks ASYNCHRONOUSLY, and the local block
+        // manager's removal worker drains far slower than the bench's
+        // query cadence (measured: 6 of 31 rdd blocks removed in ~10 s
+        // while BlockInfoManager showed the remover's write lock
+        // walking the list) — so at sf10 the next queries ran against a
+        // heap still strongly holding ~7.4 GB of doomed localCheckpoint
+        // pair-core blocks (each solo-passes; the LIST OOM'd at 8g).
+        // blocking=true makes the sweep wait between timings, where the
+        // wait belongs, instead of silently taxing the next query.
         spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         // diagnostic mode (SPARK_GRAFT_HEAP_LOG=1): after each timing +
         // sweep, force a full GC and log what SURVIVES — used heap,
         // persistent-RDD count, storage memory — to locate cross-query
@@ -85,6 +95,15 @@ object Bench {
             .values.map { case (max, free) => max - free }.sum / (1024 * 1024)
           println(s"HEAPLOG $name used=${usedMb}MB persistentRDDs=" +
             s"${spark.sparkContext.getPersistentRDDs.size} storageUsed=${stor}MB")
+          // attribution mode: a live-object class histogram of THIS JVM
+          // at the retention point (jcmd ships with the JDK)
+          if (sys.env.contains("SPARK_GRAFT_HEAP_HISTO")) {
+            val pid = ProcessHandle.current().pid()
+            val pr = new ProcessBuilder("jcmd", pid.toString, "GC.class_histogram")
+              .redirectErrorStream(true).start()
+            val out = new String(pr.getInputStream.readAllBytes())
+            println(out.linesIterator.take(28).mkString("\n"))
+          }
         }
         name -> t
       }.toMap
