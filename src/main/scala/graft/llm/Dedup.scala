@@ -13,22 +13,35 @@ import org.apache.spark.sql.functions._
   */
 private[llm] object DedupKernels extends Serializable {
 
-  /** Distinct word 3-gram shingles; exact same semantics as the SQL form
-    * `array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))`
-    * over `split(text, ' ')` (limit -1 keeps trailing empties, matching
-    * Spark's `split` and DuckDB's `str_split`).
+  /** 64-bit hashes of the DISTINCT word-3-gram shingles of `text` — the
+    * feature set `array_distinct(transform(sequence(0, size(ws)-3), i ->
+    * concat_ws(' ', ws[i], ws[i+1], ws[i+2])))` over `split(text, ' ')`
+    * (limit -1 keeps trailing empties, matching Spark's `split` and
+    * DuckDB's `str_split`), represented by the [[gramHashes]] window
+    * hash instead of materialized strings: token hashes are computed
+    * once and folded order-sensitively per window, so no shingle string
+    * is ever allocated, and everything downstream (df counts, the
+    * pair-core self-join, MinHash/SimHash signatures, the contamination
+    * index) keys on fixed-width 8-byte longs instead of ~18-byte
+    * strings — roughly half the shuffle bytes on the self-join, the
+    * corpus-scale cost center. Distinct-on-hash equals
+    * distinct-on-string up to 64-bit collisions (~|features|²/2⁶⁵ —
+    * negligible at any bench or corpus scale; the similarity outputs
+    * these feed are verified value-exact against string-computed DuckDB
+    * oracles at fixture scale).
     */
-  def shingles(text: String): Array[String] = {
-    val ws = text.split(" ", -1)
-    if (ws.length < 3) Array.empty[String]
+  def shingleHashes(text: String): Array[Long] = {
+    val gh = gramHashes(text.split(" ", -1), 3)
+    if (gh.length <= 1) gh
     else {
-      val seen = new java.util.LinkedHashSet[String](ws.length * 2)
-      var i = 0
-      while (i <= ws.length - 3) {
-        seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      java.util.Arrays.sort(gh)
+      var w = 1
+      var i = 1
+      while (i < gh.length) {
+        if (gh(i) != gh(i - 1)) { gh(w) = gh(i); w += 1 }
         i += 1
       }
-      seen.toArray(new Array[String](seen.size))
+      if (w == gh.length) gh else java.util.Arrays.copyOf(gh, w)
     }
   }
 
@@ -47,15 +60,15 @@ private[llm] object DedupKernels extends Serializable {
   }
 
   /** MinHash signature: K affine permutations h_j(x) = (x32*(2j+1) + j*c) mod p
-    * over the 32-bit-folded shingle hash, min over the shingle set. Each
-    * shingle is hashed exactly once; the K permutations are integer ops.
-    * All operands stay far below Long overflow (x32 < 2^32, 2j+1 <= 2K).
+    * over the 32-bit-folded shingle hash (one [[shingleHashes]] entry),
+    * min over the shingle set. The K permutations are integer ops. All
+    * operands stay far below Long overflow (x32 < 2^32, 2j+1 <= 2K).
     */
-  def minhashSig(sh: Array[String], k: Int): Array[Long] = {
+  def minhashSig(sh: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var si = 0
     while (si < sh.length) {
-      val x = hash64(sh(si)) & 0xffffffffL
+      val x = sh(si) & 0xffffffffL
       var j = 0
       while (j < k) {
         val v = (x * (2L * j + 1L) + j * 2654435761L) % 4294967291L
@@ -93,11 +106,11 @@ private[llm] object DedupKernels extends Serializable {
   /** 64-bit SimHash: per bit j, sign of the sum of +/-1 votes from each
     * shingle hash's bit j. One pass, O(64*|sh|) integer ops per doc.
     */
-  def simhash(sh: Array[String]): Long = {
+  def simhash(sh: Array[Long]): Long = {
     val votes = new Array[Int](64)
     var si = 0
     while (si < sh.length) {
-      val h = hash64(sh(si))
+      val h = sh(si)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -122,12 +135,14 @@ private[llm] object DedupKernels extends Serializable {
   */
 object Dedup extends QueryRegistry {
 
-  /** Exploded (doc_id, shingle) pairs via a typed flatMap. */
+  /** Exploded (doc_id, shingle-hash) pairs via a typed flatMap — `s` is
+    * the 64-bit [[DedupKernels.shingleHashes]] feature, so every
+    * downstream shuffle/join keys on a fixed-width long. */
   private def explodedShingles(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => DedupKernels.shingles(text).iterator.map(s => (id, s)) }
+      .flatMap { case (id, text) => DedupKernels.shingleHashes(text).iterator.map(s => (id, s)) }
       .toDF("doc_id", "s")
   }
 
@@ -205,7 +220,7 @@ object Dedup extends QueryRegistry {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sh = DedupKernels.shingles(text)
+          val sh = DedupKernels.shingleHashes(text)
           if (sh.isEmpty) Iterator.empty
           else Iterator((id, DedupKernels.minhashSig(sh, k)))
         }
@@ -342,7 +357,7 @@ object Dedup extends QueryRegistry {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sh = DedupKernels.shingles(text)
+          val sh = DedupKernels.shingleHashes(text)
           if (sh.isEmpty) Iterator.empty
           else Iterator((id, DedupKernels.simhash(sh)))
         }
@@ -571,7 +586,7 @@ object Dedup extends QueryRegistry {
     val typed = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
     val capped = typed
       .filter(_._1 % benchMod == 0)
-      .flatMap { case (id, text) => DedupKernels.shingles(text).iterator.map(s => (s, id)) }
+      .flatMap { case (id, text) => DedupKernels.shingleHashes(text).iterator.map(s => (s, id)) }
       .toDF("s", "bench_id")
       .groupBy("s").agg(collect_list(col("bench_id")).as("ids"))
       // posting-list df-cap: a shingle shared by more than `benchDfCap`
@@ -591,14 +606,14 @@ object Dedup extends QueryRegistry {
         s"the $maxIndexEntries budget — the broadcast-index design assumes a " +
         "bench-sized eval set; shrink it or raise maxIndexEntries with " +
         "driver memory to match")
-    val postings: Array[(String, Array[Long])] =
-      capped.as[(String, Array[Long])].collect()
+    val postings: Array[(Long, Array[Long])] =
+      capped.as[(Long, Array[Long])].collect()
     val bc = spark.sparkContext.broadcast(postings.toMap)
     typed.filter(_._1 % benchMod != 0)
       .flatMap { case (id, text) =>
         val idx = bc.value
         val counts = new scala.collection.mutable.HashMap[Long, Int]
-        DedupKernels.shingles(text).foreach { s =>
+        DedupKernels.shingleHashes(text).foreach { s =>
           idx.get(s) match {
             case Some(ids) =>
               var i = 0
