@@ -566,14 +566,14 @@ object Similarity extends QueryRegistry {
     * measures the APPROXIMATE path after run 1 — the quadratic baseline
     * cost lands on the queries that declare it (`x_sim_topk_brute`,
     * `x_dedup_embed`), not on every contract that compares against it. */
-  private val bruteCache = new SessionMemo[(String, Int)]
+  private val bruteCache = new SessionMemo[(String, Int)](pin = true)
   private def bruteTopKFor(s: SparkSession, d: String, k: Int): DataFrame =
     bruteCache.getOrCompute(s, (d, k)) {
       val emb = t(s, d, "embeddings")
       bruteForceTopK(emb, queriesOf(emb), k).localCheckpoint()
     }
 
-  private val exactPairCache = new SessionMemo[String]
+  private val exactPairCache = new SessionMemo[String](pin = true)
   private def exactPairsFor(s: SparkSession, d: String): DataFrame =
     exactPairCache.getOrCompute(s, d) {
       embedDupPairsExact(t(s, d, "embeddings"), tau = 0.4).localCheckpoint()

@@ -71,6 +71,44 @@ class SessionMemoSpec extends SparkSpec {
     assert(computes == 1)
   }
 
+  test("pin = true registers checkpoint RDD ids; a pin-aware sweep keeps the memo") {
+    val memo = new SessionMemo[String](pin = true)
+    var computes = 0
+    def get() = memo.getOrCompute(spark, "pinned") {
+      computes += 1
+      spark.range(100).toDF("v").localCheckpoint()
+    }
+    val df = get()
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty && ids.forall(SessionMemo.isPinned),
+      "pinned memo must register every checkpoint leaf RDD id")
+    // the Bench sweep shape: unpersist everything EXCEPT pinned ids
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => SessionMemo.isPinned(r.id))
+      .foreach(_.unpersist(false))
+    get()
+    assert(computes == 1, "a pin-aware sweep must not force a recompute")
+    // an ignore-the-registry sweep still cannot poison it (safety net)
+    sweep()
+    val after = get()
+    assert(computes == 2)
+    assert(after.count() == 100)
+  }
+
+  test("unpinned memo never registers RDD ids") {
+    val memo = new SessionMemo[String]
+    val df = memo.getOrCompute(spark, "unpinned") {
+      spark.range(50).toDF("v").localCheckpoint()
+    }
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty && !ids.exists(SessionMemo.isPinned),
+      "an unpinned memo's frames must stay sweepable")
+  }
+
   test("checkpoint storage level drops to NONE after the sweep (assumption pin)") {
     // pins the mechanism the liveness check relies on: localCheckpoint
     // persists blocks; unpersist drops the level to NONE
