@@ -1306,4 +1306,63 @@ object CHValues {
     }
     true
   }
+
+  // ------------------------------------------------------- text canon
+
+  /** Fused text canonicalization — byte-for-byte equivalent to
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "),
+    * " +", " "))` but ONE pass with no intermediate string: the output
+    * is the input's alphanumeric runs, lowercased, joined by single
+    * spaces. This chain fronts every canonical-text operator (fuzzy
+    * dedup group keys, the curation pipeline, shard packing) and two
+    * Java-regex passes per document were its cost center; the fused
+    * kernel stays inside whole-stage codegen via [[ValueExpressions]].
+    *
+    * ASCII inputs (the common case) run a zero-copy byte loop. Any
+    * input containing a non-ASCII byte takes the slow path, which
+    * lowercases via `UTF8String.toLowerCase` — the SAME call Spark's
+    * `lower()` makes, so full-string case mappings (1→N expansions,
+    * final sigma) match the reference chain exactly; every char whose
+    * lowercase is outside `[a-z0-9]` is a separator on both paths.
+    */
+  def canonText(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var ascii = true
+    var i = 0
+    while (i < b.length && ascii) { if (b(i) < 0) ascii = false; i += 1 }
+    if (!ascii) return canonTextSlow(s)
+    val out = new Array[Byte](b.length)
+    var w = 0
+    var pendingSep = false
+    i = 0
+    while (i < b.length) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && w > 0) { out(w) = ' '; w += 1 }
+        pendingSep = false
+        out(w) = c
+        w += 1
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
+
+  private def canonTextSlow(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var pendingSep = false
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && sb.length > 0) sb.append(' ')
+        pendingSep = false
+        sb.append(c)
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

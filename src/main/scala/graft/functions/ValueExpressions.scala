@@ -110,6 +110,21 @@ object ValueExpressions {
       copy(child = c)
   }
 
+  /** Fused canonical-text kernel — equivalent to the 4-op chain
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "),
+    * " +", " "))` in one codegen'd pass (see [[CHValues.canonText]]);
+    * fronts the fuzzy-dedup group keys, the curation pipeline and
+    * shard packing, where two Java-regex passes per document were the
+    * cost center. */
+  final case class CanonText(child: Expression)
+      extends CHUnary("canon_text", StringType, StringType) {
+    protected def kernelName = "canonText"
+    protected def evalKernel(v: Any): Any =
+      CHValues.canonText(v.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): CanonText =
+      copy(child = c)
+  }
+
   /** Zero-key SipHash-2-4 over raw bytes — the CH `sipHash64` core
     * (ClickHouse hash-functions reference; core pinned to the SipHash
     * paper's test vectors in ChDialectSpec). Raw signed-long form; the
@@ -321,6 +336,7 @@ object ValueExpressions {
       one("int256_from_string", Int256FromString),
       one("int256_sort_key", Int256SortKey),
       one("ch_fingerprint", RollingFingerprint),
+      one("canon_text", CanonText),
       one("sip_hash64_raw", SipHash64Raw))
   }
 }

@@ -244,8 +244,11 @@ object Curation extends QueryRegistry {
         val mangled = docs.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             regexp_replace(upper(col("text")), " ", "  ").as("text"))
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        // fused codegen kernel ≡ trim(regexp_replace(regexp_replace(
+        // lower(text), "[^a-z0-9 ]", " "), " +", " ")) — one pass, no
+        // Java-regex matchers (the chain's cost center at corpus scale);
+        // the DuckDB oracle keeps the regex spelling, value parity gated
+        val canon = call_function("canon_text", col("text"))
         val h = substring(md5(md5(canon.cast("binary")).cast("binary")), 1, 2)
         docs.unionByName(mangled)
           .select(
@@ -488,8 +491,11 @@ object Curation extends QueryRegistry {
         val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
         val packW = org.apache.spark.sql.expressions.Window
           .partitionBy(col("bucket")).orderBy(col("doc_id"))
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        // fused codegen kernel ≡ trim(regexp_replace(regexp_replace(
+        // lower(text), "[^a-z0-9 ]", " "), " +", " ")) — one pass, no
+        // Java-regex matchers (the chain's cost center at corpus scale);
+        // the DuckDB oracle keeps the regex spelling, value parity gated
+        val canon = call_function("canon_text", col("text"))
         t(s, d, "documents")
           .withColumn("canon", canon)
           .withColumn("rn", row_number().over(W))
@@ -659,8 +665,11 @@ object Curation extends QueryRegistry {
         // the dedup exchange.)
         val W = org.apache.spark.sql.expressions.Window
           .partitionBy(col("ck")).orderBy(col("doc_id"))
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        // fused codegen kernel ≡ trim(regexp_replace(regexp_replace(
+        // lower(text), "[^a-z0-9 ]", " "), " +", " ")) — one pass, no
+        // Java-regex matchers (the chain's cost center at corpus scale);
+        // the DuckDB oracle keeps the regex spelling, value parity gated
+        val canon = call_function("canon_text", col("text"))
         t(s, d, "documents")
           .select(col("doc_id"), col("lang"), canon.as("canon"))
           .withColumn("nw", size(split(col("canon"), " ")).cast("double"))

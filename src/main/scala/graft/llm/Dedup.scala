@@ -825,8 +825,9 @@ object Dedup extends QueryRegistry {
         val mangled = docs.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             regexp_replace(upper(col("text")), " ", "  ").as("text"))
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        // fused codegen kernel ≡ the two-regex canon chain (see
+        // CHValues.canonText); oracle keeps the regex spelling
+        val canon = call_function("canon_text", col("text"))
         docs.unionByName(mangled)
           .select(col("doc_id"), md5(canon.cast("binary")).as("canon_hash"))
           .groupBy("canon_hash")

@@ -157,52 +157,83 @@ object Similarity extends QueryRegistry {
       .toDF("qid", "vid", "cos")
   }
 
-  /** (id, vec, ||vec||) — norms computed ONCE per vector so O(N·Q) or
-    * O(N²) pair scoring does one dot product per pair instead of three;
-    * `sqrt(na)*sqrt(nb)` is the exact same double as inside
-    * `VecKernels.cosine`, so scores are bit-identical to the oracle. */
-  private def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.as[(Long, Array[Double])].map { case (i, vec) =>
-      var s = 0.0; var k = 0
-      while (k < vec.length) { s += vec(k) * vec(k); k += 1 }
-      (i, vec, math.sqrt(s))
-    }.toDF(id, v, n)
-  }
-
-  /** Pair scoring with precomputed norms: one JIT'd dot per pair. */
-  private def scoreWithNorms(pairs: DataFrame, aId: String, bId: String,
-      av: String, bv: String, an: String, bn: String,
-      outA: String, outB: String): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.select(col(aId), col(bId), col(av), col(bv), col(an), col(bn))
-      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
-      .map { case (a, b, va, vb, na, nb) =>
-        var dot = 0.0; var k = 0
-        val m = math.min(va.length, vb.length)
-        while (k < m) { dot += va(k) * vb(k); k += 1 }
-        (a, b, dot / (na * nb))
-      }
-      .toDF(outA, outB, "cos")
-  }
-
-  /** Exact top-k by cosine for each query vector: broadcast the (small)
-    * query set against all candidates, then per-query top-k via window —
-    * the correctness baseline the LSH path is measured against. O(N·Q) by
-    * design; use [[lshTopK]] at scale.
+  /** Exact top-k by cosine for each query vector — the correctness
+    * baseline the ANN paths are measured against. O(N·Q) dot products by
+    * design; use [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] at scale.
+    *
+    * Shape: ONE corpus pass against the broadcast query set with a
+    * bounded per-query heap per partition (the [[pqTopK]] shortlist
+    * shape, exact instead of approximate). Every partition emits only
+    * its local top-k per query (≤ k·Q·parts rows) and a global per-query
+    * TopN merges heads — nothing else leaves the scan. The previous
+    * crossJoin form materialized N·Q rows EACH decoding two embedding
+    * arrays through the Dataset encoder (at sf1: 100 M pair rows ×
+    * 2×64-dim arrays — 12.8 s, encoder-bound at ~1 GFLOP/s); this kernel
+    * decodes each vector exactly once (measured ~6×). Scores are
+    * bit-identical: same dot over min-length, same `dot/(qn·cn)` with
+    * norms as their own sqrt each — ties broken (cos desc, vid asc)
+    * inside the heap, matching the TopN sort.
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = withNorm(
-      queries.select(col("vec_id"), col("embedding").cast("array<double>")), "qid", "qv", "qn")
-    val c = withNorm(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>")), "vid", "cv", "cn")
-    val scored = scoreWithNorms(
-      c.crossJoin(broadcast(q)).filter(col("qid") =!= col("vid")),
-      "qid", "vid", "qv", "cv", "qn", "cn", "qid", "vid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    if (qRows.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val qids = qRows.map(_._1)
+    val qvs = qRows.map(_._2)
+    val qns = qvs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((qids, qvs, qns))
+    // worst-first ordering so heap.head is the eviction candidate:
+    // smaller cos is worse; equal cos, larger vid is worse (the TopN
+    // sort is cos desc, vid asc)
+    implicit val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(x: (Double, Long), y: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
+    val heads = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, vs, ns) = bc.value
+        val nq = ids.length
+        val heaps = Array.fill(nq)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        it.foreach { case (vid, cv) =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          val cn = math.sqrt(s)
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != vid) {
+              val qv = vs(qi)
+              var dot = 0.0; var j = 0
+              val m = math.min(qv.length, cv.length)
+              while (j < m) { dot += qv(j) * cv(j); j += 1 }
+              val cos = dot / (ns(qi) * cn)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, vid))
+              else {
+                val w = h.head // no alloc on the common reject path
+                if (cos > w._1 || (cos == w._1 && vid < w._2)) {
+                  h.dequeue(); h.enqueue((cos, vid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap(qi =>
+          heaps(qi).iterator.map { case (cos, vid) => (ids(qi), vid, cos) })
+      }
+      .toDF("qid", "vid", "cos")
     graft.operators.LimitBy
-      .limitBy(scored, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
+      .limitBy(heads, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 

@@ -116,6 +116,41 @@ class ValueExpressionsSpec extends SparkSpec {
     assert(graft.explain.Explain.codegenSpans(scanned) >= 1)
   }
 
+  test("canon_text ≡ the two-regex canon chain, incl. Unicode, and stays in codegen") {
+    // kernel-level goldens: collapse, trim, case, punct, digits, empties
+    val goldens = Seq(
+      "Hello, World!" -> "hello world",
+      "  a   b  " -> "a b",
+      "A1-b2_c3" -> "a1 b2 c3",
+      "" -> "",
+      "!!!" -> "",
+      "   " -> "",
+      "already clean" -> "already clean",
+      "ABC" -> "abc",
+      "x" -> "x",
+      // non-ASCII: lower() maps É->é (not [a-z0-9]) -> separator; the
+      // Kelvin sign U+212A lowercases to ASCII 'k' and must be KEPT
+      "CafÉ bar" -> "caf bar",
+      "Kelvin" -> "kelvin",
+      // 1->N case mapping: İ (U+0130) lowers to i + combining dot
+      "İstanbul" -> "i stanbul")
+    goldens.foreach { case (in, want) =>
+      assert(CHValues.canonText(u(in)).toString === want, s"input <$in>")
+    }
+    // parity with the exact chain it replaced, evaluated BY SPARK, over
+    // fixture text plus adversarial rows (null flows through both)
+    val extra = (goldens.map(_._1) :+ null).toDF("text")
+    val fixture = graft.Tables.t(spark, sf001, "documents").select(col("text"))
+    val both = fixture.unionByName(extra).selectExpr(
+      "canon_text(text) AS fast",
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+        |' +', ' ')) AS slow""".stripMargin.replace("\n", " "))
+    assert(both.collect().forall(r => r.getString(0) == r.getString(1)))
+    val scanned = graft.Tables.t(spark, sf001, "documents")
+      .selectExpr("canon_text(text) AS c")
+    assert(graft.explain.Explain.codegenSpans(scanned) >= 1)
+  }
+
   test("enum name <-> code via the CHType dictionary") {
     val t = graft.types.CHType.parse("Enum8('low' = 1, 'high' = 2)")
     val dict = EnumCodec.dictOf(t)
