@@ -31,6 +31,10 @@ private[llm] object DedupKernels extends Serializable {
     * oracles at fixture scale).
     */
   def shingleHashes(text: String): Array[Long] = {
+    // NULL text → no features, so a null-text doc silently drops from
+    // every dedup family instead of NPE-ing the typed flatMaps — the
+    // same outcome as the oracles' str_split(NULL) → unnest
+    if (text == null) return Array.empty[Long]
     val gh = gramHashes(text.split(" ", -1), 3)
     if (gh.length <= 1) gh
     else {

@@ -47,10 +47,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionMemo {
   private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   def isPinned(rddId: Int): Boolean = pinnedIds.contains(rddId)
-  private def register(df: DataFrame): Unit =
+  private def rddIds(df: DataFrame): Seq[Int] =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.foreach(pinnedIds.add(_))
+    }
+  private def register(df: DataFrame): Unit = rddIds(df).foreach(pinnedIds.add(_))
+  // recompute evicts the superseded frame's ids, so the registry stays
+  // bounded by the number of LIVE pinned frames (not every frame ever
+  // pinned across session restarts)
+  private def unregister(df: DataFrame): Unit = rddIds(df).foreach(pinnedIds.remove(_))
 }
 
 final class SessionMemo[K](pin: Boolean = false) {
@@ -93,6 +98,7 @@ final class SessionMemo[K](pin: Boolean = false) {
     mapFor(s).compute(key, (_, prev) =>
       if (prev != null && alive(prev)) prev
       else {
+        if (prev != null && pin) SessionMemo.unregister(prev)
         val df = compute
         if (pin) SessionMemo.register(df)
         df

@@ -163,6 +163,21 @@ class DedupSpec extends SparkSpec {
     assert(frac.values.count(_ == 0.0) > frac.size / 2, "over-marking")
   }
 
+  test("null-text docs drop silently from every shingle-backed family") {
+    // kernel: NULL text -> no features (the oracles' str_split(NULL) ->
+    // unnest outcome), not an NPE inside the typed flatMaps
+    assert(DedupKernels.shingleHashes(null).isEmpty)
+    val docs = Seq(
+      (1L, "a b c d e f g a b c d e f g"),
+      (2L, "a b c d e f g a b c d e f h"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, 0.5)
+    assert(pairsOf(jac) == Set((1L, 2L)))
+    assert(Dedup.withMinhash(docs, 16).count() == 2)
+    assert(Dedup.withSimhash(docs).count() == 2)
+    assert(Dedup.contamination(docs, benchMod = 3).count() == 0)
+  }
+
   private def md5Of(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

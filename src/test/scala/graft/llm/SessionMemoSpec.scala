@@ -95,6 +95,14 @@ class SessionMemoSpec extends SparkSpec {
     val after = get()
     assert(computes == 2)
     assert(after.count() == 100)
+    // ...and the recompute evicted the superseded frame's ids (the
+    // registry stays bounded by live pinned frames)
+    assert(!ids.exists(SessionMemo.isPinned),
+      "stale ids must be unregistered on recompute")
+    val newIds = after.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(newIds.nonEmpty && newIds.forall(SessionMemo.isPinned))
   }
 
   test("unpinned memo never registers RDD ids") {
