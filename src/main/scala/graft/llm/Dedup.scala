@@ -436,6 +436,28 @@ object Dedup extends QueryRegistry {
       .filter(col("id").isNull || col("cluster") === col("doc_id"))
       .select(col("doc_id"))
 
+  /** Quality-aware keep-list: untouched docs plus, per near-dup cluster,
+    * the single best doc by `score` (ties by doc_id asc) — the retention
+    * rule real curation pipelines use (keep the longest / highest-quality
+    * representative) where [[clusterKeepers]] keeps the min-id label.
+    * Selection is a per-cluster TopN ([[graft.operators.LimitBy]]:
+    * per-partition heads + merge — the cluster table never globally
+    * sorts), so the added cost over the standing clusters is one
+    * bounded-output shuffle.
+    */
+  def clusterKeepersBest(docs: DataFrame, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val joined = docs.join(clusters, docs("doc_id") === clusters("id"), "left")
+    val untouched = joined.filter(col("id").isNull).select(col("doc_id"))
+    val best = graft.operators.LimitBy
+      .limitBy(
+        joined.filter(col("id").isNotNull)
+          .select(col("doc_id"), col("cluster"), score.as("__score")),
+        Seq(col("cluster")), Seq(col("__score").desc, col("doc_id").asc), 1)
+      .select(col("doc_id"))
+    untouched.unionByName(best)
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   /** The shared expensive core of the exact near-dup family — exploded
@@ -994,6 +1016,23 @@ object Dedup extends QueryRegistry {
       Some(s"""$ccOracleCtes
              |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
              |WHERE cc.id IS NULL OR cc.cluster = d.doc_id""".stripMargin)),
+
+    // ---- quality-aware keep-list: per cluster keep the LONGEST doc
+    // (ties by id) instead of the min-id label — the retention rule
+    // production curation uses (keep the best representative); rides the
+    // same standing clusters, selection is a per-cluster TopN ----
+    QueryDef(
+      "x_dedup_cc_keepers_quality",
+      (s, d) => clusterKeepersBest(t(s, d, "documents"), ccClustersFor(s, d),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")),
+      Some(s"""$ccOracleCtes
+             |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |WHERE cc.id IS NULL
+             |UNION ALL
+             |SELECT id AS doc_id FROM (
+             |  SELECT cc.id, row_number() OVER (PARTITION BY cc.cluster
+             |    ORDER BY len(str_split(coalesce(dd.text, ''), ' ')) DESC, cc.id) AS rn
+             |  FROM cc JOIN documents dd ON dd.doc_id = cc.id) WHERE rn = 1""".stripMargin)),
 
     // ---- exact-substring dedup (span-level, shift-invariant): duplicated
     // 8-token windows across docs → per-doc dup fraction + excised text.

@@ -163,6 +163,26 @@ class DedupSpec extends SparkSpec {
     assert(frac.values.count(_ == 0.0) > frac.size / 2, "over-marking")
   }
 
+  test("quality-aware keepers keep the longest doc per cluster, untouched docs always") {
+    val docs = Seq(
+      (1L, "a b"),           // cluster {1,2,3}: 3 is longest -> keeper
+      (2L, "a b c"),
+      (3L, "a b c d"),
+      (4L, "x y"),           // cluster {4,5}: tie on length -> min id 4
+      (5L, "x z"),
+      (9L, "lonely doc")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val kept = Dedup.clusterKeepersBest(docs, clusters,
+      size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 9L))
+    // contrast: the min-id-label rule keeps 1 and 4
+    val minId = Dedup.clusterKeepers(docs, clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 9L))
+  }
+
   test("null-text docs drop silently from every shingle-backed family") {
     // kernel: NULL text -> no features (the oracles' str_split(NULL) ->
     // unnest outcome), not an NPE inside the typed flatMaps
