@@ -794,7 +794,7 @@ object Curation extends QueryRegistry {
       "x_pack_sequences_bpe",
       (s, d) =>
         packSpans(
-          TextOps.bpeEncode(t(s, d, "documents"), nMerges = 6)
+          TextOps.bpeEncodeWith(t(s, d, "documents"), TextOps.bpeVocabFor(s, d, 6))
             .select(col("doc_id"), col("bpe_tokens").as("toks")),
           ctx = 128L),
       Some(TextOps.bpeOracleCtes(6, withDocs = true) +
