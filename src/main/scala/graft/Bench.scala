@@ -61,14 +61,11 @@ object Bench {
       board.map { case (name, fn) =>
         val t = timeOnce(name, fn)
         // cross-query state hygiene: several operators localCheckpoint
-        // corpus-derived frames (langid, BPE, dedup CC) and never
-        // unpersist — leaked blocks shrink the unified-memory pool for
-        // whoever runs NEXT (sort spills), a run-order-dependent tax.
-        // Dropping leaked blocks after every timing keeps each
-        // measurement independent of its neighbors. (This also forces
-        // the SessionMemo-backed dedup/ANN queries to re-build their
-        // memoized core EVERY rep — the committed numbers deliberately
-        // include that recompute; the library path pays it once.)
+        // corpus-derived frames and never unpersist — leaked blocks
+        // shrink the unified-memory pool for whoever runs NEXT (sort
+        // spills), a run-order-dependent tax. Dropping leaked blocks
+        // after every timing keeps each measurement independent of its
+        // neighbors.
         // BLOCKING unpersist (r12 sf10 OOM root cause): blocking=false
         // removes the blocks ASYNCHRONOUSLY, and the local block
         // manager's removal worker drains far slower than the bench's
@@ -79,20 +76,24 @@ object Bench {
         // pair-core blocks (each solo-passes; the LIST OOM'd at 8g).
         // blocking=true makes the sweep wait between timings, where the
         // wait belongs, instead of silently taxing the next query.
-        // PINNED exemption: SessionMemo frames registered as pinned are
-        // certification-contract baselines (brute top-k, exact pair set)
-        // or standing indexes whose amortization IS the measured
-        // operator's contract (the incremental-dedup band index).
-        // Sweeping those between reps charges the baseline's build cost
-        // to every query that merely certifies against it — the brute
-        // top-k re-priced the PQ/LSH/IVF rows ~14x at sf1 — while the
-        // baseline's full cost already has a dedicated owner row that
-        // computes it directly, bypassing the memo (x_sim_topk_brute,
-        // x_dedup_embed). Operator-owned shared state (dedup pair core,
-        // CC) is NOT pinned and still rebuilds every rep.
+        // PINNED exemption (cost-owner semantics): SessionMemo frames
+        // registered as pinned are shared standing artifacts —
+        // certification-contract baselines (brute top-k, exact pair
+        // set), standing indexes/models (incremental-dedup band index,
+        // BPE vocab), and the dedup pair core / CC clusters. Sweeping
+        // those between reps charges the same build cost to every query
+        // that rides the artifact (the brute top-k re-priced the
+        // PQ/LSH/IVF rows ~14x at sf1; five sf1 dedup rows each
+        // re-reported the same pair-core rebuild). EVERY pinned artifact
+        // instead has exactly one dedicated owner row that computes it
+        // directly, bypassing the memo, at full standalone price
+        // (x_sim_topk_brute, x_dedup_embed, x_dedup_ngram_jaccard,
+        // x_dedup_cc_clusters, x_dedup_minhash for the banding class,
+        // x_text_bpe_learn); all other rows measure their marginal work
+        // over the standing artifact — the library-path split.
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .filterNot(r => graft.llm.SessionMemo.isPinned(r.id))
+          .filterNot(r => graft.llm.SessionMemo.isPinned(r))
           .foreach(_.unpersist(true))
         // diagnostic mode (SPARK_GRAFT_HEAP_LOG=1): after each timing +
         // sweep, force a full GC and log what SURVIVES — used heap,
@@ -111,11 +112,15 @@ object Bench {
           // attribution mode: a live-object class histogram of THIS JVM
           // at the retention point (jcmd ships with the JDK)
           if (sys.env.contains("SPARK_GRAFT_HEAP_HISTO")) {
-            val pid = ProcessHandle.current().pid()
-            val pr = new ProcessBuilder("jcmd", pid.toString, "GC.class_histogram")
-              .redirectErrorStream(true).start()
-            val out = new String(pr.getInputStream.readAllBytes())
-            println(out.linesIterator.take(28).mkString("\n"))
+            // diagnostic-only: a JRE without jcmd must skip the
+            // histogram, not abort the board mid-run
+            try {
+              val pid = ProcessHandle.current().pid()
+              val pr = new ProcessBuilder("jcmd", pid.toString, "GC.class_histogram")
+                .redirectErrorStream(true).start()
+              val out = new String(pr.getInputStream.readAllBytes())
+              println(out.linesIterator.take(28).mkString("\n"))
+            } catch { case e: Throwable => println(s"HEAPHISTO unavailable: $e") }
           }
         }
         name -> t

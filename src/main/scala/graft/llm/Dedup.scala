@@ -84,6 +84,17 @@ private[llm] object DedupKernels extends Serializable {
     sig
   }
 
+  /** FNV-style fold of band `b`'s signature slice into one band key —
+    * THE banding hash: [[Dedup.bandKeys]] (the standing incremental
+    * index) and [[Dedup.minhashPairs]] (whole-corpus banding) must stay
+    * on the same kernel or their buckets silently diverge. */
+  def bandKey(sig: Array[Long], b: Int, rows: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ b
+    var i = b * rows
+    while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Hashes of every consecutive `n`-token window of `ws` (one per start
     * position 0..len-n). Token hashes are computed once, window hashes fold
     * the n token hashes order-sensitively — O(n·len) integer ops, no
@@ -254,13 +265,8 @@ object Dedup extends QueryRegistry {
     import spark.implicits._
     val banded = withMinhash(docs, k).as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        Iterator.tabulate(bands) { b =>
-          // band key: mix the band's signature slice (FNV-style over longs)
-          var h = 0xcbf29ce484222325L ^ b
-          var i = b * rows
-          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
-          (id, sig, b, h)
-        }
+        Iterator.tabulate(bands)(b =>
+          (id, sig, b, DedupKernels.bandKey(sig, b, rows)))
       }
       .toDF("doc_id", "sig", "band", "bkey")
     banded.groupBy("band", "bkey")
@@ -311,12 +317,7 @@ object Dedup extends QueryRegistry {
     import spark.implicits._
     withMinhash(docs, k).as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        Iterator.tabulate(bands) { b =>
-          var h = 0xcbf29ce484222325L ^ b
-          var i = b * rows
-          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
-          (id, b, h)
-        }
+        Iterator.tabulate(bands)(b => (id, b, DedupKernels.bandKey(sig, b, rows)))
       }
       .toDF("doc_id", "band", "bkey")
   }

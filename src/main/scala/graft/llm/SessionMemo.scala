@@ -38,24 +38,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that merely certifies against it (the quadratic brute-force top-k
   * re-priced the PQ/LSH/IVF rows ~14x at sf1), while the baseline's
   * FULL cost already has a dedicated owner row that computes it
-  * directly, bypassing the memo (`x_sim_topk_brute`, `x_dedup_embed`).
-  * Operator-owned shared state (the dedup pair core, CC) is NOT pinned:
-  * those rows deliberately report standalone rebuild cost. The
-  * liveness re-check in [[SessionMemo.getOrCompute]] stays the safety
-  * net if a sweep ignores the registry.
+  * directly, bypassing the memo (`x_sim_topk_brute`, `x_dedup_embed`,
+  * `x_dedup_ngram_jaccard` for the pair core, `x_dedup_cc_clusters`
+  * for CC, `x_text_bpe_learn` for the BPE vocab). The liveness
+  * re-check in [[SessionMemo.getOrCompute]] stays the safety net if a
+  * sweep ignores the registry.
   */
 object SessionMemo {
-  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-  def isPinned(rddId: Int): Boolean = pinnedIds.contains(rddId)
-  private def rddIds(df: DataFrame): Seq[Int] =
+  // keys are (applicationId, rddId): RDD ids restart at 0 per
+  // SparkContext, so a bare-int registry would let a stale id from a
+  // stopped context exempt an unrelated RDD in a later one from the
+  // sweep — exactly the leak class the sweep exists to drop
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  def isPinned(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    pinnedIds.contains((rdd.sparkContext.applicationId, rdd.id))
+  private def keysOf(df: DataFrame): Seq[(String, Int)] =
     df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        (l.rdd.sparkContext.applicationId, l.rdd.id)
     }
-  private def register(df: DataFrame): Unit = rddIds(df).foreach(pinnedIds.add(_))
-  // recompute evicts the superseded frame's ids, so the registry stays
-  // bounded by the number of LIVE pinned frames (not every frame ever
-  // pinned across session restarts)
-  private def unregister(df: DataFrame): Unit = rddIds(df).foreach(pinnedIds.remove(_))
+  private def register(df: DataFrame): Unit = keysOf(df).foreach(pinnedIds.add(_))
+  // recompute evicts the superseded frame's keys, so the registry stays
+  // bounded by the number of live pinned frames per application (a
+  // handful of contract baselines and standing indexes)
+  private def unregister(df: DataFrame): Unit = keysOf(df).foreach(pinnedIds.remove(_))
 }
 
 final class SessionMemo[K](pin: Boolean = false) {

@@ -220,7 +220,11 @@ object Similarity extends QueryRegistry {
               if (h.size < k) h.enqueue((cos, vid))
               else {
                 val w = h.head // no alloc on the common reject path
-                if (cos > w._1 || (cos == w._1 && vid < w._2)) {
+                // Double.compare, not primitive >/==: the eviction
+                // ordering and the final sort both order -0.0 < 0.0,
+                // and a primitive test here would disagree at that tie
+                val c = java.lang.Double.compare(cos, w._1)
+                if (c > 0 || (c == 0 && vid < w._2)) {
                   h.dequeue(); h.enqueue((cos, vid))
                 }
               }

@@ -184,7 +184,18 @@ object Streams {
     val half = events.select(col("event_id"), col("value"))
     val even = half.where(pmod(col("event_id"), lit(2)) === 0)
     val odd = half.where(pmod(col("event_id"), lit(2)) =!= 0)
-    val expected = events.count()
+    // the poll target is what was actually STAGED: a NULL event_id lands
+    // in neither half (pmod(NULL, 2) is NULL), so polling to
+    // events.count() would spin the full deadline on such fixtures
+    val evenCount = even.count()
+    val oddCount = odd.count()
+    // the gate certifies two-stage incremental discovery — a one-parity
+    // fixture cannot drive batch 1 and would silently emit one row
+    // against the oracle's unconditional two; fail loudly instead
+    require(evenCount > 0 && oddCount > 0,
+      s"progressReplay needs both event_id parities to stage two batches " +
+        s"(even=$evenCount, odd=$oddCount)")
+    val expected = evenCount + oddCount
     even.write.mode("append").parquet(srcDir)
     // pass-through plan, no shuffle: the gate is consumption+telemetry
     val ss = spark.newSession()
@@ -205,14 +216,15 @@ object Streams {
     } finally {
       q.stop()
       ss.streams.removeListener(capture)
+      // cleanup INSIDE the finally: a failing rep must not leak a full
+      // parquet copy of the events table (multi-GB at sf10) per rep
+      try ss.catalog.dropTempView(name) catch { case _: Throwable => () }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
     }
-    ss.catalog.dropTempView(name)
-    // best-effort temp cleanup (staging files only)
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
     val rows = capture.progresses.filter(_.inputRows > 0)
       .map(p => org.apache.spark.sql.Row(p.batchId, p.inputRows))
     spark.createDataFrame(

@@ -79,14 +79,16 @@ class SessionMemoSpec extends SparkSpec {
       spark.range(100).toDF("v").localCheckpoint()
     }
     val df = get()
-    val ids = df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }
-    assert(ids.nonEmpty && ids.forall(SessionMemo.isPinned),
-      "pinned memo must register every checkpoint leaf RDD id")
-    // the Bench sweep shape: unpersist everything EXCEPT pinned ids
+    def leaves(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    val rdds = leaves(df)
+    assert(rdds.nonEmpty && rdds.forall(SessionMemo.isPinned),
+      "pinned memo must register every checkpoint leaf")
+    // the Bench sweep shape: unpersist everything EXCEPT pinned frames
     spark.sparkContext.getPersistentRDDs.values
-      .filterNot(r => SessionMemo.isPinned(r.id))
+      .filterNot(r => SessionMemo.isPinned(r))
       .foreach(_.unpersist(false))
     get()
     assert(computes == 1, "a pin-aware sweep must not force a recompute")
@@ -95,25 +97,23 @@ class SessionMemoSpec extends SparkSpec {
     val after = get()
     assert(computes == 2)
     assert(after.count() == 100)
-    // ...and the recompute evicted the superseded frame's ids (the
+    // ...and the recompute evicted the superseded frame's keys (the
     // registry stays bounded by live pinned frames)
-    assert(!ids.exists(SessionMemo.isPinned),
-      "stale ids must be unregistered on recompute")
-    val newIds = after.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }
-    assert(newIds.nonEmpty && newIds.forall(SessionMemo.isPinned))
+    assert(!rdds.exists(SessionMemo.isPinned),
+      "stale keys must be unregistered on recompute")
+    val newRdds = leaves(after)
+    assert(newRdds.nonEmpty && newRdds.forall(SessionMemo.isPinned))
   }
 
-  test("unpinned memo never registers RDD ids") {
+  test("unpinned memo never registers its frames") {
     val memo = new SessionMemo[String]
     val df = memo.getOrCompute(spark, "unpinned") {
       spark.range(50).toDF("v").localCheckpoint()
     }
-    val ids = df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    assert(ids.nonEmpty && !ids.exists(SessionMemo.isPinned),
+    assert(rdds.nonEmpty && !rdds.exists(SessionMemo.isPinned),
       "an unpinned memo's frames must stay sweepable")
   }
 
