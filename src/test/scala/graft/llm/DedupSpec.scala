@@ -129,6 +129,29 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall { case (b2, c) => b2 % 5 == 0 && c % 5 != 0 })
   }
 
+  test("maintained band index converges to the rebuilt index; probes agree") {
+    // the x_dedup_index_update contract: appending an admitted batch's
+    // band keys to a standing index yields EXACTLY the index a full
+    // rebuild over the combined corpus produces — so every future probe
+    // is indistinguishable, and ingest never has to re-band the corpus
+    val docs = Tables.t(spark, sf001, "documents")
+    val corpus0 = docs.where(col("doc_id") % 5 >= 2)
+    val batch1 = docs.where(col("doc_id") % 5 === 1)
+    val merged = Dedup.mergeBandIndex(Dedup.bandKeys(corpus0, 32, 16), batch1)
+    val rebuilt = Dedup.bandKeys(docs.where(col("doc_id") % 5 =!= 0), 32, 16)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(keys(merged) === keys(rebuilt),
+      "merged index diverged from a full rebuild")
+    // and the probe sees no difference: candidates from the maintained
+    // index equal candidates from the rebuilt one
+    val batch2 = docs.where(col("doc_id") % 5 === 0)
+    def cands(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalCandidates(batch2, ix)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(merged) === cands(rebuilt))
+  }
+
   test("substring dedup marks shifted copied runs and excises exactly them") {
     // b copies a's tokens 2..11 at a DIFFERENT offset (after 2 junk tokens):
     // shift-invariance is the point. n=4 windows cover b's positions 2..11;

@@ -23,6 +23,53 @@ class TextOpsSpec extends SparkSpec {
     assert(acc >= 0.95, s"langid accuracy on signal-bearing corpus: $acc")
   }
 
+  test("quality classifier recovers the planted signal on the fixture") {
+    // x_qual_classifier's accuracy contract: the batch perceptron must
+    // linearly separate target-language docs once the per-language
+    // marker phrase is planted (the raw fixture text carries no signal)
+    val out = graft.SparkEntry.queries("x_qual_classifier")(spark, sf001)
+    val n = out.count().toDouble
+    val correct = out.filter(col("pred") === col("y")).count().toDouble
+    assert(n > 0 && correct / n >= 0.95,
+      s"classifier accuracy ${correct / n} below the planted-signal bar")
+  }
+
+  test("quality apply scores the ingest batch against standing weights, never retrains") {
+    // the production split: weights are built once per (session,
+    // fixture) — the memo hands back the SAME frame on every batch
+    val w1 = TextOps.qualWeightsFor(spark, sf001)
+    val w2 = TextOps.qualWeightsFor(spark, sf001)
+    assert(w1 eq w2, "standing weights were retrained on the second call")
+    // held-out generalization: weights trained on doc_id % 5 != 0 must
+    // classify the UNSEEN % 5 == 0 batch on the planted fixture
+    val out = graft.SparkEntry.queries("x_qual_apply")(spark, sf001)
+    val n = out.count().toDouble
+    val acc = out.filter(col("pred") === col("y")).count() / n
+    assert(n > 0 && acc >= 0.95, s"held-out batch accuracy $acc")
+  }
+
+  test("quality classifier hits a zero-gradient fixpoint once separated") {
+    // balanced synthetic corpus with disjoint vocabularies: iteration 1
+    // already separates it (w1 = corpus-wide Σ y·x), so every further
+    // iteration's misclassified set is empty and the weights stop
+    // changing — iters=1 and iters=4 must produce identical frames.
+    // Also pins integer determinism across reruns.
+    val posW = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val negW = Seq("golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rows = (0L until 40L).map { i =>
+      val ws = if (i % 2 == 0) posW else negW
+      (i, if (i % 2 == 0) 1 else -1, (ws ++ ws.take(3)).mkString(" "))
+    }
+    val labeled = rows.toDF("doc_id", "y", "text")
+    def res(iters: Int) =
+      TextOps.trainQualityClassifier(labeled, iters)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val once = res(1)
+    assert(once === res(4), "extra iterations moved a converged model")
+    assert(once === res(1), "rerun diverged — training is not deterministic")
+    assert(once.forall { case (_, y, _, pred) => pred === y })
+  }
+
   test("rolling-hash fingerprint is order-sensitive and deterministic") {
     val docs = Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("doc_id", "text")
     val fp = graft.SparkEntry.queries("x_text_fingerprint") // reuse declared program shape
