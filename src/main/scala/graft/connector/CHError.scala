@@ -117,6 +117,17 @@ object CHError {
     "CANNOT_MUNMAP", "SERVER_OVERLOADED", "CANNOT_SCHEDULE_TASK",
     "TOO_MANY_SIMULTANEOUS_QUERIES", "TOO_MANY_PARTS")
 
+  /** Credential/authorization failures. The reference's severity
+    * classifier files these under Protocol ("treated like protocol
+    * errors", `error_codes.rs:160-165,210-215`) and this classifier
+    * mirrors that — but the RETRY policy must not: re-presenting the
+    * same bad credentials is deterministic (and hammering a real
+    * server's auth path can trip lockouts/rate limits), so
+    * [[CHServerException.retryable]] excludes them explicitly. */
+  val authNames: Set[String] = Set(
+    "UNKNOWN_USER", "WRONG_PASSWORD", "REQUIRED_PASSWORD",
+    "IP_ADDRESS_NOT_ALLOWED", "ACCESS_DENIED", "AUTHENTICATION_FAILED")
+
   def nameOf(code: Int): String = names.getOrElse(code, "UNKNOWN_ERROR")
 
   def severityOf(code: Int): Severity = {
@@ -158,5 +169,7 @@ final class CHServerException(
     extends java.io.IOException(
       s"ClickHouse error $code ($name, ${severity.getClass.getSimpleName.stripSuffix("$")}" +
         s"${if (severity.retryable) ", retryable" else ""}) for [$sql]: $body") {
-  def retryable: Boolean = severity.retryable
+  /** Transient per severity class, EXCEPT the auth family: a wrong
+    * key fails identically on every attempt (see [[CHError.authNames]]). */
+  def retryable: Boolean = severity.retryable && !CHError.authNames(name)
 }

@@ -46,7 +46,8 @@ object CHHttp {
 
   private def open(
       url: String, sql: String, codec: String = NoCodec,
-      settings: Seq[(String, String)] = Nil): HttpURLConnection = {
+      settings: Seq[(String, String)] = Nil,
+      auth: CHAuth = CHAuth.none): HttpURLConnection = {
     val q = URLEncoder.encode(sql, StandardCharsets.UTF_8)
     val compressParam = if (codec == NoCodec) "" else "&enable_http_compression=1"
     // per-query server settings ride as URL params — the ClickHouse HTTP
@@ -55,11 +56,15 @@ object CHHttp {
     val settingParams = settings.map { case (k, v) =>
       s"&${URLEncoder.encode(k, StandardCharsets.UTF_8)}=${URLEncoder.encode(v, StandardCharsets.UTF_8)}"
     }.mkString
+    // http:// and https:// both resolve here (HttpsURLConnection <:
+    // HttpURLConnection); auth applies credential headers + TLS config
+    // (reference default_headers, `http/client.rs:44-66`)
     val conn = URI.create(s"$url/?query=$q$compressParam$settingParams").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
+    auth.configure(conn)
     conn
   }
 
@@ -102,8 +107,9 @@ object CHHttp {
   /** SELECT returning the response body as an Arrow IPC stream. */
   def queryArrow(
       url: String, sql: String, codec: String = NoCodec,
-      settings: Seq[(String, String)] = Nil): InputStream =
-    queryArrowWithSummary(url, sql, codec, settings)._1
+      settings: Seq[(String, String)] = Nil,
+      auth: CHAuth = CHAuth.none): InputStream =
+    queryArrowWithSummary(url, sql, codec, settings, auth)._1
 
   /** Server progress counters from the `X-ClickHouse-Summary` response
     * header (A17 on the HTTP channel; the reference's Progress events,
@@ -125,9 +131,10 @@ object CHHttp {
   /** [[queryArrow]] plus the parsed summary header (absent → counters -1). */
   def queryArrowWithSummary(
       url: String, sql: String, codec: String = NoCodec,
-      settings: Seq[(String, String)] = Nil): (InputStream, Summary) =
+      settings: Seq[(String, String)] = Nil,
+      auth: CHAuth = CHAuth.none): (InputStream, Summary) =
     withRetry { () =>
-      val conn = open(url, s"$sql FORMAT ArrowStream", codec, settings)
+      val conn = open(url, s"$sql FORMAT ArrowStream", codec, settings, auth)
       if (codec != NoCodec) conn.setRequestProperty("Accept-Encoding", codec)
       conn.setDoOutput(true)
       conn.getOutputStream.close()
@@ -141,8 +148,9 @@ object CHHttp {
   /** INSERT: IPC bytes produced by `body` stream out as the request body
     * (single deferred flush, like `client/internal.rs:482-535`). */
   def insertArrow(
-      url: String, insertSql: String, body: OutputStream => Unit, codec: String = NoCodec): Unit = {
-    val conn = openInsert(url, insertSql, codec)
+      url: String, insertSql: String, body: OutputStream => Unit, codec: String = NoCodec,
+      auth: CHAuth = CHAuth.none): Unit = {
+    val conn = openInsert(url, insertSql, codec, auth = auth)
     val out = insertStream(conn, codec)
     try body(out) finally out.close()
     finishInsert(conn, insertSql)
@@ -156,8 +164,9 @@ object CHHttp {
     */
   def openInsert(
       url: String, insertSql: String, codec: String = NoCodec,
-      settings: Seq[(String, String)] = Nil): HttpURLConnection = {
-    val conn = open(url, s"$insertSql FORMAT ArrowStream", codec, settings)
+      settings: Seq[(String, String)] = Nil,
+      auth: CHAuth = CHAuth.none): HttpURLConnection = {
+    val conn = open(url, s"$insertSql FORMAT ArrowStream", codec, settings, auth)
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(1 << 20)
     if (codec != NoCodec) conn.setRequestProperty("Content-Encoding", codec)
@@ -176,8 +185,8 @@ object CHHttp {
   }
 
   /** DDL / commands with no result set. */
-  def execute(url: String, sql: String): Unit = {
-    val conn = open(url, sql)
+  def execute(url: String, sql: String, auth: CHAuth = CHAuth.none): Unit = {
+    val conn = open(url, sql, auth = auth)
     conn.setDoOutput(true)
     conn.getOutputStream.close()
     failIfError(conn, sql)
@@ -186,27 +195,29 @@ object CHHttp {
 
   /** Schema probe: `SELECT * ... LIMIT 0` and read the IPC header —
     * the reference's zero-row header block (`client/reader.rs:58`). */
-  def fetchSchema(url: String, table: String, database: Option[String]): org.apache.spark.sql.types.StructType = {
+  def fetchSchema(url: String, table: String, database: Option[String],
+      auth: CHAuth = CHAuth.none): org.apache.spark.sql.types.StructType = {
     val sql = s"SELECT * FROM ${CHSql.tableRef(table, database)} LIMIT 0"
-    val in = queryArrow(url, sql)
+    val in = queryArrow(url, sql, auth = auth)
     try ArrowCodec.readSchema(in.readAllBytes())
     finally in.close()
   }
 
   /** `SHOW TABLES` — one Utf8 column of names (A14 equivalent,
     * `src/client.rs:2263-2414`). */
-  def listTables(url: String, database: Option[String]): Seq[String] = {
+  def listTables(url: String, database: Option[String],
+      auth: CHAuth = CHAuth.none): Seq[String] = {
     val sql = database.map(d => s"SHOW TABLES FROM ${CHSql.ident(d)}").getOrElse("SHOW TABLES")
-    singleTextColumn(url, sql)
+    singleTextColumn(url, sql, auth)
   }
 
   /** `SHOW DATABASES` — the namespace listing (reference
     * `src/client.rs:2263` fetch_schemas spans all databases). */
-  def listDatabases(url: String): Seq[String] =
-    singleTextColumn(url, "SHOW DATABASES")
+  def listDatabases(url: String, auth: CHAuth = CHAuth.none): Seq[String] =
+    singleTextColumn(url, "SHOW DATABASES", auth)
 
-  private def singleTextColumn(url: String, sql: String): Seq[String] = {
-    val in = queryArrow(url, sql)
+  private def singleTextColumn(url: String, sql: String, auth: CHAuth = CHAuth.none): Seq[String] = {
+    val in = queryArrow(url, sql, auth = auth)
     try {
       val (_, rows) = ArrowCodec.decode(in.readAllBytes())
       rows.map(_.getUTF8String(0).toString)

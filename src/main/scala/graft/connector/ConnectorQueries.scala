@@ -33,6 +33,22 @@ object ConnectorQueries extends QueryRegistry {
       srv
     })
 
+  /** Auth-armed endpoints (one per fixture dir): every request must carry
+    * matching X-ClickHouse-User/Key headers or is 403'd before execution
+    * — the reference's credentialed-server contract (`http/client.rs:
+    * 44-66` emits the headers; any cloud/hardened ClickHouse requires
+    * them). Kept separate from [[serverFor]] so the unauthenticated
+    * queries keep exercising the open-endpoint path. */
+  private val authServers = new ConcurrentHashMap[String, StubCHServer]()
+
+  def authServerFor(spark: SparkSession, dir: String): StubCHServer =
+    authServers.computeIfAbsent(dir, { d =>
+      val srv = new StubCHServer
+      srv.load("nation", Tables.t(spark, d, "nation"))
+      srv.requireAuth("analyst", "s3cret")
+      srv
+    })
+
   /** Read through the full connector path with filter + column pushdown. */
   def connectorScan(spark: SparkSession, dir: String): DataFrame = {
     val srv = serverFor(spark, dir)
@@ -193,6 +209,27 @@ object ConnectorQueries extends QueryRegistry {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
 ,
+    // ---- authenticated scan (A19 auth tail): the endpoint REQUIRES
+    // X-ClickHouse-User/Key on every request (schema probe, stats count,
+    // data read) — the real-server contract against any cloud/hardened
+    // ClickHouse; the reference sends these headers from
+    // `http/client.rs:44-66`. AuthSpec pins the negative paths (missing/
+    // wrong key → typed 401/403 code 516, no retry). ----
+    QueryDef(
+      "b_src25_auth_scan",
+      (s, d) => {
+        val srv = authServerFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url)
+          .option("table", "nation")
+          .option("user", "analyst")
+          .option("password", "s3cret")
+          .load()
+          .filter(col("n_regionkey") >= 1)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey >= 1""".stripMargin)),
     // ---- LowCardinality transport (A5): n_name travels as an Arrow
     // dictionary (per-block dict + Int32 keys, the reference's
     // low_cardinality wire form); BatchReader decodes transparently and

@@ -29,11 +29,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var url: String = _
+  private var auth: CHAuth = CHAuth.none
+  // catalog-level options re-emitted on every table handle, so scans and
+  // writes inherit the catalog's credentials/TLS config
+  private var authOpts: Map[String, String] = Map.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     url = options.get("url")
     require(url != null, s"catalog $name: option 'url' is required")
+    auth = CHAuth.fromOptions(options)
+    authOpts = Seq("user", "password", "sslCaCert", "sslInsecure")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
   }
 
   override def name(): String = catalogName
@@ -45,16 +52,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     m.put("url", url)
     m.put("table", ident.name())
     db(ident).foreach(m.put("database", _))
+    authOpts.foreach { case (k, v) => m.put(k, v) }
     new CaseInsensitiveStringMap(m)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    CHHttp.listTables(url, namespace.headOption)
+    CHHttp.listTables(url, namespace.headOption, auth)
       .map(t => Identifier.of(namespace, t)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     val schema =
-      try CHHttp.fetchSchema(url, ident.name(), db(ident))
+      try CHHttp.fetchSchema(url, ident.name(), db(ident), auth)
       catch {
         case e: java.io.IOException =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -71,8 +79,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val opts = graft.ddl.CreateOptions(
       engine = Option(properties.get("engine")).getOrElse("MergeTree()"),
       orderBy = Option(properties.get("order_by")).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      partitionBy = Option(properties.get("partition_by")))
-    CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(db(ident), ident.name(), schema, opts))
+      partitionBy = Option(properties.get("partition_by")),
+      mapping = CHSettings.mappingFrom(new CaseInsensitiveStringMap(properties)))
+    CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(db(ident), ident.name(), schema, opts), auth)
     new CHTable(schema, tableOptions(ident))
   }
 
@@ -88,18 +97,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         CHHttp.execute(url,
           s"ALTER TABLE $ref ADD COLUMN ${CHSql.ident(a.fieldNames()(0))} " +
-            chTypeOf(a.dataType(), a.isNullable))
+            chTypeOf(a.dataType(), a.isNullable), auth)
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         CHHttp.execute(url,
-          s"ALTER TABLE $ref DROP COLUMN ${CHSql.ident(d.fieldNames()(0))}")
+          s"ALTER TABLE $ref DROP COLUMN ${CHSql.ident(d.fieldNames()(0))}", auth)
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         CHHttp.execute(url,
           s"ALTER TABLE $ref RENAME COLUMN ${CHSql.ident(r.fieldNames()(0))} " +
-            s"TO ${CHSql.ident(r.newName())}")
+            s"TO ${CHSql.ident(r.newName())}", auth)
       case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
         CHHttp.execute(url,
           s"ALTER TABLE $ref MODIFY COLUMN ${CHSql.ident(u.fieldNames()(0))} " +
-            chTypeOf(u.newDataType(), true))
+            chTypeOf(u.newDataType(), true), auth)
       case other =>
         throw new UnsupportedOperationException(
           s"graft-ch catalog: unsupported table change $other")
@@ -108,7 +117,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    CHHttp.execute(url, graft.ddl.Ddl.dropTable(db(ident), ident.name()))
+    CHHttp.execute(url, graft.ddl.Ddl.dropTable(db(ident), ident.name()), auth)
     true
   }
 
@@ -117,7 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     CHHttp.execute(url,
       s"RENAME TABLE ${CHSql.tableRef(oldIdent.name(), db(oldIdent))} " +
-        s"TO ${CHSql.tableRef(newIdent.name(), db(newIdent))}")
+        s"TO ${CHSql.tableRef(newIdent.name(), db(newIdent))}", auth)
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: Exception => false }
@@ -129,7 +138,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Seq(catalogName) ++ namespace)
 
   override def listNamespaces(): Array[Array[String]] =
-    CHHttp.listDatabases(url).map(Array(_)).toArray
+    CHHttp.listDatabases(url, auth).map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -137,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else noSuchNamespace(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && CHHttp.listDatabases(url).contains(namespace.head)
+    namespace.length == 1 && CHHttp.listDatabases(url, auth).contains(namespace.head)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) new util.HashMap[String, String]()
@@ -147,7 +156,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1,
       s"graft-ch catalog: ClickHouse databases don't nest: ${namespace.mkString(".")}")
-    CHHttp.execute(url, s"CREATE DATABASE IF NOT EXISTS ${CHSql.ident(namespace.head)}")
+    CHHttp.execute(url, s"CREATE DATABASE IF NOT EXISTS ${CHSql.ident(namespace.head)}", auth)
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
@@ -158,7 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(
         s"graft-ch catalog: namespace ${namespace.head} is not empty (use CASCADE)")
-    CHHttp.execute(url, s"DROP DATABASE IF EXISTS ${CHSql.ident(namespace.head)}")
+    CHHttp.execute(url, s"DROP DATABASE IF EXISTS ${CHSql.ident(namespace.head)}", auth)
     true
   }
 }

@@ -58,7 +58,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // query-time SchemaConversions/ArrowOptions)
     ReadConversions.applySchema(
       CHHttp.fetchSchema(
-        opt(options, "url"), opt(options, "table"), Option(options.get("database"))),
+        opt(options, "url"), opt(options, "table"), Option(options.get("database")),
+        CHAuth.fromOptions(options)),
       ReadConversions.fromOptions(options))
 
   override def getTable(
@@ -74,6 +75,7 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   private val url = options.get("url")
   private val table = options.get("table")
   private val database = Option(options.get("database"))
+  private val auth = CHAuth.fromOptions(options)
 
   override def name(): String = CHSql.tableRef(table, database)
   override def schema(): StructType = schema
@@ -88,7 +90,7 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toInt).getOrElse(65536)
     val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
     new CHWriteBuilder(info.schema(), url, table, database, maxRows, codec,
-      CHSettings.from(options))
+      CHSettings.from(options), auth, CHSettings.mappingFrom(options))
   }
 
   // ---- mutations (ClickHouse `ALTER TABLE ... DELETE WHERE`,
@@ -105,10 +107,10 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val where = filters.filterNot(isAlwaysTrue).flatMap(CHSql.compileFilter)
     if (where.isEmpty) {
-      CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}")
+      CHHttp.execute(url, s"TRUNCATE TABLE ${CHSql.tableRef(table, database)}", auth)
     } else {
       val cond = where.map(w => s"($w)").mkString(" AND ")
-      CHHttp.execute(url, s"ALTER TABLE ${CHSql.tableRef(table, database)} DELETE WHERE $cond")
+      CHHttp.execute(url, s"ALTER TABLE ${CHSql.tableRef(table, database)} DELETE WHERE $cond", auth)
     }
   }
 }
@@ -274,13 +276,31 @@ final class CHScanBuilder(
 
 final case class CHInputPartition(
     sql: String, codec: String, settings: Seq[(String, String)] = Nil,
-    conv: ReadConversions.Spec = ReadConversions.none) extends InputPartition
+    conv: ReadConversions.Spec = ReadConversions.none,
+    auth: CHAuth = CHAuth.none) extends InputPartition
 
 /** Per-query server settings from `settings.*` options — the connector's
   * A15 surface: `option("settings.max_threads", "8")` reaches the server
   * as the `max_threads=8` URL param on every request of that scan/write
   * (the CH HTTP settings contract the reference exposes per query). */
 private[connector] object CHSettings {
+  /** The reference's remaining ArrowOptions as DSv2 write options
+    * (`use_date32_for_date`/`strict_schema`/`nullable_array_default_empty`
+    * + `disable_strict_schema_ddl`, client/options.rs:284-290). The
+    * reference defaults DDL to strict (`into_strict_ddl`) unless
+    * disabled; this connector keeps DDL relaxed unless
+    * `disableStrictSchemaDdl=false` is passed explicitly — documented
+    * deviation (Spark schemas are nullable-by-default; reference-strict
+    * DDL would reject nearly every real DataFrame). */
+  def mappingFrom(options: CaseInsensitiveStringMap): graft.types.CHType.MappingOptions = {
+    val strictDdl = !options.getBoolean("disableStrictSchemaDdl", true)
+    graft.types.CHType.MappingOptions(
+      useDate32ForDate = options.getBoolean("useDate32ForDate", false),
+      strictSchema = options.getBoolean("strictSchema", false) || strictDdl,
+      nullableArrayDefaultEmpty =
+        options.getBoolean("nullableArrayDefaultEmpty", true) && !strictDdl)
+  }
+
   def from(options: CaseInsensitiveStringMap): Seq[(String, String)] =
     options.asCaseSensitiveMap().asScala.toSeq.collect {
       case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("settings.") =>
@@ -331,6 +351,7 @@ final class CHScan(
   private val codec = Option(options.get("compression")).getOrElse(CHHttp.NoCodec)
   private val settings = CHSettings.from(options)
   private val conv = ReadConversions.fromOptions(options)
+  private val auth = CHAuth.fromOptions(options)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new CHRowsReadMetric, new CHBatchesReadMetric, new CHServerReadRowsMetric)
@@ -355,7 +376,7 @@ final class CHScan(
         if (whereFragments.isEmpty) ""
         else whereFragments.mkString(" WHERE (", ") AND (", ")")
       val sql = s"SELECT COUNT(*) FROM ${CHSql.tableRef(table, database)}$where"
-      val in = CHHttp.queryArrow(url, sql, codec)
+      val in = CHHttp.queryArrow(url, sql, codec, auth = auth)
       val (sch, rows) = try ArrowCodec.decode(in.readAllBytes()) finally in.close()
       val n = rows.head.get(0, sch.fields(0).dataType).asInstanceOf[Number].longValue()
       val rowBytes = math.max(8L, readSchema().defaultSize.toLong)
@@ -429,7 +450,7 @@ final class CHScan(
           else pushedWhere.mkString(" WHERE (", ") AND (", ")")
         val sql = s"SELECT MIN(${CHSql.ident(pc)}), MAX(${CHSql.ident(pc)}) " +
           s"FROM ${CHSql.tableRef(table, database)}$where"
-        val in = CHHttp.queryArrow(url, sql, codec, settings)
+        val in = CHHttp.queryArrow(url, sql, codec, settings, auth)
         val (sch, rows) = try ArrowCodec.decode(in.readAllBytes()) finally in.close()
         def longAt(i: Int): Option[Long] = rows.headOption.flatMap(r =>
           Option(r.get(i, sch.fields(i).dataType)).map(_.asInstanceOf[Number].longValue()))
@@ -459,10 +480,10 @@ final class CHScan(
             if (i == 0) s"${CHSql.ident(pc)} < $hi"
             else if (i == n - 1) s"${CHSql.ident(pc)} >= $lo"
             else s"${CHSql.ident(pc)} >= $lo AND ${CHSql.ident(pc)} < $hi"
-          CHInputPartition(sqlFor(pushedWhere :+ range), codec, settings, conv)
+          CHInputPartition(sqlFor(pushedWhere :+ range), codec, settings, conv, auth)
         }.toArray[InputPartition]
       case None =>
-        Array(CHInputPartition(sqlFor(pushedWhere), codec, settings, conv))
+        Array(CHInputPartition(sqlFor(pushedWhere), codec, settings, conv, auth))
     }
   }
 
@@ -477,7 +498,7 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
     val p = partition.asInstanceOf[CHInputPartition]
     new PartitionReader[ColumnarBatch] {
       private val (stream, summary) =
-        CHHttp.queryArrowWithSummary(url, p.sql, p.codec, p.settings)
+        CHHttp.queryArrowWithSummary(url, p.sql, p.codec, p.settings, p.auth)
       private val reader = new ArrowCodec.BatchReader(stream, p.conv)
       private var rows = 0L
       private var batches = 0L
@@ -518,7 +539,9 @@ final class CHReaderFactory(url: String) extends PartitionReaderFactory {
 
 final class CHWriteBuilder(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil)
+    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil,
+    auth: CHAuth = CHAuth.none,
+    mapping: graft.types.CHType.MappingOptions = graft.types.CHType.MappingOptions.default)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -527,7 +550,8 @@ final class CHWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new CHBatchWrite(schema, url, table, database, maxRows, overwrite, codec, settings)
+      new CHBatchWrite(schema, url, table, database, maxRows, overwrite, codec, settings, auth,
+        mapping)
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       Array(new CHRowsWrittenMetric)
   }
@@ -547,35 +571,39 @@ final class CHWriteBuilder(
   */
 final class CHBatchWrite(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, overwrite: Boolean, codec: String, settings: Seq[(String, String)] = Nil)
+    maxRows: Int, overwrite: Boolean, codec: String, settings: Seq[(String, String)] = Nil,
+    auth: CHAuth = CHAuth.none,
+    mapping: graft.types.CHType.MappingOptions = graft.types.CHType.MappingOptions.default)
     extends BatchWrite {
 
   private val stagingTable = s"${table}__ow_staging"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val target = if (overwrite) {
-      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable))
-      CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(database, stagingTable, schema))
+      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable), auth)
+      CHHttp.execute(url, graft.ddl.Ddl.createTableFromSpark(database, stagingTable, schema,
+        graft.ddl.CreateOptions(mapping = mapping)), auth)
       stagingTable
     } else table
-    new CHWriterFactory(schema, url, target, database, maxRows, codec, settings)
+    new CHWriterFactory(schema, url, target, database, maxRows, codec, settings, auth)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (overwrite) {
     val targetExists =
-      try { CHHttp.fetchSchema(url, table, database); true }
+      try { CHHttp.fetchSchema(url, table, database, auth); true }
       catch { case _: java.io.IOException => false }
     if (targetExists) {
-      Mutations.exchangeTables(url, table, stagingTable, database)
-      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable)) // displaced rows
+      Mutations.exchangeTables(url, table, stagingTable, database, auth)
+      CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable), auth) // displaced rows
     } else {
       CHHttp.execute(url,
-        s"RENAME TABLE ${CHSql.tableRef(stagingTable, database)} TO ${CHSql.tableRef(table, database)}")
+        s"RENAME TABLE ${CHSql.tableRef(stagingTable, database)} TO ${CHSql.tableRef(table, database)}",
+        auth)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = if (overwrite) {
-    CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable))
+    CHHttp.execute(url, graft.ddl.Ddl.dropTable(database, stagingTable), auth)
   }
 }
 
@@ -583,10 +611,11 @@ final case class CHCommit(rows: Long) extends WriterCommitMessage
 
 final class CHWriterFactory(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil)
+    maxRows: Int, codec: String, settings: Seq[(String, String)] = Nil,
+    auth: CHAuth = CHAuth.none)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CHDataWriter(schema, url, table, database, maxRows, partitionId, codec, settings)
+    new CHDataWriter(schema, url, table, database, maxRows, partitionId, codec, settings, auth)
 }
 
 /** Per-partition insert writer (A8): rows buffer into Arrow batches of
@@ -604,7 +633,8 @@ final class CHWriterFactory(
   */
 final class CHDataWriter(
     schema: StructType, url: String, table: String, database: Option[String],
-    maxRows: Int, partitionId: Int, codec: String, settings: Seq[(String, String)] = Nil)
+    maxRows: Int, partitionId: Int, codec: String, settings: Seq[(String, String)] = Nil,
+    auth: CHAuth = CHAuth.none)
     extends DataWriter[InternalRow] {
 
   private val insertSql = {
@@ -621,7 +651,7 @@ final class CHDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (encoder == null) {
-      conn = CHHttp.openInsert(url, insertSql, codec, settings)
+      conn = CHHttp.openInsert(url, insertSql, codec, settings, auth)
       out = CHHttp.insertStream(conn, codec) // compressing wrapper (A7)
       encoder = new ArrowCodec.Encoder(schema, maxRows, out)
     }
@@ -637,7 +667,7 @@ final class CHDataWriter(
       encoder = null
     } else if (partitionId == 0) {
       CHHttp.insertArrow(url, insertSql,
-        o => { val e = new ArrowCodec.Encoder(schema, maxRows, o); e.finish() }, codec)
+        o => { val e = new ArrowCodec.Encoder(schema, maxRows, o); e.finish() }, codec, auth)
     }
     CHCommit(count)
   }

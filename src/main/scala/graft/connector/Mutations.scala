@@ -23,7 +23,8 @@ object Mutations {
       table: String,
       database: Option[String],
       assignments: Map[String, Any],
-      where: Seq[Filter]): Unit = {
+      where: Seq[Filter],
+      auth: CHAuth = CHAuth.none): Unit = {
     require(assignments.nonEmpty, "updateWhere: no assignments")
     val sets = assignments.toSeq.map { case (colName, v) =>
       val lit = CHSql.litOpt(v).getOrElse(
@@ -34,7 +35,8 @@ object Mutations {
       throw new IllegalArgumentException(s"updateWhere: filter not compilable: $f")))
     val cond = if (conds.isEmpty) "1" else conds.map(c => s"($c)").mkString(" AND ")
     CHHttp.execute(url,
-      s"ALTER TABLE ${CHSql.tableRef(table, database)} UPDATE ${sets.mkString(", ")} WHERE $cond")
+      s"ALTER TABLE ${CHSql.tableRef(table, database)} UPDATE ${sets.mkString(", ")} WHERE $cond",
+      auth)
   }
 
   /** CH `EXCHANGE TABLES a AND b` — the atomic two-way swap behind
@@ -45,12 +47,13 @@ object Mutations {
     * needing atomicity gate reads on a catalog flag (documented, not
     * hidden).
     */
-  def exchangeTables(url: String, a: String, b: String, database: Option[String] = None): Unit = {
+  def exchangeTables(url: String, a: String, b: String, database: Option[String] = None,
+      auth: CHAuth = CHAuth.none): Unit = {
     def ref(t: String) = CHSql.tableRef(t, database)
     val tmp = s"${a}__xchg_tmp"
-    CHHttp.execute(url, s"RENAME TABLE ${ref(a)} TO ${ref(tmp)}")
-    CHHttp.execute(url, s"RENAME TABLE ${ref(b)} TO ${ref(a)}")
-    CHHttp.execute(url, s"RENAME TABLE ${ref(tmp)} TO ${ref(b)}")
+    CHHttp.execute(url, s"RENAME TABLE ${ref(a)} TO ${ref(tmp)}", auth)
+    CHHttp.execute(url, s"RENAME TABLE ${ref(b)} TO ${ref(a)}", auth)
+    CHHttp.execute(url, s"RENAME TABLE ${ref(tmp)} TO ${ref(b)}", auth)
   }
 
   /** CH `OPTIMIZE TABLE [FINAL] [DEDUPLICATE]` — force a server-side
@@ -60,9 +63,10 @@ object Mutations {
     * (`b_src14_compaction`). */
   def optimizeTable(
       url: String, table: String, database: Option[String] = None,
-      finalMerge: Boolean = false, deduplicate: Boolean = false): Unit = {
+      finalMerge: Boolean = false, deduplicate: Boolean = false,
+      auth: CHAuth = CHAuth.none): Unit = {
     val suffix =
       (if (finalMerge) " FINAL" else "") + (if (deduplicate) " DEDUPLICATE" else "")
-    CHHttp.execute(url, s"OPTIMIZE TABLE ${CHSql.tableRef(table, database)}$suffix")
+    CHHttp.execute(url, s"OPTIMIZE TABLE ${CHSql.tableRef(table, database)}$suffix", auth)
   }
 }

@@ -23,9 +23,22 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
   *    grammar `CHSql.compileFilter` emits — a real ClickHouse evaluates
   *    pushed predicates, so the stand-in must too) and LIMIT;
   *  - `SHOW TABLES`, `CREATE TABLE` (parsed with the CHType parser),
-  *    `DROP TABLE` and `TRUNCATE TABLE` support the catalog surface.
+  *    `DROP TABLE` and `TRUNCATE TABLE` support the catalog surface;
+  *  - [[requireAuth]] arms credential checking: every request must then
+  *    carry matching `X-ClickHouse-User`/`X-ClickHouse-Key` headers or
+  *    is rejected HTTP 403 / code 516 before touching any table — the
+  *    real server's auth contract (reference sends the headers from
+  *    `http/client.rs:44-66`), test-enforced both ways;
+  *  - pass a server [[javax.net.ssl.SSLContext]] to serve `https://`
+  *    (the reference's `with_tls` endpoint shape); [[url]] then returns
+  *    an https URL and clients negotiate a real TLS handshake.
+  *
+  * FIXTURE-SIZED ONLY: tables live on the driver heap and [[load]]
+  * collects its DataFrame — this class is a test harness (the
+  * testcontainers analog), never a production endpoint; [[load]] refuses
+  * inputs past a fixture-scale row cap rather than OOM the driver.
   */
-final class StubCHServer {
+final class StubCHServer(tlsContext: Option[javax.net.ssl.SSLContext] = None) {
 
   final case class TableData(schema: StructType, rows: Vector[InternalRow])
 
@@ -44,7 +57,13 @@ final class StubCHServer {
   private val encodings = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   private val rawQueryStrings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val server: HttpServer = tlsContext match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  }
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   // daemon threads: a leaked server must never block JVM exit (Verify/
   // Bench mains end with spark.stop(), not System.exit)
@@ -55,7 +74,26 @@ final class StubCHServer {
   }))
   server.start()
 
-  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def url: String =
+    s"${if (tlsContext.isDefined) "https" else "http"}://127.0.0.1:${server.getAddress.getPort}"
+
+  // ---- credential enforcement (A19 auth): when armed, every request is
+  // checked BEFORE any statement executes, like the real server
+  private val requiredCreds =
+    new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
+  private val authSeen =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Option[String], Option[String], Option[String])]()
+
+  /** Require `X-ClickHouse-User`/`X-ClickHouse-Key` to match on every
+    * subsequent request; mismatch or absence → HTTP 403, code 516
+    * (AUTHENTICATION_FAILED), nothing executed. */
+  def requireAuth(user: String, key: String): Unit =
+    requiredCreds.set(Some((user, key)))
+
+  /** (user, key, database) headers per request, in arrival order —
+    * header-emission assertions. */
+  def receivedAuth: Seq[(Option[String], Option[String], Option[String])] =
+    authSeen.iterator().asScala.toSeq
 
   /** Every SQL text received, in arrival order — pushdown assertions. */
   def queries: Seq[String] = seen.iterator().asScala.toSeq
@@ -76,7 +114,15 @@ final class StubCHServer {
     * driver-side copy-after-collect would alias every element in local
     * mode. */
   def load(name: String, df: DataFrame): Unit = {
-    val rows = df.queryExecution.toRdd.map(_.copy()).collect().toVector
+    // fixture-scale guard: this stub holds tables on the driver heap (it
+    // is the testcontainers analog, NOT a production endpoint) — cap the
+    // collect before it can OOM the driver on a mistakenly large input
+    val capped = df.limit(StubCHServer.MaxFixtureRows + 1)
+    val rows = capped.queryExecution.toRdd.map(_.copy()).collect().toVector
+    require(rows.size <= StubCHServer.MaxFixtureRows,
+      s"StubCHServer.load('$name'): input exceeds the fixture cap of " +
+        s"${StubCHServer.MaxFixtureRows} rows — this in-memory stub is for " +
+        "test fixtures only; point the connector at a real endpoint instead")
     tables.put(name, TableData(df.schema, rows))
   }
 
@@ -104,6 +150,29 @@ final class StubCHServer {
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      val hdr = ex.getRequestHeaders
+      authSeen.add((
+        Option(hdr.getFirst("X-ClickHouse-User")),
+        Option(hdr.getFirst("X-ClickHouse-Key")),
+        Option(hdr.getFirst("X-ClickHouse-Database"))))
+      requiredCreds.get() match {
+        case Some((u, k))
+            if !(Option(hdr.getFirst("X-ClickHouse-User")).contains(u) &&
+              Option(hdr.getFirst("X-ClickHouse-Key")).contains(k)) =>
+          // the real server's auth failure shape: HTTP 403, code 516 —
+          // rejected before the statement is even parsed
+          ex.getRequestBody.readAllBytes()
+          val msg = ("Code: 516. DB::Exception: " +
+            s"${Option(hdr.getFirst("X-ClickHouse-User")).getOrElse("default")}: " +
+            "Authentication failed: password is incorrect, or there is no user " +
+            "with such name. (AUTHENTICATION_FAILED)")
+            .getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(403, msg.length)
+          ex.getResponseBody.write(msg)
+          ex.close()
+          return
+        case _ => ()
+      }
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val sql = params.split("&").collectFirst {
         case p if p.startsWith("query=") =>
@@ -213,7 +282,10 @@ final class StubCHServer {
 
   private def tableOf(sql: String, after: String): Option[String] = {
     val m = java.util.regex.Pattern
-      .compile(s"(?i)$after\\s+(?:$identRe\\.)?($identRe)")
+      // the extra (?:...) around the qualifier matters: identRe is an
+      // alternation, so without it the `\.` would bind only to the bare-
+      // ident arm and `db`.`t` would parse as table `db`
+      .compile(s"(?i)$after\\s+(?:(?:$identRe)\\.)?($identRe)")
       .matcher(sql)
     if (m.find()) {
       // last ident group pair is the table name
@@ -840,4 +912,10 @@ final class StubCHServer {
           Right(Array.empty)
         }
     }
+}
+
+object StubCHServer {
+  /** [[StubCHServer.load]] cap: sf1-fixture headroom, far below
+    * driver-heap danger — the stub is a test harness, not an endpoint. */
+  val MaxFixtureRows: Int = 2000000
 }

@@ -25,7 +25,16 @@ final case class CreateOptions(
     /** per-column CH type overrides, e.g. force a String column to Enum8 —
       * the reference's `SchemaConversions` (arrow/types.rs:10, 81-116) */
     schemaConversions: Map[String, CHType] = Map.empty,
-    ifNotExists: Boolean = true)
+    ifNotExists: Boolean = true,
+    /** Spark→CH mapping knobs — the reference's remaining ArrowOptions
+      * (`use_date32_for_date`/`strict_schema`/
+      * `nullable_array_default_empty`, client/options.rs:284-290). The
+      * reference flips DDL to strict by default (`into_strict_ddl`)
+      * unless `disable_strict_schema_ddl`; here DDL stays relaxed unless
+      * opted in — a documented deviation, because Spark schemas are
+      * nullable-by-default and reference-strict DDL would reject nearly
+      * every real DataFrame. */
+    mapping: CHType.MappingOptions = CHType.MappingOptions.default)
 
 object Ddl {
 
@@ -54,6 +63,14 @@ object Ddl {
     require(columns.nonEmpty, "cannot create a table with no columns")
     val cols = columns.map { case (name, t0) =>
       val t = opts.schemaConversions.getOrElse(name, t0)
+      // strict_schema: reject invariant violations a relaxed run would
+      // silently normalize away (Nullable(LowCardinality) et al.)
+      if (opts.mapping.strictSchema && CHType.normalize(t) != t)
+        throw new IllegalArgumentException(
+          s"column $name: declared type ${CHType.format(t)} violates a " +
+            s"ClickHouse invariant (normalizes to " +
+            s"${CHType.format(CHType.normalize(t))}); strictSchema=true " +
+            "refuses the silent correction")
       val default = opts.defaults.get(name).map(d => s" DEFAULT $d").getOrElse("")
       s"    ${ident(name)} ${CHType.format(CHType.normalize(t))}$default"
     }
@@ -86,7 +103,7 @@ object Ddl {
       table: String,
       schema: StructType,
       opts: CreateOptions = CreateOptions()): String = {
-    val cols = schema.fields.map(f => f.name -> CHType.fromSparkField(f)).toSeq
+    val cols = schema.fields.map(f => f.name -> CHType.fromSparkField(f, opts.mapping)).toSeq
     createTable(db, table, cols, opts)
   }
 }

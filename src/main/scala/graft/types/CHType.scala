@@ -426,10 +426,36 @@ object CHType {
     case other => other
   }
 
+  /** Spark→CH mapping knobs — the reference's remaining `ArrowOptions`
+    * (`clickhouse-arrow/src/client/options.rs:284-290`), surfaced on the
+    * write/DDL direction where they act (`arrow_to_ch_type`,
+    * arrow/types.rs:205-347):
+    *  - `useDate32ForDate`: DateType columns declare CH `Date32` (4-byte,
+    *    wide range) instead of the default `Date` (u16 days) —
+    *    types.rs:239;
+    *  - `strictSchema`: error on ClickHouse invariant violations
+    *    (Nullable over Tuple/Map/LowCardinality) instead of silently
+    *    correcting them — options.rs `strict_schema`;
+    *  - `nullableArrayDefaultEmpty` (default true, like the reference):
+    *    a nullable Spark array column maps to plain `Array(...)` (nulls
+    *    insert as `[]`); false errors on nullable arrays.
+    *
+    * Defaults preserve this engine's existing relaxed behavior, which
+    * matches the reference's own defaults. */
+  final case class MappingOptions(
+      useDate32ForDate: Boolean = false,
+      strictSchema: Boolean = false,
+      nullableArrayDefaultEmpty: Boolean = true)
+
+  object MappingOptions {
+    val default: MappingOptions = MappingOptions()
+  }
+
   /** Spark → CH canonical mapping (reference: `arrow_to_ch_type`,
     * arrow/types.rs:205-347). Inverse of `toSpark` on the canonical
     * subset. */
-  def fromSpark(dt: DataType, nullable: Boolean): CHType = {
+  def fromSpark(dt: DataType, nullable: Boolean,
+      opts: MappingOptions = MappingOptions.default): CHType = {
     val base = dt match {
       case ByteType => Int8
       case ShortType => Int16
@@ -446,16 +472,32 @@ object CHType {
       case d: DecimalType => Decimal(d.precision, d.scale)
       case StringType => CHString
       case BinaryType => CHString // Binary ↔ String per strings_as_strings option
-      case DateType => Date
+      case DateType => if (opts.useDate32ForDate) Date32 else Date
       case TimestampType => DateTime64(6, None) // µs precision
-      case ArrayType(i, n) => Arr(fromSpark(i, n))
+      case ArrayType(i, n) => Arr(fromSpark(i, n, opts))
       case st: StructType =>
-        Tup(st.fields.map(f => fromSpark(f.dataType, f.nullable)).toSeq,
+        Tup(st.fields.map(f => fromSpark(f.dataType, f.nullable, opts)).toSeq,
           st.fields.map(_.name).toSeq)
-      case MapType(k, v, vn) => CHMap(fromSpark(k, false), fromSpark(v, vn))
+      case MapType(k, v, vn) => CHMap(fromSpark(k, false, opts), fromSpark(v, vn, opts))
       case other => throw new IllegalArgumentException(s"no ClickHouse mapping for $other")
     }
-    if (nullable && isNullableCompatible(base)) Nullable(base) else base
+    if (nullable && isNullableCompatible(base)) Nullable(base)
+    else if (nullable) base match {
+      // CH forbids Nullable over composites; what happens next is the
+      // reference's ArrowOptions contract (options.rs:284-290)
+      case Arr(_) if !opts.nullableArrayDefaultEmpty =>
+        throw new IllegalArgumentException(
+          s"Nullable(Array) violates a ClickHouse invariant and " +
+            "nullableArrayDefaultEmpty=false: declare the column non-null " +
+            "or allow the empty-array default")
+      case Arr(_) => base // nulls insert as [] — the reference default
+      case _ if opts.strictSchema =>
+        throw new IllegalArgumentException(
+          s"Nullable(${format(base)}) violates a ClickHouse invariant " +
+            "(strictSchema=true): composite types cannot be Nullable")
+      case _ => base // relaxed: silently correct, like the reference default
+    }
+    else base
   }
 
   /** ClickHouse forbids Nullable over composite types (the reference
@@ -521,13 +563,14 @@ object CHType {
 
   /** Field-level Spark → CH mapping: [[fromSpark]] plus unsigned-origin
     * restoration from metadata (Decimal(20,0) marked unsigned → UInt64). */
-  def fromSparkField(f: StructField): CHType = {
+  def fromSparkField(f: StructField,
+      opts: MappingOptions = MappingOptions.default): CHType = {
     val unsigned =
       f.metadata.contains(UnsignedOriginKey) && f.metadata.getBoolean(UnsignedOriginKey)
     f.dataType match {
       case d: DecimalType if unsigned && d.precision == 20 && d.scale == 0 =>
         if (f.nullable) Nullable(UInt64) else UInt64
-      case _ => fromSpark(f.dataType, f.nullable)
+      case _ => fromSpark(f.dataType, f.nullable, opts)
     }
   }
 
