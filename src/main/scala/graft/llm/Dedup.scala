@@ -545,7 +545,7 @@ object Dedup extends QueryRegistry {
     * probe this SAME materialization — DedupSpec pins the reuse. */
   def corpusBandIndexFor(s: SparkSession, d: String): DataFrame =
     bandIndexCache.getOrCompute(s, d) {
-      bandKeys(t(s, d, "documents").where(col("doc_id") % batchMod =!= 0),
+      bandKeys(t(s, d, "documents").where(pmod(col("doc_id"), lit(batchMod.toLong)) =!= 0),
         k = 32, bands = 16).localCheckpoint()
     }
 
@@ -574,7 +574,15 @@ object Dedup extends QueryRegistry {
     * so probes against either give the same candidates. */
   def mergeBandIndex(index: DataFrame, admitted: DataFrame,
       k: Int = 32, bands: Int = 16): DataFrame =
+    // distinct makes the merge IDEMPOTENT: an at-least-once ingest
+    // replaying a batch, or re-admitting docs already indexed, cannot
+    // duplicate band-key rows — so the convergence contract (maintained
+    // index row-set-identical to a full rebuild) holds for overlapping
+    // admissions too, not just disjoint ones. In production (parquet
+    // append) the same guard is a dedup-on-write keyed by
+    // (doc_id, band) — band-bucketed layout absorbs the shuffle.
     index.unionByName(bandKeys(admitted, k, bands))
+      .dropDuplicates("doc_id", "band", "bkey")
 
   /** Shared probe-and-verify tail for the ingest operators: the batch
     * (doc_id % 5 == 0) probes `index`, candidates are exact-verified by
@@ -594,7 +602,7 @@ object Dedup extends QueryRegistry {
         when(isBatchA, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
         when(isBatchA, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
         col("jaccard"))
-    val batch = t(s, d, "documents").where(col("doc_id") % batchMod === 0)
+    val batch = t(s, d, "documents").where(pmod(col("doc_id"), lit(batchMod.toLong)) === 0)
     val proposed = incrementalCandidates(batch, index)
       .union(exact.select("batch_doc", "corpus_doc"))
     exact.join(proposed, Seq("batch_doc", "corpus_doc"), "left_semi")
@@ -614,12 +622,14 @@ object Dedup extends QueryRegistry {
     * which is precisely the maintenance contract: appending admitted
     * batches' keys converges to the index a full rebuild would
     * produce, at per-batch cost |batch| × bands instead of O(corpus).
-    * This row owns its whole scenario cost per rep (initial build +
-    * merge + probe) — nothing here rides a pinned artifact. */
+    * Cost scoping: this row owns the index build + merge + probe per
+    * rep (no pinned INDEX artifact); the exact-verify union guard in
+    * [[probeVerify]] rides the shared pinned pair core — the same
+    * convention as `x_dedup_incremental`. */
   private def indexUpdatePairsFor(s: SparkSession, d: String, tau: Double): DataFrame = {
     val docs = t(s, d, "documents")
-    val index0 = bandKeys(docs.where(col("doc_id") % batchMod >= 2), k = 32, bands = 16)
-    val index1 = mergeBandIndex(index0, docs.where(col("doc_id") % batchMod === 1))
+    val index0 = bandKeys(docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) >= 2), k = 32, bands = 16)
+    val index1 = mergeBandIndex(index0, docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) === 1))
     probeVerify(s, d, tau, index1)
   }
 

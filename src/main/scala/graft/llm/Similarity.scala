@@ -352,14 +352,35 @@ object Similarity extends QueryRegistry {
               sampleCap: Int = 2048, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
-    val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .limit(sampleCap).as[Array[Double]].collect()
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
+    ivfProbe(ivfAssign(emb, centroids), centroids, queries, k, nprobe)
+  }
 
-    val assigned = c.as[(Long, Array[Double])]
+  /** One JIT'd pass assigning every corpus vector to its IVF cell —
+    * the posting-list build half of [[ivfTopK]], shared with the
+    * standing-index path ([[SimilarityQueries.ivfIndexFor]]). */
+  private[llm] def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) => (id, v, VecKernels.nearestCentroid(v, centroids)) })
       .toDF("vid", "cv", "cell")
+  }
+
+  /** The probe half: a query batch fans out to its `nprobe` nearest
+    * cells, equi-joins the (possibly persisted) assignment on cell id
+    * (broadcast query side), exact cosine re-rank, per-query top-k.
+    * Against a STANDING index this is the whole per-batch cost —
+    * |batch| × nprobe probe rows joined into cell-pruned postings,
+    * never an O(corpus) rebuild. */
+  private[llm] def ivfProbe(assigned: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val probes = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
       .as[(Long, Array[Double])]
@@ -614,6 +635,49 @@ object Similarity extends QueryRegistry {
       embedDupPairsExact(t(s, d, "embeddings"), tau = 0.4).localCheckpoint()
     }
 
+  // ---- standing IVF index (VERDICT r12 next-#3 — the production ANN
+  // shape, mirroring the dedup corpusBandIndexFor pattern): centroids
+  // trained and the corpus assigned ONCE per (session, fixture dir),
+  // the assignment persisted and pinned; every query batch probes the
+  // SAME materialization. In production this is a small centroids table
+  // plus the corpus parquet partitioned by cell id — probes become
+  // partition-pruned scans, and the index build is amortized over every
+  // future batch. The full per-rep rebuild cost class stays owned on
+  // the board by `x_sim_topk_ivf`, which re-fits everything each rep.
+
+  private val ivfNlist = 16
+  private val ivfIndexCache = new SessionMemo[String](pin = true)
+  // centroids keyed by (applicationId, dir), written inside the memo's
+  // per-key compute so they always correspond to the live assignment;
+  // kmeans is deterministic (fixed seed, deterministic sample), so a
+  // liveness-triggered recompute reproduces identical centroids
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Double]]]()
+
+  /** The persisted cell assignment of the standing IVF index, built once
+    * per (session, fixture dir); SimilaritySpec pins object-identity
+    * reuse across probes. */
+  def ivfIndexFor(s: SparkSession, d: String): DataFrame =
+    ivfIndexCache.getOrCompute(s, d) {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val sample = emb.select(col("embedding").cast("array<double>"))
+        .limit(2048).as[Array[Double]].collect()
+      val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+      ivfCentroidCache.put((s.sparkContext.applicationId, d), centroids)
+      ivfAssign(emb, centroids).localCheckpoint()
+    }
+
+  /** Batch probe against the STANDING index: per-batch cost is
+    * |batch| × nprobe probe rows into cell-pruned postings — never an
+    * O(corpus) rebuild. */
+  def ivfIndexProbe(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val index = ivfIndexFor(s, d)
+    val centroids = ivfCentroidCache.get((s.sparkContext.applicationId, d))
+    ivfProbe(index, centroids, queries, k, nprobe)
+  }
+
   /** Recall certification for an ANN top-k against the exact baseline,
     * as ONE declarative plan: |approx ∩ brute| / |brute| ≥ `minRecall`.
     * The query-count column is independently recomputable by the oracle
@@ -708,6 +772,25 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- batch probe against the STANDING IVF index (build once, probe
+    // per batch — the production ANN shape, completing the dedup-index
+    // pattern for the similarity family): centroids + cell assignment
+    // are a pinned persisted artifact; this row times the PROBE path
+    // (|batch| × nprobe into cell-pruned postings + exact re-rank),
+    // while x_sim_topk_ivf keeps owning the full per-rep rebuild cost.
+    // Same recall contract and floor as the rebuild row — the index
+    // content is identical by construction. ----
+    QueryDef(
+      "x_sim_index_probe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        annRecallContract(
+          ivfIndexProbe(s, d, queriesOf(emb), k = 5, nprobe = 4),
           bruteTopKFor(s, d, 5), minRecall = 0.45)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok

@@ -150,6 +150,15 @@ class DedupSpec extends SparkSpec {
       Dedup.incrementalCandidates(batch2, ix)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands(merged) === cands(rebuilt))
+
+    // idempotence (r13 advisor fix): replaying the same admitted batch
+    // (an at-least-once ingest retry) or re-admitting already-indexed
+    // docs must NOT duplicate band-key rows — the convergence contract
+    // holds for overlapping admissions, not just disjoint ones
+    val replayed = Dedup.mergeBandIndex(merged, batch1)
+    assert(keys(replayed) === keys(rebuilt),
+      "replaying an admitted batch duplicated index rows")
+    assert(replayed.count() === rebuilt.dropDuplicates("doc_id", "band", "bkey").count())
   }
 
   test("substring dedup marks shifted copied runs and excises exactly them") {

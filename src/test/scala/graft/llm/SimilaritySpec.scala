@@ -28,6 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("standing IVF index: built once, probes reuse the materialization") {
+    // the x_sim_index_probe contract (the dedup corpusBandIndexFor
+    // pattern applied to ANN): the pinned index is the SAME object on
+    // every probe, it IS a checkpointed materialization, and probing it
+    // returns exactly what the per-rep rebuild path returns (kmeans is
+    // deterministic: fixed seed + deterministic sample)
+    val i1 = Similarity.ivfIndexFor(spark, sf001)
+    val i2 = Similarity.ivfIndexFor(spark, sf001)
+    assert(i1 eq i2, "IVF index was rebuilt on the second probe")
+    val leaves = i1.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(leaves.nonEmpty && leaves.forall(_.isCheckpointed),
+      "index should be a checkpointed materialization")
+
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = topSet(Similarity.ivfIndexProbe(spark, sf001, queries, k = 5, nprobe = 4))
+    val rebuild = topSet(Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4))
+    assert(probe === rebuild,
+      "standing-index probe must agree with the per-rep rebuild path")
+  }
+
   test("PQ/ADC top-k achieves usable recall vs brute force") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") % 25 === 0)
