@@ -171,6 +171,66 @@ def bound_params():
     assert [(r.k, r.v) for r in rows] == [(1, 10), (1, 20)], rows
 
 
+# 12: round-12/13 surface — incremental dedup probe from Python: the
+# standing corpus band index + a batch probe through the public Dedup
+# API (static forwarders on the Scala object)
+def dedup_incremental_probe():
+    from pyspark.sql import DataFrame
+
+    jvm = spark._jvm
+    ix = jvm.graft.llm.Dedup.corpusBandIndexFor(spark._jsparkSession, SF_DIR)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    batch = docs.filter("doc_id % 5 = 0")
+    cand = DataFrame(
+        jvm.graft.llm.Dedup.incrementalCandidates(batch._jdf, ix, 32, 16), spark
+    )
+    assert cand.columns == ["batch_doc", "corpus_doc"], cand.columns
+    rows = cand.collect()
+    assert all(r.batch_doc % 5 == 0 and r.corpus_doc % 5 != 0 for r in rows), rows[:5]
+
+
+# 13: round-12/13 surface — quality-filter INFERENCE from Python: score
+# an ingest batch against the standing pinned weights via the declared
+# query entry (the path a PySpark pipeline would wire up)
+def qual_apply():
+    from pyspark.sql import DataFrame
+
+    fn = spark._jvm.graft.SparkEntry.queries().apply("x_qual_apply")
+    df = DataFrame(fn.apply(spark._jsparkSession, SF_DIR), spark)
+    rows = df.collect()
+    assert len(rows) > 0 and len(df.columns) >= 2, (len(rows), df.columns)
+
+
+# 14: round-13 surface — credentialed connector scan from Python (the
+# auth headers ride py4j-constructed options end to end)
+def connector_auth_scan():
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    srv = spark._jvm.graft.connector.StubCHServer()
+    try:
+        srv.load("nation", nation._jdf)
+        srv.requireAuth("analyst", "s3cret")
+        out = (
+            spark.read.format("graft-ch")
+            .option("url", srv.url())
+            .option("table", "nation")
+            .option("user", "analyst")
+            .option("password", "s3cret")
+            .load()
+        )
+        assert out.count() == nation.count()
+        failed = False
+        try:
+            (spark.read.format("graft-ch")
+                .option("url", srv.url()).option("table", "nation")
+                .option("user", "analyst").option("password", "WRONG")
+                .load())
+        except Exception as e:  # noqa: BLE001
+            failed = "AUTHENTICATION_FAILED" in str(e)
+        assert failed, "wrong key must raise the typed 516 error"
+    finally:
+        srv.stop()
+
+
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
 def r10_surface():
     row = spark.sql(
@@ -192,6 +252,9 @@ check("connector scan", connector_scan)
 check("connector insert", connector_insert)
 check("CH DDL round trip", ch_ddl)
 check("bound params", bound_params)
+check("incremental dedup probe", dedup_incremental_probe)
+check("quality-filter apply", qual_apply)
+check("connector auth scan", connector_auth_scan)
 
 spark.stop()
 if failures:

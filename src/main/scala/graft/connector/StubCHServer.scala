@@ -38,7 +38,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
   * testcontainers analog), never a production endpoint; [[load]] refuses
   * inputs past a fixture-scale row cap rather than OOM the driver.
   */
-final class StubCHServer(tlsContext: Option[javax.net.ssl.SSLContext] = None) {
+final class StubCHServer(tlsContext: Option[javax.net.ssl.SSLContext]) {
+
+  /** Plain-HTTP stub. A REAL no-arg constructor (not a default param):
+    * py4j — the PySpark smoke constructs the stub reflectively — only
+    * sees actual constructor overloads. */
+  def this() = this(None)
 
   final case class TableData(schema: StructType, rows: Vector[InternalRow])
 
