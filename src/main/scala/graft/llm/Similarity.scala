@@ -423,6 +423,15 @@ object Similarity extends QueryRegistry {
     val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
       .map(VecKernels.normalize)
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val (codebooks, bounds) = pqTrain(sample, m, ksub, seed)
+    pqScan(pqEncodeDf(c, codebooks, bounds), c, codebooks, bounds, queries,
+      k, ksub, shortlistFactor)
+  }
+
+  /** Codebook training half of [[pqTopK]] (bounded driver sample, one
+    * per-subspace k-means each), shared with the standing-index path. */
+  private[llm] def pqTrain(sample: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long): (Array[Array[Array[Double]]], Array[Int]) = {
     val d = sample(0).length
     val mm = math.min(m, d)
     // subspace f covers [bounds(f), bounds(f+1)) — remainder spread left
@@ -431,13 +440,35 @@ object Similarity extends QueryRegistry {
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, bounds(f), bounds(f + 1)))
       VecKernels.kmeans(sub, ksub, iters = 8, seed = seed + f)
     }
+    (codebooks, bounds)
+  }
 
-    // corpus → (vid, codes): one JIT'd pass, nothing but ids+codes shuffled
-    val codes = c.as[(Long, Array[Double])]
+  /** Corpus → (vid, codes): one JIT'd pass, nothing but ids+codes
+    * shuffled — the artifact a real deployment materializes (m bytes
+    * per vector instead of 4·dim floats). */
+  private[llm] def pqEncodeDf(c: DataFrame, codebooks: Array[Array[Array[Double]]],
+      bounds: Array[Int]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    c.as[(Long, Array[Double])]
       .mapPartitions(_.map { case (vid, v) =>
         (vid, VecKernels.pqEncode(VecKernels.normalize(v), codebooks, bounds))
       })
       .toDF("vid", "codes")
+  }
+
+  /** ADC scan + exact re-rank half of [[pqTopK]]: per-query LUTs built
+    * on the driver and broadcast, bounded per-query heaps over the
+    * (possibly persisted) codes table, shortlist re-ranked with true
+    * cosine against the corpus. Against a STANDING codes table this is
+    * the whole per-batch cost — the m-bytes-per-vector scan plus a
+    * shortlist-sized broadcast join, never an encode pass. */
+  private[llm] def pqScan(codes: DataFrame, c: DataFrame,
+      codebooks: Array[Array[Array[Double]]], bounds: Array[Int],
+      queries: DataFrame, k: Int, ksub: Int, shortlistFactor: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val mm = codebooks.length
 
     // per-query ADC lookup tables, built on the driver (query side is small
     // by definition) and broadcast: lut(q)(f*ksub + code) = partial dot
@@ -663,6 +694,7 @@ object Similarity extends QueryRegistry {
       val emb = t(s, d, "embeddings")
       val sample = emb.select(col("embedding").cast("array<double>"))
         .limit(2048).as[Array[Double]].collect()
+      require(sample.nonEmpty, s"ivfIndexFor($d): empty embeddings corpus")
       val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
       ivfCentroidCache.put((s.sparkContext.applicationId, d), centroids)
       ivfAssign(emb, centroids).localCheckpoint()
@@ -677,6 +709,83 @@ object Similarity extends QueryRegistry {
     val centroids = ivfCentroidCache.get((s.sparkContext.applicationId, d))
     ivfProbe(index, centroids, queries, k, nprobe)
   }
+
+  /** IVF index MAINTENANCE — the ANN mirror of
+    * [[Dedup.mergeBandIndex]], completing the ingest loop for the
+    * similarity family: an admitted batch is assigned to cells with the
+    * STANDING centroids (no retrain — centroid refresh is a separate
+    * offline job in production, exactly like periodic IVF re-training)
+    * and its rows APPENDED to the assignment table (a parquet append
+    * into the cell-partitioned layout; the corpus side is never
+    * re-assigned). Idempotent like the dedup merge: re-admissions
+    * dedup on vid. Convergence: because assignment is per-row under
+    * fixed centroids, the maintained table is row-set identical to
+    * assigning the combined corpus directly — SimilaritySpec pins it,
+    * `x_sim_index_update` certifies probe-equality end to end.
+    * APPEND/replay semantics only: a re-admitted vid is assumed to
+    * carry the same vector (dedup keeps one arbitrary row); updating a
+    * vector in place needs delete-then-admit, same as the dedup index. */
+  def mergeIvfIndex(index: DataFrame, admitted: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    index.unionByName(ivfAssign(admitted, centroids))
+      .dropDuplicates("vid")
+
+  // ---- standing PQ index (the codebook half of verdict next-#3): the
+  // trained codebooks + the m-bytes-per-vector codes table are THE
+  // artifact a PQ deployment materializes; rebuilding both per query
+  // batch (as x_sim_topk_pq deliberately does, owning that cost class)
+  // is the anti-shape at scale. Probing the standing codes table costs
+  // one ADC scan + a shortlist re-rank per batch.
+
+  private val pqIndexCache = new SessionMemo[String](pin = true)
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Array[Array[Array[Double]]], Array[Int])]()
+  private val pqM = 8
+  private val pqKsub = 16
+
+  /** The persisted PQ codes table, built once per (session, fixture
+    * dir); codebooks + subspace bounds land in the companion model
+    * cache under the same compute (deterministic: fixed seed +
+    * deterministic sample, so a liveness recompute reproduces them). */
+  def pqIndexFor(s: SparkSession, d: String): DataFrame =
+    pqIndexCache.getOrCompute(s, d) {
+      import s.implicits._
+      val c = t(s, d, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+        .map(VecKernels.normalize)
+      require(sample.nonEmpty, s"pqIndexFor($d): empty embeddings corpus")
+      val (codebooks, bounds) = Similarity.pqTrain(sample, pqM, pqKsub, seed = 42L)
+      pqModelCache.put((s.sparkContext.applicationId, d), (codebooks, bounds))
+      Similarity.pqEncodeDf(c, codebooks, bounds).localCheckpoint()
+    }
+
+  /** Batch probe against the STANDING codes table: ADC scan (m bytes
+    * per corpus vector) + exact re-rank of the shortlist — no encode
+    * pass, no codebook training. */
+  def pqIndexProbe(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, shortlistFactor: Int = 4): DataFrame = {
+    val codes = pqIndexFor(s, d)
+    val (codebooks, bounds) = pqModelCache.get((s.sparkContext.applicationId, d))
+    val c = t(s, d, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    Similarity.pqScan(codes, c, codebooks, bounds, queries, k, pqKsub, shortlistFactor)
+  }
+
+  /** PQ codes MAINTENANCE — the codes-table mirror of
+    * [[mergeIvfIndex]]: an admitted batch is encoded with the STANDING
+    * codebooks (no retrain — codebook refresh is the same separate
+    * offline job as IVF centroid refresh) and its codes APPENDED to the
+    * codes table (a parquet append; the corpus is never re-encoded).
+    * Idempotent on vid; under fixed codebooks encoding is per-row, so
+    * the maintained table is row-set identical to encoding the combined
+    * corpus directly — `x_sim_index_update_pq` certifies probe-equality
+    * end to end. Same APPEND/replay contract as the IVF/dedup merges:
+    * in-place vector update = delete-then-admit. */
+  def mergePqIndex(codes: DataFrame, admitted: DataFrame,
+      codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame =
+    codes.unionByName(Similarity.pqEncodeDf(admitted, codebooks, bounds))
+      .dropDuplicates("vid")
 
   /** Recall certification for an ANN top-k against the exact baseline,
     * as ONE declarative plan: |approx ∩ brute| / |brute| ≥ `minRecall`.
@@ -796,6 +905,46 @@ object Similarity extends QueryRegistry {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- IVF index MAINTENANCE (the ANN mirror of
+    // x_dedup_index_update, completing the ingest loop): standing
+    // corpus (vec_id %5 ∈ {2,3,4}) assigned under fixed centroids,
+    // slice %5==1 admitted + MERGED (append, no corpus re-assign, no
+    // retrain), then the query batch probes the merged index. Certifies
+    // BOTH halves: probe(merged) ≡ probe(rebuilt-from-combined-corpus)
+    // — the maintenance convergence contract — and recall vs the
+    // scenario-exact brute baseline over the indexed corpus. This row
+    // owns its whole scenario cost per rep (centroids + both
+    // assignments + both probes + the scenario brute baseline). ----
+    QueryDef(
+      "x_sim_index_update",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val sample = emb.select(col("embedding").cast("array<double>"))
+          .limit(2048).as[Array[Double]].collect()
+        val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+        val slice = pmod(col("vec_id"), lit(5L))
+        val index0 = ivfAssign(emb.where(slice >= 2), centroids)
+        val merged = mergeIvfIndex(index0, emb.where(slice === 1), centroids)
+        val rebuilt = ivfAssign(emb.where(slice =!= 0), centroids)
+        val q = queriesOf(emb)
+        val probeM = ivfProbe(merged, centroids, q, k = 5, nprobe = 4)
+        val probeR = ivfProbe(rebuilt, centroids, q, k = 5, nprobe = 4)
+        val contract = annRecallContract(probeM,
+          bruteForceTopK(emb.where(slice =!= 0), q, 5), minRecall = 0.4)
+        val mismatch = probeM.select(col("qid"), col("vid")).withColumn("m", lit(1))
+          .join(probeR.select(col("qid"), col("vid")).withColumn("r", lit(1)),
+            Seq("qid", "vid"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        contract.crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- PQ/ADC ANN top-5, recall-certified (probe 0.54, floor 0.35 —
     // 8-byte codes over 64 dims is a deliberately lossy config) ----
     QueryDef(
@@ -807,6 +956,66 @@ object Similarity extends QueryRegistry {
           bruteTopKFor(s, d, 5), minRecall = 0.35)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- batch probe against the STANDING PQ codes table (the
+    // codebook half of the standing-index story): codebooks + the
+    // m-bytes-per-vector codes table are pinned persisted artifacts;
+    // this row times the per-batch path — one ADC scan over the codes
+    // + a shortlist re-rank — while x_sim_topk_pq keeps owning the
+    // train+encode rebuild cost. Same recall floor: identical model by
+    // construction. ----
+    QueryDef(
+      "x_sim_index_probe_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        annRecallContract(
+          pqIndexProbe(s, d, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.35)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- PQ codes MAINTENANCE (mirror of x_sim_index_update for the
+    // codes table): standing codes over vec_id %5 ∈ {2,3,4} under fixed
+    // codebooks, slice %5==1 admitted + MERGED (encode-and-append, no
+    // corpus re-encode, no codebook retrain), query batch probes the
+    // merged codes. Certifies probe(merged) ≡ probe(rebuilt-from-
+    // combined-corpus) AND recall vs the scenario-exact brute baseline.
+    // Owns its whole scenario cost per rep. ----
+    QueryDef(
+      "x_sim_index_update_pq",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+          .map(VecKernels.normalize)
+        val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+        val slice = pmod(col("vid"), lit(5L))
+        val codes0 = Similarity.pqEncodeDf(c.where(slice >= 2), codebooks, bounds)
+        val merged = mergePqIndex(codes0, c.where(slice === 1), codebooks, bounds)
+        val rebuilt = Similarity.pqEncodeDf(c.where(slice =!= 0), codebooks, bounds)
+        val corpus = c.where(slice =!= 0)
+        val q = queriesOf(emb)
+        val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 16, 4)
+        val contract = annRecallContract(probeM,
+          bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
+          minRecall = 0.35)
+        // convergence = row-set identity of the CODES tables (encode is
+        // per-row deterministic under fixed codebooks, so this is exact;
+        // probe-output equality would ride ADC shortlist tie-breaks)
+        val mismatch = merged.withColumn("m", lit(1))
+          .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "codes"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        contract.crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
     // ---- embedding-cosine near-dup pairs, exact baseline ----

@@ -53,6 +53,66 @@ class SimilaritySpec extends SparkSpec {
       "standing-index probe must agree with the per-rep rebuild path")
   }
 
+  test("standing PQ index: built once, probe agrees with the rebuild path") {
+    val c1 = Similarity.pqIndexFor(spark, sf001)
+    val c2 = Similarity.pqIndexFor(spark, sf001)
+    assert(c1 eq c2, "PQ codes table was rebuilt on the second probe")
+    val leaves = c1.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(leaves.nonEmpty && leaves.forall(_.isCheckpointed),
+      "codes table should be a checkpointed materialization")
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = topSet(Similarity.pqIndexProbe(spark, sf001, queries, k = 5))
+    val rebuild = topSet(Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16))
+    assert(probe === rebuild,
+      "standing-codes probe must agree with the per-rep rebuild path")
+  }
+
+  test("IVF index maintenance: merged assignment converges; merge is idempotent") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .limit(2048).as[Array[Double]].collect()
+    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+    val slice = pmod(col("vec_id"), lit(5L))
+    val index0 = Similarity.ivfAssign(emb.where(slice >= 2), centroids)
+    val merged = Similarity.mergeIvfIndex(index0, emb.where(slice === 1), centroids)
+    val rebuilt = Similarity.ivfAssign(emb.where(slice =!= 0), centroids)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(merged) === cells(rebuilt),
+      "maintained assignment diverged from a full re-assign")
+    // idempotence: replaying the admitted batch must not duplicate rows
+    val replayed = Similarity.mergeIvfIndex(merged, emb.where(slice === 1), centroids)
+    assert(replayed.count() === rebuilt.count(),
+      "replaying an admitted batch duplicated assignment rows")
+  }
+
+  test("PQ codes maintenance: merged codes converge; merge is idempotent") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val c = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+      .map(VecKernels.normalize)
+    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+    val slice = pmod(col("vid"), lit(5L))
+    val codes0 = Similarity.pqEncodeDf(c.where(slice >= 2), codebooks, bounds)
+    val merged = Similarity.mergePqIndex(codes0, c.where(slice === 1), codebooks, bounds)
+    val rebuilt = Similarity.pqEncodeDf(c.where(slice =!= 0), codebooks, bounds)
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codeMap(merged) === codeMap(rebuilt),
+      "maintained codes table diverged from a full re-encode")
+    val replayed = Similarity.mergePqIndex(merged, c.where(slice === 1), codebooks, bounds)
+    assert(replayed.count() === rebuilt.count(),
+      "replaying an admitted batch duplicated codes rows")
+  }
+
   test("PQ/ADC top-k achieves usable recall vs brute force") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") % 25 === 0)
