@@ -787,6 +787,128 @@ object Similarity extends QueryRegistry {
     codes.unionByName(Similarity.pqEncodeDf(admitted, codebooks, bounds))
       .dropDuplicates("vid")
 
+  // ---- standing LSH index (completing the standing trilogy:
+  // LSH/IVF/PQ each with build-once/probe-per-batch semantics): the
+  // corpus bucket table (vid, t, bucket) is the artifact a sign-LSH
+  // deployment materializes — bucket-partitioned parquet at scale, so
+  // a probe prunes to exactly the query batch's probed buckets.
+  // lshTopK deliberately re-hashes the whole corpus per batch and
+  // keeps owning that cost class; the probe path below never touches
+  // a vector until the shortlist re-rank.
+
+  private val lshTables = 8
+  private val lshBits = 6
+  private val lshIndexCache = new SessionMemo[String](pin = true)
+
+  /** Hyperplanes are a pure function of (seed, dim) — the same seeded
+    * gaussians [[lshTopK]] draws — so the probe path recomputes them
+    * instead of persisting model state (in production the seed rides
+    * the index's metadata file). */
+  private[llm] def lshPlanesFor(dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(lshTables)(Array.fill(lshBits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Corpus → (vid, t, bucket): one JIT'd hash pass per vector across
+    * all tables — the build half, shared by the standing index, the
+    * maintenance merge, and the update-scenario rebuild baseline. */
+  private[llm] def lshAssign(emb: DataFrame,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nt = planes.length
+    emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (vid, cv) =>
+        Iterator.range(0, nt).map(t => (vid, t, VecKernels.bucketKey(cv, planes(t))))
+      })
+      .toDF("vid", "t", "bucket")
+  }
+
+  /** The persisted bucket table, built once per (session, fixture dir). */
+  def lshIndexFor(s: SparkSession, d: String): DataFrame =
+    lshIndexCache.getOrCompute(s, d) {
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      require(dim > 0, s"lshIndexFor($d): empty embeddings corpus")
+      lshAssign(emb, lshPlanesFor(dim)).localCheckpoint()
+    }
+
+  /** Probe half against an explicit bucket table: the query batch's
+    * probe buckets (own bucket + every Hamming-1 neighbor per table —
+    * the same multi-probe [[lshTopK]] uses) broadcast into an equi-join
+    * on (t, bucket) — at scale a partition-pruned scan of the bucket
+    * table — then ONLY the colliding vids are re-ranked with exact
+    * cosine. Per-batch cost = probed-bucket postings + shortlist,
+    * never a corpus re-hash. */
+  private[llm] def lshProbe(index: DataFrame, corpus: DataFrame,
+      planes: Array[Array[Array[Double]]], queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    if (qRows.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val qVecs: Map[Long, (Array[Double], Double)] = qRows.map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      id -> (v, math.sqrt(s))
+    }.toMap
+    val probeRows = qRows.flatMap { case (id, v) =>
+      Iterator.range(0, planes.length).flatMap { tb =>
+        val key = VecKernels.bucketKey(v, planes(tb))
+        Iterator.single((tb, key, id)) ++
+          Iterator.range(0, lshBits).map(f => ((tb, key ^ (1 << f), id)))
+      }
+    }.distinct.toSeq
+    val probeDf = probeRows.toDF("t", "bucket", "qid")
+    val cand = index.join(broadcast(probeDf), Seq("t", "bucket"))
+      .where(col("qid") =!= col("vid"))
+      .select("qid", "vid").dropDuplicates("qid", "vid")
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val scored = corpus
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      .join(cand, Seq("vid"))
+      .select(col("qid"), col("vid"), col("cv"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.map { case (qid, vid, cv) =>
+          val (qv, qn) = qs(qid)
+          var nc = 0.0; var dot = 0.0; var i = 0
+          val m = math.min(qv.length, cv.length)
+          while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+          i = 0
+          while (i < m) { dot += qv(i) * cv(i); i += 1 }
+          (qid, vid, dot / (qn * math.sqrt(nc)))
+        }
+      }
+      .toDF("qid", "vid", "cos")
+    graft.operators.LimitBy
+      .limitBy(scored, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Batch probe against the STANDING bucket table. */
+  def lshIndexProbe(s: SparkSession, d: String, queries: DataFrame, k: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0, s"lshIndexProbe($d): empty embeddings corpus")
+    lshProbe(lshIndexFor(s, d), emb, lshPlanesFor(dim), queries, k)
+  }
+
+  /** LSH bucket-table MAINTENANCE — same contract as [[mergeIvfIndex]]
+    * / [[mergePqIndex]]: hash the admitted batch under the STANDING
+    * planes, append (the corpus is never re-hashed), idempotent on
+    * (vid, t). Row-set identical to hashing the combined corpus
+    * directly — `x_sim_index_update_lsh` certifies it end to end. */
+  def mergeLshIndex(index: DataFrame, admitted: DataFrame,
+      planes: Array[Array[Array[Double]]]): DataFrame =
+    index.unionByName(lshAssign(admitted, planes))
+      .dropDuplicates("vid", "t")
+
   /** Recall certification for an ANN top-k against the exact baseline,
     * as ONE declarative plan: |approx ∩ brute| / |brute| ≥ `minRecall`.
     * The query-count column is independently recomputable by the oracle
@@ -872,6 +994,61 @@ object Similarity extends QueryRegistry {
           bruteTopKFor(s, d, 5), minRecall = 0.7)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- batch probe against the STANDING LSH bucket table (the third
+    // member of the standing trilogy next to the IVF and PQ probes):
+    // the bucket table is a pinned persisted artifact; this row times
+    // the probe path — probed-bucket equi-join + shortlist re-rank,
+    // never a corpus re-hash — while x_sim_topk_lsh keeps owning the
+    // full per-rep rebuild. Same planes seed, so same candidates and
+    // the same recall floor. ----
+    QueryDef(
+      "x_sim_index_probe_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        annRecallContract(
+          lshIndexProbe(s, d, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.7)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- LSH bucket-table MAINTENANCE (mirror of x_sim_index_update /
+    // x_sim_index_update_pq): standing buckets over vec_id %5 ∈ {2,3,4}
+    // under the standing planes, slice %5==1 admitted + MERGED
+    // (hash-and-append, no corpus re-hash), query batch probes the
+    // merged buckets. Convergence = row-set identity of the bucket
+    // tables (hashing is per-row deterministic under fixed planes) +
+    // recall vs the scenario-exact brute baseline. ----
+    QueryDef(
+      "x_sim_index_update_lsh",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        require(dim > 0, s"x_sim_index_update_lsh($d): empty embeddings corpus")
+        val planes = lshPlanesFor(dim)
+        val slice = pmod(col("vec_id"), lit(5L))
+        val index0 = lshAssign(emb.where(slice >= 2), planes)
+        val merged = mergeLshIndex(index0, emb.where(slice === 1), planes)
+        val rebuilt = lshAssign(emb.where(slice =!= 0), planes)
+        val corpus = emb.where(slice =!= 0)
+        val q = queriesOf(emb)
+        val probeM = lshProbe(merged, corpus, planes, q, k = 5)
+        val contract = annRecallContract(probeM,
+          bruteForceTopK(corpus, q, 5), minRecall = 0.6)
+        val mismatch = merged.withColumn("m", lit(1))
+          .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "t", "bucket"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        contract.crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
     // ---- IVF ANN top-5, recall-certified (probe 0.65, floor 0.45) ----

@@ -167,24 +167,7 @@ object TextOps extends QueryRegistry {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val ws = text.split(" ", -1)
-        val counts = new java.util.HashMap[String, Long]()
-        var i = 0
-        while (i < ws.length) {
-          counts.merge(ws(i), 1L, (a, c) => a + c); i += 1
-        }
-        val dl = ws.length.toLong
-        val it = counts.entrySet().iterator()
-        new Iterator[(Long, String, Long, Long)] {
-          def hasNext: Boolean = it.hasNext
-          def next(): (Long, String, Long, Long) = {
-            val e = it.next(); (id, e.getKey, e.getValue, dl)
-          }
-        }
-      }
-      .toDF("doc_id", "term", "tf", "dl")
+    val tf = bm25Postings(docs)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs
       .select(size(split(col("text"), " ", -1)).cast("long").as("dl"))
@@ -206,6 +189,131 @@ object TextOps extends QueryRegistry {
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Per-doc (term, tf, dl) postings — the tokenize half of
+    * [[bm25TopK]], one JIT'd per-doc hash-count kernel (no corpus
+    * explode, no tf groupBy). Shared by the per-rep rebuild row, the
+    * standing index build, and the maintenance merge. */
+  private[llm] def bm25Postings(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val counts = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i < ws.length) {
+          counts.merge(ws(i), 1L, (a, c) => a + c); i += 1
+        }
+        val dl = ws.length.toLong
+        val it = counts.entrySet().iterator()
+        new Iterator[(Long, String, Long, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, String, Long, Long) = {
+            val e = it.next(); (id, e.getKey, e.getValue, dl)
+          }
+        }
+      }
+      .toDF("doc_id", "term", "tf", "dl")
+  }
+
+  // ---- standing BM25 inverted index: postings (doc_id, term, tf, dl)
+  // + per-term dfs + the (n, Σdl) corpus scalars are THE artifact a
+  // sparse-retrieval deployment materializes (term-partitioned parquet
+  // at scale — a probe prunes to the query's term partitions).
+  // Rebuilding them per query batch (as x_text_bm25 deliberately does,
+  // owning that cost class) re-pays the tokenize pass and the df
+  // shuffle — the corpus-wide costs — on every batch.
+
+  private val bm25PostingsCache = new SessionMemo[String](pin = true)
+  private val bm25StatsCache = new SessionMemo[String](pin = true)
+  private val bm25ScalarsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
+  /** The persisted postings table, built once per (session, dir). */
+  def bm25IndexFor(s: SparkSession, d: String): DataFrame =
+    bm25PostingsCache.getOrCompute(s, d) {
+      bm25Postings(t(s, d, "documents")).localCheckpoint()
+    }
+
+  /** The persisted per-term document frequencies; the (n, Σdl) corpus
+    * scalars land in the companion cache under the same compute (exact
+    * integers, so the maintenance merge stays bit-identical to a
+    * rebuild — avgdl derives as Σdl/n at probe time). */
+  def bm25TermStatsFor(s: SparkSession, d: String): DataFrame =
+    bm25StatsCache.getOrCompute(s, d) {
+      val postings = bm25IndexFor(s, d)
+      val row = postings.select("doc_id", "dl").dropDuplicates("doc_id")
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+        .collect()(0)
+      bm25ScalarsCache.put((s.sparkContext.applicationId, d),
+        (row.getLong(0), row.getLong(1)))
+      postings.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+    }
+
+  /** Scoring half against explicit index state: query terms broadcast
+    * into the df table, then that tiny (query, term, df) set broadcasts
+    * into the postings — the same three-shuffle-bounded shape as
+    * [[bm25TopK]], minus the corpus tokenize and the df shuffle. */
+  private[llm] def bm25Score(postings: DataFrame, termStats: DataFrame,
+      n: Long, sumDl: Long, qTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val avgdl = sumDl.toDouble / n
+    val qIdf = termStats.join(broadcast(qTerms), Seq("term"))
+    val scored = postings
+      .join(broadcast(qIdf), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (col("dl") * b / lit(avgdl) + (1.0 - b))))
+        .as("s0"))
+      .select(col("query_id"), col("doc_id"), round(col("s0"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Batch BM25 top-k against the STANDING index: tokenizes ONLY the
+    * query batch; per-batch cost = query-term df lookups + the pruned
+    * postings join + the per-query top-k — never a corpus pass. Output
+    * identical to [[bm25TopK]] over the same corpus by construction
+    * (same postings, same integer stats). */
+  def bm25IndexProbe(s: SparkSession, d: String, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = bm25IndexFor(s, d)
+    val termStats = bm25TermStatsFor(s, d)
+    val (n, sumDl) = bm25ScalarsCache.get((s.sparkContext.applicationId, d))
+    val qTerms = bm25Postings(queries).select(col("doc_id").as("query_id"), col("term"))
+    bm25Score(postings, termStats, n, sumDl, qTerms, k, k1, b)
+  }
+
+  /** BM25 index MAINTENANCE — same ingest-loop contract as the dedup
+    * band index and the ANN indexes: tokenize ONLY the admitted batch,
+    * append its postings, and merge the per-term dfs and (n, Σdl)
+    * scalars as O(|terms|) aggregate merges — the corpus is never
+    * re-tokenized and df is never recomputed corpus-wide. Admitted docs
+    * anti-join against the indexed doc set first (in production a doc
+    * manifest / bloom pruned lookup), so at-least-once replays and
+    * re-admissions converge. All merged state is integer-exact, so the
+    * maintained index is value-identical to a full rebuild. */
+  def mergeBm25Index(postings: DataFrame, termStats: DataFrame,
+      n: Long, sumDl: Long, admitted: DataFrame): (DataFrame, DataFrame, Long, Long) = {
+    val fresh = admitted
+      .join(postings.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val bp = bm25Postings(fresh)
+    val bStats = bp.groupBy("term").agg(count(lit(1)).as("df_b"))
+    val row = bp.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("nb"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+      .collect()(0)
+    val mergedStats = termStats.join(bStats, Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+    (postings.unionByName(bp), mergedStats,
+      n + row.getLong(0), sumDl + row.getLong(1))
   }
 
   /** Hard-negative mining for contrastive training: candidates that are
@@ -955,6 +1063,90 @@ object TextOps extends QueryRegistry {
              |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
              |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0 AND doc_id < 5000),
+             |scored AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+             |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id
+             |  JOIN dft ON dft.term = q.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |FROM scored
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // ---- batch retrieval against the STANDING BM25 index (the sparse
+    // mirror of the ANN standing probes): postings + per-term dfs +
+    // corpus scalars are pinned persisted artifacts; this row times the
+    // per-batch path — tokenize the QUERY batch only, broadcast its
+    // term set into the df table then the postings — while x_text_bm25
+    // keeps owning the tokenize+df rebuild cost. Same query set, same
+    // scores: the oracle replays full BM25 top-5 independently. ----
+    QueryDef(
+      "x_retr_index_probe",
+      (s, d) => bm25IndexProbe(s, d,
+        t(s, d, "documents").where(col("doc_id") % 50 === 0 && col("doc_id") < 5000),
+        k = 5),
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 50 = 0 AND doc_id < 5000),
+             |scored AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+             |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id
+             |  JOIN dft ON dft.term = q.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |FROM scored
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // ---- BM25 index MAINTENANCE (the retrieval ingest loop): standing
+    // index over doc_id %5 ∈ {2,3,4}, slice %5==1 admitted + MERGED
+    // (batch tokenize + postings append + O(|terms|) df/scalar merges —
+    // no corpus re-tokenize, no corpus-wide df recompute), then the
+    // query batch (%50==0, outside the corpus slices) retrieves through
+    // the merged index. All merged state is integer-exact, so the
+    // oracle can replay BM25 over the combined slices directly — a
+    // value-exact check of the whole maintenance path. ----
+    QueryDef(
+      "x_retr_index_update",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val slice = pmod(col("doc_id"), lit(5L))
+        val p0 = bm25Postings(docs.where(slice >= 2))
+        val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+        val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+          .collect()(0)
+        val (p1, ts1, n1, sdl1) = mergeBm25Index(
+          p0, ts0, r0.getLong(0), r0.getLong(1), docs.where(slice === 1))
+        val qTerms = bm25Postings(
+          docs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000))
+          .select(col("doc_id").as("query_id"), col("term"))
+        bm25Score(p1, ts1, n1, sdl1, qTerms, k = 5)
+      },
+      Some("""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM corp),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |qtoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 5000),
+             |q AS (SELECT DISTINCT doc_id AS query_id, term FROM qtoks),
              |scored AS (
              |  SELECT q.query_id, tf.doc_id,
              |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *

@@ -113,6 +113,38 @@ class SimilaritySpec extends SparkSpec {
       "replaying an admitted batch duplicated codes rows")
   }
 
+  test("standing LSH index: built once, probe agrees with the rebuild path") {
+    val b1 = Similarity.lshIndexFor(spark, sf001)
+    val b2 = Similarity.lshIndexFor(spark, sf001)
+    assert(b1 eq b2, "bucket table was rebuilt on the second probe")
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = topSet(Similarity.lshIndexProbe(spark, sf001, queries, k = 5))
+    val rebuild = topSet(Similarity.lshTopK(emb, queries, k = 5, tables = 8, bits = 6))
+    assert(probe === rebuild,
+      "standing-bucket probe must agree with the per-rep rebuild path")
+  }
+
+  test("LSH index maintenance: merged buckets converge; merge is idempotent") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()(0).getInt(0)
+    val planes = Similarity.lshPlanesFor(dim)
+    val slice = pmod(col("vec_id"), lit(5L))
+    val index0 = Similarity.lshAssign(emb.where(slice >= 2), planes)
+    val merged = Similarity.mergeLshIndex(index0, emb.where(slice === 1), planes)
+    val rebuilt = Similarity.lshAssign(emb.where(slice =!= 0), planes)
+    def buckets(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(buckets(merged) === buckets(rebuilt),
+      "maintained bucket table diverged from a full re-hash")
+    val replayed = Similarity.mergeLshIndex(merged, emb.where(slice === 1), planes)
+    assert(replayed.count() === rebuilt.count(),
+      "replaying an admitted batch duplicated bucket rows")
+  }
+
   test("PQ/ADC top-k achieves usable recall vs brute force") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") % 25 === 0)

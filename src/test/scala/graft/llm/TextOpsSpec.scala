@@ -132,6 +132,53 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L))
   }
 
+  test("standing BM25 index: built once, probe agrees with the rebuild path") {
+    val p1 = TextOps.bm25IndexFor(spark, sf001)
+    val p2 = TextOps.bm25IndexFor(spark, sf001)
+    assert(p1 eq p2, "postings table was rebuilt on the second probe")
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val isQ = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val probe = ranked(TextOps.bm25IndexProbe(spark, sf001, docs.where(isQ), k = 5))
+    val rebuild = ranked(TextOps.bm25TopK(docs, isQ, k = 5))
+    assert(probe.keySet === rebuild.keySet,
+      "standing-index probe returned a different result set than the rebuild path")
+    probe.foreach { case (key, (score, rank)) =>
+      val (s2, r2) = rebuild(key)
+      assert(rank === r2 && math.abs(score - s2) < 2e-6,
+        s"probe/rebuild divergence at $key: ($score,$rank) vs ($s2,$r2)")
+    }
+  }
+
+  test("BM25 index maintenance: merged state converges; merge is idempotent") {
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val slice = pmod(col("doc_id"), lit(5L))
+    val p0 = TextOps.bm25Postings(docs.where(slice >= 2))
+    val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    val (p1, ts1, n1, sdl1) =
+      TextOps.mergeBm25Index(p0, ts0, r0.getLong(0), r0.getLong(1), docs.where(slice === 1))
+    // rebuilt from the combined corpus
+    val pr = TextOps.bm25Postings(docs.where(slice =!= 0))
+    val tsr = pr.groupBy("term").agg(count(lit(1)).as("df"))
+    val rr = pr.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    def dfMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n1 === rr.getLong(0) && sdl1 === rr.getLong(1),
+      "merged corpus scalars diverged from a full rebuild")
+    assert(dfMap(ts1) === dfMap(tsr), "merged term dfs diverged from a full rebuild")
+    assert(p1.count() === pr.count(), "merged postings diverged from a full rebuild")
+    // idempotence: re-admitting the same batch is a no-op
+    val (p2, ts2, n2, sdl2) = TextOps.mergeBm25Index(p1, ts1, n1, sdl1, docs.where(slice === 1))
+    assert(n2 === n1 && sdl2 === sdl1 && p2.count() === p1.count(),
+      "replaying an admitted batch changed the index")
+    assert(dfMap(ts2) === dfMap(ts1), "replaying an admitted batch changed the dfs")
+  }
+
   test("tf-idf keywords rank rare heavy terms first") {
     Seq((1L, "a a b c"), (2L, "b c c c"), (3L, "a d d d"))
       .toDF("doc_id", "text").createOrReplaceTempView("kwdocs")
