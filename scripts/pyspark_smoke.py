@@ -231,6 +231,40 @@ def connector_auth_scan():
         srv.stop()
 
 
+# 15: round-13 surface — batch retrieval through the STANDING BM25
+# inverted index from Python (build-once/probe-per-batch, the
+# production retrieval path; k1/b passed explicitly — py4j resolves
+# real overloads, not Scala default params)
+def bm25_index_probe():
+    from pyspark.sql import DataFrame
+
+    jvm = spark._jvm
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    q = docs.filter("doc_id % 50 = 0 AND doc_id < 5000")
+    out = DataFrame(
+        jvm.graft.llm.TextOps.bm25IndexProbe(
+            spark._jsparkSession, SF_DIR, q._jdf, 5, 1.2, 0.75), spark)
+    rows = out.collect()
+    assert out.columns == ["query_id", "doc_id", "score", "rank"], out.columns
+    assert len(rows) > 0 and all(r.rank <= 5 for r in rows), len(rows)
+
+
+# 16: round-13 surface — ANN batch probe through the STANDING LSH
+# bucket table from Python
+def lsh_index_probe():
+    from pyspark.sql import DataFrame
+
+    jvm = spark._jvm
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.filter("vec_id % 25 = 0")
+    out = DataFrame(
+        jvm.graft.llm.Similarity.lshIndexProbe(
+            spark._jsparkSession, SF_DIR, q._jdf, 5), spark)
+    rows = out.collect()
+    assert out.columns == ["qid", "vid", "cos"], out.columns
+    assert len(rows) > 0, "LSH standing probe returned no neighbors"
+
+
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
 def r10_surface():
     row = spark.sql(
@@ -255,6 +289,8 @@ check("bound params", bound_params)
 check("incremental dedup probe", dedup_incremental_probe)
 check("quality-filter apply", qual_apply)
 check("connector auth scan", connector_auth_scan)
+check("BM25 standing-index probe", bm25_index_probe)
+check("LSH standing-index probe", lsh_index_probe)
 
 spark.stop()
 if failures:

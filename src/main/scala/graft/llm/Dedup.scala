@@ -633,6 +633,95 @@ object Dedup extends QueryRegistry {
     probeVerify(s, d, tau, index1)
   }
 
+  /** The FULL ingest loop under the LIVE streaming engine
+    * (`x_stream_index_ingest` — the b_str9/b_str10 hard-gate pattern
+    * applied to the standing dedup index): documents arrive as
+    * `nSlices` ordered micro-batches (MemoryStream with a deterministic
+    * addData/processAllAvailable schedule); `foreachBatch` probes each
+    * incoming batch against the CURRENT standing band index, records
+    * the candidate pairs, then ADMITS the batch with
+    * [[mergeBandIndex]] — each merged index is localCheckpointed (the
+    * parquet-append analog, and it truncates lineage so batch i's plan
+    * never re-derives batches 0..i-1). After the stream drains, a
+    * loud require gates the maintenance contract in-engine (streamed
+    * index size ≡ direct whole-corpus build; DedupSpec pins full
+    * row-set identity) and the recorded candidates are exact-verified
+    * at `tau` under the same union-guard convention as
+    * [[probeVerify]], so the certified output provably EQUALS the
+    * exact CROSS-SLICE pair set — every near-dup pair whose members
+    * arrived in different micro-batches, found at the moment the later
+    * member arrived. Same-batch pairs are batch-internal self-dedup
+    * (`x_dedup_ngram_jaccard`'s job), not ingest's.
+    *
+    * The slice collect + MemoryStream feed is the certification
+    * harness, not the operator (production points the same
+    * `foreachBatch` at an arriving directory/Kafka); driver state is
+    * the index handle + id-pair candidate frames, never corpus text.
+    */
+  def streamingIngestPairsFor(s: SparkSession, d: String, tau: Double,
+      nSlices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    // foreachBatch runs on the stream-execution thread; the driver
+    // thread reads this state after processAllAvailable, so both live
+    // in thread-safe holders.
+    val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val cands = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint()
+        val cur = indexRef.get()
+        if (cur != null)
+          cands.add(incrementalCandidates(b, cur).localCheckpoint())
+        indexRef.set(
+          if (cur == null) bandKeys(b, k = 32, bands = 16).localCheckpoint()
+          else mergeBandIndex(cur, b).localCheckpoint())
+        ()
+      }
+      .start()
+    try {
+      (0 until nSlices).foreach { i =>
+        val slice = docs.where(pmod(col("doc_id"), lit(nSlices.toLong)) === i)
+          .as[(Long, String)].collect()
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    val index = indexRef.get()
+    require(index != null, s"streamingIngestPairsFor($d): empty documents corpus")
+    val direct = bandKeys(docs, k = 32, bands = 16)
+    require(index.count() == direct.count(),
+      "streamed ingest index diverged from the direct whole-corpus build")
+
+    val sliceA = pmod(col("doc_a"), lit(nSlices.toLong))
+    val sliceB = pmod(col("doc_b"), lit(nSlices.toLong))
+    val exact = jaccardPairsFor(s, d, tau).where(sliceA =!= sliceB)
+      .select(
+        when(sliceA > sliceB, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
+        when(sliceA > sliceB, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
+        col("jaccard"))
+    val candFrames = {
+      import scala.jdk.CollectionConverters._
+      cands.iterator().asScala.toSeq
+    }
+    val probed = candFrames.reduceOption(_ unionByName _)
+      .getOrElse(exact.select("batch_doc", "corpus_doc").limit(0))
+    val proposed = probed.select("batch_doc", "corpus_doc")
+      .union(exact.select("batch_doc", "corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    exact.join(proposed, Seq("batch_doc", "corpus_doc"), "left_semi")
+  }
+
   /** Shared oracle CTE prefix: the exact n-gram pair graph + recursive
     * reachability closure (DuckDB computes the same components our
     * label propagation converges to). */
@@ -1042,6 +1131,33 @@ object Dedup extends QueryRegistry {
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
              |  AND (da % 5 = 0) <> (db % 5 = 0)""".stripMargin)),
+
+    // ---- the ingest loop under the LIVE streaming engine: 4 ordered
+    // micro-batches (doc_id pmod 4, arriving in slice order) through
+    // foreachBatch — each batch probes the standing index, then is
+    // admitted via mergeBandIndex; an in-engine require gates streamed
+    // index ≡ direct build. Certified output = the exact cross-slice
+    // pair set (batch_doc = the later-arriving member), which the
+    // oracle recomputes from scratch. Owns its whole scenario cost —
+    // stream drive + per-batch banding + merges + probes + the
+    // direct-build convergence check; the exact-verify tail rides the
+    // shared pinned pair core (probeVerify's convention). ----
+    QueryDef(
+      "x_stream_index_ingest",
+      (s, d) => streamingIngestPairsFor(s, d, 0.5),
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT CASE WHEN da % 4 > db % 4 THEN da ELSE db END AS batch_doc,
+             |  CASE WHEN da % 4 > db % 4 THEN db ELSE da END AS corpus_doc,
+             |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
+             |  AND (da % 4) <> (db % 4)""".stripMargin)),
 
     // ---- SimHash near-dup pairs — precision-certified against the
     // exact Jaccard pair set (hamming ≤ 3 on a 64-bit token-multiset

@@ -129,6 +129,21 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall { case (b2, c) => b2 % 5 == 0 && c % 5 != 0 })
   }
 
+  test("streaming ingest loop: live engine finds exactly the cross-slice pairs") {
+    val docs = Tables.t(spark, sf001, "documents")
+    // every near-dup pair whose members arrive in different micro-batches
+    // (slice = doc_id pmod 4), keyed batch_doc = the later-arriving member
+    val crossSlice = pairsOf(Dedup.ngramJaccardPairs(docs, 0.5))
+      .filter { case (a, b) => a % 4 != b % 4 }
+      .map { case (a, b) => if (a % 4 > b % 4) (a, b) else (b, a) }
+    val out = Dedup.streamingIngestPairsFor(spark, sf001, 0.5)
+      .select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossSlice.nonEmpty, "fixture should contain cross-slice near-dups")
+    assert(out === crossSlice,
+      s"missed: ${crossSlice -- out}; extra: ${out -- crossSlice}")
+  }
+
   test("maintained band index converges to the rebuilt index; probes agree") {
     // the x_dedup_index_update contract: appending an admitted batch's
     // band keys to a standing index yields EXACTLY the index a full

@@ -122,9 +122,16 @@ class SimilaritySpec extends SparkSpec {
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val probe = topSet(Similarity.lshIndexProbe(spark, sf001, queries, k = 5))
-    val rebuild = topSet(Similarity.lshTopK(emb, queries, k = 5, tables = 8, bits = 6))
+    // the standing index hashes at the SELECTIVE bit-width (8); the
+    // rebuild comparison runs lshTopK at the same width — same planes,
+    // same candidates, same re-rank
+    val rebuild = topSet(Similarity.lshTopK(emb, queries, k = 5, tables = 8, bits = 8))
     assert(probe === rebuild,
       "standing-bucket probe must agree with the per-rep rebuild path")
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val recall = (probe & brute).size.toDouble / brute.size
+    info(f"8-bit standing-LSH recall vs brute: $recall%.3f")
+    assert(recall >= 0.45, f"selective-index recall $recall%.3f under floor 0.45")
   }
 
   test("LSH index maintenance: merged buckets converge; merge is idempotent") {
