@@ -584,6 +584,18 @@ object Dedup extends QueryRegistry {
     index.unionByName(bandKeys(admitted, k, bands))
       .dropDuplicates("doc_id", "band", "bkey")
 
+  /** Index DELETION — the third lifecycle operation next to build and
+    * merge, and the half that makes "update = delete-then-admit" real:
+    * drop every band-key row belonging to the given doc ids (an
+    * anti-join on the stored key's leading column; in production a
+    * tombstone set merged at read or a partition rewrite at compaction,
+    * the standard right-to-be-forgotten path a training corpus must
+    * support). Idempotent (deleting absent ids is a no-op), and exact:
+    * a deleted doc can never surface as a probe candidate again because
+    * candidates come exclusively from index rows. */
+  def deleteFromBandIndex(index: DataFrame, docIds: DataFrame): DataFrame =
+    index.join(docIds.select(col(docIds.columns.head).as("doc_id")), Seq("doc_id"), "left_anti")
+
   /** Shared probe-and-verify tail for the ingest operators: the batch
     * (doc_id % 5 == 0) probes `index`, candidates are exact-verified by
     * shingle Jaccard. Same union guard as `x_dedup_minhash`: the verify
@@ -631,6 +643,39 @@ object Dedup extends QueryRegistry {
     val index0 = bandKeys(docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) >= 2), k = 32, bands = 16)
     val index1 = mergeBandIndex(index0, docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) === 1))
     probeVerify(s, d, tau, index1)
+  }
+
+  /** The deletion timeline (`x_dedup_index_delete`): the standing index
+    * covers slices {1,2,3,4}, a forget request removes slice 1's keys
+    * ([[deleteFromBandIndex]]), then the ingest batch (slice 0) probes
+    * the shrunk index. An in-engine gate requires that NO deleted doc
+    * surfaces as a candidate (deletion is exact by construction —
+    * candidates come only from index rows); the certified output is the
+    * exact batch × RETAINED-corpus pair set, which the oracle replays
+    * value-exactly. Same union-guard convention as [[probeVerify]],
+    * with the exact side restricted to the retained slices. */
+  private def indexDeletePairsFor(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val docs = t(s, d, "documents")
+    val slice = pmod(col("doc_id"), lit(batchMod.toLong))
+    val index0 = bandKeys(docs.where(slice =!= 0), k = 32, bands = 16)
+    val index1 = deleteFromBandIndex(index0, docs.where(slice === 1).select("doc_id"))
+    val batch = docs.where(slice === 0)
+    val leaked = incrementalCandidates(batch, index1)
+      .where(pmod(col("corpus_doc"), lit(batchMod.toLong)) === 1).count()
+    require(leaked == 0,
+      s"index deletion leaked $leaked candidate pair(s) for forgotten docs")
+    val isBatchA = pmod(col("doc_a"), lit(batchMod.toLong)) === 0
+    val isBatchB = pmod(col("doc_b"), lit(batchMod.toLong)) === 0
+    val exact = jaccardPairsFor(s, d, tau)
+      .where(isBatchA =!= isBatchB)
+      .select(
+        when(isBatchA, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
+        when(isBatchA, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
+        col("jaccard"))
+      .where(pmod(col("corpus_doc"), lit(batchMod.toLong)) =!= 1)
+    val proposed = incrementalCandidates(batch, index1)
+      .union(exact.select("batch_doc", "corpus_doc"))
+    exact.join(proposed, Seq("batch_doc", "corpus_doc"), "left_semi")
   }
 
   /** The FULL ingest loop under the LIVE streaming engine
@@ -1131,6 +1176,29 @@ object Dedup extends QueryRegistry {
              |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
              |  AND (da % 5 = 0) <> (db % 5 = 0)""".stripMargin)),
+
+    // ---- index DELETION (the right-to-be-forgotten path): standing
+    // index over slices {1,2,3,4}, slice 1 forgotten (keys anti-joined
+    // out), slice 0 probes the shrunk index. An in-engine require gates
+    // zero leaked candidates for forgotten docs; the oracle replays the
+    // exact batch × retained-corpus pair set value-exactly. ----
+    QueryDef(
+      "x_dedup_index_delete",
+      (s, d) => indexDeletePairsFor(s, d, 0.5),
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS batch_doc,
+             |  CASE WHEN da % 5 = 0 THEN db ELSE da END AS corpus_doc,
+             |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
+             |  AND (da % 5 = 0) <> (db % 5 = 0)
+             |  AND (CASE WHEN da % 5 = 0 THEN db ELSE da END) % 5 <> 1""".stripMargin)),
 
     // ---- the ingest loop under the LIVE streaming engine: 4 ordered
     // micro-batches (doc_id pmod 4, arriving in slice order) through

@@ -707,6 +707,8 @@ object Similarity extends QueryRegistry {
       k: Int, nprobe: Int): DataFrame = {
     val index = ivfIndexFor(s, d)
     val centroids = ivfCentroidCache.get((s.sparkContext.applicationId, d))
+    require(centroids != null, s"ivfIndexProbe($d): centroids missing — " +
+      "ivfIndexFor must compute in this application before probing")
     ivfProbe(index, centroids, queries, k, nprobe)
   }
 
@@ -766,7 +768,10 @@ object Similarity extends QueryRegistry {
   def pqIndexProbe(s: SparkSession, d: String, queries: DataFrame,
       k: Int, shortlistFactor: Int = 4): DataFrame = {
     val codes = pqIndexFor(s, d)
-    val (codebooks, bounds) = pqModelCache.get((s.sparkContext.applicationId, d))
+    val model = pqModelCache.get((s.sparkContext.applicationId, d))
+    require(model != null, s"pqIndexProbe($d): codebooks missing — " +
+      "pqIndexFor must compute in this application before probing")
+    val (codebooks, bounds) = model
     val c = t(s, d, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
     Similarity.pqScan(codes, c, codebooks, bounds, queries, k, pqKsub, shortlistFactor)
@@ -912,6 +917,17 @@ object Similarity extends QueryRegistry {
     require(dim > 0, s"lshIndexProbe($d): empty embeddings corpus")
     lshProbe(lshIndexFor(s, d), emb, lshPlanesFor(dim), queries, k)
   }
+
+  /** Index DELETION for the ANN family — same contract as
+    * [[Dedup.deleteFromBandIndex]] (the right-to-be-forgotten path):
+    * drop all rows for the given vids from a standing assignment /
+    * codes / bucket table — an anti-join here, tombstones-at-read or a
+    * partition rewrite at compaction in production. Works unchanged on
+    * all three index kinds because each keys its rows by `vid`; with
+    * [[mergeIvfIndex]]/[[mergePqIndex]]/[[mergeLshIndex]] it completes
+    * update-in-place as delete-then-admit. Idempotent on absent ids. */
+  def deleteFromIndex(index: DataFrame, vids: DataFrame): DataFrame =
+    index.join(vids.select(col(vids.columns.head).as("vid")), Seq("vid"), "left_anti")
 
   /** LSH bucket-table MAINTENANCE — same contract as [[mergeIvfIndex]]
     * / [[mergePqIndex]]: hash the admitted batch under the STANDING

@@ -286,7 +286,10 @@ object TextOps extends QueryRegistry {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val postings = bm25IndexFor(s, d)
     val termStats = bm25TermStatsFor(s, d)
-    val (n, sumDl) = bm25ScalarsCache.get((s.sparkContext.applicationId, d))
+    val scalars = bm25ScalarsCache.get((s.sparkContext.applicationId, d))
+    require(scalars != null, s"bm25IndexProbe($d): corpus scalars missing — " +
+      "bm25TermStatsFor must compute in this application before probing")
+    val (n, sumDl) = scalars
     val qTerms = bm25Postings(queries).select(col("doc_id").as("query_id"), col("term"))
     bm25Score(postings, termStats, n, sumDl, qTerms, k, k1, b)
   }

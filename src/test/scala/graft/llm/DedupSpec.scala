@@ -129,6 +129,27 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall { case (b2, c) => b2 % 5 == 0 && c % 5 != 0 })
   }
 
+  test("index deletion forgets exactly the requested docs; delete-then-admit round-trips") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf001, "documents")
+    val slice = pmod(col("doc_id"), lit(5L))
+    val full = Dedup.bandKeys(docs.where(slice =!= 0), k = 32, bands = 16)
+    val forgotten = docs.where(slice === 1).select("doc_id")
+    val shrunk = Dedup.deleteFromBandIndex(full, forgotten)
+    // exactly the retained docs' rows remain
+    val rebuilt = Dedup.bandKeys(docs.where(slice >= 2), k = 32, bands = 16)
+    assert(shrunk.count() === rebuilt.count(),
+      "deletion removed more or fewer rows than the forgotten docs owned")
+    assert(shrunk.where(pmod(col("doc_id"), lit(5L)) === 1).count() === 0L,
+      "forgotten docs still have index rows")
+    // idempotent: deleting absent ids is a no-op
+    assert(Dedup.deleteFromBandIndex(shrunk, forgotten).count() === shrunk.count())
+    // update = delete-then-admit round-trips to the original index
+    val readmitted = Dedup.mergeBandIndex(shrunk, docs.where(slice === 1))
+    assert(readmitted.count() === full.dropDuplicates("doc_id", "band", "bkey").count(),
+      "delete-then-admit did not round-trip")
+  }
+
   test("streaming ingest loop: live engine finds exactly the cross-slice pairs") {
     val docs = Tables.t(spark, sf001, "documents")
     // every near-dup pair whose members arrive in different micro-batches

@@ -113,6 +113,26 @@ class SimilaritySpec extends SparkSpec {
       "replaying an admitted batch duplicated codes rows")
   }
 
+  test("ANN index deletion forgets exactly the requested vids; delete-then-admit round-trips") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .limit(2048).as[Array[Double]].collect()
+    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+    val slice = pmod(col("vec_id"), lit(5L))
+    val full = Similarity.ivfAssign(emb, centroids)
+    val forgotten = emb.where(slice === 1).select("vec_id")
+    val shrunk = Similarity.deleteFromIndex(full, forgotten)
+    val rebuilt = Similarity.ivfAssign(emb.where(slice =!= 1), centroids)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(shrunk) === cells(rebuilt),
+      "deletion left different rows than a rebuild over the retained corpus")
+    // update = delete-then-admit round-trips to the full assignment
+    val readmitted = Similarity.mergeIvfIndex(shrunk, emb.where(slice === 1), centroids)
+    assert(cells(readmitted) === cells(full), "delete-then-admit did not round-trip")
+  }
+
   test("standing LSH index: built once, probe agrees with the rebuild path") {
     val b1 = Similarity.lshIndexFor(spark, sf001)
     val b2 = Similarity.lshIndexFor(spark, sf001)
