@@ -73,6 +73,41 @@ object Curation extends QueryRegistry {
         (least((col("seq_id") + 1) * ctx, col("st") + col("toks")) -
          greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255 — the FIM objective infilling/code models train
+    * with): for each doc with ≥ 3 whitespace tokens, a middle span is
+    * cut out and the training text re-assembled in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so the model learns to
+    * generate the middle conditioned on both sides. Span bounds are
+    * DETERMINISTIC integer arithmetic on doc_id (engine-replayable; a
+    * production pipeline derives them from a seeded hash and gates
+    * application on hash < fim_rate — one extra predicate, same plan).
+    * Split guarantees ≥ 1 token in each of prefix/middle/suffix; docs
+    * too short to split pass through unchanged. Pure codegen'd column
+    * ops — split/slice/array_join in ONE projection, no shuffle, no
+    * UDF: at 100 TB this is a map-only pass that pipelines into
+    * whatever scan precedes it. */
+  def fimTransform(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val len = size(toks).cast("long")
+    // middle = toks[s+1 .. s+m] (1-based): s ∈ [1, L-2] keeps ≥1 prefix
+    // token, m ∈ [1, L-1-s] keeps ≥1 suffix token
+    val s = lit(1L) + pmod(col("doc_id"), len - lit(2L))
+    // Column./ is double division — floor().cast(long) makes it the
+    // integer `//` the oracle replays
+    val m = lit(1L) + pmod(floor(col("doc_id") / lit(3L)).cast("long"), len - lit(1L) - s)
+    docs.select(
+      col("doc_id"),
+      when(len >= 3,
+        concat(
+          lit("<PRE> "), array_join(slice(toks, lit(1), s.cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(toks, (s + m + lit(1L)).cast("int"), (len - s - m).cast("int")), " "),
+          lit(" <MID> "), array_join(slice(toks, (s + lit(1L)).cast("int"), m.cast("int")), " ")))
+        .otherwise(coalesce(col("text"), lit("")))
+        .as("fim_text"))
+  }
+
   /** DuckDB replay of [[packSpans]] given a CTE named `bt` with
     * (doc_id, toks) rows: window-cumsum + range unnest + span math. */
   private def packOracleSuffix(ctx: Int): String =
@@ -779,6 +814,34 @@ object Curation extends QueryRegistry {
              |    CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS toks
              |  FROM documents),
              |""".stripMargin + packOracleSuffix(128))),
+
+    // ---- fill-in-the-middle (FIM) transformation: PSM re-assembly with
+    // deterministic span bounds (pure integer arithmetic on doc_id);
+    // DuckDB replays the exact split + re-assembly string for every doc,
+    // short docs pass through. One map-only projection. ----
+    QueryDef(
+      "x_pack_fim",
+      (s, d) => fimTransform(t(s, d, "documents")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS t,
+             |    CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS L,
+             |    coalesce(text, '') AS orig
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, t, L, orig,
+             |    1 + (doc_id % (L - 2)) AS s
+             |  FROM p WHERE L >= 3),
+             |c2 AS (
+             |  SELECT doc_id, t, L, orig, s,
+             |    1 + ((doc_id // 3) % (L - 1 - s)) AS m
+             |  FROM c)
+             |SELECT doc_id,
+             |  '<PRE> ' || array_to_string(t[1:s], ' ') ||
+             |  ' <SUF> ' || array_to_string(t[s+m+1:L], ' ') ||
+             |  ' <MID> ' || array_to_string(t[s+1:s+m], ' ') AS fim_text
+             |FROM c2
+             |UNION ALL
+             |SELECT doc_id, orig AS fim_text FROM p WHERE L < 3""".stripMargin)),
 
     // ---- tokenizer-true sequence packing (round-11 verdict next-#4):
     // the same span table, but over LEARNED-BPE token counts instead of

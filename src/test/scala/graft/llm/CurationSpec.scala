@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.col
 
 /** Plan/semantics evidence for the curation operators beyond the oracle:
   * the per-row ops must stay shuffle-free (linear at 100 TB) and the
@@ -15,6 +16,32 @@ class CurationSpec extends SparkSpec {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name should not shuffle: $p")
     }
+  }
+
+  test("FIM re-assembles PSM with non-empty prefix/middle/suffix; short docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "a b c d e f"), // L=6: s=1+(7%4)=4, m=1+((7/3)%(6-1-4))=1 -> PRE a b c d / SUF f / MID e
+      (0L, "x y z"),       // L=3: s=1, m=1 -> PRE x / SUF z / MID y
+      (5L, "one two"),     // L=2: passthrough
+      (9L, null.asInstanceOf[String])) // null: passthrough as ''
+      .toDF("doc_id", "text")
+    val out = Curation.fimTransform(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(7L) === "<PRE> a b c d <SUF> f <MID> e")
+    assert(out(0L) === "<PRE> x <SUF> z <MID> y")
+    assert(out(5L) === "one two")
+    assert(out(9L) === "")
+    // structural invariant on the fixture: every transformed doc carries
+    // all three markers in PSM order, untouched docs carry none
+    val fx = Curation.fimTransform(graft.Tables.t(spark, sf001, "documents"))
+    val marked = fx.where(col("fim_text").contains("<PRE> "))
+    assert(marked.where(!(col("fim_text").contains(" <SUF> ") &&
+      col("fim_text").contains(" <MID> "))).count() === 0L)
+    assert(marked.count() > 0L)
+    // map-only plan: no exchange anywhere
+    assert(!fx.queryExecution.executedPlan.toString.contains("Exchange"),
+      "FIM must stay a map-only projection")
   }
 
   test("vocab aggregates with map-side partials") {

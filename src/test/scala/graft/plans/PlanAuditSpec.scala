@@ -54,6 +54,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("standing-index probes keep the 100-TB shape: broadcast probe side, no cartesian") {
+    import org.apache.spark.sql.functions.expr
+    // BM25 probe: the query batch's term set broadcasts into the pinned
+    // dfs and postings (bm25Score's declared shape) — the corpus-sized
+    // postings side must never be the build side of anything worse
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val pb = graft.llm.TextOps.bm25IndexProbe(spark, sf0001,
+      docs.where(expr("doc_id % 50 = 0")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"), s"bm25 probe should broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"bm25 probe degenerated:\n$pb")
+    // LSH probe: the probe-bucket set broadcasts into the standing
+    // bucket table (the partition-pruned-scan analog); the exact-cosine
+    // re-rank join may shuffle — candidates scale with |batch|, not
+    // corpus — but nothing may go cartesian
+    val emb = graft.Tables.t(spark, sf0001, "embeddings")
+    val pl = graft.llm.Similarity.lshIndexProbe(spark, sf0001,
+      emb.where(expr("vec_id % 25 = 0")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(pl.contains("BroadcastHashJoin"), s"lsh probe should broadcast:\n$pl")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      s"lsh probe degenerated:\n$pl")
+  }
+
   test("round-10 kernel queries stay inside codegen, no shuffle, no UDF (100-TB shape)") {
     // the hash kernels (b_fnh4) and probe-pass-8 scalars (b_sql58) are
     // per-row projections: at 100 TB they must be a single codegen'd
