@@ -44,6 +44,36 @@ class CurationSpec extends SparkSpec {
       "FIM must stay a map-only projection")
   }
 
+  test("FIM property: prefix ++ middle ++ suffix always reassembles the original tokens") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // sampled generator drive (no scalatest-scalacheck bridge offline —
+    // the CHTypeSpec convention)
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      n <- Gen.chooseNum(3, 40)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield (id, ts.mkString(" "))
+    val rows = (0 until 200).flatMap { i =>
+      docGen.apply(Gen.Parameters.default, Seed(i.toLong))
+    }.distinctBy(_._1)
+    val out = Curation.fimTransform(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = rows.toMap
+    val psm = """<PRE> (.*) <SUF> (.*) <MID> (.*)""".r
+    rows.foreach { case (id, text) =>
+      out(id) match {
+        case psm(pre, suf, mid) =>
+          assert(s"$pre $mid $suf" === text,
+            s"doc $id did not reassemble: pre=[$pre] mid=[$mid] suf=[$suf]")
+          assert(pre.nonEmpty && mid.nonEmpty && suf.nonEmpty)
+        case other => fail(s"doc $id not in PSM form: $other")
+      }
+    }
+  }
+
   test("vocab aggregates with map-side partials") {
     val p = plan("x_text_vocab")
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
