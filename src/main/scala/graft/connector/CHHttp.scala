@@ -184,6 +184,51 @@ object CHHttp {
     conn.getInputStream.close()
   }
 
+  // ---- A22 cloud wakeup (reference `client/cloud.rs:20-82`): a
+  // sleeping ClickHouse Cloud instance wakes when its /ping endpoint is
+  // hit; the reference fires a once-per-process wakeup with a 300 s
+  // patience window (CLOUD_WAKEUP_TIMEOUT) before connecting. The
+  // Spark-side surface is the `wakeOnConnect=true` option: ping with
+  // exponential backoff until the endpoint answers, remembered per
+  // (JVM, endpoint) like the reference's CLOUD_START tracker so every
+  // later connect is free.
+
+  private val wokenEndpoints = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** GET `/ping` → 200 "Ok." (ClickHouse's health endpoint — A21's HTTP
+    * face; auth config still applies for TLS/headers). False on any
+    * error or non-200, never throws. */
+  def ping(url: String, auth: CHAuth = CHAuth.none): Boolean =
+    try {
+      val conn = URI.create(s"$url/ping").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(10000)
+      auth.configure(conn)
+      val code = conn.getResponseCode
+      val s = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (s != null) { s.readAllBytes(); s.close() }
+      code == 200
+    } catch { case _: java.io.IOException => false }
+
+  /** Ping-until-awake with exponential backoff (200 ms → 5 s); true once
+    * the endpoint answers within `timeoutMs`. Woken endpoints are
+    * remembered per JVM. */
+  def wakeup(url: String, auth: CHAuth = CHAuth.none, timeoutMs: Long = 300000L): Boolean = {
+    if (wokenEndpoints.contains(url)) return true
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var delay = 200L
+    var ok = ping(url, auth)
+    while (!ok && System.nanoTime() < deadline) {
+      Thread.sleep(delay)
+      delay = math.min(delay * 2, 5000L)
+      ok = ping(url, auth)
+    }
+    if (ok) wokenEndpoints.add(url)
+    ok
+  }
+
   /** DDL / commands with no result set. */
   def execute(url: String, sql: String, auth: CHAuth = CHAuth.none): Unit = {
     val conn = open(url, sql, auth = auth)

@@ -52,7 +52,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     v
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    CHSettings.maybeWake(options)
     // server schema is authoritative, then the user's per-column
     // `schema.<col>` overrides + string mode rewrite it (the reference's
     // query-time SchemaConversions/ArrowOptions)
@@ -61,6 +62,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         opt(options, "url"), opt(options, "table"), Option(options.get("database")),
         CHAuth.fromOptions(options)),
       ReadConversions.fromOptions(options))
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
@@ -76,6 +78,10 @@ final class CHTable(schema: StructType, options: CaseInsensitiveStringMap)
   private val table = options.get("table")
   private val database = Option(options.get("database"))
   private val auth = CHAuth.fromOptions(options)
+
+  // write-only paths (user-supplied schema skips inferSchema) still get
+  // the A22 wakeup gate; per-JVM memo makes the repeat check free
+  CHSettings.maybeWake(options)
 
   override def name(): String = CHSql.tableRef(table, database)
   override def schema(): StructType = schema
@@ -284,6 +290,23 @@ final case class CHInputPartition(
   * as the `max_threads=8` URL param on every request of that scan/write
   * (the CH HTTP settings contract the reference exposes per query). */
 private[connector] object CHSettings {
+
+  /** A22 cloud wakeup gate: with `wakeOnConnect=true`, block until the
+    * endpoint answers /ping (a sleeping ClickHouse Cloud instance wakes
+    * on it — reference `client/cloud.rs:20-82`), up to
+    * `wakeupTimeoutMs` (default 300 s, the reference's
+    * CLOUD_WAKEUP_TIMEOUT). No-op when the option is absent or the
+    * endpoint already woke this JVM. */
+  def maybeWake(options: CaseInsensitiveStringMap): Unit =
+    if (options.getBoolean("wakeOnConnect", false)) {
+      val url = options.get("url")
+      require(url != null, "graft-ch: option 'url' is required")
+      val timeout = Option(options.get("wakeupTimeoutMs")).map(_.toLong).getOrElse(300000L)
+      require(CHHttp.wakeup(url, CHAuth.fromOptions(options), timeout),
+        s"graft-ch: endpoint $url did not answer /ping within $timeout ms " +
+          "(wakeOnConnect) — instance still asleep or unreachable")
+    }
+
   /** The reference's remaining ArrowOptions as DSv2 write options
     * (`use_date32_for_date`/`strict_schema`/`nullable_array_default_empty`
     * + `disable_strict_schema_ddl`, client/options.rs:284-290). The

@@ -153,8 +153,35 @@ final class StubCHServer(tlsContext: Option[javax.net.ssl.SSLContext]) {
 
   // ----------------------------------------------------------- dispatch
 
+  // ---- sleeping-cloud-instance simulation (A22): while the counter is
+  // positive every request (including /ping) answers 503, as an idle
+  // cloud instance does until the wakeup ping brings it up
+  private val asleep = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The next `n` requests get HTTP 503 before the stub "wakes". */
+  def sleepFor(n: Int): Unit = asleep.set(n)
+
   private def handle(ex: HttpExchange): Unit =
     try {
+      if (asleep.get() > 0) {
+        asleep.decrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        val msg = "Service Unavailable (instance is idle)".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(503, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+        return
+      }
+      // the ClickHouse health endpoint: unauthenticated 200 "Ok." (the
+      // real server answers /ping before auth; A21/A22 surface)
+      if (ex.getRequestURI.getPath == "/ping") {
+        ex.getRequestBody.readAllBytes()
+        val ok = "Ok.\n".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, ok.length)
+        ex.getResponseBody.write(ok)
+        ex.close()
+        return
+      }
       val hdr = ex.getRequestHeaders
       authSeen.add((
         Option(hdr.getFirst("X-ClickHouse-User")),

@@ -18,6 +18,39 @@ class AuthSpec extends SparkSpec {
   private def seed(srv: StubCHServer): Unit =
     srv.load("t_auth", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
 
+  test("A22 cloud wakeup: wakeOnConnect pings a sleeping endpoint awake, then connects") {
+    val srv = new StubCHServer
+    try {
+      seed(srv)
+      // an idle "cloud instance": the next 3 requests 503 — the wakeup
+      // loop's pings absorb them, then the scan proceeds normally
+      srv.sleepFor(3)
+      assert(!CHHttp.ping(srv.url), "sleeping stub must fail the first ping")
+      val out = spark.read.format("graft-ch")
+        .option("url", srv.url).option("table", "t_auth")
+        .option("wakeOnConnect", "true")
+        .load()
+      assert(out.count() === 3)
+      assert(CHHttp.ping(srv.url), "stub should answer /ping once awake")
+    } finally srv.stop()
+  }
+
+  test("A22 cloud wakeup: an endpoint that never wakes fails loudly within the timeout") {
+    val srv = new StubCHServer
+    try {
+      seed(srv)
+      srv.sleepFor(1000000)
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft-ch")
+          .option("url", srv.url).option("table", "t_auth")
+          .option("wakeOnConnect", "true")
+          .option("wakeupTimeoutMs", "600")
+          .load()
+      }
+      assert(e.getMessage.contains("did not answer /ping"), e.getMessage)
+    } finally srv.stop()
+  }
+
   test("credential headers ride every request of a scan and a write") {
     val srv = new StubCHServer
     try {
