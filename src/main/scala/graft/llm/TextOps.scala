@@ -586,10 +586,13 @@ object TextOps extends QueryRegistry {
   /** The training loop over a materialized feature frame: per
     * iteration, margin every doc against the current weights, then add
     * the misclassified docs' Σ y·x to the weights. Driver state is the
-    * ≤257-entry weight map. */
-  private def perceptronWeights(xb: DataFrame, iters: Int): Map[String, Long] = {
+    * ≤257-entry weight map. `init` non-empty = CONTINUATION training
+    * (the model-maintenance path): iteration 1 margins against the
+    * standing weights instead of zero. */
+  private def perceptronWeights(xb: DataFrame, iters: Int,
+      init: Map[String, Long] = Map.empty): Map[String, Long] = {
     val spark = xb.sparkSession
-    var w = Map.empty[String, Long]
+    var w = init
     for (_ <- 1 to iters) {
       val mis = scoreMargins(xb, weightsFrame(spark, w))
         .where(col("y") * col("margin") <= 0)
@@ -675,9 +678,13 @@ object TextOps extends QueryRegistry {
     * scores the full corpus; `x_qual_apply` trains on the standing
     * corpus (doc_id % 5 != 0) and scores the ingest batch. */
   private def qualClassifierOracle(iters: Int,
-      trainCond: String = "true", scoreCond: String = "true"): String = {
+      trainCond: String = "true", scoreCond: String = "true",
+      contCond: Option[String] = None, contIters: Int = 0): String = {
     val phraseCase = langPhrases
       .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    val contCte = contCond
+      .map(c => s",\nxc AS MATERIALIZED (SELECT * FROM xb WHERE $c)")
+      .getOrElse("")
     val base =
       s"""WITH pl AS MATERIALIZED (
          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -689,26 +696,29 @@ object TextOps extends QueryRegistry {
          |      SELECT doc_id, y, unnest(str_split(text, ' ')) AS w FROM pl)
          |    WHERE w <> '')
          |  UNION ALL SELECT doc_id, y, '!!', 1 FROM pl),
-         |xt AS MATERIALIZED (SELECT * FROM xb WHERE $trainCond),
+         |xt AS MATERIALIZED (SELECT * FROM xb WHERE $trainCond)$contCte,
          |w1 AS MATERIALIZED (
          |  SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM xt GROUP BY b)""".stripMargin
-    val stages = (2 to iters).map { i =>
+    // one margin→gradient→update stage over feature frame `f` vs w(i-1)
+    def stage(i: Int, f: String) =
       s"""m$i AS MATERIALIZED (
-         |  SELECT xt.doc_id, xt.y, CAST(sum(xt.c * coalesce(t.w, 0)) AS BIGINT) AS m
-         |  FROM xt LEFT JOIN w${i - 1} t USING (b) GROUP BY 1, 2),
-         |g$i AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS g FROM xt
+         |  SELECT $f.doc_id, $f.y, CAST(sum($f.c * coalesce(t.w, 0)) AS BIGINT) AS m
+         |  FROM $f LEFT JOIN w${i - 1} t USING (b) GROUP BY 1, 2),
+         |g$i AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS g FROM $f
          |  WHERE doc_id IN (SELECT doc_id FROM m$i WHERE y * m <= 0) GROUP BY b),
          |w$i AS MATERIALIZED (SELECT coalesce(a.b, g$i.b) AS b,
          |  CAST(coalesce(a.w, 0) + coalesce(g$i.g, 0) AS BIGINT) AS w
          |  FROM w${i - 1} a FULL JOIN g$i ON a.b = g$i.b)""".stripMargin
-    }
+    val stages = (2 to iters).map(stage(_, "xt")) ++
+      (iters + 1 to iters + contIters).map(stage(_, "xc"))
+    val wFinal = iters + contIters
     (base +: stages).mkString(",\n") +
       s"""
          |SELECT xs.doc_id, xs.y,
          |  CAST(sum(xs.c * coalesce(t.w, 0)) AS BIGINT) AS margin,
          |  CASE WHEN sum(xs.c * coalesce(t.w, 0)) > 0 THEN 1 ELSE -1 END AS pred
          |FROM (SELECT * FROM xb WHERE $scoreCond) xs
-         |LEFT JOIN w$iters t USING (b) GROUP BY 1, 2""".stripMargin
+         |LEFT JOIN w$wFinal t USING (b) GROUP BY 1, 2""".stripMargin
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -827,6 +837,33 @@ object TextOps extends QueryRegistry {
       },
       Some(qualClassifierOracle(3,
         trainCond = "doc_id % 5 <> 0", scoreCond = "doc_id % 5 = 0"))),
+
+    // ---- MODEL MAINTENANCE (the standing-artifact lifecycle applied
+    // to the trained filter — the mirror of the index merges): standing
+    // weights trained on slices {2,3,4} (3 iterations), then CONTINUED
+    // on a newly-labeled batch (slice 1, 2 iterations over the batch
+    // features ONLY — the standing corpus is never re-featurized; the
+    // classic online/continual fine-tune a production filter runs when
+    // label feedback arrives), then the updated weights score the next
+    // ingest batch (slice 0). Every margin/gradient/weight is an
+    // INTEGER, so the oracle replays initial training AND the
+    // continuation bit-exactly. Per-continuation cost is |batch| ×
+    // contIters + the ≤257-row weight merge — never O(corpus). ----
+    QueryDef(
+      "x_qual_update",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val slice = pmod(col("doc_id"), lit(5L))
+        val xa = qualFeatures(labeledDocs(docs.where(slice >= 2))).localCheckpoint()
+        val standing = perceptronWeights(xa, 3)
+        val xc = qualFeatures(labeledDocs(docs.where(slice === 1))).localCheckpoint()
+        val updated = perceptronWeights(xc, 2, init = standing)
+        scoreMargins(qualFeatures(labeledDocs(docs.where(slice === 0))),
+          weightsFrame(s, updated))
+      },
+      Some(qualClassifierOracle(3,
+        trainCond = "doc_id % 5 >= 2", scoreCond = "doc_id % 5 = 0",
+        contCond = Some("doc_id % 5 = 1"), contIters = 2))),
 
     // ---- token counting: whitespace + BPE-ish regex tokenizer ----
     QueryDef(

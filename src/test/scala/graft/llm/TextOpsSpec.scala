@@ -48,6 +48,17 @@ class TextOpsSpec extends SparkSpec {
     assert(n > 0 && acc >= 0.95, s"held-out batch accuracy $acc")
   }
 
+  test("model maintenance: continued training keeps held-out accuracy on the planted signal") {
+    // x_qual_update's contract: standing weights (slices {2,3,4}) are
+    // CONTINUED on a newly-labeled batch (slice 1, batch features only)
+    // and the updated model must still classify the unseen slice-0
+    // batch — the continual fine-tune must not forget the signal
+    val out = graft.SparkEntry.queries("x_qual_update")(spark, sf001)
+    val n = out.count().toDouble
+    val acc = out.filter(col("pred") === col("y")).count() / n
+    assert(n > 0 && acc >= 0.95, s"post-update held-out accuracy $acc")
+  }
+
   test("quality classifier hits a zero-gradient fixpoint once separated") {
     // balanced synthetic corpus with disjoint vocabularies: iteration 1
     // already separates it (w1 = corpus-wide Σ y·x), so every further
