@@ -129,6 +129,27 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall { case (b2, c) => b2 % 5 == 0 && c % 5 != 0 })
   }
 
+  test("standing band index round-trips through parquet; probes agree across sessions") {
+    // the SessionMemo/localCheckpoint pin stands in for what production
+    // materializes as a parquet table — prove that claim executable:
+    // write the index, reload it in a FRESH session, probe identically
+    val docs = Tables.t(spark, sf001, "documents")
+    val index = Dedup.bandKeys(docs.where(col("doc_id") % 5 =!= 0), k = 32, bands = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    try {
+      index.write.mode("overwrite").parquet(dir)
+      val s2 = spark.newSession()
+      val reloaded = s2.read.parquet(dir)
+      val probe = Dedup.incrementalCandidates(
+        Tables.t(s2, sf001, "documents").where(col("doc_id") % 5 === 0), reloaded)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.incrementalCandidates(
+        docs.where(col("doc_id") % 5 === 0), index)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe === direct, "parquet round-trip changed probe candidates")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("index deletion forgets exactly the requested docs; delete-then-admit round-trips") {
     import spark.implicits._
     val docs = Tables.t(spark, sf001, "documents")
