@@ -73,6 +73,26 @@ object Curation extends QueryRegistry {
         (least((col("seq_id") + 1) * ctx, col("st") + col("toks")) -
          greatest(col("seq_id") * ctx, col("st"))).as("span_len"))
 
+  /** Corpus snapshot diff — dataset-versioning's core operation: which
+    * docs were ADDED / REMOVED / MODIFIED between two corpus versions
+    * (the audit a pipeline runs before retraining on a refreshed
+    * crawl, and the provenance record a dataset release ships). Texts
+    * compare by fixed-width digest (md5), never by shipping both full
+    * texts through the join — at 100 TB the diff shuffles 16-byte
+    * digests keyed by doc_id: ONE full-outer join, no other shuffle,
+    * and with both versions bucketed by doc_id even that join is
+    * co-located. */
+  def snapshotDiff(v1: org.apache.spark.sql.DataFrame,
+      v2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v1.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h1"))
+      .join(v2.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h2")),
+        Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged").as("status"))
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * arXiv:2207.14255 — the FIM objective infilling/code models train
     * with): for each doc with ≥ 3 whitespace tokens, a middle span is
@@ -814,6 +834,38 @@ object Curation extends QueryRegistry {
              |    CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT) AS toks
              |  FROM documents),
              |""".stripMargin + packOracleSuffix(128))),
+
+    // ---- corpus snapshot diff: v1 = ids not divisible by 3, v2 = ids
+    // not divisible by 2 with every 7th doc's text revised — so the
+    // fixture exercises all four statuses (added = odd multiples of 3,
+    // removed = even non-multiples of 3, modified = id%6 ∈ {1,5} ∧
+    // id%7==0, rest unchanged). Digest-compare on the engine side,
+    // direct text compare on the oracle side — same statuses. ----
+    QueryDef(
+      "x_pipe_snapshot_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val v1 = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val v2 = docs.where(pmod(col("doc_id"), lit(2L)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(coalesce(col("text"), lit("")), lit(" rev2")))
+              .otherwise(coalesce(col("text"), lit(""))).as("text"))
+        snapshotDiff(v1, v2)
+      },
+      Some("""WITH v1 AS (SELECT doc_id, coalesce(text, '') AS t
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |v2 AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' rev2'
+             |       ELSE coalesce(text, '') END AS t
+             |  FROM documents WHERE doc_id % 2 <> 0)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |       WHEN v2.doc_id IS NULL THEN 'removed'
+             |       WHEN v1.t <> v2.t THEN 'modified'
+             |       ELSE 'unchanged' END AS status
+             |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin)),
 
     // ---- fill-in-the-middle (FIM) transformation: PSM re-assembly with
     // deterministic span bounds (pure integer arithmetic on doc_id);

@@ -18,6 +18,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff labels added/removed/modified/unchanged exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (5L, "e"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("FIM re-assembles PSM with non-empty prefix/middle/suffix; short docs pass through") {
     import spark.implicits._
     val docs = Seq(
