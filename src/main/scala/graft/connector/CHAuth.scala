@@ -42,6 +42,13 @@ final case class CHAuth(
     sslInsecure: Boolean = false)
     extends Serializable {
 
+  /** Redacted: the case-class default would print the plaintext password
+    * into Spark task descriptions, exception messages and logs (the JDBC
+    * connector redaction convention). */
+  override def toString: String =
+    s"CHAuth(user=$user, password=${password.map(_ => "***")}, " +
+      s"database=$database, sslCaCert=$sslCaCert, sslInsecure=$sslInsecure)"
+
   /** Request headers this config contributes (reference
     * `http/client.rs:44-66` emits exactly these three, each only when
     * set). */
@@ -81,12 +88,22 @@ object CHAuth {
   // tasks hit this on every partition read — the handshake context must
   // not be rebuilt per request, and can never be serialized)
 
-  private val caFactories = new ConcurrentHashMap[String, SSLSocketFactory]()
+  // keyed on (path, mtime): a rotated CA certificate at the same path is
+  // re-read when the file changes instead of pinning the first cert for
+  // the executor's lifetime; superseded entries are evicted (one live
+  // factory per path)
+  private val caFactories = new ConcurrentHashMap[String, (Long, SSLSocketFactory)]()
 
   /** Trust exactly the CA certificate(s) in the PEM file (the reference's
     * `cafile`); standard hostname verification still applies. */
-  private[connector] def caFactory(pemPath: String): SSLSocketFactory =
-    caFactories.computeIfAbsent(pemPath, { path =>
+  private[connector] def caFactory(pemPath: String): SSLSocketFactory = {
+    val mtime = new java.io.File(pemPath).lastModified()
+    caFactories.compute(pemPath, (path, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, buildCaFactory(path)))._2
+  }
+
+  private def buildCaFactory(path: String): SSLSocketFactory = {
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
       val in = new java.io.FileInputStream(path)
       val certs =
@@ -103,7 +120,7 @@ object CHAuth {
       val ctx = SSLContext.getInstance("TLS")
       ctx.init(null, tmf.getTrustManagers, null)
       ctx.getSocketFactory
-    })
+  }
 
   /** Accept-anything factory for `sslInsecure` — built once, used only
     * when the caller explicitly opted out of verification. */

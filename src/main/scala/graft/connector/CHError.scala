@@ -168,7 +168,9 @@ final class CHServerException(
     val body: String)
     extends java.io.IOException(
       s"ClickHouse error $code ($name, ${severity.getClass.getSimpleName.stripSuffix("$")}" +
-        s"${if (severity.retryable) ", retryable" else ""}) for [$sql]: $body") {
+        // the EFFECTIVE retry decision (severity minus the auth family),
+        // so a 516 never logs as ", retryable" when it won't be retried
+        s"${if (severity.retryable && !CHError.authNames(name)) ", retryable" else ""}) for [$sql]: $body") {
   /** Transient per severity class, EXCEPT the auth family: a wrong
     * key fails identically on every attempt (see [[CHError.authNames]]). */
   def retryable: Boolean = severity.retryable && !CHError.authNames(name)

@@ -745,8 +745,15 @@ object Dedup extends QueryRegistry {
     val index = indexRef.get()
     require(index != null, s"streamingIngestPairsFor($d): empty documents corpus")
     val direct = bandKeys(docs, k = 32, bands = 16)
-    require(index.count() == direct.count(),
-      "streamed ingest index diverged from the direct whole-corpus build")
+    // row-set IDENTITY, not count-equality: a full outer join on the
+    // stored key catches a wrong-but-same-size streamed index (e.g. a
+    // merge that dropped one doc's keys and duplicated another's), which
+    // a bare count() comparison would wave through
+    val diverged = index.withColumn("m", lit(1))
+      .join(direct.withColumn("r", lit(1)), Seq("doc_id", "band", "bkey"), "full")
+      .where(col("m").isNull || col("r").isNull).count()
+    require(diverged == 0,
+      s"streamed ingest index diverged from the direct whole-corpus build ($diverged rows)")
 
     val sliceA = pmod(col("doc_a"), lit(nSlices.toLong))
     val sliceB = pmod(col("doc_b"), lit(nSlices.toLong))

@@ -485,11 +485,14 @@ object CHType {
     else if (nullable) base match {
       // CH forbids Nullable over composites; what happens next is the
       // reference's ArrowOptions contract (options.rs:284-290)
-      case Arr(_) if !opts.nullableArrayDefaultEmpty =>
+      // the reference errors only when BOTH strict_schema is on AND the
+      // empty-array default is off (arrow/types.rs:271-277, 417-420);
+      // with strict off it maps relaxed regardless of the array option
+      case Arr(_) if opts.strictSchema && !opts.nullableArrayDefaultEmpty =>
         throw new IllegalArgumentException(
           s"Nullable(Array) violates a ClickHouse invariant and " +
-            "nullableArrayDefaultEmpty=false: declare the column non-null " +
-            "or allow the empty-array default")
+            "strictSchema=true with nullableArrayDefaultEmpty=false: declare " +
+            "the column non-null or allow the empty-array default")
       case Arr(_) => base // nulls insert as [] — the reference default
       case _ if opts.strictSchema =>
         throw new IllegalArgumentException(

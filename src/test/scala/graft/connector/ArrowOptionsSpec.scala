@@ -27,7 +27,7 @@ class ArrowOptionsSpec extends SparkSpec {
     assert(date32.contains("`d` Nullable(Date32)"))
   }
 
-  test("nullableArrayDefaultEmpty: default maps nullable arrays, false errors") {
+  test("nullableArrayDefaultEmpty: errors only under strictSchema, like the reference") {
     val arrSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("xs", ArrayType(IntegerType), nullable = true)))
@@ -36,9 +36,16 @@ class ArrowOptionsSpec extends SparkSpec {
     val relaxed = Ddl.createTableFromSpark(None, "t", arrSchema)
     assert(relaxed.contains("`xs` Array("))
     assert(!relaxed.contains("Nullable(Array"))
+    // the reference gates the error on strict_schema AND
+    // !nullable_array_default_empty (arrow/types.rs:271-277, 417-420):
+    // with strict off the array option alone still maps relaxed
+    val stillRelaxed = Ddl.createTableFromSpark(None, "t", arrSchema,
+      CreateOptions(mapping = CHType.MappingOptions(nullableArrayDefaultEmpty = false)))
+    assert(stillRelaxed.contains("`xs` Array("))
     val ex = intercept[IllegalArgumentException] {
       Ddl.createTableFromSpark(None, "t", arrSchema,
-        CreateOptions(mapping = CHType.MappingOptions(nullableArrayDefaultEmpty = false)))
+        CreateOptions(mapping = CHType.MappingOptions(
+          strictSchema = true, nullableArrayDefaultEmpty = false)))
     }
     assert(ex.getMessage.contains("nullableArrayDefaultEmpty"))
   }
