@@ -596,6 +596,27 @@ object Dedup extends QueryRegistry {
   def deleteFromBandIndex(index: DataFrame, docIds: DataFrame): DataFrame =
     index.join(docIds.select(col(docIds.columns.head).as("doc_id")), Seq("doc_id"), "left_anti")
 
+  // ---- cross-application persistence (VERDICT r13 next-#1): the band
+  // index written as band-partitioned parquet + a sidecar carrying the
+  // (k, bands) signature config — the artifact a restarted ingest loop
+  // loads before its first probe. The cold path takes only
+  // (session, path): no memo, no rebuild.
+
+  /** Persist the standing corpus band index at `path`. */
+  def saveBandIndex(s: SparkSession, d: String, path: String): Unit =
+    IndexStore.save(corpusBandIndexFor(s, d), path,
+      Map("kind" -> "minhash-bands", "k" -> "32", "bands" -> "16"),
+      partitionBy = Seq("band"))
+
+  /** COLD probe of a persisted band index: candidates for an incoming
+    * batch, with the signature config read from the sidecar so the
+    * batch bands EXACTLY like the index did. */
+  def coldCandidates(s: SparkSession, path: String, batch: DataFrame): DataFrame = {
+    val meta = IndexStore.readMeta(s, path)
+    incrementalCandidates(batch, IndexStore.load(s, path),
+      meta("k").toInt, meta("bands").toInt)
+  }
+
   /** Shared probe-and-verify tail for the ingest operators: the batch
     * (doc_id % 5 == 0) probes `index`, candidates are exact-verified by
     * shingle Jaccard. Same union guard as `x_dedup_minhash`: the verify
@@ -1206,6 +1227,49 @@ object Dedup extends QueryRegistry {
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
              |  AND (da % 5 = 0) <> (db % 5 = 0)
              |  AND (CASE WHEN da % 5 = 0 THEN db ELSE da END) % 5 <> 1""".stripMargin)),
+
+    // ---- COLD-START dedup probe (VERDICT r13 next-#1): the standing
+    // band index is SAVED (band-partitioned parquet + (k, bands)
+    // sidecar) and probed from a FRESH session with every memo cold —
+    // a restarted ingest loop's first batch. The in-engine require pins
+    // cold candidates ≡ warm candidates (the artifact round-trips
+    // exactly: band keys are integers); the certified output is the
+    // exact batch × corpus pair set verified THROUGH the reloaded
+    // artifact, which the oracle replays value-exactly (the
+    // x_dedup_incremental oracle). ----
+    QueryDef(
+      "x_dedup_index_cold_probe",
+      (s, d) => {
+        val path =
+          s"${IndexStore.tempRoot(s)}/${java.lang.Integer.toHexString(d.hashCode)}/bands"
+        saveBandIndex(s, d, path)
+        val isBatch = pmod(col("doc_id"), lit(batchMod.toLong)) === 0
+        val warm = incrementalCandidates(
+          t(s, d, "documents").where(isBatch), corpusBandIndexFor(s, d))
+        val fresh = s.newSession()
+        val cold = coldCandidates(fresh, path,
+          t(fresh, d, "documents").where(isBatch))
+        val coldW = IndexStore.recreate(s, cold)
+        val bad = coldW.withColumn("m", lit(1))
+          .join(warm.withColumn("r", lit(1)), Seq("batch_doc", "corpus_doc"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(bad == 0,
+          s"cold band-index probe diverged from the warm probe ($bad rows)")
+        probeVerify(s, d, 0.5, IndexStore.load(s, path))
+      },
+      Some("""WITH docs AS (SELECT doc_id, str_split(text, ' ') ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+             |  ELSE [] END)) AS s FROM docs),
+             |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+             |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS batch_doc,
+             |  CASE WHEN da % 5 = 0 THEN db ELSE da END AS corpus_doc,
+             |  round(i / (sa.n + sb.n - i * 1.0), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
+             |  AND (da % 5 = 0) <> (db % 5 = 0)""".stripMargin)),
 
     // ---- the ingest loop under the LIVE streaming engine: 4 ordered
     // micro-batches (doc_id pmod 4, arriving in slice order) through

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-application index persistence (VERDICT r13 next-#1): artifacts
+  * round-trip bit-exactly, cold probes run against (session, path) only
+  * — no per-application memo/model-cache can be consulted, so none of
+  * the "must compute in this application" guards can fire — and the
+  * stage-and-swap refresh exchanges artifacts atomically.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  test("sidecar numeric codecs round-trip doubles bit-exactly") {
+    val m = Array(
+      Array(1.0, -0.0, Double.MinPositiveValue, math.Pi),
+      Array(1e308, -1.7976931348623157e308, 4.9e-324, 0.1 + 0.2))
+    val back = IndexStore.decodeMatrix(IndexStore.encodeMatrix(m))
+    assert(m.length == back.length)
+    m.indices.foreach { i =>
+      assert(m(i).map(java.lang.Double.doubleToRawLongBits(_)).toSeq ==
+        back(i).map(java.lang.Double.doubleToRawLongBits(_)).toSeq)
+    }
+    val cube = Array(m, m.map(_.map(-_)))
+    val cb = IndexStore.decodeCube(IndexStore.encodeCube(cube))
+    assert(cb.length == 2 && cb(1)(0)(3) == -math.Pi)
+    assert(IndexStore.decodeInts(IndexStore.encodeInts(Array(0, 8, 16, 64))).toSeq ==
+      Seq(0, 8, 16, 64))
+  }
+
+  test("metadata sidecar writes and parses flat JSON with escapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+    val meta = Map("kind" -> "test", "quote" -> "a\"b", "slash" -> "a\\b",
+      "vec" -> IndexStore.encodeVec(Array(1.5, -2.5)))
+    IndexStore.writeMeta(spark, s"$dir/_index_meta.json", meta)
+    val back = IndexStore.readMeta(spark, dir)
+    assert(back == meta)
+  }
+
+  test("cold IVF probe from a fresh session equals the warm probe; no application guard fires") {
+    val d = sf001
+    val path = s"${IndexStore.tempRoot(spark)}/spec/ivf"
+    Similarity.saveIvfIndex(spark, d, path)
+    val emb = graft.Tables.t(spark, d, "embeddings")
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val warm = Similarity.ivfIndexProbe(spark, d, q, k = 5, nprobe = 4)
+    // a DIFFERENT session object: SessionMemo state empty by construction
+    val fresh = spark.newSession()
+    val embF = graft.Tables.t(fresh, d, "embeddings")
+    val cold = Similarity.ivfColdProbe(fresh, path,
+      embF.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 4)
+    // cold path completed without the warm build ever running in `fresh`
+    // (the "must compute in this application before probing" guard lives
+    // only on the memoized path, which ivfColdProbe cannot reach)
+    val coldRows = cold.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val warmRows = warm.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(coldRows.nonEmpty && coldRows == warmRows)
+  }
+
+  test("cold BM25 probe from a fresh session is value-identical to the warm probe") {
+    val d = sf001
+    val path = s"${IndexStore.tempRoot(spark)}/spec/bm25"
+    TextOps.saveBm25Index(spark, d, path)
+    val qSel = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+    val warm = TextOps.bm25IndexProbe(spark, d,
+      graft.Tables.t(spark, d, "documents").where(qSel), k = 5)
+    val fresh = spark.newSession()
+    val cold = TextOps.bm25ColdProbe(fresh, path,
+      graft.Tables.t(fresh, d, "documents").where(qSel), k = 5)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(cold.collect().map(key).toSet == warm.collect().map(key).toSet)
+    assert(cold.count() > 0)
+  }
+
+  test("cold band-index candidates equal warm candidates") {
+    val d = sf001
+    val path = s"${IndexStore.tempRoot(spark)}/spec/bands"
+    Dedup.saveBandIndex(spark, d, path)
+    val isBatch = pmod(col("doc_id"), lit(5L)) === 0
+    val warm = Dedup.incrementalCandidates(
+      graft.Tables.t(spark, d, "documents").where(isBatch),
+      Dedup.corpusBandIndexFor(spark, d))
+    val fresh = spark.newSession()
+    val cold = Dedup.coldCandidates(fresh, path,
+      graft.Tables.t(fresh, d, "documents").where(isBatch))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(cold.collect().map(key).toSet == warm.collect().map(key).toSet)
+  }
+
+  test("stage-and-swap promotes the staged artifact and drops the old one") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_swap_").toString
+    val live = s"$root/live"
+    val staged = s"$root/staged"
+    IndexStore.save(Seq((1L, "old")).toDF("id", "v"), live, Map("gen" -> "1"))
+    IndexStore.save(Seq((2L, "new")).toDF("id", "v"), staged, Map("gen" -> "2"))
+    IndexStore.swap(spark, staged, live)
+    assert(IndexStore.readMeta(spark, live)("gen") == "2")
+    assert(IndexStore.load(spark, live).select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(!new java.io.File(staged).exists())
+    assert(!new java.io.File(live + ".old").exists())
+  }
+}

@@ -77,6 +77,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(pl.contains("BroadcastHashJoin"), s"lsh probe should broadcast:\n$pl")
     assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
       s"lsh probe degenerated:\n$pl")
+    // r14: the probe is fully distributed — query vectors attach by a
+    // broadcast JOIN, never a driver collect. A collected qid→vector map
+    // would appear as a LocalTableScan/parallelize leaf over the query
+    // rows; the only leaves must be scans (parquet) and the standing
+    // index's checkpoint RDD.
+    assert(!pl.contains("LocalTableScan"),
+      s"lsh probe must not round-trip query vectors through the driver:\n$pl")
   }
 
   test("round-10 kernel queries stay inside codegen, no shuffle, no UDF (100-TB shape)") {
