@@ -226,28 +226,38 @@ object TextOps extends QueryRegistry {
   // owning that cost class) re-pays the tokenize pass and the df
   // shuffle — the corpus-wide costs — on every batch.
 
-  private val bm25PostingsCache = new SessionMemo[String](pin = true)
-  private val bm25StatsCache = new SessionMemo[String](pin = true)
+  // caches keyed by (dir, corpus variant): "raw" = the documents table
+  // as-is; "zipf" = the derived realistic-vocabulary corpus (below) the
+  // probe/rebuild separation pair runs on (VERDICT r13 next-#4)
+  private val bm25PostingsCache = new SessionMemo[(String, String)](pin = true)
+  private val bm25StatsCache = new SessionMemo[(String, String)](pin = true)
   private val bm25ScalarsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (Long, Long)]()
 
-  /** The persisted postings table, built once per (session, dir). */
-  def bm25IndexFor(s: SparkSession, d: String): DataFrame =
-    bm25PostingsCache.getOrCompute(s, d) {
-      bm25Postings(t(s, d, "documents")).localCheckpoint()
+  private def bm25CorpusOf(s: SparkSession, d: String, variant: String): DataFrame =
+    variant match {
+      case "raw" => t(s, d, "documents")
+      case "zipf" => zipfDocs(t(s, d, "documents"))
+      case other => throw new IllegalArgumentException(s"unknown BM25 corpus variant: $other")
+    }
+
+  /** The persisted postings table, built once per (session, dir, variant). */
+  def bm25IndexFor(s: SparkSession, d: String, variant: String = "raw"): DataFrame =
+    bm25PostingsCache.getOrCompute(s, (d, variant)) {
+      bm25Postings(bm25CorpusOf(s, d, variant)).localCheckpoint()
     }
 
   /** The persisted per-term document frequencies; the (n, Σdl) corpus
     * scalars land in the companion cache under the same compute (exact
     * integers, so the maintenance merge stays bit-identical to a
     * rebuild — avgdl derives as Σdl/n at probe time). */
-  def bm25TermStatsFor(s: SparkSession, d: String): DataFrame =
-    bm25StatsCache.getOrCompute(s, d) {
-      val postings = bm25IndexFor(s, d)
+  def bm25TermStatsFor(s: SparkSession, d: String, variant: String = "raw"): DataFrame =
+    bm25StatsCache.getOrCompute(s, (d, variant)) {
+      val postings = bm25IndexFor(s, d, variant)
       val row = postings.select("doc_id", "dl").dropDuplicates("doc_id")
         .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
         .collect()(0)
-      bm25ScalarsCache.put((s.sparkContext.applicationId, d),
+      bm25ScalarsCache.put((s.sparkContext.applicationId, d, variant),
         (row.getLong(0), row.getLong(1)))
       postings.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
     }
@@ -283,16 +293,65 @@ object TextOps extends QueryRegistry {
     * identical to [[bm25TopK]] over the same corpus by construction
     * (same postings, same integer stats). */
   def bm25IndexProbe(s: SparkSession, d: String, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val postings = bm25IndexFor(s, d)
-    val termStats = bm25TermStatsFor(s, d)
-    val scalars = bm25ScalarsCache.get((s.sparkContext.applicationId, d))
+      k1: Double = 1.2, b: Double = 0.75, variant: String = "raw"): DataFrame = {
+    val postings = bm25IndexFor(s, d, variant)
+    val termStats = bm25TermStatsFor(s, d, variant)
+    val scalars = bm25ScalarsCache.get((s.sparkContext.applicationId, d, variant))
     require(scalars != null, s"bm25IndexProbe($d): corpus scalars missing — " +
       "bm25TermStatsFor must compute in this application before probing")
     val (n, sumDl) = scalars
     val qTerms = bm25Postings(queries).select(col("doc_id").as("query_id"), col("term"))
     bm25Score(postings, termStats, n, sumDl, qTerms, k, k1, b)
   }
+
+  // ---- realistic-vocabulary retrieval fixture (VERDICT r13 next-#4 /
+  // wrong-#2): the shipped documents fixture has a ~30-word vocabulary,
+  // so any query's term set touches nearly every posting and the
+  // standing-index probe's "never a corpus pass" advantage drowns in a
+  // corpus-sized scoring join. The derived corpus below replaces each
+  // token with a term drawn from a ~2048-term power-law vocabulary via
+  // PURE INTEGER arithmetic on (doc_id, position) — bit-exactly
+  // replayable in DuckDB, so the BM25 replay oracle still certifies
+  // values end to end. Mixture construction: h uniform in [0, 2^20),
+  // bucket width b = h % 12 ∈ [0, 12), term id = (h/12) mod 2^b — small
+  // ids are emitted from every bucket (head terms), large ids only from
+  // the widest (long tail): an integer-exact Zipf-ish mixture with no
+  // float boundary for the two engines to disagree on. Queries are the
+  // first FOUR tokens of each query doc — the short-query shape real
+  // probe batches have, which keeps the scoring join query-sized on
+  // both rows and leaves the rebuild row's corpus tokenize + df shuffle
+  // as the visible difference.
+
+  private val zipfTidSql =
+    """transform(
+      |  transform(sequence(CAST(0 AS BIGINT),
+      |      CAST(size(split(text, ' ', -1)) AS BIGINT) - 1),
+      |    i -> (doc_id * 2654435761 + i * 40503 + 12345) % 1048576),
+      |  h -> (h DIV 12) % shiftleft(CAST(1 AS BIGINT), CAST(h % 12 AS INT)))"""
+      .stripMargin
+
+  /** (doc_id, toks): the derived Zipf token list, one per original
+    * token — corpus size and per-doc lengths preserved. */
+  private[llm] def zipfTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"transform($zipfTidSql, t -> concat('t', CAST(t AS STRING)))").as("toks"))
+
+  /** The derived corpus as (doc_id, text) — drop-in for the documents
+    * table in every BM25 half. */
+  def zipfDocs(docs: DataFrame): DataFrame =
+    zipfTokens(docs).select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+
+  /** Short queries over the derived corpus: the 4 RAREST distinct terms
+    * of each selected doc (term id magnitude is inversely frequency-
+    * ranked by construction, so "largest ids" ≡ "highest idf" — the
+    * idf-ordered pruning real sparse-retrieval probes do, which is what
+    * keeps a probe's postings join query-sized instead of dragging the
+    * head-term lists in). */
+  def zipfQueries(docs: DataFrame, qSel: org.apache.spark.sql.Column): DataFrame =
+    docs.where(qSel).select(col("doc_id"),
+      expr(s"""array_join(transform(
+        slice(reverse(array_sort(array_distinct($zipfTidSql))), 1, 4),
+        t -> concat('t', CAST(t AS STRING))), ' ')""").as("text"))
 
   /** BM25 index MAINTENANCE — same ingest-loop contract as the dedup
     * band index and the ANN indexes: tokenize ONLY the admitted batch,
@@ -331,7 +390,7 @@ object TextOps extends QueryRegistry {
   def saveBm25Index(s: SparkSession, d: String, path: String): Unit = {
     val postings = bm25IndexFor(s, d)
     val stats = bm25TermStatsFor(s, d) // also populates the scalar cache
-    val scalars = bm25ScalarsCache.get((s.sparkContext.applicationId, d))
+    val scalars = bm25ScalarsCache.get((s.sparkContext.applicationId, d, "raw"))
     require(scalars != null, s"saveBm25Index($d): corpus scalars missing")
     IndexStore.save(postings, s"$path/postings", Map(
       "kind" -> "bm25",
@@ -757,6 +816,45 @@ object TextOps extends QueryRegistry {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopListSql = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
   private val stopListDuck = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared oracle for the Zipf-fixture retrieval pair: DuckDB derives
+    * the SAME corpus with the same integer arithmetic, then replays BM25
+    * top-5 end to end. `//` is DuckDB's integer division (≡ Spark `DIV`
+    * on the all-positive operands here); `<<` its bit shift. */
+  private val zipfBm25Oracle =
+    """WITH base AS (SELECT doc_id, len(str_split(text, ' ')) AS nw FROM documents),
+      |corp AS (SELECT doc_id, list_transform(
+      |    list_transform(range(nw), i -> (doc_id * 2654435761 + i * 40503 + 12345) % 1048576),
+      |    h -> 't' || CAST((h // 12) % (CAST(1 AS BIGINT) << (h % 12)) AS VARCHAR)) AS toks
+      |  FROM base),
+      |toks AS (SELECT doc_id, unnest(toks) AS term FROM corp),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |tids AS (SELECT doc_id, list_transform(
+      |    list_transform(range(nw), i -> (doc_id * 2654435761 + i * 40503 + 12345) % 1048576),
+      |    h -> (h // 12) % (CAST(1 AS BIGINT) << (h % 12))) AS ts
+      |  FROM base WHERE doc_id % 50 = 0 AND doc_id < 5000),
+      |q AS (SELECT DISTINCT doc_id AS query_id, term FROM
+      |  (SELECT doc_id, unnest(list_transform(
+      |     list_reverse(list_sort(list_distinct(ts)))[1:4],
+      |     t -> 't' || CAST(t AS VARCHAR))) AS term FROM tids)),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+      |  FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.query_id
+      |  JOIN dft ON dft.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1283,6 +1381,42 @@ object TextOps extends QueryRegistry {
              |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
              |FROM scored
              |QUALIFY rank <= 5""".stripMargin)),
+
+    // ---- BM25 rebuild-class owner on the ZIPF fixture (the realistic-
+    // vocabulary pair, VERDICT r13 next-#4): derive the corpus, tokenize
+    // it, shuffle the dfs, compute the scalars — the full per-batch
+    // rebuild — then score the short-query batch. Every rep re-pays the
+    // corpus-wide costs; x_retr_vocab_probe runs the SAME queries
+    // against the standing index and should separate clearly. ----
+    QueryDef(
+      "x_text_bm25_zipf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qSel = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+        val p = bm25Postings(zipfDocs(docs))
+        val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
+        val r = p.select("doc_id", "dl").dropDuplicates("doc_id")
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+          .collect()(0)
+        val qTerms = bm25Postings(zipfQueries(docs, qSel))
+          .select(col("doc_id").as("query_id"), col("term"))
+        bm25Score(p, ts, r.getLong(0), r.getLong(1), qTerms, k = 5)
+      },
+      Some(zipfBm25Oracle)),
+
+    // ---- standing-index probe on the ZIPF fixture: same queries, same
+    // scores (the oracle replays BM25 over the derived corpus end to
+    // end), but the per-rep cost is ONLY the 4-term query batch against
+    // the pinned postings/dfs — the "never a corpus pass" separation the
+    // ~30-word fixture could not show (r8/r13: probe 1.96 s vs rebuild
+    // 2.17 s there; the scoring join was corpus-sized regardless). ----
+    QueryDef(
+      "x_retr_vocab_probe",
+      (s, d) => bm25IndexProbe(s, d,
+        zipfQueries(t(s, d, "documents"),
+          col("doc_id") % 50 === 0 && col("doc_id") < 5000),
+        k = 5, variant = "zipf"),
+      Some(zipfBm25Oracle)),
 
     // ---- hard-negative mining: BM25 top-20 lexical candidates per
     // query (query set capped at the sf0.1 id range like x_text_bm25 —
