@@ -17,10 +17,12 @@ import java.nio.charset.StandardCharsets
   * `gzip`/`zstd`/`lz4`/`none`. Requests carry `Content-Encoding`,
   * responses are negotiated via `Accept-Encoding` +
   * `enable_http_compression=1` (the ClickHouse HTTP contract). gzip and
-  * zstd use standard frames a real server speaks natively; lz4 uses the
-  * lz4-java block stream (stub-to-connector only — a real endpoint pair
-  * would negotiate CH's own lz4 framing). Codec classes come from jars
-  * Spark already ships (java.util.zip, zstd-jni, lz4-java).
+  * zstd use standard frames a real server speaks natively; lz4 uses
+  * ClickHouse's OWN frame format ([[CHLz4]]: CityHash128 checksum +
+  * method/sizes header + raw LZ4 block — the reference's
+  * compression.rs:1-10 layout), checksum-verified per frame. Codec
+  * classes come from jars Spark already ships (java.util.zip, zstd-jni,
+  * lz4-java for the raw block kernel).
   */
 object CHHttp {
 
@@ -31,7 +33,7 @@ object CHHttp {
     case null | "" | NoCodec => in
     case "gzip" => new java.util.zip.GZIPInputStream(in, 1 << 16)
     case "zstd" => new com.github.luben.zstd.ZstdInputStream(in)
-    case "lz4" => new net.jpountz.lz4.LZ4BlockInputStream(in)
+    case "lz4" => new CHLz4.FramedInputStream(in)
     case other => throw new IllegalArgumentException(s"unknown compression codec: $other")
   }
 
@@ -40,7 +42,7 @@ object CHHttp {
     case null | "" | NoCodec => out
     case "gzip" => new java.util.zip.GZIPOutputStream(out, 1 << 16)
     case "zstd" => new com.github.luben.zstd.ZstdOutputStream(out)
-    case "lz4" => new net.jpountz.lz4.LZ4BlockOutputStream(out)
+    case "lz4" => new CHLz4.FramedOutputStream(out)
     case other => throw new IllegalArgumentException(s"unknown compression codec: $other")
   }
 

@@ -209,6 +209,22 @@ object ConnectorQueries extends QueryRegistry {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
 ,
+    // ---- LZ4 wire in ClickHouse's OWN frame format (A7 tail, r14:
+    // CityHash128-checksummed frames per compression.rs:1-10 — the last
+    // codec that previously used connector-local framing; CHLz4Spec
+    // pins the byte layout and the loud checksum/method failures) ----
+    QueryDef(
+      "b_src26_lz4_scan",
+      (s, d) => {
+        val srv = serverFor(s, d)
+        s.read.format("graft-ch")
+          .option("url", srv.url).option("table", "nation")
+          .option("compression", "lz4")
+          .load()
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+,
     // ---- authenticated scan (A19 auth tail): the endpoint REQUIRES
     // X-ClickHouse-User/Key on every request (schema probe, stats count,
     // data read) — the real-server contract against any cloud/hardened

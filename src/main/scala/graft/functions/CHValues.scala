@@ -448,6 +448,109 @@ object CHValues {
     }
   }
 
+  /** city.cc 1.0.2 `CityMurmur` over s[off, off+len) with a 128-bit
+    * seed — the short-input (< 128 bytes) half of CityHash128. */
+  private def cityMurmur(s: Array[Byte], off: Int, len: Int,
+      seedLo: Long, seedHi: Long): (Long, Long) = {
+    var a = seedLo
+    var b = seedHi
+    var c = 0L
+    var d = 0L
+    var l = len - 16
+    if (l <= 0) { // len <= 16
+      c = b * cityK1 + cityHashLen0to16(java.util.Arrays.copyOfRange(s, off, off + len))
+      d = rotR(b + (if (len >= 8) fetch64(s, off) else c), 32)
+    } else { // len > 16
+      c = hashLen16(fetch64(s, off + len - 8) + cityK1, a)
+      d = hashLen16(b + len, c + fetch64(s, off + len - 16))
+      a += d
+      var p = off
+      do {
+        a ^= shiftMix(fetch64(s, p) * cityK1) * cityK1
+        a *= cityK1
+        b ^= a
+        c ^= shiftMix(fetch64(s, p + 8) * cityK1) * cityK1
+        c *= cityK1
+        d ^= c
+        p += 16
+        l -= 16
+      } while (l > 0)
+    }
+    a = hashLen16(a, c)
+    b = hashLen16(d, b)
+    (a ^ b, hashLen16(b, a))
+  }
+
+  /** city.cc 1.0.2 `CityHash128WithSeed` over s[off, off+len). */
+  private def cityHash128Seed(s: Array[Byte], off: Int, len: Int,
+      seedLo: Long, seedHi: Long): (Long, Long) = {
+    if (len < 128) return cityMurmur(s, off, len, seedLo, seedHi)
+    var x = seedLo
+    var y = seedHi
+    var z = len.toLong * cityK1
+    var vf = rotR(y ^ cityK1, 49) * cityK1 + fetch64(s, off)
+    var vs = rotR(vf, 42) * cityK1 + fetch64(s, off + 8)
+    var wf = rotR(y + z, 35) * cityK1 + x
+    var ws = rotR(x + fetch64(s, off + 88), 53) * cityK1
+    var p = off
+    var rem = len
+    do { // two unrolled 64-byte rounds per 128 bytes, as published
+      var i = 0
+      while (i < 2) {
+        x = rotR(x + y + vf + fetch64(s, p + 16), 37) * cityK1
+        y = rotR(y + vs + fetch64(s, p + 48), 42) * cityK1
+        x ^= ws
+        y ^= vf
+        z = rotR(z ^ wf, 33)
+        val v = cityWeak32(s, p, vs * cityK1, x + wf)
+        val w = cityWeak32(s, p + 32, z + ws, y)
+        vf = v._1; vs = v._2; wf = w._1; ws = w._2
+        val t = z; z = x; x = t
+        p += 64
+        i += 1
+      }
+      rem -= 128
+    } while (rem >= 128)
+    y += rotR(wf, 37) * cityK0 + z
+    x += rotR(vf + z, 49) * cityK0
+    // 0 < rem < 128: up to four 32-byte chunks from the END of the input
+    // (p + rem == off + len, so indexing from the end is position-stable)
+    var tailDone = 0
+    while (tailDone < rem) {
+      tailDone += 32
+      y = rotR(y - x, 42) * cityK0 + vs
+      wf += fetch64(s, off + len - tailDone + 16)
+      x = rotR(x, 49) * cityK0 + wf
+      wf += vf
+      val v = cityWeak32(s, off + len - tailDone, vf, vs)
+      vf = v._1; vs = v._2
+    }
+    x = hashLen16(x, vf)
+    y = hashLen16(y, wf)
+    (hashLen16(x + vs, ws) + y, hashLen16(x + ws, y + vs))
+  }
+
+  /** CityHash128 v1.0.2 as (low, high) — the per-frame checksum of
+    * ClickHouse's native compressed-block format (the reference
+    * transports it via cityhash-rs' "102" kernel,
+    * `clickhouse-arrow/src/compression.rs:47,113`). Transcribed from
+    * the published city.cc 1.0.2, sharing every primitive
+    * (fetch64/rotate/shiftMix/HashLen0to16/WeakHashLen32WithSeeds) with
+    * the CHTypeSpec-certified [[cityHash64]]. Like farmHash64, the
+    * 128-bit kernel has no in-sandbox oracle (DuckDB exposes no
+    * CityHash128); CHLz4Spec pins frame-level self-consistency and
+    * loud checksum failure on corruption. */
+  def cityHash128(s: Array[Byte]): (Long, Long) = {
+    val len = s.length
+    if (len >= 16)
+      cityHash128Seed(s, 16, len - 16, fetch64(s, 0) ^ cityK3, fetch64(s, 8))
+    else if (len >= 8)
+      cityHash128Seed(s, 0, 0, fetch64(s, 0) ^ (len.toLong * cityK0),
+        fetch64(s, len - 8) ^ cityK1)
+    else
+      cityHash128Seed(s, 0, len, cityK0, cityK1)
+  }
+
   // -------------------------------------------------- FarmHash Fingerprint64
   // CH `farmFingerprint64` = FarmHash `Fingerprint64` (farmhashna::Hash64
   // — the STABLE, dispatch-free 64-bit FarmHash; CH documents it as the
