@@ -243,7 +243,7 @@ def bm25_index_probe():
     q = docs.filter("doc_id % 50 = 0 AND doc_id < 5000")
     out = DataFrame(
         jvm.graft.llm.TextOps.bm25IndexProbe(
-            spark._jsparkSession, SF_DIR, q._jdf, 5, 1.2, 0.75), spark)
+            spark._jsparkSession, SF_DIR, q._jdf, 5, 1.2, 0.75, "raw"), spark)
     rows = out.collect()
     assert out.columns == ["query_id", "doc_id", "score", "rank"], out.columns
     assert len(rows) > 0 and all(r.rank <= 5 for r in rows), len(rows)
@@ -263,6 +263,26 @@ def lsh_index_probe():
     rows = out.collect()
     assert out.columns == ["qid", "vid", "cos"], out.columns
     assert len(rows) > 0, "LSH standing probe returned no neighbors"
+
+
+# 17: round-14 surface — COLD-START probe from Python: persist the
+# standing IVF artifact (parquet + metadata sidecar), then load-and-
+# probe it in a fresh session whose per-application caches are empty —
+# the restart path a production PySpark ingest loop takes
+def cold_index_probe():
+    from pyspark.sql import DataFrame
+
+    jvm = spark._jvm
+    path = jvm.graft.llm.IndexStore.tempRoot(spark._jsparkSession) + "/pysmoke/ivf"
+    jvm.graft.llm.Similarity.saveIvfIndex(spark._jsparkSession, SF_DIR, path)
+    fresh = spark._jsparkSession.newSession()
+    q = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).filter(
+        "vec_id % 25 = 0")
+    out = DataFrame(
+        jvm.graft.llm.Similarity.ivfColdProbe(fresh, path, q._jdf, 5, 4), spark)
+    rows = out.collect()
+    assert out.columns == ["qid", "vid", "cos"], out.columns
+    assert len(rows) > 0, "cold IVF probe returned no neighbors"
 
 
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
@@ -291,6 +311,7 @@ check("quality-filter apply", qual_apply)
 check("connector auth scan", connector_auth_scan)
 check("BM25 standing-index probe", bm25_index_probe)
 check("LSH standing-index probe", lsh_index_probe)
+check("cold-start index probe", cold_index_probe)
 
 spark.stop()
 if failures:
