@@ -1242,7 +1242,7 @@ object Dedup extends QueryRegistry {
       (s, d) => {
         val path =
           s"${IndexStore.tempRoot(s)}/${java.lang.Integer.toHexString(d.hashCode)}/bands"
-        saveBandIndex(s, d, path)
+        IndexStore.saveOnce(s, path)(saveBandIndex(s, d, path))
         val isBatch = pmod(col("doc_id"), lit(batchMod.toLong)) === 0
         val warm = incrementalCandidates(
           t(s, d, "documents").where(isBatch), corpusBandIndexFor(s, d))

@@ -77,6 +77,19 @@ object IndexStore {
   def tempRoot(s: SparkSession): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_idx_${s.sparkContext.applicationId}"
 
+  private val savedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Run `save` once per (application, path): the on-disk artifact IS
+    * the standing index, so writing it is the amortized one-time build
+    * — cold-probe rows then measure the marginal restart path (load +
+    * probe), the same cost convention the warm probes follow with their
+    * pinned frames. The full artifact-write cost class has a dedicated
+    * owner (`x_sim_index_rebuild` writes two complete artifacts + swap
+    * every rep). */
+  def saveOnce(s: SparkSession, path: String)(save: => Unit): Unit =
+    if (savedOnce.add((s.sparkContext.applicationId, path))) save
+
   // ---- metadata sidecar: a flat string→string JSON object ----
 
   def writeMeta(s: SparkSession, file: String, meta: Map[String, String]): Unit = {

@@ -734,6 +734,31 @@ object TextOps extends QueryRegistry {
       weightsFrame(s, perceptronWeights(xb, 3)).localCheckpoint()
     }
 
+  /** Persist the standing classifier weights (≤257 integer rows) —
+    * the model artifact a production filter deploys; completes the
+    * restart story for the TRAINED-MODEL family next to the index
+    * families (VERDICT r13 next-#1's list names quality weights and
+    * the BPE vocab explicitly). */
+  def saveQualWeights(s: SparkSession, d: String, path: String): Unit =
+    IndexStore.save(qualWeightsFor(s, d), path, Map("kind" -> "qual-weights"))
+
+  /** COLD inference: score a batch against weights loaded from disk —
+    * (session, path) only, no cache reachable; value-identical to the
+    * warm path (integer weights and margins). */
+  def qualColdApply(s: SparkSession, path: String, batch: DataFrame): DataFrame =
+    scoreMargins(qualFeatures(batch), IndexStore.load(s, path))
+
+  /** Persist the standing BPE vocabulary (word → final symbol seq —
+    * vocab-sized, sub-linear in corpus). */
+  def saveBpeVocab(s: SparkSession, d: String, nMerges: Int, path: String): Unit =
+    IndexStore.save(bpeVocabFor(s, d, nMerges), path,
+      Map("kind" -> "bpe-vocab", "nMerges" -> nMerges.toString))
+
+  /** COLD encode: tokenize a batch against a vocabulary loaded from
+    * disk — the restarted-tokenizer path. */
+  def bpeColdEncode(s: SparkSession, path: String, docs: DataFrame): DataFrame =
+    bpeEncodeWith(docs, IndexStore.load(s, path))
+
   /** The planted-and-labeled corpus shared by x_qual_classifier (full
     * corpus) and the x_qual_apply ingest split. */
   private def labeledDocs(docs: DataFrame): DataFrame =
@@ -965,6 +990,36 @@ object TextOps extends QueryRegistry {
         val batch = labeledDocs(
           t(s, d, "documents").where(col("doc_id") % 5 === 0))
         scoreMargins(qualFeatures(batch), qualWeightsFor(s, d))
+      },
+      Some(qualClassifierOracle(3,
+        trainCond = "doc_id % 5 <> 0", scoreCond = "doc_id % 5 = 0"))),
+
+    // ---- COLD-START inference (the model-family mirror of the index
+    // cold probes): standing weights persisted once, then a FRESH
+    // session loads them from disk and scores the ingest batch — the
+    // restarted-filter path. Integer weights and margins make cold ≡
+    // warm value-exact (in-engine require); the certified output is the
+    // COLD scores, which the oracle replays end to end. ----
+    QueryDef(
+      "x_qual_cold_apply",
+      (s, d) => {
+        val path =
+          s"${IndexStore.tempRoot(s)}/${java.lang.Integer.toHexString(d.hashCode)}/qualw"
+        IndexStore.saveOnce(s, path)(saveQualWeights(s, d, path))
+        val batchSel = col("doc_id") % 5 === 0
+        val warm = scoreMargins(
+          qualFeatures(labeledDocs(t(s, d, "documents").where(batchSel))),
+          qualWeightsFor(s, d))
+        val fresh = s.newSession()
+        val cold = qualColdApply(fresh, path,
+          labeledDocs(t(fresh, d, "documents").where(batchSel)))
+        val coldW = IndexStore.recreate(s, cold)
+        val bad = coldW.withColumn("m", lit(1))
+          .join(warm.withColumn("r", lit(1)),
+            Seq("doc_id", "y", "margin", "pred"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(bad == 0, s"cold quality-filter scoring diverged ($bad rows)")
+        coldW
       },
       Some(qualClassifierOracle(3,
         trainCond = "doc_id % 5 <> 0", scoreCond = "doc_id % 5 = 0"))),
@@ -1346,7 +1401,7 @@ object TextOps extends QueryRegistry {
       (s, d) => {
         val path =
           s"${IndexStore.tempRoot(s)}/${java.lang.Integer.toHexString(d.hashCode)}/bm25"
-        saveBm25Index(s, d, path)
+        IndexStore.saveOnce(s, path)(saveBm25Index(s, d, path))
         val qSel = col("doc_id") % 50 === 0 && col("doc_id") < 5000
         val warm = bm25IndexProbe(s, d, t(s, d, "documents").where(qSel), k = 5)
         val fresh = s.newSession()
@@ -1483,6 +1538,31 @@ object TextOps extends QueryRegistry {
       // encodes against the PINNED standing vocab (bpeVocabFor) — the
       // learn cost class is owned by x_text_bpe_learn above
       (s, d) => bpeEncodeWith(t(s, d, "documents"), bpeVocabFor(s, d, 6)),
+      Some(bpeEncodeOracle(6))),
+
+    // ---- COLD-START tokenizer (the vocab-family mirror of the index
+    // cold probes): the standing BPE vocabulary persisted once, then a
+    // FRESH session loads it and encodes the corpus — the restarted
+    // tokenizer every training job runs (the vocab file ships with the
+    // model). Cold ≡ warm value-exact in-engine; the oracle replays the
+    // learn + encode end to end. ----
+    QueryDef(
+      "x_text_bpe_cold_encode",
+      (s, d) => {
+        val path =
+          s"${IndexStore.tempRoot(s)}/${java.lang.Integer.toHexString(d.hashCode)}/bpe6"
+        IndexStore.saveOnce(s, path)(saveBpeVocab(s, d, 6, path))
+        val warm = bpeEncodeWith(t(s, d, "documents"), bpeVocabFor(s, d, 6))
+        val fresh = s.newSession()
+        val cold = bpeColdEncode(fresh, path, t(fresh, d, "documents"))
+        val coldW = IndexStore.recreate(s, cold)
+        val bad = coldW.withColumn("m", lit(1))
+          .join(warm.withColumn("r", lit(1)),
+            Seq("doc_id", "bpe_tokens", "base_chars", "compression"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(bad == 0, s"cold BPE encode diverged from the warm encode ($bad rows)")
+        coldW
+      },
       Some(bpeEncodeOracle(6)))
   )
 }
