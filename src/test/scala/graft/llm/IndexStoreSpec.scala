@@ -88,6 +88,22 @@ class IndexStoreSpec extends SparkSpec {
     assert(cold.collect().map(key).toSet == warm.collect().map(key).toSet)
   }
 
+  test("cold probes scan the artifact from disk and never degenerate") {
+    val d = sf001
+    val path = s"${IndexStore.tempRoot(spark)}/spec/ivf_plan"
+    Similarity.saveIvfIndex(spark, d, path)
+    val fresh = spark.newSession()
+    val embF = graft.Tables.t(fresh, d, "embeddings")
+    val plan = Similarity.ivfColdProbe(fresh, path,
+      embF.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    // the index side is a genuine parquet file scan (the disk path), not
+    // a memoized checkpoint leaf or a driver-side local relation
+    assert(plan.contains("Scan parquet"), s"cold probe must scan the artifact:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cold probe degenerated:\n$plan")
+  }
+
   test("stage-and-swap promotes the staged artifact and drops the old one") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_swap_").toString
