@@ -53,12 +53,17 @@ object IndexStore {
   def load(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/data")
 
-  /** Atomically EXCHANGE the artifact at `live` with the one staged at
-    * `staged` (the `b_src18` stage-and-swap overwrite pattern applied to
-    * an index): the live artifact moves aside, the staged one renames
-    * in, the old one is dropped. Readers of the OLD frame keep their
-    * snapshot (parquet files are immutable once read-planned); new
-    * loads see the new artifact. */
+  /** EXCHANGE the artifact at `live` with the one staged at `staged`
+    * (the `b_src18` stage-and-swap overwrite pattern applied to an
+    * index): the live artifact moves aside, the staged one renames in,
+    * the old one is dropped. Each rename is atomic on HDFS/POSIX, so
+    * readers never observe a half-written artifact; a crash BETWEEN the
+    * two renames leaves `live` absent with both generations intact
+    * (`live + ".old"` and `staged`) — recovery re-promotes one, never
+    * reconstructs. A production catalog would swap a manifest pointer
+    * instead (one atomic write); this is the filesystem-only analog.
+    * Readers of the OLD frame keep their snapshot (parquet files are
+    * immutable once read-planned); new loads see the new artifact. */
   def swap(s: SparkSession, staged: String, live: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val livePath = new Path(live)
