@@ -40,12 +40,18 @@ object IndexStore {
     * scale) and its metadata sidecar. Overwrite is idempotent: the swap
     * pattern for refresh writes a new artifact beside the old and
     * renames (see [[swap]]). */
+  /** Artifact format version, stamped into every sidecar — the loader
+    * of a future incompatible layout gets a named mismatch instead of a
+    * silent misread. */
+  val FormatVersion = "1"
+
   def save(index: DataFrame, path: String, meta: Map[String, String],
       partitionBy: Seq[String] = Nil): Unit = {
     val w = index.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$path/data")
-    writeMeta(index.sparkSession, s"$path/_index_meta.json", meta)
+    writeMeta(index.sparkSession, s"$path/_index_meta.json",
+      meta + ("format" -> FormatVersion))
   }
 
   /** Load the index table from a saved artifact. Takes only (session,
@@ -115,7 +121,11 @@ object IndexStore {
     val json =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    parseFlat(json)
+    val meta = parseFlat(json)
+    require(meta.getOrElse("format", FormatVersion) == FormatVersion,
+      s"index artifact at $path has format ${meta("format")}, " +
+        s"this reader speaks $FormatVersion")
+    meta
   }
 
   private def esc(v: String) =

@@ -748,6 +748,13 @@ object TextOps extends QueryRegistry {
   def qualColdApply(s: SparkSession, path: String, batch: DataFrame): DataFrame =
     scoreMargins(qualFeatures(batch), IndexStore.load(s, path))
 
+  /** Cold inference over the standing ingest split (doc_id % 5 == 0) —
+    * the cross-JVM restart certification entry ([[graft.ColdProbe]]).
+    * Mirrors `x_qual_apply`'s batch exactly. */
+  def qualColdApplyFor(s: SparkSession, path: String, d: String): DataFrame =
+    qualColdApply(s, path,
+      labeledDocs(t(s, d, "documents").where(col("doc_id") % 5 === 0)))
+
   /** Persist the standing BPE vocabulary (word → final symbol seq —
     * vocab-sized, sub-linear in corpus). */
   def saveBpeVocab(s: SparkSession, d: String, nMerges: Int, path: String): Unit =
