@@ -1451,13 +1451,18 @@ object Similarity extends QueryRegistry {
             .agg((sum(abs(col("ca") / col("ta") - col("cb") / col("tb"))) / 2).as("tv"))
         }
         merged.agg(count(lit(1)).cast("long").as("n_indexed"))
+          .crossJoin(newRows.agg(count(lit(1)).cast("long").as("n_new")))
           .crossJoin(tvDist(newRows, index0).select(col("tv").as("tv_batch")))
           .crossJoin(tvDist(index0, index0).select(col("tv").as("tv_self")))
-          .select(col("n_indexed"),
+          .select(col("n_indexed"), col("n_new"),
             (col("tv_batch") >= 0.0 && col("tv_batch") <= 1.0).as("drift_in_range"),
             (col("tv_self") === 0.0).as("self_drift_zero"))
       },
+      // n_new is oracle-exact: the merged-minus-build rows are exactly
+      // the two admitted slices (assignment is one row per unique vid)
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_indexed,
+             |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 < 2)
+             |    AS BIGINT) AS n_new,
              |  true AS drift_in_range, true AS self_drift_zero
              |FROM embeddings""".stripMargin)),
 
