@@ -84,6 +84,15 @@ class PlanAuditSpec extends SparkSpec {
     // index's checkpoint RDD.
     assert(!pl.contains("LocalTableScan"),
       s"lsh probe must not round-trip query vectors through the driver:\n$pl")
+    // r14: the zipf-fixture probe (the realistic-vocabulary pair) keeps
+    // the same shape — short-query term set broadcast, no degeneration
+    val pz = graft.llm.TextOps.bm25IndexProbe(spark, sf0001,
+      graft.llm.TextOps.zipfQueries(docs, expr("doc_id % 50 = 0")),
+      k = 5, variant = "zipf")
+      .queryExecution.executedPlan.toString
+    assert(pz.contains("BroadcastHashJoin"), s"zipf probe should broadcast:\n$pz")
+    assert(!pz.contains("CartesianProduct") && !pz.contains("BroadcastNestedLoopJoin"),
+      s"zipf probe degenerated:\n$pz")
   }
 
   test("round-10 kernel queries stay inside codegen, no shuffle, no UDF (100-TB shape)") {
