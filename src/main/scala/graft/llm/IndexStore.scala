@@ -51,7 +51,58 @@ object IndexStore {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$path/data")
     writeMeta(index.sparkSession, s"$path/_index_meta.json",
-      meta + ("format" -> FormatVersion))
+      meta + ("format" -> FormatVersion,
+        "partitions" -> partitionBy.mkString(",")))
+  }
+
+  /** Disk-level index MAINTENANCE — the on-artifact half of the merge
+    * contract: APPEND an admitted batch's rows into the stored layout
+    * (same partition columns, read from the sidecar). Zero shuffle of
+    * the standing data, exactly the "parquet append" every merge
+    * function's scaladoc promises. The caller dedups admissions first
+    * (the DataFrame merges' anti-join/dropDuplicates guard) — a raw
+    * file append cannot. */
+  def append(batch: DataFrame, path: String): Unit = {
+    val parts = partitionsOf(readMeta(batch.sparkSession, path))
+    val w = batch.write.mode("append")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$path/data")
+  }
+
+  /** COMPACTION — appends fragment the artifact one file per touched
+    * partition per batch; periodic compaction rewrites each partition
+    * into one task's output (hash repartition on the partition columns;
+    * AQE coalesces small cells) and EXCHANGES it in via [[swap]], so
+    * readers never see a half-compacted artifact. Mirrors the table
+    * compaction operator (`b_src14`) applied to index artifacts. */
+  def compact(s: SparkSession, path: String): Unit = {
+    val meta = readMeta(s, path)
+    val parts = partitionsOf(meta)
+    val df = load(s, path)
+    val staged = path + ".compacting"
+    val compacted =
+      if (parts.nonEmpty) df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(1)
+    val w = compacted.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$staged/data")
+    writeMeta(s, s"$staged/_index_meta.json", meta)
+    swap(s, staged, path)
+  }
+
+  private def partitionsOf(meta: Map[String, String]): Seq[String] =
+    meta.getOrElse("partitions", "").split(",").toSeq.filter(_.nonEmpty)
+
+  /** Number of parquet data files under the artifact (fragmentation
+    * measure for the compaction contract). */
+  def dataFileCount(s: SparkSession, path: String): Long = {
+    val p = new Path(s"$path/data")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** Load the index table from a saved artifact. Takes only (session,

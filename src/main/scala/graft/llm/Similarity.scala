@@ -1520,6 +1520,55 @@ object Similarity extends QueryRegistry {
              |  true AS swapped_ok, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- DISK-LEVEL ingest loop (the on-artifact half of the merge
+    // contract every merge function's scaladoc promises): save the
+    // standing index as the partitioned artifact, APPEND the admitted
+    // batches' assignment files into the layout (zero shuffle of the
+    // standing data), then COMPACT — appends fragment one file per
+    // touched cell per batch; compaction rewrites each cell into one
+    // task's output and EXCHANGES it in. Certified end to end: a cold
+    // probe of the compacted artifact is row-set identical to a direct
+    // probe of the full rebuilt assignment (append ∪ save ≡ rebuild
+    // under fixed centroids), the data-file count strictly drops, and
+    // the recall floor holds. ----
+    QueryDef(
+      "x_sim_index_disk_update",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val slice = pmod(col("vec_id"), lit(5L))
+        val build = emb.where(slice >= 2)
+        val sample = build.select(col("embedding").cast("array<double>"))
+          .limit(2048).as[Array[Double]].collect()
+        require(sample.nonEmpty, s"x_sim_index_disk_update($d): empty build corpus")
+        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+        val live = artifactPath(s, d, "ivf_disk")
+        IndexStore.save(ivfAssign(build, centroids), live, Map("kind" -> "ivf",
+          "nlist" -> ivfNlist.toString,
+          "centroids" -> IndexStore.encodeMatrix(centroids)), Seq("cell"))
+        IndexStore.append(ivfAssign(emb.where(slice < 2), centroids), live)
+        val before = IndexStore.dataFileCount(s, live)
+        IndexStore.compact(s, live)
+        val after = IndexStore.dataFileCount(s, live)
+        val fresh = s.newSession()
+        val cold = ivfColdProbe(fresh, live, queriesOf(t(fresh, d, "embeddings")),
+          k = 5, nprobe = 4)
+        val coldW = IndexStore.recreate(s, cold)
+        val direct = ivfProbe(ivfAssign(emb, centroids), centroids,
+          queriesOf(emb), k = 5, nprobe = 4)
+        val mismatch = coldW.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.45)
+          .crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            lit(after < before).as("compacted_ok"), col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS compacted_ok, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs, exact baseline ----
     QueryDef(
       "x_dedup_embed",
