@@ -74,14 +74,24 @@ object IndexStore {
     * AQE coalesces small cells) and EXCHANGES it in via [[swap]], so
     * readers never see a half-compacted artifact. Mirrors the table
     * compaction operator (`b_src14`) applied to index artifacts. */
-  def compact(s: SparkSession, path: String): Unit = {
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
     val meta = readMeta(s, path)
     val parts = partitionsOf(meta)
     val df = load(s, path)
     val staged = path + ".compacting"
     val compacted =
       if (parts.nonEmpty) df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-      else df.coalesce(1)
+      else {
+        // unpartitioned artifacts coalesce to ceil(bytes/target) files
+        // (the Formats.compact sizing) — never a single file at scale
+        val bytes = {
+          val p = new Path(s"$path/data")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(p).getLength
+        }
+        df.coalesce(math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+      }
     val w = compacted.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$staged/data")
     writeMeta(s, s"$staged/_index_meta.json", meta)

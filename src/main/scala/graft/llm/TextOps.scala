@@ -331,9 +331,12 @@ object TextOps extends QueryRegistry {
       .stripMargin
 
   /** (doc_id, toks): the derived Zipf token list, one per original
-    * token — corpus size and per-doc lengths preserved. */
+    * token — corpus size and per-doc lengths preserved. Null-text docs
+    * are FILTERED (the typed tokenize kernel would NPE on a null
+    * string) — matching the oracle, where a NULL `toks` list unnests to
+    * zero rows and the doc silently vanishes from tf/dl/stats. */
   private[llm] def zipfTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.where(col("text").isNotNull).select(col("doc_id"),
       expr(s"transform($zipfTidSql, t -> concat('t', CAST(t AS STRING)))").as("toks"))
 
   /** The derived corpus as (doc_id, text) — drop-in for the documents
@@ -348,7 +351,7 @@ object TextOps extends QueryRegistry {
     * keeps a probe's postings join query-sized instead of dragging the
     * head-term lists in). */
   def zipfQueries(docs: DataFrame, qSel: org.apache.spark.sql.Column): DataFrame =
-    docs.where(qSel).select(col("doc_id"),
+    docs.where(qSel && col("text").isNotNull).select(col("doc_id"),
       expr(s"""array_join(transform(
         slice(reverse(array_sort(array_distinct($zipfTidSql))), 1, 4),
         t -> concat('t', CAST(t AS STRING))), ' ')""").as("text"))
