@@ -110,6 +110,29 @@ class IndexStoreSpec extends SparkSpec {
       s"cold probe must partition-prune the cell-partitioned artifact:\n$plan")
   }
 
+  test("append adds rows into the stored layout; compact defragments and preserves the row set") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_").toString
+    val path = s"$root/idx"
+    IndexStore.save(Seq((1L, 10), (2L, 11)).toDF("vid", "cell"), path,
+      Map("kind" -> "t"), Seq("cell"))
+    IndexStore.append(Seq((3L, 10)).toDF("vid", "cell"), path)
+    def rows() = IndexStore.load(spark, path).select("vid", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows() == Set((1L, 10), (2L, 11), (3L, 10)))
+    val before = IndexStore.dataFileCount(spark, path)
+    IndexStore.compact(spark, path)
+    assert(IndexStore.dataFileCount(spark, path) <= before)
+    assert(rows() == Set((1L, 10), (2L, 11), (3L, 10)))
+    // unpartitioned artifacts size by bytes (>= 1 file), rows preserved
+    val flat = s"$root/flat"
+    IndexStore.save(Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      flat, Map("kind" -> "t"))
+    IndexStore.compact(spark, flat)
+    assert(IndexStore.load(spark, flat).count() == 100)
+    assert(IndexStore.dataFileCount(spark, flat) >= 1)
+  }
+
   test("stage-and-swap promotes the staged artifact and drops the old one") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_swap_").toString
