@@ -27,12 +27,19 @@ object ColdRestart {
   private[graft] def bm25Queries(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
 
-  /** Rows present on exactly one side of a full outer join over every
-    * column — 0 means the frames are row-set identical. */
-  private[graft] def mismatches(a: DataFrame, b: DataFrame): Long =
-    a.withColumn("_m", lit(1))
-      .join(b.withColumn("_r", lit(1)), a.columns.toSeq, "full")
-      .where(col("_m").isNull || col("_r").isNull).count()
+  /** Distinct rows whose MULTIPLICITY differs between the frames — 0
+    * means multiset identity, not just set identity: a cold result that
+    * dropped one duplicate row and duplicated another would join clean
+    * on both sides of a plain full-outer join but fails the per-row
+    * count equality here (ADVICE r14). */
+  private[graft] def mismatches(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_ca"))
+    val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_cb"))
+    ga.join(gb, cols, "full")
+      .where(col("_ca").isNull || col("_cb").isNull || col("_ca") =!= col("_cb"))
+      .count()
+  }
 }
 
 /** JVM 1: build, persist, dump warm reference outputs. */

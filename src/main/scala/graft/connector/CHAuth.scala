@@ -88,24 +88,31 @@ object CHAuth {
   // tasks hit this on every partition read — the handshake context must
   // not be rebuilt per request, and can never be serialized)
 
-  // keyed on (path, mtime): a rotated CA certificate at the same path is
-  // re-read when the file changes instead of pinning the first cert for
-  // the executor's lifetime; superseded entries are evicted (one live
-  // factory per path)
-  private val caFactories = new ConcurrentHashMap[String, (Long, SSLSocketFactory)]()
+  // keyed on (path → content hash): a rotated CA certificate at the same
+  // path is re-read when the BYTES change, not just the mtime — mtime has
+  // second-or-coarser granularity on some filesystems, so a CA rotated
+  // twice within one tick (or swapped via an mtime-preserving rename)
+  // would pin a stale trust store for the executor's lifetime (ADVICE
+  // r14). PEM files are a few KB: one read + SHA-256 per request is
+  // noise next to the TLS handshake the cached factory avoids;
+  // superseded entries are evicted (one live factory per path)
+  private val caFactories = new ConcurrentHashMap[String, (String, SSLSocketFactory)]()
 
   /** Trust exactly the CA certificate(s) in the PEM file (the reference's
     * `cafile`); standard hostname verification still applies. */
   private[connector] def caFactory(pemPath: String): SSLSocketFactory = {
-    val mtime = new java.io.File(pemPath).lastModified()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pemPath))
+    val digest = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
     caFactories.compute(pemPath, (path, prev) =>
-      if (prev != null && prev._1 == mtime) prev
-      else (mtime, buildCaFactory(path)))._2
+      if (prev != null && prev._1 == digest) prev
+      else (digest, buildCaFactory(path, bytes)))._2
   }
 
-  private def buildCaFactory(path: String): SSLSocketFactory = {
+  private def buildCaFactory(path: String, pem: Array[Byte]): SSLSocketFactory = {
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
-      val in = new java.io.FileInputStream(path)
+      // parse the bytes the digest was computed over (no re-read TOCTOU)
+      val in = new java.io.ByteArrayInputStream(pem)
       val certs =
         try cf.generateCertificates(in)
         finally in.close()

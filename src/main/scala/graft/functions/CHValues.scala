@@ -527,7 +527,8 @@ object CHValues {
     }
     x = hashLen16(x, vf)
     y = hashLen16(y, wf)
-    (hashLen16(x + vs, ws) + y, hashLen16(x + ws, y + vs))
+    // 1.0.2 final combine: low half mixes w.first (1.1 switched to w.second)
+    (hashLen16(x + vs, wf) + y, hashLen16(x + ws, y + vs))
   }
 
   /** CityHash128 v1.0.2 as (low, high) — the per-frame checksum of

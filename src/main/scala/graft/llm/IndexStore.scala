@@ -249,7 +249,20 @@ object IndexStore {
     * against warm-session baselines; plans from different sessions must
     * not mix in one tree). Bounded by the certification contract — probe
     * outputs are |queries| × k, candidate sets fixture-bounded. */
+  /** Largest frame [[recreate]] may collect — certification results are
+    * |queries| × k probe outputs or fixture-bounded candidate sets, so a
+    * breach means a corpus-sized frame was handed to a certification
+    * helper by mistake. */
+  private[llm] val maxRecreateRows: Long = 1L << 20
+
   def recreate(target: SparkSession, df: DataFrame): DataFrame = {
+    // budget the collect loudly (the Dedup.contamination house style):
+    // count first, die with the contract named, never OOM inside collect
+    val n = df.count()
+    require(n <= maxRecreateRows,
+      s"IndexStore.recreate: frame carries $n rows, over the $maxRecreateRows " +
+        "maxRecreateRows budget — recreate is for certification-sized probe " +
+        "outputs, not corpus-scale frames")
     val rows = new java.util.ArrayList[Row]()
     df.collect().foreach(rows.add)
     target.createDataFrame(rows, df.schema)

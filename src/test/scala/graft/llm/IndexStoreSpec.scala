@@ -146,4 +146,10 @@ class IndexStoreSpec extends SparkSpec {
     assert(!new java.io.File(staged).exists())
     assert(!new java.io.File(live + ".old").exists())
   }
+
+  test("recreate dies loudly, with the budget named, on a corpus-sized frame") {
+    val big = spark.range((1L << 20) + 1).toDF("id")
+    val e = intercept[IllegalArgumentException] { IndexStore.recreate(spark, big) }
+    assert(e.getMessage.contains("maxRecreateRows"), e.getMessage)
+  }
 }

@@ -258,4 +258,33 @@ class SimilaritySpec extends SparkSpec {
     byBlob.foreach(cs => assert(cs.size === 1, s"blob split across $cs"))
     assert(byBlob.flatten.toSet.size === 3, "blobs collapsed into one cluster")
   }
+
+  test("bruteForceTopK dies loudly, with the budget named, on a corpus-sized query frame") {
+    import spark.implicits._
+    // a mis-carved "query" frame over the budget must fail BEFORE the
+    // driver collect, naming the knob — not OOM inside collect()
+    val big = spark.range(Similarity.maxQueryBatch.toLong + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("embedding"))
+    val corpus = Seq((0L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, big, 1)
+    }
+    assert(e.getMessage.contains("maxQueryBatch"), e.getMessage)
+  }
+
+  test("pqScan tiles the query batch: per-tile LUT gather is bounded, results unchanged") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = rows(Similarity.pqTopK(emb, queries, 5))
+    // a tiny tile forces the multi-tile path (several codes scans, one
+    // bounded LUT gather per tile); per-query results must be identical
+    // because each query lives in exactly one tile
+    val tiled =
+      try { Similarity.pqLutTile = 4; rows(Similarity.pqTopK(emb, queries, 5)) }
+      finally Similarity.pqLutTile = 4096
+    assert(tiled === whole)
+  }
 }
