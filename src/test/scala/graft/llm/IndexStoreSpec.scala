@@ -147,6 +147,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(!new java.io.File(live + ".old").exists())
   }
 
+  test("swap killed at every crash window still serves one complete artifact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash_").toString
+    val live = s"$root/live"
+    IndexStore.save(Seq((1L, "g1")).toDF("id", "v"), live, Map("gen" -> "1"))
+
+    // window 1: staged generation renamed in, pointer NOT yet flipped —
+    // resolution must keep serving the OLD generation
+    IndexStore.save(Seq((2L, "g2")).toDF("id", "v"), s"$root/staged1", Map("gen" -> "2"))
+    IndexStore.swapHookBeforeFlip = () => throw new RuntimeException("boom-before-flip")
+    try intercept[RuntimeException](IndexStore.swap(spark, s"$root/staged1", live))
+    finally IndexStore.swapHookBeforeFlip = () => ()
+    assert(IndexStore.readMeta(spark, live)("gen") == "1")
+    assert(IndexStore.load(spark, live).select("id").as[Long].collect().toSeq == Seq(1L))
+
+    // recovery = re-stage and re-swap (never reconstructs); the orphaned
+    // crashed generation is garbage-collected by the successful swap
+    IndexStore.save(Seq((2L, "g2")).toDF("id", "v"), s"$root/staged2", Map("gen" -> "2"))
+    IndexStore.swap(spark, s"$root/staged2", live)
+    assert(IndexStore.readMeta(spark, live)("gen") == "2")
+
+    // window 2: killed INSIDE the pointer flip (old pointer deleted, new
+    // one not yet renamed in) — resolution falls back to the highest
+    // complete generation, the new one, already fully renamed in
+    IndexStore.save(Seq((3L, "g3")).toDF("id", "v"), s"$root/staged3", Map("gen" -> "3"))
+    IndexStore.swapHookMidFlip = () => throw new RuntimeException("boom-mid-flip")
+    try intercept[RuntimeException](IndexStore.swap(spark, s"$root/staged3", live))
+    finally IndexStore.swapHookMidFlip = () => ()
+    assert(IndexStore.readMeta(spark, live)("gen") == "3")
+    assert(IndexStore.load(spark, live).select("id").as[Long].collect().toSeq == Seq(3L))
+
+    // a further normal swap over the crashed-pointer state heals it
+    IndexStore.save(Seq((4L, "g4")).toDF("id", "v"), s"$root/staged4", Map("gen" -> "4"))
+    IndexStore.swap(spark, s"$root/staged4", live)
+    assert(IndexStore.readMeta(spark, live)("gen") == "4")
+    assert(IndexStore.load(spark, live).select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("save over a previously-swapped root replaces the artifact whole") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_resave_").toString
+    val live = s"$root/live"
+    IndexStore.save(Seq((1L, "a")).toDF("id", "v"), live, Map("gen" -> "1"))
+    IndexStore.save(Seq((2L, "b")).toDF("id", "v"), s"$root/st", Map("gen" -> "2"))
+    IndexStore.swap(spark, s"$root/st", live)
+    // root is versioned now; a fresh save must win over the old pointer
+    IndexStore.save(Seq((3L, "c")).toDF("id", "v"), live, Map("gen" -> "3"))
+    assert(IndexStore.readMeta(spark, live)("gen") == "3")
+    assert(IndexStore.load(spark, live).select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("recreate dies loudly, with the budget named, on a corpus-sized frame") {
     val big = spark.range((1L << 20) + 1).toDF("id")
     val e = intercept[IllegalArgumentException] { IndexStore.recreate(spark, big) }

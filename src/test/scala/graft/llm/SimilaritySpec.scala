@@ -259,6 +259,17 @@ class SimilaritySpec extends SparkSpec {
     assert(byBlob.flatten.toSet.size === 3, "blobs collapsed into one cluster")
   }
 
+  test("streamed IVF ingest: live engine converges and the probe meets the recall contract") {
+    // the x_stream_ivf_ingest builder drives 4 micro-batches through the
+    // REAL streaming engine with probe-then-merge; its in-engine requires
+    // gate streamed ≡ direct assignment and that live probes ran — this
+    // drive surfaces those requires as a spec failure, and the output row
+    // must satisfy the recall contract
+    val r = graft.SparkEntry.queries("x_stream_ivf_ingest")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
   test("bruteForceTopK dies loudly, with the budget named, on a corpus-sized query frame") {
     import spark.implicits._
     // a mis-carved "query" frame over the budget must fail BEFORE the

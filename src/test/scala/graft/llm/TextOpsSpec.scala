@@ -253,4 +253,27 @@ class TextOpsSpec extends SparkSpec {
     assert(enc(2L) === 6L)  // 2 × [low,e,r]
     assert(enc(3L) === 3L)  // 3 × [aaaa]
   }
+
+  test("streamed BM25 ingest: live engine converges; final probe equals the warm rebuild") {
+    // the x_stream_bm25_ingest builder drives 4 micro-batches through the
+    // REAL streaming engine (probe-then-merge, per-merge localCheckpoints);
+    // its in-engine requires gate postings row-set identity + integer
+    // scalar equality vs the direct build. The final probe must be
+    // value-identical to scoring through the directly-built corpus state.
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val streamed = graft.SparkEntry.queries("x_stream_bm25_ingest")(spark, sf001)
+    val p = TextOps.bm25Postings(docs.where(col("doc_id") % 5 =!= 0))
+    val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+      .collect()(0)
+    val qTerms = TextOps.bm25Postings(
+      docs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000))
+      .select(col("doc_id").as("query_id"), col("term"))
+    val direct = TextOps.bm25Score(p, ts, r0.getLong(0), r0.getLong(1), qTerms, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(streamed) === rows(direct))
+  }
 }
