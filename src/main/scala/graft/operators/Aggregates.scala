@@ -443,14 +443,22 @@ object Aggregates extends QueryRegistry {
     QueryDef(
       "b_agg33_weighted_median",
       (s, d) => {
-        val spectrum = t(s, d, "lineitem")
-          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .agg(sum(col("l_quantity").cast("double")).as("w"))
-          .localCheckpoint() // one corpus pass feeds totals + prefix sum + range sampling
-        val tot = spectrum.groupBy(col("l_returnflag"))
-          .agg(sum(col("w")).as("tot"))
-        Spectrum.withRunningSum(spectrum, Seq("l_returnflag"), "v", "w", "cum")
-          .join(broadcast(tot), "l_returnflag")
+        // fused spectrum build + walk (r15): ONE corpus range shuffle —
+        // the (flag, v) aggregate rides the range exchange and the
+        // cumulative is a streaming per-partition pass. The checkpoint
+        // materializes the walked spectrum once; totals come off it as
+        // max(cum) per flag (the running sum is inclusive, so its last
+        // value IS the total — no second corpus pass)
+        val cum = Spectrum.aggregateWithRunningSums(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+              col("l_quantity").cast("double").as("q")),
+          Seq("l_returnflag"), "v",
+          Seq((sum(col("q")), "w")), Seq("w" -> "cum"))
+          .localCheckpoint()
+        val tot = cum.groupBy(col("l_returnflag"))
+          .agg(max(col("cum")).as("tot"))
+        cum.join(broadcast(tot), "l_returnflag")
           .where(col("cum") >= col("tot") / 2)
           .groupBy(col("l_returnflag"))
           .agg(min(col("v")).as("wmedian"))

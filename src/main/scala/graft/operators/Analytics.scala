@@ -892,20 +892,27 @@ object Analytics extends QueryRegistry {
     QueryDef(
       "b_agg31_ks_test",
       (s, d) => {
-        val pts = t(s, d, "lineitem")
-          .where(col("l_returnflag").isin("A", "R"))
-          .groupBy(col("l_extendedprice").as("x"))
-          .agg(
-            sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ca"),
-            sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("cr"))
-        val tot = pts.agg(
-          sum(col("ca")).cast("double").as("na"),
-          sum(col("cr")).cast("double").as("nr"))
         // both empirical CDFs ride ONE distributed prefix-sum over the
         // value spectrum (keyless → a plain window would serialize on a
-        // single task; counts are integers so reordering is exact)
-        Spectrum.withRunningSums(pts, Nil, "x", Seq("ca" -> "cum_a", "cr" -> "cum_r"))
-          .crossJoin(tot)
+        // single task; counts are integers so reordering is exact), and
+        // the spectrum aggregate itself rides the same range exchange
+        // (r15 fusion). The checkpoint materializes the walked spectrum
+        // once; the totals are its LAST cumulative values (max — the
+        // running sum is inclusive), so no second corpus pass
+        val cum = Spectrum.aggregateWithRunningSums(
+          t(s, d, "lineitem")
+            .where(col("l_returnflag").isin("A", "R"))
+            .select(col("l_extendedprice").as("x"), col("l_returnflag")),
+          Nil, "x",
+          Seq(
+            (sum(when(col("l_returnflag") === "A", 1).otherwise(0)), "ca"),
+            (sum(when(col("l_returnflag") === "R", 1).otherwise(0)), "cr")),
+          Seq("ca" -> "cum_a", "cr" -> "cum_r"))
+          .localCheckpoint()
+        val tot = cum.agg(
+          max(col("cum_a")).cast("double").as("na"),
+          max(col("cum_r")).cast("double").as("nr"))
+        cum.crossJoin(tot)
           .select((col("cum_a") / col("na") - col("cum_r") / col("nr")).as("diff"))
           .agg(round(max(abs(col("diff"))), 6).as("ks"))
       },
@@ -954,14 +961,20 @@ object Analytics extends QueryRegistry {
         // pure overhead.
         def avgRank(valueCol: String, cntName: String, rankName: String,
             corpusSized: Boolean) = {
-          val grouped = pairs.groupBy(col("f"), col(valueCol))
-            .agg(sum(col("c")).as(cntName))
+          // corpus-sized spectra fuse the marginal aggregate INTO the
+          // range exchange (r15): one shuffle of the joint spectrum
+          // instead of a hash shuffle + a range shuffle
           if (corpusSized)
-            Spectrum.withRunningSum(grouped, Seq("f"), valueCol, cntName, "ch_cum_")
+            Spectrum.aggregateWithRunningSums(
+              pairs.select(col("f"), col(valueCol), col("c")),
+              Seq("f"), valueCol,
+              Seq((sum(col("c")), cntName)), Seq(cntName -> "ch_cum_"))
               .select(col("f"), col(valueCol),
                 (col("ch_cum_") - col(cntName) + (col(cntName) + 1) / 2.0)
                   .as(rankName))
           else {
+            val grouped = pairs.groupBy(col("f"), col(valueCol))
+              .agg(sum(col("c")).as(cntName))
             val W = org.apache.spark.sql.expressions.Window
             val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
               .rowsBetween(W.unboundedPreceding, 0)

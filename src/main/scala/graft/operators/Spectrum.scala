@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributed running totals over a value spectrum — the two-phase
   * prefix-sum that replaces `Window.orderBy(v)` with NO partition spec
@@ -12,11 +13,22 @@ import org.apache.spark.sql.functions._
   * sorted-aggregation core instead).
   *
   * Shape: range-partition by the order column (a global sort boundary,
-  * same shuffle a global window needs anyway), cumulative-sum WITHIN each
-  * range in parallel, then add each partition's starting offset — the
-  * offsets come from a #partitions-sized frame (bounded, broadcast).
-  * Results are bit-identical to the single-task global window; wall-clock
-  * parallelism is #partitions instead of 1.
+  * same shuffle a global window needs anyway), local sort + ONE streaming
+  * cumulative pass WITHIN each range in parallel, then add each
+  * partition's starting offset — the offsets come from a
+  * #partitions-sized frame (bounded, broadcast). Results are bit-identical
+  * to the single-task global window; wall-clock parallelism is
+  * #partitions instead of 1.
+  *
+  * r15: the in-partition cumulative used to be a window partitioned on
+  * (__pid, partCols) — which re-SHUFFLED the whole spectrum on those
+  * keys (Catalyst cannot know __pid already equals the physical
+  * partition id). It is now a `sortWithinPartitions` + `mapPartitions`
+  * streaming pass: zero exchanges after the range shuffle. And
+  * [[aggregateWithRunningSums]] builds the spectrum itself ON the range
+  * exchange — `RangePartitioning(partCols :+ orderCol)` satisfies the
+  * group-by's clustered distribution, so the usual
+  * `groupBy(...).agg(...)` hash shuffle before the walk disappears too.
   */
 object Spectrum {
 
@@ -40,14 +52,63 @@ object Spectrum {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val pc = partCols.map(col)
-    // both the offsets pass and the final pass hang off the SAME
-    // repartitionByRange subtree: Spark's ReuseExchange computes the
-    // range shuffle once and both branches read identical partition ids
-    // from it (RangePartitioner sampling is seed-deterministic, and an
-    // explicit numPartitions keeps AQE from re-coalescing either read)
-    val ranged = df.repartitionByRange(n, pc :+ col(orderCol): _*)
-    val withPid = ranged.withColumn("__pid", spark_partition_id())
-    // #partitions × #groups-crossing rows — the only narrow window left
+    // an explicit numPartitions keeps AQE from re-coalescing the range
+    // partitions after __pid is computed
+    runningSumsRanged(df.repartitionByRange(n, pc :+ col(orderCol): _*),
+      partCols, orderCol, sums)
+  }
+
+  def withRunningSum(
+      df: DataFrame, partCols: Seq[String], orderCol: String,
+      sumCol: String, outCol: String): DataFrame =
+    withRunningSums(df, partCols, orderCol, Seq(sumCol -> outCol))
+
+  def withRunningSum(
+      df: DataFrame, orderCol: String, sumCol: String, outCol: String): DataFrame =
+    withRunningSums(df, Nil, orderCol, Seq(sumCol -> outCol))
+
+  /** Build the distinct-(partCols, orderCol) SPECTRUM and its running
+    * sums from ONE corpus shuffle: range-partition the RAW rows, then
+    * aggregate on that exchange — `RangePartitioning` over exactly the
+    * grouping columns satisfies the aggregate's clustered distribution,
+    * so Catalyst inserts no second exchange — then walk. The fused form
+    * of `df.groupBy(part, order).agg(...)` + [[withRunningSums]], which
+    * pays a corpus hash shuffle AND a spectrum range shuffle.
+    *
+    * @param aggs spectrum measures as (aggregate expression, out name)
+    * @param sums running sums over those measures, (measure, out name)
+    */
+  def aggregateWithRunningSums(
+      raw: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      aggs: Seq[(Column, String)],
+      sums: Seq[(String, String)]): DataFrame = {
+    val spark = raw.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pc = partCols.map(col)
+    val ranged = raw.repartitionByRange(n, pc :+ col(orderCol): _*)
+    val named = aggs.map { case (e, nm) => e.as(nm) }
+    val spec = ranged.groupBy(pc :+ col(orderCol): _*).agg(named.head, named.tail: _*)
+    runningSumsRanged(spec, partCols, orderCol, sums)
+  }
+
+  /** The walk over an already-range-partitioned spectrum: per-partition
+    * offsets from a bounded aggregate (map-side partials make its
+    * exchange #partitions × #groups rows), broadcast back, then a local
+    * sort + one JIT-friendly streaming accumulation per partition —
+    * bit-identical to the global window (same ascending add order; the
+    * offset lands in one final add, exactly where the old
+    * `off + sum().over(window)` added it). */
+  private def runningSumsRanged(
+      spec: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      sums: Seq[(String, String)]): DataFrame = {
+    val pc = partCols.map(col)
+    val withPid = spec.withColumn("__pid", spark_partition_id())
+    // #partitions × #groups-crossing rows — the only window left, over a
+    // bounded frame
     val offW =
       (if (partCols.isEmpty) Window.orderBy(col("__pid"))
        else Window.partitionBy(pc: _*).orderBy(col("__pid")))
@@ -59,20 +120,54 @@ object Spectrum {
         (col("__pid") +: pc) ++ sums.map { case (s, _) =>
           coalesce(sum(col(s"__psum_$s")).over(offW), lit(0)).as(s"__off_$s")
         }: _*)
-    val inPart = Window.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    sums.foldLeft(withPid.join(broadcast(offsets), "__pid" +: partCols)) {
-      case (acc, (s, out)) =>
-        acc.withColumn(out, col(s"__off_$s") + sum(col(s)).over(inPart))
-    }.drop("__pid" +: sums.map { case (s, _) => s"__off_$s" }: _*)
+    // broadcast join is narrow: the streamed side keeps the range
+    // partitions (and __pid stays the physical partition id — everything
+    // from the exchange to the streaming pass is one stage)
+    val joined = withPid.join(broadcast(offsets), "__pid" +: partCols)
+    val sorted = joined.sortWithinPartitions(pc :+ col(orderCol): _*)
+    val inSchema = sorted.schema
+    val nSums = sums.size
+    val sumIdx = sums.map { case (s, _) => inSchema.fieldIndex(s) }.toArray
+    val offIdx = sums.map { case (s, _) => inSchema.fieldIndex(s"__off_$s") }.toArray
+    val pcIdx = partCols.map(inSchema.fieldIndex).toArray
+    val isLong = sumIdx.map { i =>
+      inSchema(i).dataType match {
+        case LongType => true
+        case DoubleType => false
+        case other => throw new IllegalArgumentException(
+          s"Spectrum running sums support long/double measures, got $other " +
+            s"for ${inSchema(i).name} — cast the measure first")
+      }
+    }
+    val outSchema = StructType(inSchema.fields ++ sums.zipWithIndex.map {
+      case ((s, out), i) => StructField(out, inSchema(sumIdx(i)).dataType, nullable = true)
+    })
+    val cum = sorted.mapPartitions { it =>
+      val accL = new Array[Long](nSums)
+      val accD = new Array[Double](nSums)
+      var curKey: Seq[Any] = null
+      var first = true
+      it.map { row =>
+        val key = pcIdx.toSeq.map(row.get)
+        if (first || key != curKey) {
+          curKey = key; first = false
+          java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
+        }
+        val outs = new Array[Any](nSums)
+        var i = 0
+        while (i < nSums) {
+          if (isLong(i)) {
+            if (!row.isNullAt(sumIdx(i))) accL(i) += row.getLong(sumIdx(i))
+            outs(i) = accL(i) + row.getLong(offIdx(i))
+          } else {
+            if (!row.isNullAt(sumIdx(i))) accD(i) += row.getDouble(sumIdx(i))
+            outs(i) = accD(i) + row.getDouble(offIdx(i))
+          }
+          i += 1
+        }
+        Row.fromSeq(row.toSeq ++ outs)
+      }
+    }(Encoders.row(outSchema))
+    cum.drop("__pid" +: sums.map { case (s, _) => s"__off_$s" }: _*)
   }
-
-  def withRunningSum(
-      df: DataFrame, partCols: Seq[String], orderCol: String,
-      sumCol: String, outCol: String): DataFrame =
-    withRunningSums(df, partCols, orderCol, Seq(sumCol -> outCol))
-
-  def withRunningSum(
-      df: DataFrame, orderCol: String, sumCol: String, outCol: String): DataFrame =
-    withRunningSums(df, Nil, orderCol, Seq(sumCol -> outCol))
 }

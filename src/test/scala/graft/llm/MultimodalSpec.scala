@@ -25,6 +25,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash(Array[Byte](42)) === Multimodal.aHash(Array[Byte](42)))
   }
 
+  private def golden(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/llm/$name")
+    require(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("real image codec: golden PNG bytes decode, hash and resize to pinned values") {
+    // checked-in bytes — a JDK ImageIO regression (or any change to the
+    // luma-grid / fit-to-box kernels) fails these exact pins
+    val a = golden("golden_24x16_seed5.png")
+    val b = golden("golden_48x20_seed11.png")
+    assert(Multimodal.decodeLumaGrid(a)._1 === 24)
+    assert(Multimodal.decodeLumaGrid(a)._2 === 16)
+    assert(Multimodal.aHashImage(a) === -3110627432037297068L)
+    assert(Multimodal.aHashImage(b) === -3906369333256140343L)
+    assert(Multimodal.resizeImage(a, 32) === ((24, 16, 24, 16))) // fits: untouched
+    assert(Multimodal.resizeImage(b, 32) === ((48, 20, 32, 13))) // 48x20 -> 32x13
+    // the synthesizer is byte-deterministic: regenerating the golden
+    // seeds reproduces the checked-in files exactly
+    assert(Multimodal.encodePng(24, 16, 5L).toSeq === a.toSeq)
+    assert(Multimodal.encodePng(48, 20, 11L).toSeq === b.toSeq)
+  }
+
+  test("real image codec: identical rasters collide, pixel edits move the hash only slightly") {
+    val base = Multimodal.encodePng(24, 16, 7L)
+    assert(Multimodal.aHashImage(base) === Multimodal.aHashImage(Multimodal.encodePng(24, 16, 7L)))
+    // different seed = structurally different raster, far-away hash
+    val other = Multimodal.encodePng(24, 16, 8L)
+    assert(Multimodal.aHashImage(base) !== Multimodal.aHashImage(other))
+    // a small LOCAL pixel edit (re-encode with one corner cell biased)
+    // flips at most a couple of grid bits — the perceptual property
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, 0xffffff)
+    img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(hamming(Multimodal.aHashImage(base), Multimodal.aHashImage(bos.toByteArray)) <= 6)
+  }
+
   test("phash dedup query finds exactly the injected twins") {
     val out = graft.SparkEntry.queries("x_mm_phash_dedup")(spark, sf001)
       .collect()

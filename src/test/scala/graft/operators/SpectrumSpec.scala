@@ -22,9 +22,47 @@ class SpectrumSpec extends SparkSpec {
     val df = spark.range(1000).select($"id".as("v"), lit(1L).as("c"))
     val plan = Spectrum.withRunningSum(df, "v", "c", "cum")
       .queryExecution.executedPlan.toString
-    // the data-sized window must carry a partition spec; only the
-    // #partitions-sized offsets frame may sort globally
+    // only the #partitions-sized offsets frame may carry a window (it
+    // orders by __pid); the data-sized cumulative is a streaming
+    // per-partition pass — NO window, NO exchange after the range
     val dataWindows = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(dataWindows.exists(_.contains("__pid")), plan)
+    assert(dataWindows.forall(_.contains("__pid")), plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
+  test("grouped fused spectrum (aggregate + walk) is bit-identical to groupBy + global window") {
+    // double measures, grouped: the r15 fused path (aggregate riding the
+    // range exchange, streaming cumulative) vs the naive reference shape
+    val raw = (1 to 2000).map { i =>
+      (Seq("a", "b", "c")(i % 3), (i * 7 % 211).toDouble, (i % 5 + 1).toDouble)
+    }.toDF("g", "v", "w")
+    val viaGlobal = raw.groupBy($"g", $"v").agg(sum($"w").as("cw"))
+      .withColumn("cum", sum($"cw").over(
+        Window.partitionBy($"g").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val fused = Spectrum.aggregateWithRunningSums(
+      raw, Seq("g"), "v", Seq((sum($"w"), "cw")), Seq("cw" -> "cum"))
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(fused === viaGlobal)
+  }
+
+  test("fused spectrum keeps ONE data-sized exchange (the range shuffle)") {
+    val raw = spark.range(4000)
+      .select(($"id" % 3).cast("string").as("g"), ($"id" % 211).as("v"), lit(1L).as("c"))
+    val plan = Spectrum.aggregateWithRunningSums(
+      raw, Seq("g"), "v", Seq((sum($"c"), "cnt")), Seq("cnt" -> "cum"))
+      .queryExecution.executedPlan.toString
+    // the aggregate must ride the range exchange: no hash exchange may
+    // carry spectrum rows, and spectrum rows are the only ones keyed by
+    // the order column — so no hashpartitioning may mention v. (The
+    // offsets branch keeps its bounded exchanges: groups on __pid after
+    // map-side partials, and the #partitions × #groups window on g.)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("(v#") && !l.contains(" v#")),
+      s"a spectrum-sized hash exchange crept back in:\n$plan")
+    assert(plan.contains("rangepartitioning"), plan)
   }
 }
