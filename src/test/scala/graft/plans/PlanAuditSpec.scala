@@ -140,19 +140,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("few-group spectrum walks stay width-parallel (round-9 policy)") {
-    // b_agg33/b_agg34's corpus-sized spectrum walks must ride Spectrum's
-    // RANGE partitioning — a window partitioned only on l_returnflag
-    // would cap the walk at 3 tasks, the 100-TB serialization hazard the
-    // round-9 change removed. The range exchange carries the ordering
-    // column; the per-group window that remains runs inside the range
-    // partitions (partition spec includes __pid).
+    // the corpus-sized spectrum walks must ride Spectrum's RANGE
+    // partitioning — a window partitioned only on l_returnflag would cap
+    // the walk at 3 tasks, the 100-TB serialization hazard the round-9
+    // change removed. r15: the walk's in-partition cumulative became a
+    // streaming mapPartitions pass (no window at all) and b_agg33
+    // materializes the walked spectrum (localCheckpoint), so its FINAL
+    // plan reads the checkpoint RDD; the range-exchange + no-spectrum-
+    // sized-hash-exchange pins for the walk itself live in SpectrumSpec.
+    // b_agg34's walk stays in-plan (its spectrum is not checkpointed).
+    val p34 = plan("b_agg34_spearman")
+    assert(p34.toLowerCase.contains("rangepartitioning"),
+      s"b_agg34 lost the range-partitioned prefix sum:\n$p34")
+    assert(p34.contains("__pid"),
+      s"b_agg34 lost the partition-offset composition:\n$p34")
     for (q <- Seq("b_agg33_weighted_median", "b_agg34_spearman")) {
       val p = plan(q)
-      assert(p.toLowerCase.contains("rangepartitioning"),
-        s"$q lost the range-partitioned prefix sum:\n$p")
-      assert(p.contains("__pid"),
-        s"$q lost the partition-offset composition:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      // no data-sized window may sneak back in (the pre-round-9 shape):
+      // the only windows allowed are Spectrum's bounded offsets frames
+      // (keyed by __pid) and b_agg34's DOMAIN-BOUNDED l_quantity
+      // marginal (≤150 spectrum rows at ANY corpus size — the round-9
+      // policy keeps its plain per-flag window on purpose)
+      val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.forall(w => w.contains("__pid") || w.contains("q#")),
+        s"$q grew a data-sized window:\n$p")
     }
   }
 }
