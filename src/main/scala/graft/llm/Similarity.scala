@@ -519,9 +519,6 @@ object Similarity extends QueryRegistry {
 
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
-    val nQ = q.count()
-    if (nQ == 0L) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
-    val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
 
     // distributed LUT build: one JIT'd pass over the query frame,
     // codebooks broadcast — the only model state any executor holds
@@ -550,16 +547,32 @@ object Similarity extends QueryRegistry {
       .toDF("qid", "lut")
     val s = shortlistFactor * k
 
-    val tileShortlists = (0 until tiles).flatMap { tileIdx =>
-      val rows = lutDf
-        .where(pmod(hash(col("qid")), lit(tiles)) === tileIdx)
-        .as[(Long, Array[Double])].collect()
-      // hash-tiling over DISTINCT qids keeps tiles near pqLutTile; a 4×
-      // breach means duplicate/adversarial qids — die with the contract
-      // named, not an executor OOM inside the heap scan
-      require(rows.length <= pqLutTile.toLong * 4,
-        s"pqScan: tile $tileIdx carries ${rows.length} queries, over 4× the " +
-          s"$pqLutTile-query tile budget — query vec_ids must be distinct")
+    // fast path: one bounded collect when the whole batch fits a tile
+    // (the common probe-batch case — no count job, no second LUT pass);
+    // otherwise count and hash-tile
+    val firstTile = lutDf.limit(pqLutTile + 1).as[(Long, Array[Double])].collect()
+    if (firstTile.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val tileSets: Seq[Array[(Long, Array[Double])]] =
+      if (firstTile.length <= pqLutTile) Seq(firstTile)
+      else {
+        val nQ = q.count()
+        val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
+        (0 until tiles).map { tileIdx =>
+          val rows = lutDf
+            .where(pmod(hash(col("qid")), lit(tiles)) === tileIdx)
+            .as[(Long, Array[Double])].collect()
+          // hash-tiling over DISTINCT qids keeps tiles near pqLutTile; a
+          // 4× breach means duplicate/adversarial qids — die with the
+          // contract named, not an executor OOM inside the heap scan
+          require(rows.length <= pqLutTile.toLong * 4,
+            s"pqScan: tile $tileIdx carries ${rows.length} queries, over 4× the " +
+              s"$pqLutTile-query tile budget — query vec_ids must be distinct")
+          rows
+        }
+      }
+
+    val tileShortlists = tileSets.flatMap { rows =>
       if (rows.isEmpty) None
       else {
         val qids = rows.map(_._1)

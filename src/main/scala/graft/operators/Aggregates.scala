@@ -445,19 +445,18 @@ object Aggregates extends QueryRegistry {
       (s, d) => {
         // fused spectrum build + walk (r15): ONE corpus range shuffle —
         // the (flag, v) aggregate rides the range exchange and the
-        // cumulative is a streaming per-partition pass. The checkpoint
-        // materializes the walked spectrum once; totals come off it as
-        // max(cum) per flag (the running sum is inclusive, so its last
-        // value IS the total — no second corpus pass)
+        // cumulative is a streaming per-partition pass. Totals come from
+        // a plain 3-group aggregate over the raw rows (partial-agg, no
+        // groupBy-by-value, no checkpoint — a per-rep localCheckpoint
+        // write cost more than the duplicate subtree it saved)
+        val raw = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+            col("l_quantity").cast("double").as("q"))
         val cum = Spectrum.aggregateWithRunningSums(
-          t(s, d, "lineitem")
-            .select(col("l_returnflag"), col("l_extendedprice").as("v"),
-              col("l_quantity").cast("double").as("q")),
-          Seq("l_returnflag"), "v",
+          raw, Seq("l_returnflag"), "v",
           Seq((sum(col("q")), "w")), Seq("w" -> "cum"))
-          .localCheckpoint()
-        val tot = cum.groupBy(col("l_returnflag"))
-          .agg(max(col("cum")).as("tot"))
+        val tot = raw.groupBy(col("l_returnflag"))
+          .agg(sum(col("q")).as("tot"))
         cum.join(broadcast(tot), "l_returnflag")
           .where(col("cum") >= col("tot") / 2)
           .groupBy(col("l_returnflag"))

@@ -896,22 +896,22 @@ object Analytics extends QueryRegistry {
         // value spectrum (keyless → a plain window would serialize on a
         // single task; counts are integers so reordering is exact), and
         // the spectrum aggregate itself rides the same range exchange
-        // (r15 fusion). The checkpoint materializes the walked spectrum
-        // once; the totals are its LAST cumulative values (max — the
-        // running sum is inclusive), so no second corpus pass
+        // (r15 fusion). Totals come from a plain scan-and-count over the
+        // raw rows — one partial-agg pass, no groupBy, no checkpoint (a
+        // per-rep localCheckpoint write cost more than the duplicate
+        // subtree it saved)
+        val raw = t(s, d, "lineitem")
+          .where(col("l_returnflag").isin("A", "R"))
+          .select(col("l_extendedprice").as("x"), col("l_returnflag"))
         val cum = Spectrum.aggregateWithRunningSums(
-          t(s, d, "lineitem")
-            .where(col("l_returnflag").isin("A", "R"))
-            .select(col("l_extendedprice").as("x"), col("l_returnflag")),
-          Nil, "x",
+          raw, Nil, "x",
           Seq(
             (sum(when(col("l_returnflag") === "A", 1).otherwise(0)), "ca"),
             (sum(when(col("l_returnflag") === "R", 1).otherwise(0)), "cr")),
           Seq("ca" -> "cum_a", "cr" -> "cum_r"))
-          .localCheckpoint()
-        val tot = cum.agg(
-          max(col("cum_a")).cast("double").as("na"),
-          max(col("cum_r")).cast("double").as("nr"))
+        val tot = raw.agg(
+          sum(when(col("l_returnflag") === "A", 1).otherwise(0)).cast("double").as("na"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("nr"))
         cum.crossJoin(tot)
           .select((col("cum_a") / col("na") - col("cum_r") / col("nr")).as("diff"))
           .agg(round(max(abs(col("diff"))), 6).as("ks"))
