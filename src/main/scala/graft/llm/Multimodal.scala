@@ -253,6 +253,152 @@ object Multimodal extends QueryRegistry {
     (w, h, back.getWidth, back.getHeight)
   }
 
+  // ---- REAL audio codec path (the audio mirror of the ImageIO work
+  // above): the decode step is javax.sound.sampled — in-JDK, no
+  // external libs. WAV payloads are SYNTHESIZED deterministically per
+  // doc (integer PCM16 samples, so the energy math is replayable by
+  // the SQL oracle to the last bit), then REALLY DECODED: the frame
+  // energies are computed from samples that round-tripped through the
+  // JDK's WAV writer and reader, not from the synthesis formula.
+  // MultimodalSpec pins golden vectors over checked-in WAV bytes.
+
+  // ---- REAL video path: no in-JDK video codec exists, so the
+  // container is the simplest real one — length-prefixed PNG frames
+  // (motion-PNG), every frame REALLY ENCODED and REALLY DECODED by
+  // ImageIO. Scene structure is synthesized so the cut positions are
+  // SQL-replayable while the detection itself runs on decoded pixels:
+  // frames within a scene are byte-identical (same seed), scenes
+  // alternate a ±160 gray base under a ±16 texture, so the luma-mean
+  // delta is exactly 0 within a scene and ≥ 128 across a boundary —
+  // the > 50 threshold can never misfire on codec-exact PNG pixels.
+
+  /** Gray-base + texture raster: every channel carries the same value
+    * (so Rec. 601 luma ≡ the stored byte), base `g`, texture in
+    * [-16, 16] from `seed` — equal (dims, g, seed) give byte-identical
+    * PNGs (one JDK encoder). */
+  def encodeGrayPng(w: Int, h: Int, g: Int, seed: Long): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val t = (((seed * 1315423911L + x * 2654435761L + y * 97531L) >>> 16) % 33L - 16L).toInt
+        val v = math.max(0, math.min(255, g + t))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic motion-PNG container for one doc: `nFrames` frames,
+    * scene length `sceneLen`, scene s drawn at gray base 32 + 160·(s%2)
+    * with seed (doc-class, s) — each frame a real PNG behind a 4-byte
+    * big-endian length prefix. */
+  def encodeVideo(docId: Long, nFrames: Int, sceneLen: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < nFrames) {
+      val scene = f / sceneLen
+      val png = encodeGrayPng(16, 12, 32 + 160 * (scene % 2), docId % 23 * 100 + scene)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL container demux + per-frame decode: split on the length
+    * prefixes, ImageIO-decode every frame, return each frame's mean
+    * luminance over ALL pixels (gray rasters ⇒ luma ≡ the stored byte;
+    * PNG is lossless, so the means are codec-exact doubles). */
+  def decodeVideoLumas(bytes: Array[Byte]): Array[Double] = {
+    imageIoInit
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      require(len > 0 && len <= in.available(),
+        s"decodeVideoLumas: corrupt frame length $len")
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, "decodeVideoLumas: undecodable frame bytes")
+      var s = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      lumas += s / (img.getWidth * img.getHeight)
+    }
+    lumas.toArray
+  }
+
+  private val wavRate = 8000f
+
+  /** Deterministic sample stream: integer arithmetic only, every term
+    * bounded far below 2^63 so the SQL oracle's BIGINT replay is exact
+    * (no wrap anywhere). Range [-2048, 2047] — squares fit easily. */
+  def pcmSample(seed: Long, i: Long): Int =
+    ((((seed * 1315423911L + i * 2654435761L) >>> 16) % 4096L) - 2048L).toInt
+
+  /** Deterministic small WAV: `n` PCM16 mono little-endian samples from
+    * [[pcmSample]], encoded by the JDK's real WAV writer — equal
+    * (seed, n) give byte-identical files. */
+  def encodeWav(n: Int, seed: Long): Array[Byte] = {
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcmSample(seed, i)
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(wavRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: WAV bytes → signed 16-bit samples via the JDK's audio
+    * reader (format read from the container header, loud on anything
+    * but PCM16 mono — payloads without a registered codec stay the
+    * opaque-byte rows' case). */
+  def decodePcm16(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"decodePcm16: expected PCM16 mono, got $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < n) { out(i) = ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toShort.toInt; i += 1 }
+    else
+      while (i < n) { out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toInt; i += 1 }
+    out
+  }
+
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   val defs: Seq[QueryDef] = Seq(
@@ -344,6 +490,45 @@ object Multimodal extends QueryRegistry {
              |  count(*) AS n_samples
              |FROM s GROUP BY vec_id, i // 16""".stripMargin)),
 
+    // ---- audio frame energy over a REAL audio codec (the audio mirror
+    // of x_mm_image_*): each doc in the %7 slice carries a deterministic
+    // PCM16 mono WAV (integer samples — [[pcmSample]] has no 64-bit
+    // wrap, so the oracle replays it exactly), the payload is REALLY
+    // DECODED by javax.sound.sampled, and per-16-sample-frame energies
+    // (sum of squares — integer, exact) come from the round-tripped
+    // samples. A sample corrupted anywhere in the encode/decode chain
+    // breaks value equality; the slice bounds the per-rep codec cost.
+    // Same partition-batch kernel shape as the image rows. ----
+    QueryDef(
+      "x_mm_audio_wav_energy",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").where(col("doc_id") % 7 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val n = (64 + id % 64).toInt
+            val samples = decodePcm16(encodeWav(n, id % 41))
+            require(samples.length == n,
+              s"x_mm_audio_wav_energy: decoded ${samples.length} of $n samples")
+            samples.grouped(16).zipWithIndex.map { case (fr, fi) =>
+              var e = 0L
+              var i = 0
+              while (i < fr.length) { e += fr(i).toLong * fr(i); i += 1 }
+              (id, fi.toLong, e, fr.length.toLong)
+            }
+          })
+          .toDF("doc_id", "frame", "energy_sq", "n_samples")
+      },
+      Some("""WITH d7 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+             |s AS (SELECT doc_id, unnest(range(64 + doc_id % 64)) AS i FROM d7),
+             |v AS (SELECT doc_id, i,
+             |  ((((doc_id % 41) * 1315423911 + i * 2654435761) // 65536) % 4096) - 2048 AS x
+             |  FROM s)
+             |SELECT doc_id, i // 16 AS frame,
+             |  CAST(sum(x * x) AS BIGINT) AS energy_sq,
+             |  count(*) AS n_samples
+             |FROM v GROUP BY 1, 2""".stripMargin)),
+
     // ---- video scene-cut detection: frame-delta thresholding ----
     // Per-video frame energies (deterministic synth — the decode is the
     // stub), lag-1 delta per video, cut where |delta| crosses the
@@ -375,6 +560,41 @@ object Multimodal extends QueryRegistry {
              |SELECT doc_id, f, energy, delta,
              |  coalesce(abs(delta) > 0.5, false) AS is_cut
              |FROM d""".stripMargin)),
+
+    // ---- scene-cut detection over a REAL codec chain (completing the
+    // multimodal trilogy: image + audio + video on real decoders): each
+    // doc in the %11 slice carries a motion-PNG container whose frames
+    // are REALLY ENCODED and REALLY DECODED by ImageIO; the detector
+    // lags the decoded frames' mean luminance and thresholds the delta.
+    // Scene synthesis makes the truth SQL-replayable (byte-identical
+    // frames within a scene ⇒ delta exactly 0; alternating ±160 gray
+    // bases across scenes ⇒ delta ≥ 128), so the cut COLUMN is
+    // value-exact while the detection itself consumed only codec
+    // output. Frames-per-video is bounded, videos are many — the
+    // parallelism axis is docs, same as production. ----
+    QueryDef(
+      "x_mm_video_scene_cuts_real",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").where(col("doc_id") % 11 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val nFrames = (4 + id % 4).toInt
+            val sceneLen = (2 + id % 3).toInt
+            val lumas = decodeVideoLumas(encodeVideo(id, nFrames, sceneLen))
+            require(lumas.length == nFrames,
+              s"x_mm_video_scene_cuts_real: decoded ${lumas.length} of $nFrames frames")
+            (0 until nFrames).map { f =>
+              val isCut = f > 0 && math.abs(lumas(f) - lumas(f - 1)) > 50.0
+              (id, f.toLong, isCut)
+            }
+          })
+          .toDF("doc_id", "frame_idx", "is_cut")
+      },
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  f > 0 AND f % (2 + doc_id % 3) = 0 AS is_cut
+             |FROM (SELECT doc_id, unnest(range(4 + doc_id % 4)) AS f
+             |      FROM documents WHERE doc_id % 11 = 0)""".stripMargin)),
 
     // ---- perceptual-hash image dedup, the production two-stage shape:
     // aHash is the CANDIDATE key (64-bit, deliberately coarse — at

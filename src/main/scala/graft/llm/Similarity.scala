@@ -1649,6 +1649,103 @@ object Similarity extends QueryRegistry {
              |  true AS converged, true AS compacted_ok, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- the LSH disk chain (VERDICT r15 follow-through: the certified
+    // save → append → compact → cold-probe chain covered IVF, bands and
+    // BM25; the bucket table is the remaining partitioned artifact an
+    // ingest loop appends): the admitted slice is hashed under the
+    // STANDING planes and its files APPENDED into the t-partitioned
+    // layout (disjoint vids ⇒ disjoint (vid, t) rows, so the raw file
+    // append is exactly mergeLshIndex's row set), then compacted. Cold
+    // probe of the compacted artifact ≡ a direct probe of the full
+    // rebuild — row-set IDENTITY (bucket keys and cosines are per-row
+    // deterministic under fixed planes, LimitBy's tie-break is total),
+    // file count strictly drops, recall floor holds. ----
+    QueryDef(
+      "x_sim_index_disk_update_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        require(dim > 0, s"x_sim_index_disk_update_lsh($d): empty embeddings corpus")
+        val planes = lshPlanesFor(dim)
+        val slice = pmod(col("vec_id"), lit(5L))
+        val live = artifactPath(s, d, "lsh_disk")
+        IndexStore.save(lshAssign(emb.where(slice >= 2), planes), live, Map(
+          "kind" -> "lsh", "seed" -> "42", "tables" -> lshTables.toString,
+          "bits" -> lshIndexBits.toString, "dim" -> dim.toString), Seq("t"))
+        IndexStore.append(lshAssign(emb.where(slice < 2), planes), live)
+        val before = IndexStore.dataFileCount(s, live)
+        IndexStore.compact(s, live)
+        val after = IndexStore.dataFileCount(s, live)
+        val fresh = s.newSession()
+        val embF = t(fresh, d, "embeddings")
+        val cold = lshColdProbe(fresh, live, embF, queriesOf(embF), k = 5)
+        val coldW = IndexStore.recreate(s, cold)
+        val direct = lshProbe(lshAssign(emb, planes), emb, planes, queriesOf(emb), k = 5)
+        val mismatch = coldW.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.45)
+          .crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            lit(after < before).as("compacted_ok"), col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS compacted_ok, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- the PQ disk chain — completing disk-level maintenance for
+    // every standing family (IVF/bands/BM25/LSH above): admitted codes
+    // (encoded under the STANDING codebooks) APPEND into the
+    // UNPARTITIONED codes layout — this row is the board's exercise of
+    // compact()'s byte-sized coalesce path (ceil(bytes/target), never a
+    // single file at scale). Convergence is CODES-table row-set identity
+    // vs encoding the combined corpus directly (per-row deterministic
+    // under fixed codebooks; probe-output identity is deliberately not
+    // the contract — the x_sim_index_update_pq ADC-tie lesson), plus the
+    // cold probe's recall floor through the compacted artifact. ----
+    QueryDef(
+      "x_sim_index_disk_update_pq",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val slice = pmod(col("vid"), lit(5L))
+        val sample = c.where(slice >= 2).select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_sim_index_disk_update_pq($d): empty build corpus")
+        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        val live = artifactPath(s, d, "pq_disk")
+        IndexStore.save(pqEncodeDf(c.where(slice >= 2), codebooks, bounds), live, Map(
+          "kind" -> "pq", "m" -> pqM.toString, "ksub" -> pqKsub.toString,
+          "codebooks" -> IndexStore.encodeCube(codebooks),
+          "bounds" -> IndexStore.encodeInts(bounds)))
+        IndexStore.append(pqEncodeDf(c.where(slice < 2), codebooks, bounds), live)
+        val before = IndexStore.dataFileCount(s, live)
+        IndexStore.compact(s, live)
+        val after = IndexStore.dataFileCount(s, live)
+        val fresh = s.newSession()
+        val embF = t(fresh, d, "embeddings")
+        val corpusF = embF.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val cold = pqColdProbe(fresh, live, corpusF, queriesOf(embF), k = 5)
+        val coldW = IndexStore.recreate(s, cold)
+        val mismatch = IndexStore.load(s, live).withColumn("m", lit(1))
+          .join(pqEncodeDf(c, codebooks, bounds).withColumn("r", lit(1)),
+            Seq("vid", "codes"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+          .crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            lit(after < before).as("compacted_ok"), col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS compacted_ok, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- the ANN ingest loop under the LIVE streaming engine (VERDICT
     // r14 missing-#1: mergeIvfIndex was batch-only): 4 ordered
     // micro-batches (vec_id pmod 4) through foreachBatch — the first
@@ -1718,6 +1815,150 @@ object Similarity extends QueryRegistry {
         annRecallContract(
           ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
           bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- LSH ingest under the LIVE streaming engine — completing
+    // live ingest for every standing family (bands r14, IVF/BM25 r15):
+    // same probe-then-merge drive as x_stream_ivf_ingest, the admitted
+    // batch hashed under the STANDING planes by [[mergeLshIndex]].
+    // In-engine requires pin streamed bucket table ≡ the direct
+    // whole-corpus hash (row-set identity on (vid, t, bucket) — exact
+    // under fixed planes) and that the live probes ran. Certified
+    // output = the standard query batch probed through the streamed
+    // index under the recall contract. ----
+    QueryDef(
+      "x_stream_lsh_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        require(dim > 0, s"x_stream_lsh_ingest($d): empty embeddings corpus")
+        val planes = lshPlanesFor(dim)
+        val input = MemoryStream[(Long, Array[Double])]
+        val stream = input.toDF().toDF("vec_id", "embedding")
+        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val probed = new java.util.concurrent.atomic.AtomicLong(0)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_lsh_ingest_").toString
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.localCheckpoint()
+            val cur = indexRef.get()
+            if (cur != null)
+              probed.addAndGet(lshProbe(cur, emb, planes, b, k = 3).count())
+            indexRef.set(
+              if (cur == null) lshAssign(b, planes).localCheckpoint()
+              else mergeLshIndex(cur, b, planes).localCheckpoint())
+            ()
+          }
+          .start()
+        try {
+          (0 until 4).foreach { i =>
+            val slice = emb
+              .select(col("vec_id"), col("embedding").cast("array<double>"))
+              .where(pmod(col("vec_id"), lit(4L)) === i)
+              .as[(Long, Array[Double])].collect()
+            input.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        }
+        val maintained = indexRef.get()
+        require(maintained != null, s"x_stream_lsh_ingest($d): empty embeddings corpus")
+        require(probed.get() > 0,
+          "streamed LSH ingest never probed — the probe-then-merge loop did not run")
+        val direct = lshAssign(emb, planes)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "t", "bucket"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"streamed LSH bucket table diverged from the direct build ($diverged rows)")
+        annRecallContract(
+          lshProbe(maintained, emb, planes, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- PQ ingest under the LIVE streaming engine — the codes-table
+    // family's live loop: the admitted batch is encoded under the
+    // STANDING codebooks by [[mergePqIndex]], each later batch first
+    // ADC-probes the codes as they stood. In-engine requires pin
+    // streamed codes ≡ encoding the whole corpus directly (row-set
+    // identity on (vid, codes) — per-row deterministic under fixed
+    // codebooks; the family's convention since x_sim_index_update_pq)
+    // and that the live probes ran. Certified output = the standard
+    // query batch ADC-probed through the streamed codes under the
+    // recall contract. ----
+    QueryDef(
+      "x_stream_pq_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_stream_pq_ingest($d): empty embeddings corpus")
+        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        val input = MemoryStream[(Long, Array[Double])]
+        val stream = input.toDF().toDF("vec_id", "embedding")
+        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val probed = new java.util.concurrent.atomic.AtomicLong(0)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pq_ingest_").toString
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.localCheckpoint()
+            val bc = b.select(col("vec_id").as("vid"),
+              col("embedding").cast("array<double>").as("cv"))
+            val cur = indexRef.get()
+            if (cur != null)
+              probed.addAndGet(
+                pqScan(cur, c, codebooks, bounds, b, k = 3, pqKsub,
+                  shortlistFactor = 4).count())
+            indexRef.set(
+              if (cur == null) pqEncodeDf(bc, codebooks, bounds).localCheckpoint()
+              else mergePqIndex(cur, bc, codebooks, bounds).localCheckpoint())
+            ()
+          }
+          .start()
+        try {
+          (0 until 4).foreach { i =>
+            val slice = emb
+              .select(col("vec_id"), col("embedding").cast("array<double>"))
+              .where(pmod(col("vec_id"), lit(4L)) === i)
+              .as[(Long, Array[Double])].collect()
+            input.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        }
+        val maintained = indexRef.get()
+        require(maintained != null, s"x_stream_pq_ingest($d): empty embeddings corpus")
+        require(probed.get() > 0,
+          "streamed PQ ingest never probed — the probe-then-merge loop did not run")
+        val direct = pqEncodeDf(c, codebooks, bounds)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "codes"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"streamed PQ codes diverged from the direct encode ($diverged rows)")
+        annRecallContract(
+          pqScan(maintained, c, codebooks, bounds, queriesOf(emb), k = 5,
+            pqKsub, shortlistFactor = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.35)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),

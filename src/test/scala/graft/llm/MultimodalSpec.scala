@@ -64,6 +64,65 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(Multimodal.aHashImage(base), Multimodal.aHashImage(bos.toByteArray)) <= 6)
   }
 
+  test("real audio codec: golden WAV bytes decode to pinned samples, round trip is exact") {
+    // checked-in bytes — a JDK javax.sound.sampled regression (or any
+    // change to the PCM16 synth/decode kernels) fails these exact pins
+    val wav = golden("golden_96_seed5.wav")
+    val dec = Multimodal.decodePcm16(wav)
+    assert(dec.length === 96)
+    assert(dec.take(8).toSeq === Seq(6, -450, -907, -1363, -1820, 1820, 1363, 907))
+    // frame-0 energy (sum of squares over the first 16 samples) — the
+    // exact integer the board row's oracle replays
+    assert(dec.take(16).map(s => s.toLong * s).sum === 23789688L)
+    // the synthesizer is byte-deterministic: regenerating the golden
+    // (n, seed) reproduces the checked-in file exactly
+    assert(Multimodal.encodeWav(96, 5L).toSeq === wav.toSeq)
+    // every sample survives the encode+decode round trip bit-exactly
+    assert(dec.toSeq === (0 until 96).map(i => Multimodal.pcmSample(5L, i)))
+  }
+
+  test("real audio codec: decode is loud on payloads that aren't PCM16 mono") {
+    // a stereo/8-bit container must fail the named contract, not
+    // silently mis-frame — payloads without a registered codec stay
+    // the opaque-byte rows' case
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 2, true, false)
+    val raw = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 32L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePcm16(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("PCM16 mono"), e.getMessage)
+  }
+
+  test("real video path: frames round-trip the codec, cuts land exactly on scene boundaries") {
+    // doc 22: nFrames = 4 + 22%4 = 6, sceneLen = 2 + 22%3 = 3 — scenes
+    // [0,1,2][3,4,5], one boundary at frame 3
+    val lumas = Multimodal.decodeVideoLumas(Multimodal.encodeVideo(22L, 6, 3))
+    assert(lumas.length === 6)
+    // within-scene frames are byte-identical → codec-exact equal lumas
+    assert(lumas(0) === lumas(1))
+    assert(lumas(1) === lumas(2))
+    assert(lumas(3) === lumas(4))
+    // the scene boundary moves the mean by the ±160 gray base (±16 texture)
+    assert(math.abs(lumas(3) - lumas(2)) > 128.0 - 1e-9)
+    // the container is byte-deterministic
+    assert(Multimodal.encodeVideo(22L, 6, 3).toSeq === Multimodal.encodeVideo(22L, 6, 3).toSeq)
+  }
+
+  test("real video path: corrupt frame length fails loudly") {
+    val ok = Multimodal.encodeVideo(7L, 4, 2)
+    val bad = ok.clone()
+    bad(0) = 0x7f.toByte // frame-0 length now absurdly larger than the container
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoLumas(bad)
+    }
+    assert(e.getMessage.contains("corrupt frame length"), e.getMessage)
+  }
+
   test("phash dedup query finds exactly the injected twins") {
     val out = graft.SparkEntry.queries("x_mm_phash_dedup")(spark, sf001)
       .collect()

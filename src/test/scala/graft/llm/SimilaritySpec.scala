@@ -270,6 +270,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("streamed LSH ingest: live engine converges and the probe meets the recall contract") {
+    // same drive as the IVF row: the builder's in-engine requires gate
+    // streamed ≡ direct bucket table and that live probes ran
+    val r = graft.SparkEntry.queries("x_stream_lsh_ingest")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
+  test("streamed PQ ingest: live engine converges and the probe meets the recall contract") {
+    // the in-engine requires gate streamed codes ≡ direct encode (the
+    // family's codes-identity convention) and that live ADC probes ran
+    val r = graft.SparkEntry.queries("x_stream_pq_ingest")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
+  test("LSH and PQ disk chains: append+compact converge to the direct build through a cold probe") {
+    for (name <- Seq("x_sim_index_disk_update_lsh", "x_sim_index_disk_update_pq")) {
+      val r = graft.SparkEntry.queries(name)(spark, sf001).collect()(0)
+      assert(r.getAs[Boolean]("converged"), s"$name: $r")
+      assert(r.getAs[Boolean]("compacted_ok"), s"$name: $r")
+      assert(r.getAs[Boolean]("recall_ok"), s"$name: $r")
+    }
+  }
+
   test("bruteForceTopK dies loudly, with the budget named, on a corpus-sized query frame") {
     import spark.implicits._
     // a mis-carved "query" frame over the budget must fail BEFORE the
