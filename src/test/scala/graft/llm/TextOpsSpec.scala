@@ -190,6 +190,26 @@ class TextOpsSpec extends SparkSpec {
     assert(dfMap(ts2) === dfMap(ts1), "replaying an admitted batch changed the dfs")
   }
 
+  test("vocab drift: the board row's statistic is bounded, and self-drift is exactly zero") {
+    import org.apache.spark.sql.functions._
+    // the board row at sf0.001: tv in [0, 1], integer parts consistent
+    val r = graft.SparkEntry.queries("x_retr_vocab_drift")(spark, sf001).collect()(0)
+    val tv = r.getAs[Double]("tv")
+    assert(tv >= 0.0 && tv <= 1.0, r.toString)
+    assert(r.getAs[Long]("n_new_terms") <= r.getAs[Long]("n_terms"))
+    // self-drift: identical histograms cancel term-by-term — the
+    // integer form makes the zero EXACT, not approximately small
+    // (the x_sim_index_drift self-TV convention)
+    val z = TextOps.zipfDocs(graft.Tables.t(spark, sf001, "documents"))
+    val dfb = TextOps.bm25Postings(z).groupBy("term").agg(count(lit(1)).as("db"))
+    val joined = dfb.select(col("db"), col("db").as("dn"))
+    val totals = joined.agg(sum("db").as("sb"), sum("dn").as("sn"))
+    val self = joined.crossJoin(totals)
+      .agg(sum(abs(col("db") * col("sn") - col("dn") * col("sb"))).as("scaled_abs"))
+      .collect()(0).getLong(0)
+    assert(self === 0L)
+  }
+
   test("tf-idf keywords rank rare heavy terms first") {
     Seq((1L, "a a b c"), (2L, "b c c c"), (3L, "a d d d"))
       .toDF("doc_id", "text").createOrReplaceTempView("kwdocs")
