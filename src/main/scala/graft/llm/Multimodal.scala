@@ -323,7 +323,9 @@ object Multimodal extends QueryRegistry {
     imageIoInit
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
-    while (in.available() >= 4) {
+    while (in.available() > 0) {
+      require(in.available() >= 4,
+        s"decodeVideoLumas: corrupt frame length (${in.available()}-byte truncated prefix)")
       val len = in.readInt()
       require(len > 0 && len <= in.available(),
         s"decodeVideoLumas: corrupt frame length $len")

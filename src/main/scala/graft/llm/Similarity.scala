@@ -277,8 +277,7 @@ object Similarity extends QueryRegistry {
     import spark.implicits._
     val d =
       if (dim > 0) dim
-      else emb.select(size(col("embedding")).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
+      else dimOf(emb)
     if (d == 0) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
 
     val rnd = new scala.util.Random(42)
@@ -686,8 +685,7 @@ object Similarity extends QueryRegistry {
     import spark.implicits._
     val d =
       if (dim > 0) dim
-      else emb.select(size(col("embedding")).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
+      else dimOf(emb)
     if (d == 0) return spark.emptyDataset[(Long, Long, Double)].toDF("vec_a", "vec_b", "cos")
     val rnd = new scala.util.Random(7)
     val planes: Array[Array[Array[Double]]] =
@@ -923,8 +921,7 @@ object Similarity extends QueryRegistry {
   def lshIndexFor(s: SparkSession, d: String): DataFrame =
     lshIndexCache.getOrCompute(s, d) {
       val emb = t(s, d, "embeddings")
-      val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
+      val dim = dimOf(emb)
       require(dim > 0, s"lshIndexFor($d): empty embeddings corpus")
       lshAssign(emb, lshPlanesFor(dim)).localCheckpoint()
     }
@@ -989,8 +986,7 @@ object Similarity extends QueryRegistry {
   /** Batch probe against the STANDING bucket table. */
   def lshIndexProbe(s: SparkSession, d: String, queries: DataFrame, k: Int): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = dimOf(emb)
     require(dim > 0, s"lshIndexProbe($d): empty embeddings corpus")
     lshProbe(lshIndexFor(s, d), emb, lshPlanesFor(dim), queries, k)
   }
@@ -1087,8 +1083,7 @@ object Similarity extends QueryRegistry {
     * promised. */
   def saveLshIndex(s: SparkSession, d: String, path: String): Unit = {
     val emb = t(s, d, "embeddings")
-    val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = dimOf(emb)
     require(dim > 0, s"saveLshIndex($d): empty embeddings corpus")
     IndexStore.save(lshIndexFor(s, d), path, Map(
       "kind" -> "lsh", "seed" -> "42", "tables" -> lshTables.toString,
@@ -1107,6 +1102,65 @@ object Similarity extends QueryRegistry {
         s"(seed=${meta("seed")}, tables=${meta("tables")})")
     lshProbe(IndexStore.load(s, path), corpus,
       lshPlanesFor(meta("dim").toInt, meta("bits").toInt), queries, k)
+  }
+
+  /** First-row embedding dimensionality (0 on an empty corpus) — the
+    * one-job probe every LSH half used to inline at its call site. */
+  private[llm] def dimOf(emb: DataFrame): Int =
+    emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Shared live-engine ingest drive for the ANN stream rows (the BM25
+    * row keeps its own: its state is the postings/dfs/scalars 4-tuple):
+    * 4 ordered micro-batches of the corpus (vec_id pmod 4) through
+    * MemoryStream + foreachBatch — the first `build`s the state, each
+    * later batch first `probe`s the state as it stood (probe-then-merge:
+    * the admit-time check a production loop runs), then is admitted via
+    * `merge`, with per-merge localCheckpoints (lineage truncation; the
+    * ≤ 4 superseded checkpoints per drive are bounded and reclaimed by
+    * the bench's per-timing blocking sweep). Returns the maintained
+    * state; loud if the corpus was empty or no live probe ran. */
+  private def annStreamIngest(s: SparkSession, emb: DataFrame, name: String)(
+      build: DataFrame => DataFrame,
+      probe: (DataFrame, DataFrame) => Long,
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Array[Double])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val probed = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${name}_").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint()
+        val cur = indexRef.get()
+        if (cur != null) probed.addAndGet(probe(cur, b))
+        indexRef.set(
+          (if (cur == null) build(b) else merge(cur, b)).localCheckpoint())
+        ()
+      }
+      .start()
+    try {
+      (0 until 4).foreach { i =>
+        val slice = emb
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .where(pmod(col("vec_id"), lit(4L)) === i)
+          .as[(Long, Array[Double])].collect()
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    val maintained = indexRef.get()
+    require(maintained != null, s"$name: empty embeddings corpus")
+    require(probed.get() > 0,
+      s"$name: streamed ingest never probed — the probe-then-merge loop did not run")
+    maintained
   }
 
   /** Recall certification for an ANN top-k against the exact baseline,
@@ -1230,8 +1284,7 @@ object Similarity extends QueryRegistry {
       (s, d) => {
         import s.implicits._
         val emb = t(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
+        val dim = dimOf(emb)
         require(dim > 0, s"x_sim_index_update_lsh($d): empty embeddings corpus")
         val planes = lshPlanesFor(dim)
         val slice = pmod(col("vec_id"), lit(5L))
@@ -1664,8 +1717,7 @@ object Similarity extends QueryRegistry {
       "x_sim_index_disk_update_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
+        val dim = dimOf(emb)
         require(dim > 0, s"x_sim_index_disk_update_lsh($d): empty embeddings corpus")
         val planes = lshPlanesFor(dim)
         val slice = pmod(col("vec_id"), lit(5L))
@@ -1762,49 +1814,16 @@ object Similarity extends QueryRegistry {
     QueryDef(
       "x_stream_ivf_ingest",
       (s, d) => {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import s.implicits._
         val emb = t(s, d, "embeddings")
         val sample = emb.select(col("embedding").cast("array<double>"))
           .limit(2048).as[Array[Double]].collect()
         require(sample.nonEmpty, s"x_stream_ivf_ingest($d): empty embeddings corpus")
         val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
-        val input = MemoryStream[(Long, Array[Double])]
-        val stream = input.toDF().toDF("vec_id", "embedding")
-        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-        val probed = new java.util.concurrent.atomic.AtomicLong(0)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ingest_").toString
-        val q = stream.writeStream
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
-            val cur = indexRef.get()
-            if (cur != null)
-              probed.addAndGet(ivfProbe(cur, centroids, b, k = 3, nprobe = 4).count())
-            indexRef.set(
-              if (cur == null) ivfAssign(b, centroids).localCheckpoint()
-              else mergeIvfIndex(cur, b, centroids).localCheckpoint())
-            ()
-          }
-          .start()
-        try {
-          (0 until 4).foreach { i =>
-            val slice = emb
-              .select(col("vec_id"), col("embedding").cast("array<double>"))
-              .where(pmod(col("vec_id"), lit(4L)) === i)
-              .as[(Long, Array[Double])].collect()
-            input.addData(slice.toSeq)
-            q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-        }
-        val maintained = indexRef.get()
-        require(maintained != null, s"x_stream_ivf_ingest($d): empty embeddings corpus")
-        require(probed.get() > 0,
-          "streamed ANN ingest never probed — the probe-then-merge loop did not run")
+        val maintained = annStreamIngest(s, emb, "x_stream_ivf_ingest")(
+          build = b => ivfAssign(b, centroids),
+          probe = (cur, b) => ivfProbe(cur, centroids, b, k = 3, nprobe = 4).count(),
+          merge = (cur, b) => mergeIvfIndex(cur, b, centroids))
         val direct = ivfAssign(emb, centroids)
         val diverged = maintained.select("vid", "cell").withColumn("m", lit(1))
           .join(direct.select("vid", "cell").withColumn("r", lit(1)),
@@ -1831,49 +1850,14 @@ object Similarity extends QueryRegistry {
     QueryDef(
       "x_stream_lsh_ingest",
       (s, d) => {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        import s.implicits._
         val emb = t(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
+        val dim = dimOf(emb)
         require(dim > 0, s"x_stream_lsh_ingest($d): empty embeddings corpus")
         val planes = lshPlanesFor(dim)
-        val input = MemoryStream[(Long, Array[Double])]
-        val stream = input.toDF().toDF("vec_id", "embedding")
-        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-        val probed = new java.util.concurrent.atomic.AtomicLong(0)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_lsh_ingest_").toString
-        val q = stream.writeStream
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
-            val cur = indexRef.get()
-            if (cur != null)
-              probed.addAndGet(lshProbe(cur, emb, planes, b, k = 3).count())
-            indexRef.set(
-              if (cur == null) lshAssign(b, planes).localCheckpoint()
-              else mergeLshIndex(cur, b, planes).localCheckpoint())
-            ()
-          }
-          .start()
-        try {
-          (0 until 4).foreach { i =>
-            val slice = emb
-              .select(col("vec_id"), col("embedding").cast("array<double>"))
-              .where(pmod(col("vec_id"), lit(4L)) === i)
-              .as[(Long, Array[Double])].collect()
-            input.addData(slice.toSeq)
-            q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-        }
-        val maintained = indexRef.get()
-        require(maintained != null, s"x_stream_lsh_ingest($d): empty embeddings corpus")
-        require(probed.get() > 0,
-          "streamed LSH ingest never probed — the probe-then-merge loop did not run")
+        val maintained = annStreamIngest(s, emb, "x_stream_lsh_ingest")(
+          build = b => lshAssign(b, planes),
+          probe = (cur, b) => lshProbe(cur, emb, planes, b, k = 3).count(),
+          merge = (cur, b) => mergeLshIndex(cur, b, planes))
         val direct = lshAssign(emb, planes)
         val diverged = maintained.withColumn("m", lit(1))
           .join(direct.withColumn("r", lit(1)), Seq("vid", "t", "bucket"), "full")
@@ -1900,8 +1884,6 @@ object Similarity extends QueryRegistry {
     QueryDef(
       "x_stream_pq_ingest",
       (s, d) => {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import s.implicits._
         val emb = t(s, d, "embeddings")
         val c = emb.select(col("vec_id").as("vid"),
@@ -1910,45 +1892,13 @@ object Similarity extends QueryRegistry {
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_stream_pq_ingest($d): empty embeddings corpus")
         val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
-        val input = MemoryStream[(Long, Array[Double])]
-        val stream = input.toDF().toDF("vec_id", "embedding")
-        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-        val probed = new java.util.concurrent.atomic.AtomicLong(0)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_pq_ingest_").toString
-        val q = stream.writeStream
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
-            val bc = b.select(col("vec_id").as("vid"),
-              col("embedding").cast("array<double>").as("cv"))
-            val cur = indexRef.get()
-            if (cur != null)
-              probed.addAndGet(
-                pqScan(cur, c, codebooks, bounds, b, k = 3, pqKsub,
-                  shortlistFactor = 4).count())
-            indexRef.set(
-              if (cur == null) pqEncodeDf(bc, codebooks, bounds).localCheckpoint()
-              else mergePqIndex(cur, bc, codebooks, bounds).localCheckpoint())
-            ()
-          }
-          .start()
-        try {
-          (0 until 4).foreach { i =>
-            val slice = emb
-              .select(col("vec_id"), col("embedding").cast("array<double>"))
-              .where(pmod(col("vec_id"), lit(4L)) === i)
-              .as[(Long, Array[Double])].collect()
-            input.addData(slice.toSeq)
-            q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-        }
-        val maintained = indexRef.get()
-        require(maintained != null, s"x_stream_pq_ingest($d): empty embeddings corpus")
-        require(probed.get() > 0,
-          "streamed PQ ingest never probed — the probe-then-merge loop did not run")
+        def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val maintained = annStreamIngest(s, emb, "x_stream_pq_ingest")(
+          build = b => pqEncodeDf(asCorpus(b), codebooks, bounds),
+          probe = (cur, b) => pqScan(cur, c, codebooks, bounds, b, k = 3, pqKsub,
+            shortlistFactor = 4).count(),
+          merge = (cur, b) => mergePqIndex(cur, asCorpus(b), codebooks, bounds))
         val direct = pqEncodeDf(c, codebooks, bounds)
         val diverged = maintained.withColumn("m", lit(1))
           .join(direct.withColumn("r", lit(1)), Seq("vid", "codes"), "full")

@@ -121,6 +121,19 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeVideoLumas(bad)
     }
     assert(e.getMessage.contains("corrupt frame length"), e.getMessage)
+    // a container truncated mid-frame must fail the length check
+    val cut = ok.take(ok.length - 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoLumas(cut)
+    }
+    assert(e2.getMessage.contains("corrupt frame length"), e2.getMessage)
+    // and 1-3 stray bytes where the next length prefix should start
+    // must fail loudly too, not silently decode as a shorter video
+    val stray = ok ++ Array[Byte](0, 1)
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoLumas(stray)
+    }
+    assert(e3.getMessage.contains("truncated prefix"), e3.getMessage)
   }
 
   test("phash dedup query finds exactly the injected twins") {
