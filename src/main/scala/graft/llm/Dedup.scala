@@ -1356,6 +1356,91 @@ object Dedup extends QueryRegistry {
              |WHERE i / (sa.n + sb.n - i * 1.0) >= 0.5
              |  AND (da % 4) <> (db % 4)""".stripMargin)),
 
+    // ---- the FORGET half of the ingest loop under the LIVE streaming
+    // engine (completing the lifecycle matrix: build, probe and admit
+    // already run in-engine above; delete ran only as a batch
+    // anti-join): an op-tagged CDC-shaped stream — three admit batches,
+    // then one MIXED batch carrying the last admit slice AND the forget
+    // set (doc_id % 10 = 3) together, applied admit-then-forget so a
+    // doc admitted and forgotten in the same batch ends ABSENT (ids
+    // ≡ 3 mod 20 exercise the conflict by construction). In-engine
+    // requires pin the maintained index ≡ a direct build over the
+    // corpus minus the forgotten set (row-set identity on the stored
+    // key) and that no index row references a forgotten id (the
+    // named right-to-be-forgotten contract). ----
+    QueryDef(
+      "x_stream_index_forget",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val forgetSel = col("doc_id") % 10 === 3
+        val input = MemoryStream[(Long, String, String)]
+        val stream = input.toDF().toDF("doc_id", "text", "op")
+        val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val forgot = new java.util.concurrent.atomic.AtomicLong(0)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_forget_").toString
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.localCheckpoint()
+            val admits = b.where(col("op") === "admit").select("doc_id", "text")
+            val forgets = b.where(col("op") === "forget").select("doc_id")
+            val cur = indexRef.get()
+            var next =
+              if (cur == null) bandKeys(admits, k = 32, bands = 16)
+              else mergeBandIndex(cur, admits)
+            val nf = forgets.count()
+            if (nf > 0) {
+              next = deleteFromBandIndex(next, forgets)
+              forgot.addAndGet(nf)
+            }
+            indexRef.set(next.localCheckpoint())
+            ()
+          }
+          .start()
+        try {
+          (0 until 3).foreach { i =>
+            val slice = docs.where(pmod(col("doc_id"), lit(4L)) === i)
+              .as[(Long, String)].collect().map { case (id, tx) => (id, tx, "admit") }
+            input.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+          val last = docs.where(pmod(col("doc_id"), lit(4L)) === 3)
+            .as[(Long, String)].collect().map { case (id, tx) => (id, tx, "admit") }
+          val forgets = docs.where(forgetSel).select(col("doc_id")).as[Long]
+            .collect().map(id => (id, "", "forget"))
+          input.addData((last ++ forgets).toSeq)
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        }
+        val index = indexRef.get()
+        require(index != null, s"x_stream_index_forget($d): empty documents corpus")
+        require(forgot.get() > 0,
+          "streamed forget never ran — the fixture has no doc_id % 10 = 3 ids")
+        val direct = bandKeys(docs.where(!forgetSel), k = 32, bands = 16)
+        val diverged = index.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("doc_id", "band", "bkey"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"streamed forget index diverged from the direct minus-forgotten build ($diverged rows)")
+        val leaked = index
+          .join(docs.where(forgetSel).select("doc_id"), Seq("doc_id"), "left_semi")
+          .count()
+        require(leaked == 0,
+          s"right-to-be-forgotten violated: $leaked index rows reference forgotten ids")
+        docs.where(forgetSel)
+          .agg(count(lit(1)).as("n_forgotten"))
+          .select(col("n_forgotten"), lit(true).as("converged"),
+            lit(true).as("purged_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_forgotten,
+             |  true AS converged, true AS purged_ok
+             |FROM documents WHERE doc_id % 10 = 3""".stripMargin)),
+
     // ---- SimHash near-dup pairs — precision-certified against the
     // exact Jaccard pair set (hamming ≤ 3 on a 64-bit token-multiset
     // simhash is a STRICTER notion than Jaccard ≥ 0.5, so everything it

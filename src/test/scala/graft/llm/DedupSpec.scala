@@ -186,6 +186,17 @@ class DedupSpec extends SparkSpec {
       s"missed: ${crossSlice -- out}; extra: ${out -- crossSlice}")
   }
 
+  test("streaming forget loop: live engine converges to the minus-forgotten build") {
+    // the x_stream_index_forget builder's in-engine requires gate
+    // streamed ≡ direct-minus-forgotten identity, zero leaked index
+    // rows for forgotten ids, and the same-batch admit+forget conflict
+    // (ids ≡ 3 mod 20) ending absent — this drive surfaces any of
+    // those as a spec failure
+    val r = graft.SparkEntry.queries("x_stream_index_forget")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("converged") && r.getAs[Boolean]("purged_ok"), r.toString)
+    assert(r.getAs[Long]("n_forgotten") > 0)
+  }
+
   test("maintained band index converges to the rebuilt index; probes agree") {
     // the x_dedup_index_update contract: appending an admitted batch's
     // band keys to a standing index yields EXACTLY the index a full
