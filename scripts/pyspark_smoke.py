@@ -285,6 +285,20 @@ def cold_index_probe():
     assert len(rows) > 0, "cold IVF probe returned no neighbors"
 
 
+# 18: round-15 surface — the live streaming FORGET loop driven from
+# Python: the op-tagged CDC stream (admits + a mixed admit/forget
+# batch) runs the real engine via the declared query entry; its
+# in-engine requires gate convergence and the right-to-be-forgotten
+# purge, so a PASS here certifies the whole loop from PySpark
+def stream_forget():
+    from pyspark.sql import DataFrame
+
+    fn = spark._jvm.graft.SparkEntry.queries().apply("x_stream_index_forget")
+    df = DataFrame(fn.apply(spark._jsparkSession, SF_DIR), spark)
+    row = df.collect()[0]
+    assert row.converged and row.purged_ok and row.n_forgotten > 0, row
+
+
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
 def r10_surface():
     row = spark.sql(
@@ -312,6 +326,7 @@ check("connector auth scan", connector_auth_scan)
 check("BM25 standing-index probe", bm25_index_probe)
 check("LSH standing-index probe", lsh_index_probe)
 check("cold-start index probe", cold_index_probe)
+check("streaming forget loop", stream_forget)
 
 spark.stop()
 if failures:
