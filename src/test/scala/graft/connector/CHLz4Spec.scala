@@ -99,4 +99,36 @@ class CHLz4Spec extends AnyFunSuite {
     // determinism across calls
     assert(CHValues.cityHash128("abc".getBytes) == CHValues.cityHash128("abc".getBytes))
   }
+
+  test("cityHash128 frozen goldens: the v1.0.2 kernel (post r14-ADVICE combine fix) cannot drift silently") {
+    // no independent 1.0.2-128 implementation exists in this sandbox
+    // (documented since r14), so these are REGRESSION pins, not an
+    // oracle: the values freeze the kernel as fixed per the r14 ADVICE
+    // (long-path low half mixes w.first — the published 1.0.2 form; the
+    // 1.1 form uses w.second). The >=144 rows (multi-chunk tail + loop)
+    // are exactly the class the ADVICE showed the self-consistent specs
+    // could not catch — any future edit that lands back on 1.1 (or
+    // anything else) now fails here by value.
+    val golden = Seq(
+      0 -> (7729516827876973744L, -3794982543293472971L),
+      1 -> (7510738640994486348L, 5765236432015506836L),
+      7 -> (-2796684220032947173L, -2698154100111001702L),
+      8 -> (2247050725022230979L, 6976449857103044622L),
+      15 -> (-4109960165197045850L, 6823996475121851919L),
+      16 -> (1220282968574538211L, -5272323318049850057L),
+      17 -> (-1765874745696388702L, -2341098245408055589L),
+      32 -> (2190986743270484237L, -6837277054447406873L),
+      64 -> (4517297716502532583L, 5334090507333207636L),
+      127 -> (4799644538190125744L, 2304918128572454356L),
+      143 -> (48712992181160740L, -8156932559606432363L),
+      144 -> (-4536012733272394485L, 4279621992542065082L),
+      200 -> (2646402557528111078L, 6150117654398905529L),
+      256 -> (-5793023108538023442L, 4004061735977003157L),
+      300 -> (-5454943841542913608L, 5313921457481453057L),
+      1024 -> (4333417877098680149L, 4881406434374574460L))
+    golden.foreach { case (n, expected) =>
+      val got = CHValues.cityHash128(Array.tabulate[Byte](n)(i => (i * 37 + n).toByte))
+      assert(got == expected, s"cityHash128 drift at len=$n: got $got")
+    }
+  }
 }
