@@ -755,7 +755,12 @@ object Dedup extends QueryRegistry {
     try {
       (0 until nSlices).foreach { i =>
         val slice = docs.where(pmod(col("doc_id"), lit(nSlices.toLong)) === i)
+          .limit(Similarity.maxStreamSlice + 1)
           .as[(Long, String)].collect()
+        require(slice.length <= Similarity.maxStreamSlice,
+          s"streamingIngestPairsFor($d): micro-batch slice exceeds maxStreamSlice " +
+            s"(${Similarity.maxStreamSlice}) — the MemoryStream drive is a " +
+            "certification harness, not a corpus-scale ingest")
         input.addData(slice.toSeq)
         q.processAllAvailable()
       }
@@ -1401,16 +1406,25 @@ object Dedup extends QueryRegistry {
           }
           .start()
         try {
+          def boundedSlice(frame: org.apache.spark.sql.Dataset[(Long, String)]) = {
+            val rows = frame.limit(Similarity.maxStreamSlice + 1).collect()
+            require(rows.length <= Similarity.maxStreamSlice,
+              s"x_stream_index_forget($d): micro-batch slice exceeds maxStreamSlice " +
+                s"(${Similarity.maxStreamSlice}) — the MemoryStream drive is a " +
+                "certification harness, not a corpus-scale ingest")
+            rows
+          }
           (0 until 3).foreach { i =>
-            val slice = docs.where(pmod(col("doc_id"), lit(4L)) === i)
-              .as[(Long, String)].collect().map { case (id, tx) => (id, tx, "admit") }
+            val slice = boundedSlice(docs.where(pmod(col("doc_id"), lit(4L)) === i)
+              .as[(Long, String)]).map { case (id, tx) => (id, tx, "admit") }
             input.addData(slice.toSeq)
             q.processAllAvailable()
           }
-          val last = docs.where(pmod(col("doc_id"), lit(4L)) === 3)
-            .as[(Long, String)].collect().map { case (id, tx) => (id, tx, "admit") }
-          val forgets = docs.where(forgetSel).select(col("doc_id")).as[Long]
-            .collect().map(id => (id, "", "forget"))
+          val last = boundedSlice(docs.where(pmod(col("doc_id"), lit(4L)) === 3)
+            .as[(Long, String)]).map { case (id, tx) => (id, tx, "admit") }
+          val forgets = boundedSlice(docs.where(forgetSel)
+            .select(col("doc_id"), lit("").as("t")).as[(Long, String)])
+            .map { case (id, _) => (id, "", "forget") }
           input.addData((last ++ forgets).toSeq)
           q.processAllAvailable()
         } finally {

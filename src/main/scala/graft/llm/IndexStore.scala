@@ -190,9 +190,8 @@ object IndexStore {
       s"index swap: cannot flip pointer to v$next at $live")
     // pointer durable — drop every superseded generation: older v* dirs
     // and, on first swap over a legacy flat artifact, its data+sidecar
-    prev.foreach { p =>
-      if (p != s"v$next") fs.delete(new Path(liveRoot, p), true)
-    }
+    // (the pointer always names a v<N> dir, so the versionsOf sweep
+    // covers it; `prev` is only needed for the legacy-flat check below)
     versionsOf(fs, liveRoot).foreach { case (n, dir) =>
       if (n != next) fs.delete(dir, true)
     }
@@ -354,15 +353,18 @@ object IndexStore {
   private[llm] val maxRecreateRows: Long = 1L << 20
 
   def recreate(target: SparkSession, df: DataFrame): DataFrame = {
-    // budget the collect loudly (the Dedup.contamination house style):
-    // count first, die with the contract named, never OOM inside collect
-    val n = df.count()
-    require(n <= maxRecreateRows,
-      s"IndexStore.recreate: frame carries $n rows, over the $maxRecreateRows " +
-        "maxRecreateRows budget — recreate is for certification-sized probe " +
+    // budget the collect loudly, in ONE execution: collect at most
+    // budget+1 rows — a breach still dies with the contract named and
+    // never OOMs the driver, but the certification pipeline (often a
+    // whole cold probe) is not run twice for a count (review finding:
+    // the count()-then-collect() form doubled every cold row's cost)
+    val bounded = df.limit((maxRecreateRows + 1).toInt).collect()
+    require(bounded.length <= maxRecreateRows,
+      s"IndexStore.recreate: frame carries > $maxRecreateRows rows " +
+        "(maxRecreateRows) — recreate is for certification-sized probe " +
         "outputs, not corpus-scale frames")
     val rows = new java.util.ArrayList[Row]()
-    df.collect().foreach(rows.add)
+    bounded.foreach(rows.add)
     target.createDataFrame(rows, df.schema)
   }
 }

@@ -179,20 +179,26 @@ object Similarity extends QueryRegistry {
     * scale past it). */
   private[llm] val maxQueryBatch: Int = 1 << 16
 
+  /** Largest micro-batch slice a stream-drive harness may collect to
+    * feed MemoryStream (the drives are certification harnesses — a
+    * production loop ingests from a real source and never collects).
+    * Enforced with the one-execution limit-probe pattern at every
+    * drive's collect. */
+  private[llm] val maxStreamSlice: Int = 1 << 20
+
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qSel = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
-    // enforce the query-side-is-small CONTRACT before anything reaches the
-    // driver (the Dedup.contamination house style): a mis-carved "query"
-    // frame that is actually corpus-sized must die here with the budget
-    // named, not OOM the driver inside collect()
-    val nQ = qSel.count()
-    require(nQ <= maxQueryBatch,
-      s"bruteForceTopK: query batch carries $nQ rows, over the $maxQueryBatch " +
-        "maxQueryBatch budget — the exact baseline broadcasts the whole batch " +
+    // enforce the query-side-is-small CONTRACT in ONE execution: collect
+    // at most budget+1 rows — a mis-carved corpus-sized "query" frame
+    // still dies with the budget named and never OOMs the driver, and
+    // the query pipeline is not run twice for a count (review finding)
+    val qRows = qSel.limit(maxQueryBatch + 1).as[(Long, Array[Double])].collect()
+    require(qRows.length <= maxQueryBatch,
+      s"bruteForceTopK: query batch carries > $maxQueryBatch rows " +
+        "(maxQueryBatch) — the exact baseline broadcasts the whole batch " +
         "to every partition; tile the batch or use the ANN paths at this size")
-    val qRows = qSel.as[(Long, Array[Double])].collect()
     if (qRows.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val qids = qRows.map(_._1)
     val qvs = qRows.map(_._2)
@@ -519,9 +525,9 @@ object Similarity extends QueryRegistry {
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
 
-    // distributed LUT build: one JIT'd pass over the query frame,
+    // distributed LUT build: one JIT'd pass over a query frame,
     // codebooks broadcast — the only model state any executor holds
-    val lutDf = q.as[(Long, Array[Double])]
+    def lutOf(frame: DataFrame) = frame.as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cbs, bds) = bcModel.value
         it.map { case (id, qv) =>
@@ -548,8 +554,11 @@ object Similarity extends QueryRegistry {
 
     // fast path: one bounded collect when the whole batch fits a tile
     // (the common probe-batch case — no count job, no second LUT pass);
-    // otherwise count and hash-tile
-    val firstTile = lutDf.limit(pqLutTile + 1).as[(Long, Array[Double])].collect()
+    // otherwise count and hash-tile. The tile filter goes on the QUERY
+    // frame, below the LUT kernel — filtering the built lutDf cannot
+    // push past the typed mapPartitions, so each tile would re-pay the
+    // FULL-batch LUT build (review finding: O(B·T) instead of O(B))
+    val firstTile = lutOf(q).limit(pqLutTile + 1).as[(Long, Array[Double])].collect()
     if (firstTile.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val tileSets: Seq[Array[(Long, Array[Double])]] =
@@ -558,8 +567,7 @@ object Similarity extends QueryRegistry {
         val nQ = q.count()
         val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
         (0 until tiles).map { tileIdx =>
-          val rows = lutDf
-            .where(pmod(hash(col("qid")), lit(tiles)) === tileIdx)
+          val rows = lutOf(q.where(pmod(hash(col("qid")), lit(tiles)) === tileIdx))
             .as[(Long, Array[Double])].collect()
           // hash-tiling over DISTINCT qids keeps tiles near pqLutTile; a
           // 4× breach means duplicate/adversarial qids — die with the
@@ -1148,7 +1156,11 @@ object Similarity extends QueryRegistry {
         val slice = emb
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .where(pmod(col("vec_id"), lit(4L)) === i)
+          .limit(maxStreamSlice + 1)
           .as[(Long, Array[Double])].collect()
+        require(slice.length <= maxStreamSlice,
+          s"$name: micro-batch slice exceeds maxStreamSlice ($maxStreamSlice) — " +
+            "the MemoryStream drive is a certification harness, not a corpus-scale ingest")
         input.addData(slice.toSeq)
         q.processAllAvailable()
       }

@@ -1748,7 +1748,12 @@ object TextOps extends QueryRegistry {
         try {
           (1 to 4).foreach { i =>
             val slice = docs.where(pmod(col("doc_id"), lit(5L)) === i)
+              .limit(Similarity.maxStreamSlice + 1)
               .as[(Long, String)].collect()
+            require(slice.length <= Similarity.maxStreamSlice,
+              s"x_stream_bm25_ingest($d): micro-batch slice exceeds maxStreamSlice " +
+                s"(${Similarity.maxStreamSlice}) — the MemoryStream drive is a " +
+                "certification harness, not a corpus-scale ingest")
             input.addData(slice.toSeq)
             q.processAllAvailable()
           }

@@ -144,16 +144,18 @@ class PlanAuditSpec extends SparkSpec {
     // partitioning — a window partitioned only on l_returnflag would cap
     // the walk at 3 tasks, the 100-TB serialization hazard the round-9
     // change removed. r15: the walk's in-partition cumulative became a
-    // streaming mapPartitions pass (no window at all) and b_agg33
-    // materializes the walked spectrum (localCheckpoint), so its FINAL
-    // plan reads the checkpoint RDD; the range-exchange + no-spectrum-
-    // sized-hash-exchange pins for the walk itself live in SpectrumSpec.
-    // b_agg34's walk stays in-plan (its spectrum is not checkpointed).
-    val p34 = plan("b_agg34_spearman")
-    assert(p34.toLowerCase.contains("rangepartitioning"),
-      s"b_agg34 lost the range-partitioned prefix sum:\n$p34")
-    assert(p34.contains("__pid"),
-      s"b_agg34 lost the partition-offset composition:\n$p34")
+    // streaming mapPartitions pass (no window at all); both walks stay
+    // fully in-plan (the per-rep localCheckpoint b_agg33 briefly carried
+    // was itself removed as a per-rep cost), so BOTH rows pin the
+    // range-exchange + offset-composition shape here — a silent
+    // regression to a non-range-partitioned single-task walk fails.
+    for (q <- Seq("b_agg33_weighted_median", "b_agg34_spearman")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q lost the range-partitioned prefix sum:\n$p")
+      assert(p.contains("__pid"),
+        s"$q lost the partition-offset composition:\n$p")
+    }
     for (q <- Seq("b_agg33_weighted_median", "b_agg34_spearman")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
