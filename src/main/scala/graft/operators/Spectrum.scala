@@ -113,12 +113,20 @@ object Spectrum {
       (if (partCols.isEmpty) Window.orderBy(col("__pid"))
        else Window.partitionBy(pc: _*).orderBy(col("__pid")))
         .rowsBetween(Window.unboundedPreceding, -1)
-    val psums = sums.map { case (s, _) => sum(col(s)).as(s"__psum_$s") }
+    val psums = sums.flatMap { case (s, _) =>
+      Seq(sum(col(s)).as(s"__psum_$s"),
+        // non-null count per (partition, group): lets each later partition
+        // know whether the group's PREFIX held any non-null measure — the
+        // coalesce below erases that (0 ≡ "no prior non-null"), and the
+        // window running sum is NULL only until the first non-null
+        count(col(s)).as(s"__pcnt_$s"))
+    }
     val offsets = withPid.groupBy(col("__pid") +: pc: _*)
       .agg(psums.head, psums.tail: _*)
       .select(
-        (col("__pid") +: pc) ++ sums.map { case (s, _) =>
-          coalesce(sum(col(s"__psum_$s")).over(offW), lit(0)).as(s"__off_$s")
+        (col("__pid") +: pc) ++ sums.flatMap { case (s, _) =>
+          Seq(coalesce(sum(col(s"__psum_$s")).over(offW), lit(0)).as(s"__off_$s"),
+            (coalesce(sum(col(s"__pcnt_$s")).over(offW), lit(0L)) > 0).as(s"__seen_$s"))
         }: _*)
     // broadcast join is narrow: the streamed side keeps the range
     // partitions (and __pid stays the physical partition id — everything
@@ -129,6 +137,7 @@ object Spectrum {
     val nSums = sums.size
     val sumIdx = sums.map { case (s, _) => inSchema.fieldIndex(s) }.toArray
     val offIdx = sums.map { case (s, _) => inSchema.fieldIndex(s"__off_$s") }.toArray
+    val seenIdx = sums.map { case (s, _) => inSchema.fieldIndex(s"__seen_$s") }.toArray
     val pcIdx = partCols.map(inSchema.fieldIndex).toArray
     val isLong = sumIdx.map { i =>
       inSchema(i).dataType match {
@@ -142,32 +151,52 @@ object Spectrum {
     val outSchema = StructType(inSchema.fields ++ sums.zipWithIndex.map {
       case ((s, out), i) => StructField(out, inSchema(sumIdx(i)).dataType, nullable = true)
     })
+    val nKeys = pcIdx.length
     val cum = sorted.mapPartitions { it =>
       val accL = new Array[Long](nSums)
       val accD = new Array[Double](nSums)
-      var curKey: Seq[Any] = null
+      // NULL-faithful to the windowed form this pass replaced: a window
+      // running sum is NULL until the group PREFIX holds a non-null
+      // measure, so track first-non-null per measure instead of silently
+      // emitting 0-based numbers. The prefix spans partitions: a group
+      // whose earlier range partitions already held non-nulls starts
+      // seen (from the offsets frame's __seen_ flag), not null.
+      val seen = new Array[Boolean](nSums)
+      // group-change detection on cached key fields — no per-row Seq
+      // allocations in the corpus-sized streaming loop
+      val curKey = new Array[Any](nKeys)
       var first = true
       it.map { row =>
-        val key = pcIdx.toSeq.map(row.get)
-        if (first || key != curKey) {
-          curKey = key; first = false
+        var changed = first
+        var kI = 0
+        while (kI < nKeys && !changed) {
+          if (row.get(pcIdx(kI)) != curKey(kI)) changed = true
+          kI += 1
+        }
+        if (changed) {
+          var j = 0
+          while (j < nKeys) { curKey(j) = row.get(pcIdx(j)); j += 1 }
+          first = false
           java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
+          var sI = 0
+          while (sI < nSums) { seen(sI) = row.getBoolean(seenIdx(sI)); sI += 1 }
         }
         val outs = new Array[Any](nSums)
         var i = 0
         while (i < nSums) {
           if (isLong(i)) {
-            if (!row.isNullAt(sumIdx(i))) accL(i) += row.getLong(sumIdx(i))
-            outs(i) = accL(i) + row.getLong(offIdx(i))
+            if (!row.isNullAt(sumIdx(i))) { accL(i) += row.getLong(sumIdx(i)); seen(i) = true }
+            outs(i) = if (seen(i)) accL(i) + row.getLong(offIdx(i)) else null
           } else {
-            if (!row.isNullAt(sumIdx(i))) accD(i) += row.getDouble(sumIdx(i))
-            outs(i) = accD(i) + row.getDouble(offIdx(i))
+            if (!row.isNullAt(sumIdx(i))) { accD(i) += row.getDouble(sumIdx(i)); seen(i) = true }
+            outs(i) = if (seen(i)) accD(i) + row.getDouble(offIdx(i)) else null
           }
           i += 1
         }
         Row.fromSeq(row.toSeq ++ outs)
       }
     }(Encoders.row(outSchema))
-    cum.drop("__pid" +: sums.map { case (s, _) => s"__off_$s" }: _*)
+    cum.drop("__pid" +: sums.flatMap { case (s, _) =>
+      Seq(s"__off_$s", s"__seen_$s") }: _*)
   }
 }

@@ -30,6 +30,42 @@ class SpectrumSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  test("null measures match the global window ACROSS partition boundaries") {
+    // a window running sum is NULL until the group prefix holds a
+    // non-null measure — and the prefix spans range partitions: rows in
+    // LATER partitions whose local measures are all null must still
+    // carry the earlier partitions' (non-null) prefix sum, while a
+    // group that is all-null up to a point stays null up to that point.
+    // 997 distinct v per group over 32 range partitions forces both
+    // group×partition shapes.
+    val df = (1 to 997).flatMap { v =>
+      Seq(
+        // group "lead": non-null only in the LOW half — every row in the
+        // high-v partitions must still see cum = the low-half total
+        ("lead", v, if (v <= 300) Some((v % 7 + 1).toLong) else None),
+        // group "lag": null until deep into the spectrum — the leading
+        // rows (first partitions entirely) must stay NULL
+        ("lag", v, if (v > 700) Some((v % 5 + 1).toLong) else None))
+    }.toDF("g", "v", "c")
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val viaGlobal = shape(df
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"g").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("g", "v").collect())
+    val viaDistributed = shape(
+      Spectrum.withRunningSum(df, Seq("g"), "v", "c", "cum")
+        .orderBy("g", "v").collect())
+    assert(viaDistributed === viaGlobal)
+    // the fixture actually exercised both arms: "lead" is non-null on
+    // EVERY row (the prefix seeds it before the all-null tail
+    // partitions), "lag" stays null for its whole leading stretch
+    assert(viaGlobal.forall { case (g, _, c) => g != "lead" || c.isDefined })
+    assert(viaGlobal.count { case (g, _, c) => g == "lag" && c.isEmpty } === 700)
+  }
+
   test("grouped fused spectrum (aggregate + walk) is bit-identical to groupBy + global window") {
     // double measures, grouped: the r15 fused path (aggregate riding the
     // range exchange, streaming cumulative) vs the naive reference shape
