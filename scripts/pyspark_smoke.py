@@ -299,6 +299,19 @@ def stream_forget():
     assert row.converged and row.purged_ok and row.n_forgotten > 0, row
 
 
+# 19: round-15 surface — the composed IVF-PQ standing index probed
+# from Python through the declared query entry: cell-pruned ADC scan +
+# shortlist re-rank, recall-certified in-engine (recall_ok rides the
+# annRecallContract require), so a PASS certifies the composed path
+def ivfpq_index_probe():
+    from pyspark.sql import DataFrame
+
+    fn = spark._jvm.graft.SparkEntry.queries().apply("x_sim_index_probe_ivfpq")
+    df = DataFrame(fn.apply(spark._jsparkSession, SF_DIR), spark)
+    row = df.collect()[0]
+    assert row.recall_ok and row.n_queries > 0, row
+
+
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
 def r10_surface():
     row = spark.sql(
@@ -327,6 +340,7 @@ check("BM25 standing-index probe", bm25_index_probe)
 check("LSH standing-index probe", lsh_index_probe)
 check("cold-start index probe", cold_index_probe)
 check("streaming forget loop", stream_forget)
+check("composed IVF-PQ probe", ivfpq_index_probe)
 
 spark.stop()
 if failures:

@@ -52,6 +52,7 @@ object ColdSave {
 
     Similarity.saveIvfIndex(spark, sfDir, s"$outDir/ivf")
     Similarity.savePqIndex(spark, sfDir, s"$outDir/pq")
+    Similarity.saveIvfPqIndex(spark, sfDir, s"$outDir/ivfpq")
     Similarity.saveLshIndex(spark, sfDir, s"$outDir/lsh")
     TextOps.saveBm25Index(spark, sfDir, s"$outDir/bm25")
     Dedup.saveBandIndex(spark, sfDir, s"$outDir/bands")
@@ -65,15 +66,17 @@ object ColdSave {
     dump("ivf", Similarity.ivfIndexProbe(spark, sfDir, queriesOf(emb), k = 5, nprobe = 4))
     dump("lsh", Similarity.lshIndexProbe(spark, sfDir, queriesOf(emb), k = 5))
     // PQ: the ARTIFACT is the contract (probe output rides partition-
-    // local shortlist ties) — dump the codes table itself
+    // local shortlist ties) — dump the codes table itself; same
+    // convention for the composed IVF-PQ table
     dump("pq", Similarity.pqIndexFor(spark, sfDir))
+    dump("ivfpq", Similarity.ivfPqIndexFor(spark, sfDir))
     dump("bm25", TextOps.bm25IndexProbe(spark, sfDir, bm25Queries(docs), k = 5))
     dump("bands", Dedup.incrementalCandidates(batchOf(docs),
       Dedup.corpusBandIndexFor(spark, sfDir)))
     dump("qualw", SparkEntry.queries("x_qual_apply")(spark, sfDir))
     dump("bpe6", TextOps.bpeEncodeWith(docs, TextOps.bpeVocabFor(spark, sfDir, 6)))
 
-    println("COLD_SAVE_OK 7 artifacts")
+    println("COLD_SAVE_OK 8 artifacts")
     spark.stop()
     System.exit(0)
   }
@@ -100,6 +103,7 @@ object ColdProbe {
           emb, queriesOf(emb), k = 5),
         expect("lsh")),
       "pq" -> mismatches(IndexStore.load(spark, s"$outDir/pq"), expect("pq")),
+      "ivfpq" -> mismatches(IndexStore.load(spark, s"$outDir/ivfpq"), expect("ivfpq")),
       "bm25" -> mismatches(
         TextOps.bm25ColdProbe(spark, s"$outDir/bm25", bm25Queries(docs), k = 5),
         expect("bm25")),
@@ -122,7 +126,7 @@ object ColdProbe {
       spark.stop()
       System.exit(1)
     }
-    println(s"COLD_RESTART_OK ${results.size}/7 families row-set identical across JVMs")
+    println(s"COLD_RESTART_OK ${results.size}/8 families row-set identical across JVMs")
     spark.stop()
     System.exit(0)
   }

@@ -635,6 +635,197 @@ object Similarity extends QueryRegistry {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Composed IVF-PQ: the coarse quantizer's cell id AND the PQ codes on
+    * ONE row — (vid, cell, codes) — encoded in a single JIT'd pass. The
+    * artifact of the standard large-scale ANN index (FAISS's IVFPQ,
+    * ClickHouse's vector indexes quantize the same way): the cell id is
+    * the disk partition key (probes prune to nprobe/nlist of the data)
+    * and each pruned row costs m bytes to scan, so a probe reads
+    * ~(nprobe/nlist) × m/(4·dim) of what a flat scan reads — the two
+    * prunings multiply. Everything here runs on NORMALIZED vectors
+    * (cosine geometry: L2-nearest centroid of normalized vectors ≈
+    * cosine-nearest), unlike the raw-vector IVF family rows; the PQ
+    * codes are not residual-encoded (the FAISS `by_residual=false`
+    * variant) — cells and codes stay independently derivable, which is
+    * what lets the merge path encode an admitted batch in one pass. */
+  private[llm] def ivfPqEncodeDf(c: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    c.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (vid, v) =>
+        val nv = VecKernels.normalize(v)
+        (vid, VecKernels.nearestCentroid(nv, centroids),
+          VecKernels.pqEncode(nv, codebooks, bounds))
+      })
+      .toDF("vid", "cell", "codes")
+  }
+
+  /** Cell-pruned ADC scan + exact re-rank over a composed (vid, cell,
+    * codes) index — [[pqScan]]'s fully-distributed shape with the IVF
+    * pruning in front: per query, ONE JIT'd pass computes both its
+    * `nprobe` probe cells and its ADC lookup table (only the model —
+    * centroids + codebooks — is broadcast); tiles are gathered
+    * tile-bounded and rebroadcast with an nlist-bounded cell → queries
+    * map; the codes scan FILTERS to the tile's probed cells first (on a
+    * cell-partitioned standing artifact that is partition pruning, not
+    * a scan) and scores each surviving row only against the queries
+    * that probed its cell — per-row work is |queries probing this
+    * cell|, not |tile|. Partition-local bounded min-heaps keep the
+    * post-scan shuffle at partitions × tile × s rows; the exact-cosine
+    * re-rank attaches query vectors by JOIN (AQE decides transport). */
+  private[llm] def ivfPqScan(index: DataFrame, c: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bounds: Array[Int],
+      queries: DataFrame, k: Int, ksub: Int, nprobe: Int,
+      shortlistFactor: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val mm = codebooks.length
+    val bcModel = spark.sparkContext.broadcast((centroids, codebooks, bounds))
+    val q = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+
+    // one pass per query: probe cells + ADC LUT (same kernel economy as
+    // pqScan's lutOf, plus the nprobe nearest centroids)
+    def probeOf(frame: DataFrame) = frame.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cents, cbs, bds) = bcModel.value
+        it.map { case (id, qv) =>
+          val nq = VecKernels.normalize(qv)
+          val cells = VecKernels.nearestCentroids(nq, cents, nprobe)
+          val lut = new Array[Double](mm * ksub)
+          var f = 0
+          while (f < mm) {
+            val cb = cbs(f)
+            var cI = 0
+            while (cI < cb.length) {
+              var dot = 0.0; var i = bds(f); var j = 0
+              val cen = cb(cI)
+              while (i < bds(f + 1)) { dot += nq(i) * cen(j); i += 1; j += 1 }
+              lut(f * ksub + cI) = dot
+              cI += 1
+            }
+            f += 1
+          }
+          (id, cells, lut)
+        }
+      }
+      .toDF("qid", "cells", "lut")
+    val s = shortlistFactor * k
+
+    // same tile protocol as pqScan: one bounded collect on the common
+    // single-tile path, hash-tiling on the query frame (below the
+    // kernel) otherwise — driver peak stays O(tile), never O(batch)
+    val firstTile = probeOf(q).limit(pqLutTile + 1)
+      .as[(Long, Array[Int], Array[Double])].collect()
+    if (firstTile.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val tileSets: Seq[Array[(Long, Array[Int], Array[Double])]] =
+      if (firstTile.length <= pqLutTile) Seq(firstTile)
+      else {
+        val nQ = q.count()
+        val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
+        (0 until tiles).map { tileIdx =>
+          val rows = probeOf(q.where(pmod(hash(col("qid")), lit(tiles)) === tileIdx))
+            .as[(Long, Array[Int], Array[Double])].collect()
+          require(rows.length <= pqLutTile.toLong * 4,
+            s"ivfPqScan: tile $tileIdx carries ${rows.length} queries, over 4× the " +
+              s"$pqLutTile-query tile budget — query vec_ids must be distinct")
+          rows
+        }
+      }
+
+    val tileShortlists = tileSets.flatMap { rows =>
+      if (rows.isEmpty) None
+      else {
+        val qids = rows.map(_._1)
+        val luts = rows.map(_._3)
+        // nlist-bounded: cell → indexes of the tile queries probing it
+        val cellQ: Map[Int, Array[Int]] = rows.iterator.zipWithIndex
+          .flatMap { case ((_, cells, _), qi) => cells.iterator.map(cl => (cl, qi)) }
+          .toSeq.groupBy(_._1).map { case (cl, xs) => (cl, xs.map(_._2).toArray) }
+        val bcTile = spark.sparkContext.broadcast((qids, luts, cellQ))
+        val probedCells = cellQ.keys.toSeq
+        val shortlist = index
+          // on the cell-partitioned standing artifact this IS partition
+          // pruning: only nprobe/nlist of the codes are ever read
+          .where(col("cell").isin(probedCells: _*))
+          .select(col("vid"), col("cell"), col("codes"))
+          .as[(Long, Int, Array[Byte])]
+          .mapPartitions { it =>
+            val (ids, ls, cq) = bcTile.value
+            val nq = ids.length
+            val heaps = new Array[scala.collection.mutable.PriorityQueue[(Double, Long)]](nq)
+            it.foreach { case (vid, cell, cd) =>
+              cq.get(cell) match {
+                case Some(qs) =>
+                  var x = 0
+                  while (x < qs.length) {
+                    val qi = qs(x)
+                    if (ids(qi) != vid) {
+                      val lut = ls(qi)
+                      var score = 0.0; var f = 0
+                      while (f < cd.length) { score += lut(f * ksub + (cd(f) & 0xff)); f += 1 }
+                      var h = heaps(qi)
+                      if (h == null) {
+                        h = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+                          Ordering.by[(Double, Long), Double](_._1).reverse)
+                        heaps(qi) = h
+                      }
+                      if (h.size < s) h.enqueue((score, vid))
+                      else if (score > h.head._1) { h.dequeue(); h.enqueue((score, vid)) }
+                    }
+                    x += 1
+                  }
+                case None => ()
+              }
+            }
+            Iterator.range(0, nq).flatMap { qi =>
+              val h = heaps(qi)
+              if (h == null) Iterator.empty
+              else h.iterator.map { case (_, vid) => (ids(qi), vid) }
+            }
+          }
+          .toDF("qid", "vid")
+        Some(shortlist)
+      }
+    }
+    val short = graft.operators.LimitBy
+      .limitBy(tileShortlists.reduce(_ unionByName _).dropDuplicates("qid", "vid"),
+        Seq(col("qid")), Seq(col("vid").asc), s * 8)
+    val rerank = c.join(broadcast(short), Seq("vid"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("vid"), col("qv"), col("cv"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (qid, vid, qv, cv) =>
+        (qid, vid, VecKernels.cosine(qv, cv))
+      })
+      .toDF("qid", "vid", "cos")
+    graft.operators.LimitBy
+      .limitBy(rerank, Seq(col("qid")), Seq(col("cos").desc, col("vid").asc), k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-PQ ANN top-k, rebuilding everything per call (training both
+    * quantizers on one bounded normalized sample) — owns the rebuild
+    * cost class; the standing path is [[ivfPqIndexFor]] /
+    * [[ivfPqIndexProbe]]. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
+      .map(VecKernels.normalize)
+    if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
+    val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
+    val (codebooks, bounds) = pqTrain(sample, m, ksub, seed)
+    ivfPqScan(ivfPqEncodeDf(c, centroids, codebooks, bounds), c,
+      centroids, codebooks, bounds, queries, k, ksub, nprobe, shortlistFactor)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS, exact: all (a < b) pairs with
     * cos >= tau. O(N²) by construction — the declared exact baseline the
     * LSH variant is measured against (same pattern as
@@ -871,6 +1062,64 @@ object Similarity extends QueryRegistry {
   def mergePqIndex(codes: DataFrame, admitted: DataFrame,
       codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame =
     codes.unionByName(Similarity.pqEncodeDf(admitted, codebooks, bounds))
+      .dropDuplicates("vid")
+
+  // ---- standing IVF-PQ index (the composed production shape: cell
+  // partition-pruning × m-byte rows — the two prunings multiply, so a
+  // probe reads ~(nprobe/nlist) × m/(4·dim) of a flat scan; this is
+  // what FAISS-style deployments actually materialize at 100 TB). One
+  // (vid, cell, codes) table, both quantizers trained on one bounded
+  // normalized sample. ----
+
+  private val ivfPqIndexCache = new SessionMemo[String](pin = true)
+  private val ivfPqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Array[Array[Double]], Array[Array[Array[Double]]], Array[Int])]()
+
+  /** The persisted composed (vid, cell, codes) table, built once per
+    * (session, fixture dir); centroids + codebooks + bounds land in the
+    * companion model cache under the same compute (deterministic: fixed
+    * seed + deterministic sample). */
+  def ivfPqIndexFor(s: SparkSession, d: String): DataFrame =
+    ivfPqIndexCache.getOrCompute(s, d) {
+      import s.implicits._
+      val c = t(s, d, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+      val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+        .map(VecKernels.normalize)
+      require(sample.nonEmpty, s"ivfPqIndexFor($d): empty embeddings corpus")
+      val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+      val (codebooks, bounds) = Similarity.pqTrain(sample, pqM, pqKsub, seed = 42L)
+      ivfPqModelCache.put((s.sparkContext.applicationId, d), (centroids, codebooks, bounds))
+      Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds).localCheckpoint()
+    }
+
+  /** Batch probe against the STANDING composed index: cell-pruned ADC
+    * scan + shortlist re-rank — no training, no encode pass. */
+  def ivfPqIndexProbe(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+    val index = ivfPqIndexFor(s, d)
+    val model = ivfPqModelCache.get((s.sparkContext.applicationId, d))
+    require(model != null, s"ivfPqIndexProbe($d): model missing — " +
+      "ivfPqIndexFor must compute in this application before probing")
+    val (centroids, codebooks, bounds) = model
+    val c = t(s, d, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
+    Similarity.ivfPqScan(index, c, centroids, codebooks, bounds, queries,
+      k, pqKsub, nprobe, shortlistFactor)
+  }
+
+  /** Composed-index MAINTENANCE: the admitted batch is cell-assigned
+    * AND encoded in one pass under the STANDING model (no retrain —
+    * refresh is the same separate offline job as the per-family
+    * merges), appended, idempotent on vid. Under a fixed model both
+    * halves are per-row deterministic, so the maintained table is
+    * row-set identical to encoding the combined corpus directly. Same
+    * APPEND/replay contract: in-place update = delete-then-admit. */
+  def mergeIvfPqIndex(index: DataFrame, admitted: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame =
+    index.unionByName(Similarity.ivfPqEncodeDf(admitted, centroids, codebooks, bounds))
       .dropDuplicates("vid")
 
   // ---- standing LSH index (completing the standing trilogy:
@@ -1110,6 +1359,38 @@ object Similarity extends QueryRegistry {
         s"(seed=${meta("seed")}, tables=${meta("tables")})")
     lshProbe(IndexStore.load(s, path), corpus,
       lshPlanesFor(meta("dim").toInt, meta("bits").toInt), queries, k)
+  }
+
+  /** Persist the standing composed IVF-PQ artifact at `path`:
+    * cell-partitioned (vid, cell, codes) parquet — probes become
+    * partition-pruned scans — plus the full model in the sidecar. */
+  def saveIvfPqIndex(s: SparkSession, d: String, path: String): Unit = {
+    val index = ivfPqIndexFor(s, d)
+    val model = ivfPqModelCache.get((s.sparkContext.applicationId, d))
+    require(model != null, s"saveIvfPqIndex($d): model missing")
+    val (centroids, codebooks, bounds) = model
+    IndexStore.save(index, path, Map(
+      "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
+      "m" -> pqM.toString, "ksub" -> pqKsub.toString,
+      "centroids" -> IndexStore.encodeMatrix(centroids),
+      "codebooks" -> IndexStore.encodeCube(codebooks),
+      "bounds" -> IndexStore.encodeInts(bounds)),
+      partitionBy = Seq("cell"))
+  }
+
+  /** COLD composed probe: model from the sidecar, codes from the
+    * cell-partitioned artifact — the probe's cell filter is partition
+    * pruning on the loaded layout. Codes round-trip bit-exactly; probe
+    * OUTPUT identity is not the contract (ADC shortlist ties — the
+    * [[pqColdProbe]] convention). */
+  def ivfPqColdProbe(s: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+    val meta = IndexStore.readMeta(s, path)
+    Similarity.ivfPqScan(IndexStore.load(s, path), corpus,
+      IndexStore.decodeMatrix(meta("centroids")),
+      IndexStore.decodeCube(meta("codebooks")),
+      IndexStore.decodeInts(meta("bounds")),
+      queries, k, meta("ksub").toInt, nprobe, shortlistFactor)
   }
 
   /** First-row embedding dimensionality (0 on an empty corpus) — the
@@ -1556,6 +1837,113 @@ object Similarity extends QueryRegistry {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
              |  true AS cold_eq_warm, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- composed IVF-PQ top-5, recall-certified: the rebuild row —
+    // trains BOTH quantizers on one bounded normalized sample, encodes
+    // the corpus into (vid, cell, codes), cell-pruned ADC scan. Floor
+    // below the PQ row's (0.35): the two approximations compound
+    // (nprobe-of-nlist pruning × 8-byte codes). ----
+    QueryDef(
+      "x_sim_topk_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        annRecallContract(
+          ivfPqTopK(emb, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.35)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- batch probe against the STANDING composed index: per-batch
+    // cost is the cell-pruned m-byte scan + a shortlist re-rank — the
+    // two prunings multiply (nprobe/nlist of the rows × m/(4·dim) of
+    // the bytes), which is why this is THE shape a 100-TB ANN
+    // deployment materializes. x_sim_topk_ivfpq keeps owning the
+    // train+encode rebuild cost. ----
+    QueryDef(
+      "x_sim_index_probe_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        annRecallContract(
+          ivfPqIndexProbe(s, d, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.35)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- composed-index MAINTENANCE (the x_sim_index_update_pq
+    // pattern on the composed table): standing (vid, cell, codes) over
+    // vec_id %5 ∈ {2,3,4} under a fixed model, slice %5==1 admitted +
+    // MERGED (one assign+encode pass, no corpus re-encode, no
+    // retrain), query batch probes the merged index. Convergence =
+    // row-set identity of the composed tables on (vid, cell, codes) —
+    // exact, both halves per-row deterministic under a fixed model —
+    // plus recall vs the scenario-exact brute baseline. ----
+    QueryDef(
+      "x_sim_index_update_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+          .map(VecKernels.normalize)
+        val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+        val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+        val slice = pmod(col("vid"), lit(5L))
+        val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
+        val merged = mergeIvfPqIndex(index0, c.where(slice === 1), centroids, codebooks, bounds)
+        val rebuilt = Similarity.ivfPqEncodeDf(c.where(slice =!= 0), centroids, codebooks, bounds)
+        val corpus = c.where(slice =!= 0)
+        val q = queriesOf(emb)
+        val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
+          q, 5, 16, 4, 4)
+        val contract = annRecallContract(probeM,
+          bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
+          minRecall = 0.35)
+        val mismatch = merged.withColumn("m", lit(1))
+          .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        contract.crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- composed-index COLD probe: model (centroids + codebooks +
+    // bounds) from the sidecar, codes from the CELL-PARTITIONED
+    // artifact — the cold probe's cell filter is dynamic partition
+    // pruning on the loaded layout. Certification = composed-table
+    // round-trip identity on (vid, cell, codes) + the recall floor
+    // (probe-output identity deliberately not the contract — ADC
+    // shortlist ties, the x_sim_index_update_pq lesson). ----
+    QueryDef(
+      "x_sim_index_cold_probe_ivfpq",
+      (s, d) => {
+        val path = artifactPath(s, d, "ivfpq")
+        IndexStore.saveOnce(s, path)(saveIvfPqIndex(s, d, path))
+        val fresh = s.newSession()
+        val embF = t(fresh, d, "embeddings")
+        val corpusF = embF.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val cold = ivfPqColdProbe(fresh, path, corpusF, queriesOf(embF), k = 5)
+        val coldW = IndexStore.recreate(s, cold)
+        val mismatch = IndexStore.load(s, path).withColumn("m", lit(1))
+          .join(ivfPqIndexFor(s, d).withColumn("r", lit(1)),
+            Seq("vid", "cell", "codes"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+          .crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("index_roundtrip_ok"),
+            col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS index_roundtrip_ok, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
     // ---- index DRIFT statistic (VERDICT r13 missing-#2, first half):

@@ -113,6 +113,92 @@ class SimilaritySpec extends SparkSpec {
       "replaying an admitted batch duplicated codes rows")
   }
 
+  test("composed IVF-PQ top-k achieves usable recall vs brute force") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivfpq = topSet(Similarity.ivfPqTopK(emb, queries, 5))
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.35, s"IVF-PQ recall too low: $recall")
+  }
+
+  test("standing IVF-PQ index: built once, probe agrees with the rebuild path") {
+    val i1 = Similarity.ivfPqIndexFor(spark, sf001)
+    val i2 = Similarity.ivfPqIndexFor(spark, sf001)
+    assert(i1 eq i2, "composed index was rebuilt on the second probe")
+    val leaves = i1.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(leaves.nonEmpty && leaves.forall(_.isCheckpointed),
+      "composed index should be a checkpointed materialization")
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = topSet(Similarity.ivfPqIndexProbe(spark, sf001, queries, k = 5))
+    val rebuild = topSet(Similarity.ivfPqTopK(emb, queries, 5))
+    assert(probe === rebuild,
+      "standing composed probe must agree with the per-rep rebuild path")
+  }
+
+  test("IVF-PQ maintenance: merged composed table converges; merge is idempotent") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val c = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+      .map(VecKernels.normalize)
+    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+    val slice = pmod(col("vid"), lit(5L))
+    val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
+    val merged = Similarity.mergeIvfPqIndex(index0, c.where(slice === 1),
+      centroids, codebooks, bounds)
+    val rebuilt = Similarity.ivfPqEncodeDf(c.where(slice =!= 0), centroids, codebooks, bounds)
+    def rowMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Seq[Byte])] =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(rowMap(merged) === rowMap(rebuilt),
+      "maintained composed table diverged from a full re-encode")
+    val replayed = Similarity.mergeIvfPqIndex(merged, c.where(slice === 1),
+      centroids, codebooks, bounds)
+    assert(replayed.count() === rebuilt.count(),
+      "replaying an admitted batch duplicated composed rows")
+  }
+
+  test("IVF-PQ scan prunes to the probed cells and loses no in-cell neighbor") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val c = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
+      .map(VecKernels.normalize)
+    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+    val index = Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    // with nprobe = nlist no cell is pruned — the composed scan must
+    // return exactly what the flat PQ scan over identical codes returns
+    // (same ADC scores, same shortlist size, same exact re-rank)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = topSet(Similarity.ivfPqScan(index, c, centroids, codebooks, bounds,
+      queries, 5, 16, nprobe = 16, shortlistFactor = 4))
+    val flat = topSet(Similarity.pqScan(index.select("vid", "codes"), c,
+      codebooks, bounds, queries, 5, 16, shortlistFactor = 4))
+    assert(composed === flat,
+      "unpruned composed scan diverged from the flat PQ scan on identical codes")
+    // and the pruned probe's plan actually filters on cell
+    val prunedPlan = Similarity.ivfPqScan(index, c, centroids, codebooks, bounds,
+      queries, 5, 16, nprobe = 4, shortlistFactor = 4)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("cell#") &&
+        (prunedPlan.toLowerCase.contains("inset") || prunedPlan.toLowerCase.contains("in (")),
+      s"composed scan lost its cell pruning filter:\n$prunedPlan")
+  }
+
   test("ANN index deletion forgets exactly the requested vids; delete-then-admit round-trips") {
     import spark.implicits._
     val emb = Tables.t(spark, sf001, "embeddings")

@@ -96,6 +96,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pq.contains("LocalTableScan"),
       s"pq probe must not round-trip the query batch through the driver:\n$pq")
     assert(!pq.contains("CartesianProduct"), s"pq probe degenerated:\n$pq")
+    // r15: the composed IVF-PQ probe keeps both prunings in-plan — the
+    // codes scan must carry the probed-cell filter (partition pruning on
+    // the cell-partitioned standing artifact) and stay fully distributed
+    // (no driver round-trip of the query batch), never cartesian
+    val pc = graft.llm.Similarity.ivfPqIndexProbe(spark, sf0001,
+      emb.where(expr("vec_id % 25 = 0")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("cell#") &&
+        (pc.toLowerCase.contains("inset") || pc.toLowerCase.contains("in (")),
+      s"ivfpq probe lost its cell-pruning filter:\n$pc")
+    assert(!pc.contains("LocalTableScan"),
+      s"ivfpq probe must not round-trip the query batch through the driver:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"ivfpq probe degenerated:\n$pc")
     // r14: the zipf-fixture probe (the realistic-vocabulary pair) keeps
     // the same shape — short-query term set broadcast, no degeneration
     val pz = graft.llm.TextOps.bm25IndexProbe(spark, sf0001,
