@@ -2313,6 +2313,104 @@ object Similarity extends QueryRegistry {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- composed IVF-PQ ingest under the LIVE streaming engine —
+    // the new family joins the full lifecycle matrix on arrival: same
+    // probe-then-merge drive, the admitted batch cell-assigned AND
+    // encoded in ONE pass under the STANDING model by
+    // [[mergeIvfPqIndex]]. In-engine requires pin streamed composed
+    // table ≡ the direct whole-corpus encode (row-set identity on
+    // (vid, cell, codes) — both halves per-row deterministic under the
+    // fixed model) and that the live probes ran. Certified output =
+    // the standard query batch probed through the streamed index under
+    // the composed recall floor. ----
+    QueryDef(
+      "x_stream_ivfpq_ingest",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_stream_ivfpq_ingest($d): empty embeddings corpus")
+        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val maintained = annStreamIngest(s, emb, "x_stream_ivfpq_ingest")(
+          build = b => ivfPqEncodeDf(asCorpus(b), centroids, codebooks, bounds),
+          probe = (cur, b) => ivfPqScan(cur, c, centroids, codebooks, bounds,
+            b, k = 3, pqKsub, nprobe = 4, shortlistFactor = 4).count(),
+          merge = (cur, b) => mergeIvfPqIndex(cur, asCorpus(b), centroids, codebooks, bounds))
+        val direct = ivfPqEncodeDf(c, centroids, codebooks, bounds)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"streamed composed table diverged from the direct encode ($diverged rows)")
+        annRecallContract(
+          ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
+            k = 5, pqKsub, nprobe = 4, shortlistFactor = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.35)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- composed IVF-PQ disk chain — save into the CELL-partitioned
+    // layout, append the admitted slice's composed rows (disjoint vids
+    // ⇒ the raw partitioned file append IS mergeIvfPqIndex's row set),
+    // compact, COLD probe through the compacted artifact. Convergence
+    // is composed-table row-set identity on (vid, cell, codes) vs
+    // encoding the combined corpus directly (probe-output identity is
+    // deliberately not the contract — the family's ADC-tie
+    // convention), plus the cold probe's recall floor. ----
+    QueryDef(
+      "x_sim_index_disk_update_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val slice = pmod(col("vid"), lit(5L))
+        val sample = c.where(slice >= 2).select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_sim_index_disk_update_ivfpq($d): empty build corpus")
+        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        val live = artifactPath(s, d, "ivfpq_disk")
+        IndexStore.save(
+          ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds), live, Map(
+            "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
+            "m" -> pqM.toString, "ksub" -> pqKsub.toString,
+            "centroids" -> IndexStore.encodeMatrix(centroids),
+            "codebooks" -> IndexStore.encodeCube(codebooks),
+            "bounds" -> IndexStore.encodeInts(bounds)),
+          Seq("cell"))
+        IndexStore.append(
+          ivfPqEncodeDf(c.where(slice < 2), centroids, codebooks, bounds), live)
+        val before = IndexStore.dataFileCount(s, live)
+        IndexStore.compact(s, live)
+        val after = IndexStore.dataFileCount(s, live)
+        val fresh = s.newSession()
+        val embF = t(fresh, d, "embeddings")
+        val corpusF = embF.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val cold = ivfPqColdProbe(fresh, live, corpusF, queriesOf(embF), k = 5)
+        val coldW = IndexStore.recreate(s, cold)
+        val mismatch = IndexStore.load(s, live).withColumn("m", lit(1))
+          .join(ivfPqEncodeDf(c, centroids, codebooks, bounds).withColumn("r", lit(1)),
+            Seq("vid", "cell", "codes"), "full")
+          .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"))
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+          .crossJoin(mismatch)
+          .select(col("n_queries"), (col("bad") === 0).as("converged"),
+            lit(after < before).as("compacted_ok"), col("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS converged, true AS compacted_ok, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs, exact baseline ----
     QueryDef(
       "x_dedup_embed",

@@ -372,8 +372,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
-  test("LSH and PQ disk chains: append+compact converge to the direct build through a cold probe") {
-    for (name <- Seq("x_sim_index_disk_update_lsh", "x_sim_index_disk_update_pq")) {
+  test("streamed IVF-PQ ingest: live engine converges and the probe meets the recall contract") {
+    // the in-engine requires gate streamed composed table ≡ direct
+    // encode on (vid, cell, codes) and that live cell-pruned ADC
+    // probes ran
+    val r = graft.SparkEntry.queries("x_stream_ivfpq_ingest")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
+  test("LSH, PQ and IVF-PQ disk chains: append+compact converge to the direct build through a cold probe") {
+    for (name <- Seq("x_sim_index_disk_update_lsh", "x_sim_index_disk_update_pq",
+        "x_sim_index_disk_update_ivfpq")) {
       val r = graft.SparkEntry.queries(name)(spark, sf001).collect()(0)
       assert(r.getAs[Boolean]("converged"), s"$name: $r")
       assert(r.getAs[Boolean]("compacted_ok"), s"$name: $r")
