@@ -552,17 +552,21 @@ object Similarity extends QueryRegistry {
       .toDF("qid", "lut")
     val s = shortlistFactor * k
 
-    // fast path: one bounded collect when the whole batch fits a tile
-    // (the common probe-batch case — no count job, no second LUT pass);
-    // otherwise count and hash-tile. The tile filter goes on the QUERY
-    // frame, below the LUT kernel — filtering the built lutDf cannot
-    // push past the typed mapPartitions, so each tile would re-pay the
-    // FULL-batch LUT build (review finding: O(B·T) instead of O(B))
-    val firstTile = lutOf(q).limit(pqLutTile + 1).as[(Long, Array[Double])].collect()
-    if (firstTile.isEmpty)
+    // tile detection is a kernel-FREE bounded count (qids only, limit
+    // tile+1): the old shape probed by building tile+1 full LUTs that
+    // the multi-tile path then threw away and re-paid (review finding),
+    // and the multi-tile path re-counted the source besides. Single
+    // tile — the common probe-batch case — pays one trivial count job
+    // + one LUT pass; multi-tile learns the exact size from a full
+    // count, with zero discarded kernel work. The tile filter goes on
+    // the QUERY frame, below the LUT kernel — filtering the built
+    // lutDf cannot push past the typed mapPartitions, so each tile
+    // would re-pay the FULL-batch LUT build (O(B·T) instead of O(B))
+    val probeN = q.limit(pqLutTile + 1).count()
+    if (probeN == 0)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val tileSets: Seq[Array[(Long, Array[Double])]] =
-      if (firstTile.length <= pqLutTile) Seq(firstTile)
+      if (probeN <= pqLutTile) Seq(lutOf(q).as[(Long, Array[Double])].collect())
       else {
         val nQ = q.count()
         val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
@@ -579,6 +583,13 @@ object Similarity extends QueryRegistry {
         }
       }
 
+    // per-tile broadcast lifetime: each bcLuts (~tile × m × ksub × 8 B)
+    // is referenced only by its tile's scan closure, so once the
+    // caller's action has run and the returned frame is dereferenced,
+    // ContextCleaner reclaims every tile's broadcast — bounded at
+    // ceil(batch/tile) × ~4 MB in the interim. Eager per-tile destroy
+    // would require materializing tiles one-by-one, serializing the
+    // scans that currently run as one job.
     val tileShortlists = tileSets.flatMap { rows =>
       if (rows.isEmpty) None
       else {
@@ -714,15 +725,16 @@ object Similarity extends QueryRegistry {
       .toDF("qid", "cells", "lut")
     val s = shortlistFactor * k
 
-    // same tile protocol as pqScan: one bounded collect on the common
-    // single-tile path, hash-tiling on the query frame (below the
-    // kernel) otherwise — driver peak stays O(tile), never O(batch)
-    val firstTile = probeOf(q).limit(pqLutTile + 1)
-      .as[(Long, Array[Int], Array[Double])].collect()
-    if (firstTile.isEmpty)
+    // same tile protocol as pqScan: kernel-free bounded count to pick
+    // the path, one LUT+cells pass on the common single-tile case,
+    // hash-tiling on the query frame (below the kernel) otherwise —
+    // driver peak stays O(tile), never O(batch), no discarded kernels
+    val probeN = q.limit(pqLutTile + 1).count()
+    if (probeN == 0)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val tileSets: Seq[Array[(Long, Array[Int], Array[Double])]] =
-      if (firstTile.length <= pqLutTile) Seq(firstTile)
+      if (probeN <= pqLutTile)
+        Seq(probeOf(q).as[(Long, Array[Int], Array[Double])].collect())
       else {
         val nQ = q.count()
         val tiles = math.max(1, math.ceil(nQ.toDouble / pqLutTile).toInt)
@@ -741,6 +753,9 @@ object Similarity extends QueryRegistry {
       else {
         val qids = rows.map(_._1)
         val luts = rows.map(_._3)
+        // per-tile broadcast lifetime: same contract as pqScan —
+        // ContextCleaner reclaims each tile's bcTile once the returned
+        // frame is dereferenced; bounded ceil(batch/tile) × ~4 MB
         // nlist-bounded: cell → indexes of the tile queries probing it
         val cellQ: Map[Int, Array[Int]] = rows.iterator.zipWithIndex
           .flatMap { case ((_, cells, _), qi) => cells.iterator.map(cl => (cl, qi)) }
@@ -1889,6 +1904,7 @@ object Similarity extends QueryRegistry {
           col("embedding").cast("array<double>").as("cv"))
         val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
           .map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_sim_index_update_ivfpq($d): empty embeddings corpus")
         val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
         val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))

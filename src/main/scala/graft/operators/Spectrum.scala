@@ -138,6 +138,7 @@ object Spectrum {
     val sumIdx = sums.map { case (s, _) => inSchema.fieldIndex(s) }.toArray
     val offIdx = sums.map { case (s, _) => inSchema.fieldIndex(s"__off_$s") }.toArray
     val seenIdx = sums.map { case (s, _) => inSchema.fieldIndex(s"__seen_$s") }.toArray
+    val pidIdx = inSchema.fieldIndex("__pid")
     val pcIdx = partCols.map(inSchema.fieldIndex).toArray
     val isLong = sumIdx.map { i =>
       inSchema(i).dataType match {
@@ -166,7 +167,27 @@ object Spectrum {
       // allocations in the corpus-sized streaming loop
       val curKey = new Array[Any](nKeys)
       var first = true
+      // the offsets were computed per STAMPED __pid; the walk is only
+      // correct while each invocation of this function still sees
+      // exactly one stamped partition's rows. That holds today
+      // (broadcast join + sortWithinPartitions are narrow — and it
+      // keeps holding under a downstream narrow coalesce, which runs
+      // this function once per PARENT partition), but a future plan
+      // change inserting an exchange here would corrupt sums SILENTLY
+      // by interleaving rows of different stamps into one invocation —
+      // so every row asserts its stamp against the invocation's first
+      // (one int compare; fails loudly, never wrong). NOT compared to
+      // TaskContext.getPartitionId(): under coalesce the task id
+      // differs from the parent partition index while the walk is
+      // still correct.
+      var invocationPid = Int.MinValue
       it.map { row =>
+        if (invocationPid == Int.MinValue) invocationPid = row.getInt(pidIdx)
+        else if (row.getInt(pidIdx) != invocationPid)
+          throw new IllegalStateException(
+            s"Spectrum walk invariant broken: rows stamped __pid=$invocationPid and " +
+              s"__pid=${row.getInt(pidIdx)} reached one streaming pass — an exchange " +
+              "moved rows between the partition-id stamp and the cumulative walk")
         var changed = first
         var kI = 0
         while (kI < nKeys && !changed) {

@@ -66,6 +66,23 @@ class SpectrumSpec extends SparkSpec {
     assert(viaGlobal.count { case (g, _, c) => g == "lag" && c.isEmpty } === 700)
   }
 
+  test("walk survives a downstream narrow coalesce (the Verify coalesce(1) write shape)") {
+    // a narrow coalesce runs the walk once per PARENT partition inside
+    // one task — correct, but the stamped __pid differs from the task's
+    // partition id there, so the stage-displacement guard must compare
+    // stamps within an invocation, NOT against TaskContext (a
+    // TaskContext-based guard false-positived on every Verify dump)
+    val df = (1 to 997).map(i => (i * 3 % 997, (i % 7 + 1).toLong)).toDF("v", "c")
+    val viaGlobal = df
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("v").collect().map(r => (r.getInt(0), r.getLong(2)))
+    val viaCoalesced = Spectrum.withRunningSum(df, "v", "c", "cum")
+      .coalesce(1)
+      .orderBy("v").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(viaCoalesced === viaGlobal)
+  }
+
   test("grouped fused spectrum (aggregate + walk) is bit-identical to groupBy + global window") {
     // double measures, grouped: the r15 fused path (aggregate riding the
     // range exchange, streaming cumulative) vs the naive reference shape
