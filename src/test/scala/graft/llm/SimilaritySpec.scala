@@ -419,4 +419,19 @@ class SimilaritySpec extends SparkSpec {
       finally Similarity.pqLutTile = 4096
     assert(tiled === whole)
   }
+
+  test("ivfPqScan tiles the query batch: per-tile gather is bounded, results unchanged") {
+    // the composed scan rides the same tile protocol (kernel-free count
+    // probe, hash-tiling on the query frame, per-tile cell→queries map);
+    // per-query results must be tile-invariant
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = rows(Similarity.ivfPqTopK(emb, queries, 5))
+    val tiled =
+      try { Similarity.pqLutTile = 4; rows(Similarity.ivfPqTopK(emb, queries, 5)) }
+      finally Similarity.pqLutTile = 4096
+    assert(tiled === whole)
+  }
 }
