@@ -110,6 +110,30 @@ class IndexStoreSpec extends SparkSpec {
       s"cold probe must partition-prune the cell-partitioned artifact:\n$plan")
   }
 
+  test("composed IVF-PQ cold probe statically prunes the cell-partitioned artifact") {
+    // the composed scan's probed-cell filter is a LITERAL set (the tile's
+    // cells are known before the scan), so it reaches the parquet load as
+    // a STATIC PartitionFilter — stronger than DPP: pruned at planning,
+    // no runtime subquery — and the scan reads only nprobe/nlist of the
+    // artifact's partitions
+    val d = sf001
+    val path = s"${IndexStore.tempRoot(spark)}/spec/ivfpq_plan"
+    Similarity.saveIvfPqIndex(spark, d, path)
+    val fresh = spark.newSession()
+    val embF = graft.Tables.t(fresh, d, "embeddings")
+    val corpusF = embF.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val plan = Similarity.ivfPqColdProbe(fresh, path, corpusF,
+      embF.filter(col("vec_id") % 25 === 0), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), s"cold probe must scan the artifact:\n$plan")
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan)
+    assert(pf.isDefined,
+      s"composed cold probe must carry a static cell PartitionFilter:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"composed cold probe degenerated:\n$plan")
+  }
+
   test("append adds rows into the stored layout; compact defragments and preserves the row set") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ac_").toString
