@@ -299,9 +299,17 @@ object Similarity extends QueryRegistry {
     // to be a (qid, vid, qv, cv) shuffle), and scores exact cosine against
     // the broadcast query vectors. Zero shuffles before the final top-k,
     // and the corpus is never row-multiplied ×tables.
+    // same one-execution budget probe as bruteForceTopK: the query side
+    // is small BY DEFINITION (it is the broadcast side), and a mis-carved
+    // corpus-sized frame dies naming the contract, not as a driver OOM
     val qRows = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .limit(maxQueryBatch + 1)
       .as[(Long, Array[Double])].collect()
+    require(qRows.length <= maxQueryBatch,
+      s"lshTopK: query batch carries > $maxQueryBatch rows (maxQueryBatch) — " +
+        "the one-shot path broadcasts the whole batch; use the standing-index " +
+        "probe and tile the batch at this size")
     val qVecs: Map[Long, (Array[Double], Double)] = qRows.map { case (id, v) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
