@@ -403,6 +403,11 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceTopK(corpus, big, 1)
     }
     assert(e.getMessage.contains("maxQueryBatch"), e.getMessage)
+    // the one-shot LSH path carries the same contract
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, big, 1, tables = 2, bits = 2)
+    }
+    assert(e2.getMessage.contains("maxQueryBatch"), e2.getMessage)
   }
 
   test("pqScan tiles the query batch: per-tile LUT gather is bounded, results unchanged") {
