@@ -61,7 +61,7 @@ object IndexStore {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$path/data")
     writeMeta(index.sparkSession, s"$path/_index_meta.json",
-      meta + ("format" -> FormatVersion,
+      meta ++ Map("format" -> FormatVersion,
         "partitions" -> partitionBy.mkString(",")))
   }
 

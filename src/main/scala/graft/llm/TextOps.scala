@@ -450,7 +450,7 @@ object TextOps extends QueryRegistry {
     IndexStore.swap(s, s"$path/dfs.staged", s"$path/dfs")
     IndexStore.writeMeta(s,
       s"${IndexStore.resolveDir(s, sPost)}/_index_meta.json",
-      meta + ("n" -> (meta("n").toLong + row.getLong(0)).toString,
+      meta ++ Map("n" -> (meta("n").toLong + row.getLong(0)).toString,
         "sumDl" -> (meta("sumDl").toLong + row.getLong(1)).toString))
   }
 
