@@ -1304,8 +1304,10 @@ object Dedup extends QueryRegistry {
         val before = IndexStore.dataFileCount(s, path)
         IndexStore.compact(s, path)
         val after = IndexStore.dataFileCount(s, path)
-        require(after < before,
-          s"band-index compaction did not defragment ($before -> $after files)")
+        // <=, not <: a tiny fixture where save+append already landed the
+        // minimal one-file-per-partition layout must not fail spuriously
+        require(after <= before,
+          s"band-index compaction grew the layout ($before -> $after files)")
         val fresh = s.newSession()
         val cold = coldCandidates(fresh, path,
           t(fresh, d, "documents").where(pmod(col("doc_id"), lit(5L)) === 0))

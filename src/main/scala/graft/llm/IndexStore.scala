@@ -360,9 +360,10 @@ object IndexStore {
     // the count()-then-collect() form doubled every cold row's cost)
     val bounded = df.limit((maxRecreateRows + 1).toInt).collect()
     require(bounded.length <= maxRecreateRows,
-      s"IndexStore.recreate: frame carries > $maxRecreateRows rows " +
-        "(maxRecreateRows) — recreate is for certification-sized probe " +
-        "outputs, not corpus-scale frames")
+      s"IndexStore.recreate: frame carries at least ${maxRecreateRows + 1} " +
+        s"rows, over maxRecreateRows ($maxRecreateRows; the one-execution " +
+        "probe stops counting at budget+1) — recreate is for " +
+        "certification-sized probe outputs, not corpus-scale frames")
     val rows = new java.util.ArrayList[Row]()
     bounded.foreach(rows.add)
     target.createDataFrame(rows, df.schema)

@@ -318,20 +318,26 @@ object Multimodal extends QueryRegistry {
   /** REAL container demux + per-frame decode: split on the length
     * prefixes, ImageIO-decode every frame, return each frame's mean
     * luminance over ALL pixels (gray rasters ⇒ luma ≡ the stored byte;
-    * PNG is lossless, so the means are codec-exact doubles). */
+    * PNG is lossless, so the means are codec-exact doubles). Framing
+    * tracks an explicit offset into the byte array (ADVICE r15: the old
+    * `InputStream.available()` drive was only an exact remaining-byte
+    * count for ByteArrayInputStream; this form is stream-type-free). */
   def decodeVideoLumas(bytes: Array[Byte]): Array[Double] = {
     imageIoInit
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    var off = 0
     val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
-    while (in.available() > 0) {
-      require(in.available() >= 4,
-        s"decodeVideoLumas: corrupt frame length (${in.available()}-byte truncated prefix)")
-      val len = in.readInt()
-      require(len > 0 && len <= in.available(),
+    while (off < bytes.length) {
+      val remaining = bytes.length - off
+      require(remaining >= 4,
+        s"decodeVideoLumas: corrupt frame length ($remaining-byte truncated prefix)")
+      val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      off += 4
+      require(len > 0 && len <= bytes.length - off,
         s"decodeVideoLumas: corrupt frame length $len")
-      val png = new Array[Byte](len)
-      in.readFully(png)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      off += len
       require(img != null, "decodeVideoLumas: undecodable frame bytes")
       var s = 0.0
       var y = 0

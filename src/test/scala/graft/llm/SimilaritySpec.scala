@@ -410,6 +410,26 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("maxQueryBatch"), e2.getMessage)
   }
 
+  test("pqScan and ivfPqScan die loudly, budget named, on a corpus-sized query frame") {
+    import spark.implicits._
+    // the multi-tile path now carries the family budget: a mis-carved
+    // corpus-sized "query" frame must die naming maxQueryBatch before
+    // any tile gather, not grind through ceil(nQ/tile) scan jobs
+    val big = spark.range(Similarity.maxQueryBatch.toLong + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0)).as("embedding"))
+    val emb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(0.6, 0.8))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, big, 1, m = 1, ksub = 2)
+    }
+    assert(e.getMessage.contains("maxQueryBatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, big, 1, nlist = 2, nprobe = 1, m = 1, ksub = 2)
+    }
+    assert(e2.getMessage.contains("maxQueryBatch"), e2.getMessage)
+  }
+
   test("pqScan tiles the query batch: per-tile LUT gather is bounded, results unchanged") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") % 25 === 0)
