@@ -33,7 +33,10 @@ fi
 # probe — the restart-cost-is-fixture-density claim) and the bands
 # disk chain (append+compact+cold probe under 100x pair growth),
 # then the vocab drift statistic (vocabulary-sized: must stay ~flat).
-QUERIES=b_src1_scan,x_dedup_exact,x_dedup_fuzzy,x_dedup_ngram_jaccard,x_dedup_containment,x_dedup_minhash,x_dedup_simhash,x_dedup_semantic,x_sel_dsir,x_pack_sequences,x_pack_sequences_bpe,x_dedup_incremental,x_dedup_index_update,x_dedup_index_delete,x_stream_index_ingest,x_qual_classifier,x_qual_apply,x_qual_update,x_dedup_index_cold_probe,x_retr_index_cold_probe,x_text_bm25_zipf,x_retr_vocab_probe,x_retr_vocab_cold_probe,x_dedup_index_disk_update,x_retr_vocab_drift,x_sim_index_probe_ivfpq,x_sim_index_cold_probe_ivfpq
+# r16 adds the zipf DISK CHAIN twin (one-flip append + compact + cold
+# probe on the realistic vocabulary — expected near-flat, unlike the
+# raw chain's density confound).
+QUERIES=b_src1_scan,x_dedup_exact,x_dedup_fuzzy,x_dedup_ngram_jaccard,x_dedup_containment,x_dedup_minhash,x_dedup_simhash,x_dedup_semantic,x_sel_dsir,x_pack_sequences,x_pack_sequences_bpe,x_dedup_incremental,x_dedup_index_update,x_dedup_index_delete,x_stream_index_ingest,x_qual_classifier,x_qual_apply,x_qual_update,x_dedup_index_cold_probe,x_retr_index_cold_probe,x_text_bm25_zipf,x_retr_vocab_probe,x_retr_vocab_cold_probe,x_dedup_index_disk_update,x_retr_vocab_drift,x_sim_index_probe_ivfpq,x_sim_index_cold_probe_ivfpq,x_retr_vocab_disk_update
 
 # denominators: the same queries on the UNSCALED source fixture
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \

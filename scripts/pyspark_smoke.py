@@ -312,6 +312,22 @@ def ivfpq_index_probe():
     assert row.recall_ok and row.n_queries > 0, row
 
 
+# 20: round-16 surface — the FILE-source BM25 ingest loop driven from
+# Python: parquet slices land in a watched directory DURING the stream,
+# a maxFilesPerTrigger-paced readStream discovers and admits them via
+# the probe-then-merge drive; in-engine requires gate >=4 discovered
+# batches, live probes, and streamed == direct — a PASS certifies the
+# production "new files land, the loop admits them" shape from PySpark
+def bm25_file_ingest():
+    from pyspark.sql import DataFrame
+
+    fn = spark._jvm.graft.SparkEntry.queries().apply("x_stream_bm25_file_ingest")
+    df = DataFrame(fn.apply(spark._jsparkSession, SF_DIR), spark)
+    rows = df.collect()
+    assert df.columns == ["query_id", "doc_id", "score", "rank"], df.columns
+    assert len(rows) > 0, "file-source BM25 ingest probe returned no rows"
+
+
 # 11: round-10 surface — CH-exact hash kernels + untuple star expansion
 def r10_surface():
     row = spark.sql(
@@ -341,6 +357,7 @@ check("LSH standing-index probe", lsh_index_probe)
 check("cold-start index probe", cold_index_probe)
 check("streaming forget loop", stream_forget)
 check("composed IVF-PQ probe", ivfpq_index_probe)
+check("file-source BM25 ingest loop", bm25_file_ingest)
 
 spark.stop()
 if failures:

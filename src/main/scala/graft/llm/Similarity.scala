@@ -106,6 +106,32 @@ private[llm] object VecKernels extends Serializable {
   def nearestCentroids(v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
     centroids.indices.sortBy(c => l2sq(v, centroids(c))).take(n).toArray
 
+  /** v − c, elementwise (the residual a by-residual PQ quantizes). */
+  def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { r(i) = v(i) - c(i); i += 1 }
+    while (i < v.length) { r(i) = v(i); i += 1 }
+    r
+  }
+
+  /** v · centroids(j) for every j — the per-query coarse-term vector a
+    * by-residual ADC probe adds to each probed cell's LUT sum. */
+  def centroidDots(v: Array[Double], centroids: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](centroids.length)
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var dot = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { dot += v(i) * c(i); i += 1 }
+      out(j) = dot
+      j += 1
+    }
+    out
+  }
+
   /** Lloyd's k-means over a (bounded, driver-resident) sample —
     * deterministic seeding; the TRAINING is driver-side on <= a few
     * thousand vectors, the ASSIGNMENT is distributed.
@@ -455,7 +481,7 @@ object Similarity extends QueryRegistry {
     * The shortlist is broadcast back against the corpus for an exact
     * cosine re-rank, then final top-k.
     */
-  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
              sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -696,6 +722,24 @@ object Similarity extends QueryRegistry {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Both composed-index quantizers from ONE bounded normalized sample —
+    * the FAISS `by_residual=true` shape (VERDICT r15 next-#6): the
+    * coarse centroids train first, then the PQ codebooks train on the
+    * RESIDUALS (nv − centroid(cell(nv))), whose norms are far below the
+    * unit vectors' — quantization error drops at the same m, lifting
+    * recall (measured at the board config: 0.49–0.50 → see SURVEY r16).
+    * The merge path stays one-pass: the cell assignment already computes
+    * the centroid the residual needs. */
+  private[llm] def ivfPqTrain(sample: Array[Array[Double]], nlist: Int,
+      m: Int, ksub: Int, seed: Long)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Int]) = {
+    val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
+    val residuals = sample.map(v =>
+      VecKernels.residual(v, centroids(VecKernels.nearestCentroid(v, centroids))))
+    val (codebooks, bounds) = pqTrain(residuals, m, ksub, seed)
+    (centroids, codebooks, bounds)
+  }
+
   /** Composed IVF-PQ: the coarse quantizer's cell id AND the PQ codes on
     * ONE row — (vid, cell, codes) — encoded in a single JIT'd pass. The
     * artifact of the standard large-scale ANN index (FAISS's IVFPQ,
@@ -706,9 +750,12 @@ object Similarity extends QueryRegistry {
     * prunings multiply. Everything here runs on NORMALIZED vectors
     * (cosine geometry: L2-nearest centroid of normalized vectors ≈
     * cosine-nearest), unlike the raw-vector IVF family rows; the PQ
-    * codes are not residual-encoded (the FAISS `by_residual=false`
-    * variant) — cells and codes stay independently derivable, which is
-    * what lets the merge path encode an admitted batch in one pass. */
+    * codes are RESIDUAL-encoded (the FAISS `by_residual=true` default,
+    * r16): codes quantize nv − centroid(cell), so q·v decomposes into
+    * q·centroid(cell) — exact, per probed cell — plus the ADC sum over
+    * the residual LUT. Encoding stays one pass (the cell assignment
+    * yields the centroid the residual subtracts), so the merge path's
+    * one-pass independence is preserved. */
   private[llm] def ivfPqEncodeDf(c: DataFrame, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame = {
     val spark = c.sparkSession
@@ -716,8 +763,10 @@ object Similarity extends QueryRegistry {
     c.as[(Long, Array[Double])]
       .mapPartitions(_.map { case (vid, v) =>
         val nv = VecKernels.normalize(v)
-        (vid, VecKernels.nearestCentroid(nv, centroids),
-          VecKernels.pqEncode(nv, codebooks, bounds))
+        val cell = VecKernels.nearestCentroid(nv, centroids)
+        (vid, cell,
+          VecKernels.pqEncode(VecKernels.residual(nv, centroids(cell)),
+            codebooks, bounds))
       })
       .toDF("vid", "cell", "codes")
   }
@@ -747,14 +796,16 @@ object Similarity extends QueryRegistry {
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
 
-    // one pass per query: probe cells + ADC LUT (same kernel economy as
-    // pqScan's lutOf, plus the nprobe nearest centroids)
+    // one pass per query: probe cells + residual ADC LUT + the exact
+    // q·centroid term per cell (same kernel economy as pqScan's lutOf;
+    // by_residual scoring is q·centroid(cell) + ADC(residual codes))
     def probeOf(frame: DataFrame) = frame.as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cents, cbs, bds) = bcModel.value
         it.map { case (id, qv) =>
           val nq = VecKernels.normalize(qv)
           val cells = VecKernels.nearestCentroids(nq, cents, nprobe)
+          val cdots = VecKernels.centroidDots(nq, cents)
           val lut = new Array[Double](mm * ksub)
           var f = 0
           while (f < mm) {
@@ -769,10 +820,10 @@ object Similarity extends QueryRegistry {
             }
             f += 1
           }
-          (id, cells, lut)
+          (id, cells, lut, cdots)
         }
       }
-      .toDF("qid", "cells", "lut")
+      .toDF("qid", "cells", "lut", "cdots")
     val s = shortlistFactor * k
 
     // same tile protocol as pqScan: kernel-free bounded count to pick
@@ -784,16 +835,17 @@ object Similarity extends QueryRegistry {
     if (probeN == 0)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
 
-    def tileShortlist(rows: Array[(Long, Array[Int], Array[Double])])
+    def tileShortlist(rows: Array[(Long, Array[Int], Array[Double], Array[Double])])
         : (DataFrame, org.apache.spark.broadcast.Broadcast[
-            (Array[Long], Array[Array[Double]], Map[Int, Array[Int]])]) = {
+            (Array[Long], Array[Array[Double]], Array[Array[Double]], Map[Int, Array[Int]])]) = {
       val qids = rows.map(_._1)
       val luts = rows.map(_._3)
+      val cdots = rows.map(_._4)
       // nlist-bounded: cell → indexes of the tile queries probing it
       val cellQ: Map[Int, Array[Int]] = rows.iterator.zipWithIndex
-        .flatMap { case ((_, cells, _), qi) => cells.iterator.map(cl => (cl, qi)) }
+        .flatMap { case ((_, cells, _, _), qi) => cells.iterator.map(cl => (cl, qi)) }
         .toSeq.groupBy(_._1).map { case (cl, xs) => (cl, xs.map(_._2).toArray) }
-      val bcTile = spark.sparkContext.broadcast((qids, luts, cellQ))
+      val bcTile = spark.sparkContext.broadcast((qids, luts, cdots, cellQ))
       val probedCells = cellQ.keys.toSeq
       val shortlist = index
         // on the cell-partitioned standing artifact this IS partition
@@ -802,7 +854,7 @@ object Similarity extends QueryRegistry {
         .select(col("vid"), col("cell"), col("codes"))
         .as[(Long, Int, Array[Byte])]
         .mapPartitions { it =>
-          val (ids, ls, cq) = bcTile.value
+          val (ids, ls, cds, cq) = bcTile.value
           val nq = ids.length
           val heaps = new Array[scala.collection.mutable.PriorityQueue[(Double, Long)]](nq)
           it.foreach { case (vid, cell, cd) =>
@@ -813,7 +865,9 @@ object Similarity extends QueryRegistry {
                   val qi = qs(x)
                   if (ids(qi) != vid) {
                     val lut = ls(qi)
-                    var score = 0.0; var f = 0
+                    // by_residual ADC: exact q·centroid(cell) + the
+                    // residual LUT sum
+                    var score = cds(qi)(cell); var f = 0
                     while (f < cd.length) { score += lut(f * ksub + (cd(f) & 0xff)); f += 1 }
                     var h = heaps(qi)
                     if (h == null) {
@@ -843,7 +897,7 @@ object Similarity extends QueryRegistry {
       if (probeN <= pqLutTile) {
         // single tile: one gather, one broadcast (ContextCleaner-
         // reclaimed once the frame is dereferenced), one lazy scan
-        tileShortlist(probeOf(q).as[(Long, Array[Int], Array[Double])].collect())._1
+        tileShortlist(probeOf(q).as[(Long, Array[Int], Array[Double], Array[Double])].collect())._1
       } else {
         val nQ = q.count()
         require(nQ <= maxQueryBatch,
@@ -855,7 +909,7 @@ object Similarity extends QueryRegistry {
         // executor-block localCheckpoints (see pqScan for the trade)
         val parts = (0 until tiles).flatMap { tileIdx =>
           val rows = probeOf(q.where(pmod(hash(col("qid")), lit(tiles)) === tileIdx))
-            .as[(Long, Array[Int], Array[Double])].collect()
+            .as[(Long, Array[Int], Array[Double], Array[Double])].collect()
           require(rows.length <= pqLutTile.toLong * 4,
             s"ivfPqScan: tile $tileIdx carries ${rows.length} queries, over 4× the " +
               s"$pqLutTile-query tile budget — query vec_ids must be distinct")
@@ -895,7 +949,7 @@ object Similarity extends QueryRegistry {
     * cost class; the standing path is [[ivfPqIndexFor]] /
     * [[ivfPqIndexProbe]]. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 256,
       sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -903,8 +957,7 @@ object Similarity extends QueryRegistry {
     val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
       .map(VecKernels.normalize)
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
-    val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
-    val (codebooks, bounds) = pqTrain(sample, m, ksub, seed)
+    val (centroids, codebooks, bounds) = ivfPqTrain(sample, nlist, m, ksub, seed)
     ivfPqScan(ivfPqEncodeDf(c, centroids, codebooks, bounds), c,
       centroids, codebooks, bounds, queries, k, ksub, nprobe, shortlistFactor)
   }
@@ -1098,7 +1151,7 @@ object Similarity extends QueryRegistry {
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Array[Array[Array[Double]]], Array[Int])]()
   private val pqM = 8
-  private val pqKsub = 16
+  private val pqKsub = 256
 
   /** The persisted PQ codes table, built once per (session, fixture
     * dir); codebooks + subspace bounds land in the companion model
@@ -1171,8 +1224,8 @@ object Similarity extends QueryRegistry {
       val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
         .map(VecKernels.normalize)
       require(sample.nonEmpty, s"ivfPqIndexFor($d): empty embeddings corpus")
-      val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
-      val (codebooks, bounds) = Similarity.pqTrain(sample, pqM, pqKsub, seed = 42L)
+      val (centroids, codebooks, bounds) =
+        Similarity.ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
       ivfPqModelCache.put((s.sparkContext.applicationId, d), (centroids, codebooks, bounds))
       Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds).localCheckpoint()
     }
@@ -1454,7 +1507,7 @@ object Similarity extends QueryRegistry {
     val (centroids, codebooks, bounds) = model
     IndexStore.save(index, path, Map(
       "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
-      "m" -> pqM.toString, "ksub" -> pqKsub.toString,
+      "m" -> pqM.toString, "ksub" -> pqKsub.toString, "by_residual" -> "true",
       "centroids" -> IndexStore.encodeMatrix(centroids),
       "codebooks" -> IndexStore.encodeCube(codebooks),
       "bounds" -> IndexStore.encodeInts(bounds)),
@@ -1469,6 +1522,11 @@ object Similarity extends QueryRegistry {
   def ivfPqColdProbe(s: SparkSession, path: String, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
     val meta = IndexStore.readMeta(s, path)
+    // this reader scores by_residual; a legacy no-residual artifact
+    // would silently produce garbage ADC sums — fail naming the layout
+    require(meta.getOrElse("by_residual", "false") == "true",
+      s"ivfPqColdProbe: artifact at $path is not residual-encoded " +
+        "(by_residual missing/false) — rebuild it under the r16 layout")
     Similarity.ivfPqScan(IndexStore.load(s, path), corpus,
       IndexStore.decodeMatrix(meta("centroids")),
       IndexStore.decodeCube(meta("codebooks")),
@@ -1482,16 +1540,27 @@ object Similarity extends QueryRegistry {
     emb.select(size(col("embedding")).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
 
+  /** Queries the ingest drive's mid-stream probe takes from each
+    * incoming slice (VERDICT r15 next-#7: probing the WHOLE slice made
+    * the live drives the sf1 cert's two heaviest rows — 48–85 s — and
+    * scaled the admit-time check with the slice instead of holding it
+    * fixed). A bounded sample is still the admit-time check a
+    * production loop runs (spot-check the state against a fresh
+    * arrival), at O(sample) instead of O(slice). */
+  private val ingestProbeSample = 512
+
   /** Shared live-engine ingest drive for the ANN stream rows (the BM25
     * row keeps its own: its state is the postings/dfs/scalars 4-tuple):
     * 4 ordered micro-batches of the corpus (vec_id pmod 4) through
     * MemoryStream + foreachBatch — the first `build`s the state, each
-    * later batch first `probe`s the state as it stood (probe-then-merge:
-    * the admit-time check a production loop runs), then is admitted via
-    * `merge`, with per-merge localCheckpoints (lineage truncation; the
-    * ≤ 4 superseded checkpoints per drive are bounded and reclaimed by
-    * the bench's per-timing blocking sweep). Returns the maintained
-    * state; loud if the corpus was empty or no live probe ran. */
+    * later batch first `probe`s the state as it stood with an
+    * [[ingestProbeSample]]-bounded sample of the slice (probe-then-
+    * merge: the admit-time check a production loop runs, O(sample)),
+    * then is admitted via `merge`, with per-merge localCheckpoints
+    * (lineage truncation; the ≤ 4 superseded checkpoints per drive are
+    * bounded and reclaimed by the bench's per-timing blocking sweep).
+    * Returns the maintained state; loud if the corpus was empty or no
+    * live probe ran. */
   private def annStreamIngest(s: SparkSession, emb: DataFrame, name: String)(
       build: DataFrame => DataFrame,
       probe: (DataFrame, DataFrame) => Long,
@@ -1509,7 +1578,7 @@ object Similarity extends QueryRegistry {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.localCheckpoint()
         val cur = indexRef.get()
-        if (cur != null) probed.addAndGet(probe(cur, b))
+        if (cur != null) probed.addAndGet(probe(cur, b.limit(ingestProbeSample)))
         indexRef.set(
           (if (cur == null) build(b) else merge(cur, b)).localCheckpoint())
         ()
@@ -1755,15 +1824,17 @@ object Similarity extends QueryRegistry {
              |  true AS converged, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
-    // ---- PQ/ADC ANN top-5, recall-certified (probe 0.54, floor 0.35 —
-    // 8-byte codes over 64 dims is a deliberately lossy config) ----
+    // ---- PQ/ADC ANN top-5, recall-certified (r16: ksub 16 → 256 at
+    // the SAME m — identical 8-byte codes and scan cost, 16× finer
+    // subquantizers, only the per-query LUT grows to m×256 doubles;
+    // measured probe recall 0.54 → 0.93 at sf0.01, floor 0.7) ----
     QueryDef(
       "x_sim_topk_pq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
-          pqTopK(emb, queriesOf(emb), k = 5, m = 8, ksub = 16),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          pqTopK(emb, queriesOf(emb), k = 5, m = 8, ksub = 256),
+          bruteTopKFor(s, d, 5), minRecall = 0.7)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1781,7 +1852,7 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           pqIndexProbe(s, d, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          bruteTopKFor(s, d, 5), minRecall = 0.7)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1802,17 +1873,17 @@ object Similarity extends QueryRegistry {
           col("embedding").cast("array<double>").as("cv"))
         val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
           .map(VecKernels.normalize)
-        val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+        val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 256, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))
         val codes0 = Similarity.pqEncodeDf(c.where(slice >= 2), codebooks, bounds)
         val merged = mergePqIndex(codes0, c.where(slice === 1), codebooks, bounds)
         val rebuilt = Similarity.pqEncodeDf(c.where(slice =!= 0), codebooks, bounds)
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
-        val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 16, 4)
+        val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 256, 4)
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
-          minRecall = 0.35)
+          minRecall = 0.7)
         // convergence = row-set identity of the CODES tables (encode is
         // per-row deterministic under fixed codebooks, so this is exact;
         // probe-output equality would ride ADC shortlist tie-breaks)
@@ -1884,7 +1955,7 @@ object Similarity extends QueryRegistry {
           .join(pqIndexFor(s, d).withColumn("r", lit(1)), Seq("vid", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.7)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("codes_roundtrip_ok"),
             col("recall_ok"))
@@ -1923,17 +1994,19 @@ object Similarity extends QueryRegistry {
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
     // ---- composed IVF-PQ top-5, recall-certified: the rebuild row —
-    // trains BOTH quantizers on one bounded normalized sample, encodes
-    // the corpus into (vid, cell, codes), cell-pruned ADC scan. Floor
-    // below the PQ row's (0.35): the two approximations compound
-    // (nprobe-of-nlist pruning × 8-byte codes). ----
+    // trains BOTH quantizers on one bounded normalized sample (r16:
+    // by_residual codes + ksub 256), encodes the corpus into (vid,
+    // cell, codes), cell-pruned ADC scan. Floor below the PQ row's:
+    // the two approximations compound (nprobe-of-nlist pruning ×
+    // 8-byte codes). Measured 0.49 → 0.65 at sf0.01 across the r16
+    // pair of changes (residual +0.04, ksub 256 +0.12); floor 0.5. ----
     QueryDef(
       "x_sim_topk_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqTopK(emb, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          bruteTopKFor(s, d, 5), minRecall = 0.5)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1950,7 +2023,7 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqIndexProbe(s, d, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          bruteTopKFor(s, d, 5), minRecall = 0.5)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1973,8 +2046,8 @@ object Similarity extends QueryRegistry {
         val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
           .map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_sim_index_update_ivfpq($d): empty embeddings corpus")
-        val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
-        val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+        val (centroids, codebooks, bounds) =
+          Similarity.ivfPqTrain(sample, 16, 8, 256, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))
         val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
         val merged = mergeIvfPqIndex(index0, c.where(slice === 1), centroids, codebooks, bounds)
@@ -1982,10 +2055,10 @@ object Similarity extends QueryRegistry {
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
         val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
-          q, 5, 16, 4, 4)
+          q, 5, 256, 4, 4)
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
-          minRecall = 0.35)
+          minRecall = 0.5)
         val mismatch = merged.withColumn("m", lit(1))
           .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
@@ -2021,7 +2094,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.5)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("index_roundtrip_ok"),
             col("recall_ok"))
@@ -2275,7 +2348,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.7)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))
@@ -2394,7 +2467,7 @@ object Similarity extends QueryRegistry {
         annRecallContract(
           pqScan(maintained, c, codebooks, bounds, queriesOf(emb), k = 5,
             pqKsub, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          bruteTopKFor(s, d, 5), minRecall = 0.7)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2419,8 +2492,8 @@ object Similarity extends QueryRegistry {
         val sample = c.select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_stream_ivfpq_ingest($d): empty embeddings corpus")
-        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
-        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        val (centroids, codebooks, bounds) =
+          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
         def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
           col("embedding").cast("array<double>").as("cv"))
         val maintained = annStreamIngest(s, emb, "x_stream_ivfpq_ingest")(
@@ -2437,7 +2510,7 @@ object Similarity extends QueryRegistry {
         annRecallContract(
           ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
             k = 5, pqKsub, nprobe = 4, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.35)
+          bruteTopKFor(s, d, 5), minRecall = 0.5)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2461,13 +2534,13 @@ object Similarity extends QueryRegistry {
         val sample = c.where(slice >= 2).select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_sim_index_disk_update_ivfpq($d): empty build corpus")
-        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
-        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        val (centroids, codebooks, bounds) =
+          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
         val live = artifactPath(s, d, "ivfpq_disk")
         IndexStore.save(
           ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds), live, Map(
             "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
-            "m" -> pqM.toString, "ksub" -> pqKsub.toString,
+            "m" -> pqM.toString, "ksub" -> pqKsub.toString, "by_residual" -> "true",
             "centroids" -> IndexStore.encodeMatrix(centroids),
             "codebooks" -> IndexStore.encodeCube(codebooks),
             "bounds" -> IndexStore.encodeInts(bounds)),
@@ -2488,7 +2561,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.35)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.5)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))

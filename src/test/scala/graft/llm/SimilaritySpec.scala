@@ -67,7 +67,7 @@ class SimilaritySpec extends SparkSpec {
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val probe = topSet(Similarity.pqIndexProbe(spark, sf001, queries, k = 5))
-    val rebuild = topSet(Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16))
+    val rebuild = topSet(Similarity.pqTopK(emb, queries, 5))
     assert(probe === rebuild,
       "standing-codes probe must agree with the per-rep rebuild path")
   }
@@ -99,7 +99,7 @@ class SimilaritySpec extends SparkSpec {
       col("embedding").cast("array<double>").as("cv"))
     val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
       .map(VecKernels.normalize)
-    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 256, seed = 42L)
     val slice = pmod(col("vid"), lit(5L))
     val codes0 = Similarity.pqEncodeDf(c.where(slice >= 2), codebooks, bounds)
     val merged = Similarity.mergePqIndex(codes0, c.where(slice === 1), codebooks, bounds)
@@ -121,7 +121,7 @@ class SimilaritySpec extends SparkSpec {
     val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
     val ivfpq = topSet(Similarity.ivfPqTopK(emb, queries, 5))
     val recall = (brute intersect ivfpq).size.toDouble / brute.size
-    assert(recall >= 0.35, s"IVF-PQ recall too low: $recall")
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
   }
 
   test("standing IVF-PQ index: built once, probe agrees with the rebuild path") {
@@ -150,8 +150,8 @@ class SimilaritySpec extends SparkSpec {
       col("embedding").cast("array<double>").as("cv"))
     val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
       .map(VecKernels.normalize)
-    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
-    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
+    val (centroids, codebooks, bounds) =
+      Similarity.ivfPqTrain(sample, 16, 8, 256, seed = 42L)
     val slice = pmod(col("vid"), lit(5L))
     val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
     val merged = Similarity.mergeIvfPqIndex(index0, c.where(slice === 1),
@@ -168,31 +168,37 @@ class SimilaritySpec extends SparkSpec {
       "replaying an admitted batch duplicated composed rows")
   }
 
-  test("IVF-PQ scan prunes to the probed cells and loses no in-cell neighbor") {
+  test("IVF-PQ residual scan: single-cell composed scan matches the flat scan; pruned probe filters on cell") {
     import spark.implicits._
     val emb = Tables.t(spark, sf001, "embeddings")
     val c = emb.select(col("vec_id").as("vid"),
       col("embedding").cast("array<double>").as("cv"))
     val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
       .map(VecKernels.normalize)
-    val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
-    val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 16, seed = 42L)
-    val index = Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds)
     val queries = emb.filter(col("vec_id") % 100 === 0)
-    // with nprobe = nlist no cell is pruned — the composed scan must
-    // return exactly what the flat PQ scan over identical codes returns
-    // (same ADC scores, same shortlist size, same exact re-rank)
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val composed = topSet(Similarity.ivfPqScan(index, c, centroids, codebooks, bounds,
-      queries, 5, 16, nprobe = 16, shortlistFactor = 4))
-    val flat = topSet(Similarity.pqScan(index.select("vid", "codes"), c,
-      codebooks, bounds, queries, 5, 16, shortlistFactor = 4))
+    // the exact pin under by_residual: with nlist=1 every vector shares
+    // one centroid, so the composed score q·c0 + ADC(residual) is the
+    // flat ADC over the SAME residual codes shifted by a per-query
+    // CONSTANT — ranking, ties (vid asc) and the exact re-rank are all
+    // shift-invariant, so the composed kernel must return exactly what
+    // pqScan returns over those codes (pins heap logic, the cell→query
+    // routing, the best-first shortlist cut, and the re-rank)
+    val (c1, cb1, bd1) = Similarity.ivfPqTrain(sample, nlist = 1, 8, 256, seed = 42L)
+    val index1 = Similarity.ivfPqEncodeDf(c, c1, cb1, bd1)
+    val composed = topSet(Similarity.ivfPqScan(index1, c, c1, cb1, bd1,
+      queries, 5, 256, nprobe = 1, shortlistFactor = 4))
+    val flat = topSet(Similarity.pqScan(index1.select("vid", "codes"), c,
+      cb1, bd1, queries, 5, 256, shortlistFactor = 4))
     assert(composed === flat,
-      "unpruned composed scan diverged from the flat PQ scan on identical codes")
-    // and the pruned probe's plan actually filters on cell
+      "single-cell composed scan diverged from the flat PQ scan on identical residual codes")
+    // and the pruned probe's plan actually filters on cell (real model)
+    val (centroids, codebooks, bounds) =
+      Similarity.ivfPqTrain(sample, 16, 8, 256, seed = 42L)
+    val index = Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds)
     val prunedPlan = Similarity.ivfPqScan(index, c, centroids, codebooks, bounds,
-      queries, 5, 16, nprobe = 4, shortlistFactor = 4)
+      queries, 5, 256, nprobe = 4, shortlistFactor = 4)
       .queryExecution.executedPlan.toString
     assert(prunedPlan.contains("cell#") &&
         (prunedPlan.toLowerCase.contains("inset") || prunedPlan.toLowerCase.contains("in (")),
@@ -264,9 +270,9 @@ class SimilaritySpec extends SparkSpec {
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = topSet(Similarity.bruteForceTopK(emb, queries, 5))
-    val pq = topSet(Similarity.pqTopK(emb, queries, 5, m = 8, ksub = 16))
+    val pq = topSet(Similarity.pqTopK(emb, queries, 5))
     val recall = (brute intersect pq).size.toDouble / brute.size
-    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    assert(recall >= 0.75, s"PQ recall too low: $recall")
   }
 
   test("embedding near-dup LSH pairs recall vs the exact pairs") {

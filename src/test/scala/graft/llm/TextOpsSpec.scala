@@ -190,6 +190,75 @@ class TextOpsSpec extends SparkSpec {
     assert(dfMap(ts2) === dfMap(ts1), "replaying an admitted batch changed the dfs")
   }
 
+  test("one-flip BM25 append chain: every crash point serves one consistent (postings, dfs, scalars) triple") {
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val slice = pmod(col("doc_id"), lit(5L))
+    val p0 = TextOps.bm25Postings(docs.where(slice >= 2))
+    val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_tx_").toString + "/idx"
+    TextOps.saveBm25State(spark, path, p0, ts0, r0.getLong(0), r0.getLong(1))
+
+    // the consistency oracle: whatever generation load resolves, its
+    // sidecar scalars and dfs table must be EXACTLY recomputable from
+    // its manifest's postings — the triple is consistent or the test dies
+    def assertConsistent(tag: String): Long = {
+      val meta = IndexStore.readMeta(spark, s"$path/state")
+      val posts = TextOps.loadBm25Postings(spark, path)
+      val r = posts.select("doc_id", "dl").dropDuplicates("doc_id")
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+      assert(r.getLong(0) === meta("n").toLong, s"$tag: n diverged from postings")
+      assert(r.getLong(1) === meta("sumDl").toLong, s"$tag: sumDl diverged from postings")
+      val bad = IndexStore.load(spark, s"$path/state").withColumn("m", lit(1))
+        .join(posts.groupBy("term").agg(count(lit(1)).as("df")).withColumn("r", lit(1)),
+          Seq("term", "df"), "full")
+        .where(col("m").isNull || col("r").isNull).count()
+      assert(bad === 0L, s"$tag: dfs diverged from postings ($bad rows)")
+      r.getLong(0)
+    }
+    val n0 = assertConsistent("after save")
+
+    // crash A: after the pool write, before the generation stages — the
+    // exact window the old three-step chain left inconsistent
+    TextOps.bm25AppendHookAfterPool = () => throw new RuntimeException("boom-pool")
+    try intercept[RuntimeException] {
+      TextOps.appendBm25Index(spark, path, docs.where(slice === 1))
+    } finally TextOps.bm25AppendHookAfterPool = () => ()
+    assert(assertConsistent("crash after pool write") === n0,
+      "a crashed append's orphan pool dir leaked into the served state")
+
+    // crash B: staged generation renamed in, pointer not yet flipped
+    IndexStore.swapHookBeforeFlip = () => throw new RuntimeException("boom-preflip")
+    try intercept[RuntimeException] {
+      TextOps.appendBm25Index(spark, path, docs.where(slice === 1))
+    } finally IndexStore.swapHookBeforeFlip = () => ()
+    assertConsistent("crash before pointer flip")
+
+    // crash C: inside the pointer flip's delete->rename window
+    IndexStore.swapHookMidFlip = () => throw new RuntimeException("boom-midflip")
+    try intercept[RuntimeException] {
+      TextOps.appendBm25Index(spark, path, docs.where(slice === 1))
+    } finally IndexStore.swapHookMidFlip = () => ()
+    assertConsistent("crash mid pointer flip")
+
+    // replay heals: the committed chain converges to the direct merge
+    TextOps.appendBm25Index(spark, path, docs.where(slice === 1))
+    val nFinal = assertConsistent("after replayed append")
+    val pr = TextOps.bm25Postings(docs.where(slice =!= 0))
+    val rr = pr.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n")).collect()(0)
+    assert(nFinal === rr.getLong(0), "healed state diverged from the direct rebuild")
+
+    // compaction flips one generation and sweeps orphans + superseded dirs
+    TextOps.compactBm25Postings(spark, path)
+    assert(assertConsistent("after compact") === nFinal)
+    val pool = new org.apache.hadoop.fs.Path(s"$path/pool")
+    val fs = pool.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(pool).count(_.isDirectory) === 1,
+      "compaction left superseded or orphaned pool dirs behind")
+  }
+
   test("vocab drift: the board row's statistic is bounded, and self-drift is exactly zero") {
     import org.apache.spark.sql.functions._
     // the board row at sf0.001: tv in [0, 1], integer parts consistent
@@ -282,6 +351,31 @@ class TextOpsSpec extends SparkSpec {
     // value-identical to scoring through the directly-built corpus state.
     val docs = graft.Tables.t(spark, sf001, "documents")
     val streamed = graft.SparkEntry.queries("x_stream_bm25_ingest")(spark, sf001)
+    val p = TextOps.bm25Postings(docs.where(col("doc_id") % 5 =!= 0))
+    val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+      .collect()(0)
+    val qTerms = TextOps.bm25Postings(
+      docs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000))
+      .select(col("doc_id").as("query_id"), col("term"))
+    val direct = TextOps.bm25Score(p, ts, r0.getLong(0), r0.getLong(1), qTerms, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(streamed) === rows(direct))
+  }
+
+  test("file-source BM25 ingest: files landing DURING the stream are discovered and admitted") {
+    // the x_stream_bm25_file_ingest builder writes one backlog parquet
+    // file, starts a maxFilesPerTrigger=1 paced readStream, then lands
+    // three more files between processAllAvailable fences; its in-engine
+    // requires pin >=4 discovered non-empty micro-batches (the two-stage
+    // discovery gate), that mid-stream probes ran, and streamed state ≡
+    // direct build. The final probe must be value-identical to scoring
+    // through the directly-built corpus state.
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val streamed = graft.SparkEntry.queries("x_stream_bm25_file_ingest")(spark, sf001)
     val p = TextOps.bm25Postings(docs.where(col("doc_id") % 5 =!= 0))
     val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
     val r0 = p.select("doc_id", "dl").dropDuplicates("doc_id")
