@@ -1608,6 +1608,70 @@ object Similarity extends QueryRegistry {
     maintained
   }
 
+  /** FILE-source variant of [[annStreamIngest]] (VERDICT r15 missing-#2
+    * follow-through beyond the BM25 row): embedding slices LAND as
+    * parquet files in a watched directory — one backlog file, then three
+    * more written between processAllAvailable fences — and a
+    * maxFilesPerTrigger=1 paced `readStream` drives the SAME
+    * probe-then-merge loop. Nothing crosses the driver: batches flow
+    * engine-side from the file source into the merge. Loud if fewer
+    * than 4 non-empty micro-batches were discovered (the two-stage
+    * incremental-discovery gate), if no live probe ran, or if the
+    * corpus was empty. */
+  private def annFileIngest(s: SparkSession, emb: DataFrame, name: String)(
+      build: DataFrame => DataFrame,
+      probe: (DataFrame, DataFrame) => Long,
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val src = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
+    val srcDir = tmp.resolve("in").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def land(i: Int): Unit = src.where(pmod(col("vec_id"), lit(4L)) === i)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    land(0) // the backlog file the stream starts on
+    val indexRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val probed = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0) {
+          batches.incrementAndGet()
+          val cur = indexRef.get()
+          if (cur != null) probed.addAndGet(probe(cur, b.limit(ingestProbeSample)))
+          indexRef.set(
+            (if (cur == null) build(b) else merge(cur, b)).localCheckpoint())
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // new parquet LANDS while the stream runs; the paced source must
+      // discover each file in its own later micro-batch
+      (1 to 3).foreach { i => land(i); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    val maintained = indexRef.get()
+    require(maintained != null, s"$name: empty embeddings corpus")
+    require(batches.get() >= 4,
+      s"$name: file-source ingest discovered only ${batches.get()} non-empty " +
+        "micro-batches — the paced two-stage discovery gate did not hold")
+    require(probed.get() > 0,
+      s"$name: file-source ingest never probed — the probe-then-merge loop did not run")
+    maintained
+  }
+
   /** Recall certification for an ANN top-k against the exact baseline,
     * as ONE declarative plan: |approx ∩ brute| / |brute| ≥ `minRecall`.
     * The query-count column is independently recomputable by the oracle
@@ -2390,6 +2454,45 @@ object Similarity extends QueryRegistry {
           .where(col("m").isNull || col("r").isNull).count()
         require(diverged == 0,
           s"streamed IVF assignment diverged from the direct build ($diverged rows)")
+        annRecallContract(
+          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    // ---- the ANN ingest loop from a LIVE FILE source (the IVF mirror
+    // of x_stream_bm25_file_ingest — the production shape is "embedding
+    // shards land as parquet, the loop admits them"): slices land in a
+    // watched directory DURING a maxFilesPerTrigger-paced readStream —
+    // one backlog file, three landing between fences — driving the same
+    // probe-then-merge loop with NOTHING crossing the driver. In-engine
+    // requires pin >=4 discovered non-empty micro-batches (incremental
+    // discovery), live probes ran, and file-ingested assignment ≡ the
+    // direct whole-corpus assignment (row-set identity on (vid, cell),
+    // exact under fixed centroids). Certified output = the standard
+    // query batch probed through the ingested index under the family's
+    // recall contract. ----
+    QueryDef(
+      "x_stream_ivf_file_ingest",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val sample = emb.select(col("embedding").cast("array<double>"))
+          .limit(2048).as[Array[Double]].collect()
+        require(sample.nonEmpty, s"x_stream_ivf_file_ingest($d): empty embeddings corpus")
+        val centroids = VecKernels.kmeans(sample, ivfNlist, iters = 8, seed = 42L)
+        val maintained = annFileIngest(s, emb, "x_stream_ivf_file_ingest")(
+          build = b => ivfAssign(b, centroids),
+          probe = (cur, b) => ivfProbe(cur, centroids, b, k = 3, nprobe = 4).count(),
+          merge = (cur, b) => mergeIvfIndex(cur, b, centroids))
+        val direct = ivfAssign(emb, centroids)
+        val diverged = maintained.select("vid", "cell").withColumn("m", lit(1))
+          .join(direct.select("vid", "cell").withColumn("r", lit(1)),
+            Seq("vid", "cell"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"file-ingested IVF assignment diverged from the direct build ($diverged rows)")
         annRecallContract(
           ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
           bruteTopKFor(s, d, 5), minRecall = 0.45)

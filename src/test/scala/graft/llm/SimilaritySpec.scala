@@ -362,6 +362,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("file-source IVF ingest: files landing DURING the stream are discovered and admitted") {
+    // the x_stream_ivf_file_ingest builder writes one backlog parquet
+    // file, starts a maxFilesPerTrigger=1 paced readStream, then lands
+    // three more embedding slices between processAllAvailable fences;
+    // its in-engine requires pin >=4 discovered non-empty micro-batches
+    // (the two-stage discovery gate), live probes, and file-ingested ≡
+    // direct assignment — this drive surfaces those requires as a spec
+    // failure, and the output row must satisfy the recall contract
+    val r = graft.SparkEntry.queries("x_stream_ivf_file_ingest")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
   test("streamed LSH ingest: live engine converges and the probe meets the recall contract") {
     // same drive as the IVF row: the builder's in-engine requires gate
     // streamed ≡ direct bucket table and that live probes ran
