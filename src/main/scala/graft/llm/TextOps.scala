@@ -1970,6 +1970,10 @@ object TextOps extends QueryRegistry {
     // feeding an index merge). The drive is the probe-then-merge loop
     // of x_stream_bm25_ingest, but NOTHING crosses the driver: batches
     // flow engine-side from the file source into [[mergeBm25Index]].
+    // Keeps its own drive rather than riding Similarity.annFileIngest —
+    // the BM25 state is the postings/dfs/scalars 4-tuple, the same
+    // state-shape split that kept the BM25 MemoryStream row off
+    // annStreamIngest (r15 self-review precedent).
     // In-engine requires pin ≥4 discovered non-empty micro-batches
     // (incremental discovery, not one catch-all), that mid-stream
     // probes ran, and streamed state ≡ the direct whole-corpus build;
