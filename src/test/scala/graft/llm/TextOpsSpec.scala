@@ -259,6 +259,52 @@ class TextOpsSpec extends SparkSpec {
       "compaction left superseded or orphaned pool dirs behind")
   }
 
+  test("one-flip BM25 chain: repeated appends extend the manifest, compaction collapses it, probes stay exact") {
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    val slice = pmod(col("doc_id"), lit(5L))
+    val p0 = TextOps.bm25Postings(docs.where(slice >= 3))
+    val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_multi_").toString + "/idx"
+    TextOps.saveBm25State(spark, path, p0, ts0, r0.getLong(0), r0.getLong(1))
+    def manifestSize: Int = IndexStore.readMeta(spark, s"$path/state")("manifest")
+      .split(",").count(_.nonEmpty)
+    assert(manifestSize === 1)
+    // two sequential appends: each commits its own generation and
+    // extends the manifest by exactly its pool dir
+    TextOps.appendBm25Index(spark, path, docs.where(slice === 2))
+    assert(manifestSize === 2)
+    TextOps.appendBm25Index(spark, path, docs.where(slice === 1))
+    assert(manifestSize === 3)
+    // replaying an already-admitted batch is a committed no-op: the
+    // anti-join empties it BEFORE any pool write or flip
+    TextOps.appendBm25Index(spark, path, docs.where(slice === 2))
+    assert(manifestSize === 3, "a replayed batch grew the manifest")
+    // the maintained artifact probes value-identically to the direct
+    // whole-corpus state at every step of the chain
+    val qSel = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+    val qTerms = TextOps.bm25Postings(docs.where(qSel))
+      .select(col("doc_id").as("query_id"), col("term"))
+    val p = TextOps.bm25Postings(docs.where(slice >= 1))
+    val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val r = p.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    val direct = TextOps.bm25Score(p, ts, r.getLong(0), r.getLong(1), qTerms, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val cold = TextOps.bm25ColdProbe(spark, path, docs.where(qSel), k = 5)
+    assert(rows(cold) === rows(direct),
+      "multi-append artifact diverged from the direct whole-corpus state")
+    // compaction collapses the manifest to one dir and changes nothing
+    TextOps.compactBm25Postings(spark, path)
+    assert(manifestSize === 1, "compaction left a multi-dir manifest")
+    val coldC = TextOps.bm25ColdProbe(spark, path, docs.where(qSel), k = 5)
+    assert(rows(coldC) === rows(direct),
+      "compaction changed the probe output")
+  }
+
   test("vocab drift: the board row's statistic is bounded, and self-drift is exactly zero") {
     import org.apache.spark.sql.functions._
     // the board row at sf0.001: tv in [0, 1], integer parts consistent
