@@ -2618,6 +2618,103 @@ object Similarity extends QueryRegistry {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
+    // ---- FILE-source ingest for the remaining ANN families (LSH, PQ,
+    // IVF-PQ — completing the file half of the lifecycle matrix the way
+    // r15 completed the MemoryStream half: every standing family's loop
+    // now admits from landing parquet shards). Same shared
+    // [[annFileIngest]] drive and gates as the IVF row: >=4 discovered
+    // paced micro-batches, live probes, file-ingested state ≡ the
+    // direct whole-corpus build on the family's stored key, certified
+    // probe under the family's recall floor. ----
+    QueryDef(
+      "x_stream_lsh_file_ingest",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = dimOf(emb)
+        require(dim > 0, s"x_stream_lsh_file_ingest($d): empty embeddings corpus")
+        val planes = lshPlanesFor(dim)
+        val maintained = annFileIngest(s, emb, "x_stream_lsh_file_ingest")(
+          build = b => lshAssign(b, planes),
+          probe = (cur, b) => lshProbe(cur, emb, planes, b, k = 3).count(),
+          merge = (cur, b) => mergeLshIndex(cur, b, planes))
+        val direct = lshAssign(emb, planes)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "t", "bucket"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"file-ingested LSH bucket table diverged from the direct build ($diverged rows)")
+        annRecallContract(
+          lshProbe(maintained, emb, planes, queriesOf(emb), k = 5),
+          bruteTopKFor(s, d, 5), minRecall = 0.45)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QueryDef(
+      "x_stream_pq_file_ingest",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_stream_pq_file_ingest($d): empty embeddings corpus")
+        val (codebooks, bounds) = pqTrain(sample, pqM, pqKsub, seed = 42L)
+        def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val maintained = annFileIngest(s, emb, "x_stream_pq_file_ingest")(
+          build = b => pqEncodeDf(asCorpus(b), codebooks, bounds),
+          probe = (cur, b) => pqScan(cur, c, codebooks, bounds, b, k = 3, pqKsub,
+            shortlistFactor = 4).count(),
+          merge = (cur, b) => mergePqIndex(cur, asCorpus(b), codebooks, bounds))
+        val direct = pqEncodeDf(c, codebooks, bounds)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "codes"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"file-ingested PQ codes diverged from the direct encode ($diverged rows)")
+        annRecallContract(
+          pqScan(maintained, c, codebooks, bounds, queriesOf(emb), k = 5,
+            pqKsub, shortlistFactor = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.7)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
+    QueryDef(
+      "x_stream_ivfpq_file_ingest",
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val c = emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val sample = c.select(col("cv")).limit(2048)
+          .as[Array[Double]].collect().map(VecKernels.normalize)
+        require(sample.nonEmpty, s"x_stream_ivfpq_file_ingest($d): empty embeddings corpus")
+        val (centroids, codebooks, bounds) =
+          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
+        def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("cv"))
+        val maintained = annFileIngest(s, emb, "x_stream_ivfpq_file_ingest")(
+          build = b => ivfPqEncodeDf(asCorpus(b), centroids, codebooks, bounds),
+          probe = (cur, b) => ivfPqScan(cur, c, centroids, codebooks, bounds,
+            b, k = 3, pqKsub, nprobe = 4, shortlistFactor = 4).count(),
+          merge = (cur, b) => mergeIvfPqIndex(cur, asCorpus(b), centroids, codebooks, bounds))
+        val direct = ivfPqEncodeDf(c, centroids, codebooks, bounds)
+        val diverged = maintained.withColumn("m", lit(1))
+          .join(direct.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
+          .where(col("m").isNull || col("r").isNull).count()
+        require(diverged == 0,
+          s"file-ingested composed table diverged from the direct encode ($diverged rows)")
+        annRecallContract(
+          ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
+            k = 5, pqKsub, nprobe = 4, shortlistFactor = 4),
+          bruteTopKFor(s, d, 5), minRecall = 0.5)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
+
     // ---- composed IVF-PQ disk chain — save into the CELL-partitioned
     // layout, append the admitted slice's composed rows (disjoint vids
     // ⇒ the raw partitioned file append IS mergeIvfPqIndex's row set),

@@ -375,6 +375,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("file-source LSH/PQ/IVF-PQ ingest: every ANN family's loop admits landing shards") {
+    // the remaining families ride the same annFileIngest drive; each
+    // row's in-engine requires pin the >=4-batch discovery gate, live
+    // probes, and file-ingested ≡ direct state on the stored key
+    for (name <- Seq("x_stream_lsh_file_ingest", "x_stream_pq_file_ingest",
+        "x_stream_ivfpq_file_ingest")) {
+      val r = graft.SparkEntry.queries(name)(spark, sf001).collect()(0)
+      assert(r.getAs[Boolean]("recall_ok"), s"$name: $r")
+      assert(r.getAs[Long]("n_queries") > 0, name)
+    }
+  }
+
   test("streamed LSH ingest: live engine converges and the probe meets the recall contract") {
     // same drive as the IVF row: the builder's in-engine requires gate
     // streamed ≡ direct bucket table and that live probes ran
