@@ -2120,9 +2120,13 @@ object Similarity extends QueryRegistry {
         val q = queriesOf(emb)
         val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
           q, 5, 256, 4, 4)
+        // floor 0.4, not the family's 0.5: the SLICED-corpus scenario
+        // measures 0.58 (fewer true neighbors survive the 4/5 cut than
+        // candidates at this nprobe), and floors sit >= 0.15 under the
+        // measured value per the jitter convention
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
-          minRecall = 0.5)
+          minRecall = 0.4)
         val mismatch = merged.withColumn("m", lit(1))
           .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
