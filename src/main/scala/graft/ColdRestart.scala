@@ -63,7 +63,7 @@ object ColdSave {
     val docs = Tables.t(spark, sfDir, "documents")
     def dump(name: String, df: DataFrame): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/expected/$name")
-    dump("ivf", Similarity.ivfIndexProbe(spark, sfDir, queriesOf(emb), k = 5, nprobe = 4))
+    dump("ivf", Similarity.ivfIndexProbe(spark, sfDir, queriesOf(emb), k = 5, nprobe = 0))
     dump("lsh", Similarity.lshIndexProbe(spark, sfDir, queriesOf(emb), k = 5))
     // PQ: the ARTIFACT is the contract (probe output rides partition-
     // local shortlist ties) — dump the codes table itself; same
@@ -96,7 +96,7 @@ object ColdProbe {
 
     val results = Seq(
       "ivf" -> mismatches(
-        Similarity.ivfColdProbe(spark, s"$outDir/ivf", queriesOf(emb), k = 5, nprobe = 4),
+        Similarity.ivfColdProbe(spark, s"$outDir/ivf", queriesOf(emb), k = 5, nprobe = 0),
         expect("ivf")),
       "lsh" -> mismatches(
         Similarity.lshColdProbe(spark, s"$outDir/lsh",

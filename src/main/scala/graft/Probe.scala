@@ -26,10 +26,14 @@ object Probe {
         avg(when(col("pred_lang") === col("true_lang"), 1.0).otherwise(0.0)).as("acc"))
       .orderBy("true_lang").show(50, false)
 
-    // lm separation: real vs reversed text
-    val real = TextOps.lmScore(docs)
+    // lm separation: real vs reversed text under a FIXED real-text
+    // model (the x_text_lm_score shape — retraining on the reversed
+    // text would score it against its own isomorphic trigram counts
+    // and always print sep = 0.0)
+    val (lmM, lmFloor) = TextOps.lmModel(docs)
+    val real = TextOps.lmScoreAgainst(lmM, lmFloor, docs)
       .agg(avg("avg_logp")).first().getDouble(0)
-    val gib = TextOps.lmScore(
+    val gib = TextOps.lmScoreAgainst(lmM, lmFloor,
       docs.withColumn("text", reverse(col("text"))))
       .agg(avg("avg_logp")).first().getDouble(0)
     println(s"PROBE lm real=$real reversed=$gib sep=${real - gib}")
@@ -44,8 +48,37 @@ object Probe {
       println(s"PROBE recall $name = ${(brute intersect p).size.toDouble / brute.size}")
     }
     rec("lsh", Similarity.lshTopK(emb, q, k = 5, tables = 8, bits = 6))
-    rec("ivf", Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4))
-    rec("pq", Similarity.pqTopK(emb, q, k = 5, m = 8, ksub = 16))
+    rec("ivf", Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 0))
+    // shipped defaults (m=8, ksub=256) so a floor re-audit prints the
+    // numbers the contracts actually run under
+    rec("pq", Similarity.pqTopK(emb, q, k = 5))
+    rec("ivfpq", Similarity.ivfPqTopK(emb, q, k = 5))
+
+    // sliced-merge scenario calibration (the x_sim_index_update_*
+    // floors): corpus = vec_id % 5 != 0, full query batch, brute
+    // baseline on the same sliced corpus — density knobs auto
+    if (args.contains("scenarios")) {
+      val sliced = emb.filter(col("vec_id") % 5 =!= 0)
+      val bruteS = pairs(Similarity.bruteForceTopK(sliced, q, 5))
+      def recS(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val p = pairs(df)
+        println(s"PROBE recall $name = ${(bruteS intersect p).size.toDouble / bruteS.size}")
+      }
+      recS("ivf_sliced", Similarity.ivfTopK(sliced, q, k = 5, nlist = 16, nprobe = 0))
+      recS("pq_sliced", Similarity.pqTopK(sliced, q, k = 5))
+      recS("ivfpq_sliced", Similarity.ivfPqTopK(sliced, q, k = 5))
+    }
+
+    // knob sweep for the density-aware PQ shortlist: recall as a
+    // function of (nprobe, shortlistFactor) at this fixture's density
+    if (args.contains("sweep")) {
+      for (sf <- Seq(2, 4, 8, 16, 32); np <- Seq(4, 6, 8)) {
+        rec(s"ivfpq np=$np sf=$sf",
+          Similarity.ivfPqTopK(emb, q, k = 5, nprobe = np, shortlistFactor = sf))
+      }
+      for (sf <- Seq(2, 4, 8, 16, 32))
+        rec(s"pq sf=$sf", Similarity.pqTopK(emb, q, k = 5, shortlistFactor = sf))
+    }
 
     // embed LSH + semantic recall vs exact pairs
     def ppairs(df: org.apache.spark.sql.DataFrame) =

@@ -412,7 +412,10 @@ object Similarity extends QueryRegistry {
       .limit(sampleCap).as[Array[Double]].collect()
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val centroids = VecKernels.kmeans(sample, nlist, iters = 8, seed = seed)
-    ivfProbe(ivfAssign(emb, centroids), centroids, queries, k, nprobe)
+    // 0 = density-scaled, resolved on the RAW corpus count (metadata-
+    // cheap on parquet) so the assign pass isn't paid twice
+    val np = if (nprobe > 0) nprobe else densityNprobe(emb.count(), nlist)
+    ivfProbe(ivfAssign(emb, centroids), centroids, queries, k, np)
   }
 
   /** One JIT'd pass assigning every corpus vector to its IVF cell —
@@ -444,12 +447,18 @@ object Similarity extends QueryRegistry {
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    // 0 = density-scaled (same convention as the PQ/IVF-PQ scans): a
+    // fixed probe width that holds the recall floor at sf0.01 density
+    // misses it at sf0.1 (r16 verdict weak-#1); the count is
+    // metadata-cheap on a standing artifact or checkpointed frame
+    val np = if (nprobe > 0) nprobe
+             else densityNprobe(assigned.count(), centroids.length)
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
     val probes = q
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        VecKernels.nearestCentroids(v, centroids, nprobe).iterator.map(cell => (id, cell))
+        VecKernels.nearestCentroids(v, centroids, np).iterator.map(cell => (id, cell))
       })
       .toDF("qid", "cell")
     val cand = scoreCosine(
@@ -482,7 +491,7 @@ object Similarity extends QueryRegistry {
     * cosine re-rank, then final top-k.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
-             sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
+             sampleCap: Int = 2048, shortlistFactor: Int = 0, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
@@ -490,8 +499,12 @@ object Similarity extends QueryRegistry {
       .map(VecKernels.normalize)
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val (codebooks, bounds) = pqTrain(sample, m, ksub, seed)
+    // density knob resolved on the RAW corpus count (metadata-cheap on
+    // parquet) so the encode pass runs once, not once-per-resolution
+    val slf = if (shortlistFactor > 0) shortlistFactor
+              else densityShortlistFactor(c.count())
     pqScan(pqEncodeDf(c, codebooks, bounds), c, codebooks, bounds, queries,
-      k, ksub, shortlistFactor)
+      k, ksub, slf)
   }
 
   /** Codebook training half of [[pqTopK]] (bounded driver sample, one
@@ -535,6 +548,27 @@ object Similarity extends QueryRegistry {
     * SimilaritySpec can force the multi-tile path on fixture-sized
     * batches; production code never writes it. */
   @volatile private[llm] var pqLutTile: Int = 4096
+
+  /** Density-scaled ANN knobs (r16 verdict weak-#1: the fixed
+    * nprobe=4 / shortlistFactor=4 held the IVF-PQ recall floor only at
+    * the sf0.01 certification density — 0.65 there but 0.48 at sf0.1).
+    * FAISS practice: as the corpus densifies around each query, probe
+    * more cells and re-rank a longer ADC shortlist. Both grow ∝ √N
+    * ([[graft.llm.Probe]] sweep, round 17): at N=500 (sf0.01) nprobe 6
+    * / shortlistFactor 8 measure IVF 0.82 / IVF-PQ 0.82 / flat-PQ 1.00
+    * vs brute top-5; at N=2000 (sf0.1) nprobe 12 / shortlistFactor 16
+    * measure 0.955 / 0.9225 / 0.955 — the fixed r16 knobs read 0.48
+    * (IVF-PQ, sf0.1) against a 0.5 floor.
+    * Passing `0` for either knob at the public surfaces selects these
+    * (the shipped default); an explicit positive value always wins.
+    * nprobe is clamped to nlist (nlist itself is per-artifact: at real
+    * scale you retrain with nlist ∝ √N rather than probing everything);
+    * shortlistFactor is capped at 256 — past that the exact re-rank
+    * (s·8 rows per query) dominates and the right lever is nlist. */
+  private[llm] def densityNprobe(n: Long, nlist: Int): Int =
+    math.min(nlist, math.max(4, math.ceil(4.0 * math.sqrt(n / 250.0)).toInt))
+  private[llm] def densityShortlistFactor(n: Long): Int =
+    math.min(256, math.max(4, math.ceil(4.0 * math.sqrt(n / 125.0)).toInt))
 
   /** ADC scan + exact re-rank half of [[pqTopK]].
     *
@@ -595,7 +629,10 @@ object Similarity extends QueryRegistry {
         }
       }
       .toDF("qid", "lut")
-    val s = shortlistFactor * k
+    // 0 = density-scaled from the standing codes table (metadata-cheap
+    // count on a parquet artifact or checkpointed frame)
+    val s = (if (shortlistFactor > 0) shortlistFactor
+             else densityShortlistFactor(codes.count())) * k
 
     // tile detection is a kernel-FREE bounded count (qids only, limit
     // tile+1): the old shape probed by building tile+1 full LUTs that
@@ -792,6 +829,10 @@ object Similarity extends QueryRegistry {
     val spark = c.sparkSession
     import spark.implicits._
     val mm = codebooks.length
+    // 0 = density-scaled (one metadata-cheap count serves both knobs)
+    val idxN = if (nprobe > 0 && shortlistFactor > 0) 0L else index.count()
+    val np = if (nprobe > 0) nprobe else densityNprobe(idxN, centroids.length)
+    val slf = if (shortlistFactor > 0) shortlistFactor else densityShortlistFactor(idxN)
     val bcModel = spark.sparkContext.broadcast((centroids, codebooks, bounds))
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
@@ -804,7 +845,7 @@ object Similarity extends QueryRegistry {
         val (cents, cbs, bds) = bcModel.value
         it.map { case (id, qv) =>
           val nq = VecKernels.normalize(qv)
-          val cells = VecKernels.nearestCentroids(nq, cents, nprobe)
+          val cells = VecKernels.nearestCentroids(nq, cents, np)
           val cdots = VecKernels.centroidDots(nq, cents)
           val lut = new Array[Double](mm * ksub)
           var f = 0
@@ -824,7 +865,7 @@ object Similarity extends QueryRegistry {
         }
       }
       .toDF("qid", "cells", "lut", "cdots")
-    val s = shortlistFactor * k
+    val s = slf * k
 
     // same tile protocol as pqScan: kernel-free bounded count to pick
     // the path, one LUT+cells pass on the common single-tile case;
@@ -949,8 +990,8 @@ object Similarity extends QueryRegistry {
     * cost class; the standing path is [[ivfPqIndexFor]] /
     * [[ivfPqIndexProbe]]. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 256,
-      sampleCap: Int = 2048, shortlistFactor: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,
+      sampleCap: Int = 2048, shortlistFactor: Int = 0, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val c = emb.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
@@ -958,8 +999,14 @@ object Similarity extends QueryRegistry {
       .map(VecKernels.normalize)
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
     val (centroids, codebooks, bounds) = ivfPqTrain(sample, nlist, m, ksub, seed)
+    // density knobs resolved on the RAW corpus count so the encode pass
+    // runs once (ivfPqScan would otherwise count the un-checkpointed
+    // encode frame and re-pay it)
+    val n = if (nprobe > 0 && shortlistFactor > 0) 0L else c.count()
+    val np = if (nprobe > 0) nprobe else densityNprobe(n, nlist)
+    val slf = if (shortlistFactor > 0) shortlistFactor else densityShortlistFactor(n)
     ivfPqScan(ivfPqEncodeDf(c, centroids, codebooks, bounds), c,
-      centroids, codebooks, bounds, queries, k, ksub, nprobe, shortlistFactor)
+      centroids, codebooks, bounds, queries, k, ksub, np, slf)
   }
 
   /** Embedding-cosine near-duplicate PAIRS, exact: all (a < b) pairs with
@@ -1174,7 +1221,7 @@ object Similarity extends QueryRegistry {
     * per corpus vector) + exact re-rank of the shortlist — no encode
     * pass, no codebook training. */
   def pqIndexProbe(s: SparkSession, d: String, queries: DataFrame,
-      k: Int, shortlistFactor: Int = 4): DataFrame = {
+      k: Int, shortlistFactor: Int = 0): DataFrame = {
     val codes = pqIndexFor(s, d)
     val model = pqModelCache.get((s.sparkContext.applicationId, d))
     require(model != null, s"pqIndexProbe($d): codebooks missing — " +
@@ -1233,7 +1280,7 @@ object Similarity extends QueryRegistry {
   /** Batch probe against the STANDING composed index: cell-pruned ADC
     * scan + shortlist re-rank — no training, no encode pass. */
   def ivfPqIndexProbe(s: SparkSession, d: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 0, shortlistFactor: Int = 0): DataFrame = {
     val index = ivfPqIndexFor(s, d)
     val model = ivfPqModelCache.get((s.sparkContext.applicationId, d))
     require(model != null, s"ivfPqIndexProbe($d): model missing — " +
@@ -1462,7 +1509,7 @@ object Similarity extends QueryRegistry {
     * on ADC ties — the same reason `x_sim_index_update_pq` pins
     * codes-table identity, not probe identity). */
   def pqColdProbe(s: SparkSession, path: String, corpus: DataFrame,
-      queries: DataFrame, k: Int, shortlistFactor: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, shortlistFactor: Int = 0): DataFrame = {
     val meta = IndexStore.readMeta(s, path)
     Similarity.pqScan(IndexStore.load(s, path), corpus,
       IndexStore.decodeCube(meta("codebooks")),
@@ -1520,7 +1567,7 @@ object Similarity extends QueryRegistry {
     * OUTPUT identity is not the contract (ADC shortlist ties — the
     * [[pqColdProbe]] convention). */
   def ivfPqColdProbe(s: SparkSession, path: String, corpus: DataFrame,
-      queries: DataFrame, k: Int, nprobe: Int = 4, shortlistFactor: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int = 0, shortlistFactor: Int = 0): DataFrame = {
     val meta = IndexStore.readMeta(s, path)
     // this reader scores by_residual; a legacy no-residual artifact
     // would silently produce garbage ADC sums — fail naming the layout
@@ -1817,14 +1864,15 @@ object Similarity extends QueryRegistry {
              |  true AS converged, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
 
-    // ---- IVF ANN top-5, recall-certified (probe 0.65, floor 0.45) ----
+    // ---- IVF ANN top-5, recall-certified (density-scaled nprobe:
+    // measured 0.82 at sf0.01 / 0.955 at sf0.1, floor 0.6) ----
     QueryDef(
       "x_sim_topk_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
-          ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.45)
+          ivfTopK(emb, queriesOf(emb), k = 5, nlist = 16, nprobe = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1842,8 +1890,8 @@ object Similarity extends QueryRegistry {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
-          ivfIndexProbe(s, d, queriesOf(emb), k = 5, nprobe = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.45)
+          ivfIndexProbe(s, d, queriesOf(emb), k = 5, nprobe = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1871,10 +1919,10 @@ object Similarity extends QueryRegistry {
         val merged = mergeIvfIndex(index0, emb.where(slice === 1), centroids)
         val rebuilt = ivfAssign(emb.where(slice =!= 0), centroids)
         val q = queriesOf(emb)
-        val probeM = ivfProbe(merged, centroids, q, k = 5, nprobe = 4)
-        val probeR = ivfProbe(rebuilt, centroids, q, k = 5, nprobe = 4)
+        val probeM = ivfProbe(merged, centroids, q, k = 5, nprobe = 0)
+        val probeR = ivfProbe(rebuilt, centroids, q, k = 5, nprobe = 0)
         val contract = annRecallContract(probeM,
-          bruteForceTopK(emb.where(slice =!= 0), q, 5), minRecall = 0.4)
+          bruteForceTopK(emb.where(slice =!= 0), q, 5), minRecall = 0.6)
         val mismatch = probeM.select(col("qid"), col("vid")).withColumn("m", lit(1))
           .join(probeR.select(col("qid"), col("vid")).withColumn("r", lit(1)),
             Seq("qid", "vid"), "full")
@@ -1891,14 +1939,15 @@ object Similarity extends QueryRegistry {
     // ---- PQ/ADC ANN top-5, recall-certified (r16: ksub 16 → 256 at
     // the SAME m — identical 8-byte codes and scan cost, 16× finer
     // subquantizers, only the per-query LUT grows to m×256 doubles;
-    // measured probe recall 0.54 → 0.93 at sf0.01, floor 0.7) ----
+    // density-scaled shortlist (r17): measured 1.00 at sf0.01 / 0.955
+    // at sf0.1, floor 0.8 ----
     QueryDef(
       "x_sim_topk_pq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           pqTopK(emb, queriesOf(emb), k = 5, m = 8, ksub = 256),
-          bruteTopKFor(s, d, 5), minRecall = 0.7)
+          bruteTopKFor(s, d, 5), minRecall = 0.8)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1916,7 +1965,7 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           pqIndexProbe(s, d, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.7)
+          bruteTopKFor(s, d, 5), minRecall = 0.8)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -1944,10 +1993,10 @@ object Similarity extends QueryRegistry {
         val rebuilt = Similarity.pqEncodeDf(c.where(slice =!= 0), codebooks, bounds)
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
-        val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 256, 4)
+        val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 256, 0)
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
-          minRecall = 0.7)
+          minRecall = 0.8)
         // convergence = row-set identity of the CODES tables (encode is
         // per-row deterministic under fixed codebooks, so this is exact;
         // probe-output equality would ride ADC shortlist tie-breaks)
@@ -1981,16 +2030,16 @@ object Similarity extends QueryRegistry {
         val q = queriesOf(emb)
         val path = artifactPath(s, d, "ivf")
         IndexStore.saveOnce(s, path)(saveIvfIndex(s, d, path))
-        val warm = ivfIndexProbe(s, d, q, k = 5, nprobe = 4)
+        val warm = ivfIndexProbe(s, d, q, k = 5, nprobe = 0)
         val fresh = s.newSession()
         val cold = ivfColdProbe(fresh, path, queriesOf(t(fresh, d, "embeddings")),
-          k = 5, nprobe = 4)
+          k = 5, nprobe = 0)
         val coldW = IndexStore.recreate(s, cold)
         val mismatch = coldW.withColumn("m", lit(1))
           .join(warm.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.45)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.6)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("cold_eq_warm"),
             col("recall_ok"))
@@ -2019,7 +2068,7 @@ object Similarity extends QueryRegistry {
           .join(pqIndexFor(s, d).withColumn("r", lit(1)), Seq("vid", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.7)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.8)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("codes_roundtrip_ok"),
             col("recall_ok"))
@@ -2062,15 +2111,16 @@ object Similarity extends QueryRegistry {
     // by_residual codes + ksub 256), encodes the corpus into (vid,
     // cell, codes), cell-pruned ADC scan. Floor below the PQ row's:
     // the two approximations compound (nprobe-of-nlist pruning ×
-    // 8-byte codes). Measured 0.49 → 0.65 at sf0.01 across the r16
-    // pair of changes (residual +0.04, ksub 256 +0.12); floor 0.5. ----
+    // 8-byte codes). r16's fixed knobs measured 0.65 at sf0.01 but
+    // 0.48 at sf0.1 (the r16 verdict weak); the density-scaled knobs
+    // measure 0.82 / 0.9225 — floor 0.65 at both scales. ----
     QueryDef(
       "x_sim_topk_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqTopK(emb, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.5)
+          bruteTopKFor(s, d, 5), minRecall = 0.65)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2087,7 +2137,7 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqIndexProbe(s, d, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.5)
+          bruteTopKFor(s, d, 5), minRecall = 0.65)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2119,14 +2169,15 @@ object Similarity extends QueryRegistry {
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
         val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
-          q, 5, 256, 4, 4)
-        // floor 0.4, not the family's 0.5: the SLICED-corpus scenario
-        // measures 0.58 (fewer true neighbors survive the 4/5 cut than
-        // candidates at this nprobe), and floors sit >= 0.15 under the
-        // measured value per the jitter convention
+          q, 5, 256, 0, 0)
+        // floor 0.6, under the family's 0.65: the SLICED-corpus
+        // scenario measures 0.80 at sf0.01 / 0.8675 at sf0.1 under the
+        // density-scaled knobs (Probe `scenarios`, r17), and floors
+        // sit >= 0.15 under the worst measured scale per the jitter
+        // convention
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(pmod(col("vec_id"), lit(5L)) =!= 0), q, 5),
-          minRecall = 0.4)
+          minRecall = 0.6)
         val mismatch = merged.withColumn("m", lit(1))
           .join(rebuilt.withColumn("r", lit(1)), Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
@@ -2162,7 +2213,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.5)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.65)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("index_roundtrip_ok"),
             col("recall_ok"))
@@ -2262,14 +2313,14 @@ object Similarity extends QueryRegistry {
         IndexStore.swap(s, staged, live)
         val fresh = s.newSession()
         val cold = ivfColdProbe(fresh, live, queriesOf(t(fresh, d, "embeddings")),
-          k = 5, nprobe = 4)
+          k = 5, nprobe = 0)
         val coldW = IndexStore.recreate(s, cold)
-        val direct = ivfProbe(rebuilt, cent1, q, k = 5, nprobe = 4)
+        val direct = ivfProbe(rebuilt, cent1, q, k = 5, nprobe = 0)
         val mismatch = coldW.withColumn("m", lit(1))
           .join(direct.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.45)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.6)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("swapped_ok"),
             col("recall_ok"))
@@ -2312,15 +2363,15 @@ object Similarity extends QueryRegistry {
         val after = IndexStore.dataFileCount(s, live)
         val fresh = s.newSession()
         val cold = ivfColdProbe(fresh, live, queriesOf(t(fresh, d, "embeddings")),
-          k = 5, nprobe = 4)
+          k = 5, nprobe = 0)
         val coldW = IndexStore.recreate(s, cold)
         val direct = ivfProbe(ivfAssign(emb, centroids), centroids,
-          queriesOf(emb), k = 5, nprobe = 4)
+          queriesOf(emb), k = 5, nprobe = 0)
         val mismatch = coldW.withColumn("m", lit(1))
           .join(direct.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.45)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.6)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))
@@ -2416,7 +2467,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.7)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.8)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))
@@ -2459,8 +2510,8 @@ object Similarity extends QueryRegistry {
         require(diverged == 0,
           s"streamed IVF assignment diverged from the direct build ($diverged rows)")
         annRecallContract(
-          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.45)
+          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2498,8 +2549,8 @@ object Similarity extends QueryRegistry {
         require(diverged == 0,
           s"file-ingested IVF assignment diverged from the direct build ($diverged rows)")
         annRecallContract(
-          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.45)
+          ivfProbe(maintained, centroids, queriesOf(emb), k = 5, nprobe = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2573,8 +2624,8 @@ object Similarity extends QueryRegistry {
           s"streamed PQ codes diverged from the direct encode ($diverged rows)")
         annRecallContract(
           pqScan(maintained, c, codebooks, bounds, queriesOf(emb), k = 5,
-            pqKsub, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.7)
+            pqKsub, shortlistFactor = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.8)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2616,8 +2667,8 @@ object Similarity extends QueryRegistry {
           s"streamed composed table diverged from the direct encode ($diverged rows)")
         annRecallContract(
           ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
-            k = 5, pqKsub, nprobe = 4, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.5)
+            k = 5, pqKsub, nprobe = 0, shortlistFactor = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.65)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2680,8 +2731,8 @@ object Similarity extends QueryRegistry {
           s"file-ingested PQ codes diverged from the direct encode ($diverged rows)")
         annRecallContract(
           pqScan(maintained, c, codebooks, bounds, queriesOf(emb), k = 5,
-            pqKsub, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.7)
+            pqKsub, shortlistFactor = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.8)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2713,8 +2764,8 @@ object Similarity extends QueryRegistry {
           s"file-ingested composed table diverged from the direct encode ($diverged rows)")
         annRecallContract(
           ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
-            k = 5, pqKsub, nprobe = 4, shortlistFactor = 4),
-          bruteTopKFor(s, d, 5), minRecall = 0.5)
+            k = 5, pqKsub, nprobe = 0, shortlistFactor = 0),
+          bruteTopKFor(s, d, 5), minRecall = 0.65)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2765,7 +2816,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.5)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.65)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))
@@ -2790,7 +2841,8 @@ object Similarity extends QueryRegistry {
 
     // ---- embedding-cosine near-dup pairs, LSH scale path — certified
     // against the exact pair set (oracle recomputes |exact| in DuckDB;
-    // probe recall 0.86, floor 0.7; precision is structurally 1 because
+    // probe recall 0.86 at sf0.01 / 0.816 at sf0.1, floor 0.65 per the
+    // per-scale jitter convention; precision is structurally 1 because
     // every candidate is confirmed with the true cosine) ----
     QueryDef(
       "x_dedup_embed_lsh",
@@ -2799,7 +2851,7 @@ object Similarity extends QueryRegistry {
         pairRecallContract(
           exactPairsFor(s, d),
           embedDupPairsLsh(emb, tau = 0.4, tables = 16, bits = 5),
-          minRecall = 0.7)
+          minRecall = 0.65)
       },
       Some(embedExactPairCountOracle)),
 
@@ -3211,9 +3263,10 @@ object Similarity extends QueryRegistry {
              |SELECT anchor, cand, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 3""".stripMargin)),
 
     // ---- semantic near-dup pairs via k-means cluster blocking —
-    // certified against the exact pair set (probe recall 0.88, floor
-    // 0.7; zero false positives by construction — in-block candidates
-    // are confirmed with the true cosine) ----
+    // certified against the exact pair set (probe recall 0.88 at
+    // sf0.01 / 0.766 at sf0.1, floor 0.6 per the per-scale jitter
+    // convention; zero false positives by construction — in-block
+    // candidates are confirmed with the true cosine) ----
     QueryDef(
       "x_dedup_semantic",
       (s, d) => {
@@ -3228,7 +3281,7 @@ object Similarity extends QueryRegistry {
         pairRecallContract(
           exactPairsFor(s, d),
           semanticDupPairs(emb, tau = 0.4, k = k, nprobe = 2, iters = 3),
-          minRecall = 0.7)
+          minRecall = 0.6)
       },
       Some(embedExactPairCountOracle)),
 
