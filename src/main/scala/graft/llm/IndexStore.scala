@@ -6,8 +6,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 /** Cross-application persistence for the standing indexes — the half of
   * "standing" that survives a restart (VERDICT r13 next-#1).
   *
-  * Each index is stored as a parquet table under `<path>/data` plus a
-  * flat JSON metadata sidecar `<path>/_index_meta.json` carrying the
+  * Each index is stored as a versioned generation `<path>/v<N>` selected
+  * by the pointer file `<path>/_current` (every write — fresh save,
+  * refresh, compaction — commits via the same atomic pointer flip); the
+  * generation dir holds the parquet table under `data/` plus a
+  * flat JSON metadata sidecar `_index_meta.json` carrying the
   * model state a probe needs but a table can't hold: seeds and bit
   * widths, k-means centroids, PQ codebooks and subspace bounds, the BM25
   * `(n, Σdl)` corpus scalars, band parameters. That is the artifact
@@ -46,23 +49,37 @@ object IndexStore {
   val FormatVersion = "1"
 
   def save(index: DataFrame, path: String, meta: Map[String, String],
-      partitionBy: Seq[String] = Nil): Unit = {
-    // a fresh save REPLACES the artifact whole (mode overwrite — the
-    // full-rebuild path, not the crash-safe one; refresh goes through
-    // stage + [[swap]]): drop any versioned state left by prior swaps so
-    // resolution serves the flat layout this writes, not a stale pointer
+      partitionBy: Seq[String] = Nil,
+      aux: Map[String, DataFrame] = Map.empty): Unit = {
+    // a fresh save REPLACES the artifact whole, but through the SAME
+    // versioned-generation + pointer-flip protocol refresh uses (r16
+    // verdict next-#6: the legacy flat layout — data/ + sidecar at the
+    // root — is retired; a save is now crash-safe too, since the new
+    // generation is invisible until the pointer flips)
+    val s = index.sparkSession
     val root = new Path(path)
-    val fs = root.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) {
-      fs.delete(new Path(root, PointerFile), false)
-      versionsOf(fs, root).foreach { case (_, dir) => fs.delete(dir, true) }
-    }
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val next = versionsOf(fs, root).map(_._1).foldLeft(0L)(math.max) + 1
+    val gen = s"$path/v$next"
     val w = index.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$path/data")
-    writeMeta(index.sparkSession, s"$path/_index_meta.json",
+      .parquet(s"$gen/data")
+    // aux tables (e.g. the BM25 postings MANIFEST) land inside the same
+    // generation BEFORE the pointer flips — they commit atomically with
+    // the data table, whether the flip below publishes them directly or
+    // a later [[swap]] promotes the whole generation
+    aux.foreach { case (name, df) =>
+      require(name != "data" && !name.startsWith("_"),
+        s"index aux table name '$name' collides with the artifact layout")
+      df.write.mode("overwrite").parquet(s"$gen/$name")
+    }
+    writeMeta(s, s"$gen/_index_meta.json",
       meta ++ Map("format" -> FormatVersion,
         "partitions" -> partitionBy.mkString(",")))
+    flipPointer(fs, root, next)
+    versionsOf(fs, root).foreach { case (n, dir) =>
+      if (n != next) fs.delete(dir, true)
+    }
   }
 
   /** Disk-level index MAINTENANCE — the on-artifact half of the merge
@@ -103,10 +120,23 @@ object IndexStore {
         }
         df.coalesce(math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
       }
-    val w = compacted.write.mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$staged/data")
-    writeMeta(s, s"$staged/_index_meta.json", meta)
+    save(compacted, staged, meta, parts)
     swap(s, staged, path)
+    // post-condition (ADVICE r16: `after <= before` row gates would let
+    // a silently no-op'd compaction pass on already-minimal fixtures):
+    // the rewrite leaves exactly one file per live partition value
+    // (repartition hashes each value into one task), so a compaction
+    // whose rewrite stopped running fails HERE, on every fixture
+    if (parts.nonEmpty) {
+      val expected = load(s, path)
+        .select(parts.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().count()
+      val actual = dataFileCount(s, path)
+      require(actual == expected,
+        s"index compaction at $path left $actual data files for " +
+          s"$expected live partition values — the rewrite did not run " +
+          "one-task-per-partition")
+    }
   }
 
   private def partitionsOf(meta: Map[String, String]): Seq[String] =
@@ -131,6 +161,11 @@ object IndexStore {
   def load(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"${resolveDir(s, path)}/data")
 
+  /** Load an aux table committed with the artifact's current generation
+    * (same (session, path)-only cold contract as [[load]]). */
+  def loadAux(s: SparkSession, path: String, name: String): DataFrame =
+    s.read.parquet(s"${resolveDir(s, path)}/$name")
+
   /** Name of the pointer file that selects the live generation inside a
     * versioned artifact root. */
   private[llm] val PointerFile = "_current"
@@ -153,7 +188,7 @@ object IndexStore {
     * atomic create-temp+rename — and only after the pointer is durable
     * is the previous generation deleted. At EVERY crash point
     * [[resolveDir]] serves one complete artifact: before the flip the
-    * pointer (or the legacy flat layout) still names the old
+    * pointer still names the old
     * generation; inside the flip's delete→rename window the pointer is
     * absent and resolution falls back to the highest complete
     * generation — the new one, already fully renamed in. Readers of the
@@ -174,31 +209,27 @@ object IndexStore {
       s"index swap: cannot stage generation: $stagedDir -> $gen")
     if (!stagedDir.equals(new Path(staged))) fs.delete(new Path(staged), true)
     swapHookBeforeFlip()
-    // remember what the pointer (or legacy layout) served until now
-    val prev = currentPointer(fs, liveRoot)
-    // atomic pointer flip: write-temp + delete + rename (HDFS rename
-    // does not overwrite); the delete→rename window is covered by the
-    // max-generation fallback in resolveDir
-    val tmp = new Path(liveRoot, PointerFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val ptr = new Path(liveRoot, PointerFile)
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    swapHookMidFlip()
-    require(fs.rename(tmp, ptr),
-      s"index swap: cannot flip pointer to v$next at $live")
-    // pointer durable — drop every superseded generation: older v* dirs
-    // and, on first swap over a legacy flat artifact, its data+sidecar
-    // (the pointer always names a v<N> dir, so the versionsOf sweep
-    // covers it; `prev` is only needed for the legacy-flat check below)
+    flipPointer(fs, liveRoot, next, swapHookMidFlip)
+    // pointer durable — drop every superseded generation
     versionsOf(fs, liveRoot).foreach { case (n, dir) =>
       if (n != next) fs.delete(dir, true)
     }
-    if (prev.isEmpty) { // legacy flat layout was live before this swap
-      fs.delete(new Path(liveRoot, "data"), true)
-      fs.delete(new Path(liveRoot, "_index_meta.json"), false)
-    }
+  }
+
+  /** Atomic pointer flip: write-temp + delete + rename (HDFS rename
+    * does not overwrite); the delete→rename window is covered by the
+    * max-generation fallback in [[resolveDir]]. */
+  private def flipPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, next: Long, midHook: () => Unit = () => ()): Unit = {
+    val tmp = new Path(root, PointerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new Path(root, PointerFile)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    midHook()
+    require(fs.rename(tmp, ptr),
+      s"index swap: cannot flip pointer to v$next at $root")
   }
 
   /** Generation directories `v<N>` under an artifact root. */
@@ -225,18 +256,25 @@ object IndexStore {
   }
 
   /** Directory actually holding `data/` + sidecar for the artifact at
-    * `path`: the pointer's generation when a pointer exists; the legacy
-    * flat layout when `path/data` exists (every save() writes this);
-    * otherwise the highest complete generation — the pointer-flip
-    * crash-window fallback ([[swap]]'s delete→rename moment). */
+    * `path`: the pointer's generation when a pointer exists; otherwise
+    * the highest complete generation — the pointer-flip crash-window
+    * fallback ([[flipPointer]]'s delete→rename moment). The pre-r17
+    * flat layout (`path/data` + sidecar at the root) is RETIRED (r16
+    * verdict next-#6): every writer emits versioned generations, and a
+    * flat dir that still resolves would silently serve a half-written
+    * legacy artifact — it errors loudly, naming the migration. */
   private[llm] def resolveDir(s: SparkSession, path: String): String = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     currentPointer(fs, root) match {
       case Some(v) => s"$path/$v"
       case None =>
-        if (fs.exists(new Path(root, "data"))) path
-        else versionsOf(fs, root).sortBy(-_._1).headOption
+        require(!fs.exists(new Path(root, "data")),
+          s"index artifact at $path uses the retired pre-r17 flat layout " +
+            "(data/ + sidecar at the root, no generation pointer) — " +
+            "re-save it through IndexStore.save to migrate it to the " +
+            "versioned-generation layout")
+        versionsOf(fs, root).sortBy(-_._1).headOption
           .map(_._2.toString).getOrElse(path)
     }
   }

@@ -250,13 +250,25 @@ class TextOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).collect()(0)
     assert(nFinal === rr.getLong(0), "healed state diverged from the direct rebuild")
 
-    // compaction flips one generation and sweeps orphans + superseded dirs
+    // compaction flips one generation; the sweep reclaims ORPHANS
+    // immediately but gives just-superseded manifest dirs one
+    // generation of grace (ADVICE r16: an in-flight reader of the old
+    // snapshot must not lose files mid-scan) — so after the first
+    // compaction the pool holds the compacted dir + the old manifest's
+    // dirs, and the SECOND compaction reclaims those
     TextOps.compactBm25Postings(spark, path)
     assert(assertConsistent("after compact") === nFinal)
     val pool = new org.apache.hadoop.fs.Path(s"$path/pool")
     val fs = pool.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.listStatus(pool).count(_.isDirectory) === 1,
-      "compaction left superseded or orphaned pool dirs behind")
+    val afterFirst = fs.listStatus(pool).count(_.isDirectory)
+    assert(afterFirst === 3,
+      s"first compaction should keep compacted + 2 graced manifest dirs " +
+        s"and sweep the 2 crash orphans, found $afterFirst")
+    TextOps.compactBm25Postings(spark, path)
+    assert(assertConsistent("after second compact") === nFinal)
+    assert(fs.listStatus(pool).count(_.isDirectory) === 2,
+      "second compaction should reclaim the graced dirs (steady state = " +
+        "live compacted + one graced predecessor)")
   }
 
   test("one-flip BM25 chain: repeated appends extend the manifest, compaction collapses it, probes stay exact") {
@@ -268,8 +280,8 @@ class TextOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
     val path = java.nio.file.Files.createTempDirectory("graft_bm25_multi_").toString + "/idx"
     TextOps.saveBm25State(spark, path, p0, ts0, r0.getLong(0), r0.getLong(1))
-    def manifestSize: Int = IndexStore.readMeta(spark, s"$path/state")("manifest")
-      .split(",").count(_.nonEmpty)
+    def manifestSize: Int =
+      IndexStore.loadAux(spark, s"$path/state", "manifest").count().toInt
     assert(manifestSize === 1)
     // two sequential appends: each commits its own generation and
     // extends the manifest by exactly its pool dir
@@ -303,6 +315,44 @@ class TextOpsSpec extends SparkSpec {
     val coldC = TextOps.bm25ColdProbe(spark, path, docs.where(qSel), k = 5)
     assert(rows(coldC) === rows(direct),
       "compaction changed the probe output")
+  }
+
+  test("manifest stats pruning: a doc-scoped read opens only the pool dirs whose range covers it") {
+    val docs = graft.Tables.t(spark, sf001, "documents")
+    // range-DISJOINT batches — the daily-append shape (monotone doc
+    // ids), where the manifest's per-dir (min_doc, max_doc) stats can
+    // actually separate the pool
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val (t1, t2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val b0 = docs.where(col("doc_id") < t1)
+    val p0 = TextOps.bm25Postings(b0)
+    val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+    val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl")).collect()(0)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_prune_").toString + "/idx"
+    TextOps.saveBm25State(spark, path, p0, ts0, r0.getLong(0), r0.getLong(1))
+    TextOps.appendBm25Index(spark, path, docs.where(col("doc_id") >= t1 && col("doc_id") < t2))
+    TextOps.appendBm25Index(spark, path, docs.where(col("doc_id") >= t2))
+    // a doc in the MIDDLE batch: the stats must prune the pool to ONE
+    // of the three manifest dirs before any parquet is opened
+    val target = ids(ids.length / 2)
+    assert(target >= t1 && target < t2)
+    val dirs = TextOps.bm25DirsForDocs(spark, path, Seq(target))
+    assert(dirs.size === 1,
+      s"manifest stats pruning opened ${dirs.size} of 3 pool dirs: $dirs")
+    // correctness does not ride the stats: the pruned read equals the
+    // full-manifest scan filtered to the same doc
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "term", "tf").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    val pruned = TextOps.bm25PostingsForDocs(spark, path, Seq(target))
+    val full = TextOps.loadBm25Postings(spark, path).where(col("doc_id") === target)
+    assert(rows(pruned) === rows(full))
+    assert(rows(pruned).nonEmpty, "target doc has no postings — vacuous prune test")
+    // a doc id OUTSIDE every range prunes to zero dirs and yields the
+    // empty frame without opening the pool at all
+    val none = TextOps.bm25PostingsForDocs(spark, path, Seq(ids.last + 1000))
+    assert(none.count() === 0)
   }
 
   test("vocab drift: the board row's statistic is bounded, and self-drift is exactly zero") {
