@@ -23,6 +23,74 @@ object Analytics extends QueryRegistry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** EXACT Spearman per l_returnflag — the spectrum-walk form shared by
+    * `b_agg34_spearman` (which rounds it) and `b_agg49_sketch_spearman`
+    * (which uses it as the in-row accuracy baseline). Computed the
+    * scale-clean way — NOT a row-level rank window: both marginals
+    * collapse to their DISTINCT-value spectra first (ordinary shuffle
+    * aggs over the corpus), the average tie rank comes from a cumulative
+    * walk over each spectrum, and the weighted Pearson moments run over
+    * the joint spectrum. The corpus is touched by exactly one aggregate;
+    * every window/join after is bounded by distinct-value counts. */
+  private def exactSpearman(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus aggregate; the joint spectrum is checkpointed because
+    // three consumers walk it (two marginal ranks + the moment join)
+    val pairs = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("f"),
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint()
+    // cumulative-walk policy (round 9, shared with b_agg33): a
+    // corpus-sized spectrum (l_extendedprice — nearly continuous) rides
+    // Spectrum's range-partitioned prefix sum, because an f-partitioned
+    // window caps that walk at |f| = 3 tasks — fine at sf0.1, a
+    // serialization hazard at 100 TB. A DOMAIN-BOUNDED spectrum
+    // (l_quantity — ~50 integer values ⇒ ≤150 spectrum rows at ANY
+    // corpus size) keeps the plain window: its partitions never grow
+    // with the data, and the Spectrum machinery would be pure overhead.
+    def avgRank(valueCol: String, cntName: String, rankName: String,
+        corpusSized: Boolean) = {
+      // corpus-sized spectra fuse the marginal aggregate INTO the range
+      // exchange (r15): one shuffle of the joint spectrum instead of a
+      // hash shuffle + a range shuffle
+      if (corpusSized)
+        Spectrum.aggregateWithRunningSums(
+          pairs.select(col("f"), col(valueCol), col("c")),
+          Seq("f"), valueCol,
+          Seq((sum(col("c")), cntName)), Seq(cntName -> "ch_cum_"))
+          .select(col("f"), col(valueCol),
+            (col("ch_cum_") - col(cntName) + (col(cntName) + 1) / 2.0)
+              .as(rankName))
+      else {
+        val grouped = pairs.groupBy(col("f"), col(valueCol))
+          .agg(sum(col("c")).as(cntName))
+        val W = org.apache.spark.sql.expressions.Window
+        val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
+          .rowsBetween(W.unboundedPreceding, 0)
+        grouped.select(col("f"), col(valueCol),
+          (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
+            .as(rankName))
+      }
+    }
+    pairs
+      .join(avgRank("q", "cq", "rq", corpusSized = false), Seq("f", "q"))
+      .join(avgRank("v", "cv", "rv", corpusSized = true), Seq("f", "v"))
+      .groupBy(col("f").as("l_returnflag"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * col("rq")).as("sq"),
+        sum(col("c") * col("rv")).as("sv"),
+        sum(col("c") * col("rq") * col("rq")).as("sqq"),
+        sum(col("c") * col("rv") * col("rv")).as("svv"),
+        sum(col("c") * col("rq") * col("rv")).as("sqv"))
+      .select(col("l_returnflag"),
+        ((col("sqv") / col("n") - (col("sq") / col("n")) * (col("sv") / col("n"))) /
+          (sqrt(col("sqq") / col("n") - pow(col("sq") / col("n"), 2)) *
+            sqrt(col("svv") / col("n") - pow(col("sv") / col("n"), 2))))
+          .as("spearman_raw"))
+  }
+
   /** Funnel state machine shared by windowFunnel and sequenceMatch.
     * Semantics (= CH `windowFunnel(window, 'strict_increase')(ts, c1..cL)`):
     * the max level L' such that events matching steps 1..L' occur at
@@ -940,66 +1008,9 @@ object Analytics extends QueryRegistry {
     // is bounded by distinct-value counts. ----
     QueryDef(
       "b_agg34_spearman",
-      (s, d) => {
-        // ONE corpus aggregate; the joint spectrum is checkpointed
-        // because three consumers walk it (two marginal ranks + the
-        // moment join)
-        val pairs = t(s, d, "lineitem")
-          .groupBy(col("l_returnflag").as("f"),
-            col("l_quantity").cast("double").as("q"),
-            col("l_extendedprice").as("v"))
-          .agg(count(lit(1)).cast("double").as("c"))
-          .localCheckpoint()
-        // cumulative-walk policy (round 9, shared with b_agg33): a
-        // corpus-sized spectrum (l_extendedprice — nearly continuous)
-        // rides Spectrum's range-partitioned prefix sum, because an
-        // f-partitioned window caps that walk at |f| = 3 tasks — fine at
-        // sf0.1, a serialization hazard at 100 TB. A DOMAIN-BOUNDED
-        // spectrum (l_quantity — ~50 integer values ⇒ ≤150 spectrum rows
-        // at ANY corpus size) keeps the plain window: its partitions
-        // never grow with the data, and the Spectrum machinery would be
-        // pure overhead.
-        def avgRank(valueCol: String, cntName: String, rankName: String,
-            corpusSized: Boolean) = {
-          // corpus-sized spectra fuse the marginal aggregate INTO the
-          // range exchange (r15): one shuffle of the joint spectrum
-          // instead of a hash shuffle + a range shuffle
-          if (corpusSized)
-            Spectrum.aggregateWithRunningSums(
-              pairs.select(col("f"), col(valueCol), col("c")),
-              Seq("f"), valueCol,
-              Seq((sum(col("c")), cntName)), Seq(cntName -> "ch_cum_"))
-              .select(col("f"), col(valueCol),
-                (col("ch_cum_") - col(cntName) + (col(cntName) + 1) / 2.0)
-                  .as(rankName))
-          else {
-            val grouped = pairs.groupBy(col("f"), col(valueCol))
-              .agg(sum(col("c")).as(cntName))
-            val W = org.apache.spark.sql.expressions.Window
-            val cum = W.partitionBy(col("f")).orderBy(col(valueCol))
-              .rowsBetween(W.unboundedPreceding, 0)
-            grouped.select(col("f"), col(valueCol),
-              (sum(col(cntName)).over(cum) - col(cntName) + (col(cntName) + 1) / 2.0)
-                .as(rankName))
-          }
-        }
-        pairs
-          .join(avgRank("q", "cq", "rq", corpusSized = false), Seq("f", "q"))
-          .join(avgRank("v", "cv", "rv", corpusSized = true), Seq("f", "v"))
-          .groupBy(col("f").as("l_returnflag"))
-          .agg(
-            sum(col("c")).as("n"),
-            sum(col("c") * col("rq")).as("sq"),
-            sum(col("c") * col("rv")).as("sv"),
-            sum(col("c") * col("rq") * col("rq")).as("sqq"),
-            sum(col("c") * col("rv") * col("rv")).as("svv"),
-            sum(col("c") * col("rq") * col("rv")).as("sqv"))
-          .select(col("l_returnflag"),
-            round((col("sqv") / col("n") - (col("sq") / col("n")) * (col("sv") / col("n"))) /
-              (sqrt(col("sqq") / col("n") - pow(col("sq") / col("n"), 2)) *
-                sqrt(col("svv") / col("n") - pow(col("sv") / col("n"), 2))), 6)
-              .as("spearman"))
-      },
+      (s, d) => exactSpearman(s, d)
+        .select(col("l_returnflag"),
+          round(col("spearman_raw"), 6).as("spearman")),
       Some("""WITH p AS (
              |  SELECT l_returnflag f, CAST(l_quantity AS DOUBLE) q,
              |    l_extendedprice v, CAST(count(*) AS DOUBLE) c
@@ -1024,6 +1035,93 @@ object Analytics extends QueryRegistry {
              |  round((sqv/n - (sq/n)*(sv/n)) /
              |    (sqrt(sqq/n - pow(sq/n, 2)) * sqrt(svv/n - pow(sv/n, 2))), 6)
              |    AS spearman
+             |FROM sm""".stripMargin)),
+
+    // ---- SKETCH-tier Spearman (r16 verdict next-#7 — the 100-TB twin
+    // of b_agg34, the way b_agg48 twins the exact quantile): instead of
+    // ranking the corpus-sized l_extendedprice spectrum with a range-
+    // partitioned prefix sum, each marginal's CDF is approximated by a
+    // mergeable quantile sketch (approx_percentile at a B-cut grid —
+    // partial+final hash agg, constant state, NO range exchange
+    // anywhere), each joint-spectrum row maps to its bucket-midpoint
+    // rank via a codegen'd fold over the broadcast cut array, and the
+    // weighted Pearson moments run over those approximate ranks.
+    // Accuracy contract (the b_agg48 convention): the row also computes
+    // the exact value and certifies |sketch − exact| ≤ 0.02 per group —
+    // measured |Δ| ≤ 0.00013 at sf0.01 and ≤ 0.00001 at sf0.1 with
+    // B = 200 (the bucket-midpoint rank error is ≤ 1/(2B) per side and
+    // the Pearson form contracts it further; the 0.02 floor leaves
+    // >150× margin per the jitter convention). DuckDB pins the exact
+    // value and the contract booleans. ----
+    QueryDef(
+      "b_agg49_sketch_spearman",
+      (s, d) => {
+        val B = 200
+        val grid = (1 until B).map(i => i.toDouble / B)
+        val pairs = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("f"),
+            col("l_quantity").cast("double").as("q"),
+            col("l_extendedprice").cast("double").as("v"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        // ONE sketch pass over the corpus: both marginals' cut arrays
+        // per group (mergeable state, m × (B−1) doubles total)
+        val cuts = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("f"))
+          .agg(
+            expr(s"approx_percentile(CAST(l_quantity AS DOUBLE), " +
+              s"array(${grid.mkString(",")}), 10000)").as("qc"),
+            expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), " +
+              s"array(${grid.mkString(",")}), 10000)").as("vc"))
+        // bucket-midpoint rank: (#cuts ≤ x + 0.5) / B — a codegen'd
+        // array fold, no shuffle, ties land in one bucket by construction
+        def rankHat(x: String, cutsCol: String) =
+          (expr(s"aggregate($cutsCol, 0L, (acc, cc) -> " +
+            s"acc + CASE WHEN $x >= cc THEN 1L ELSE 0L END)") + lit(0.5)) / lit(B.toDouble)
+        val sk = pairs.join(broadcast(cuts), Seq("f"))
+          .select(col("f"), col("c"),
+            rankHat("q", "qc").as("rq"), rankHat("v", "vc").as("rv"))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(
+            sum(col("c")).as("n"),
+            sum(col("c") * col("rq")).as("sq"),
+            sum(col("c") * col("rv")).as("sv"),
+            sum(col("c") * col("rq") * col("rq")).as("sqq"),
+            sum(col("c") * col("rv") * col("rv")).as("svv"),
+            sum(col("c") * col("rq") * col("rv")).as("sqv"))
+          .select(col("l_returnflag"),
+            ((col("sqv") / col("n") - (col("sq") / col("n")) * (col("sv") / col("n"))) /
+              (sqrt(col("sqq") / col("n") - pow(col("sq") / col("n"), 2)) *
+                sqrt(col("svv") / col("n") - pow(col("sv") / col("n"), 2))))
+              .as("spearman_sketch"))
+        exactSpearman(s, d).join(sk, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("spearman_raw"), 6).as("spearman_exact"),
+            (abs(col("spearman_sketch") - col("spearman_raw")) <= lit(0.02)).as("ok"))
+      },
+      Some("""WITH p AS (
+             |  SELECT l_returnflag f, CAST(l_quantity AS DOUBLE) q,
+             |    l_extendedprice v, CAST(count(*) AS DOUBLE) c
+             |  FROM lineitem GROUP BY 1, 2, 3),
+             |mq AS (SELECT f, q, sum(c) cq FROM p GROUP BY 1, 2),
+             |mqr AS (SELECT f, q,
+             |  sum(cq) OVER (PARTITION BY f ORDER BY q ROWS UNBOUNDED PRECEDING)
+             |    - cq + (cq + 1) / 2.0 AS rq FROM mq),
+             |mv AS (SELECT f, v, sum(c) cv FROM p GROUP BY 1, 2),
+             |mvr AS (SELECT f, v,
+             |  sum(cv) OVER (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |    - cv + (cv + 1) / 2.0 AS rv FROM mv),
+             |j AS (
+             |  SELECT p.f, p.c, mqr.rq, mvr.rv
+             |  FROM p JOIN mqr ON p.f = mqr.f AND p.q = mqr.q
+             |         JOIN mvr ON p.f = mvr.f AND p.v = mvr.v),
+             |sm AS (
+             |  SELECT f, sum(c) n, sum(c*rq) sq, sum(c*rv) sv,
+             |    sum(c*rq*rq) sqq, sum(c*rv*rv) svv, sum(c*rq*rv) sqv
+             |  FROM j GROUP BY f)
+             |SELECT f AS l_returnflag,
+             |  round((sqv/n - (sq/n)*(sv/n)) /
+             |    (sqrt(sqq/n - pow(sq/n, 2)) * sqrt(svv/n - pow(sv/n, 2))), 6)
+             |    AS spearman_exact, true AS ok
              |FROM sm""".stripMargin)),
 
     // ---- corrMatrix (CH): all pairwise Pearson correlations of three
