@@ -48,7 +48,7 @@ object Probe {
       println(s"PROBE recall $name = ${(brute intersect p).size.toDouble / brute.size}")
     }
     rec("lsh", Similarity.lshTopK(emb, q, k = 5, tables = 8, bits = 6))
-    rec("ivf", Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 0))
+    rec("ivf", Similarity.ivfTopK(emb, q, k = 5, nlist = 0, nprobe = 0))
     // shipped defaults (m=8, ksub=256) so a floor re-audit prints the
     // numbers the contracts actually run under
     rec("pq", Similarity.pqTopK(emb, q, k = 5))
@@ -64,7 +64,7 @@ object Probe {
         val p = pairs(df)
         println(s"PROBE recall $name = ${(bruteS intersect p).size.toDouble / bruteS.size}")
       }
-      recS("ivf_sliced", Similarity.ivfTopK(sliced, q, k = 5, nlist = 16, nprobe = 0))
+      recS("ivf_sliced", Similarity.ivfTopK(sliced, q, k = 5, nlist = 0, nprobe = 0))
       recS("pq_sliced", Similarity.pqTopK(sliced, q, k = 5))
       recS("ivfpq_sliced", Similarity.ivfPqTopK(sliced, q, k = 5))
     }

@@ -47,8 +47,10 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") % 25 === 0)
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nlist = 0 on the rebuild side: the standing index builds at the
+    // density-scaled cell count, and equality needs identical centroids
     val probe = topSet(Similarity.ivfIndexProbe(spark, sf001, queries, k = 5, nprobe = 4))
-    val rebuild = topSet(Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4))
+    val rebuild = topSet(Similarity.ivfTopK(emb, queries, 5, nlist = 0, nprobe = 4))
     assert(probe === rebuild,
       "standing-index probe must agree with the per-rep rebuild path")
   }
