@@ -1936,7 +1936,11 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         val sample = emb.select(col("embedding").cast("array<double>"))
           .limit(2048).as[Array[Double]].collect()
-        val centroids = VecKernels.kmeans(sample, 16, iters = 8, seed = 42L)
+        // sized for the corpus the index will SERVE (the merged whole,
+        // known here) — with a fixed 16 the auto-nprobe saturates to
+        // nlist at sf1 and both probes degenerate to brute scans
+        val centroids = VecKernels.kmeans(sample,
+          densityNlist(emb.count(), sample.length), iters = 8, seed = 42L)
         val slice = pmod(col("vec_id"), lit(5L))
         val index0 = ivfAssign(emb.where(slice >= 2), centroids)
         val merged = mergeIvfIndex(index0, emb.where(slice === 1), centroids)
