@@ -555,15 +555,16 @@ object Similarity extends QueryRegistry {
     * the sf0.01 certification density — 0.65 there but 0.48 at sf0.1).
     * FAISS practice: as the corpus densifies around each query, probe
     * more cells and re-rank a longer ADC shortlist. Both grow ∝ √N
-    * ([[graft.llm.Probe]] sweep, round 17): at N=500 (sf0.01) nprobe 6
-    * / shortlistFactor 8 measure IVF 0.82 / IVF-PQ 0.82 / flat-PQ 1.00
-    * vs brute top-5; at N=2000 (sf0.1) nprobe 12 / shortlistFactor 16
-    * measure 0.955 / 0.9225 / 0.955 — the fixed r16 knobs read 0.48
-    * (IVF-PQ, sf0.1) against a 0.5 floor.
-    * Passing `0` for either knob at the public surfaces selects these
+    * ([[graft.llm.Probe]] sweep, round 17), and [[densityNlist]] grows
+    * the cell count alongside so the probed FRACTION stays bounded
+    * (~36%) instead of nprobe saturating at a fixed nlist. Measured
+    * vs brute top-5 at sf0.01 / sf0.1 / sf1 under the full density
+    * triple: IVF 0.82 / 0.745 / 0.81, flat PQ 1.00 / 0.955 / 0.98,
+    * composed IVF-PQ 0.82 / 0.755 / 0.81 — the fixed r16 knobs read
+    * 0.48 (IVF-PQ, sf0.1) against a 0.5 floor.
+    * Passing `0` for any knob at the public surfaces selects these
     * (the shipped default); an explicit positive value always wins.
-    * nprobe is clamped to nlist (nlist itself is per-artifact: at real
-    * scale you retrain with nlist ∝ √N rather than probing everything);
+    * nprobe is clamped to nlist;
     * shortlistFactor is capped at 256 — past that the exact re-rank
     * (s·8 rows per query) dominates and the right lever is nlist. */
   private[llm] def densityNprobe(n: Long, nlist: Int): Int =
@@ -571,18 +572,22 @@ object Similarity extends QueryRegistry {
   private[llm] def densityShortlistFactor(n: Long): Int =
     math.min(256, math.max(4, math.ceil(4.0 * math.sqrt(n / 125.0)).toInt))
 
-  /** Density-scaled IVF cell count for the PLAIN-IVF family (FAISS
-    * practice nlist ≈ √N): its probe scans FULL VECTORS inside probed
-    * cells, so at a fixed nlist=16 the √N nprobe growth degenerates to
-    * a brute scan once nprobe hits nlist (measured: the sf1 IVF rows
-    * read 2.5–4× r16 before this). Finer cells keep the probed
-    * fraction ~26% at every density — nlist 23 / nprobe 6 at N=500,
-    * 45/12 at N=2000, 142/36 at N=20000 — and recall RISES with the
-    * finer quantizer (measured below). The composed IVF-PQ family
-    * deliberately keeps nlist=16: its scan reads 8-byte codes, so a
-    * wide probe is cheap and the coarse quantizer's by_residual term
-    * stays well-conditioned. Bounded by the k-means sample size (a
-    * cell count above the sample would leave empty codebook cells). */
+  /** Density-scaled IVF cell count for BOTH ANN families (FAISS
+    * practice nlist ≈ √N). Plain IVF: the probe scans FULL VECTORS
+    * inside probed cells, so at a fixed nlist=16 the √N nprobe growth
+    * degenerates to a brute scan once nprobe hits nlist (measured: the
+    * sf1 IVF rows read 2.5–4× r16 before this). Composed IVF-PQ: the
+    * same saturation showed up one decade later — its ADC scan reads
+    * 8 bytes/vector, but once nprobe = nlist the CELL PRUNING is gone
+    * and probe cost goes linear in the corpus (measured at the sf10
+    * cert: standing composed probes read 13–15× their sf0.01 base
+    * where r16's fixed-knob run scaled 3.1×). Finer cells keep the
+    * probed fraction ~36% at every density — nlist 16 / nprobe 6 at
+    * N=500, 32/12 at N=2000, 100/36 at N=20000, 159/57 at N=50000 —
+    * and recall holds or RISES under the finer quantizer (smaller
+    * cells ⇒ smaller residuals ⇒ tighter by_residual codes). Bounded
+    * by the k-means sample size (a cell count above the sample would
+    * leave empty codebook cells). */
   private[llm] def densityNlist(n: Long, sampleN: Int): Int =
     math.min(math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt),
       math.max(16, sampleN / 4))
@@ -1007,7 +1012,7 @@ object Similarity extends QueryRegistry {
     * cost class; the standing path is [[ivfPqIndexFor]] /
     * [[ivfPqIndexProbe]]. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,
+      nlist: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,
       sampleCap: Int = 2048, shortlistFactor: Int = 0, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1015,12 +1020,13 @@ object Similarity extends QueryRegistry {
     val sample = c.select(col("cv")).limit(sampleCap).as[Array[Double]].collect()
       .map(VecKernels.normalize)
     if (sample.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "vid", "cos")
-    val (centroids, codebooks, bounds) = ivfPqTrain(sample, nlist, m, ksub, seed)
     // density knobs resolved on the RAW corpus count so the encode pass
     // runs once (ivfPqScan would otherwise count the un-checkpointed
     // encode frame and re-pay it)
-    val n = if (nprobe > 0 && shortlistFactor > 0) 0L else c.count()
-    val np = if (nprobe > 0) nprobe else densityNprobe(n, nlist)
+    val n = if (nlist > 0 && nprobe > 0 && shortlistFactor > 0) 0L else c.count()
+    val nl = if (nlist > 0) nlist else densityNlist(n, sample.length)
+    val (centroids, codebooks, bounds) = ivfPqTrain(sample, nl, m, ksub, seed)
+    val np = if (nprobe > 0) nprobe else densityNprobe(n, nl)
     val slf = if (shortlistFactor > 0) shortlistFactor else densityShortlistFactor(n)
     ivfPqScan(ivfPqEncodeDf(c, centroids, codebooks, bounds), c,
       centroids, codebooks, bounds, queries, k, ksub, np, slf)
@@ -1148,10 +1154,6 @@ object Similarity extends QueryRegistry {
   // future batch. The full per-rep rebuild cost class stays owned on
   // the board by `x_sim_topk_ivf`, which re-fits everything each rep.
 
-  // IVF-PQ ONLY since r17: its ADC scan reads 8-byte codes, so a wide
-  // density-scaled nprobe is cheap at a fixed coarse quantizer. The
-  // plain-IVF family (full-vector scans) uses [[densityNlist]] instead.
-  private val ivfNlist = 16
   private val ivfIndexCache = new SessionMemo[String](pin = true)
   // centroids keyed by (applicationId, dir), written inside the memo's
   // per-key compute so they always correspond to the live assignment;
@@ -1292,8 +1294,8 @@ object Similarity extends QueryRegistry {
       val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
         .map(VecKernels.normalize)
       require(sample.nonEmpty, s"ivfPqIndexFor($d): empty embeddings corpus")
-      val (centroids, codebooks, bounds) =
-        Similarity.ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
+      val (centroids, codebooks, bounds) = Similarity.ivfPqTrain(sample,
+        densityNlist(c.count(), sample.length), pqM, pqKsub, seed = 42L)
       ivfPqModelCache.put((s.sparkContext.applicationId, d), (centroids, codebooks, bounds))
       Similarity.ivfPqEncodeDf(c, centroids, codebooks, bounds).localCheckpoint()
     }
@@ -1574,7 +1576,7 @@ object Similarity extends QueryRegistry {
     require(model != null, s"saveIvfPqIndex($d): model missing")
     val (centroids, codebooks, bounds) = model
     IndexStore.save(index, path, Map(
-      "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
+      "kind" -> "ivfpq", "nlist" -> centroids.length.toString,
       "m" -> pqM.toString, "ksub" -> pqKsub.toString, "by_residual" -> "true",
       "centroids" -> IndexStore.encodeMatrix(centroids),
       "codebooks" -> IndexStore.encodeCube(codebooks),
@@ -2139,15 +2141,17 @@ object Similarity extends QueryRegistry {
     // cell, codes), cell-pruned ADC scan. Floor below the PQ row's:
     // the two approximations compound (nprobe-of-nlist pruning ×
     // 8-byte codes). r16's fixed knobs measured 0.65 at sf0.01 but
-    // 0.48 at sf0.1 (the r16 verdict weak); the density-scaled knobs
-    // measure 0.82 / 0.9225 — floor 0.65 at both scales. ----
+    // 0.48 at sf0.1 (the r16 verdict weak); the density-scaled triple
+    // (nlist AND nprobe AND shortlist) measures 0.82 / 0.755 / 0.81
+    // at sf0.01 / sf0.1 / sf1 — floor 0.6, ≥0.15 under the worst
+    // measured scale. ----
     QueryDef(
       "x_sim_topk_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqTopK(emb, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.65)
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2164,7 +2168,7 @@ object Similarity extends QueryRegistry {
         val emb = t(s, d, "embeddings")
         annRecallContract(
           ivfPqIndexProbe(s, d, queriesOf(emb), k = 5),
-          bruteTopKFor(s, d, 5), minRecall = 0.65)
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2187,8 +2191,9 @@ object Similarity extends QueryRegistry {
         val sample = c.select(col("cv")).limit(2048).as[Array[Double]].collect()
           .map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_sim_index_update_ivfpq($d): empty embeddings corpus")
-        val (centroids, codebooks, bounds) =
-          Similarity.ivfPqTrain(sample, 16, 8, 256, seed = 42L)
+        // sized for the corpus the index will serve (the merged whole)
+        val (centroids, codebooks, bounds) = Similarity.ivfPqTrain(sample,
+          densityNlist(emb.count(), sample.length), 8, 256, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))
         val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
         val merged = mergeIvfPqIndex(index0, c.where(slice === 1), centroids, codebooks, bounds)
@@ -2197,9 +2202,9 @@ object Similarity extends QueryRegistry {
         val q = queriesOf(emb)
         val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
           q, 5, 256, 0, 0)
-        // floor 0.6, under the family's 0.65: the SLICED-corpus
-        // scenario measures 0.80 at sf0.01 / 0.8675 at sf0.1 under the
-        // density-scaled knobs (Probe `scenarios`, r17), and floors
+        // floor 0.6 like the family's: the SLICED-corpus scenario
+        // measures 0.80 at sf0.01 / 0.7675 at sf0.1 under the full
+        // density-scaled triple (Probe `scenarios`, r17), and floors
         // sit >= 0.15 under the worst measured scale per the jitter
         // convention
         val contract = annRecallContract(probeM,
@@ -2240,7 +2245,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.65)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.6)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("index_roundtrip_ok"),
             col("recall_ok"))
@@ -2683,8 +2688,8 @@ object Similarity extends QueryRegistry {
         val sample = c.select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_stream_ivfpq_ingest($d): empty embeddings corpus")
-        val (centroids, codebooks, bounds) =
-          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
+        val (centroids, codebooks, bounds) = ivfPqTrain(sample,
+          densityNlist(emb.count(), sample.length), pqM, pqKsub, seed = 42L)
         def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
           col("embedding").cast("array<double>").as("cv"))
         val maintained = annStreamIngest(s, emb, "x_stream_ivfpq_ingest")(
@@ -2701,7 +2706,7 @@ object Similarity extends QueryRegistry {
         annRecallContract(
           ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
             k = 5, pqKsub, nprobe = 0, shortlistFactor = 0),
-          bruteTopKFor(s, d, 5), minRecall = 0.65)
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2780,8 +2785,8 @@ object Similarity extends QueryRegistry {
         val sample = c.select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_stream_ivfpq_file_ingest($d): empty embeddings corpus")
-        val (centroids, codebooks, bounds) =
-          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
+        val (centroids, codebooks, bounds) = ivfPqTrain(sample,
+          densityNlist(emb.count(), sample.length), pqM, pqKsub, seed = 42L)
         def asCorpus(b: DataFrame) = b.select(col("vec_id").as("vid"),
           col("embedding").cast("array<double>").as("cv"))
         val maintained = annFileIngest(s, emb, "x_stream_ivfpq_file_ingest")(
@@ -2798,7 +2803,7 @@ object Similarity extends QueryRegistry {
         annRecallContract(
           ivfPqScan(maintained, c, centroids, codebooks, bounds, queriesOf(emb),
             k = 5, pqKsub, nprobe = 0, shortlistFactor = 0),
-          bruteTopKFor(s, d, 5), minRecall = 0.65)
+          bruteTopKFor(s, d, 5), minRecall = 0.6)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
              |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin)),
@@ -2822,12 +2827,13 @@ object Similarity extends QueryRegistry {
         val sample = c.where(slice >= 2).select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_sim_index_disk_update_ivfpq($d): empty build corpus")
-        val (centroids, codebooks, bounds) =
-          ivfPqTrain(sample, ivfNlist, pqM, pqKsub, seed = 42L)
+        // sized for the corpus the index will serve (the merged whole)
+        val (centroids, codebooks, bounds) = ivfPqTrain(sample,
+          densityNlist(emb.count(), sample.length), pqM, pqKsub, seed = 42L)
         val live = artifactPath(s, d, "ivfpq_disk")
         IndexStore.save(
           ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds), live, Map(
-            "kind" -> "ivfpq", "nlist" -> ivfNlist.toString,
+            "kind" -> "ivfpq", "nlist" -> centroids.length.toString,
             "m" -> pqM.toString, "ksub" -> pqKsub.toString, "by_residual" -> "true",
             "centroids" -> IndexStore.encodeMatrix(centroids),
             "codebooks" -> IndexStore.encodeCube(codebooks),
@@ -2849,7 +2855,7 @@ object Similarity extends QueryRegistry {
             Seq("vid", "cell", "codes"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)
             .otherwise(0)), lit(0)).as("bad"))
-        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.65)
+        annRecallContract(coldW, bruteTopKFor(s, d, 5), minRecall = 0.6)
           .crossJoin(mismatch)
           .select(col("n_queries"), (col("bad") === 0).as("converged"),
             lit(after <= before).as("compacted_ok"), col("recall_ok"))

@@ -2235,7 +2235,10 @@ object TextOps extends QueryRegistry {
         val sample = standVec.select(col("cv")).limit(2048)
           .as[Array[Double]].collect().map(VecKernels.normalize)
         require(sample.nonEmpty, s"x_pipe_daily($d): empty standing embeddings")
-        val (cents, cbs, bds) = Similarity.ivfPqTrain(sample, 16, 8, 256, seed = 42L)
+        // quantizer sized for the corpus the nightly index serves
+        // (standing + today's landings ≈ the full documents corpus)
+        val (cents, cbs, bds) = Similarity.ivfPqTrain(sample,
+          Similarity.densityNlist(emb.count(), sample.length), 8, 256, seed = 42L)
         val ann = new java.util.concurrent.atomic.AtomicReference[DataFrame](
           Similarity.ivfPqEncodeDf(standVec, cents, cbs, bds).localCheckpoint())
         val standingKeys = standing
