@@ -78,6 +78,15 @@ object Probe {
       }
       for (sf <- Seq(2, 4, 8, 16, 32))
         rec(s"pq sf=$sf", Similarity.pqTopK(emb, q, k = 5, shortlistFactor = sf))
+      // the shortlist LEVER at auto nlist/nprobe: how much recall a
+      // deployment gives back by pinning shortlistFactor below the
+      // √N auto (the composed probe's residual super-constant cost
+      // term at high density — SURVEY r17 density row)
+      for (sf <- Seq(8, 16, 32, 0)) {
+        val tag = if (sf == 0) "auto" else sf.toString
+        rec(s"ivfpq lever np=auto sf=$tag",
+          Similarity.ivfPqTopK(emb, q, k = 5, shortlistFactor = sf))
+      }
     }
 
     // embed LSH + semantic recall vs exact pairs
