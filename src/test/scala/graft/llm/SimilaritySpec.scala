@@ -492,4 +492,45 @@ class SimilaritySpec extends SparkSpec {
       finally Similarity.pqLutTile = 4096
     assert(tiled === whole)
   }
+
+  test("density knobs: calibration points, floors/caps, bounded probed fraction") {
+    // the r17 density triple — pin the exact values the shipped floors
+    // were calibrated against (SURVEY r17 density row; Probe prints
+    // these), so a knob-formula change forces a floor re-audit
+    import Similarity.{densityNlist, densityNprobe, densityShortlistFactor}
+    // fixture calibration points (N = 500 / 2k / 20k / 50k; 2048 sample)
+    assert(densityNlist(500, 500) === 16)       // cert-small keeps 16
+    assert(densityNlist(2000, 2048) === 32)
+    assert(densityNlist(20000, 2048) === 100)
+    assert(densityNlist(50000, 2048) === 159)
+    assert(densityNprobe(500, 16) === 6)
+    assert(densityNprobe(2000, 32) === 12)
+    assert(densityNprobe(20000, 100) === 36)
+    assert(densityNprobe(50000, 159) === 57)
+    assert(densityShortlistFactor(500) === 8)
+    assert(densityShortlistFactor(2000) === 16)
+    assert(densityShortlistFactor(20000) === 51)
+    assert(densityShortlistFactor(50000) === 80)
+    // floors and caps
+    assert(densityNlist(10, 10) === 16, "nlist floors at 16")
+    assert(densityNlist(1L << 40, 2048) === 512,
+      "nlist is capped by sample/4 — empty codebook cells otherwise")
+    assert(densityNprobe(1L << 40, 64) === 64, "nprobe clamps to nlist")
+    assert(densityShortlistFactor(1L << 40) === 256, "shortlist caps at 256")
+    // the scale invariant the round exists for: across the certified
+    // density range the probed fraction stays bounded away from both
+    // brute (saturation) and blind (zero-cell) regimes
+    for (n <- Seq(500L, 2000L, 20000L, 50000L, 200000L)) {
+      val nl = densityNlist(n, 2048)
+      val frac = densityNprobe(n, nl).toDouble / nl
+      assert(frac >= 0.2 && frac <= 0.5,
+        s"probed fraction $frac out of [0.2, 0.5] at N=$n (nlist=$nl)")
+    }
+    // monotone: more corpus never means fewer cells or narrower probes
+    val pts = Seq(500L, 2000L, 20000L, 50000L, 200000L)
+    val nls = pts.map(densityNlist(_, 2048))
+    assert(nls === nls.sorted, "nlist must be nondecreasing in N")
+    val nps = pts.zip(nls).map { case (n, nl) => densityNprobe(n, nl) }
+    assert(nps === nps.sorted, "nprobe must be nondecreasing in N")
+  }
 }
