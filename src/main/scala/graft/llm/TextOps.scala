@@ -506,11 +506,16 @@ object TextOps extends QueryRegistry {
     IndexStore.loadAux(s, s"$path/state", "manifest")
       .select("dir", "min_doc", "max_doc").collect()
       .filter { r =>
-        val lo = r.getLong(1); val hi = r.getLong(2)
-        // any requested id inside [lo, hi]? (ids sorted — binary search)
-        val i = java.util.Arrays.binarySearch(ids, lo)
-        val from = if (i >= 0) i else -i - 1
-        from < ids.length && ids(from) <= hi
+        // a stats-free row (null min/max — nothing should write one,
+        // but ADVICE r17: an empty appended batch would) cannot prove
+        // disjointness, so it stays in scope rather than NPE'ing
+        r.isNullAt(1) || r.isNullAt(2) || {
+          val lo = r.getLong(1); val hi = r.getLong(2)
+          // any requested id inside [lo, hi]? (ids sorted — binary search)
+          val i = java.util.Arrays.binarySearch(ids, lo)
+          val from = if (i >= 0) i else -i - 1
+          from < ids.length && ids(from) <= hi
+        }
       }
       .map(_.getString(0)).toIndexedSeq.sorted
   }
@@ -2232,13 +2237,12 @@ object TextOps extends QueryRegistry {
         saveBm25State(s, idxPath, p0, ts0, r0.getLong(0), r0.getLong(1))
         val standVec = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
           .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("cv"))
-        val sample = standVec.select(col("cv")).limit(2048)
-          .as[Array[Double]].collect().map(VecKernels.normalize)
-        require(sample.nonEmpty, s"x_pipe_daily($d): empty standing embeddings")
+        require(!standVec.limit(1).isEmpty, s"x_pipe_daily($d): empty standing embeddings")
         // quantizer sized for the corpus the nightly index serves
         // (standing + today's landings ≈ the full documents corpus)
-        val (cents, cbs, bds) = Similarity.ivfPqTrain(sample,
-          Similarity.densityNlist(emb.count(), sample.length), 8, 256, seed = 42L)
+        val (cents, cbs, bds) = Similarity.ivfPqTrainAt(
+          standVec.select(col("cv")), Similarity.densityNlist(emb.count()),
+          8, 256, seed = 42L)
         val ann = new java.util.concurrent.atomic.AtomicReference[DataFrame](
           Similarity.ivfPqEncodeDf(standVec, cents, cbs, bds).localCheckpoint())
         val standingKeys = standing
@@ -2315,10 +2319,19 @@ object TextOps extends QueryRegistry {
           (1 to 3).foreach { i => land(i); q.processAllAvailable() }
         } finally {
           q.stop()
+          // the landing dir + stream checkpoint die with the stream;
+          // the BM25 artifact must outlive this block — the ledger
+          // verification below still reads it — and is reclaimed with
+          // the WHOLE scratch root at the end (ADVICE r17: deleting
+          // only in/ leaked the artifact + checkpoint every rep,
+          // accumulating disk at sf1/sf10 bench scale)
           try {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(tmp.resolve("in")).iterator().asScala.toSeq.reverse
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            Seq(tmp.resolve("in"), tmp.resolve("ckpt")).foreach { p =>
+              if (java.nio.file.Files.exists(p))
+                java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                  .foreach(f => java.nio.file.Files.deleteIfExists(f))
+            }
           } catch { case _: Throwable => () }
         }
         require(batches.get() >= 4,
@@ -2371,8 +2384,11 @@ object TextOps extends QueryRegistry {
           s"x_pipe_daily: merged composed index diverged from the direct encode ($annDiv)")
 
         // certified output: the ledger, with admitted docs' dl read back
-        // FROM the artifact and ANN membership from the merged index
-        ledger
+        // FROM the artifact and ANN membership from the merged index.
+        // Every joined frame is localCheckpoint'd, so the artifact can
+        // be reclaimed NOW — the scratch root does not outlive the rep
+        // (ADVICE r17: it used to accumulate at sf1/sf10 bench scale)
+        val out = ledger
           .join(served, Seq("doc_id"), "left")
           .join(ann.get().select(col("vid").as("doc_id"), lit(true).as("ann")),
             Seq("doc_id"), "left")
@@ -2380,6 +2396,12 @@ object TextOps extends QueryRegistry {
             when(col("verdict") === "admitted", col("dl")).otherwise(lit(null))
               .cast("long").as("dl"),
             coalesce(col("ann"), lit(false)).as("in_ann"))
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+        out
       },
       Some(s"""WITH landed AS (
               |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
