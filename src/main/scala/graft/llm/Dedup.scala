@@ -581,8 +581,13 @@ object Dedup extends QueryRegistry {
     // admissions too, not just disjoint ones. In production (parquet
     // append) the same guard is a dedup-on-write keyed by
     // (doc_id, band) — band-bucketed layout absorbs the shuffle.
-    index.unionByName(bandKeys(admitted, k, bands))
-      .dropDuplicates("doc_id", "band", "bkey")
+    // r18 merge shape (the Similarity.mergeIvfIndex rewrite, keyed
+    // (doc_id, band, bkey)): only the batch-sized increment dedups and
+    // anti-joins; the standing index is unioned, never reshuffled —
+    // O(batch) per admit instead of O(corpus)
+    index.unionByName(
+      bandKeys(admitted, k, bands).dropDuplicates("doc_id", "band", "bkey")
+        .join(index, Seq("doc_id", "band", "bkey"), "left_anti"))
 
   /** Index DELETION — the third lifecycle operation next to build and
     * merge, and the half that makes "update = delete-then-admit" real:
@@ -661,7 +666,10 @@ object Dedup extends QueryRegistry {
     * convention as `x_dedup_incremental`. */
   private def indexUpdatePairsFor(s: SparkSession, d: String, tau: Double): DataFrame = {
     val docs = t(s, d, "documents")
+    // the merge references its standing side twice (union + anti-join,
+    // r18 merge shape) — checkpointed so the band-key pass runs once
     val index0 = bandKeys(docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) >= 2), k = 32, bands = 16)
+      .localCheckpoint()
     val index1 = mergeBandIndex(index0, docs.where(pmod(col("doc_id"), lit(batchMod.toLong)) === 1))
     probeVerify(s, d, tau, index1)
   }
@@ -742,7 +750,11 @@ object Dedup extends QueryRegistry {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.localCheckpoint()
+        // r18: the micro-batch feeds its two consumers (candidate probe,
+        // band-key merge) directly — both execute inside this call, so
+        // the old per-batch raw checkpoint job bought nothing; the
+        // probe RESULT and the merged state keep theirs
+        val b = batch.toDF()
         val cur = indexRef.get()
         if (cur != null)
           cands.add(incrementalCandidates(b, cur).localCheckpoint())
@@ -1391,7 +1403,11 @@ object Dedup extends QueryRegistry {
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
+            // r18: no raw-batch checkpoint job — the admit/forget
+            // slices are consumed inside this call over a tiny
+            // MemoryStream batch; the maintained index keeps its
+            // checkpoint
+            val b = batch.toDF()
             val admits = b.where(col("op") === "admit").select("doc_id", "text")
             val forgets = b.where(col("op") === "forget").select("doc_id")
             val cur = indexRef.get()

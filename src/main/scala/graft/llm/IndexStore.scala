@@ -139,7 +139,7 @@ object IndexStore {
     }
     commitGeneration(s, path, meta,
       manifest = manifestEntries(s, path) :+ (seg -> rows),
-      aux = carriedAux(s, path))
+      aux = Map.empty, auxCopyFrom = Some(resolveDir(s, path)))
   }
 
   /** COMPACTION — appends fragment the artifact one segment per batch;
@@ -164,16 +164,20 @@ object IndexStore {
     writeSegment(compacted, path, seg, parts, forceOneFilePerTask = true)
     val rows = segmentRows(s, s"$path/$seg")
     commitGeneration(s, path, meta, manifest = Seq(seg -> rows),
-      aux = carriedAux(s, path))
+      aux = Map.empty, auxCopyFrom = Some(resolveDir(s, path)))
     // post-condition (ADVICE r16: `after <= before` row gates would let
     // a silently no-op'd compaction pass on already-minimal fixtures):
     // the rewrite leaves exactly one file per live partition value
     // (repartition hashes each value into one task; the write forces
     // maxRecordsPerFile=0 so a session's writer-split setting cannot
     // fragment it — ADVICE r17), so a compaction whose rewrite stopped
-    // running fails HERE, on every fixture
+    // running fails HERE, on every fixture. The live partition values
+    // are the compacted segment's own partition directories (the
+    // manifest now names only it) — counted by a driver listing instead
+    // of the full distinct-scan job this used to launch (r18).
     if (parts.nonEmpty) {
-      val expected = load(s, path).select(parts.map(col): _*).distinct().count()
+      val expected = parquetFiles(s, s"$path/$seg")
+        .map(_.getParent.toString).distinct.size
       val actual = dataFileCount(s, path)
       require(actual == expected,
         s"index compaction at $path left $actual data files for " +
@@ -196,7 +200,8 @@ object IndexStore {
     * under an in-flight reader of the previous snapshot. */
   private def commitGeneration(s: SparkSession, path: String,
       meta: Map[String, String], manifest: Seq[(String, Long)],
-      aux: Map[String, DataFrame]): Unit = {
+      aux: Map[String, DataFrame],
+      auxCopyFrom: Option[String] = None): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val prevSegs = prevManifestSegs(s, fs, root, path)
@@ -208,7 +213,22 @@ object IndexStore {
         s"index aux table name '$name' collides with the artifact layout")
       df.write.mode("overwrite").parquet(s"$gen/$name")
     }
-    manifestDf(s, manifest).write.mode("overwrite").parquet(s"$gen/$ManifestTable")
+    // carry-forward aux tables copy as BYTES (r18 optimization: the old
+    // Spark read + localCheckpoint + rewrite per aux table per mutation
+    // cost three jobs to reproduce files that are immutable anyway; a
+    // driver-side copy is O(model bytes) and bit-identical)
+    auxCopyFrom.foreach { fromGen =>
+      val from = new Path(fromGen)
+      fs.listStatus(from).foreach { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith("_")
+            && st.getPath.getName != ManifestTable)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new Path(s"$gen/${st.getPath.getName}"), false,
+            s.sparkContext.hadoopConfiguration),
+            s"index commit: cannot carry aux table ${st.getPath} into $gen")
+      }
+    }
+    writeManifestFile(s, s"$gen/$ManifestTable", manifest)
     writeMeta(s, s"$gen/_index_meta.json", meta ++ Map("format" -> FormatVersion))
     swapHookBeforeFlip()
     flipPointer(fs, root, next, swapHookMidFlip)
@@ -253,8 +273,7 @@ object IndexStore {
       (toSeg, rows)
     }
     if (renamed)
-      manifestDf(s, moved).write.mode("overwrite")
-        .parquet(s"$stagedDir/$ManifestTable")
+      writeManifestFile(s, s"$stagedDir/$ManifestTable", moved)
     val next = versionsOf(fs, liveRoot).map(_._1).foldLeft(0L)(math.max) + 1
     val gen = new Path(liveRoot, s"v$next")
     require(fs.rename(stagedDir, gen),
@@ -298,17 +317,75 @@ object IndexStore {
       .parquet(s"$path/$seg")
   }
 
-  /** Rows actually committed in a segment — read back from disk, so the
-    * manifest records what IS there, not what the frame promised. */
-  private def segmentRows(s: SparkSession, dir: String): Long = {
+  /** Every committed parquet data file under `dir` (recursive —
+    * partitioned segments nest one level per partition column). */
+  private[llm] def parquetFiles(s: SparkSession, dir: String): Seq[Path] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
     val it = fs.listFiles(p, true)
-    var any = false
-    while (it.hasNext && !any) {
-      if (it.next().getPath.getName.endsWith(".parquet")) any = true
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += f
     }
-    if (!any) 0L else s.read.parquet(dir).count()
+    out.result()
+  }
+
+  /** (rows, min, max) of one INT64 column across the committed parquet
+    * files under `dir`, read from the FOOTERS (record counts + column
+    * statistics — stats of what is actually on disk, no scan job).
+    * Returns None for the range when any footer lacks usable stats for
+    * the column (the caller falls back to a scan) or the dir holds no
+    * rows. Parquet min/max statistics are exact for INT64 — this is the
+    * Iceberg-manifest trick the BM25 stats pruning already rides. */
+  private[llm] def parquetLongStats(s: SparkSession, dir: String,
+      column: String): (Long, Option[(Long, Long)]) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    var rows = 0L
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var statsOk = true
+    parquetFiles(s, dir).foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val footer = r.getFooter
+        import scala.jdk.CollectionConverters._
+        footer.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          if (block.getRowCount > 0) {
+            block.getColumns.asScala.find(
+              _.getPath.toDotString == column) match {
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) statsOk = false
+                else st match {
+                  case ls: org.apache.parquet.column.statistics.LongStatistics =>
+                    lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+                  case _ => statsOk = false
+                }
+              case None => statsOk = false
+            }
+          }
+        }
+      } finally r.close()
+    }
+    (rows, if (statsOk && rows > 0) Some((lo, hi)) else None)
+  }
+
+  /** Rows actually committed in a segment — read back from disk (the
+    * parquet FOOTERS' record counts, summed on the driver — metadata
+    * only, no scan job; r18 optimization: the read-plan + count job this
+    * used to launch per save/append/compact was pure overhead), so the
+    * manifest records what IS there, not what the frame promised. */
+  private def segmentRows(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    parquetFiles(s, dir).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   private def poolBytes(s: SparkSession, path: String): Long = {
@@ -319,12 +396,27 @@ object IndexStore {
     }.sum
   }
 
-  private def manifestDf(s: SparkSession, entries: Seq[(String, Long)]): DataFrame = {
-    val rows = new java.util.ArrayList[Row]()
-    entries.foreach { case (d, r) => rows.add(Row(d, r)) }
-    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("dir", org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType, nullable = false))))
+  /** Write the generation's manifest table driver-side (one tiny parquet
+    * file via parquet-hadoop; r18 optimization: the LocalTableScan write
+    * job per commit was pure scheduling overhead). Footer-compatible
+    * with the Spark-written form — the specs read it back as a table. */
+  private def writeManifestFile(s: SparkSession, dir: String,
+      entries: Seq[(String, Long)]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message graft_manifest { required binary dir (UTF8); required int64 rows; }")
+    val file = new Path(s"$dir/part-00000.parquet")
+    val fs = file.getFileSystem(conf)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).build()
+    try entries.foreach { case (d, r) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add("dir", d); g.add("rows", r)
+      writer.write(g)
+    } finally writer.close()
   }
 
   /** The (segment, rows) entries of the CURRENT generation's manifest,
@@ -344,10 +436,29 @@ object IndexStore {
     else try manifestEntries(s, path).map(_._1)
     catch { case _: Exception => Nil }
 
-  private def manifestEntriesAt(s: SparkSession, gen: String): Seq[(String, Long)] =
-    s.read.parquet(s"$gen/$ManifestTable")
-      .select("dir", "rows").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq.sortBy(_._1)
+  /** Manifest read as driver-side parquet record iteration (metadata-
+    * sized by contract — one row per live segment; r18 optimization: a
+    * Spark read of the tiny table cost a full job per call, and
+    * [[load]]/[[append]]/[[compact]]/probes all call this). The table
+    * stays an ordinary parquet table — Spark reads it fine (the
+    * crash-injection specs do). */
+  private def manifestEntriesAt(s: SparkSession, gen: String): Seq[(String, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[(String, Long)]
+    parquetFiles(s, s"$gen/$ManifestTable").foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += ((g.getString("dir", 0), g.getLong("rows", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result().toIndexedSeq.sortBy(_._1)
+  }
 
   /** Pool segments the current generation does NOT reference — crashed
     * appends' leftovers plus segments inside their one-generation
@@ -411,21 +522,6 @@ object IndexStore {
     * (same (session, path)-only cold contract as [[load]]). */
   def loadAux(s: SparkSession, path: String, name: String): DataFrame =
     s.read.parquet(s"${resolveDir(s, path)}/$name")
-
-  /** Aux tables of the current generation, reloaded for carry-forward
-    * into the next one (append/compact rewrite them — they are bounded
-    * model state by contract, so the rewrite is O(model), not
-    * O(corpus)). Materialized eagerly: the new generation's writes must
-    * not lazily re-read a directory the cleanup may have removed. */
-  private def carriedAux(s: SparkSession, path: String): Map[String, DataFrame] = {
-    val gen = new Path(resolveDir(s, path))
-    val fs = gen.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(gen).toSeq.collect {
-      case st if st.isDirectory && !st.getPath.getName.startsWith("_")
-          && st.getPath.getName != ManifestTable =>
-        st.getPath.getName -> s.read.parquet(st.getPath.toString).localCheckpoint()
-    }.toMap
-  }
 
   /** Atomic pointer flip: write-temp + delete + rename (HDFS rename
     * does not overwrite); the delete→rename window is covered by the
@@ -609,24 +705,57 @@ object IndexStore {
         nullable = false))))
   }
 
+  /** Every (name, f, i, vec) row of the model aux table, read ONCE
+    * driver-side from the parquet files (bit-exact: parquet doubles
+    * round-trip as raw IEEE-754; bounded — model tables are
+    * O(nlist × dim + m × ksub × subdim) by contract). r18 optimization:
+    * each cold probe used to launch one Spark collect job PER
+    * matrix/cube it loaded; a composed IVF-PQ cold probe paid two scans
+    * of the same tiny table. */
+  private def readModelRows(s: SparkSession, path: String)
+      : Seq[(String, Int, Int, Array[Double])] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[(String, Int, Int, Array[Double])]
+    val files = parquetFiles(s, s"${resolveDir(s, path)}/$ModelTable")
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          // Spark writes array<double> as the 3-level list structure:
+          // vec (LIST) > list (repeated group) > element (double)
+          val vecG = g.getGroup("vec", 0)
+          val n = vecG.getFieldRepetitionCount(0)
+          val v = new Array[Double](n)
+          var j = 0
+          while (j < n) { v(j) = vecG.getGroup(0, j).getDouble(0, 0); j += 1 }
+          out += ((g.getString("name", 0), g.getInteger("f", 0),
+            g.getInteger("i", 0), v))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   /** Read one matrix back from the model aux table (bit-exact: parquet
-    * doubles round-trip as raw IEEE-754). One bounded collect — model
-    * tables are O(nlist × dim + m × ksub × subdim) by contract. */
+    * doubles round-trip as raw IEEE-754; driver-side footer read — no
+    * scan job). */
   def readModelMatrix(s: SparkSession, path: String, name: String): Array[Array[Double]] = {
-    val rows = loadAux(s, path, ModelTable)
-      .where(col("name") === lit(name)).select("i", "vec").collect()
+    val rows = readModelRows(s, path).filter(_._1 == name)
     require(rows.nonEmpty, s"model table at $path has no entry '$name'")
-    rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    rows.sortBy(_._3).map(_._4).toArray
   }
 
   /** Read one cube (array of matrices, e.g. per-subspace PQ codebooks)
     * back from the model aux table. */
   def readModelCube(s: SparkSession, path: String, name: String): Array[Array[Array[Double]]] = {
-    val rows = loadAux(s, path, ModelTable)
-      .where(col("name") === lit(name)).select("f", "i", "vec").collect()
+    val rows = readModelRows(s, path).filter(_._1 == name)
     require(rows.nonEmpty, s"model table at $path has no entry '$name'")
-    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
-      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_._3).map(_._4).toArray
     }.toArray
   }
 

@@ -1304,8 +1304,18 @@ object Similarity extends QueryRegistry {
     * vector in place needs delete-then-admit, same as the dedup index. */
   def mergeIvfIndex(index: DataFrame, admitted: DataFrame,
       centroids: Array[Array[Double]]): DataFrame =
-    index.unionByName(ivfAssign(admitted, centroids))
-      .dropDuplicates("vid")
+    // r18 shape (guide §2.3/§2.4): the standing side is UNIONED, never
+    // deduped — only the batch-sized increment dedups (intra-batch) and
+    // anti-joins (re-admissions). The old union+dropDuplicates(vid)
+    // shuffled the ENTIRE standing assignment's payload on every
+    // admitted batch — O(corpus) per admit at 100 TB; this is O(batch)
+    // plus a vid-only membership probe of the standing side (broadcast
+    // when the batch is small). Row-set identical: assignment is
+    // per-row deterministic under fixed centroids, so a re-admitted
+    // vid's standing row IS the row dropDuplicates would have kept.
+    index.unionByName(
+      ivfAssign(admitted, centroids).dropDuplicates("vid")
+        .join(index, Seq("vid"), "left_anti"))
 
   // ---- standing PQ index (the codebook half of verdict next-#3): the
   // trained codebooks + the m-bytes-per-vector codes table are THE
@@ -1364,8 +1374,12 @@ object Similarity extends QueryRegistry {
     * in-place vector update = delete-then-admit. */
   def mergePqIndex(codes: DataFrame, admitted: DataFrame,
       codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame =
-    codes.unionByName(Similarity.pqEncodeDf(admitted, codebooks, bounds))
-      .dropDuplicates("vid")
+    // same r18 merge shape as [[mergeIvfIndex]]: O(batch) increment,
+    // standing codes never reshuffled, row-set identical under the
+    // fixed-codebook determinism the contract already pins
+    codes.unionByName(
+      Similarity.pqEncodeDf(admitted, codebooks, bounds).dropDuplicates("vid")
+        .join(codes, Seq("vid"), "left_anti"))
 
   // ---- standing IVF-PQ index (the composed production shape: cell
   // partition-pruning × m-byte rows — the two prunings multiply, so a
@@ -1420,8 +1434,12 @@ object Similarity extends QueryRegistry {
   def mergeIvfPqIndex(index: DataFrame, admitted: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], bounds: Array[Int]): DataFrame =
-    index.unionByName(Similarity.ivfPqEncodeDf(admitted, centroids, codebooks, bounds))
-      .dropDuplicates("vid")
+    // same r18 merge shape as [[mergeIvfIndex]]: O(batch) increment,
+    // standing composed table never reshuffled
+    index.unionByName(
+      Similarity.ivfPqEncodeDf(admitted, centroids, codebooks, bounds)
+        .dropDuplicates("vid")
+        .join(index, Seq("vid"), "left_anti"))
 
   // ---- standing LSH index (completing the standing trilogy:
   // LSH/IVF/PQ each with build-once/probe-per-batch semantics): the
@@ -1567,8 +1585,11 @@ object Similarity extends QueryRegistry {
     * directly — `x_sim_index_update_lsh` certifies it end to end. */
   def mergeLshIndex(index: DataFrame, admitted: DataFrame,
       planes: Array[Array[Array[Double]]]): DataFrame =
-    index.unionByName(lshAssign(admitted, planes))
-      .dropDuplicates("vid", "t")
+    // same r18 merge shape as [[mergeIvfIndex]], keyed (vid, t): the
+    // standing bucket table is never reshuffled per admit
+    index.unionByName(
+      lshAssign(admitted, planes).dropDuplicates("vid", "t")
+        .join(index, Seq("vid", "t"), "left_anti"))
 
   // ---- cross-application persistence (VERDICT r13 next-#1): the
   // standing ANN artifacts written as parquet + metadata sidecar via
@@ -1748,11 +1769,16 @@ object Similarity extends QueryRegistry {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.localCheckpoint()
+        // the batch feeds exactly two consumers (the bounded probe
+        // sample and the build/merge), both executed INSIDE this call —
+        // consumed directly instead of paying a dedicated checkpoint
+        // job per micro-batch (r18; the merged STATE keeps its
+        // checkpoint: that is the standing artifact)
         val cur = indexRef.get()
-        if (cur != null) probed.addAndGet(probe(cur, b.limit(ingestProbeSample)))
+        if (cur != null) probed.addAndGet(probe(cur, batch.limit(ingestProbeSample)))
         indexRef.set(
-          (if (cur == null) build(b) else merge(cur, b)).localCheckpoint())
+          (if (cur == null) build(batch.toDF()) else merge(cur, batch.toDF()))
+            .localCheckpoint())
         ()
       }
       .start()
@@ -1810,13 +1836,17 @@ object Similarity extends QueryRegistry {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.localCheckpoint()
-        if (b.limit(1).count() > 0) {
+        // one emptiness probe on the source batch (the non-empty-batch
+        // discovery gate needs it), then the batch feeds its two
+        // consumers directly — no per-micro-batch checkpoint job (r18,
+        // same rationale as the MemoryStream drive)
+        if (!batch.isEmpty) {
           batches.incrementAndGet()
           val cur = indexRef.get()
-          if (cur != null) probed.addAndGet(probe(cur, b.limit(ingestProbeSample)))
+          if (cur != null) probed.addAndGet(probe(cur, batch.limit(ingestProbeSample)))
           indexRef.set(
-            (if (cur == null) build(b) else merge(cur, b)).localCheckpoint())
+            (if (cur == null) build(batch.toDF()) else merge(cur, batch.toDF()))
+              .localCheckpoint())
         }
         ()
       }
@@ -1969,9 +1999,11 @@ object Similarity extends QueryRegistry {
         require(dim > 0, s"x_sim_index_update_lsh($d): empty embeddings corpus")
         val planes = lshPlanesFor(dim)
         val slice = pmod(col("vec_id"), lit(5L))
-        val index0 = lshAssign(emb.where(slice >= 2), planes)
+        // same multi-consumer checkpointing as x_sim_index_update (r18)
+        val index0 = lshAssign(emb.where(slice >= 2), planes).localCheckpoint()
         val merged = mergeLshIndex(index0, emb.where(slice === 1), planes)
-        val rebuilt = lshAssign(emb.where(slice =!= 0), planes)
+          .localCheckpoint()
+        val rebuilt = lshAssign(emb.where(slice =!= 0), planes).localCheckpoint()
         val corpus = emb.where(slice =!= 0)
         val q = queriesOf(emb)
         val probeM = lshProbe(merged, corpus, planes, q, k = 5)
@@ -2045,11 +2077,18 @@ object Similarity extends QueryRegistry {
           emb.select(col("embedding").cast("array<double>")),
           Similarity.densityNlist(emb.count()), normalize = false, seed = 42L)
         val slice = pmod(col("vec_id"), lit(5L))
-        val index0 = ivfAssign(emb.where(slice >= 2), centroids)
+        // standing/merged/rebuilt each feed multiple consumers (the
+        // auto-nprobe count, the probe plan, the convergence join) —
+        // checkpointed once per rep so the assignment passes run once,
+        // not once per consumer (r18; a production admit persists the
+        // merged state anyway)
+        val index0 = ivfAssign(emb.where(slice >= 2), centroids).localCheckpoint()
         val merged = mergeIvfIndex(index0, emb.where(slice === 1), centroids)
-        val rebuilt = ivfAssign(emb.where(slice =!= 0), centroids)
+          .localCheckpoint()
+        val rebuilt = ivfAssign(emb.where(slice =!= 0), centroids).localCheckpoint()
         val q = queriesOf(emb)
         val probeM = ivfProbe(merged, centroids, q, k = 5, nprobe = 0)
+          .localCheckpoint()
         val probeR = ivfProbe(rebuilt, centroids, q, k = 5, nprobe = 0)
         val contract = annRecallContract(probeM,
           bruteForceTopK(emb.where(slice =!= 0), q, 5), minRecall = 0.6)
@@ -2118,9 +2157,13 @@ object Similarity extends QueryRegistry {
           .map(VecKernels.normalize)
         val (codebooks, bounds) = Similarity.pqTrain(sample, 8, 256, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))
+        // same multi-consumer checkpointing as x_sim_index_update (r18)
         val codes0 = Similarity.pqEncodeDf(c.where(slice >= 2), codebooks, bounds)
+          .localCheckpoint()
         val merged = mergePqIndex(codes0, c.where(slice === 1), codebooks, bounds)
+          .localCheckpoint()
         val rebuilt = Similarity.pqEncodeDf(c.where(slice =!= 0), codebooks, bounds)
+          .localCheckpoint()
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
         val probeM = Similarity.pqScan(merged, corpus, codebooks, bounds, q, 5, 256, 0)
@@ -2294,9 +2337,13 @@ object Similarity extends QueryRegistry {
         val (centroids, codebooks, bounds) = Similarity.ivfPqTrainAt(
           c.select(col("cv")), Similarity.densityNlist(emb.count()), 8, 256, seed = 42L)
         val slice = pmod(col("vid"), lit(5L))
+        // same multi-consumer checkpointing as x_sim_index_update (r18)
         val index0 = Similarity.ivfPqEncodeDf(c.where(slice >= 2), centroids, codebooks, bounds)
+          .localCheckpoint()
         val merged = mergeIvfPqIndex(index0, c.where(slice === 1), centroids, codebooks, bounds)
+          .localCheckpoint()
         val rebuilt = Similarity.ivfPqEncodeDf(c.where(slice =!= 0), centroids, codebooks, bounds)
+          .localCheckpoint()
         val corpus = c.where(slice =!= 0)
         val q = queriesOf(emb)
         val probeM = Similarity.ivfPqScan(merged, corpus, centroids, codebooks, bounds,
@@ -2376,10 +2423,13 @@ object Similarity extends QueryRegistry {
         require(!cvB.limit(1).isEmpty, s"x_sim_index_drift($d): empty build corpus")
         val centroids = Similarity.trainCoarseQuantizer(cvB,
           Similarity.densityNlist(build.count()), normalize = false, seed = 42L)
-        val index0 = ivfAssign(build, centroids)
+        // index0 feeds both merges (union + anti-join each), the
+        // new-rows anti-join and both tvDist histograms — checkpointed
+        // so the build assignment runs once per rep (r18)
+        val index0 = ivfAssign(build, centroids).localCheckpoint()
         val merged = mergeIvfIndex(
           mergeIvfIndex(index0, emb.where(slice === 1), centroids),
-          emb.where(slice === 0), centroids)
+          emb.where(slice === 0), centroids).localCheckpoint()
         val newRows = merged.join(index0.select("vid"), Seq("vid"), "left_anti")
         def tvDist(a: DataFrame, b: DataFrame): DataFrame = {
           val ha = a.groupBy("cell").agg(count(lit(1)).as("ca"))
@@ -2427,7 +2477,10 @@ object Similarity extends QueryRegistry {
         require(!cvB.limit(1).isEmpty, s"x_sim_index_rebuild($d): empty build corpus")
         val cent0 = Similarity.trainCoarseQuantizer(cvB,
           Similarity.densityNlist(build.count()), normalize = false, seed = 42L)
-        val merged = mergeIvfIndex(ivfAssign(build, cent0), emb.where(slice < 2), cent0)
+        // the merge references its standing side twice (union branch +
+        // anti-join) — checkpointed so the build assignment runs once (r18)
+        val merged = mergeIvfIndex(ivfAssign(build, cent0).localCheckpoint(),
+          emb.where(slice < 2), cent0)
         val live = artifactPath(s, d, "ivf_live")
         IndexStore.save(merged, live, Map("kind" -> "ivf",
           "nlist" -> cent0.length.toString), Seq("cell"),
@@ -2437,7 +2490,9 @@ object Similarity extends QueryRegistry {
         val cent1 = Similarity.trainCoarseQuantizer(
           emb.select(col("embedding").cast("array<double>")),
           Similarity.densityNlist(emb.count()), normalize = false, seed = 42L)
-        val rebuilt = ivfAssign(emb, cent1)
+        // feeds the staged save, the auto-nprobe count and the direct
+        // probe of the convergence join — checkpointed once (r18)
+        val rebuilt = ivfAssign(emb, cent1).localCheckpoint()
         val staged = artifactPath(s, d, "ivf_staged")
         IndexStore.save(rebuilt, staged, Map("kind" -> "ivf",
           "nlist" -> cent1.length.toString), Seq("cell"),
@@ -2499,8 +2554,10 @@ object Similarity extends QueryRegistry {
         val cold = ivfColdProbe(fresh, live, queriesOf(t(fresh, d, "embeddings")),
           k = 5, nprobe = 0)
         val coldW = IndexStore.recreate(s, cold)
-        val direct = ivfProbe(ivfAssign(emb, centroids), centroids,
-          queriesOf(emb), k = 5, nprobe = 0)
+        // the direct baseline's assignment feeds the auto-nprobe count
+        // AND the probe plan — checkpointed so it runs once (r18)
+        val direct = ivfProbe(ivfAssign(emb, centroids).localCheckpoint(),
+          centroids, queriesOf(emb), k = 5, nprobe = 0)
         val mismatch = coldW.withColumn("m", lit(1))
           .join(direct.withColumn("r", lit(1)), Seq("qid", "vid", "cos"), "full")
           .agg(coalesce(sum(when(col("m").isNull || col("r").isNull, 1)

@@ -167,7 +167,12 @@ object TextOps extends QueryRegistry {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = bm25Postings(docs)
+    // the postings subtree appears three times in the one scoring plan
+    // (df shuffle, query-term slice, scoring join) and Catalyst does
+    // not share subtrees across branches — checkpointed so the rebuild
+    // row pays its corpus tokenize ONCE per rep, not three times (r18;
+    // the row still owns the full rebuild cost class)
+    val tf = bm25Postings(docs).localCheckpoint()
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs
       .select(size(split(col("text"), " ", -1)).cast("long").as("dl"))
@@ -369,7 +374,10 @@ object TextOps extends QueryRegistry {
       n: Long, sumDl: Long, admitted: DataFrame): (DataFrame, DataFrame, Long, Long) = {
     val fresh = admitted
       .join(postings.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-    val bp = bm25Postings(fresh)
+    // batch-sized postings, consumed three times (stats, scalars, the
+    // union) — checkpointed so the admitted batch tokenizes once (r18;
+    // the disk-level appendBm25Index already did this)
+    val bp = bm25Postings(fresh).localCheckpoint()
     val bStats = bp.groupBy("term").agg(count(lit(1)).as("df_b"))
     val row = bp.select("doc_id", "dl").dropDuplicates("doc_id")
       .agg(count(lit(1)).as("nb"), coalesce(sum("dl"), lit(0L)).as("sdl"))
@@ -435,17 +443,54 @@ object TextOps extends QueryRegistry {
     IndexStore.save(stats, s"$path/state", Map(
       "kind" -> "bm25", "n" -> n.toString, "sumDl" -> sumDl.toString),
       aux = Map("manifest" ->
-        manifestRow(s, s"$path/pool/b0").withColumn("dir", lit("pool/b0"))))
+        bm25ManifestDf(s, Seq {
+          val (r0, lo, hi) = manifestStatsOf(s, s"$path/pool/b0")
+          (r0, lo, hi, "pool/b0")
+        })))
   }
 
-  /** One manifest-table row's stats for a just-written pool dir: (rows,
+  /** One manifest row's stats for a just-written pool dir: (rows,
     * min_doc, max_doc) read back from the committed parquet — stats of
-    * what is actually on disk, not of the frame that produced it. */
-  private def manifestRow(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir).agg(
-      count(lit(1)).as("rows"),
-      min(col("doc_id")).as("min_doc"),
-      max(col("doc_id")).as("max_doc"))
+    * what is actually on disk, not of the frame that produced it. r18
+    * optimization: the stats come from the parquet FOOTERS (record
+    * counts + exact INT64 column statistics — the same bytes an
+    * Iceberg manifest would record), so the read-back is driver-side
+    * metadata, not the scan-and-aggregate job this used to launch per
+    * save/append/compact; a footer without usable doc_id stats falls
+    * back to the original aggregate. */
+  private def manifestStatsOf(s: SparkSession, dir: String)
+      : (Long, Option[Long], Option[Long]) = {
+    val (rows, range) = IndexStore.parquetLongStats(s, dir, "doc_id")
+    range match {
+      case Some((lo, hi)) => (rows, Some(lo), Some(hi))
+      case None if rows == 0 => (0L, None, None)
+      case None =>
+        val r = s.read.parquet(dir).agg(
+          count(lit(1)), min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+  }
+
+  /** The BM25 manifest table as a local-relation DataFrame (what the
+    * staged generation commits; tiny by contract). */
+  private def bm25ManifestDf(s: SparkSession,
+      rows: Seq[(Long, Option[Long], Option[Long], String)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rows", LongType, nullable = false),
+      StructField("min_doc", LongType, nullable = true),
+      StructField("max_doc", LongType, nullable = true),
+      StructField("dir", StringType, nullable = false)))
+    val data = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (n, lo, hi, d) =>
+      data.add(org.apache.spark.sql.Row(n,
+        lo.map(java.lang.Long.valueOf).orNull,
+        hi.map(java.lang.Long.valueOf).orNull, d))
+    }
+    s.createDataFrame(data, schema)
+  }
 
   /** The postings table of the transactional BM25 artifact: the union of
     * the pool directories the CURRENT generation's manifest names —
@@ -457,12 +502,43 @@ object TextOps extends QueryRegistry {
     s.read.parquet(dirs: _*)
   }
 
+  /** The BM25 postings manifest table read DRIVER-SIDE from its parquet
+    * files — (rows, min_doc, max_doc, dir) per pool dir, min/max null
+    * for a stats-free row. Metadata-sized by contract (one row per
+    * append between compactions); r18 optimization: every
+    * load/append/probe used to launch a Spark collect job just to list
+    * these few rows. The table stays an ordinary Spark-written parquet
+    * aux table — specs and the staged-generation commit still read and
+    * write it as a DataFrame. */
+  private[llm] def bm25ManifestRows(s: SparkSession, path: String)
+      : Seq[(Long, Option[Long], Option[Long], String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val gen = IndexStore.resolveDir(s, s"$path/state")
+    val out = Seq.newBuilder[(Long, Option[Long], Option[Long], String)]
+    IndexStore.parquetFiles(s, s"$gen/manifest").foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def optLong(field: String): Option[Long] =
+            if (g.getFieldRepetitionCount(field) == 0) None
+            else Some(g.getLong(field, 0))
+          out += ((g.getLong("rows", 0), optLong("min_doc"),
+            optLong("max_doc"), g.getString("dir", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   /** Pool dirs the CURRENT generation's manifest table names (sorted for
     * deterministic read planning). The collect is bounded by the append
     * count between compactions — manifest entries, not postings. */
   private def manifestDirs(s: SparkSession, path: String): Seq[String] =
-    IndexStore.loadAux(s, s"$path/state", "manifest")
-      .select("dir").collect().map(_.getString(0)).toIndexedSeq.sorted
+    bm25ManifestRows(s, path).map(_._4).toIndexedSeq.sorted
 
   /** Parquet data files reachable from the current manifest (the
     * fragmentation measure the compaction contract uses). */
@@ -503,21 +579,21 @@ object TextOps extends QueryRegistry {
   private[llm] def bm25DirsForDocs(s: SparkSession, path: String,
       docIds: Seq[Long]): Seq[String] = {
     val ids = docIds.distinct.sorted.toArray
-    IndexStore.loadAux(s, s"$path/state", "manifest")
-      .select("dir", "min_doc", "max_doc").collect()
-      .filter { r =>
+    bm25ManifestRows(s, path)
+      .filter { case (_, minDoc, maxDoc, _) =>
         // a stats-free row (null min/max — nothing should write one,
         // but ADVICE r17: an empty appended batch would) cannot prove
         // disjointness, so it stays in scope rather than NPE'ing
-        r.isNullAt(1) || r.isNullAt(2) || {
-          val lo = r.getLong(1); val hi = r.getLong(2)
-          // any requested id inside [lo, hi]? (ids sorted — binary search)
-          val i = java.util.Arrays.binarySearch(ids, lo)
-          val from = if (i >= 0) i else -i - 1
-          from < ids.length && ids(from) <= hi
+        (minDoc, maxDoc) match {
+          case (Some(lo), Some(hi)) =>
+            // any requested id inside [lo, hi]? (ids sorted — binary search)
+            val i = java.util.Arrays.binarySearch(ids, lo)
+            val from = if (i >= 0) i else -i - 1
+            from < ids.length && ids(from) <= hi
+          case _ => true
         }
       }
-      .map(_.getString(0)).toIndexedSeq.sorted
+      .map(_._4).toIndexedSeq.sorted
   }
 
   /** Test-only crash-injection hook for [[appendBm25Index]]: invoked
@@ -545,7 +621,7 @@ object TextOps extends QueryRegistry {
     * converges (the anti-join sees the committed doc set). Orphaned
     * pool dirs are reclaimed by [[compactBm25Postings]]'s post-flip
     * sweep. */
-  def appendBm25Index(s: SparkSession, path: String, admitted: DataFrame): Unit = {
+  def appendBm25Index(s: SparkSession, path: String, admitted: DataFrame): Boolean = {
     val state = s"$path/state"
     val meta = IndexStore.readMeta(s, state)
     val indexed = loadBm25Postings(s, path).select("doc_id").distinct()
@@ -557,7 +633,7 @@ object TextOps extends QueryRegistry {
     val row = bp.select("doc_id", "dl").dropDuplicates("doc_id")
       .agg(count(lit(1)).as("nb"), coalesce(sum("dl"), lit(0L)).as("sdl"))
       .collect()(0)
-    if (row.getLong(0) == 0L) return // nothing new — the state stands
+    if (row.getLong(0) == 0L) return false // nothing new — the state stands
     val batchDir = s"pool/b${java.util.UUID.randomUUID().toString.take(8)}"
     bp.write.mode("overwrite").parquet(s"$path/$batchDir")
     bm25AppendHookAfterPool()
@@ -567,14 +643,19 @@ object TextOps extends QueryRegistry {
         (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
     // manifest table extended by the new pool dir's stats row — O(1)
     // metadata per append, committed in the same generation as the dfs
-    val mergedManifest = IndexStore.loadAux(s, state, "manifest")
-      .unionByName(manifestRow(s, s"$path/$batchDir")
-        .withColumn("dir", lit(batchDir)))
+    // (r18: prior rows ride the driver-side manifest read + a local
+    // relation instead of a Spark re-read of the tiny table)
+    val mergedManifest = bm25ManifestDf(s,
+      bm25ManifestRows(s, path) :+ {
+        val (rows0, lo, hi) = manifestStatsOf(s, s"$path/$batchDir")
+        (rows0, lo, hi, batchDir)
+      })
     IndexStore.save(mergedDfs, s"$path/state.staged", meta ++ Map(
       "n" -> (meta("n").toLong + row.getLong(0)).toString,
       "sumDl" -> (meta("sumDl").toLong + row.getLong(1)).toString),
       aux = Map("manifest" -> mergedManifest))
     IndexStore.swap(s, s"$path/state.staged", state)
+    true
   }
 
   /** Postings COMPACTION for the transactional artifact: rewrite every
@@ -610,8 +691,10 @@ object TextOps extends QueryRegistry {
       .coalesce(targetFiles.toInt)
       .write.mode("overwrite").parquet(s"$path/$compactedDir")
     IndexStore.save(IndexStore.load(s, state), s"$path/state.staged", meta,
-      aux = Map("manifest" -> manifestRow(s, s"$path/$compactedDir")
-        .withColumn("dir", lit(compactedDir))))
+      aux = Map("manifest" -> bm25ManifestDf(s, Seq {
+        val (r0, lo, hi) = manifestStatsOf(s, s"$path/$compactedDir")
+        (r0, lo, hi, compactedDir)
+      })))
     IndexStore.swap(s, s"$path/state.staged", state)
     // post-condition (ADVICE r16: `after <= before` row gates would let
     // a silently no-op'd compaction pass on already-minimal fixtures):
@@ -1698,7 +1781,9 @@ object TextOps extends QueryRegistry {
       (s, d) => {
         val docs = t(s, d, "documents")
         val qSel = col("doc_id") % 50 === 0 && col("doc_id") < 5000
-        val p = bm25Postings(zipfDocs(docs))
+        // checkpointed for the same three-branch reason as bm25TopK's
+        // postings (r18) — the rebuild is still paid, once
+        val p = bm25Postings(zipfDocs(docs)).localCheckpoint()
         val ts = p.groupBy("term").agg(count(lit(1)).as("df"))
         val r = p.select("doc_id", "dl").dropDuplicates("doc_id")
           .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
@@ -1827,8 +1912,12 @@ object TextOps extends QueryRegistry {
       (s, d) => {
         val docs = t(s, d, "documents")
         val slice = pmod(col("doc_id"), lit(5L))
-        val p0 = bm25Postings(docs.where(slice >= 2))
-        val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+        // p0/ts0 are each consumed by the save, the merge AND the direct
+        // re-score below — checkpointed once so the corpus tokenize and
+        // the df shuffle run once per rep, not once per consumer (r18,
+        // guide §1.2: don't recompute what you already have)
+        val p0 = bm25Postings(docs.where(slice >= 2)).localCheckpoint()
+        val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
         val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
           .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
           .collect()(0)
@@ -1903,8 +1992,10 @@ object TextOps extends QueryRegistry {
         val docs = t(s, d, "documents")
         val z = zipfDocs(docs)
         val slice = pmod(col("doc_id"), lit(5L))
-        val p0 = bm25Postings(z.where(slice >= 2))
-        val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df"))
+        // checkpointed for the same three-consumer reason as the raw
+        // disk chain (save + merge + direct re-score)
+        val p0 = bm25Postings(z.where(slice >= 2)).localCheckpoint()
+        val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
         val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
           .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
           .collect()(0)
@@ -1968,10 +2059,18 @@ object TextOps extends QueryRegistry {
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
+            // r18: the raw batch has exactly one consumer per branch
+            // (the postings build / the merge's tokenize) — its old
+            // dedicated checkpoint job bought nothing. The merged
+            // POSTINGS stay unchecked too: p1 is a plain union of
+            // already-checkpointed pieces (cur postings + the merge's
+            // own checkpointed batch postings), so its lineage is
+            // already shallow; only the dfs JOIN result still
+            // checkpoints (its lineage would otherwise chain one
+            // full-outer join per batch).
             val cur = state.get()
             if (cur == null) {
-              val p0 = bm25Postings(b).localCheckpoint()
+              val p0 = bm25Postings(batch.toDF()).localCheckpoint()
               val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
               val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
                 .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
@@ -1981,8 +2080,8 @@ object TextOps extends QueryRegistry {
               probed.addAndGet(
                 bm25Score(cur._1, cur._2, cur._3, cur._4, qTerms, k = 5).count())
               val (p1, ts1, n1, sdl1) =
-                mergeBm25Index(cur._1, cur._2, cur._3, cur._4, b)
-              state.set((p1.localCheckpoint(), ts1.localCheckpoint(), n1, sdl1))
+                mergeBm25Index(cur._1, cur._2, cur._3, cur._4, batch.toDF())
+              state.set((p1, ts1.localCheckpoint(), n1, sdl1))
             }
             ()
           }
@@ -2090,12 +2189,15 @@ object TextOps extends QueryRegistry {
           .writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
-            if (b.limit(1).count() > 0) {
+            // r18: same batch-step slimming as x_stream_bm25_ingest —
+            // one emptiness probe for the discovery gate, no raw-batch
+            // checkpoint (single consumer per branch), merged postings
+            // stay a shallow union of checkpointed pieces
+            if (!batch.isEmpty) {
               batches.incrementAndGet()
               val cur = state.get()
               if (cur == null) {
-                val p0 = bm25Postings(b).localCheckpoint()
+                val p0 = bm25Postings(batch.toDF()).localCheckpoint()
                 val ts0 = p0.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
                 val r0 = p0.select("doc_id", "dl").dropDuplicates("doc_id")
                   .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
@@ -2105,8 +2207,8 @@ object TextOps extends QueryRegistry {
                 probed.addAndGet(
                   bm25Score(cur._1, cur._2, cur._3, cur._4, qTerms, k = 5).count())
                 val (p1, ts1, n1, sdl1) =
-                  mergeBm25Index(cur._1, cur._2, cur._3, cur._4, b)
-                state.set((p1.localCheckpoint(), ts1.localCheckpoint(), n1, sdl1))
+                  mergeBm25Index(cur._1, cur._2, cur._3, cur._4, batch.toDF())
+                state.set((p1, ts1.localCheckpoint(), n1, sdl1))
               }
             }
             ()
@@ -2281,27 +2383,35 @@ object TextOps extends QueryRegistry {
           .writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val b = batch.localCheckpoint()
-            if (b.limit(1).count() > 0) {
+            // r18 batch-step shape: one emptiness probe on the source
+            // batch, ONE checkpoint of the survivors+quality frame
+            // (window + anti-join + quality fused — the old step
+            // checkpointed the raw batch, the survivors AND the
+            // admitted slice separately and paid an extra
+            // admitted-emptiness action; appendBm25Index's own
+            // empty-batch no-op now REPORTS whether it appended).
+            // Admission semantics unchanged: canon consumed at first
+            // arrival pre-quality, appends counted only when a batch
+            // actually landed.
+            if (!batch.isEmpty) {
               batches.incrementAndGet()
               // the production probe path: a COLD read of the live disk
               // artifact, against whatever generation is committed now
               probed.addAndGet(bm25ColdProbe(s, idxPath, probeDocs, k = 3).count())
               // dedup admission: within-batch first arrival, then the
-              // standing∪seen anti-join
-              val cb = b.withColumn("ck", md5(canonOf.cast("binary")))
-              val survivors = cb
+              // standing∪seen anti-join; quality rides the same frame
+              val svq = qualityOf(batch.toDF()
+                .withColumn("ck", md5(canonOf.cast("binary")))
                 .withColumn("rn", row_number().over(W.partitionBy("ck").orderBy("doc_id")))
                 .where(col("rn") === 1).drop("rn")
-                .join(keys.get(), Seq("ck"), "left_anti")
+                .join(keys.get(), Seq("ck"), "left_anti"))
                 .localCheckpoint()
               // canon consumed at FIRST arrival, pre-quality (see header)
-              keys.set(keys.get().unionByName(survivors.select("ck"))
+              keys.set(keys.get().unionByName(svq.select("ck"))
                 .distinct().localCheckpoint())
-              val admitted = qualityOf(survivors).where(col("q") >= tau)
-                .select(col("doc_id"), col("text")).localCheckpoint()
-              if (admitted.limit(1).count() > 0) {
-                appendBm25Index(s, idxPath, admitted)
+              val admitted = svq.where(col("q") >= tau)
+                .select(col("doc_id"), col("text"))
+              if (appendBm25Index(s, idxPath, admitted)) {
                 appends.incrementAndGet()
                 val admVec = emb
                   .join(admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"))
