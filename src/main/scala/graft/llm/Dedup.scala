@@ -581,13 +581,8 @@ object Dedup extends QueryRegistry {
     // admissions too, not just disjoint ones. In production (parquet
     // append) the same guard is a dedup-on-write keyed by
     // (doc_id, band) — band-bucketed layout absorbs the shuffle.
-    // r18 merge shape (the Similarity.mergeIvfIndex rewrite, keyed
-    // (doc_id, band, bkey)): only the batch-sized increment dedups and
-    // anti-joins; the standing index is unioned, never reshuffled —
-    // O(batch) per admit instead of O(corpus)
-    index.unionByName(
-      bandKeys(admitted, k, bands).dropDuplicates("doc_id", "band", "bkey")
-        .join(index, Seq("doc_id", "band", "bkey"), "left_anti"))
+    index.unionByName(bandKeys(admitted, k, bands))
+      .dropDuplicates("doc_id", "band", "bkey")
 
   /** Index DELETION — the third lifecycle operation next to build and
     * merge, and the half that makes "update = delete-then-admit" real:
@@ -1403,11 +1398,9 @@ object Dedup extends QueryRegistry {
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            // r18: no raw-batch checkpoint job — the admit/forget
-            // slices are consumed inside this call over a tiny
-            // MemoryStream batch; the maintained index keeps its
-            // checkpoint
-            val b = batch.toDF()
+            // the batch feeds three consumers here (admit merge, forget
+            // count, forget delete) — it keeps its checkpoint
+            val b = batch.localCheckpoint()
             val admits = b.where(col("op") === "admit").select("doc_id", "text")
             val forgets = b.where(col("op") === "forget").select("doc_id")
             val cur = indexRef.get()
